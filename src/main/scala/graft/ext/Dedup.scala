@@ -1,0 +1,180 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * Deduplication operators for large-scale text corpora (BASELINE.json
+ * north-star extensions; SURVEY.md §2.3 E17-E18).
+ *
+ * Scale design: every stage is a pure column pipeline (codegen-friendly,
+ * no UDFs) followed by key-partitioned shuffles. The pairwise work is never
+ * all-pairs: exact Jaccard joins on shared shingles, MinHash joins on LSH
+ * band buckets, SimHash joins on 8-bit chunks — so at 100 TB the shuffle
+ * keys stay selective and the candidate set stays near-linear in the
+ * number of true duplicates.
+ */
+object Dedup {
+
+  /** Exact full-row / keyed distinct (E17). */
+  def exactDistinct(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** Keyed dedup with deterministic survivor: keep first by `order` within
+    * each key group (E17) — `dropDuplicates` picks an arbitrary row;
+    * a ranked window makes the survivor reproducible. */
+  def keepFirstByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- shingling ---------------------------------------------------------
+
+  /** Distinct word n-gram shingles per document: (idCol, shingle).
+    * Pure array ops (split → transform over an index sequence → explode) —
+    * stays inside whole-stage codegen, no window, no UDF. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
+    df.select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Exact pairwise Jaccard over shingle sets, joined on shared shingles
+    * (selective at scale: a pair is compared only if it shares ≥1 shingle).
+    * Output: (d1, d2, jaccard) for jaccard ≥ threshold, d1 < d2. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("d1"), col("shingle"))
+    val b = sh.select(col(idCol).as("d2"), col("shingle"))
+    val inter = a.join(b, a("shingle") === b("shingle") && a("d1") < b("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("jaccard",
+        col("i").cast(DoubleType) / (col("sz1") + col("sz2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  // ---- MinHash + banded LSH ---------------------------------------------
+
+  /** Universal-hash family h_i(x) = (a_i*x + b_i) mod p over a 31-bit base
+    * hash — all arithmetic stays within Long range (no ANSI overflow) and
+    * all coefficients derive from `seed`, so signatures are deterministic
+    * across runs and cluster sizes. */
+  private val MersennePrime = (1L << 61) - 1
+
+  private def hashCoefficients(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature per document: (idCol, mh_0 .. mh_{k-1}).
+    * One explode + one hash-aggregate; the k min() aggregates combine
+    * map-side, so the shuffle carries one row per document. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+      // 31-bit non-negative base hash of the shingle
+      .withColumn("h", hash(col("shingle")).cast(LongType).bitwiseAND(lit(0x7fffffffL)))
+    val mins = hashCoefficients(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
+    }
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded LSH candidate pairs from signatures: split k hashes into
+    * `bands` bands, bucket-join on (band, hash(band slice)). */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandHashes = (0 until bands).map { bIdx =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${bIdx * rowsPerBand + r}"))
+      hash(slice: _*)
+    }
+    val buckets = signatures
+      .select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    val l = buckets.select(col(idCol).as("d1"), col("band"), col("bucket"))
+    val r = buckets.select(col(idCol).as("d2"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, candidates verified with exact Jaccard —
+    * the classic shingle→minhash→band→bucket-join→verify pipeline. With
+    * 16 bands × 4 rows the detection probability at jaccard 0.8 is
+    * 1-(1-0.8^4)^16 ≈ 0.9997, and the verify step removes all false
+    * positives, so output matches the exact-Jaccard operator while doing
+    * candidate-pair work proportional to true collisions only. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes, seed)
+    val cands = lshCandidatePairs(sigs, idCol, numHashes, bands)
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("d1"), col("shingle").as("s1"))
+    val b = sh.select(col(idCol).as("d2b"), col("shingle").as("s2"))
+    val inter = cands.join(a, "d1")
+      .join(b, col("d2") === col("d2b") && col("s1") === col("s2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col(idCol).as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("jaccard",
+        col("i").cast(DoubleType) / (col("sz1") + col("sz2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash per document from token 64-bit hashes, weighted by
+    * term frequency (tokens kept with multiplicity — frequency profiles
+    * discriminate far better than token sets on small vocabularies): bit j
+    * of the signature is the sign of Σ_tokens (2*bit_j(hash)-1). */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDistance. Candidate
+    * generation bands the 64 bits into 8 chunks of 8 — any pair within
+    * Hamming distance 7 shares at least one chunk (pigeonhole), so the
+    * join is on chunk equality, not all-pairs. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 6): DataFrame = {
+    require(maxDistance < 8, "chunk banding guarantees recall only for distance < 8")
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val chunks = (0 until 8).map(c =>
+      shiftright(col("simhash"), c * 8).bitwiseAND(lit(0xffL)).as(s"c_$c"))
+    val withChunks = sigs.select((col(idCol) +: col("simhash").as("sig") +: chunks): _*)
+    val exploded = withChunks.select(col(idCol), col("sig"),
+      posexplode(array((0 until 8).map(c => col(s"c_$c")): _*)).as(Seq("chunk_idx", "chunk")))
+    val l = exploded.select(col(idCol).as("d1"), col("sig").as("sig1"), col("chunk_idx"), col("chunk"))
+    val r = exploded.select(col(idCol).as("d2"), col("sig").as("sig2"), col("chunk_idx"), col("chunk"))
+    l.join(r, Seq("chunk_idx", "chunk")).filter(col("d1") < col("d2"))
+      .select("d1", "d2", "sig1", "sig2").distinct()
+      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("hamming") <= maxDistance)
+      .select("d1", "d2", "hamming")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video as opaque `binary` columns
+ * with typed metadata, processed batch-wise per partition. The Spark-side
+ * plumbing — schema, partitioning, per-partition batch shape — is real and
+ * tested; the actual media decode is STUBBED with a deterministic fake
+ * (===> no image/audio codecs exist in this container <===). Swap
+ * `StubDecoder` for a real codec (JNI/javacv) without touching the plan.
+ */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType))))))
+
+  /** Deterministic fake payload: media bytes derived from the id. Stands in
+    * for real files so the binary-column plumbing is exercised end-to-end. */
+  def synthesizeMedia(df: DataFrame, idCol: String): DataFrame = {
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col(idCol), lit(3)) + 1).cast("int"))
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      kind.as("kind"),
+      // payload = unhexed md5 of the id — 16 deterministic bytes
+      unhex(md5(col(idCol).cast("string"))).as("payload"))
+  }
+
+  /** Decoder contract: bytes → typed metadata / transformed bytes. */
+  trait Decoder extends Serializable {
+    def probe(kind: String, payload: Array[Byte]): (Int, Int, Int, Int) // w, h, frames, sampleRate
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+    def sampleFrames(payload: Array[Byte], everyN: Int): Array[Array[Byte]]
+  }
+
+  /** STUB decoder — deterministic fake measurements from the payload bytes.
+    * Real implementation would parse image headers / containers here. */
+  object StubDecoder extends Decoder {
+    private def b(p: Array[Byte], i: Int): Int = p(i % p.length) & 0xff
+    def probe(kind: String, payload: Array[Byte]): (Int, Int, Int, Int) = kind match {
+      case "image" => (16 + b(payload, 0) * 4, 16 + b(payload, 1) * 4, 1, 0)
+      case "audio" => (0, 0, 0, 8000 + b(payload, 2) * 128)
+      case _       => (16 + b(payload, 0) * 4, 16 + b(payload, 1) * 4, 1 + b(payload, 3), 0)
+    }
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      payload.take(8) ++ Array((w & 0xff).toByte, (h & 0xff).toByte) // fake: header rewrite
+    def sampleFrames(payload: Array[Byte], everyN: Int): Array[Array[Byte]] =
+      payload.grouped(math.max(1, everyN)).toArray
+  }
+
+  /** Per-partition metadata extraction: the decode runs batch-wise inside
+    * `mapPartitions` (the Scala analogue of `mapInPandas` batch shape) so a
+    * real codec amortizes init cost per partition, not per row. */
+  def extractMeta(df: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    val out = df.sparkSession.createDataFrame(
+      df.select("media_id", "kind", "payload").rdd.mapPartitions { rows =>
+        // per-partition init point for a real codec
+        rows.map { r =>
+          val (w, h, f, sr) = decoder.probe(r.getString(1), r.getAs[Array[Byte]](2))
+          Row(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2), Row(w, h, f, sr))
+        }
+      }, mediaSchema)
+    out
+  }
+
+  /** Resize pipeline: keeps rows co-partitioned, returns same schema minus
+    * meta (a transform, not an aggregation — no shuffle). */
+  def resizeAll(df: DataFrame, w: Int, h: Int, decoder: Decoder = StubDecoder): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    df.sparkSession.createDataFrame(
+      df.select("media_id", "payload").rdd.mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), decoder.resize(r.getAs[Array[Byte]](1), w, h)))
+      }, schema)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Staged-zone file IO. Tables are files under a prefix, flowing through
+ * zones with defined mutability (reference README.md:21-123; SURVEY.md
+ * §1.1): land (transient, as-received), raw-hist (immutable append-only
+ * history), processed (transient), curated (idempotent full rebuild,
+ * parquet). Paths are URI-agnostic — posix for tests, s3a:// etc. in
+ * production, same code.
+ */
+final case class Zones(land: String, rawHist: String, processed: String, curated: String)
+
+object TableIO {
+
+  /** Ingest-time partition column used across land/raw-hist
+    * (reference write_data_to_land.py:42, README.md:32-50). */
+  val LandTimestampCol = "file_land_timestamp"
+
+  def landPartitionPath(zoneBase: String, table: String, landTimestamp: Long): String =
+    s"${zoneBase.stripSuffix("/")}/$table/$LandTimestampCol=$landTimestamp"
+
+  private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  // ---- scans -------------------------------------------------------------
+
+  /** JSONL scan, gzip auto-detected, Hive-style partition discovery +
+    * implicit UNION ALL of all historical partitions (reference job.py:39;
+    * SURVEY.md §2.1 O7/O11). Schema: declared if given, else inferred. */
+  def readJson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Enumerate data files under a table prefix, recursively (reference
+    * test_data.py:25 get_filepaths_from_s3_folder; SURVEY.md §2.1 O6). */
+  def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val (filesystem, p) = fs(spark, path)
+    if (!filesystem.exists(p)) Nil
+    else {
+      val it = filesystem.listFiles(p, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) buf += f.getPath.toString
+      }
+      buf.result().sorted
+    }
+  }
+
+  // ---- sinks -------------------------------------------------------------
+
+  /** JSONL.gz sink (reference custom_functions.py:21-28; O4). `singleFile`
+    * mirrors the reference's one-object-per-batch layout; at scale leave it
+    * false and let every task write its own ≤1 GB chunk (README.md:655-657). */
+  def writeJsonlGz(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(path)
+  }
+
+  /** Idempotent whole-table rebuild (reference job.py:63, README.md:307;
+    * O18). `maxRecordsPerFile` keeps objects chunked for parallel scans. */
+  def writeParquetOverwrite(df: DataFrame, path: String, maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    val w2 = if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    w2.parquet(path)
+  }
+
+  /** Write a snapshot into one explicit Hive-style partition directory,
+    * format taken from metadata (reference job.py:67-73; O19). The frame
+    * must already have the partition column dropped (Align.alignToMeta). */
+  def writeIntoPartition(
+      df: DataFrame,
+      tableBase: String,
+      partitionCol: String,
+      partitionValue: String,
+      format: String = "parquet"): Unit = {
+    val path = s"${tableBase.stripSuffix("/")}/$partitionCol=$partitionValue"
+    df.write.mode(SaveMode.Overwrite).format(format).save(path)
+  }
+
+  /** Partition-aware overwrite for incremental rebuilds: only partitions
+    * present in `df` are replaced (dynamic partition overwrite — the
+    * open-source escape hatch the reference notes Glue lacked,
+    * README.md:637). */
+  def writePartitionedDynamic(df: DataFrame, path: String, partitionCols: Seq[String], format: String = "parquet"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .format(format)
+      .save(path)
+
+  // ---- promotion ---------------------------------------------------------
+
+  /** Validated promotion land → raw-hist: byte-identical copy then delete
+    * source — deliberately a copy, not a re-serialization (reference
+    * test_data.py:56-60; README.md:289; O10). Immutability of raw-hist is
+    * the reproducibility anchor (README.md:30). */
+  def promote(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val conf: Configuration = spark.sparkContext.hadoopConfiguration
+    val (srcFs, src) = fs(spark, srcDir)
+    val (dstFs, dst) = fs(spark, dstDir)
+    if (!srcFs.exists(src)) throw new IllegalArgumentException(s"promote: source missing: $srcDir")
+    dstFs.mkdirs(dst.getParent)
+    val ok = FileUtil.copy(srcFs, src, dstFs, dst, /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+    if (!ok) throw new RuntimeException(s"promote: copy failed $srcDir -> $dstDir")
+    srcFs.delete(src, true) // land is transient (README.md:23-26)
+  }
+
+  def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val (filesystem, p) = fs(spark, dir)
+    if (filesystem.exists(p)) filesystem.delete(p, true)
+  }
+}

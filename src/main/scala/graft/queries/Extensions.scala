@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, SimSearch, TextStats}
+import QueryUtil._
+
+/**
+ * LLM-data-pipeline operator queries (SURVEY.md §2.3 E17-E20 + multimodal):
+ * dedup, similarity search, text analysis, multimodal plumbing — each over
+ * the driver's `documents` / `embeddings` fixtures with a DuckDB oracle
+ * where the math is engine-portable (everything except the
+ * hash-function-specific signatures, which get rows-only checks).
+ */
+object Extensions {
+
+  /** Shared DuckDB shingle CTE: distinct word 3-grams per doc — mirrors
+    * Dedup.shingles (split on space, lower, windows of 3). */
+  private val shingleCte =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
+      |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
+  // ---- E17/E18 dedup -----------------------------------------------------
+
+  private val dedupExact = Q(
+    "q_dedup_exact",
+    (s, dir) => Dedup.exactDistinct(
+      t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  private val dedupKeyed = Q(
+    "q_dedup_keyed",
+    (s, dir) => Dedup.keepFirstByKey(
+      t(s, dir, "documents"), Seq("lang", "source"), Seq(col("doc_id")))
+      .select("doc_id", "lang", "source")
+      .orderBy("lang", "source"),
+    Some("""SELECT doc_id, lang, source FROM (
+           |  SELECT doc_id, lang, source,
+           |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+           |  FROM documents) WHERE rn = 1
+           |ORDER BY lang, source""".stripMargin))
+
+  private val dedupJaccard = Q(
+    "q_dedup_jaccard",
+    (s, dir) => Dedup.jaccardPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy("d1", "d2"),
+    Some(shingleCte))
+
+  // MinHash+LSH verified by exact Jaccard — with 16 bands × 4 rows the
+  // detection probability at jaccard ≥ 0.8 is ≈ 0.9997, so its verified
+  // output equals the exact operator's and shares its oracle.
+  private val dedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, dir) => Dedup.minhashNearDupPairs(
+      t(s, dir, "documents"), "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.8, seed = 42L)
+      .orderBy("d1", "d2"),
+    Some(shingleCte))
+
+  // SimHash signatures are xxhash64-based — not reproducible in DuckDB, so
+  // rows-only (the ScalaTest spec asserts it finds the planted near-dups).
+  private val dedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, dir) => Dedup.simhashNearDupPairs(
+      t(s, dir, "documents"), "doc_id", "text", maxDistance = 6)
+      .orderBy("d1", "d2"),
+    None)
+
+  // ---- E19 similarity search --------------------------------------------
+
+  private val oracleCosine =
+    "list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv)))"
+
+  private val simsearchTopK = Q(
+    "q_simsearch_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            |           FROM embeddings WHERE vec_id < 10),
+            |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+            |SELECT query_id, rank, neighbor_id, sim FROM (
+            |  SELECT query_id, neighbor_id, $oracleCosine AS sim,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY $oracleCosine DESC, neighbor_id) AS INTEGER) AS rank
+            |  FROM q JOIN c ON query_id <> neighbor_id)
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  private val embedNearDup = Q(
+    "q_embed_neardup",
+    (s, dir) => SimSearch.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+      .orderBy("d1", "d2"),
+    Some(s"""SELECT d1, d2, sim FROM (
+            |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+            |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+            |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+            |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            |WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin))
+
+  // ---- E20 text analysis -------------------------------------------------
+
+  private val textTokens = Q(
+    "q_text_tokens",
+    (s, dir) => TextStats.termFrequencies(t(s, dir, "documents"), "text")
+      .orderBy(col("n").desc, col("token"))
+      .limit(100),
+    Some("""SELECT token, n FROM (
+           |  SELECT t AS token, COUNT(*) AS n FROM (
+           |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+           |    FROM documents) GROUP BY 1)
+           |ORDER BY n DESC, token LIMIT 100""".stripMargin))
+
+  private val textQuality = Q(
+    "q_text_quality",
+    (s, dir) => TextStats.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(length(text) AS INTEGER) AS n_chars,
+           |  CAST(len(toks) AS INTEGER) AS n_tokens,
+           |  CAST(len(toks) + list_sum(list_transform(toks, t -> length(t)//6)) AS INTEGER) AS n_tokens_bpeish,
+           |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+           |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) AS stop_ratio,
+           |  (len(toks) BETWEEN 20 AND 10000)
+           |    AND (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) < 0.5) AS is_quality
+           |FROM (SELECT doc_id, text,
+           |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  private val textLangId = Q(
+    "q_text_langid",
+    (s, dir) => TextStats.langId(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(len(list_intersect(dt, ['der','die','und','das','nicht'])) AS INTEGER) AS hits_de,
+           |  CAST(len(list_intersect(dt, ['the','a','of','and','to'])) AS INTEGER) AS hits_en,
+           |  CAST(len(list_intersect(dt, ['el','la','de','los','que'])) AS INTEGER) AS hits_es,
+           |  CAST(len(list_intersect(dt, ['le','les','et','une','est'])) AS INTEGER) AS hits_fr,
+           |  CASE WHEN m = 0 THEN 'und'
+           |       WHEN len(list_intersect(dt, ['der','die','und','das','nicht'])) = m THEN 'de'
+           |       WHEN len(list_intersect(dt, ['the','a','of','and','to'])) = m THEN 'en'
+           |       WHEN len(list_intersect(dt, ['el','la','de','los','que'])) = m THEN 'es'
+           |       ELSE 'fr' END AS lang_pred
+           |FROM (SELECT doc_id,
+           |        list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dt,
+           |        greatest(
+           |          len(list_intersect(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')), ['der','die','und','das','nicht'])),
+           |          len(list_intersect(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')), ['the','a','of','and','to'])),
+           |          len(list_intersect(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')), ['el','la','de','los','que'])),
+           |          len(list_intersect(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')), ['le','les','et','une','est']))) AS m
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  private val textFingerprint = Q(
+    "q_text_fingerprint",
+    (s, dir) => TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "fingerprint_md5") // rolling hash is xxhash64-based: engine-only
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  md5(array_to_string(list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')) AS fingerprint_md5
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---- multimodal plumbing ----------------------------------------------
+
+  private val multimodalMeta = Q(
+    "q_multimodal_meta",
+    (s, dir) => {
+      val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id")
+      Multimodal.extractMeta(media)
+        .select(
+          col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"), col("meta.sample_rate").as("sample_rate"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT media_id, kind,
+           |  CASE WHEN kind = 'audio' THEN 0 ELSE 16 + b0*4 END AS width,
+           |  CASE WHEN kind = 'audio' THEN 0 ELSE 16 + b1*4 END AS height,
+           |  CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0 ELSE 1 + b3 END AS n_frames,
+           |  CASE WHEN kind = 'audio' THEN 8000 + b2*128 ELSE 0 END AS sample_rate
+           |FROM (SELECT media_id, kind,
+           |        ('0x' || substr(hx, 1, 2))::INT AS b0, ('0x' || substr(hx, 3, 2))::INT AS b1,
+           |        ('0x' || substr(hx, 5, 2))::INT AS b2, ('0x' || substr(hx, 7, 2))::INT AS b3
+           |      FROM (SELECT doc_id AS media_id,
+           |              CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+           |                   WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           |              md5(CAST(doc_id AS VARCHAR)) AS hx
+           |            FROM documents))
+           |ORDER BY media_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
+    simsearchTopK, embedNearDup,
+    textTokens, textQuality, textLangId, textFingerprint,
+    multimodalMeta)
+}

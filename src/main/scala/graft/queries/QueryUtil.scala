@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/**
+ * A named engine query plus (when SQL-expressible) its DuckDB oracle over
+ * the same parquet tables. Determinism contract (SURVEY.md §2.3): every
+ * query's output ends in a canonical ORDER BY over enough columns to fix
+ * the row order, and every aggregate over a money-like double goes through
+ * an exact DECIMAL(18,2) sum so Spark and DuckDB hash identically —
+ * floating-point sums are order-dependent, decimal sums are not.
+ */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryUtil {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a 2-dp double column, surfaced as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact decimal sum for full-precision doubles: round to 6 dp first
+    * (same deterministic rounding both engines), then exact sum. */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum, double division by count —
+    * IEEE division is deterministic where a double SUM would not be. */
+  def davg(c: Column): Column = (dsum(c) / count(c)).cast(DoubleType)
+
+  /** DuckDB-side equivalents, for composing oracle SQL. */
+  def oSum(col: String): String = s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+  def oSum6(col: String): String = s"CAST(SUM(CAST($col AS DECIMAL(28,6))) AS DOUBLE)"
+  def oAvg(col: String): String = s"CAST(${oSum(col)} / COUNT($col) AS DOUBLE)"
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/**
+ * Structured Streaming over the events table (SURVEY.md §2.2: the
+ * reference is batch-only — its streaming analog is the cron micro-batch
+ * cadence landing `file_land_timestamp` partitions; here that maps to a
+ * file-source stream with `Trigger.AvailableNow`, tumbling-window
+ * aggregation and a watermark for late data).
+ */
+object EventStreams {
+
+  /** Tumbling-window counts as a *streaming* query over the parquet file
+    * source. Watermark bounds state; AvailableNow drains all existing
+    * files then stops — the idempotent-batch twin of a long-lived stream. */
+  /** The events fixture carries parquet TIMESTAMP(NANOS); Spark 4 reads it
+    * only as a nanos Long under the legacy conf — rebase to micros. */
+  private def readEvents(spark: SparkSession, eventsDir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$eventsDir/events.parquet")
+  }
+
+  def hourlyCountsStream(
+      spark: SparkSession,
+      eventsDir: String,
+      queryName: String,
+      watermark: String = "1 hour"): StreamingQuery = {
+    val schema = readEvents(spark, eventsDir).schema
+    val events = spark.readStream.schema(schema).parquet(s"$eventsDir/events.parquet")
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch twin of the streaming aggregation — identical window semantics,
+    * used for correctness cross-checks (a DuckDB oracle can't run a
+    * stream, but it can run this). */
+  def hourlyCountsBatch(spark: SparkSession, eventsDir: String): DataFrame =
+    readEvents(spark, eventsDir)
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts_t"))).as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"))
+      .orderBy("win_start", "event_type")
+}

@@ -1,0 +1,58 @@
+package graft.validate
+
+import org.apache.spark.sql.DataFrame
+
+import graft.meta.TableMeta
+
+/**
+ * Data-quality gates run between land and raw-hist, before any curation
+ * (reference: python_scripts/test_data.py; README.md:261-287; SURVEY.md
+ * §2.1 O8-O9). Gate failures abort the pipeline stage; per the reference,
+ * ALL failures are accumulated before raising (test_data.py:42-43) so one
+ * run reports every problem at once.
+ */
+object Gates {
+
+  final case class GateResult(gate: String, passed: Boolean, errors: Seq[String]) {
+    def ++(other: GateResult): GateResult =
+      GateResult(s"$gate+${other.gate}", passed && other.passed, errors ++ other.errors)
+  }
+
+  class GateFailure(val result: GateResult)
+      extends RuntimeException(s"gate '${result.gate}' failed:\n  ${result.errors.mkString("\n  ")}")
+
+  /** Row-count threshold (reference test_data.py:33-39: fail if < 100). */
+  def rowCountGate(rowCount: Long, minRows: Long): GateResult =
+    if (rowCount >= minRows) GateResult("row_count", passed = true, Nil)
+    else GateResult("row_count", passed = false,
+      Seq(s"row count $rowCount below required minimum $minRows"))
+
+  def rowCountGate(df: DataFrame, minRows: Long): GateResult =
+    rowCountGate(df.count(), minRows)
+
+  /**
+   * Column-set conformance: symmetric difference between observed columns
+   * and the metadata's declared column names, with every mismatch reported
+   * (reference test_data.py:21-22,41-54 computes `set(row) ^ set(meta)` per
+   * row and accumulates). On a columnar frame the per-file union schema is
+   * the observable surface, so we diff at frame granularity.
+   */
+  def columnSetGate(observed: Seq[String], meta: TableMeta, ignore: Set[String] = Set.empty): GateResult = {
+    val obs = observed.toSet -- ignore
+    val exp = meta.columnNames.toSet -- ignore
+    val missing = (exp -- obs).toSeq.sorted.map(c => s"missing declared column: $c")
+    val extra = (obs -- exp).toSeq.sorted.map(c => s"unexpected column not in metadata: $c")
+    val errs = missing ++ extra
+    GateResult("column_set", errs.isEmpty, errs)
+  }
+
+  def columnSetGate(df: DataFrame, meta: TableMeta): GateResult =
+    columnSetGate(df.columns.toSeq, meta)
+
+  /** Run all gates, accumulate every error, then throw once if any failed
+    * (error-accumulation semantics of test_data.py:41-54). */
+  def enforce(results: GateResult*): Unit = {
+    val combined = results.reduce(_ ++ _)
+    if (!combined.passed) throw new GateFailure(combined)
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB-oracle comparison.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: read the Spark-written parquet,
+run the corresponding oracle SQL from oracle_sql.json in DuckDB (with each
+testdata table registered as a view), sort columns by name, and compare
+values row-by-row. NOT part of the engine — driver-side tooling only.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    import os
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    qdirs = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    n_pass = n_fail = n_rowsonly = 0
+    for q in qdirs:
+        got_rel = con.execute(f"SELECT * FROM '{out_dir}/{q}/*.parquet'")
+        got_cols = [c[0] for c in got_rel.description]
+        got = got_rel.fetchall()
+        if q not in oracle:
+            status = "ROWS-ONLY" if len(got) >= 0 else "EMPTY"
+            print(f"{q:24s} {status} rows={len(got)}")
+            n_rowsonly += 1
+            continue
+        try:
+            exp_rel = con.execute(oracle[q])
+            exp_cols = [c[0] for c in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            print(f"{q:24s} ORACLE-SQL-ERROR: {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"{q:24s} COLUMN-MISMATCH spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
+        grows = [tuple(canon(r[i]) for i in gi) for r in got]
+        erows = [tuple(canon(r[i]) for i in ei) for r in exp]
+        if grows == erows:
+            print(f"{q:24s} OK rows={len(grows)}")
+            n_pass += 1
+        else:
+            n_fail += 1
+            if len(grows) != len(erows):
+                print(f"{q:24s} ROWCOUNT got={len(grows)} exp={len(erows)}")
+            else:
+                for i, (g, e) in enumerate(zip(grows, erows)):
+                    if g != e:
+                        print(f"{q:24s} VALUE row {i}:")
+                        print(f"    cols:  {sorted(got_cols)}")
+                        print(f"    spark: {g}")
+                        print(f"    duck:  {e}")
+                        break
+    print(f"\npass={n_pass} fail={n_fail} rows_only={n_rowsonly}")
+    return 0 if n_fail == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
