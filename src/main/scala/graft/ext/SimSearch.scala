@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /**
  * Similarity search over an embedding column `Array[Float]` (SURVEY.md
  * §2.3 E19). All vector math is higher-order column functions (zip_with +
@@ -29,13 +31,20 @@ object SimSearch {
 
   /** Exact brute-force cosine top-k: for each query vector, rank the whole
     * corpus. The query side is broadcast — the corpus is scanned once,
-    * never shuffled. Ties broken by neighbor id for determinism. */
+    * never shuffled. Ties broken by neighbor id for determinism.
+    * Norms are precomputed per row and the pairwise inner loop is the
+    * native codegen'd `vec_dot` (graft.functions.VecDot): one tight loop
+    * per pair instead of three interpreted array folds. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qn", sqrt(VectorFunctions.vecDotExpr("qvec", "qvec")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("sim",
+        VectorFunctions.vecDotExpr("qvec", "cvec") / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -43,13 +52,18 @@ object SimSearch {
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup). Exact;
-    * for 100 TB corpora gate it behind `lshBuckets` first. */
+    * for 100 TB corpora gate it behind `lshBuckets` first. Same
+    * precomputed-norm + native-dot shape as `bruteForceTopK`. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("d1"), asDouble(col(vecCol)).as("v1"))
-    val b = corpus.select(col(idCol).as("d2"), asDouble(col(vecCol)).as("v2"))
+    VectorFunctions.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.vecDotExpr("v", "v")))
+    val a = base.select(col("id").as("d1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = base.select(col("id").as("d2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, col("d1") < col("d2"))
-      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .withColumn("sim",
+        VectorFunctions.vecDotExpr("v1", "v2") / (col("n1") * col("n2")))
       .filter(col("sim") >= threshold)
       .select("d1", "d2", "sim")
   }
@@ -82,13 +96,17 @@ object SimSearch {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 12, dim: Int = 64, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val c = withLshBucket(corpus, nPlanes, dim, seed, vecCol)
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cvec"), col("lsh_bucket"))
+      .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec")))
     val q = withLshBucket(queries, nPlanes, dim, seed, vecCol)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"), col("lsh_bucket"))
+      .withColumn("qn", sqrt(VectorFunctions.vecDotExpr("qvec", "qvec")))
     c.join(broadcast(q), Seq("lsh_bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("sim",
+        VectorFunctions.vecDotExpr("qvec", "cvec") / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)

@@ -30,7 +30,10 @@ object EventStreams {
       queryName: String,
       watermark: String = "1 hour"): StreamingQuery = {
     val schema = readEvents(spark, eventsDir).schema
-    val events = spark.readStream.schema(schema).parquet(s"$eventsDir/events.parquet")
+    // the file-source stream needs a directory; glob-filter to the table
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
     events
       .withWatermark("ts_t", watermark)

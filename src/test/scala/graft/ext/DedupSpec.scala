@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  // two near-dup pairs (0-1 differ by one word, 4-5 identical), rest distinct
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (2L, "completely different text about spark catalyst optimizer internals here"),
+    (3L, "yet another unrelated document mentioning parquet columnar storage formats"),
+    (4L, "identical twin document full of duplicated content for testing purposes"),
+    (5L, "identical twin document full of duplicated content for testing purposes"))
+    .toDF("doc_id", "text")
+
+  test("shingles: distinct word n-grams per doc") {
+    val sh = Dedup.shingles(docs.limit(1), "doc_id", "text", 3).collect()
+    assert(sh.length == 11) // 13 tokens -> 11 trigrams, all distinct here
+    assert(sh.map(_.getString(1)).contains("the quick brown"))
+  }
+
+  test("exact Jaccard pairs find both planted near-dup pairs, nothing else") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("d1").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L), (4L, 5L)))
+    val j45 = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .filter(col("d1") === 4).collect().head.getDouble(2)
+    assert(j45 == 1.0) // identical docs
+  }
+
+  test("MinHash+LSH verified pairs equal the exact operator's") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("d1", "d2").orderBy("d1").collect().toSeq
+    val mh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("d1", "d2").orderBy("d1").collect().toSeq
+    assert(mh == exact)
+  }
+
+  test("MinHash signatures are deterministic across invocations (seeded)") {
+    val s1 = Dedup.minhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val s2 = Dedup.minhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(s1.sameElements(s2))
+  }
+
+  test("SimHash: identical docs at distance 0, planted near-dups close, distinct docs far") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(4L) == sigs(5L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDistance = 6)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((4L, 5L)))
+  }
+
+  test("keepFirstByKey keeps the deterministic survivor") {
+    val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "k")
+    val out = Dedup.keepFirstByKey(df, Seq("k"), Seq(col("id")))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "k1"), (2L, "k2")))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  val ids = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+
+  test("synthesizeMedia: binary payload column with kind rotation") {
+    val m = Multimodal.synthesizeMedia(ids, "doc_id").orderBy("media_id").collect()
+    assert(m.map(_.getString(1)).toSeq == Seq("image", "audio", "video", "image"))
+    assert(m.forall(_.getAs[Array[Byte]](2).length == 16)) // md5 payload
+  }
+
+  test("extractMeta: per-partition stub decode produces the declared schema") {
+    val out = Multimodal.extractMeta(Multimodal.synthesizeMedia(ids, "doc_id"))
+    assert(out.schema == Multimodal.mediaSchema)
+    val rows = out.orderBy("media_id").collect()
+    val img = rows(0).getStruct(3)
+    assert(img.getInt(0) >= 16 && img.getInt(1) >= 16) // image w/h
+    val aud = rows(1).getStruct(3)
+    assert(aud.getInt(3) >= 8000)                      // audio sample rate
+    // deterministic: same input -> same metadata
+    val again = Multimodal.extractMeta(Multimodal.synthesizeMedia(ids, "doc_id"))
+      .orderBy("media_id").collect()
+    assert(rows.sameElements(again))
+  }
+
+  test("resizeAll: transform keeps one row per media, rewrites payload") {
+    val media = Multimodal.synthesizeMedia(ids, "doc_id")
+    val resized = Multimodal.resizeAll(media, 224, 224)
+    assert(resized.count() == 4)
+    val p = resized.orderBy("media_id").collect().head.getAs[Array[Byte]](1)
+    assert(p.length == 10) // stub: 8-byte header + w + h
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick  brown fox and the lazy dog"), // double space -> empty token filtered
+    (1L, "der schnelle braune fuchs und der hund"),
+    (2L, "extraordinarily long agglutinative wordform"))
+    .toDF("doc_id", "text")
+
+  test("term frequencies count tokens with multiplicity, empties filtered") {
+    val tf = TextStats.termFrequencies(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tf("the") == 2L)
+    assert(tf("der") == 2L)
+    assert(tf("fox") == 1L)
+    assert(!tf.contains(""))
+  }
+
+  test("quality metrics: counts, ratios, BPE-ish estimate") {
+    val m = TextStats.qualityMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r0 = m(0)
+    assert(r0.getInt(2) == 8)                      // n_tokens
+    assert(r0.getDouble(5) == 3.0 / 8)             // stop_ratio: the,and,the
+    assert(!r0.getBoolean(6))                      // < 20 tokens -> not quality
+    val r2 = m(2)
+    // 4 tokens + floor(15/6)+floor(4/6)+floor(13/6)+floor(8/6) = 4+2+0+2+1
+    assert(r2.getInt(3) == 9)                      // n_tokens_bpeish
+  }
+
+  test("langId picks the profile with most function-word hits, deterministic ties") {
+    val out = TextStats.langId(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(5))
+    assert(out(0) == "en")
+    assert(out(1) == "de")
+    assert(out(2) == "und") // no profile hits
+  }
+
+  test("fingerprints: identical normalized token streams collide, others don't") {
+    val d = Seq(
+      (0L, "hello  world"), (1L, "hello world"), (2L, "hello there"))
+      .toDF("doc_id", "text")
+    val fp = TextStats.fingerprints(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(fp(0).getString(1) == fp(1).getString(1)) // md5 equal after canonicalization
+    assert(fp(0).getString(1) != fp(2).getString(1))
+    assert(fp(0).getLong(2) == fp(1).getLong(2))     // rolling hash agrees
+    assert(fp(0).getLong(2) != fp(2).getLong(2))
+  }
+}

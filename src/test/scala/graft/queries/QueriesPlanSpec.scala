@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Smoke + plan-shape assertions: every declared query runs at sf0.001,
+  * and the physical plans carry the scale-critical properties (broadcast
+  * joins on dims, parquet filter/column pushdown). */
+class QueriesPlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  val sf = SparkTestBase.sf0001
+
+  test("every declared query executes at sf0.001") {
+    val failures = SparkEntry.allQueries.flatMap { q =>
+      try { q.run(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"${q.name}: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every oracle query name exists in queries (driver contract)") {
+    val qn = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qn))
+  }
+
+  test("broadcast-hinted dim join plans a BroadcastHashJoin, no dim shuffle") {
+    val plan = SparkEntry.queries("q_broadcast_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val plan = SparkEntry.queries("q_filter_basic")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_quantity"), plan) // predicate made it into the scan
+  }
+
+  test("column pruning: projection-only query reads only needed columns") {
+    val df = SparkEntry.queries("q_lower_agg")(spark, sf)
+    val scanSchemas = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scanSchemas.exists(s => s.contains("c_mktsegment") && !s.contains("c_acctbal")),
+      scanSchemas.mkString("\n"))
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.validate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.{ColumnMeta, TableMeta}
+
+class GatesSpec extends AnyFunSuite {
+
+  val meta = TableMeta("t", "json", Seq(
+    ColumnMeta("a", "character"), ColumnMeta("b", "int"), ColumnMeta("c", "double")))
+
+  test("row-count gate: >= min passes, < min fails (reference test_data.py:33-39)") {
+    assert(Gates.rowCountGate(100L, 100L).passed)
+    val r = Gates.rowCountGate(99L, 100L)
+    assert(!r.passed && r.errors.head.contains("99"))
+  }
+
+  test("column-set gate reports the full symmetric difference (test_data.py:41-54)") {
+    val r = Gates.columnSetGate(Seq("a", "b", "extra1", "extra2"), meta)
+    assert(!r.passed)
+    assert(r.errors.exists(_.contains("missing declared column: c")))
+    assert(r.errors.exists(_.contains("unexpected column not in metadata: extra1")))
+    assert(r.errors.exists(_.contains("unexpected column not in metadata: extra2")))
+    assert(r.errors.size == 3) // ALL failures accumulated, not just the first
+  }
+
+  test("ignore set excludes partition-discovery columns") {
+    assert(Gates.columnSetGate(Seq("a", "b", "c", "file_land_timestamp"), meta,
+      ignore = Set("file_land_timestamp")).passed)
+  }
+
+  test("enforce accumulates across gates then throws once") {
+    val e = intercept[Gates.GateFailure] {
+      Gates.enforce(
+        Gates.rowCountGate(5L, 100L),
+        Gates.columnSetGate(Seq("a", "b"), meta))
+    }
+    assert(e.result.errors.size == 2) // both gates' errors in one failure
+  }
+}
