@@ -46,14 +46,18 @@ object Dedup {
 
   /** Exact pairwise Jaccard over shingle sets, joined on shared shingles
     * (selective at scale: a pair is compared only if it shares ≥1 shingle).
+    * Shingles are 64-bit-hashed before the self-join — the shuffle carries
+    * 8-byte keys instead of strings and the equi-compare is a long compare
+    * (collision probability ~n²/2^65: negligible).
     * Output: (d1, d2, jaccard) for jaccard ≥ threshold, d1 < d2. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sh = shingles(docs, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shash")).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("d1"), col("shingle"))
-    val b = sh.select(col(idCol).as("d2"), col("shingle"))
-    val inter = a.join(b, a("shingle") === b("shingle") && a("d1") < b("d2"))
+    val a = sh.select(col(idCol).as("d1"), col("shash"))
+    val b = sh.select(col(idCol).as("d2"), col("shash"))
+    val inter = a.join(b, a("shash") === b("shash") && a("d1") < b("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), "d1")
@@ -119,10 +123,11 @@ object Dedup {
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes, seed)
     val cands = lshCandidatePairs(sigs, idCol, numHashes, bands)
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sh = shingles(docs, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shash")).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("d1"), col("shingle").as("s1"))
-    val b = sh.select(col(idCol).as("d2b"), col("shingle").as("s2"))
+    val a = sh.select(col(idCol).as("d1"), col("shash").as("s1"))
+    val b = sh.select(col(idCol).as("d2b"), col("shash").as("s2"))
     val inter = cands.join(a, "d1")
       .join(b, col("d2") === col("d2b") && col("s1") === col("s2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series relational operators Spark lacks as built-ins, composed from
+ * existing operators so Catalyst keeps optimizing them (preference (a) of
+ * the custom-operator ladder — no custom plan nodes needed).
+ */
+object TimeOps {
+
+  /**
+   * Backward as-of join: for each left row, attach the payload of the most
+   * recent right row with the same key and `rightTs <= leftTs` (nulls when
+   * no such row) — DuckDB `ASOF LEFT JOIN` semantics.
+   *
+   * Implementation is the *linear* union trick, not a quadratic
+   * join-filter-reaggregate: tag sides, union by name, then a single
+   * running `last(ignoreNulls)` window per key ordered by (ts, side)
+   * carries the latest right payload into each left row. One shuffle on
+   * the key, one sort — the shape that survives 100 TB, because cost is
+   * O(n log n) per key-partition instead of O(left × right) per key.
+   *
+   * Right rows sort before left rows at equal timestamps, so equality
+   * matches (ASOF `>=`). Caller pre-renames right payload columns to avoid
+   * clashes with left columns.
+   */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    val r = right.select(
+      (col(key) +: col(rightTs).as("__ts") +: rightPayload.map(c => col(c).as(s"__r_$c"))): _*)
+      .withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(u) { (df, c) =>
+      df.withColumn(c, last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((left.columns ++ rightPayload).map(col): _*)
+  }
+
+  /**
+   * Gap-based sessionization: events of one key belong to the same session
+   * until a silence longer than `gap` (same unit as the numeric `tsCol`).
+   * Two windows (lag + running sum), one shuffle on the key — the standard
+   * batch formulation; the streaming twin lives in
+   * graft.streaming.EventStreams.
+   *
+   * Output: one row per (key, session_id) with n_events, start_ts/end_ts.
+   */
+  def sessionize(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      gap: Long): DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(col(tsCol))
+    val running = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsCol), 1).over(byKey)
+    events
+      .withColumn("__is_new",
+        when(prev.isNull || (col(tsCol) - prev) > gap, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__is_new")).over(running))
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"))
+  }
+}

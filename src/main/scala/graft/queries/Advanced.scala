@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.TimeOps
+import QueryUtil._
+
+/**
+ * Second wave of the operator surface: SQL-text entry point, grouping
+ * sets, right outer join, null-safe equality, JSON extraction, as-of
+ * join, sessionization, approximate distinct.
+ */
+object Advanced {
+
+  /** Read events with the nanos→long legacy conf (TIMESTAMP(NANOS) fixture). */
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  private val groupingSets = Q(
+    "q_grouping_sets",
+    (s, dir) => {
+      // the SQL-text path: parse → analyze against a temp view (job.py:39-56 shape)
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  private val joinRight = Q(
+    "q_join_right",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_big_orders"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_big_orders
+           |FROM (SELECT * FROM orders WHERE o_totalprice > 300000) o
+           |RIGHT JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin))
+
+  private val nullSafeEq = Q(
+    "q_null_safe_eq",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("a"),
+          nullif(col("c_mktsegment"), lit("AUTOMOBILE")).as("b"))
+        .groupBy((col("a") <=> col("b")).as("eq"), col("a").isNull.as("a_null"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("eq", "a_null"),
+    Some("""SELECT a IS NOT DISTINCT FROM b AS eq, a IS NULL AS a_null, COUNT(*) AS n
+           |FROM (SELECT nullif(c_mktsegment, 'BUILDING') AS a,
+           |             nullif(c_mktsegment, 'AUTOMOBILE') AS b FROM customer)
+           |GROUP BY 1, 2 ORDER BY eq, a_null""".stripMargin))
+
+  private val sqlEntry = Q(
+    "q_sql_entry",
+    (s, dir) => {
+      // TPC-H Q3-shaped query entirely through spark.sql — exercises the
+      // parser/analyzer path against temp views, with the same exact-
+      // decimal revenue formulation as q1_agg
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          |    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM customer_v, orders_v, lineitem_v
+          |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |GROUP BY o_orderkey
+          |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin)
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           |    * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+           |FROM customer, orders, lineitem
+           |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           |GROUP BY o_orderkey
+           |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin))
+
+  private val jsonExtract = Q(
+    "q_json_extract",
+    (s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, event_type,
+           |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  private val asofJoin = Q(
+    "q_asof_join",
+    (s, dir) => {
+      // timestamps in MICROS on both engines: Spark truncates its nanos
+      // long with DIV 1000; DuckDB's ns parquet reads as µs TIMESTAMP
+      val ev = events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("cts"),
+          col("event_id").as("click_id"), col("ts_us").as("click_ts"))
+      TimeOps.asofJoinBackward(purchases, clicks,
+        key = "user_id", leftTs = "pts", rightTs = "cts",
+        rightPayload = Seq("click_id", "click_ts"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pts
+           |           FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+           |      FROM events WHERE event_type = 'click')
+           |SELECT p.event_id, p.user_id, p.pts, c.click_id, c.cts AS click_ts
+           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts
+           |ORDER BY p.event_id""".stripMargin))
+
+  private val eventsSessions = Q(
+    "q_events_sessions",
+    (s, dir) =>
+      TimeOps.sessionize(
+        events(s, dir).select(col("user_id"), expr("ts DIV 1000").as("ts_us")),
+        key = "user_id", tsCol = "ts_us", gap = 1800000000L) // 30 min in µs
+        .orderBy("user_id", "session_id"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+           |g AS (SELECT user_id, tsn,
+           |        CASE WHEN lag(tsn) OVER w IS NULL
+           |                  OR tsn - lag(tsn) OVER w > 1800000000
+           |             THEN 1 ELSE 0 END AS is_new
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn)),
+           |s AS (SELECT user_id, tsn,
+           |        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           |      FROM g)
+           |SELECT user_id, session_id, COUNT(*) AS n_events,
+           |  MIN(tsn) AS start_ts, MAX(tsn) AS end_ts
+           |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin))
+
+  // HLL sketch implementations differ across engines — bench/rows-only
+  private val approxDistinct = Q(
+    "q_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+    None)
+
+  val all: Seq[Q] = Seq(
+    groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
+    asofJoin, eventsSessions, approxDistinct)
+}

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /**
@@ -45,6 +45,66 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
       .writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  // ---- stateful sessionization (flatMapGroupsWithState) -----------------
+
+  final case class SessEvent(user_id: Long, ts: Long)
+  final case class SessState(sessionId: Long, startTs: Long, lastTs: Long, n: Long)
+  final case class SessOut(user_id: Long, session_id: Long, n_events: Long,
+      start_ts: Long, end_ts: Long)
+
+  /** Custom per-key state machine: events of one user fold through
+    * GroupState, emitting a session row whenever the gap exceeds
+    * `gapNanos` (and the open session on batch end). The streaming twin of
+    * TimeOps.sessionize — state size is O(1) per key, so a 1000-executor
+    * stream holds only (#active keys) session records. */
+  def sessionizeStream(
+      spark: SparkSession,
+      eventsDir: String,
+      queryName: String,
+      gapNanos: Long = 30L * 60 * 1000 * 1000 * 1000): StreamingQuery = {
+    import spark.implicits._
+    val schema = readEvents(spark, eventsDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+      .select(col("user_id"), col("ts"))
+      .as[SessEvent]
+
+    def fn(userId: Long, events: Iterator[SessEvent],
+        state: GroupState[SessState]): Iterator[SessOut] = {
+      val sorted = events.toSeq.sortBy(_.ts)
+      val out = Seq.newBuilder[SessOut]
+      var st = state.getOption.orNull
+      sorted.foreach { e =>
+        st = st match {
+          case null => SessState(1L, e.ts, e.ts, 1L)
+          case s if e.ts - s.lastTs > gapNanos =>
+            out += SessOut(userId, s.sessionId, s.n, s.startTs, s.lastTs)
+            SessState(s.sessionId + 1, e.ts, e.ts, 1L)
+          case s => s.copy(lastTs = e.ts, n = s.n + 1)
+        }
+      }
+      if (st != null) {
+        // AvailableNow drains everything in one batch: flush the open
+        // session so batch-equivalence holds; a live stream would keep it
+        // in state and use a timeout instead
+        out += SessOut(userId, st.sessionId, st.n, st.startTs, st.lastTs)
+        state.remove()
+      }
+      out.result().iterator
+    }
+
+    stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
