@@ -90,6 +90,90 @@ object SimSearch {
     df.withColumn("lsh_bucket", bits.reduce[Column](_.bitwiseOR(_)))
   }
 
+  // ---- IVF (inverted-file) ANN ------------------------------------------
+
+  /**
+   * Deterministic IVF index: k centroids from a seeded init (first k rows
+   * by a hash-shuffled order) refined by one Lloyd iteration, then every
+   * vector assigned to its nearest centroid. All DataFrame ops: centroid
+   * recompute is a posexplode + (cluster, dim) mean + rebuild — shuffles
+   * scale with corpus size × dim, not corpus². Returns (vec row, cluster).
+   */
+  def ivfAssign(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // seeded init: order by a deterministic hash of the id, take k
+    val init = base.orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .select(col("id"), col("v").as("cv"))
+      .withColumn("cid", row_number().over(Window.orderBy(xxhash64(col("id")), col("id"))) - 1)
+      .select("cid", "cv")
+
+    def nearest(points: DataFrame, centroids: DataFrame): DataFrame = {
+      // squared L2 via dots: |p|^2 - 2 p·c + |c|^2; rank over broadcast centroids
+      val scored = points.join(broadcast(centroids), lit(true))
+        .withColumn("d2",
+          VectorFunctions.vecDotExpr("v", "v")
+            - lit(2.0) * VectorFunctions.vecDotExpr("v", "cv")
+            + VectorFunctions.vecDotExpr("cv", "cv"))
+      scored.withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1).drop("rn", "d2", "cv")
+    }
+
+    // one Lloyd refinement: element-wise mean per cluster, distributed by
+    // (cluster, dimension) so no single reducer holds a whole cluster
+    val assigned0 = nearest(base, init)
+    val means = assigned0
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+      .groupBy("cid").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    nearest(base, means).withColumnRenamed("cid", "cluster")
+  }
+
+  /** IVF approximate top-k: search only the `nprobe` clusters nearest to
+    * each query. Cost per query ≈ nprobe/k of the corpus — the inverted-
+    * file layout that makes ANN tractable at 100 TB, with recall
+    * controlled by nprobe. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+      k: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val assigned = ivfAssign(corpus, k, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("v").as("cvec"), col("cluster"))
+      .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec")))
+      .cache()
+    // centroid of each cluster for probe selection (reuse assignment means)
+    val centroids = assigned
+      .select(col("cluster"), posexplode(col("cvec")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
+      .groupBy("cluster").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("ccv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qn", sqrt(VectorFunctions.vecDotExpr("qvec", "qvec")))
+    // pick nprobe closest clusters per query
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("d2",
+        VectorFunctions.vecDotExpr("qvec", "qvec")
+          - lit(2.0) * VectorFunctions.vecDotExpr("qvec", "ccv")
+          + VectorFunctions.vecDotExpr("ccv", "ccv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("cluster"))))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "qvec", "qn", "cluster")
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        VectorFunctions.vecDotExpr("qvec", "cvec") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Approximate top-k: candidates drawn only from the query's LSH bucket
     * (and the corpus is pre-bucketed once). Recall < 1 by construction;
     * this is the plan shape that survives a 1000-executor scale-up. */

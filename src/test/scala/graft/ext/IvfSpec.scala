@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.SparkTestBase
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+
+  test("IVF top-k: valid ranks, sims identical to brute force, nonzero recall") {
+    val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = SimSearch.bruteForceTopK(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bruteAll = SimSearch.bruteForceTopK(emb, queries, 5)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+
+    val ivf = SimSearch.ivfTopK(emb, queries, topK = 5, k = 8, nprobe = 3).collect()
+    // per-query ranks are 1..n without gaps
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    // any neighbor IVF returns that brute force also ranked must carry the
+    // exact same similarity (same vec_dot formula end-to-end)
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2))).foreach(b => assert(r.getDouble(3) == b))
+    }
+    // probing 3/8 clusters still finds a nonzero share of true top-5
+    val hits = ivf.count(r => bruteAll(r.getLong(0)).contains(r.getLong(2)))
+    assert(hits > 0, s"IVF found none of the true top-5 (${ivf.length} rows returned)")
+  }
+
+  test("ivfAssign: every vector gets exactly one cluster in [0, k)") {
+    val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    val assigned = SimSearch.ivfAssign(emb, k = 8)
+    assert(assigned.count() == emb.count())
+    val clusters = assigned.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(clusters.subsetOf((0 until 8).toSet))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkTestBase
+import graft.meta.{ColumnMeta, TableMeta}
+import graft.validate.Gates
+
+/** Property-based coverage committed in SURVEY §5.2: gates on generated
+  * schemas, engine Jaccard vs a scalar reference implementation, MinHash
+  * soundness. Pure ScalaCheck Properties (run natively by sbt). */
+object GateProps extends Properties("gates") {
+
+  val nameGen: Gen[String] = Gen.choose(1, 8).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  property("columnSetGate passes iff sets equal; errors = symmetric diff") =
+    forAll(Gen.listOf(nameGen), Gen.listOf(nameGen)) { (observed, declared) =>
+      val meta = TableMeta("t", "json", declared.distinct.map(ColumnMeta(_, "character")))
+      val r = Gates.columnSetGate(observed.distinct, meta)
+      val symDiff = (observed.toSet diff declared.toSet) ++ (declared.toSet diff observed.toSet)
+      (r.passed == symDiff.isEmpty) && (r.errors.size == symDiff.size)
+    }
+
+  property("rowCountGate passes iff count >= min") =
+    forAll(Gen.choose(0L, 1000L), Gen.choose(0L, 1000L)) { (count, min) =>
+      Gates.rowCountGate(count, min).passed == (count >= min)
+    }
+}
+
+object DedupProps extends Properties("dedup") {
+
+  // each trial runs Spark jobs — a handful of generated corpora suffices
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  // scalar reference Jaccard over word-3-gram sets, mirroring Dedup.shingles
+  private def shingleSet(text: String): Set[String] = {
+    val toks = text.toLowerCase.split(" ", -1)
+    if (toks.length < 3) Set.empty
+    else (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+  }
+  private def refJaccard(a: String, b: String): Double = {
+    val (sa, sb) = (shingleSet(a), shingleSet(b))
+    val union = (sa ++ sb).size
+    if (union == 0) 0.0 else (sa & sb).size.toDouble / union
+  }
+
+  val wordGen: Gen[String] = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+  val textGen: Gen[String] = Gen.choose(3, 20).flatMap(n =>
+    Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  property("engine Jaccard equals the scalar reference") = {
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    forAll(Gen.listOfN(5, textGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val engine = graft.ext.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val checks = for (i <- texts.indices; j <- texts.indices if i < j) yield {
+        val e = refJaccard(texts(i), texts(j))
+        if (e > 0) engine.get((i.toLong, j.toLong)).exists(g => math.abs(g - e) < 1e-12)
+        else !engine.contains((i.toLong, j.toLong)) // no shared shingle -> no pair emitted
+      }
+      checks.forall(identity)
+    }
+  }
+
+  property("MinHash verified pairs equal exact pairs at threshold 0.9") = {
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    forAll(Gen.listOfN(4, textGen)) { texts =>
+      val all = texts :+ texts.head // plant one exact duplicate
+      val docs = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val exact = graft.ext.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mh = graft.ext.Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.9)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      mh == exact
+    }
+  }
+}
