@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.ops.Skew
+import QueryUtil._
+
+/**
+ * Analytics wave: pivot, moment statistics, deterministic sampling.
+ * Statistics use the exact-decimal-sums pattern: Σx, Σx², Σxy are exact
+ * DECIMAL sums (order-independent), surfaced as doubles, and the moment
+ * formulas are spelled with the SAME operation order on both engines —
+ * identical IEEE inputs and identical expression trees give identical
+ * doubles, so even stddev/corr hash-match an oracle.
+ */
+object Analytics {
+
+  private val pivotQ = Q(
+    "q_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType))
+        .orderBy("l_linestatus"),
+    Some("""SELECT l_linestatus,
+           |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+           |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+           |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
+           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
+
+  private val statsExact = Q(
+    "q_stats_exact",
+    (s, dir) => {
+      val d2 = DecimalType(18, 2)
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(d2)).cast(DoubleType).as("sx"),
+        sum((col("l_quantity").cast(d2) * col("l_quantity").cast(d2))).cast(DoubleType).as("sxx"),
+        sum(col("l_extendedprice").cast(d2)).cast(DoubleType).as("sy"),
+        sum((col("l_extendedprice").cast(d2) * col("l_extendedprice").cast(d2))).cast(DoubleType).as("syy"),
+        sum((col("l_quantity").cast(d2) * col("l_extendedprice").cast(d2))).cast(DoubleType).as("sxy"))
+      val n = col("n").cast(DoubleType)
+      agg.select(
+        col("l_returnflag"),
+        col("n"),
+        (col("sx") / n).as("mean_qty"),
+        ((n * col("sxx") - col("sx") * col("sx")) / (n * (n - lit(1.0)))).as("var_qty"),
+        sqrt((n * col("sxx") - col("sx") * col("sx")) / (n * (n - lit(1.0)))).as("stddev_qty"),
+        ((n * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(n * col("sxx") - col("sx") * col("sx"))
+            * sqrt(n * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, n0 AS n,
+           |  sx / n AS mean_qty,
+           |  (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
+           |  sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
+           |  (n * sxy - sx * sy)
+           |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+           |FROM (
+           |  SELECT l_returnflag, COUNT(*) AS n0, CAST(COUNT(*) AS DOUBLE) AS n,
+           |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+           |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |ORDER BY l_returnflag""".stripMargin))
+
+  private val sampleMod = Q(
+    "q_sample_mod",
+    (s, dir) =>
+      // deterministic 10% "sample": portable mod filter (a seeded
+      // df.sample is engine-specific RNG, so it cannot be oracle-checked)
+      t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+           |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin))
+
+  private val saltedJoin = Q(
+    "q_salted_join",
+    (s, dir) => {
+      // the skew-salting rewrite must be semantically invisible: its
+      // oracle is the PLAIN join SQL, so the hash-match proves equivalence
+      val li = t(s, dir, "lineitem")
+      val n = t(s, dir, "nation")
+      val withNation = li.withColumn("nk", pmod(col("l_suppkey"), lit(25)).cast("int"))
+      Skew.saltedJoin(withNation, n.withColumnRenamed("n_nationkey", "nk"),
+        key = "nk", buckets = 8, saltBy = Seq("l_orderkey", "l_linenumber"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("n_name")
+    },
+    Some(s"""SELECT n_name, COUNT(*) AS n_items, ${oSum("l_quantity")} AS sum_qty
+            |FROM lineitem JOIN nation ON CAST(l_suppkey % 25 AS INTEGER) = n_nationkey
+            |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, saltedJoin)
+}
