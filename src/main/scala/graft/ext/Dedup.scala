@@ -73,8 +73,15 @@ object Dedup {
   /** Universal-hash family h_i(x) = (a_i*x + b_i) mod p over a 31-bit base
     * hash — all arithmetic stays within Long range (no ANSI overflow) and
     * all coefficients derive from `seed`, so signatures are deterministic
-    * across runs and cluster sizes. */
-  private val MersennePrime = (1L << 61) - 1
+    * across runs and cluster sizes.
+    *
+    * p MUST be comparable to the 31-bit input domain: with a large p
+    * (e.g. 2^61-1) the product a*x never wraps the modulus, h_i is
+    * monotonic in x, every "independent" hash picks the same minimum
+    * element, and the minhash property silently collapses (pairs agree
+    * on all hashes or none). With p = 2^31-1 the product wraps ~2^31
+    * times and the family mixes properly. */
+  private val MersennePrime = (1L << 31) - 1
 
   private def hashCoefficients(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
@@ -114,12 +121,14 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs, candidates verified with exact Jaccard —
     * the classic shingle→minhash→band→bucket-join→verify pipeline. With
-    * 16 bands × 4 rows the detection probability at jaccard 0.8 is
-    * 1-(1-0.8^4)^16 ≈ 0.9997, and the verify step removes all false
-    * positives, so output matches the exact-Jaccard operator while doing
-    * candidate-pair work proportional to true collisions only. */
+    * 21 bands × 3 rows the detection probability at jaccard 0.8 is
+    * 1-(1-0.8³)²¹ ≈ 1-3e-7 (borderline-threshold pairs exist in real
+    * corpora, so the miss rate must be negligible, not merely small);
+    * shorter bands admit more false candidates, but the exact-Jaccard
+    * verify step removes all of them, so output still matches the exact
+    * operator while candidate work stays proportional to collisions. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 21,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes, seed)
     val cands = lshCandidatePairs(sigs, idCol, numHashes, bands)

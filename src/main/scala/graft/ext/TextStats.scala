@@ -32,6 +32,17 @@ object TextStats {
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
 
+  /** Per-group (e.g. per-language) term frequencies with a deterministic
+    * top-k per group: one shuffle on (group, token), then a ranked window. */
+  def termFrequenciesByGroup(df: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(groupCol, "token").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCol).orderBy(col("n").desc, col("token"))
+    tf.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col("token"), col("n"))
+  }
+
   /** Per-document quality metrics: token count, average token length,
     * stopword ratio, whitespace-token vs BPE-ish count. */
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {

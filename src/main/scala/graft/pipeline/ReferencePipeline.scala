@@ -34,24 +34,28 @@ object ReferencePipeline {
     "South West", "London", "North East", "North West", "Eastern",
     "East Midlands", "West Midlands", "Yorkshire and The Humber", "South East", "Wales")
 
-  /** Deterministic postcode-shaped rows (seeded, no IO). */
-  def syntheticPostcodeRows(n: Int): Seq[String] = {
+  /** Deterministic API-shaped responses (seeded, no network): the nested
+    * postcodes.io record shape `{status, result: {..., codes: {...}}}`
+    * (reference README.md:150-189). */
+  def syntheticApiResponses(n: Int): Seq[String] = {
     (0 until n).map { i =>
       val r = regions(i % regions.size)
       // mix case to exercise the LOWER() normalization (reference job.py:53)
       val region = if (i % 3 == 0) r.toUpperCase else r
       val admin = if (i % 7 == 0) "null" else s""""District ${i % 20}""""
-      s"""{"postcode": "AB$i ${i % 10}CD", "quality": ${1 + i % 3}, "eastings": ${400000 + i},
+      s"""{"status": 200, "result": {"postcode": "AB$i ${i % 10}CD",
+         | "quality": ${1 + i % 3}, "eastings": ${400000 + i},
          | "northings": ${150000 + i}, "country": "England",
          | "european_electoral_region": "$region", "region": "$r",
          | "longitude": ${-1.8 + (i % 100) / 1000.0}, "latitude": ${51.2 + (i % 100) / 1000.0},
-         | "admin_district": $admin, "codes_admin_district": "E0${6000000 + i}",
-         | "index": $i}""".stripMargin.replaceAll("\n", "")
+         | "admin_district": $admin,
+         | "codes": {"admin_district": "E0${6000000 + i}"}}}""".stripMargin.replaceAll("\n", "")
     }
   }
 
-  /** F0 extract: rows → single jsonl.gz under the land partition path
-    * (reference write_data_to_land.py:31-42; O1-O5). */
+  /** F0 extract: API-shaped records → flatten one level with `codes_`
+    * prefixes (O2) → contiguous index (O3) → single jsonl.gz under the
+    * land partition path (reference write_data_to_land.py:31-42; O1-O5). */
   final case class ExtractStage() extends Stage {
     val name = "extract"
     def run(ctx: PipelineContext): Unit = {
@@ -60,10 +64,11 @@ object ReferencePipeline {
       val n = ctx.conf.getOrElse(RowsKey, "1000").toInt
       val ts = ctx(LandTsKey).toLong
       val landPath = TableIO.landPartitionPath(ctx(LandKey), ctx(TableKey), ts)
-      val raw = spark.createDataset(syntheticPostcodeRows(n))
-      val df = spark.read.json(raw)
+      val raw = spark.read.json(spark.createDataset(syntheticApiResponses(n)))
+      val flat = graft.ops.Reshape.flattenOneLevel(raw, "result").drop("status")
+      val indexed = graft.ops.Reshape.withRowIndex(flat, "index")
       ctx.log(s"extract: $n rows -> $landPath")
-      TableIO.writeJsonlGz(df, landPath, singleFile = true)
+      TableIO.writeJsonlGz(indexed, landPath, singleFile = true)
     }
   }
 

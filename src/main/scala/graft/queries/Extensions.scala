@@ -62,14 +62,14 @@ object Extensions {
       .orderBy("d1", "d2"),
     Some(shingleCte))
 
-  // MinHash+LSH verified by exact Jaccard — with 16 bands × 4 rows the
-  // detection probability at jaccard ≥ 0.8 is ≈ 0.9997, so its verified
+  // MinHash+LSH verified by exact Jaccard — with 21 bands × 3 rows the
+  // detection probability at jaccard ≥ 0.8 is 1-3e-7, so its verified
   // output equals the exact operator's and shares its oracle.
   private val dedupMinhash = Q(
     "q_dedup_minhash",
     (s, dir) => Dedup.minhashNearDupPairs(
       t(s, dir, "documents"), "doc_id", "text",
-      n = 3, numHashes = 64, bands = 16, threshold = 0.8, seed = 42L)
+      n = 3, numHashes = 64, bands = 21, threshold = 0.8, seed = 42L)
       .orderBy("d1", "d2"),
     Some(shingleCte))
 
@@ -128,6 +128,20 @@ object Extensions {
            |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
            |    FROM documents) GROUP BY 1)
            |ORDER BY n DESC, token LIMIT 100""".stripMargin))
+
+  private val textTfLang = Q(
+    "q_text_tf_lang",
+    (s, dir) => TextStats.termFrequenciesByGroup(
+      t(s, dir, "documents"), "lang", "text", k = 5)
+      .orderBy("lang", "rnk"),
+    Some("""SELECT lang, rnk, token, n FROM (
+           |  SELECT lang, token, n,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INTEGER) AS rnk
+           |  FROM (
+           |    SELECT lang, t AS token, COUNT(*) AS n FROM (
+           |      SELECT lang, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+           |      FROM documents) GROUP BY 1, 2))
+           |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin))
 
   private val textQuality = Q(
     "q_text_quality",
@@ -210,6 +224,6 @@ object Extensions {
   val all: Seq[Q] = Seq(
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
     simsearchTopK, embedNearDup,
-    textTokens, textQuality, textLangId, textFingerprint,
+    textTokens, textTfLang, textQuality, textLangId, textFingerprint,
     multimodalMeta)
 }

@@ -38,7 +38,7 @@ class DedupSpec extends AnyFunSuite {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("d1", "d2").orderBy("d1").collect().toSeq
     val mh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-      n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      n = 3, numHashes = 64, bands = 21, threshold = 0.5)
       .select("d1", "d2").orderBy("d1").collect().toSeq
     assert(mh == exact)
   }
