@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+import QueryUtil._
+
+/** Third relational wave: remaining window shapes (ntile, first/last,
+  * RANGE frames), string/array/date function coverage, conditional and
+  * percentile aggregates. */
+object Relational2 {
+
+  private val windowExtra = Q(
+    "q_window_extra",
+    (s, dir) => {
+      val wGlobal = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      val wNation = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        ntile(4).over(wGlobal).as("nt"),
+        first(col("c_custkey")).over(wNation).as("first_ck"),
+        last(col("c_custkey")).over(
+          wNation.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("last_ck"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+           |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS nt,
+           |  first_value(c_custkey) OVER w AS first_ck,
+           |  last_value(c_custkey) OVER
+           |    (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ck
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  private val windowRange = Q(
+    "q_window_range",
+    (s, dir) => {
+      // RANGE frame over a numeric order key: all orders within the last
+      // 100 orderkeys, not the last 100 rows
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderkey"))
+        .rangeBetween(-100, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("near_total"))
+        .orderBy("o_orderkey", "o_orderstatus")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+           |    (PARTITION BY o_orderstatus ORDER BY o_orderkey
+           |     RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
+           |FROM orders ORDER BY o_orderkey, o_orderstatus""".stripMargin))
+
+  private val stringFns2 = Q(
+    "q_string_fns2",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        rpad(col("p_brand"), 12, ".").as("brand_rpad"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        reverse(col("p_brand")).as("brand_rev"),
+        instr(col("p_type"), "BRASS").as("brass_pos"),
+        translate(col("p_brand"), "#", "-").as("brand_tr"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+           |  lpad(p_brand, 12, '*') AS brand_pad,
+           |  rpad(p_brand, 12, '.') AS brand_rpad,
+           |  replace(p_type, ' ', '_') AS type_snake,
+           |  reverse(p_brand) AS brand_rev,
+           |  CAST(strpos(p_type, 'BRASS') AS INTEGER) AS brass_pos,
+           |  translate(p_brand, '#', '-') AS brand_tr
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  private val arrayFns = Q(
+    "q_array_fns",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_toks"),
+        slice(array_sort(toks), 1, 3).as("first3"),
+        array_contains(toks, "data").as("has_data"),
+        size(array_distinct(toks)).as("n_distinct"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(toks) AS INTEGER) AS n_toks,
+           |  list_sort(toks)[1:3] AS first3,
+           |  list_contains(toks, 'data') AS has_data,
+           |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct
+           |FROM (SELECT doc_id,
+           |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  private val condAgg = Q(
+    "q_cond_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("l_linestatus") === "F", col("l_extendedprice").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("sum_f_price"),
+        max(when(col("l_quantity") <= 10, col("l_extendedprice"))).as("max_small_price"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_high,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS sum_f_price,
+           |  max(l_extendedprice) FILTER (WHERE l_quantity <= 10) AS max_small_price
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  private val medianQ = Q(
+    "q_median",
+    (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+           |  CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  private val dateFns2 = Q(
+    "q_date_fns2",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        add_months(to_date(col("o_orderdate")), 1).as("next_month"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        quarter(col("o_orderdate")).as("qtr"),
+        (weekday(to_date(col("o_orderdate"))) + 1).as("isodow"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+           |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           |  CAST(isodow(CAST(o_orderdate AS DATE)) AS INTEGER) AS isodow
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2)
+}
