@@ -89,8 +89,12 @@ object Dedup {
   }
 
   /** MinHash signature per document: (idCol, mh_0 .. mh_{k-1}).
-    * One explode + one hash-aggregate; the k min() aggregates combine
-    * map-side, so the shuffle carries one row per document. */
+    * One explode + one hash-aggregate; the k min() aggregates stay in
+    * whole-stage codegen over primitive columns and combine map-side, so
+    * the shuffle carries one row per document. (A typed-Aggregator
+    * variant exists in MinHashAggregator — measured no faster at k=64
+    * because ObjectHashAggregate forfeits codegen; kept as the escape
+    * hatch for much larger k.) */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
@@ -100,6 +104,19 @@ object Dedup {
       min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
     }
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Aggregator-based variant of minhashSignatures: identical math, one
+    * buffer instead of k aggregate slots — (idCol, sig array<long>). */
+  def minhashSignaturesAgg(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+      .withColumn("h", hash(col("shingle")).cast(LongType).bitwiseAND(lit(0x7fffffffL)))
+    val coef = hashCoefficients(numHashes, seed)
+    val agg = udaf(
+      new MinHashAggregator(coef.map(_._1).toArray, coef.map(_._2).toArray, MersennePrime),
+      org.apache.spark.sql.Encoders.scalaLong)
+    sh.groupBy(col(idCol)).agg(agg(col("h")).as("sig"))
   }
 
   /** Banded LSH candidate pairs from signatures: split k hashes into

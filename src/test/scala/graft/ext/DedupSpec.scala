@@ -49,6 +49,14 @@ class DedupSpec extends AnyFunSuite {
     assert(s1.sameElements(s2))
   }
 
+  test("Aggregator-based signatures are bit-identical to the expression pipeline") {
+    val expr = Dedup.minhashSignatures(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (1 to 64).map(r.getLong).toSeq)
+    val agg = Dedup.minhashSignaturesAgg(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getSeq[Long](1))
+    assert(expr.toSeq == agg.toSeq)
+  }
+
   test("SimHash: identical docs at distance 0, planted near-dups close, distinct docs far") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
