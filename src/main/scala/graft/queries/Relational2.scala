@@ -143,6 +143,27 @@ object Relational2 {
            |  CAST(isodow(CAST(o_orderdate AS DATE)) AS INTEGER) AS isodow
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  private val unpivot = Q(
+    "q_unpivot",
+    (s, dir) => {
+      // wide → long: per-flag sums unpivoted to (flag-metric, value) rows
+      val wide = t(s, dir, "lineitem").groupBy("l_linestatus").agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("price"))
+      wide.selectExpr("l_linestatus",
+        "stack(2, 'qty', qty, 'price', price) AS (metric, value)")
+        .orderBy("l_linestatus", "metric")
+    },
+    Some("""WITH wide AS (
+           |  SELECT l_linestatus,
+           |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+           |  FROM lineitem GROUP BY l_linestatus)
+           |SELECT l_linestatus, 'qty' AS metric, qty AS value FROM wide
+           |UNION ALL
+           |SELECT l_linestatus, 'price' AS metric, price AS value FROM wide
+           |ORDER BY l_linestatus, metric""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2)
+    windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2, unpivot)
 }
