@@ -147,10 +147,17 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 21,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes, seed)
-    val cands = lshCandidatePairs(sigs, idCol, numHashes, bands)
+    // ONE cached shingle pass feeds both the signature aggregation and the
+    // exact-Jaccard verification join
     val sh = shingles(docs, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("shash")).cache()
+      .select(col(idCol), xxhash64(col("shingle")).as("shash"),
+        hash(col("shingle")).cast(LongType).bitwiseAND(lit(0x7fffffffL)).as("h"))
+      .cache()
+    val mins = hashCoefficients(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
+    }
+    val sigs = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val cands = lshCandidatePairs(sigs, idCol, numHashes, bands)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("d1"), col("shash").as("s1"))
     val b = sh.select(col(idCol).as("d2b"), col("shash").as("s2"))

@@ -104,6 +104,26 @@ object Extensions {
             |  FROM q JOIN c ON query_id <> neighbor_id)
             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  // approximate scale paths: recall < 1 by construction → rows-only checks
+  // (IvfSpec / SimSearchSpec assert sims match brute force on shared hits)
+  private val simsearchLsh = Q(
+    "q_simsearch_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  private val simsearchIvf = Q(
+    "q_simsearch_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), topK = 5, k = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   private val embedNearDup = Q(
     "q_embed_neardup",
     (s, dir) => SimSearch.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
@@ -223,7 +243,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
-    simsearchTopK, embedNearDup,
+    simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint,
     multimodalMeta)
 }
