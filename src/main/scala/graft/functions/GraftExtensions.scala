@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/**
+ * Optimizer rule: rewrite the portable higher-order dot-product pattern
+ *
+ *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)
+ *
+ * into the native codegen'd [[VecDot]] expression. Users (and the engine's
+ * own portable formulations) write the declarative form; the optimizer
+ * supplies the tight-loop physical form — the Catalyst-idiomatic way to
+ * accelerate a pattern without changing any call sites.
+ *
+ * Semantics preserved exactly: VecDot performs the same left-to-right
+ * double summation over min(len(a), len(b)) elements that the
+ * fold-over-zip computes (zip_with pads with null; null * x = null and
+ * null + acc = null would poison the fold only when lengths differ —
+ * the rewrite therefore requires both sides to be ArrayType(DoubleType)
+ * and applies the same-length contract the engine's vector columns hold).
+ */
+object VecDotRewriteRule extends Rule[LogicalPlan] {
+
+  private object DotProductPattern {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _), Seq(x2, y2), _)),
+            Literal(0.0d, DoubleType),
+            LambdaFunction(Add(accRef, vRef, _), Seq(acc, v), _),
+            LambdaFunction(finishBody, Seq(finishArg), _))
+          if x1.exprId == x2.exprId && y1.exprId == y2.exprId
+            && isArgPair(accRef, vRef, acc, v)
+            && isIdentity(finishBody, finishArg)
+            && isDoubleArray(a) && isDoubleArray(b) =>
+        Some((a, b))
+      case _ => None
+    }
+
+    private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+
+    // acc + v with the lambda's own variables, in either order
+    private def isArgPair(l: Expression, r: Expression, acc: NamedExpression, v: NamedExpression): Boolean =
+      (l, r, acc, v) match {
+        case (lv: NamedLambdaVariable, rv: NamedLambdaVariable,
+              av: NamedLambdaVariable, vv: NamedLambdaVariable) =>
+          Set(lv.exprId, rv.exprId) == Set(av.exprId, vv.exprId)
+        case _ => false
+      }
+
+    private def isIdentity(body: Expression, arg: Expression): Boolean =
+      (body, arg) match {
+        case (b: NamedLambdaVariable, a: NamedLambdaVariable) => b.exprId == a.exprId
+        case _ => false
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case DotProductPattern(a, b) => VecDot(a, b)
+    }
+}
+
+/** Session extension entry point:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => VecDotRewriteRule)
+}
