@@ -164,6 +164,58 @@ object Relational2 {
            |SELECT l_linestatus, 'price' AS metric, price AS value FROM wide
            |ORDER BY l_linestatus, metric""".stripMargin))
 
+  private val having = Q(
+    "q_having",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey"),
+    Some(s"""SELECT o_custkey, COUNT(*) AS n_orders, ${oSum("o_totalprice")} AS sum_total
+            |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+            |ORDER BY o_custkey""".stripMargin))
+
+  private val scalarSubquery = Q(
+    "q_scalar_subquery",
+    (s, dir) => {
+      // correlated scalar subquery through the SQL path — Catalyst
+      // decorrelates it into a left outer aggregate join
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT MAX(o_totalprice) FROM orders_v WHERE o_custkey = c_custkey) AS max_order
+          |FROM customer_v ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey,
+           |  (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  private val cte = Q(
+    "q_cte",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        s"""WITH per_cust AS (
+           |  SELECT o_custkey, COUNT(*) AS n,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |  FROM orders_v GROUP BY o_custkey),
+           |big AS (SELECT * FROM per_cust WHERE total > 2000000)
+           |SELECT COUNT(*) AS n_big,
+           |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_big
+           |FROM big""".stripMargin)
+    },
+    Some("""WITH per_cust AS (
+           |  SELECT o_custkey, COUNT(*) AS n,
+           |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |  FROM orders GROUP BY o_custkey),
+           |big AS (SELECT * FROM per_cust WHERE total > 2000000)
+           |SELECT COUNT(*) AS n_big,
+           |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_big
+           |FROM big""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2, unpivot)
+    windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2,
+    unpivot, having, scalarSubquery, cte)
 }

@@ -80,6 +80,35 @@ class ReferencePipelineSpec extends AnyFunSuite {
     assert(regions.count() == 0) // LOWER() normalization applied (job.py:53)
   }
 
+  test("second run accumulates raw-hist history; curated rebuild spans ALL batches (O11)") {
+    val base = Files.createTempDirectory("graft_pipeline_hist").toString
+    writeMeta(s"$base/meta")
+    def ctxFor(ts: String, rows: String) = PipelineContext(spark, Map(
+      ReferencePipeline.LandKey -> s"$base/land",
+      ReferencePipeline.RawHistKey -> s"$base/raw_hist",
+      ReferencePipeline.CuratedKey -> s"$base/curated",
+      ReferencePipeline.MetaDirKey -> s"$base/meta",
+      ReferencePipeline.TableKey -> "random_postcodes",
+      ReferencePipeline.LandTsKey -> ts,
+      ReferencePipeline.SnapshotDateKey -> "2026-08-12",
+      ReferencePipeline.RowsKey -> rows),
+      version = "vHIST")
+
+    assert(ReferencePipeline.standard.run(ctxFor("1700000000", "150")).succeeded)
+    assert(ReferencePipeline.standard.run(ctxFor("1700000100", "120")).succeeded)
+
+    // raw-hist keeps BOTH immutable batches
+    assert(TableIO.listDataFiles(spark,
+      s"$base/raw_hist/random_postcodes/file_land_timestamp=1700000000").nonEmpty)
+    assert(TableIO.listDataFiles(spark,
+      s"$base/raw_hist/random_postcodes/file_land_timestamp=1700000100").nonEmpty)
+    // curated is a full rebuild over the implicit union of all history
+    assert(spark.read.parquet(s"$base/curated/database/random_postcodes").count() == 270)
+    val total = spark.sql("SELECT SUM(n) FROM example_postcodes_db.calculated")
+      .collect().head.getLong(0)
+    assert(total == 270) // counts reconcile with sum of raw-hist (README.md:438)
+  }
+
   test("gate failure stops the pipeline before promotion (fail-fast DAG)") {
     val base = Files.createTempDirectory("graft_pipeline_fail").toString
     writeMeta(s"$base/meta")
