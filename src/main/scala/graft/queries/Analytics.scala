@@ -43,23 +43,26 @@ object Analytics {
         sum((col("l_extendedprice").cast(d2) * col("l_extendedprice").cast(d2))).cast(DoubleType).as("syy"),
         sum((col("l_quantity").cast(d2) * col("l_extendedprice").cast(d2))).cast(DoubleType).as("sxy"))
       val n = col("n").cast(DoubleType)
+      // multi-product expressions (a*b - c*d) can differ by one ulp across
+      // engines when one fuses multiply-add — round those to 9 dp; plain
+      // divisions (mean) stay bit-exact unrounded
       agg.select(
         col("l_returnflag"),
         col("n"),
         (col("sx") / n).as("mean_qty"),
-        ((n * col("sxx") - col("sx") * col("sx")) / (n * (n - lit(1.0)))).as("var_qty"),
-        sqrt((n * col("sxx") - col("sx") * col("sx")) / (n * (n - lit(1.0)))).as("stddev_qty"),
-        ((n * col("sxy") - col("sx") * col("sy"))
+        round((n * col("sxx") - col("sx") * col("sx")) / (n * (n - lit(1.0))), 9).as("var_qty"),
+        round(sqrt((n * col("sxx") - col("sx") * col("sx")) / (n * (n - lit(1.0)))), 9).as("stddev_qty"),
+        round((n * col("sxy") - col("sx") * col("sy"))
           / (sqrt(n * col("sxx") - col("sx") * col("sx"))
-            * sqrt(n * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+            * sqrt(n * col("syy") - col("sy") * col("sy"))), 9).as("corr_qty_price"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag, n0 AS n,
            |  sx / n AS mean_qty,
-           |  (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_qty,
-           |  sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
-           |  (n * sxy - sx * sy)
-           |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+           |  round((n * sxx - sx * sx) / (n * (n - 1.0)), 9) AS var_qty,
+           |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 9) AS stddev_qty,
+           |  round((n * sxy - sx * sy)
+           |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
            |FROM (
            |  SELECT l_returnflag, COUNT(*) AS n0, CAST(COUNT(*) AS DOUBLE) AS n,
            |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
