@@ -30,6 +30,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("sampleFrames: stub splits payload into deterministic frame batches") {
+    val frames = Multimodal.StubDecoder.sampleFrames(Array.tabulate(16)(_.toByte), everyN = 4)
+    assert(frames.length == 4)
+    assert(frames.forall(_.length == 4))
+    assert(frames(1).toSeq == Seq[Byte](4, 5, 6, 7))
+  }
+
   test("resizeAll: transform keeps one row per media, rewrites payload") {
     val media = Multimodal.synthesizeMedia(ids, "doc_id")
     val resized = Multimodal.resizeAll(media, 224, 224)
