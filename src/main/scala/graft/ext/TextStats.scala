@@ -48,6 +48,9 @@ object TextStats {
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val nToks = size(toks)
+    // zero-token (e.g. whitespace-only) docs: ratios are null on BOTH the
+    // engine and the DuckDB oracle (nullif denominator), not a /0 artifact
+    val safeN = nullif(nToks, lit(0))
     val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
     val stopHits = size(filter(toks, t => t.isin(stopwords.map(s => s: Any): _*)))
     df.select(
@@ -55,9 +58,9 @@ object TextStats {
       length(col(textCol)).as("n_chars"),
       nToks.as("n_tokens"),
       tokenCountBpeIsh(col(textCol)).as("n_tokens_bpeish"),
-      (length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) / nToks).as("avg_token_len"),
-      (stopHits.cast(DoubleType) / nToks).as("stop_ratio"),
-      (nToks.between(20, 10000) && (stopHits.cast(DoubleType) / nToks) < 0.5).as("is_quality"))
+      (length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) / safeN).as("avg_token_len"),
+      (stopHits.cast(DoubleType) / safeN).as("stop_ratio"),
+      (nToks.between(20, 10000) && (stopHits.cast(DoubleType) / safeN) < 0.5).as("is_quality"))
   }
 
   /** Language-ID by function-word evidence: count distinct-token hits per

@@ -16,12 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
  * supplies the tight-loop physical form — the Catalyst-idiomatic way to
  * accelerate a pattern without changing any call sites.
  *
- * Semantics preserved exactly: VecDot performs the same left-to-right
- * double summation over min(len(a), len(b)) elements that the
- * fold-over-zip computes (zip_with pads with null; null * x = null and
- * null + acc = null would poison the fold only when lengths differ —
- * the rewrite therefore requires both sides to be ArrayType(DoubleType)
- * and applies the same-length contract the engine's vector columns hold).
+ * Semantics preserved exactly for ANY input, not just engine vector
+ * columns: VecDot performs the same left-to-right double summation the
+ * fold-over-zip computes, and reproduces its null behavior — unequal
+ * lengths → null (zip_with pads with null, which poisons the fold) and
+ * any null element → null. The rewrite only requires both sides to be
+ * ArrayType(DoubleType).
  */
 object VecDotRewriteRule extends Rule[LogicalPlan] {
 

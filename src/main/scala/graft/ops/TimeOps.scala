@@ -26,6 +26,12 @@ object TimeOps {
    * Right rows sort before left rows at equal timestamps, so equality
    * matches (ASOF `>=`). Caller pre-renames right payload columns to avoid
    * clashes with left columns.
+   *
+   * Determinism: the whole right payload travels as ONE struct through a
+   * single `last(ignoreNulls)` window, so every output column comes from
+   * the same right row, and the struct itself is the final sort key — when
+   * two right rows tie on (key, ts), the greatest payload wins,
+   * deterministically, run after run.
    */
   def asofJoinBackward(
       left: DataFrame,
@@ -36,16 +42,16 @@ object TimeOps {
       rightPayload: Seq[String]): DataFrame = {
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
     val r = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: rightPayload.map(c => col(c).as(s"__r_$c"))): _*)
+      col(key), col(rightTs).as("__ts"),
+      struct(rightPayload.map(col): _*).as("__r_payload"))
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__side"), col("__r_payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = u.withColumn("__p", last(col("__r_payload"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select((left.columns ++ rightPayload).map(col): _*)
+      .select(left.columns.map(col) ++ rightPayload.map(c => col(s"__p.$c").as(c)): _*)
   }
 
   /**

@@ -170,11 +170,11 @@ object Extensions {
     Some("""SELECT doc_id,
            |  CAST(length(text) AS INTEGER) AS n_chars,
            |  CAST(len(toks) AS INTEGER) AS n_tokens,
-           |  CAST(len(toks) + list_sum(list_transform(toks, t -> length(t)//6)) AS INTEGER) AS n_tokens_bpeish,
-           |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
-           |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) AS stop_ratio,
+           |  CAST(len(toks) + coalesce(list_sum(list_transform(toks, t -> length(t)//6)), 0) AS INTEGER) AS n_tokens_bpeish,
+           |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / nullif(len(toks), 0) AS avg_token_len,
+           |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio,
            |  (len(toks) BETWEEN 20 AND 10000)
-           |    AND (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) < 0.5) AS is_quality
+           |    AND (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / nullif(len(toks), 0) < 0.5) AS is_quality
            |FROM (SELECT doc_id, text,
            |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
            |      FROM documents)

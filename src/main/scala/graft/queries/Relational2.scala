@@ -84,14 +84,16 @@ object Relational2 {
       t(s, dir, "documents").select(
         col("doc_id"),
         size(toks).as("n_toks"),
-        slice(array_sort(toks), 1, 3).as("first3"),
+        // surfaced as a joined string: the driver's pandas compare cannot
+        // sort array-typed columns (round-1 q_array_fns failure)
+        array_join(slice(array_sort(toks), 1, 3), " ").as("first3"),
         array_contains(toks, "data").as("has_data"),
         size(array_distinct(toks)).as("n_distinct"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
            |  CAST(len(toks) AS INTEGER) AS n_toks,
-           |  list_sort(toks)[1:3] AS first3,
+           |  array_to_string(list_sort(toks)[1:3], ' ') AS first3,
            |  list_contains(toks, 'data') AS has_data,
            |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct
            |FROM (SELECT doc_id,

@@ -35,6 +35,16 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r2.getInt(3) == 9)                      // n_tokens_bpeish
   }
 
+  test("quality metrics on a zero-token doc: null ratios, zero counts, not-quality") {
+    val empty = Seq((9L, "   ")).toDF("doc_id", "text")
+    val r = TextStats.qualityMetrics(empty, "doc_id", "text").collect().head
+    assert(r.getInt(2) == 0)      // n_tokens
+    assert(r.getInt(3) == 0)      // n_tokens_bpeish: 0 tokens -> 0 units
+    assert(r.isNullAt(4))         // avg_token_len guarded, not /0
+    assert(r.isNullAt(5))         // stop_ratio guarded
+    assert(!r.getBoolean(6))      // is_quality: false, not null
+  }
+
   test("langId picks the profile with most function-word hits, deterministic ties") {
     val out = TextStats.langId(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.getString(5))
