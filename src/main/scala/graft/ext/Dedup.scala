@@ -52,17 +52,18 @@ object Dedup {
     * Output: (d1, d2, jaccard) for jaccard ≥ threshold, d1 < d2. */
   /** The 64-bit-hashed shingle frame (idCol, shash) every pairwise operator
     * reuses. Exposed so callers who run several dedup passes over one corpus
-    * can persist it themselves (or materialize it to a zone table — the only
-    * form that survives 100 TB; an implicit `.cache()` here would leak
-    * executor memory across invocations in a long-lived session, so the
-    * operators below deliberately recompute instead). */
+    * can persist it themselves (or materialize it to a zone table — the form
+    * that survives 100 TB). The pairwise operators below persist it through
+    * [[graft.ops.BoundedCache]]: scanned 3× per query, shared across repeat
+    * invocations by plan equality, LRU-bounded so a long-lived session never
+    * accumulates unowned cache entries. */
   def hashedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     shingles(docs, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("shingle")).as("shash"))
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = hashedShingles(docs, idCol, textCol, n)
+    val sh = graft.ops.BoundedCache.cached(hashedShingles(docs, idCol, textCol, n))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("d1"), col("shash"))
     val b = sh.select(col(idCol).as("d2"), col("shash"))
@@ -156,12 +157,13 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 21,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    // ONE shingle plan feeds both the signature aggregation and the
-    // exact-Jaccard verification join (recomputed per use, not cached —
-    // see hashedShingles on why implicit caching is the wrong lifecycle)
-    val sh = shingles(docs, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("shash"),
-        hash(col("shingle")).cast(LongType).bitwiseAND(lit(0x7fffffffL)).as("h"))
+    // ONE shingle pass feeds both the signature aggregation and the
+    // exact-Jaccard verification join — persisted via BoundedCache (scanned
+    // 4×; plan-deduped across invocations, LRU-bounded, no unowned leak)
+    val sh = graft.ops.BoundedCache.cached(
+      shingles(docs, idCol, textCol, n)
+        .select(col(idCol), xxhash64(col("shingle")).as("shash"),
+          hash(col("shingle")).cast(LongType).bitwiseAND(lit(0x7fffffffL)).as("h")))
     val mins = hashCoefficients(numHashes, seed).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh_$i")
     }

@@ -141,10 +141,10 @@ object SimSearch {
       k: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val assigned = ivfAssign(corpus, k, idCol, vecCol)
-      .select(col("id").as("neighbor_id"), col("v").as("cvec"), col("cluster"))
-      .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec")))
-      .cache()
+    val assigned = graft.ops.BoundedCache.cached(
+      ivfAssign(corpus, k, idCol, vecCol)
+        .select(col("id").as("neighbor_id"), col("v").as("cvec"), col("cluster"))
+        .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec"))))
     // centroid of each cluster for probe selection (reuse assignment means)
     val centroids = assigned
       .select(col("cluster"), posexplode(col("cvec")).as(Seq("dim", "x")))
