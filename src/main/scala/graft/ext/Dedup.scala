@@ -184,6 +184,78 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  // ---- cluster assignment ------------------------------------------------
+
+  /**
+   * Connected components over a near-dup pair list: every document in a
+   * transitively-connected group gets the group's minimum id as
+   * `cluster_id` — the canonical-survivor assignment step that turns
+   * pairwise dedup output into "keep one per cluster".
+   *
+   * Iterative min-label propagation: each round every vertex adopts the
+   * smallest label among itself and its neighbors; converges in
+   * O(component diameter) rounds. Each round is one join + one aggregate
+   * (both key-partitioned), and the label frame is localCheckpoint'd so
+   * the plan doesn't grow with iterations. Near-dup components are
+   * overwhelmingly small and shallow (dup clusters, not social graphs), so
+   * diameter stays tiny at corpus scale; a two-phase large-star/small-star
+   * variant is the drop-in upgrade if ever faced with adversarial chains.
+   *
+   * Input: (d1, d2) pairs. Output: (doc_id, cluster_id), one row per
+   * distinct document appearing in any pair.
+   */
+  def clusterAssignments(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))
+      .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(false)
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /**
+   * Cross-corpus (incremental) near-dup detection: which documents of a
+   * NEW batch duplicate a document of the EXISTING corpus — the shape an
+   * append-only training pipeline runs every ingest. Same selective
+   * shared-shingle join as [[jaccardPairs]], but across two frames, so
+   * cost scales with the new batch, not the corpus². Output:
+   * (new_id, corpus_id, jaccard).
+   */
+  def jaccardAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shNew = hashedShingles(newDocs, idCol, textCol, n)
+    val shOld = hashedShingles(corpus, idCol, textCol, n)
+    val sizesNew = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sizesOld = shOld.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = shNew.select(col(idCol).as("new_id"), col("shash"))
+      .join(shOld.select(col(idCol).as("corpus_id"), col("shash")), "shash")
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizesNew.select(col(idCol).as("new_id"), col("sz").as("sz1")), "new_id")
+      .join(sizesOld.select(col(idCol).as("corpus_id"), col("sz").as("sz2")), "corpus_id")
+      .withColumn("jaccard",
+        col("i").cast(DoubleType) / (col("sz1") + col("sz2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash per document from token 64-bit hashes, weighted by

@@ -88,6 +88,55 @@ object TextStats {
         :+ predicted.as("lang_pred")): _*)
   }
 
+  /** TF-IDF per (document, token): tf = in-document count, idf =
+    * ln((N+1)/(df+1)) with add-one smoothing, N = corpus size. Two
+    * aggregations (per-doc-token, per-token) + one broadcast-able join —
+    * shuffle keys are tokens, never documents², so the shape holds at
+    * corpus scale. `ln` results are rounded to 9 dp: transcendental libm
+    * calls are the one place engines legitimately differ by an ulp. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // corpus size as a broadcast single-row frame — keeps the operator
+    // fully lazy (no driver-side action at plan-construction time)
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("idf", round(log((col("n_docs") + 1.0) / (col("df") + 1.0)), 9))
+      .withColumn("tf_idf", round(col("tf") * col("idf"), 9))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("idf"), col("tf_idf"))
+  }
+
+  /** C4-style quality gate: keep documents passing every heuristic —
+    * token count in range, mean token length sane, enough stopword
+    * evidence of natural language, and not ALL-CAPS shouting. Returns the
+    * surviving rows with their metrics (composable with dedup/clustering
+    * downstream). Pure filter over [[qualityMetrics]] — one scan. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 10000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 12.0,
+      minStopRatio: Double = 0.05): DataFrame = {
+    val m = qualityMetrics(df, idCol, textCol)
+    // source columns that clash with a metric name (e.g. a precomputed
+    // n_chars) yield to the freshly computed metric
+    val clashes = m.columns.filterNot(_ == idCol).filter(df.columns.contains)
+    df.drop(clashes: _*).join(m, idCol)
+      .filter(col("n_tokens").between(minTokens, maxTokens)
+        && col("avg_token_len").between(minAvgLen, maxAvgLen)
+        && col("stop_ratio") >= minStopRatio
+        && col(textCol) =!= upper(col(textCol)))
+  }
+
+  /** PII scrubbing: redact email addresses, long digit runs (phone/account
+    * numbers), and IPv4 literals with typed placeholders. Plain
+    * `regexp_replace` (replace-all on both engines; patterns avoid
+    * lookarounds so the dialects agree) — codegen'd, no UDF. */
+  def scrubPii(textCol: Column): Column = {
+    val email = regexp_replace(textCol, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email, "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\d{7,}", "<NUM>")
+  }
+
   /** Content fingerprint: MD5 over the canonical token stream — identical
     * hex across engines, so exact-dup detection by fingerprint is
     * oracle-checkable. Also a 64-bit rolling hash (xxhash64-based

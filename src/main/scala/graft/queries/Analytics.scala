@@ -103,5 +103,19 @@ object Analytics {
             |FROM lineitem JOIN nation ON CAST(l_suppkey % 25 AS INTEGER) = n_nationkey
             |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, saltedJoin)
+  private val histogram = Q(
+    "q_histogram",
+    (s, dir) =>
+      // fixed-width histogram: floor-of-division bucketing is portable
+      // (double division then floor is bit-identical across engines)
+      t(s, dir, "lineitem")
+        .withColumn("bucket", floor(col("l_extendedprice") / 10000).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("bucket"),
+    Some(s"""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+            |  COUNT(*) AS n, ${oSum("l_extendedprice")} AS sum_price
+            |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin))
+
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, saltedJoin, histogram)
 }

@@ -14,10 +14,10 @@ import QueryUtil._
  */
 object Extensions {
 
-  /** Shared DuckDB shingle CTE: distinct word 3-grams per doc — mirrors
-    * Dedup.shingles (split on space, lower, windows of 3). */
-  private val shingleCte =
-    """WITH sh AS (
+  /** Shared DuckDB shingle CTE bodies: distinct word 3-grams per doc —
+    * mirrors Dedup.shingles (split on space, lower, windows of 3). */
+  private val pairsCtes =
+    """sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
       |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
@@ -25,7 +25,10 @@ object Extensions {
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
+      |          GROUP BY 1, 2)""".stripMargin
+
+  private val shingleCte =
+    s"""WITH $pairsCtes
       |SELECT d1, d2, CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) AS jaccard
       |FROM inter
       |JOIN sizes s1 ON s1.doc_id = d1
@@ -241,9 +244,141 @@ object Extensions {
            |            FROM documents))
            |ORDER BY media_id""".stripMargin))
 
+  // ---- dedup clustering + incremental dedup ------------------------------
+
+  // Connected components over the exact-Jaccard pairs; the DuckDB oracle
+  // computes the same transitive closure with a recursive CTE, so the
+  // iterative min-label propagation is verified end-to-end.
+  private val dedupClusters = Q(
+    "q_dedup_clusters",
+    (s, dir) => Dedup.clusterAssignments(
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |pairs AS (
+            |  SELECT d1, d2 FROM inter
+            |  JOIN sizes s1 ON s1.doc_id = d1
+            |  JOIN sizes s2 ON s2.doc_id = d2
+            |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8),
+            |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+            |          UNION SELECT d2, d1 FROM pairs),
+            |reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
+
+  // Incremental ingest dedup: new batch (doc_id % 10 = 0) vs corpus (rest).
+  private val dedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardAgainstCorpus(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("new_id", "corpus_id")
+    },
+    Some("""WITH shingled AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
+           |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |shn AS (SELECT * FROM shingled WHERE doc_id % 10 = 0),
+           |sho AS (SELECT * FROM shingled WHERE doc_id % 10 <> 0),
+           |szn AS (SELECT doc_id, COUNT(*) AS sz FROM shn GROUP BY 1),
+           |szo AS (SELECT doc_id, COUNT(*) AS sz FROM sho GROUP BY 1),
+           |inter AS (SELECT n.doc_id AS new_id, o.doc_id AS corpus_id, COUNT(*) AS i
+           |          FROM shn n JOIN sho o ON n.shingle = o.shingle GROUP BY 1, 2)
+           |SELECT new_id, corpus_id, CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) AS jaccard
+           |FROM inter
+           |JOIN szn s1 ON s1.doc_id = new_id
+           |JOIN szo s2 ON s2.doc_id = corpus_id
+           |WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.5
+           |ORDER BY new_id, corpus_id""".stripMargin))
+
+  // ---- TF-IDF, quality gate, PII scrub -----------------------------------
+
+  private val textTfidf = Q(
+    "q_text_tfidf",
+    (s, dir) => TextStats.tfidf(t(s, dir, "documents"), "doc_id", "text")
+      .filter(col("doc_id") < 20)
+      .orderBy("doc_id", "token"),
+    Some("""WITH tf AS (
+           |  SELECT doc_id, tok AS token, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+           |                x -> x <> '')) AS tok FROM documents)
+           |  GROUP BY 1, 2),
+           |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+           |SELECT doc_id, token, tf, df,
+           |  round(ln((n_docs + 1.0)/(df + 1.0)), 9) AS idf,
+           |  round(tf * round(ln((n_docs + 1.0)/(df + 1.0)), 9), 9) AS tf_idf
+           |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+           |WHERE doc_id < 20
+           |ORDER BY doc_id, token""".stripMargin))
+
+  private val textFilter = Q(
+    "q_text_filter",
+    (s, dir) => TextStats.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "n_chars", "n_tokens", "avg_token_len", "stop_ratio")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_chars, n_tokens, avg_token_len, stop_ratio FROM (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS INTEGER) AS n_chars,
+           |    CAST(len(toks) AS INTEGER) AS n_tokens,
+           |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / nullif(len(toks), 0) AS avg_token_len,
+           |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           |      / nullif(len(toks), 0) AS stop_ratio,
+           |    text
+           |  FROM (SELECT doc_id, text,
+           |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |        FROM documents))
+           |WHERE n_tokens BETWEEN 20 AND 10000
+           |  AND avg_token_len BETWEEN 3.0 AND 12.0
+           |  AND stop_ratio >= 0.05
+           |  AND text <> upper(text)
+           |ORDER BY doc_id""".stripMargin))
+
+  // PII scrub over deterministically synthesized PII (the fixture corpus is
+  // clean, so both engines append the same emails/IPs/account numbers from
+  // fixture columns, then redact them).
+  private val textScrub = Q(
+    "q_text_scrub",
+    (s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("pii_text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com from 10.0."), col("doc_id") % 255,
+          lit(".7 acct "), col("doc_id") + 1000000))
+      withPii.select(
+        col("doc_id"),
+        TextStats.scrubPii(col("pii_text")).as("scrubbed"))
+        .withColumn("scrub_md5", md5(col("scrubbed")))
+        .withColumn("still_has_email", col("scrubbed").rlike("@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+        .select("doc_id", "scrub_md5", "still_has_email")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(scrubbed) AS scrub_md5,
+           |  regexp_matches(scrubbed, '@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS still_has_email
+           |FROM (
+           |  SELECT doc_id,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(
+           |          text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+           |            (doc_id % 255) || '.7 acct ' || (doc_id + 1000000),
+           |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           |      '\d{7,}', '<NUM>', 'g') AS scrubbed
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
+    dedupClusters, dedupIncremental,
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint,
+    textTfidf, textFilter, textScrub,
     multimodalMeta)
 }

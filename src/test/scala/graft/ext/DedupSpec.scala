@@ -74,4 +74,26 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq == Seq((1L, "k1"), (2L, "k2")))
   }
+
+  test("clusterAssignments: transitive chain collapses to min id, components stay apart") {
+    // chain 1-2-3 (transitively one cluster) and separate pair 10-11;
+    // a chain forces >1 propagation round (3 only reaches 1 via 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val out = Dedup.clusterAssignments(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("jaccardAgainstCorpus flags only cross-set duplicates") {
+    // doc 100 duplicates corpus doc 0; doc 101 is novel
+    val corpus = docs
+    val fresh = Seq(
+      (100L, docs.filter(col("doc_id") === 0L).head().getString(1)),
+      (101L, "totally novel content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.jaccardAgainstCorpus(fresh, corpus, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).toSet == Set(100L))
+    assert(out.exists(_ == (100L, 0L)))
+  }
 }

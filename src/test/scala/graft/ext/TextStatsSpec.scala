@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.SparkTestBase
 
@@ -43,6 +44,38 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r.isNullAt(4))         // avg_token_len guarded, not /0
     assert(r.isNullAt(5))         // stop_ratio guarded
     assert(!r.getBoolean(6))      // is_quality: false, not null
+  }
+
+  test("tfidf: corpus-wide tokens get low idf, rare tokens score high") {
+    val out = TextStats.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(5)))
+    val byTok = out.groupBy(_._2)
+    // 'der' appears twice in doc 1 only: tf=2, df=1
+    val der = byTok("der").head
+    assert(der._3 == 2L && der._4 == 1L)
+    // idf monotonicity: token in 1 doc scores higher than token in 2+ docs
+    val fox = byTok("fox").head   // df counts docs, not occurrences
+    assert(fox._4 == 1L)
+  }
+
+  test("qualityFilter drops short, shouty, and stopword-free docs") {
+    val mixed = Seq(
+      (1L, "the quick brown fox and the lazy dog went to the market in town and " +
+        "bought a basket of fresh bread and fruit for the long trip home again"),
+      (2L, "short"),
+      (3L, "THE QUICK BROWN FOX AND THE LAZY DOG WENT TO THE MARKET IN TOWN AND " +
+        "BOUGHT A BASKET OF FRESH BREAD AND FRUIT FOR THE LONG TRIP HOME AGAIN"))
+      .toDF("doc_id", "text")
+    val kept = TextStats.qualityFilter(mixed, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
+  test("scrubPii redacts emails, IPv4s, and long digit runs, leaves prose alone") {
+    val df = Seq((1L, "mail bob.smith+x@corp.example.org or call 08001234567 from 192.168.0.1 tomorrow"))
+      .toDF("id", "text")
+    val out = df.select(TextStats.scrubPii(col("text"))).head().getString(0)
+    assert(out == "mail <EMAIL> or call <NUM> from <IP> tomorrow")
   }
 
   test("langId picks the profile with most function-word hits, deterministic ties") {
