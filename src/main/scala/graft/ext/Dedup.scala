@@ -206,9 +206,13 @@ object Dedup {
    */
   def clusterAssignments(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
       maxIterations: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — it is consumed every propagation
+    // round, and without this the (possibly expensive) pair-generation
+    // pipeline upstream would re-execute per iteration
     val edges = pairs.select(col(d1).as("src"), col(d2).as("dst"))
       .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -240,8 +244,9 @@ object Dedup {
   def jaccardAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val shNew = hashedShingles(newDocs, idCol, textCol, n)
-    val shOld = hashedShingles(corpus, idCol, textCol, n)
+    // each side is scanned twice (sizes + intersection join)
+    val shNew = graft.ops.BoundedCache.cached(hashedShingles(newDocs, idCol, textCol, n))
+    val shOld = graft.ops.BoundedCache.cached(hashedShingles(corpus, idCol, textCol, n))
     val sizesNew = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val sizesOld = shOld.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = shNew.select(col(idCol).as("new_id"), col("shash"))
