@@ -55,6 +55,36 @@ object TimeOps {
   }
 
   /**
+   * Forward as-of join: for each left row, attach the payload of the
+   * NEAREST FOLLOWING right row with the same key and `rightTs >= leftTs`
+   * (nulls when none) — the mirror of [[asofJoinBackward]], same linear
+   * union + carry shape. Left rows sort before right rows at equal
+   * timestamps so equality matches; a `first(ignoreNulls)` over the
+   * forward-unbounded frame carries the next right payload back. Ties on
+   * (key, ts) resolve to the smallest payload struct, deterministically.
+   */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
+    val r = right.select(
+      col(key), col(rightTs).as("__ts"),
+      struct(rightPayload.map(col): _*).as("__r_payload"))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__side"), col("__r_payload"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = u.withColumn("__p", first(col("__r_payload"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 0)
+      .select(left.columns.map(col) ++ rightPayload.map(c => col(s"__p.$c").as(c)): _*)
+  }
+
+  /**
    * Gap-based sessionization: events of one key belong to the same session
    * until a silence longer than `gap` (same unit as the numeric `tsCol`).
    * Two windows (lag + running sum), one shuffle on the key — the standard

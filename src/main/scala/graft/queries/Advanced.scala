@@ -127,6 +127,29 @@ object Advanced {
            |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts
            |ORDER BY p.event_id""".stripMargin))
 
+  private val asofForward = Q(
+    "q_asof_forward",
+    (s, dir) => {
+      // mirror of q_asof_join: for each purchase, the NEXT click (>= ts)
+      val ev = events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("cts"),
+          col("event_id").as("click_id"), col("ts_us").as("click_ts"))
+      TimeOps.asofJoinForward(purchases, clicks,
+        key = "user_id", leftTs = "pts", rightTs = "cts",
+        rightPayload = Seq("click_id", "click_ts"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pts
+           |           FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+           |      FROM events WHERE event_type = 'click')
+           |SELECT p.event_id, p.user_id, p.pts, c.click_id, c.cts AS click_ts
+           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pts <= c.cts
+           |ORDER BY p.event_id""".stripMargin))
+
   private val eventsSessions = Q(
     "q_events_sessions",
     (s, dir) =>
@@ -162,5 +185,5 @@ object Advanced {
 
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
-    asofJoin, eventsSessions, approxDistinct)
+    asofJoin, asofForward, eventsSessions, approxDistinct)
 }

@@ -217,7 +217,86 @@ object Relational2 {
            |  CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_big
            |FROM big""".stripMargin))
 
+  private val structFns = Q(
+    "q_struct_fns",
+    (s, dir) =>
+      // struct build + nested access stay pure Project nodes — zero
+      // overhead through Catalyst, and types survive the round-trip
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(
+          col("o_custkey").as("ck"),
+          col("o_totalprice").as("tp"),
+          struct(col("o_orderstatus").as("st")).as("inner")).as("o"))
+        .select(
+          col("o_orderkey"),
+          col("o.ck").as("ck"),
+          col("o.tp").as("tp"),
+          col("o.inner.st").as("st"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o.ck AS ck, o.tp AS tp, o.inner.st AS st
+           |FROM (SELECT o_orderkey,
+           |        struct_pack(ck := o_custkey, tp := o_totalprice,
+           |          inner := struct_pack(st := o_orderstatus)) AS o
+           |      FROM orders)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  private val regexExtract = Q(
+    "q_regex_extract",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        expr("array_join(regexp_extract_all(p_brand, '\\\\d+', 0), ',')").as("brand_nums"),
+        expr("array_join(regexp_extract_all(p_type, '[A-Z]+', 0), ' ')").as("type_words"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+           |  array_to_string(regexp_extract_all(p_brand, '\d+'), ',') AS brand_nums,
+           |  array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ' ') AS type_words,
+           |  regexp_extract(p_name, '^(\w+)', 1) AS first_word
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  private val windowCume = Q(
+    "q_window_cume",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+           |  percent_rank() OVER w AS pr,
+           |  cume_dist() OVER w AS cd
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  private val dateSeries = Q(
+    "q_date_series",
+    (s, dir) =>
+      // explode a generated month series per order. Anchored at the FIRST
+      // of the month: for month-end starts the engines disagree (Spark
+      // computes start + k*month, DuckDB steps cumulatively from the last
+      // clamped value — Jan 31 → Mar 31 vs Mar 28), from the 1st both are
+      // identical
+      t(s, dir, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          explode(expr(
+            "sequence(trunc(to_date(o_orderdate), 'MM'), add_months(trunc(to_date(o_orderdate), 'MM'), 3), interval 1 month)"))
+            .as("month_d"))
+        .orderBy("o_orderkey", "month_d"),
+    Some("""SELECT o_orderkey,
+           |  CAST(unnest(generate_series(date_trunc('month', CAST(o_orderdate AS DATE)),
+           |    date_trunc('month', CAST(o_orderdate AS DATE)) + INTERVAL 3 MONTH,
+           |    INTERVAL 1 MONTH)) AS DATE) AS month_d
+           |FROM orders WHERE o_orderkey < 200
+           |ORDER BY o_orderkey, month_d""".stripMargin))
+
   val all: Seq[Q] = Seq(
     windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2,
-    unpivot, having, scalarSubquery, cte)
+    unpivot, having, scalarSubquery, cte,
+    structFns, regexExtract, windowCume, dateSeries)
 }

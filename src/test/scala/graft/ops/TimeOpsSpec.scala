@@ -22,6 +22,19 @@ class TimeOpsSpec extends AnyFunSuite {
       Row(2L, 50L, "p3", null)))   // no right rows for key 2 -> null
   }
 
+  test("asofJoinForward attaches the nearest right row at or after each left ts") {
+    val left = Seq((1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"))
+      .toDF("user", "lts", "tag")
+    val right = Seq((1L, 100L, "c1"), (1L, 200L, "c2"), (1L, 300L, "c3"), (3L, 10L, "c4"))
+      .toDF("user", "rts", "click")
+    val out = TimeOps.asofJoinForward(left, right, "user", "lts", "rts", Seq("click"))
+      .orderBy("user", "lts").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 100L, "p1", "c1"),   // equality matches (<= semantics)
+      Row(1L, 250L, "p2", "c3"),   // nearest >= 250 is 300
+      Row(2L, 50L, "p3", null)))   // no right rows for key 2 -> null
+  }
+
   test("sessionize splits on gaps greater than gapNanos") {
     val ev = Seq(
       (1L, 0L), (1L, 10L), (1L, 1000L),  // gap 990 > 100 -> new session
