@@ -244,6 +244,21 @@ object Extensions {
            |            FROM documents))
            |ORDER BY media_id""".stripMargin))
 
+  // The stub resize is pure header arithmetic (first 8 payload bytes +
+  // [w, h] bytes), so DuckDB reproduces the result from md5 hex directly —
+  // the mapPartitions batch plumbing is verified end-to-end, not rows-only.
+  private val multimodalResize = Q(
+    "q_multimodal_resize",
+    (s, dir) => {
+      val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id")
+      Multimodal.resizeAll(media, w = 64, h = 48)
+        .select(col("media_id"), hex(col("payload")).as("resized_hex"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+           |  upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) || '4030' AS resized_hex
+           |FROM documents ORDER BY media_id""".stripMargin))
+
   // ---- dedup clustering + incremental dedup ------------------------------
 
   // Connected components over the exact-Jaccard pairs; the DuckDB oracle
@@ -380,5 +395,5 @@ object Extensions {
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint,
     textTfidf, textFilter, textScrub,
-    multimodalMeta)
+    multimodalMeta, multimodalResize)
 }

@@ -47,4 +47,28 @@ class QueriesPlanSpec extends AnyFunSuite {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("aggregation runs partial+final (map-side combine, shuffle carries groups not rows)") {
+    val plan = SparkEntry.queries("q1_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllMatchIn(plan).size >= 2, plan)
+  }
+
+  test("similarity search plans the native codegen vec_dot, not an interpreted fold") {
+    val plan = SparkEntry.queries("q_simsearch_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vec_dot"), plan)
+    assert(!plan.contains("aggregate(zip_with"), plan)
+  }
+
+  test("no query plans a cartesian product except deliberate tiny cross joins") {
+    val allowed = Set("q_simsearch_ivf", "q_text_tfidf") // broadcast single-row / centroid frames
+    val offenders = SparkEntry.allQueries.filterNot(q => allowed(q.name)).flatMap { q =>
+      val plan =
+        try q.run(spark, sf).queryExecution.executedPlan.toString
+        catch { case _: Throwable => "" }
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
 }
