@@ -111,6 +111,32 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exactDistinct`:
+    * first arrival of each key survives, and the watermark BOUNDS the
+    * dedup state (keys older than the watermark are dropped from state,
+    * which is what makes infinite-stream dedup feasible at scale — an
+    * unbounded `dropDuplicates` would grow state forever). */
+  def distinctKeysStream(
+      spark: SparkSession,
+      eventsDir: String,
+      queryName: String,
+      watermark: String = "1 hour"): StreamingQuery = {
+    val schema = readEvents(spark, eventsDir).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Batch twin of the streaming aggregation — identical window semantics,
     * used for correctness cross-checks (a DuckDB oracle can't run a
     * stream, but it can run this). */

@@ -17,4 +17,15 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("streaming watermarked dedup yields the same key set as batch distinct") {
+    val q = EventStreams.distinctKeysStream(spark, SparkTestBase.sf0001, "ev_dedup_test")
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.sql("SELECT DISTINCT user_id, event_type FROM ev_dedup_test")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = spark.read.parquet(s"${SparkTestBase.sf0001}/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
 }
