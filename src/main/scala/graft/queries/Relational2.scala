@@ -295,8 +295,81 @@ object Relational2 {
            |FROM orders WHERE o_orderkey < 200
            |ORDER BY o_orderkey, month_d""".stripMargin))
 
+  private val unionDistinct = Q(
+    "q_union_distinct",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_totalprice") > 400000).select(col("o_custkey").as("ck"))
+        .union(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("ck")))
+        .distinct()
+        .orderBy("ck")
+    },
+    Some("""SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 400000
+           |UNION
+           |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           |ORDER BY ck""".stripMargin))
+
+  private val limitOffset = Q(
+    "q_limit_offset",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .offset(20).limit(50)
+        .select("c_custkey", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey")),
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+           |ORDER BY c_acctbal DESC, c_custkey
+           |LIMIT 50 OFFSET 20""".stripMargin))
+
+  private val windowNth = Q(
+    "q_window_nth",
+    (s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        nth_value(col("c_custkey"), 3).over(w).as("third_ck"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+           |  nth_value(c_custkey, 3) OVER
+           |    (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_ck
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  private val countDistinctMulti = Q(
+    "q_count_distinct_multi",
+    (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("nd_supp_part"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+           |  COUNT(DISTINCT l_partkey) AS nd_part,
+           |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS nd_supp_part
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  private val stringAgg = Q(
+    "q_string_agg",
+    (s, dir) => {
+      // deterministic listagg: collect_list is order-nondeterministic, so
+      // sort the array before joining — matches string_agg(... ORDER BY)
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+           |FROM nation JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name ORDER BY r_name""".stripMargin))
+
   val all: Seq[Q] = Seq(
     windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2,
     unpivot, having, scalarSubquery, cte,
-    structFns, regexExtract, windowCume, dateSeries)
+    structFns, regexExtract, windowCume, dateSeries,
+    unionDistinct, limitOffset, windowNth, countDistinctMulti, stringAgg)
 }
