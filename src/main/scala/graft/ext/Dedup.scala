@@ -272,12 +272,16 @@ object Dedup {
       explode(split(lower(col(textCol)), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("h", xxhash64(col("tok")))
+    // Σ(±1) per bit ≡ 2·(count of ones) − n: summing the raw bit is a
+    // branch-free shift+and per row (the ±1 CASE WHEN form costs a
+    // conditional in each of the 64 aggregate updates per token)
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b_$j")
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b_$j")
     }
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val agg = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
     val sig = (0 until 64).map { j =>
-      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      when(col(s"b_$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col(idCol), sig.as("simhash"))
   }

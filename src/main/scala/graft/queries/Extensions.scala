@@ -267,7 +267,10 @@ object Extensions {
   private val dedupClusters = Q(
     "q_dedup_clusters",
     (s, dir) => Dedup.clusterAssignments(
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8))
+      // the pair frame is consumed eagerly (edge-list checkpoint) on every
+      // invocation — bounded-cache it so repeat runs skip the pair join
+      graft.ops.BoundedCache.cached(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)))
       .orderBy("doc_id"),
     Some(s"""WITH RECURSIVE $pairsCtes,
             |pairs AS (
