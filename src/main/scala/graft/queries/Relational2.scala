@@ -367,9 +367,62 @@ object Relational2 {
            |FROM nation JOIN region ON n_regionkey = r_regionkey
            |GROUP BY r_name ORDER BY r_name""".stripMargin))
 
+  private val mapFns = Q(
+    "q_map_fns",
+    (s, dir) =>
+      // map build + key lookup; DuckDB map access yields a single-element
+      // list, so its oracle unwraps with [1]
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        map(lit("st"), col("o_orderstatus"), lit("pr"), col("o_orderpriority")).as("m"))
+        .select(
+          col("o_orderkey"),
+          element_at(col("m"), "st").as("st"),
+          element_at(col("m"), "pr").as("pr"),
+          size(col("m")).as("m_size"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, m['st'][1] AS st, m['pr'][1] AS pr,
+           |  CAST(cardinality(m) AS INTEGER) AS m_size
+           |FROM (SELECT o_orderkey,
+           |        map_from_entries([('st', o_orderstatus), ('pr', o_orderpriority)]) AS m
+           |      FROM orders)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  private val levenshteinQ = Q(
+    "q_levenshtein",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).as("d_bt"),
+        levenshtein(lower(col("p_name")), lower(col("p_type"))).as("d_nt"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+           |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS d_bt,
+           |  CAST(levenshtein(lower(p_name), lower(p_type)) AS INTEGER) AS d_nt
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  private val bitwise = Q(
+    "q_bitwise",
+    (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("b_and"),
+        col("l_orderkey").bitwiseOR(col("l_partkey")).as("b_or"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("b_xor"),
+        shiftleft(col("l_linenumber"), 2).as("b_shl"))
+        .orderBy("l_orderkey", "l_linenumber", "b_xor"),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  l_orderkey & l_partkey AS b_and,
+           |  l_orderkey | l_partkey AS b_or,
+           |  xor(l_orderkey, l_partkey) AS b_xor,
+           |  CAST(l_linenumber << 2 AS INTEGER) AS b_shl
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber, b_xor""".stripMargin))
+
   val all: Seq[Q] = Seq(
     windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2,
     unpivot, having, scalarSubquery, cte,
     structFns, regexExtract, windowCume, dateSeries,
-    unionDistinct, limitOffset, windowNth, countDistinctMulti, stringAgg)
+    unionDistinct, limitOffset, windowNth, countDistinctMulti, stringAgg,
+    mapFns, levenshteinQ, bitwise)
 }

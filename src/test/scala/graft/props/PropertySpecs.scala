@@ -80,4 +80,33 @@ object DedupProps extends Properties("dedup") {
       mh == exact
     }
   }
+
+  // driver-side union-find as the reference for the distributed propagation
+  private def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  val edgeGen: Gen[(Long, Long)] = for {
+    a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
+  } yield (math.min(a, b), math.max(a, b))
+
+  property("clusterAssignments equals driver-side union-find on random graphs") = {
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    forAll(Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, edgeGen))) { edges =>
+      val pairs = edges.toDF("d1", "d2")
+      val engine = graft.ext.Dedup.clusterAssignments(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      engine == refComponents(edges)
+    }
+  }
 }
