@@ -98,8 +98,11 @@ object TextStats {
     // corpus size as a broadcast single-row frame — keeps the operator
     // fully lazy (no driver-side action at plan-construction time)
     val n = df.agg(count(lit(1)).as("n_docs"))
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // tf feeds both its own output and the document-frequency rollup —
+    // bounded-cache so the tokenize+aggregate pass runs once
+    val tf = graft.ops.BoundedCache.cached(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+        .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(dfreq, "token").crossJoin(broadcast(n))
       .withColumn("idf", round(log((col("n_docs") + 1.0) / (col("df") + 1.0)), 9))
@@ -116,11 +119,22 @@ object TextStats {
       minTokens: Int = 20, maxTokens: Int = 10000,
       minAvgLen: Double = 3.0, maxAvgLen: Double = 12.0,
       minStopRatio: Double = 0.05): DataFrame = {
-    val m = qualityMetrics(df, idCol, textCol)
-    // source columns that clash with a metric name (e.g. a precomputed
-    // n_chars) yield to the freshly computed metric
-    val clashes = m.columns.filterNot(_ == idCol).filter(df.columns.contains)
-    df.drop(clashes: _*).join(m, idCol)
+    // metrics are computed INLINE on the same scan (a join against
+    // qualityMetrics would read the corpus twice); source columns that
+    // clash with a metric name yield to the freshly computed metric
+    val toks = tokens(col(textCol))
+    val nToks = size(toks)
+    val safeN = nullif(nToks, lit(0))
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopHits = size(filter(toks, t => t.isin(stopwords.map(s => s: Any): _*)))
+    val metrics = Seq(
+      "n_chars" -> length(col(textCol)),
+      "n_tokens" -> nToks,
+      "n_tokens_bpeish" -> tokenCountBpeIsh(col(textCol)),
+      "avg_token_len" -> (length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) / safeN),
+      "stop_ratio" -> (stopHits.cast(DoubleType) / safeN))
+    val base = df.columns.filterNot(c => metrics.exists(_._1 == c)).map(col)
+    df.select(base ++ metrics.map { case (n, c) => c.as(n) }: _*)
       .filter(col("n_tokens").between(minTokens, maxTokens)
         && col("avg_token_len").between(minAvgLen, maxAvgLen)
         && col("stop_ratio") >= minStopRatio
