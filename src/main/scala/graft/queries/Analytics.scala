@@ -117,5 +117,35 @@ object Analytics {
             |  COUNT(*) AS n, ${oSum("l_extendedprice")} AS sum_price
             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, saltedJoin, histogram)
+  private val rangeJoinBinned = Q(
+    "q_range_join_binned",
+    (s, dir) => {
+      // pure interval join (no equi-key): which lineitems ship inside each
+      // sampled order's 90-day window. The binned rewrite must be
+      // semantically invisible — the oracle is the PLAIN range join.
+      val win = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 90)
+      val li = t(s, dir, "lineitem")
+        .select(datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long").as("d"),
+          col("l_quantity"))
+      graft.ops.RangeJoin.binnedRangeJoin(li, win, "d", "lo", "hi", binWidth = 90L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderkey")
+    },
+    Some(s"""SELECT o_orderkey, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+            |FROM (SELECT o_orderkey,
+            |        date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo
+            |      FROM orders WHERE o_orderkey % 1000 = 0) w
+            |JOIN (SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+            |        l_quantity
+            |      FROM lineitem) l
+            |  ON l.d BETWEEN w.lo AND w.lo + 90
+            |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, saltedJoin, histogram,
+    rangeJoinBinned)
 }
