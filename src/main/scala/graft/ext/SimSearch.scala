@@ -68,6 +68,26 @@ object SimSearch {
       .select("d1", "d2", "sim")
   }
 
+  /** Cross-corpus embedding near-dup: which NEW vectors duplicate one
+    * already in the corpus — the embedding twin of
+    * `Dedup.jaccardAgainstCorpus` for append-only ingest. The new batch is
+    * broadcast (it's the small side by construction); the corpus is
+    * scanned once and never shuffled, so per-ingest cost is linear in the
+    * corpus with a batch-sized multiplier. */
+  def nearDupAgainstCorpus(newVecs: DataFrame, corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val nb = newVecs.select(col(idCol).as("new_id"), asDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", sqrt(VectorFunctions.vecDotExpr("nv", "nv")))
+    val cb = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cv", "cv")))
+    cb.join(broadcast(nb), col("new_id") =!= col("corpus_id"))
+      .withColumn("sim",
+        VectorFunctions.vecDotExpr("nv", "cv") / (col("nn") * col("cn")))
+      .filter(col("sim") >= threshold)
+      .select("new_id", "corpus_id", "sim")
+  }
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d ← a fixed
     * affine hash mapped into [-0.5, 0.5). Driver-side tiny matrix, shipped
     * as a literal — no RNG state on executors, stable across cluster sizes. */

@@ -172,6 +172,37 @@ object Advanced {
            |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin))
 
   // HLL sketch implementations differ across engines — bench/rows-only
+  private val eventsFunnel = Q(
+    "q_events_funnel",
+    (s, dir) => {
+      // ordered funnel signup → view → purchase: each stage's first
+      // timestamp must follow the previous stage's. Three conditional
+      // min-aggregations chained by key joins — every shuffle is on
+      // user_id, output is one row of stage counts.
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000").as("t"), col("event_type"))
+      val sStage = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("t")).as("s_ts"))
+      val vStage = ev.filter(col("event_type") === "view")
+        .join(sStage, "user_id").filter(col("t") >= col("s_ts"))
+        .groupBy("user_id").agg(min(col("t")).as("v_ts"))
+      val pStage = ev.filter(col("event_type") === "purchase")
+        .join(vStage, "user_id").filter(col("t") >= col("v_ts"))
+        .groupBy("user_id").agg(min(col("t")).as("p_ts"))
+      sStage.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(vStage.agg(count(lit(1)).as("n_view")))
+        .crossJoin(pStage.agg(count(lit(1)).as("n_purchase")))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+           |s AS (SELECT user_id, MIN(t) AS s_ts FROM e WHERE event_type = 'signup' GROUP BY 1),
+           |v AS (SELECT e.user_id, MIN(t) AS v_ts FROM e JOIN s USING (user_id)
+           |      WHERE event_type = 'view' AND t >= s_ts GROUP BY 1),
+           |p AS (SELECT e.user_id, MIN(t) AS p_ts FROM e JOIN v USING (user_id)
+           |      WHERE event_type = 'purchase' AND t >= v_ts GROUP BY 1)
+           |SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           |       (SELECT COUNT(*) FROM v) AS n_view,
+           |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin))
+
   private val approxDistinct = Q(
     "q_approx_distinct",
     (s, dir) =>
@@ -185,5 +216,5 @@ object Advanced {
 
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
-    asofJoin, asofForward, eventsSessions, approxDistinct)
+    asofJoin, asofForward, eventsSessions, eventsFunnel, approxDistinct)
 }

@@ -139,6 +139,29 @@ object Extensions {
             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             |WHERE sim >= 0.4 ORDER BY d1, d2""".stripMargin))
 
+  // Append-only ingest for embeddings: new batch (vec_id % 20 = 0) vs the
+  // rest of the corpus; cosine in double with left-to-right summation is
+  // bit-exact against DuckDB's list_dot_product.
+  private val embedIncremental = Q(
+    "q_embed_incremental",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.nearDupAgainstCorpus(
+        emb.filter(col("vec_id") % 20 === 0),
+        emb.filter(col("vec_id") % 20 =!= 0),
+        threshold = 0.4)
+        .orderBy("new_id", "corpus_id")
+    },
+    Some("""SELECT new_id, corpus_id, sim FROM (
+           |  SELECT n.vec_id AS new_id, c.vec_id AS corpus_id,
+           |    list_dot_product(n.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+           |      (sqrt(list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[])) *
+           |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+           |  FROM (SELECT * FROM embeddings WHERE vec_id % 20 = 0) n
+           |  JOIN (SELECT * FROM embeddings WHERE vec_id % 20 <> 0) c
+           |    ON n.vec_id <> c.vec_id)
+           |WHERE sim >= 0.4 ORDER BY new_id, corpus_id""".stripMargin))
+
   // ---- E20 text analysis -------------------------------------------------
 
   private val textTokens = Q(
@@ -395,7 +418,7 @@ object Extensions {
   val all: Seq[Q] = Seq(
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupIncremental,
-    simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup,
+    simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint,
     textTfidf, textFilter, textScrub,
     multimodalMeta, multimodalResize)
