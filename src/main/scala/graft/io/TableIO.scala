@@ -41,6 +41,29 @@ object TableIO {
 
   def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** PERMISSIVE JSONL scan with quarantine: malformed lines neither kill
+    * the job (FAILFAST) nor silently vanish (DROPMALFORMED) — they come
+    * back as a second frame of raw lines for a quarantine zone, the
+    * batch-tolerant sibling of the validate-stage gates (reference
+    * test_data.py:41-54 accumulates errors rather than dying on the
+    * first). The parsed frame is checkpointed lazily because Spark
+    * disallows scans that would read ONLY the corrupt-record column.
+    * Returns (good rows in declared schema, corrupt raw lines). */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .localCheckpoint(false)
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
+
   /** Enumerate data files under a table prefix, recursively (reference
     * test_data.py:25 get_filepaths_from_s3_folder; SURVEY.md §2.1 O6). */
   def listDataFiles(spark: SparkSession, path: String): Seq[String] = {

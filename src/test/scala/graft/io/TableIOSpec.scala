@@ -46,4 +46,19 @@ class TableIOSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("part"), r.getAs[Int]("v")))
     assert(out.toSeq == Seq(("p1", 1), ("p2", 99)))
   }
+
+  test("quarantine read splits malformed jsonl lines from good rows") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("quarantine").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "batch.jsonl"),
+      Seq("""{"id": 1, "name": "ok"}""",
+        """{"id": broken not json""",
+        """{"id": 2, "name": "fine"}""").mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (good, bad) = TableIO.readJsonQuarantine(spark, dir, schema)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val quarantined = bad.collect().map(_.getString(0))
+    assert(quarantined.length == 1 && quarantined.head.contains("broken"))
+  }
 }

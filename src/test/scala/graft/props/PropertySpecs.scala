@@ -110,3 +110,41 @@ object DedupProps extends Properties("dedup") {
     }
   }
 }
+
+object AsofProps extends Properties("asof") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  // distinct right timestamps per key keep the scalar reference unambiguous
+  val rowsGen: Gen[(List[(Long, Long)], List[(Long, Long, Long)])] = for {
+    nl <- Gen.choose(1, 8)
+    nr <- Gen.choose(0, 8)
+    left <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 50L)))
+    rightTs <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 50L)))
+  } yield (left, rightTs.distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong * 10) })
+
+  property("asofJoinBackward/Forward equal the scalar reference") = {
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    forAll(rowsGen) { case (left, right) =>
+      // dedupe right on (key, ts): the scalar reference needs one payload
+      // per instant; the engine resolves real ties deterministically anyway
+      val rightU = right.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toList
+      val l = left.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "lts")
+      val r = rightU.toDF("k", "rts", "pay")
+      val back = graft.ops.TimeOps.asofJoinBackward(l, r, "k", "lts", "rts", Seq("pay"))
+        .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+      val fwd = graft.ops.TimeOps.asofJoinForward(l, r, "k", "lts", "rts", Seq("pay"))
+        .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) None else Some(x.getLong(3)))).toMap
+      left.zipWithIndex.forall { case ((k, t), i) =>
+        val refBack = rightU.filter(x => x._1 == k && x._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        val refFwd = rightU.filter(x => x._1 == k && x._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+        back(i.toLong) == refBack && fwd(i.toLong) == refFwd
+      }
+    }
+  }
+}
