@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/**
+ * Grouped top-k via a bounded-heap Aggregator — the scale path for
+ * "top k per group" when k ≪ group size. The window formulation
+ * (`row_number` ≤ k) shuffles and SORTS every row of every group; this
+ * aggregator keeps only k candidates per group in the partial buffer, so
+ * the map-side combine collapses each partition's contribution to k rows
+ * and the shuffle carries |groups|·k, not |rows|. Semantically identical
+ * to the window form — proven by the oracle query, whose SQL is the
+ * window formulation.
+ *
+ * Ordering is (value DESC, id ASC): ties are deterministic, matching
+ * `ORDER BY v DESC, id`.
+ */
+object TopK {
+
+  type Entry = (Double, Long) // (value, id)
+
+  private val ord: Ordering[Entry] =
+    Ordering.by[Entry, (Double, Long)] { case (v, id) => (-v, id) }
+
+  /** Bounded top-k aggregator: buffer is a sorted list of at most k
+    * entries (k is small by contract — a list beats a heap's constant
+    * factor and serializes trivially). */
+  class TopKAgg(k: Int) extends Aggregator[Entry, List[Entry], Seq[Entry]] {
+    override def zero: List[Entry] = Nil
+    override def reduce(buf: List[Entry], e: Entry): List[Entry] =
+      insert(buf, e)
+    override def merge(a: List[Entry], b: List[Entry]): List[Entry] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: List[Entry]): Seq[Entry] = buf
+    private def insert(buf: List[Entry], e: Entry): List[Entry] = {
+      val merged = (e :: buf).sorted(ord)
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def bufferEncoder: Encoder[List[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Entry]]()
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
+  }
+
+  /** Top-k rows per group: returns (groupCols*, rank, id, v) with rank
+    * 1..k by (v DESC, id ASC). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, valCol: String, k: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    val grouped = df.groupBy(groupCols.map(col): _*)
+      .agg(agg(col(valCol).cast("double"), col(idCol).cast("long")).as("topk"))
+    grouped.select(
+      groupCols.map(col) :+ posexplode(col("topk")).as(Seq("pos", "entry")): _*)
+      .select(
+        groupCols.map(col) ++ Seq(
+          (col("pos") + 1).cast("int").as("rank"),
+          col("entry._2").as(idCol),
+          col("entry._1").as(valCol)): _*)
+  }
+}

@@ -146,6 +146,23 @@ object Analytics {
             |  ON l.d BETWEEN w.lo AND w.lo + 90
             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin))
 
+  private val topkHeap = Q(
+    "q_topk_heap",
+    (s, dir) =>
+      // bounded-heap grouped top-k: shuffle carries |groups|*k partial
+      // buffers, not every row into a per-group sort. Oracle = the window
+      // formulation, so the hash match proves semantic equivalence.
+      graft.ops.TopK.topKPerGroup(
+        t(s, dir, "customer"), Seq("c_nationkey"), "c_custkey", "c_acctbal", k = 3)
+        .orderBy("c_nationkey", "rank"),
+    Some("""SELECT c_nationkey, CAST(rn AS INTEGER) AS rank,
+           |  CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal
+           |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+           |        row_number() OVER (PARTITION BY c_nationkey
+           |          ORDER BY c_acctbal DESC, c_custkey) AS rn
+           |      FROM customer)
+           |WHERE rn <= 3 ORDER BY c_nationkey, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, saltedJoin, histogram,
-    rangeJoinBinned)
+    rangeJoinBinned, topkHeap)
 }
