@@ -205,7 +205,7 @@ object Dedup {
    * distinct document appearing in any pair.
    */
   def clusterAssignments(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 64): DataFrame = {
     // materialize the edge list ONCE — it is consumed every propagation
     // round, and without this the (possibly expensive) pair-generation
     // pipeline upstream would re-execute per iteration

@@ -45,11 +45,14 @@ object TopK {
   }
 
   /** Top-k rows per group: returns (groupCols*, rank, id, v) with rank
-    * 1..k by (v DESC, id ASC). */
+    * 1..k by (v DESC, id ASC). Rows with a null id or value are excluded
+    * up front — the primitive tuple encoder would otherwise coerce them
+    * to 0 silently. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       idCol: String, valCol: String, k: Int): DataFrame = {
     val agg = udaf(new TopKAgg(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
-    val grouped = df.groupBy(groupCols.map(col): _*)
+    val grouped = df.filter(col(idCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(agg(col(valCol).cast("double"), col(idCol).cast("long")).as("topk"))
     grouped.select(
       groupCols.map(col) :+ posexplode(col("topk")).as(Seq("pos", "entry")): _*)
