@@ -137,6 +137,55 @@ object EventStreams {
       .start()
   }
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the preceding 30 minutes. Both sides carry watermarks and
+    * the join condition bounds event time on both sides, so Spark can
+    * expire join state — the ONLY shape that holds on infinite streams
+    * (an unbounded stream-stream join buffers a side forever). */
+  def purchaseClickJoinStream(
+      spark: SparkSession,
+      eventsDir: String,
+      queryName: String,
+      watermark: String = "1 hour"): StreamingQuery = {
+    val schema = readEvents(spark, eventsDir).schema
+    def side(eventType: String, tsName: String, userName: String) =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(userName),
+          timestamp_micros(expr("ts DIV 1000")).as(tsName))
+        .withWatermark(tsName, watermark)
+    val purchases = side("purchase", "pts", "user_id")
+    val clicks = side("click", "cts", "c_user")
+    purchases.join(clicks,
+      expr("user_id = c_user AND cts >= pts - INTERVAL 30 MINUTES AND cts <= pts"))
+      .select(col("user_id"),
+        unix_micros(col("pts")).as("pts_us"),
+        unix_micros(col("cts")).as("cts_us"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch twin of the stream-stream interval join. */
+  def purchaseClickJoinBatch(spark: SparkSession, eventsDir: String): DataFrame = {
+    val ev = readEvents(spark, eventsDir)
+      .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("t").as("cts"))
+    purchases.join(clicks,
+      expr("user_id = c_user AND cts >= pts - INTERVAL 30 MINUTES AND cts <= pts"))
+      .select(col("user_id"),
+        unix_micros(col("pts")).as("pts_us"),
+        unix_micros(col("cts")).as("cts_us"))
+  }
+
   /** Batch twin of the streaming aggregation — identical window semantics,
     * used for correctness cross-checks (a DuckDB oracle can't run a
     * stream, but it can run this). */

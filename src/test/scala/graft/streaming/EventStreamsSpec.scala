@@ -18,6 +18,17 @@ class EventStreamsSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("stream-stream interval join equals the batch join on the events fixture") {
+    val q = EventStreams.purchaseClickJoinStream(spark, SparkTestBase.sf0001, "ev_ssjoin_test")
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.sql("SELECT user_id, pts_us, cts_us FROM ev_ssjoin_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventStreams.purchaseClickJoinBatch(spark, SparkTestBase.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming watermarked dedup yields the same key set as batch distinct") {
     val q = EventStreams.distinctKeysStream(spark, SparkTestBase.sf0001, "ev_dedup_test")
     try q.awaitTermination(120000) finally q.stop()
