@@ -215,6 +215,11 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    // per-round label snapshots are lazy local checkpoints; their storage
+    // blocks live until the frames become unreachable after this method
+    // returns, at which point the ContextCleaner reclaims them (explicit
+    // early eviction is unsafe: a lazily checkpointed snapshot may still
+    // back a recompute of its successor)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -224,12 +229,19 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(false)
+      // full count (no limit-short-circuit) so this action materializes
+      // EVERY partition of the lazy checkpoint in one pass
       val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+        .filter(col("label") =!= col("old")).count()
       labels = updated
       converged = changed == 0
       iter += 1
     }
+    // silent non-convergence would return a component split across several
+    // cluster ids — wrong answers are worse than failing loudly
+    if (!converged) throw new IllegalStateException(
+      s"clusterAssignments did not converge in $maxIterations rounds — " +
+        "a component's diameter exceeds the cap; raise maxIterations")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

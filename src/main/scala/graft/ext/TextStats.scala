@@ -45,22 +45,32 @@ object TextStats {
 
   /** Per-document quality metrics: token count, average token length,
     * stopword ratio, whitespace-token vs BPE-ish count. */
-  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+  /** The ONE definition of every per-document quality metric — both
+    * qualityMetrics and qualityFilter build from this list, so the
+    * tokenization, stopword list, and zero-token guard cannot drift
+    * between them. Zero-token (e.g. whitespace-only) docs: ratios are
+    * null on BOTH the engine and the DuckDB oracle (nullif denominator),
+    * not a /0 artifact. */
+  private def metricExprs(textCol: Column): Seq[(String, Column)] = {
+    val toks = tokens(textCol)
     val nToks = size(toks)
-    // zero-token (e.g. whitespace-only) docs: ratios are null on BOTH the
-    // engine and the DuckDB oracle (nullif denominator), not a /0 artifact
     val safeN = nullif(nToks, lit(0))
     val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
     val stopHits = size(filter(toks, t => t.isin(stopwords.map(s => s: Any): _*)))
+    Seq(
+      "n_chars" -> length(textCol),
+      "n_tokens" -> nToks,
+      "n_tokens_bpeish" -> tokenCountBpeIsh(textCol),
+      "avg_token_len" -> (length(regexp_replace(textCol, " ", "")).cast(DoubleType) / safeN),
+      "stop_ratio" -> (stopHits.cast(DoubleType) / safeN))
+  }
+
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val m = metricExprs(col(textCol))
+    val byName = m.toMap
     df.select(
-      col(idCol),
-      length(col(textCol)).as("n_chars"),
-      nToks.as("n_tokens"),
-      tokenCountBpeIsh(col(textCol)).as("n_tokens_bpeish"),
-      (length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) / safeN).as("avg_token_len"),
-      (stopHits.cast(DoubleType) / safeN).as("stop_ratio"),
-      (nToks.between(20, 10000) && (stopHits.cast(DoubleType) / safeN) < 0.5).as("is_quality"))
+      col(idCol) +: m.map { case (n, c) => c.as(n) } :+
+        (byName("n_tokens").between(20, 10000) && byName("stop_ratio") < 0.5).as("is_quality"): _*)
   }
 
   /** Language-ID by function-word evidence: count distinct-token hits per
@@ -120,19 +130,10 @@ object TextStats {
       minAvgLen: Double = 3.0, maxAvgLen: Double = 12.0,
       minStopRatio: Double = 0.05): DataFrame = {
     // metrics are computed INLINE on the same scan (a join against
-    // qualityMetrics would read the corpus twice); source columns that
-    // clash with a metric name yield to the freshly computed metric
-    val toks = tokens(col(textCol))
-    val nToks = size(toks)
-    val safeN = nullif(nToks, lit(0))
-    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
-    val stopHits = size(filter(toks, t => t.isin(stopwords.map(s => s: Any): _*)))
-    val metrics = Seq(
-      "n_chars" -> length(col(textCol)),
-      "n_tokens" -> nToks,
-      "n_tokens_bpeish" -> tokenCountBpeIsh(col(textCol)),
-      "avg_token_len" -> (length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) / safeN),
-      "stop_ratio" -> (stopHits.cast(DoubleType) / safeN))
+    // qualityMetrics would read the corpus twice), from the same shared
+    // definitions; source columns that clash with a metric name yield to
+    // the freshly computed metric
+    val metrics = metricExprs(col(textCol))
     val base = df.columns.filterNot(c => metrics.exists(_._1 == c)).map(col)
     df.select(base ++ metrics.map { case (n, c) => c.as(n) }: _*)
       .filter(col("n_tokens").between(minTokens, maxTokens)

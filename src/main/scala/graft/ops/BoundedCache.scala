@@ -34,7 +34,15 @@ object BoundedCache {
     * Returns the frame to build on (the existing entry on a hit). */
   def cached(df: DataFrame): DataFrame = synchronized {
     val plan = df.queryExecution.analyzed
-    val hit = entries.indexWhere(_.queryExecution.analyzed.sameResult(plan))
+    // sameResult canonicalizes AWAY output aliases, so two frames with the
+    // same computation but different column names would otherwise alias
+    // into one entry and break the later caller's column resolution —
+    // require the field names to match too
+    val hit = entries.indexWhere(e =>
+      e.queryExecution.analyzed.sameResult(plan)
+        && java.util.Arrays.equals(
+          e.schema.fieldNames.asInstanceOf[Array[AnyRef]],
+          df.schema.fieldNames.asInstanceOf[Array[AnyRef]]))
     if (hit >= 0) {
       val existing = entries.remove(hit)
       entries += existing // promote to most-recently-used

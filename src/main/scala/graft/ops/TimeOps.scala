@@ -41,7 +41,10 @@ object TimeOps {
       rightTs: String,
       rightPayload: Seq[String]): DataFrame = {
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-    val r = right.select(
+    // ASOF is an equi-join on the key: NULL = NULL must NOT match, but
+    // Window.partitionBy groups null keys together — drop null-key right
+    // rows so null-key left rows fall through to a null payload
+    val r = right.filter(col(key).isNotNull).select(
       col(key), col(rightTs).as("__ts"),
       struct(rightPayload.map(col): _*).as("__r_payload"))
       .withColumn("__side", lit(0))
@@ -71,7 +74,8 @@ object TimeOps {
       rightTs: String,
       rightPayload: Seq[String]): DataFrame = {
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
-    val r = right.select(
+    // see asofJoinBackward: NULL keys never match in an ASOF equi-join
+    val r = right.filter(col(key).isNotNull).select(
       col(key), col(rightTs).as("__ts"),
       struct(rightPayload.map(col): _*).as("__r_payload"))
       .withColumn("__side", lit(1))

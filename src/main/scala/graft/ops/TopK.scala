@@ -14,15 +14,22 @@ import org.apache.spark.sql.functions._
  * to the window form — proven by the oracle query, whose SQL is the
  * window formulation.
  *
- * Ordering is (value DESC, id ASC): ties are deterministic, matching
- * `ORDER BY v DESC, id`.
+ * Ordering is (value DESC, id ASC) under SQL's total double order —
+ * `java.lang.Double.compare` gives NaN > +Inf and -0.0 < 0.0, exactly
+ * Spark's `ORDER BY v DESC, id` — so ties and IEEE specials rank
+ * identically to the window formulation. Null-valued rows are excluded
+ * by contract (a window rank would order them last).
  */
 object TopK {
 
   type Entry = (Double, Long) // (value, id)
 
-  private val ord: Ordering[Entry] =
-    Ordering.by[Entry, (Double, Long)] { case (v, id) => (-v, id) }
+  private val ord: Ordering[Entry] = new Ordering[Entry] {
+    override def compare(a: Entry, b: Entry): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // v DESC, NaN first, -0.0 < 0.0
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   /** Bounded top-k aggregator: buffer is a sorted list of at most k
     * entries (k is small by contract — a list beats a heap's constant

@@ -111,11 +111,14 @@ object EventStreams {
       .start()
   }
 
-  /** Streaming exact dedup — the streaming twin of `Dedup.exactDistinct`:
-    * first arrival of each key survives, and the watermark BOUNDS the
-    * dedup state (keys older than the watermark are dropped from state,
-    * which is what makes infinite-stream dedup feasible at scale — an
-    * unbounded `dropDuplicates` would grow state forever). */
+  /** Streaming dedup WITHIN the watermark gap: the first arrival of each
+    * key survives, and the watermark BOUNDS the dedup state — which is
+    * what makes infinite-stream dedup feasible at scale (an unbounded
+    * `dropDuplicates` grows state forever). The deliberate trade versus
+    * batch `exactDistinct`: a key recurring AFTER its state was evicted
+    * (events further apart than the watermark) is emitted again, so the
+    * output can carry more rows than batch distinct — same key SET,
+    * bounded multiplicity, bounded state. */
   def distinctKeysStream(
       spark: SparkSession,
       eventsDir: String,

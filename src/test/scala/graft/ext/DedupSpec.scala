@@ -84,6 +84,12 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusterAssignments fails loudly instead of returning unconverged labels") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    assertThrows[IllegalStateException](
+      Dedup.clusterAssignments(chain, maxIterations = 1).collect())
+  }
+
   test("jaccardAgainstCorpus flags only cross-set duplicates") {
     // doc 100 duplicates corpus doc 0; doc 101 is novel
     val corpus = docs

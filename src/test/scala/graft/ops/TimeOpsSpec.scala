@@ -35,6 +35,20 @@ class TimeOpsSpec extends AnyFunSuite {
       Row(2L, 50L, "p3", null)))   // no right rows for key 2 -> null
   }
 
+  test("as-of joins never match NULL keys to NULL keys (ASOF equi-join semantics)") {
+    val left = Seq((Option.empty[Long], 100L, "p1"), (Some(1L), 100L, "p2"))
+      .toDF("user", "lts", "tag")
+    val right = Seq((Option.empty[Long], 50L, "cNull"), (Some(1L), 50L, "c1"))
+      .toDF("user", "rts", "click")
+    val back = TimeOps.asofJoinBackward(left, right, "user", "lts", "rts", Seq("click"))
+      .orderBy("tag").collect()
+    assert(back(0).isNullAt(3))          // null-key left row: no match
+    assert(back(1).getString(3) == "c1") // real key matches normally
+    val fwd = TimeOps.asofJoinForward(left, right, "user", "lts", "rts", Seq("click"))
+      .orderBy("tag").collect()
+    assert(fwd(0).isNullAt(3))
+  }
+
   test("sessionize splits on gaps greater than gapNanos") {
     val ev = Seq(
       (1L, 0L), (1L, 10L), (1L, 1000L),  // gap 990 > 100 -> new session

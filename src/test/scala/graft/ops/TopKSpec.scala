@@ -31,4 +31,18 @@ class TopKSpec extends AnyFunSuite {
     val out = TopK.topKPerGroup(df.filter(col("g") === "b"), Seq("g"), "id", "v", 10)
     assert(out.count() == 2)
   }
+
+  test("IEEE specials rank like Spark's ORDER BY: NaN greatest, -0.0 below 0.0") {
+    val special = Seq(
+      ("s", 1L, Double.NaN), ("s", 2L, Double.PositiveInfinity),
+      ("s", 3L, 0.0), ("s", 4L, -0.0))
+      .toDF("g", "id", "v")
+    val heap = TopK.topKPerGroup(special, Seq("g"), "id", "v", 4)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val window = special.withColumn("rank", row_number().over(w))
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(heap == window)
+    assert(heap == Seq(1L, 2L, 3L, 4L)) // NaN, +Inf, 0.0, -0.0
+  }
 }

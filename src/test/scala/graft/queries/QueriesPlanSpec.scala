@@ -63,12 +63,16 @@ class QueriesPlanSpec extends AnyFunSuite {
 
   test("no query plans a cartesian product except deliberate tiny cross joins") {
     val allowed = Set("q_simsearch_ivf", "q_text_tfidf") // broadcast single-row / centroid frames
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val offenders = SparkEntry.allQueries.filterNot(q => allowed(q.name)).flatMap { q =>
       val plan =
         try q.run(spark, sf).queryExecution.executedPlan.toString
-        catch { case _: Throwable => "" }
+        catch { case e: Throwable => failures += s"${q.name}: ${e.getMessage}"; "" }
       if (plan.contains("CartesianProduct")) Some(q.name) else None
     }
+    // a query that cannot even build/analyze must fail this test, not
+    // silently skip the plan check
+    assert(failures.isEmpty, failures.mkString("\n"))
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 }

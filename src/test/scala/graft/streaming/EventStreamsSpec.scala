@@ -29,14 +29,20 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
-  test("streaming watermarked dedup yields the same key set as batch distinct") {
+  test("streaming watermarked dedup: same key set as batch distinct, bounded re-emission") {
     val q = EventStreams.distinctKeysStream(spark, SparkTestBase.sf0001, "ev_dedup_test")
     try q.awaitTermination(120000) finally q.stop()
-    val streamed = spark.sql("SELECT DISTINCT user_id, event_type FROM ev_dedup_test")
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val rows = spark.sql("SELECT user_id, event_type FROM ev_dedup_test")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
     val batch = spark.read.parquet(s"${SparkTestBase.sf0001}/events.parquet")
       .select("user_id", "event_type").distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(streamed == batch)
+    // key SET equality is the contract; multiplicity may exceed 1 when a
+    // key recurs beyond the watermark (state evicted) but never reaches
+    // the raw event count (within-gap duplicates are dropped)
+    assert(rows.toSet == batch)
+    assert(rows.length >= batch.size)
+    val raw = spark.read.parquet(s"${SparkTestBase.sf0001}/events.parquet").count()
+    assert(rows.length < raw)
   }
 }
