@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Empirical scale validation: replicate the sf0.1 fixtures 10× into /tmp
+ * (keys shifted so replicas stay distinct entities) and measure the heavy
+ * operators at both sizes. A near-linear time ratio (≈10× work for 10×
+ * data on fixed cores) is the evidence that the plan shapes hold under
+ * scale-up; a super-linear ratio exposes a quadratic candidate-join or an
+ * unbounded state. Writes stdout table; run with
+ * `sbt "runMain graft.tools.ScaleCheck"`.
+ */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = "/root/testdata/sf0.1"
+    val big = "/tmp/graft_sf1x"
+    val replicas = 10
+
+    // ---- synthesize 10x tables (only the ones the heavy ops read) ------
+    def replicate(table: String, keyCols: Seq[String], textCol: Option[String] = None): Unit = {
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      val n = src.count()
+      val out = (0 until replicas).map { i =>
+        val shifted = keyCols.foldLeft(src)((df, k) =>
+          df.withColumn(k, col(k) + lit(i.toLong * 100000000L)))
+        // PREFIX every token with the replica tag: the within-replica
+        // shingle structure is isomorphic to the original (near-dups
+        // preserved) while replicas share zero tokens — inserting new
+        // tokens instead would make every doc in a replica similar and
+        // fake a quadratic blowup
+        textCol.fold(shifted)(t => shifted.withColumn(t,
+          regexp_replace(col(t), "(\\S+)", s"z${i}x$$1")))
+      }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$big/$table.parquet")
+      println(s"[scale] $table: $n -> ${n * replicas} rows")
+    }
+    replicate("documents", Seq("doc_id"), textCol = Some("text"))
+    replicate("embeddings", Seq("vec_id"))
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey"))
+    replicate("customer", Seq("c_custkey"))
+    // dimension/base tables the query surface also reads: copied verbatim
+    Seq("region", "nation", "supplier", "part", "events").foreach { tbl =>
+      spark.read.parquet(s"$base/$tbl.parquet")
+        .write.mode("overwrite").parquet(s"$big/$tbl.parquet")
+    }
+
+    // ---- heavy operators at both sizes ---------------------------------
+    import graft.SparkEntry
+    val heavy = Seq(
+      "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_clusters", "q_simsearch_topk", "q_simsearch_lsh",
+      "q1_agg", "q_join_inner", "q_window_rank", "q_topk_heap",
+      "q_text_tfidf", "q_histogram")
+    def time(fn: => Long): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"10x"}%8s ${"ratio"}%7s  rows10x")
+    heavy.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      graft.ops.BoundedCache.clear()
+      val tSmall = time(fn(spark, base).count())
+      graft.ops.BoundedCache.clear()
+      var rows = 0L
+      val tBig = time { rows = fn(spark, big).count(); rows }
+      println(f"$name%-22s $tSmall%8.2f $tBig%8.2f ${tBig / tSmall}%7.1f  $rows")
+    }
+    spark.stop()
+  }
+}
