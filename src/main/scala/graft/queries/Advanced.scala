@@ -172,6 +172,29 @@ object Advanced {
            |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin))
 
   // HLL sketch implementations differ across engines — bench/rows-only
+  private val eventsSliding = Q(
+    "q_events_sliding",
+    (s, dir) => {
+      // SLIDING event-time windows (1h window, 15min slide): each event
+      // lands in exactly 4 overlapping windows — the batch twin of a
+      // streaming sliding aggregation. The oracle reproduces Spark's
+      // window assignment by exploding k=0..3 slide offsets.
+      val ev = events(s, dir)
+        .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      ev.groupBy(window(col("ts_t"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum6(col("value")).as("sum_value"))
+        .select(
+          unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_us", "event_type")
+    },
+    Some(s"""SELECT win_us, event_type, COUNT(*) AS n, ${oSum6("value")} AS sum_value
+            |FROM (SELECT (epoch_us(ts) // 900000000 - k.i) * 900000000 AS win_us,
+            |        event_type, value
+            |      FROM events
+            |      CROSS JOIN (SELECT unnest(range(4)) AS i) k)
+            |GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin))
+
   private val eventsFunnel = Q(
     "q_events_funnel",
     (s, dir) => {
@@ -216,5 +239,5 @@ object Advanced {
 
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
-    asofJoin, asofForward, eventsSessions, eventsFunnel, approxDistinct)
+    asofJoin, asofForward, eventsSessions, eventsSliding, eventsFunnel, approxDistinct)
 }
