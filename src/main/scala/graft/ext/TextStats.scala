@@ -142,6 +142,37 @@ object TextStats {
         && col(textCol) =!= upper(col(textCol)))
   }
 
+  /** Gopher-style repetition signals per document: duplicate-token
+    * fraction, most-frequent-token fraction, duplicate-2-gram fraction —
+    * the classic "remove boilerplate/spam" quality rules for training
+    * corpora. Pure column expressions over the token array (per-doc cost
+    * bounded by document length, embarrassingly parallel, ZERO shuffle —
+    * the explode+groupBy formulation would shuffle |corpus tokens| rows).
+    * Zero/one-token docs yield null fractions (nullif denominators), never
+    * a /0 artifact. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = size(toks)
+    val safeN = nullif(nToks, lit(0)).cast(DoubleType)
+    val distinctToks = array_distinct(toks)
+    // max occurrence count of any single token: per distinct token, count
+    // its hits in the full token stream (O(n·distinct) per doc — bounded
+    // by doc length², data-parallel, no state)
+    val topN = array_max(transform(distinctToks, d => size(filter(toks, t => t === d))))
+    val bigrams = when(nToks < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), nToks - 1),
+        slice(toks, lit(2), nToks - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val safeBi = nullif(size(bigrams), lit(0)).cast(DoubleType)
+    df.select(
+      col(idCol),
+      nToks.as("n_tokens"),
+      (lit(1.0) - size(distinctToks) / safeN).as("dup_token_frac"),
+      (topN / safeN).as("top_token_frac"),
+      (lit(1.0) - size(array_distinct(bigrams)) / safeBi).as("dup_2gram_frac"))
+  }
+
   /** PII scrubbing: redact email addresses, long digit runs (phone/account
     * numbers), and IPv4 literals with typed placeholders. Plain
     * `regexp_replace` (replace-all on both engines; patterns avoid

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.ops.Skew
+import graft.ops.{Sampling, Skew}
 import QueryUtil._
 
 /**
@@ -85,6 +85,25 @@ object Analytics {
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
            |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin))
 
+  private val sampleStratified = Q(
+    "q_sample_stratified",
+    (s, dir) =>
+      // fixed-size per-stratum sample (20 docs per language) ordered by a
+      // content hash — the corpus-mixing primitive, deterministic across
+      // engines (md5 hex is portable where engine RNG is not)
+      Sampling.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        strataCols = Seq("lang"), n = 20, keyCol = "doc_id")
+        .select("lang", "sample_rank", "doc_id", "source")
+        .orderBy("lang", "sample_rank"),
+    Some("""SELECT lang, sample_rank, doc_id, source FROM (
+           |  SELECT lang, doc_id, source,
+           |    CAST(row_number() OVER (
+           |      PARTITION BY lang
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
+           |  FROM documents)
+           |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin))
+
   private val saltedJoin = Q(
     "q_salted_join",
     (s, dir) => {
@@ -163,6 +182,6 @@ object Analytics {
            |      FROM customer)
            |WHERE rn <= 3 ORDER BY c_nationkey, rank""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, saltedJoin, histogram,
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
     rangeJoinBinned, topkHeap)
 }

@@ -230,6 +230,23 @@ object Extensions {
            |      FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  private val textRepetition = Q(
+    "q_text_repetition",
+    (s, dir) => TextStats.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  CAST(len(toks) AS INTEGER) AS n_tokens,
+           |  1.0 - len(list_distinct(toks)) / CAST(nullif(len(toks), 0) AS DOUBLE) AS dup_token_frac,
+           |  list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, t -> t = d))))
+           |    / CAST(nullif(len(toks), 0) AS DOUBLE) AS top_token_frac,
+           |  1.0 - len(list_distinct(bi)) / CAST(nullif(len(bi), 0) AS DOUBLE) AS dup_2gram_frac
+           |FROM (SELECT doc_id, toks,
+           |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bi
+           |      FROM (SELECT doc_id,
+           |              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |            FROM documents))
+           |ORDER BY doc_id""".stripMargin))
+
   private val textFingerprint = Q(
     "q_text_fingerprint",
     (s, dir) => TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")
@@ -419,7 +436,7 @@ object Extensions {
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupIncremental,
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
-    textTokens, textTfLang, textQuality, textLangId, textFingerprint,
+    textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textFilter, textScrub,
     multimodalMeta, multimodalResize)
 }

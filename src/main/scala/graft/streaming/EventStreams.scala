@@ -51,6 +51,49 @@ object EventStreams {
       .start()
   }
 
+  /** SLIDING-window counts (1h window / 15min slide) as a streaming query:
+    * each event contributes to 4 overlapping windows, the watermark closes
+    * windows once event time passes their end. The streaming twin of the
+    * q_events_sliding batch query — per-window state is bounded by
+    * (windowDuration / slide) × |open slides|, not by the stream length. */
+  def slidingCountsStream(
+      spark: SparkSession,
+      eventsDir: String,
+      queryName: String,
+      watermark: String = "1 hour"): StreamingQuery = {
+    val schema = readEvents(spark, eventsDir).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", watermark)
+      .groupBy(window(col("ts_t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch twin of the sliding-window aggregation (same `window()` call in
+    * batch mode — identical window assignment by construction). */
+  def slidingCountsBatch(spark: SparkSession, eventsDir: String): DataFrame =
+    readEvents(spark, eventsDir)
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("ts_t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_us", "event_type")
+
   // ---- stateful sessionization (flatMapGroupsWithState) -----------------
 
   final case class SessEvent(user_id: Long, ts: Long)

@@ -18,6 +18,18 @@ class EventStreamsSpec extends AnyFunSuite {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("streaming sliding-window counts equal the batch twin on the events fixture") {
+    val q = EventStreams.slidingCountsStream(spark, SparkTestBase.sf0001, "ev_sliding_test")
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.sql(
+      "SELECT win_us, event_type, n, sum_value FROM ev_sliding_test ORDER BY win_us, event_type")
+      .collect()
+    val batch = EventStreams.slidingCountsBatch(spark, SparkTestBase.sf0001).collect()
+    assert(streamed.length == batch.length)
+    assert(batch.length > 4) // overlapping windows actually materialized
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("stream-stream interval join equals the batch join on the events fixture") {
     val q = EventStreams.purchaseClickJoinStream(spark, SparkTestBase.sf0001, "ev_ssjoin_test")
     try q.awaitTermination(120000) finally q.stop()
