@@ -273,6 +273,36 @@ object Dedup {
       .select("new_id", "corpus_id", "jaccard")
   }
 
+  /**
+   * Benchmark-decontamination check: for each (training doc, test doc)
+   * pair sharing at least one n-gram shingle, the fraction of the TEST
+   * item's distinct shingles found in the training doc. Asymmetric
+   * containment, not Jaccard — a short benchmark item embedded verbatim in
+   * a long training page scores near-zero Jaccard (the page's size
+   * dominates the union) but containment 1.0, and containment is what
+   * leaks. Normalizing by the test side is the point: the score never
+   * dilutes as the training page grows.
+   * Same selective shared-shingle join shape as [[jaccardAgainstCorpus]]:
+   * cost scales with shared shingles, never |train|·|test|. Output:
+   * (train_id, test_id, contain_frac) for pairs ≥ minContain.
+   */
+  def contaminationAgainstCorpus(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, minContain: Double = 0.5): DataFrame = {
+    val tr = hashedShingles(train, idCol, textCol, n)
+    // test shingles feed both the per-item sizes and the hit join
+    val te = graft.ops.BoundedCache.cached(hashedShingles(test, idCol, textCol, n))
+    val teSizes = te.groupBy(col(idCol)).agg(count(lit(1)).as("te_sz"))
+    val inter = tr.select(col(idCol).as("train_id"), col("shash"))
+      .join(te.select(col(idCol).as("test_id"), col("shash")), "shash")
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("i"))
+    inter
+      .join(teSizes.select(col(idCol).as("test_id"), col("te_sz")), "test_id")
+      .withColumn("contain_frac", col("i").cast(DoubleType) / col("te_sz"))
+      .filter(col("contain_frac") >= minContain)
+      .select("train_id", "test_id", "contain_frac")
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash per document from token 64-bit hashes, weighted by

@@ -356,6 +356,33 @@ object Extensions {
            |WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.5
            |ORDER BY new_id, corpus_id""".stripMargin))
 
+  private val textContamination = Q(
+    "q_text_contamination",
+    (s, dir) => {
+      // decontamination: flag (training doc, benchmark item) pairs where
+      // the training doc covers >= 30% of the item's 3-gram shingles
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationAgainstCorpus(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, minContain = 0.3)
+        .orderBy("train_id", "test_id")
+    },
+    Some("""WITH shingled AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
+           |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |tr AS (SELECT * FROM shingled WHERE doc_id % 10 <> 0),
+           |te AS (SELECT * FROM shingled WHERE doc_id % 10 = 0),
+           |tesz AS (SELECT doc_id, COUNT(*) AS te_sz FROM te GROUP BY 1),
+           |inter AS (SELECT tr.doc_id AS train_id, te.doc_id AS test_id, COUNT(*) AS i
+           |          FROM tr JOIN te ON tr.shingle = te.shingle GROUP BY 1, 2)
+           |SELECT train_id, test_id, CAST(i AS DOUBLE) / te_sz AS contain_frac
+           |FROM inter JOIN tesz ON tesz.doc_id = test_id
+           |WHERE CAST(i AS DOUBLE) / te_sz >= 0.3
+           |ORDER BY train_id, test_id""".stripMargin))
+
   // ---- TF-IDF, quality gate, PII scrub -----------------------------------
 
   private val textTfidf = Q(
@@ -434,7 +461,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupClusters, dedupIncremental,
+    dedupClusters, dedupIncremental, textContamination,
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textFilter, textScrub,

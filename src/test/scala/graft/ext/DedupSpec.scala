@@ -102,4 +102,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet == Set(100L))
     assert(out.exists(_ == (100L, 0L)))
   }
+
+  test("containment flags an embedded benchmark item that Jaccard misses") {
+    val bench = Seq((900L, "the secret benchmark question with its exact answer"))
+      .toDF("doc_id", "text")
+    val benchText = "the secret benchmark question with its exact answer"
+    val train = Seq(
+      // long page quoting the benchmark verbatim: every benchmark shingle hits
+      (1L, s"lots of surrounding prose before the quote $benchText and plenty of trailing commentary after it goes on and on"),
+      (2L, "entirely unrelated training document about distributed query engines"))
+      .toDF("doc_id", "text")
+    val scored = Dedup.contaminationAgainstCorpus(train, bench, "doc_id", "text", 3,
+        minContain = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scored((1L, 900L)) == 1.0) // verbatim quote: full coverage of the item
+    assert(!scored.contains((2L, 900L))) // clean page shares no shingle: no row
+    // ...while symmetric Jaccard stays below any useful dedup threshold
+    val jac = Dedup.jaccardAgainstCorpus(train, bench, "doc_id", "text", 3, 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(jac.getOrElse(1L, 0.0) < 0.5)
+  }
 }
