@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.functions.VectorFunctions
 
@@ -50,6 +51,22 @@ object SimSearch {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
   }
+
+  /** Per-label centroid vectors (class prototypes / IVF-training shape),
+    * one output row per (label, dimension). The explode+groupBy plan is
+    * the scale-correct one: partial hash aggregation collapses every
+    * partition to |labels|·dim entries before the shuffle, so shuffle
+    * volume is independent of corpus size. Sums go through DECIMAL(28,6)
+    * — exact and order-independent, so the means are reproducible across
+    * partitionings (and hash-match a SQL oracle). */
+  def labelCentroids(corpus: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("x").cast(DoubleType).cast(DecimalType(28, 6))).cast(DoubleType)
+          / count(lit(1))).as("centroid"))
 
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup). Exact;
     * for 100 TB corpora gate it behind `lshBuckets` first. Same

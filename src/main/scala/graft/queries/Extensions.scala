@@ -162,6 +162,18 @@ object Extensions {
            |    ON n.vec_id <> c.vec_id)
            |WHERE sim >= 0.4 ORDER BY new_id, corpus_id""".stripMargin))
 
+  private val embedCentroids = Q(
+    "q_embed_centroids",
+    (s, dir) =>
+      SimSearch.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "dim"),
+    Some("""SELECT label, dim, COUNT(*) AS n_vecs,
+           |  CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS centroid
+           |FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+           |        CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim
+           |      FROM embeddings)
+           |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin))
+
   // ---- E20 text analysis -------------------------------------------------
 
   private val textTokens = Q(
@@ -463,6 +475,7 @@ object Extensions {
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupIncremental, textContamination,
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
+    embedCentroids,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textFilter, textScrub,
     multimodalMeta, multimodalResize)
