@@ -41,6 +41,7 @@ object Multimodal {
     def probe(kind: String, payload: Array[Byte]): (Int, Int, Int, Int) // w, h, frames, sampleRate
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
     def sampleFrames(payload: Array[Byte], everyN: Int): Array[Array[Byte]]
+    def features(payload: Array[Byte], dim: Int): Array[Double] // embedding model stand-in
   }
 
   /** STUB decoder — deterministic fake measurements from the payload bytes.
@@ -56,6 +57,11 @@ object Multimodal {
       payload.take(8) ++ Array((w & 0xff).toByte, (h & 0xff).toByte) // fake: header rewrite
     def sampleFrames(payload: Array[Byte], everyN: Int): Array[Array[Byte]] =
       payload.grouped(math.max(1, everyN)).toArray
+    def features(payload: Array[Byte], dim: Int): Array[Double] =
+      // fake embedding: centered/scaled payload bytes (a real model would
+      // run inference here); deterministic so downstream similarity ops
+      // are reproducible and oracle-checkable
+      Array.tabulate(dim)(j => (b(payload, j) - 127.5) / 127.5)
   }
 
   /** Per-partition metadata extraction: the decode runs batch-wise inside
@@ -72,6 +78,25 @@ object Multimodal {
         }
       }, mediaSchema)
     out
+  }
+
+  /** Feature extraction: media payload → embedding column, batch-wise per
+    * partition (where a real vision/audio model would run, its session
+    * initialized once per partition). Output (media_id, embedding) feeds
+    * the `ext.SimSearch` operators directly — media near-dup detection is
+    * extractFeatures ∘ nearDupPairs. No shuffle: a pure per-row transform
+    * behind a per-partition init point. */
+  def extractFeatures(df: DataFrame, dim: Int = 8,
+      decoder: Decoder = StubDecoder): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    df.sparkSession.createDataFrame(
+      df.select("media_id", "payload").rdd.mapPartitions { rows =>
+        // per-partition init point for a real model runtime
+        rows.map(r => Row(r.getLong(0),
+          decoder.features(r.getAs[Array[Byte]](1), dim).toSeq))
+      }, schema)
   }
 
   /** Resize pipeline: keeps rows co-partitioned, returns same schema minus

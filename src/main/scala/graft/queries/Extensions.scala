@@ -311,6 +311,31 @@ object Extensions {
            |  upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) || '4030' AS resized_hex
            |FROM documents ORDER BY media_id""".stripMargin))
 
+  private val multimodalEmbed = Q(
+    "q_multimodal_embed",
+    (s, dir) => {
+      // media near-dup search = stub feature extraction composed with the
+      // exact top-k operator — the full multimodal→similarity bridge
+      val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id")
+      val feats = Multimodal.extractFeatures(media, dim = 8)
+      SimSearch.bruteForceTopK(feats, feats.filter(col("media_id") < 10), k = 3,
+        idCol = "media_id", vecCol = "embedding")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH e AS (
+            |  SELECT doc_id AS media_id,
+            |    list_transform(range(0, 8), j ->
+            |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2*j + 1, 2))::INT - 127.5) / 127.5) AS v
+            |  FROM documents),
+            |q AS (SELECT media_id AS query_id, v AS qv FROM e WHERE media_id < 10),
+            |c AS (SELECT media_id AS neighbor_id, v AS cv FROM e)
+            |SELECT query_id, rank, neighbor_id, sim FROM (
+            |  SELECT query_id, neighbor_id, $oracleCosine AS sim,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY $oracleCosine DESC, neighbor_id) AS INTEGER) AS rank
+            |  FROM q JOIN c ON query_id <> neighbor_id)
+            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
   // ---- dedup clustering + incremental dedup ------------------------------
 
   // Connected components over the exact-Jaccard pairs; the DuckDB oracle
@@ -478,5 +503,5 @@ object Extensions {
     embedCentroids,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textFilter, textScrub,
-    multimodalMeta, multimodalResize)
+    multimodalMeta, multimodalResize, multimodalEmbed)
 }

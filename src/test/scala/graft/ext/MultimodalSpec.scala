@@ -44,4 +44,21 @@ class MultimodalSpec extends AnyFunSuite {
     val p = resized.orderBy("media_id").collect().head.getAs[Array[Byte]](1)
     assert(p.length == 10) // stub: 8-byte header + w + h
   }
+
+  test("extractFeatures: deterministic unit-range embeddings feeding SimSearch") {
+    val media = Multimodal.synthesizeMedia(ids, "doc_id")
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+    val rows = feats.orderBy("media_id").collect()
+    assert(rows.length == 4)
+    val v0 = rows.head.getSeq[Double](1)
+    assert(v0.length == 8 && v0.forall(x => x >= -1.0 && x <= 1.0))
+    // deterministic across evaluations
+    val v0b = Multimodal.extractFeatures(media, dim = 8)
+      .orderBy("media_id").collect().head.getSeq[Double](1)
+    assert(v0 == v0b)
+    // composes with the similarity operator: every query gets k neighbors
+    val topk = SimSearch.bruteForceTopK(feats, feats.filter($"media_id" < 2), k = 2,
+      idCol = "media_id", vecCol = "embedding").collect()
+    assert(topk.length == 4) // 2 queries x k=2
+  }
 }
