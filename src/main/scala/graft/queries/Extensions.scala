@@ -463,6 +463,67 @@ object Extensions {
            |  AND text <> upper(text)
            |ORDER BY doc_id""".stripMargin))
 
+  // The end-to-end corpus-cleaning composite: quality gate -> exact dedup
+  // by content fingerprint -> benchmark decontamination, all in ONE lazy
+  // plan (each stage is an operator proven above; the hash-match proves
+  // the COMPOSITION). This is the shape a real training-data pipeline runs.
+  private val corpusClean = Q(
+    "q_corpus_clean",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val quality = TextStats.qualityFilter(corpus, "doc_id", "text")
+      val withFp = quality.withColumn("fp",
+        md5(concat_ws(" ", TextStats.tokens(col("text")))))
+      val deduped = Dedup.keepFirstByKey(withFp, Seq("fp"), Seq(col("doc_id")))
+      val contaminated = Dedup.contaminationAgainstCorpus(corpus, bench,
+        "doc_id", "text", n = 3, minContain = 0.3)
+        .select(col("train_id").as("doc_id")).distinct()
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+           |q AS (
+           |  SELECT doc_id, lang, text, toks,
+           |    CAST(len(toks) AS INTEGER) AS n_tokens,
+           |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / nullif(len(toks), 0) AS avg_token_len,
+           |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           |      / nullif(len(toks), 0) AS stop_ratio
+           |  FROM (SELECT doc_id, lang, text,
+           |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |        FROM corpus)),
+           |pass AS (
+           |  SELECT doc_id, lang, n_tokens, md5(array_to_string(toks, ' ')) AS fp
+           |  FROM q
+           |  WHERE n_tokens BETWEEN 20 AND 10000 AND avg_token_len BETWEEN 3.0 AND 12.0
+           |    AND stop_ratio >= 0.05 AND text <> upper(text)),
+           |dedup AS (
+           |  SELECT doc_id, lang, n_tokens FROM (
+           |    SELECT doc_id, lang, n_tokens,
+           |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           |    FROM pass)
+           |  WHERE rn = 1),
+           |shingled AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
+           |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |tr AS (SELECT * FROM shingled WHERE doc_id % 10 <> 0),
+           |te AS (SELECT * FROM shingled WHERE doc_id % 10 = 0),
+           |tesz AS (SELECT doc_id, COUNT(*) AS te_sz FROM te GROUP BY 1),
+           |inter AS (SELECT tr.doc_id AS train_id, te.doc_id AS test_id, COUNT(*) AS i
+           |          FROM tr JOIN te ON tr.shingle = te.shingle GROUP BY 1, 2),
+           |contaminated AS (
+           |  SELECT DISTINCT train_id AS doc_id
+           |  FROM inter JOIN tesz ON tesz.doc_id = test_id
+           |  WHERE CAST(i AS DOUBLE) / te_sz >= 0.3)
+           |SELECT d.doc_id, d.lang, d.n_tokens
+           |FROM dedup d
+           |WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+           |ORDER BY d.doc_id""".stripMargin))
+
   // PII scrub over deterministically synthesized PII (the fixture corpus is
   // clean, so both engines append the same emails/IPs/account numbers from
   // fixture columns, then redact them).
@@ -502,6 +563,6 @@ object Extensions {
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
     embedCentroids,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
-    textTfidf, textFilter, textScrub,
+    textTfidf, textFilter, textScrub, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed)
 }
