@@ -289,7 +289,11 @@ object Dedup {
   def contaminationAgainstCorpus(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, minContain: Double = 0.5): DataFrame = {
-    val tr = hashedShingles(train, idCol, textCol, n)
+    // train shingles are single-use here, but producing them (interpreted
+    // higher-order array ops) dominates the query — registering the frame
+    // lets repeat invocations and sibling operators over the same corpus
+    // (jaccardAgainstCorpus, the corpus-clean composite) share one pass
+    val tr = graft.ops.BoundedCache.cached(hashedShingles(train, idCol, textCol, n))
     // test shingles feed both the per-item sizes and the hit join
     val te = graft.ops.BoundedCache.cached(hashedShingles(test, idCol, textCol, n))
     val teSizes = te.groupBy(col(idCol)).agg(count(lit(1)).as("te_sz"))
