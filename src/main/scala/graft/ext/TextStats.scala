@@ -43,6 +43,25 @@ object TextStats {
       .select(col(groupCol), col("rnk"), col("token"), col("n"))
   }
 
+  /**
+   * Vocabulary construction: the `maxSize` most frequent tokens above
+   * `minCount` (ties broken lexicographically) with dense contiguous ids
+   * in frequency-rank order. The top-k runs as a distributed heap
+   * (`TakeOrderedAndProject` — per-partition heaps merged, never a global
+   * sort of the full term table), so the unpartitioned id-assigning window
+   * only ever touches the surviving `maxSize` rows.
+   */
+  def vocabulary(df: DataFrame, textCol: String, maxSize: Int,
+      minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = termFrequencies(df, textCol)
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token"))
+      .limit(maxSize)
+    top.withColumn("token_id",
+      row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
+  }
+
   /** Per-document quality metrics: token count, average token length,
     * stopword ratio, whitespace-token vs BPE-ish count. */
   /** The ONE definition of every per-document quality metric — both

@@ -41,4 +41,41 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, keep: Int, buckets: Int): DataFrame =
     df.filter(
       pmod(xxhash64(col(keyCol).cast("string")), lit(buckets)) < keep)
+
+  /**
+   * Stable train/val/test assignment from a content hash: the first two
+   * hex chars of md5(key) split [0x00, 0x100) at `trainHex` and `valHex`
+   * (defaults 0xcc/0xe6 ≈ 80/10/10). Shuffle-free — a pure projection —
+   * and growth-stable: a document's split never changes as the corpus
+   * grows, so no training example silently migrates into the eval set
+   * between pipeline runs. md5 hex is engine-portable (unlike engine RNG
+   * or xxhash64), so the assignment oracle-checks.
+   */
+  def hashSplit(df: DataFrame, keyCol: String,
+      trainHex: String = "cc", valHex: String = "e6"): DataFrame = {
+    val h = substring(md5(col(keyCol).cast("string")), 1, 2)
+    df.withColumn("split",
+      when(h < lit(trainHex), lit("train"))
+        .when(h < lit(valHex), lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /**
+   * Stratum-balanced downsample: cap every stratum at the size of the
+   * smallest one, members chosen by content-hash order (uniform and
+   * deterministic, like [[stratifiedSample]]). The cap is a two-row-stage
+   * aggregate (|strata| rows → 1 row) broadcast back, so the only
+   * data-sized cost is the one stratum-keyed window shuffle.
+   */
+  def balancedSample(df: DataFrame, strataCols: Seq[String], keyCol: String): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val cap = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__k"))
+    df.withColumn("sample_rank", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("sample_rank") <= col("__k"))
+      .drop("__k")
+  }
 }

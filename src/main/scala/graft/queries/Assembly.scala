@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextStats
+import graft.ops.{Packing, Sampling}
+import QueryUtil._
+
+/**
+ * Training-data assembly wave: the operators that turn a cleaned corpus
+ * into model inputs — sequence packing under a token budget, vocabulary
+ * construction, stable train/val/test splitting, and stratum-balanced
+ * mixture capping. All derive order/assignment from content (md5 hex,
+ * integer prefix sums) rather than engine RNG, so every one of them
+ * hash-checks against a DuckDB oracle running the same math.
+ */
+object Assembly {
+
+  /** DuckDB body for TextStats.tokens: lower, split on space, drop empties. */
+  private def oToks(textExpr: String): String =
+    s"list_filter(string_split(lower($textExpr), ' '), x -> x <> '')"
+
+  private val packSequences = Q(
+    "q_pack_sequences",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val weighted = docs.select(col("doc_id"), col("lang"),
+        size(TextStats.tokens(col("text"))).as("n_tokens"))
+      Packing.packGreedy(weighted, Seq("lang"), "doc_id", "n_tokens", budget = 2048L)
+        .select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("lang", "doc_id")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(${oToks("text")}) AS INTEGER) AS n_tokens
+            |  FROM documents),
+            |c AS (
+            |  SELECT doc_id, lang, n_tokens,
+            |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            |      - n_tokens AS start
+            |  FROM toks)
+            |SELECT doc_id, lang, n_tokens,
+            |  CAST(floor(start / 2048) AS BIGINT) AS seq_id,
+            |  CAST(start % 2048 AS BIGINT) AS seq_offset
+            |FROM c ORDER BY lang, doc_id""".stripMargin))
+
+  private val vocabBuild = Q(
+    "q_vocab_build",
+    (s, dir) =>
+      TextStats.vocabulary(t(s, dir, "documents"), "text",
+        maxSize = 1000, minCount = 2L)
+        .orderBy("token_id"),
+    Some(s"""WITH tf AS (
+            |  SELECT unnest(${oToks("text")}) AS token FROM documents),
+            |cnt AS (SELECT token, COUNT(*) AS n FROM tf GROUP BY 1
+            |        HAVING COUNT(*) >= 2),
+            |r AS (SELECT token, n,
+            |        CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) - 1
+            |          AS token_id
+            |      FROM cnt)
+            |SELECT token, n, token_id FROM r WHERE token_id < 1000
+            |ORDER BY token_id""".stripMargin))
+
+  private val splitAssign = Q(
+    "q_split_assign",
+    (s, dir) =>
+      Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextStats.tokens(col("text")))).as("n_tokens"))
+        .orderBy("split", "lang"),
+    Some(s"""SELECT split, lang, COUNT(*) AS n_docs,
+            |  CAST(SUM(CAST(len(${oToks("text")}) AS INTEGER)) AS BIGINT) AS n_tokens
+            |FROM (SELECT lang, text,
+            |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+            |               THEN 'train'
+            |             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+            |               THEN 'val'
+            |             ELSE 'test' END AS split
+            |      FROM documents)
+            |GROUP BY split, lang ORDER BY split, lang""".stripMargin))
+
+  private val balanceLangs = Q(
+    "q_balance_langs",
+    (s, dir) =>
+      Sampling.balancedSample(
+        t(s, dir, "documents").select("doc_id", "lang"), Seq("lang"), "doc_id")
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank"),
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+           |m AS (SELECT MIN(n) AS k FROM c),
+           |r AS (SELECT lang, doc_id,
+           |        CAST(row_number() OVER (PARTITION BY lang
+           |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER)
+           |          AS sample_rank
+           |      FROM documents)
+           |SELECT lang, sample_rank, doc_id FROM r, m WHERE sample_rank <= k
+           |ORDER BY lang, sample_rank""".stripMargin))
+
+  val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs)
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  test("packGreedy bins match a single-threaded packer over the same order") {
+    val rows = Seq(
+      ("en", 0L, 1500), ("en", 1L, 1000), ("en", 2L, 600), ("en", 3L, 2048),
+      ("en", 4L, 1), ("de", 10L, 2047), ("de", 11L, 2))
+      .toDF("lang", "doc_id", "n_tokens")
+    val packed = Packing.packGreedy(rows, Seq("lang"), "doc_id", "n_tokens", 2048L)
+      .select("lang", "doc_id", "seq_id", "seq_offset")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // en: starts 0,1500,2500,3100,5148 → seqs 0,0,1,1,2; offsets 0,1500,452,1052,1052
+    assert(packed(("en", 0L)) == (0L, 0L))
+    assert(packed(("en", 1L)) == (0L, 1500L))
+    assert(packed(("en", 2L)) == (1L, 452L))
+    assert(packed(("en", 3L)) == (1L, 1052L))
+    assert(packed(("en", 4L)) == (2L, 1052L))
+    // de is packed independently of en
+    assert(packed(("de", 10L)) == (0L, 0L))
+    assert(packed(("de", 11L)) == (0L, 2047L))
+  }
+
+  test("packGreedy offsets are consistent: start = seq_id*budget + seq_offset and never overlap") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(graft.ext.TextStats.tokens(col("text"))).as("n_tokens"))
+    val packed = Packing.packGreedy(docs, Seq("lang"), "doc_id", "n_tokens", 2048L)
+      .select("lang", "doc_id", "n_tokens", "seq_id", "seq_offset")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      var cursor = 0L
+      sorted.foreach { case (_, _, n, seqId, off) =>
+        assert(seqId * 2048L + off == cursor, s"start mismatch at cursor=$cursor")
+        cursor += n
+      }
+    }
+  }
+
+  test("vocabulary ids are dense, rank-ordered, and capped") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+    val vocab = graft.ext.TextStats.vocabulary(docs, "text", maxSize = 50, minCount = 2L)
+      .orderBy("token_id").collect()
+    assert(vocab.length <= 50 && vocab.nonEmpty)
+    assert(vocab.map(_.getInt(2)).toSeq == vocab.indices)
+    val counts = vocab.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.forall(_ >= 2L))
+  }
+
+  test("hashSplit is exhaustive, disjoint, and growth-stable") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+      .select("doc_id")
+    val split = Sampling.hashSplit(docs, "doc_id")
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byLabel.values.sum == docs.count())
+    assert(byLabel("train") > byLabel.getOrElse("val", 0L))
+    // growth-stable: the assignment of a subset equals the subset of assignments
+    val subset = Sampling.hashSplit(docs.filter(col("doc_id") < 100), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = split.filter(col("doc_id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset == full)
+  }
+
+  test("balancedSample caps every stratum at the smallest stratum's size") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+      .select("doc_id", "lang")
+    val minN = docs.groupBy("lang").count().agg(min("count")).head().getLong(0)
+    val counts = Sampling.balancedSample(docs, Seq("lang"), "doc_id")
+      .groupBy("lang").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ == minN))
+  }
+}
