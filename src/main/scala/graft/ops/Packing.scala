@@ -45,37 +45,47 @@ object Packing {
 
   /**
    * Global (no-strata) greedy packing — the shape a plain window cannot
-   * distribute, done as the textbook two-pass parallel prefix sum:
+   * distribute, done as the textbook parallel prefix sum:
    *
-   *   1. range-partition by `orderCol` (contiguous key ranges, so each
-   *      partition owns a contiguous slice of the global order), then
-   *      aggregate ONE total weight per partition — |partitions| rows to
-   *      the driver, an exclusive scan over them gives each partition its
-   *      base offset;
+   *   0. compute `numRanges−1` quantile boundaries of `orderCol` ONCE and
+   *      bake them into the plan as literals, so a row's range id is a
+   *      pure function of its value — both later passes derive identical
+   *      partitioning by construction (deriving the id from the physical
+   *      partitioning instead, e.g. `spark_partition_id` after
+   *      `repartitionByRange`, is wrong: the range sampler's seed differs
+   *      per query execution, and the two passes can disagree);
+   *   1. aggregate one total weight per range — |ranges| rows to the
+   *      driver, an exclusive scan gives each range its base offset;
    *   2. broadcast the bases back and add each row's LOCAL exclusive
-   *      prefix (a per-partition window — never a single-partition sort).
+   *      prefix (a per-range window — never a single-partition sort).
    *
-   * The range shuffle is written once and reused by both passes (same
-   * lineage ⇒ Spark skips the recompute), so the data-sized cost is one
-   * shuffle + one shuffle read, identical to the stratified form. Driver
-   * state is one long per partition — bounded by cluster size, not data.
+   * Cost: two column-pruned scans (quantile sketch, per-range totals) plus
+   * the one data-sized shuffle of the per-range window. Driver state is
+   * one long per range — bounded by cluster size, not data. Quantile
+   * boundaries keep ranges balanced under arbitrary key skew (relative
+   * error 1e-3).
    *
-   * `orderCol` must be unique (rows tied on it could straddle a range
-   * boundary, making their relative order — and offsets — ambiguous).
+   * `orderCol` must be numeric, non-null, and unique (rows tied on it
+   * could straddle a range boundary, making their relative order — and
+   * offsets — ambiguous).
    */
   def packGreedyGlobal(df: DataFrame, orderCol: String, weightCol: String,
       budget: Long, numRanges: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (numRanges > 0) numRanges
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    val totals = ranged.groupBy("__pid")
+    val bounds = df.stat.approxQuantile(
+      orderCol, (1 until n).map(_.toDouble / n).toArray, 0.001).distinct
+    val v = col(orderCol).cast("double")
+    val pid = bounds.map(b => when(v > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    val pidded = df.withColumn("__pid", pid)
+    val totals = pidded.groupBy("__pid")
       .agg(sum(col(weightCol).cast("long")).as("__w"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
-    val bases = totals.map { case (pid, w) =>
-      val row = (pid, acc); acc += w; row
+    val bases = totals.map { case (rangeId, w) =>
+      val row = (rangeId, acc); acc += w; row
     }.toSeq
     import spark.implicits._
     val baseDf = bases.toDF("__pid", "__base")
@@ -83,7 +93,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = col("__base") +
       sum(col(weightCol).cast("long")).over(w) - col(weightCol)
-    ranged.join(broadcast(baseDf), "__pid")
+    pidded.join(broadcast(baseDf), "__pid")
       .withColumn("seq_id", floor(start / lit(budget)).cast("long"))
       .withColumn("seq_offset", (start % lit(budget)).cast("long"))
       .drop("__pid", "__base")

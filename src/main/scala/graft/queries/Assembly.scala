@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ext.TextStats
-import graft.ops.{Packing, Sampling}
+import graft.ops.{Mixture, Packing, Sampling}
 import QueryUtil._
 
 /**
@@ -98,5 +98,72 @@ object Assembly {
            |SELECT lang, sample_rank, doc_id FROM r, m WHERE sample_rank <= k
            |ORDER BY lang, sample_rank""".stripMargin))
 
-  val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs)
+  private val packGlobal = Q(
+    "q_pack_global",
+    (s, dir) => {
+      val weighted = t(s, dir, "documents").select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).as("n_tokens"))
+      Packing.packGreedyGlobal(weighted, "doc_id", "n_tokens", budget = 1024L)
+        .select("doc_id", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id,
+            |    CAST(len(${oToks("text")}) AS INTEGER) AS n_tokens
+            |  FROM documents),
+            |c AS (
+            |  SELECT doc_id, n_tokens,
+            |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            |      - n_tokens AS start
+            |  FROM toks)
+            |SELECT doc_id, n_tokens,
+            |  CAST(floor(start / 1024) AS BIGINT) AS seq_id,
+            |  CAST(start % 1024 AS BIGINT) AS seq_offset
+            |FROM c ORDER BY doc_id""".stripMargin))
+
+  private val chunkDocs = Q(
+    "q_chunk_docs",
+    (s, dir) => {
+      val weighted = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(TextStats.tokens(col("text"))).as("n_tokens"))
+      Packing.chunkByBudget(weighted, "n_tokens", budget = 256L)
+        .select("doc_id", "lang", "n_tokens", "chunk_id", "chunk_tokens")
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(${oToks("text")}) AS INTEGER) AS n_tokens
+            |  FROM documents),
+            |c AS (SELECT *, CAST((n_tokens + 255) // 256 AS BIGINT) AS nc
+            |      FROM toks WHERE n_tokens > 0)
+            |SELECT doc_id, lang, n_tokens,
+            |  unnest(generate_series(0, nc - 1)) AS chunk_id,
+            |  CAST(least(256, n_tokens - unnest(generate_series(0, nc - 1)) * 256)
+            |    AS BIGINT) AS chunk_tokens
+            |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+
+  private val interleaveMix = Q(
+    "q_interleave_mix",
+    (s, dir) =>
+      Mixture.interleaveByWeight(
+        t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id",
+        Map("en" -> 5, "de" -> 2, "fr" -> 2, "es" -> 2, "zh" -> 1))
+        .select("mix_priority", "lang", "stratum_rank", "doc_id")
+        .orderBy("mix_priority", "lang", "doc_id"),
+    Some("""WITH r AS (
+           |  SELECT lang, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           |      AS stratum_rank,
+           |    CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+           |              WHEN 'es' THEN 2 WHEN 'zh' THEN 1 ELSE 1 END AS w
+           |  FROM documents)
+           |SELECT CAST(((2 * stratum_rank - 1) * 720720) // (2 * w) AS BIGINT)
+           |    AS mix_priority,
+           |  lang, stratum_rank, doc_id
+           |FROM r ORDER BY mix_priority, lang, doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs,
+    packGlobal, chunkDocs, interleaveMix)
 }

@@ -84,4 +84,75 @@ class PackingSpec extends AnyFunSuite {
       .groupBy("lang").count().collect().map(_.getLong(1))
     assert(counts.nonEmpty && counts.forall(_ == minN))
   }
+
+  test("packGreedyGlobal equals the single-stratum window form across many ranges") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.ext.TextStats.tokens(col("text"))).as("n_tokens"))
+    // reference: one constant stratum (single-partition window — test-only)
+    val expected = Packing.packGreedy(
+      docs.withColumn("__one", lit(1)), Seq("__one"), "doc_id", "n_tokens", 512L)
+      .select("doc_id", "seq_id", "seq_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // distributed two-pass form, forced through 7 uneven ranges
+    val got = Packing.packGreedyGlobal(docs, "doc_id", "n_tokens", 512L, numRanges = 7)
+      .select("doc_id", "seq_id", "seq_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("chunkByBudget covers every token exactly once, chunks capped at budget") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.ext.TextStats.tokens(col("text"))).as("n_tokens"))
+    val chunks = Packing.chunkByBudget(docs, "n_tokens", 256L)
+      .select("doc_id", "n_tokens", "chunk_id", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(chunks.nonEmpty)
+    assert(chunks.forall { case (_, _, _, ct) => ct >= 1 && ct <= 256 })
+    chunks.groupBy(_._1).foreach { case (_, g) =>
+      val n = g.head._2.toLong
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length.toLong)) // contiguous ids
+      assert(g.map(_._4).sum == n) // tokens partitioned exactly
+    }
+  }
+
+  test("assembly plan shapes: chunk/split shuffle-free, interleave one shuffle") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+    val weighted = docs.select(col("doc_id"),
+      size(graft.ext.TextStats.tokens(col("text"))).as("n_tokens"))
+    val pChunk = Packing.chunkByBudget(weighted, "n_tokens", 256L)
+      .queryExecution.executedPlan.toString
+    assert(!pChunk.contains("Exchange"), pChunk)
+    val pSplit = Sampling.hashSplit(docs.select("doc_id"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!pSplit.contains("Exchange"), pSplit)
+    val pMix = Mixture.interleaveByWeight(
+      docs.select("doc_id", "lang"), "lang", "doc_id", Map("en" -> 2))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(pMix).size == 1, pMix)
+  }
+
+  test("interleaveByWeight prefixes respect the mixture ratio") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+      .select("doc_id", "lang")
+    val weights = Map("en" -> 4, "de" -> 1)
+    val ordered = Mixture.interleaveByWeight(
+      docs.filter(col("lang").isin("en", "de")), "lang", "doc_id", weights)
+      .orderBy("mix_priority", "lang", "doc_id")
+      .select("lang").collect().map(_.getString(0))
+    // in any prefix long enough to be past startup, en:de stays within one
+    // scheduling round of 4:1
+    val prefix = ordered.take(50)
+    val en = prefix.count(_ == "en").toDouble
+    val de = prefix.count(_ == "de").toDouble
+    assert(de > 0 && en / de >= 3.0 && en / de <= 5.0, s"en=$en de=$de")
+    // priorities are strictly increasing per stratum (no rank collisions)
+    val pri = Mixture.interleaveByWeight(
+      docs.filter(col("lang").isin("en", "de")), "lang", "doc_id", weights)
+      .groupBy("lang").agg(
+        countDistinct(col("mix_priority")).as("d"), count(lit(1)).as("n"))
+      .collect()
+    pri.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
 }
