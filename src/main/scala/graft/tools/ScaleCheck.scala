@@ -60,7 +60,9 @@ object ScaleCheck {
       "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_clusters", "q_simsearch_topk", "q_simsearch_lsh",
       "q1_agg", "q_join_inner", "q_window_rank", "q_topk_heap",
-      "q_text_tfidf", "q_histogram")
+      "q_text_tfidf", "q_histogram",
+      "q_pack_global", "q_interleave_mix", "q_vocab_build",
+      "q_corpus_clean", "q_join_five", "q_graph_pagerank")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

@@ -61,6 +61,18 @@ class QueriesPlanSpec extends AnyFunSuite {
     assert(!plan.contains("aggregate(zip_with"), plan)
   }
 
+  test("q_join_five broadcasts the dims; pagerank ranks are damped and complete") {
+    val plan = SparkEntry.queries("q_join_five")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllMatchIn(plan).size >= 2, plan)
+    val pr = SparkEntry.queries("q_graph_pagerank")(spark, sf).collect()
+    assert(pr.length == 25)
+    assert(pr.forall(_.getDouble(1) >= 0.15))
+    // rank mass: 0.15·N floor, conserved-or-leaking (dangling) ceiling
+    val total = pr.map(_.getDouble(1)).sum
+    assert(total > 0.15 * 25 && total <= 25.0 + 1e-6, s"total=$total")
+  }
+
   test("no query plans a cartesian product except deliberate tiny cross joins") {
     val allowed = Set("q_simsearch_ivf", "q_text_tfidf") // broadcast single-row / centroid frames
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
