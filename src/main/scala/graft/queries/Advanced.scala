@@ -226,6 +226,86 @@ object Advanced {
            |       (SELECT COUNT(*) FROM v) AS n_view,
            |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin))
 
+  private val variantExtract = Q(
+    "q_variant_extract",
+    (s, dir) =>
+      // Spark 4 VARIANT path: parse once into the binary variant encoding,
+      // then typed variant_get extraction — the modern semi-structured
+      // column representation (vs per-access string re-parsing in
+      // q_json_extract's get_json_object)
+      events(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "int").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           |  COUNT(*) AS n
+           |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin))
+
+  private val eventsSessionWindow = Q(
+    "q_events_sessionwin",
+    (s, dir) => {
+      // the BUILT-IN session_window aggregation (vs ops/TimeOps.sessionize,
+      // the hand-rolled island-detection twin that also has a streaming
+      // form): gap-close after 30 min, session end = last event + gap
+      val ev = events(s, dir)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts_t"))
+      ev.groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_start"),
+          unix_micros(col("session_window.end")).as("s_end"),
+          col("n_events"))
+        .orderBy("user_id", "s_start")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+           |x AS (SELECT user_id, t,
+           |        CASE WHEN lag(t) OVER w IS NULL
+           |               OR t - lag(t) OVER w > 1800000000
+           |             THEN 1 ELSE 0 END AS brk
+           |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+           |g AS (SELECT user_id, t,
+           |        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+           |          ROWS UNBOUNDED PRECEDING) AS sid
+           |      FROM x)
+           |SELECT user_id, MIN(t) AS s_start,
+           |  MAX(t) + 1800000000 AS s_end,
+           |  COUNT(*) AS n_events
+           |FROM g GROUP BY user_id, sid
+           |ORDER BY user_id, s_start""".stripMargin))
+
+  private val eventSequences = Q(
+    "q_events_sequences",
+    (s, dir) => {
+      // Per-user behavior sequence: event types concatenated in time order
+      // — the "event log → training example" assembly shape. collect_list
+      // is order-nondeterministic, so collect (t, event_id, type) structs
+      // and array_sort them (lexicographic struct order ≡ ORDER BY t,
+      // event_id; event_id is unique so the order is total) before
+      // projecting the types out. One shuffle on user_id; per-group state
+      // is that user's events, the same bound as any session assembly.
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000").as("t"),
+          col("event_id"), col("event_type"))
+      ev.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("t"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")),
+            ">").as("sequence"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+           |  string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id)
+           |    AS sequence
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   private val approxDistinct = Q(
     "q_approx_distinct",
     (s, dir) =>
@@ -239,5 +319,6 @@ object Advanced {
 
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
-    asofJoin, asofForward, eventsSessions, eventsSliding, eventsFunnel, approxDistinct)
+    asofJoin, asofForward, eventsSessions, eventsSliding, eventsFunnel,
+    eventSequences, variantExtract, eventsSessionWindow, approxDistinct)
 }

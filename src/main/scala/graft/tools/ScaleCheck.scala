@@ -43,15 +43,19 @@ object ScaleCheck {
       out.write.mode("overwrite").parquet(s"$big/$table.parquet")
       println(s"[scale] $table: $n -> ${n * replicas} rows")
     }
-    replicate("documents", Seq("doc_id"), textCol = Some("text"))
-    replicate("embeddings", Seq("vec_id"))
-    replicate("lineitem", Seq("l_orderkey"))
-    replicate("orders", Seq("o_orderkey"))
-    replicate("customer", Seq("c_custkey"))
-    // dimension/base tables the query surface also reads: copied verbatim
-    Seq("region", "nation", "supplier", "part", "events").foreach { tbl =>
-      spark.read.parquet(s"$base/$tbl.parquet")
-        .write.mode("overwrite").parquet(s"$big/$tbl.parquet")
+    // `reuse` arg: keep previously generated 10x tables (re-measure only)
+    if (!(args.contains("reuse")
+        && new java.io.File(s"$big/events.parquet").exists())) {
+      replicate("documents", Seq("doc_id"), textCol = Some("text"))
+      replicate("embeddings", Seq("vec_id"))
+      replicate("lineitem", Seq("l_orderkey"))
+      replicate("orders", Seq("o_orderkey"))
+      replicate("customer", Seq("c_custkey"))
+      // dimension/base tables the query surface also reads: copied verbatim
+      Seq("region", "nation", "supplier", "part", "events").foreach { tbl =>
+        spark.read.parquet(s"$base/$tbl.parquet")
+          .write.mode("overwrite").parquet(s"$big/$tbl.parquet")
+      }
     }
 
     // ---- heavy operators at both sizes ---------------------------------
