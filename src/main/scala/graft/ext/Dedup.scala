@@ -320,14 +320,23 @@ object Dedup {
       .withColumn("h", xxhash64(col("tok")))
     // Σ(±1) per bit ≡ 2·(count of ones) − n: summing the raw bit is a
     // branch-free shift+and per row (the ±1 CASE WHEN form costs a
-    // conditional in each of the 64 aggregate updates per token)
-    val bitSums = (0 until 64).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b_$j")
+    // conditional in each aggregate update per token). The 64 per-bit
+    // counters are lane-packed two to an accumulator — lane l∈{0,1} of
+    // group g counts bit j=2g+l in the 32-bit halves of one long — so the
+    // aggregation buffer carries 32 sums instead of 64 and every token row
+    // does half the aggregate updates. Lanes cannot carry into each other
+    // below 2^30 tokens per document (a >6 GB single doc), so the packed
+    // form is bit-for-bit the per-bit form.
+    val bitSums = (0 until 32).map { g =>
+      val lane0 = shiftright(col("h"), 2 * g).bitwiseAND(lit(1L))
+      val lane1 = shiftleft(shiftright(col("h"), 2 * g + 1).bitwiseAND(lit(1L)), 32)
+      sum(lane0.bitwiseOR(lane1)).as(s"p_$g")
     }
     val agg = toks.groupBy(col(idCol))
       .agg(count(lit(1)).as("n"), bitSums: _*)
     val sig = (0 until 64).map { j =>
-      when(col(s"b_$j") * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L))
+      val cnt = shiftright(col(s"p_${j >> 1}"), 32 * (j & 1)).bitwiseAND(lit(0xffffffffL))
+      when(cnt * 2 > col("n"), shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col(idCol), sig.as("simhash"))
   }

@@ -26,7 +26,7 @@ import org.apache.spark.storage.StorageLevel
  */
 object BoundedCache {
 
-  private val MaxEntries = 8
+  private val MaxEntries = 16
   private val entries = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** Persist `df` (memory-and-disk), deduplicating by semantic plan
