@@ -89,6 +89,37 @@ object TimeOps {
   }
 
   /**
+   * Per-key exponentially weighted moving average over a time-ordered
+   * series: e_1 = x_1, e_i = α·x_i + (1−α)·e_{i−1}. The recurrence is
+   * inherently sequential per key, so the scale-correct shape is one
+   * hash-partition shuffle on the key and a linear in-memory fold per
+   * group — `collect_list` into an `array_sort`ed struct array (sorting by
+   * (ts, tieBreak) makes collection order irrelevant, hence deterministic
+   * under any partitioning), then a single left-to-right `aggregate` fold.
+   * No window-function state, no cross-row UDF; per-key memory is the
+   * series length, the same bound any exact sequential recurrence needs.
+   *
+   * Output: one row per key — (key, n, ewma) with ewma rounded to 9 dp
+   * (the engine-portable cut for IEEE-sequence-identical folds).
+   */
+  def ewma(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      valCol: String,
+      alpha: Double,
+      tieBreak: String): DataFrame = {
+    val series = array_sort(collect_list(struct(col(tsCol), col(tieBreak), col(valCol))))
+    val vals = transform(series, s => s.getField(valCol))
+    val fold = aggregate(
+      slice(vals, lit(2), size(vals) - 1),
+      element_at(vals, 1),
+      (acc, v) => lit(alpha) * v + lit(1.0 - alpha) * acc)
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), round(fold, 9).as("ewma"))
+  }
+
+  /**
    * Gap-based sessionization: events of one key belong to the same session
    * until a silence longer than `gap` (same unit as the numeric `tsCol`).
    * Two windows (lag + running sum), one shuffle on the key — the standard

@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Layout, Merge, TimeOps}
+import QueryUtil._
+
+/**
+ * Curated-zone maintenance + time-series wave: MERGE upsert/delete, SCD
+ * Type-2 history, Z-order layout keys, EWMA, anomaly flagging, higher
+ * moments, cross join. These are the operations a warehouse-shaped
+ * pipeline (the reference's curated layer, SURVEY §2.1 O17-O19) runs
+ * between ingest and serving; change batches are synthesized
+ * DETERMINISTICALLY from the fixtures so a DuckDB oracle reproduces every
+ * output bit-for-bit.
+ */
+object Maintenance {
+
+  /** Read events with the nanos→long legacy conf (TIMESTAMP(NANOS) fixture). */
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  // MERGE upsert: customers ending in 00 get a new segment, every 250th
+  // key (shifted out of range) is a fresh insert — the daily-change-batch
+  // ingest shape folded into the previous snapshot.
+  private val mergeUpsert = Q(
+    "q_merge_upsert",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+      val mods = cust.filter(col("c_custkey") % 100 === 0)
+        .withColumn("c_mktsegment", lit("UPDATED"))
+      val news = cust.filter(col("c_custkey") % 250 === 0).select(
+        (col("c_custkey") + 1000000).as("c_custkey"),
+        concat(lit("NEW-"), col("c_name")).as("c_name"),
+        lit("FRESH").as("c_mktsegment"))
+      Merge.upsert(cust, mods.unionByName(news), "c_custkey")
+        .orderBy("c_custkey")
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+           |mods AS (SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+           |         FROM base WHERE c_custkey % 100 = 0),
+           |news AS (SELECT c_custkey + 1000000 AS c_custkey, 'NEW-' || c_name AS c_name,
+           |                'FRESH' AS c_mktsegment
+           |         FROM base WHERE c_custkey % 250 = 0),
+           |upd AS (SELECT * FROM mods UNION ALL SELECT * FROM news)
+           |SELECT * FROM (
+           |  SELECT b.* FROM base b
+           |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
+           |  UNION ALL SELECT * FROM upd)
+           |ORDER BY c_custkey""".stripMargin))
+
+  // MERGE delete: tombstone every 10th key (the right-to-erasure shape).
+  private val mergeDelete = Q(
+    "q_merge_delete",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+      val tombstones = cust.filter(col("c_custkey") % 10 === 0).select("c_custkey")
+      Merge.deleteMatching(cust, tombstones, "c_custkey").orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+           |WHERE c_custkey % 10 <> 0 ORDER BY c_custkey""".stripMargin))
+
+  // SCD2: a versioned dimension (current snapshot + some pre-existing
+  // history) folds in a change batch at t=100 — closed rows, new versions,
+  // first versions for unseen keys, history untouched.
+  private val scd2 = Q(
+    "q_scd2",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val cur0 = cust
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+      val hist0 = cust.filter(col("c_custkey") % 50 === 0)
+        .withColumn("c_mktsegment", lit("LEGACY"))
+        .withColumn("valid_from", lit(-100L))
+        .withColumn("valid_to", lit(0L))
+        .withColumn("is_current", lit(false))
+      val changes = cust.filter(col("c_custkey") % 40 === 0)
+        .withColumn("c_mktsegment", lit("MOVED"))
+        .unionByName(cust.filter(col("c_custkey") % 70 === 0).select(
+          (col("c_custkey") + 1000000).as("c_custkey"),
+          lit("BORN").as("c_mktsegment")))
+      Merge.scd2Apply(cur0.unionByName(hist0), changes,
+        "c_custkey", Seq("c_mktsegment"), batchTs = 100L)
+        .orderBy("c_custkey", "valid_from", "is_current")
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+           |cur0 AS (SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+           |                CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current FROM base),
+           |hist0 AS (SELECT c_custkey, 'LEGACY', CAST(-100 AS BIGINT), CAST(0 AS BIGINT), FALSE
+           |          FROM base WHERE c_custkey % 50 = 0),
+           |dim AS (SELECT * FROM cur0 UNION ALL SELECT * FROM hist0),
+           |changes AS (SELECT c_custkey, 'MOVED' AS seg FROM base WHERE c_custkey % 40 = 0
+           |            UNION ALL
+           |            SELECT c_custkey + 1000000, 'BORN' FROM base WHERE c_custkey % 70 = 0),
+           |cur AS (SELECT * FROM dim WHERE is_current),
+           |hist AS (SELECT * FROM dim WHERE NOT is_current),
+           |changed AS (SELECT c.c_custkey, ch.seg FROM cur c
+           |            JOIN changes ch USING (c_custkey)
+           |            WHERE c.c_mktsegment IS DISTINCT FROM ch.seg),
+           |untouched AS (SELECT c.* FROM cur c
+           |              WHERE NOT EXISTS (SELECT 1 FROM changed x WHERE x.c_custkey = c.c_custkey)),
+           |closed AS (SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+           |                  CAST(100 AS BIGINT) AS valid_to, FALSE AS is_current
+           |           FROM cur c JOIN changed x USING (c_custkey)),
+           |newkeys AS (SELECT ch.c_custkey, ch.seg FROM changes ch
+           |            WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.c_custkey = ch.c_custkey)),
+           |inserts AS (SELECT c_custkey, seg AS c_mktsegment, CAST(100 AS BIGINT) AS valid_from,
+           |                   CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+           |            FROM (SELECT * FROM changed UNION ALL SELECT * FROM newkeys))
+           |SELECT * FROM hist UNION ALL SELECT * FROM untouched
+           |UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM inserts
+           |ORDER BY c_custkey, valid_from, is_current""".stripMargin))
+
+  // Z-order layout key: Morton-interleave (p_partkey, p_size) — the
+  // multi-dimensional clustering sort key, bit-reproducible in SQL.
+  private val zorder = Q(
+    "q_zorder_key",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"), col("p_size"),
+        Layout.mortonKey(col("p_partkey"), col("p_size"), 16).as("zkey"))
+        .orderBy("zkey", "p_partkey"),
+    Some(s"""SELECT p_partkey, p_size, ${Layout.mortonKeySql("p_partkey", "p_size", 16)} AS zkey
+            |FROM part ORDER BY zkey, p_partkey""".stripMargin))
+
+  // EWMA of event values per user (α=0.3) — the sequential recurrence,
+  // deterministic via (ts, event_id) sort and left-to-right folds on both
+  // engines (DuckDB list_reduce seeds with the first element, so the
+  // Spark fold seeds identically and folds the tail).
+  private val ewmaQ = Q(
+    "q_ewma",
+    (s, dir) =>
+      TimeOps.ewma(events(s, dir), "user_id", "ts", "value",
+        alpha = 0.3, tieBreak = "event_id")
+        .orderBy("user_id"),
+    Some("""SELECT user_id, n, round(list_reduce(vals, (a, b) -> 0.3 * b + 0.7 * a), 9) AS ewma
+           |FROM (SELECT user_id, CAST(len(list(value)) AS BIGINT) AS n,
+           |             list(value ORDER BY ts, event_id) AS vals
+           |      FROM events GROUP BY user_id)
+           |ORDER BY user_id""".stripMargin))
+
+  // Daily-count anomaly flags per event type: |z| > 1.5 vs the type's own
+  // daily distribution. Counts are integers, so Σc and Σc² are exact and
+  // the z formula is the same IEEE sequence on both engines.
+  private val eventsAnomaly = Q(
+    "q_events_anomaly",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = count(lit(1))
+      val s1 = sum(col("cnt"))
+      val s2 = sum(col("cnt") * col("cnt"))
+      val stats = daily.groupBy("event_type").agg(
+        n.as("n_days"), s1.as("s1"), s2.as("s2"))
+      val mean = col("s1").cast("double") / col("n_days")
+      val variance = col("s2").cast("double") / col("n_days") - mean * mean
+      daily.join(stats, "event_type")
+        .withColumn("z", round((col("cnt") - mean) / sqrt(variance), 9))
+        .filter(abs(col("z")) > 1.5)
+        .select("event_type", "day", "cnt", "z")
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |stats AS (
+           |  SELECT event_type, COUNT(*) AS n_days, SUM(cnt) AS s1, SUM(cnt * cnt) AS s2
+           |  FROM daily GROUP BY event_type)
+           |SELECT event_type, day, cnt,
+           |       round((cnt - CAST(s1 AS DOUBLE) / n_days) /
+           |             sqrt(CAST(s2 AS DOUBLE) / n_days -
+           |                  (CAST(s1 AS DOUBLE) / n_days) * (CAST(s1 AS DOUBLE) / n_days)), 9) AS z
+           |FROM daily JOIN stats USING (event_type)
+           |WHERE abs((cnt - CAST(s1 AS DOUBLE) / n_days) /
+           |          sqrt(CAST(s2 AS DOUBLE) / n_days -
+           |               (CAST(s1 AS DOUBLE) / n_days) * (CAST(s1 AS DOUBLE) / n_days))) > 1.5
+           |ORDER BY event_type, day""".stripMargin))
+
+  // Skewness/kurtosis from exact integer power sums (l_quantity is
+  // integer-valued, so Σq..Σq⁴ are exact longs — order-independent and
+  // engine-portable), then one identical double formula per engine
+  // (sqrt(v)*v instead of pow(v,1.5): sqrt is correctly rounded
+  // everywhere, libm pow is not).
+  private val statsMoments = Q(
+    "q_stats_moments",
+    (s, dir) => {
+      val x = col("l_quantity").cast("long")
+      val agg = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("s1"),
+        sum(x * x).cast("double").as("s2"),
+        sum(x * x * x).cast("double").as("s3"),
+        sum(x * x * x * x).cast("double").as("s4"))
+      val n = col("n").cast("double")
+      val m1 = col("s1") / n
+      val m2 = col("s2") / n - m1 * m1
+      val m3 = col("s3") / n - lit(3.0) * m1 * (col("s2") / n) + lit(2.0) * m1 * m1 * m1
+      val m4 = col("s4") / n - lit(4.0) * m1 * (col("s3") / n) +
+        lit(6.0) * m1 * m1 * (col("s2") / n) - lit(3.0) * m1 * m1 * m1 * m1
+      agg.select(
+        col("l_returnflag"), col("n"),
+        round(m1, 9).as("mean"),
+        round(m3 / (sqrt(m2) * m2), 9).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 9).as("kurtosis"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH sums AS (
+           |  SELECT l_returnflag, COUNT(*) AS n,
+           |    CAST(SUM(x) AS DOUBLE) AS s1, CAST(SUM(x*x) AS DOUBLE) AS s2,
+           |    CAST(SUM(x*x*x) AS DOUBLE) AS s3, CAST(SUM(x*x*x*x) AS DOUBLE) AS s4
+           |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem)
+           |  GROUP BY l_returnflag)
+           |SELECT l_returnflag, n,
+           |  round(s1/n, 9) AS mean,
+           |  round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n)) /
+           |        (sqrt(s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))), 9) AS skewness,
+           |  round((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+           |         - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n)) /
+           |        ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 9) AS kurtosis
+           |FROM sums ORDER BY l_returnflag""".stripMargin))
+
+  // Cross join (cartesian): the one join type not yet in the inventory —
+  // region × region distance grid.
+  private val crossJoin = Q(
+    "q_cross_join",
+    (s, dir) => {
+      val r1 = t(s, dir, "region").select(
+        col("r_regionkey").as("k1"), col("r_name").as("n1"))
+      val r2 = t(s, dir, "region").select(
+        col("r_regionkey").as("k2"), col("r_name").as("n2"))
+      r1.crossJoin(r2)
+        .select(col("k1"), col("k2"),
+          concat(col("n1"), lit("->"), col("n2")).as("route"))
+        .orderBy("k1", "k2")
+    },
+    Some("""SELECT a.r_regionkey AS k1, b.r_regionkey AS k2,
+           |       a.r_name || '->' || b.r_name AS route
+           |FROM region a CROSS JOIN region b ORDER BY k1, k2""".stripMargin))
+
+  val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, zorder, ewmaQ,
+    eventsAnomaly, statsMoments, crossJoin)
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  test("upsert replaces matched keys and appends unmatched ones") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val updates = Seq((2, "B"), (9, "Z")).toDF("k", "v")
+    val out = Merge.upsert(target, updates, "k")
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out === Array((1, "a"), (2, "B"), (3, "c"), (9, "Z")))
+  }
+
+  test("deleteMatching removes exactly the tombstoned keys") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val tombs = Seq(2, 2, 4).toDF("k")
+    val out = Merge.deleteMatching(target, tombs, "k")
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out === Array((1, "a"), (3, "c")))
+  }
+
+  test("scd2Apply closes changed rows, inserts new versions, is idempotent") {
+    val dim = Seq(
+      (1, "x", 0L, Option.empty[Long], true),
+      (2, "y", 0L, Option.empty[Long], true),
+      (2, "old", -5L, Some(0L), false) // pre-existing history
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val changes = Seq((1, "x2"), (2, "y"), (7, "new")).toDF("k", "attr")
+
+    val out = Merge.scd2Apply(dim, changes, "k", Seq("attr"), batchTs = 10L)
+    val rows = out.orderBy("k", "valid_from")
+      .as[(Int, String, Long, Option[Long], Boolean)].collect()
+    assert(rows === Array(
+      (1, "x", 0L, Some(10L), false),   // closed
+      (1, "x2", 10L, None, true),       // new version
+      (2, "old", -5L, Some(0L), false), // history untouched
+      (2, "y", 0L, None, true),         // same attrs -> untouched
+      (7, "new", 10L, None, true)))     // first version
+
+    // re-applying the same batch on the result changes nothing
+    val again = Merge.scd2Apply(out, changes, "k", Seq("attr"), batchTs = 20L)
+    assert(again.count() === out.count())
+    assert(again.exceptAll(out).count() === 0)
+  }
+
+  test("scd2Apply treats null attributes null-safely (no spurious close)") {
+    val dim = Seq((1, Option.empty[String], 0L, Option.empty[Long], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val changes = Seq((1, Option.empty[String])).toDF("k", "attr")
+    val out = Merge.scd2Apply(dim, changes, "k", Seq("attr"), 10L)
+    assert(out.count() === 1)
+    assert(out.filter(col("is_current")).count() === 1)
+  }
+}
