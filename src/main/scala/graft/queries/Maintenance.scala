@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Layout, Merge, TimeOps}
+import graft.ops.{IncrementalAgg, Layout, Merge, TimeOps}
 import QueryUtil._
 
 /**
@@ -242,6 +242,59 @@ object Maintenance {
            |       a.r_name || '->' || b.r_name AS route
            |FROM region a CROSS JOIN region b ORDER BY k1, k2""".stripMargin))
 
+  // Incremental rollup maintenance: state from pre-1997 orders, 1997+
+  // folded in as the delta — the oracle is the FULL recompute, so the
+  // hash match proves ⊕-merge refresh ≡ rebuild, bit for bit.
+  private val incrRollup = Q(
+    "q_incr_rollup",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      val hist = orders.filter(col("o_orderdate") < lit("1997-01-01"))
+      val delta = orders.filter(col("o_orderdate") >= lit("1997-01-01"))
+      val state = IncrementalAgg.buildState(hist, keys, "o_totalprice")
+      val refreshed = IncrementalAgg.refresh(state, delta, keys, "o_totalprice")
+      IncrementalAgg.serve(refreshed, keys)
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           |  COUNT(o_totalprice) AS cnt,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_v,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_totalprice) AS avg_v,
+           |  MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+           |FROM orders GROUP BY 1, 2
+           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
+
+  // TPC-H Q2 shape: correlated scalar-min subquery (argmin join) —
+  // Catalyst decorrelates into an aggregate + join; DuckDB does the same.
+  private val argminSupplier = Q(
+    "q_argmin_supplier",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_v")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT p.p_partkey, s.s_name, l.l_extendedprice AS best_price,
+              |       l.l_orderkey, l.l_linenumber
+              |FROM part_v p
+              |JOIN lineitem_v l ON l.l_partkey = p.p_partkey
+              |JOIN supplier_v s ON l.l_suppkey = s.s_suppkey
+              |WHERE p.p_size >= 45
+              |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+              |                           FROM lineitem_v l2
+              |                           WHERE l2.l_partkey = p.p_partkey)
+              |ORDER BY p_partkey, s_name, l_orderkey, l_linenumber, best_price""".stripMargin)
+    },
+    Some("""SELECT p.p_partkey, s.s_name, l.l_extendedprice AS best_price,
+           |       l.l_orderkey, l.l_linenumber
+           |FROM part p
+           |JOIN lineitem l ON l.l_partkey = p.p_partkey
+           |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |WHERE p.p_size >= 45
+           |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+           |                           FROM lineitem l2
+           |                           WHERE l2.l_partkey = p.p_partkey)
+           |ORDER BY p_partkey, s_name, l_orderkey, l_linenumber, best_price""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, zorder, ewmaQ,
-    eventsAnomaly, statsMoments, crossJoin)
+    eventsAnomaly, statsMoments, crossJoin, incrRollup, argminSupplier)
 }

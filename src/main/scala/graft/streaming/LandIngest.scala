@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Streaming ingest of the land zone — the Structured-Streaming twin of
+ * the reference's cron-driven extract→validate→promote loop
+ * (write_data_to_land.py + test_data.py + the weekly Airflow schedule,
+ * SURVEY §2.1 O5-O10/O23): a file-source stream watches the land
+ * directory, each discovered batch passes the reference's row-count gate,
+ * and validated data lands append-only in the raw-hist zone.
+ *
+ * `Trigger.AvailableNow` turns the stream into exactly the reference's
+ * cadence — each invocation drains everything new and stops — while the
+ * checkpoint gives what the reference's copy-then-delete protocol only
+ * approximates: exactly-once promotion across restarts, no re-reads, no
+ * lost files, and late-arriving land files are picked up by the next run
+ * with zero bookkeeping code.
+ *
+ * At scale the file-source's own listing state (spark.sql.streaming.
+ * fileSource.log) replaces the reference's full-prefix S3 listing per
+ * run — discovery cost is proportional to NEW files, not corpus size.
+ */
+object LandIngest {
+
+  /**
+   * Drain all currently-available land-zone JSONL into raw-hist parquet.
+   * Each micro-batch must clear `minRows` (the reference's ≥100-row gate,
+   * test_data.py:33-35) or the run fails before anything is promoted —
+   * the fail-fast contract of the reference's validate stage.
+   *
+   * Blocks until the drain completes; re-invoking after new files land
+   * ingests only the new ones (checkpoint-tracked).
+   */
+  def drainLandZone(
+      spark: SparkSession,
+      landDir: String,
+      schema: StructType,
+      rawHistDir: String,
+      checkpointDir: String,
+      minRows: Long = 100L): Unit = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1000")
+      .json(landDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = batch.count()
+        if (n > 0 && n < minRows)
+          throw new IllegalStateException(
+            s"batch $batchId failed validation: $n rows < $minRows (reference gate)")
+        if (n > 0)
+          batch.write.mode("append").parquet(rawHistDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class LandIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  private def writeJsonl(dir: Path, file: String, ids: Range): Unit = {
+    val lines = ids.map(i => s"""{"id":$i,"name":"row$i"}""").mkString("\n")
+    Files.write(dir.resolve(file), lines.getBytes("UTF-8"))
+  }
+
+  test("AvailableNow drain promotes once, and only new files on re-run") {
+    val base = Files.createTempDirectory("land_ingest")
+    val land = Files.createDirectory(base.resolve("land"))
+    val raw = base.resolve("raw").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    writeJsonl(land, "batch1.jsonl", 0 until 150)
+    LandIngest.drainLandZone(spark, land.toString, schema, raw, ckpt, minRows = 100)
+    assert(spark.read.parquet(raw).count() === 150)
+
+    // re-run with nothing new: no duplicates (checkpointed exactly-once)
+    LandIngest.drainLandZone(spark, land.toString, schema, raw, ckpt, minRows = 100)
+    assert(spark.read.parquet(raw).count() === 150)
+
+    // late-arriving land file: only the delta is promoted
+    writeJsonl(land, "batch2.jsonl", 1000 until 1120)
+    LandIngest.drainLandZone(spark, land.toString, schema, raw, ckpt, minRows = 100)
+    val out = spark.read.parquet(raw)
+    assert(out.count() === 270)
+    assert(out.select("id").distinct().count() === 270)
+  }
+
+  test("a batch below the row-count gate fails the run before promotion") {
+    val base = Files.createTempDirectory("land_ingest_gate")
+    val land = Files.createDirectory(base.resolve("land"))
+    val raw = base.resolve("raw").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    writeJsonl(land, "small.jsonl", 0 until 10)
+    val e = intercept[Exception] {
+      LandIngest.drainLandZone(spark, land.toString, schema, raw, ckpt, minRows = 100)
+    }
+    assert(e.getMessage != null)
+    assert(!Files.exists(base.resolve("raw")) ||
+      spark.read.parquet(raw).count() === 0)
+  }
+}
