@@ -123,6 +123,57 @@ object TableIO {
       .format(format)
       .save(path)
 
+  /** CSV scan with declared schema (never inferSchema at scale — inference
+    * is a full extra pass over the data) and the header/permissive options
+    * an edge-zone ingest needs. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** CSV sink (header on, so the file round-trips through readCsv). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      delimiter: String = ","): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** ORC scan/sink — the other columnar format a lake ingests from. */
+  def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /**
+   * Small-file compaction: rewrite a parquet directory into
+   * ceil(bytes/targetFileBytes) files. The many-tiny-files shape is the
+   * chronic failure mode of micro-batch ingest (the reference's ≤1 GB
+   * guidance, README.md:655-657, is the same concern from the other side):
+   * at 100 TB, scan parallelism and S3 listing both degrade with file
+   * count, so zones get compacted on a schedule. Writes to a fresh
+   * directory and swaps via promote-style rename — readers never observe
+   * a half-compacted zone (the reference's read-write-overlap rule,
+   * README.md:619-637).
+   */
+  def compactDir(spark: SparkSession, dir: String, targetFileBytes: Long): Long = {
+    val (fsys, p) = fs(spark, dir)
+    val bytes = fsys.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new Path(p.getParent, s".${p.getName}.compact.old")
+    if (fsys.exists(bak)) fsys.delete(bak, true)
+    fsys.rename(p, bak)
+    fsys.rename(tmp, p)
+    fsys.delete(bak, true)
+    nFiles.toLong
+  }
+
   /** Bucketed + sorted managed table: co-locates and pre-sorts rows by the
     * join/agg key so later equi-joins between two tables bucketed on the
     * same key run with NO shuffle and NO sort — the physical-layout

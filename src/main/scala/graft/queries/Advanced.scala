@@ -317,8 +317,58 @@ object Advanced {
         .orderBy("l_returnflag"),
     None)
 
+  // Recursive CTE (Spark 4 WITH RECURSIVE): walk the +5 key chain inside
+  // each region's nation block — linear recursion resolved by the engine's
+  // iterative union, same construct on both engines.
+  private val recursiveCte = Q(
+    "q_recursive_cte",
+    (s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""WITH RECURSIVE chain(nkey, depth) AS (
+              |  SELECT n_nationkey, 0 FROM nation_v WHERE n_nationkey < 5
+              |  UNION ALL
+              |  SELECT c.nkey + 5, c.depth + 1 FROM chain c WHERE c.nkey + 5 < 25
+              |)
+              |SELECT c.nkey, c.depth, n.n_name
+              |FROM chain c JOIN nation_v n ON n.n_nationkey = c.nkey
+              |ORDER BY nkey, depth""".stripMargin)
+    },
+    Some("""WITH RECURSIVE chain(nkey, depth) AS (
+           |  SELECT n_nationkey, 0 FROM nation WHERE n_nationkey < 5
+           |  UNION ALL
+           |  SELECT c.nkey + 5, c.depth + 1 FROM chain c WHERE c.nkey + 5 < 25
+           |)
+           |SELECT c.nkey, c.depth, n.n_name
+           |FROM chain c JOIN nation n ON n.n_nationkey = c.nkey
+           |ORDER BY nkey, depth""".stripMargin))
+
+  // LATERAL correlated subquery: per-customer top-2 orders by price —
+  // the "apply" join shape (per-row dependent subplan) both engines
+  // de-correlate into a ranked join.
+  private val lateralTop2 = Q(
+    "q_lateral",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+              |FROM customer_v c,
+              |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v
+              |         WHERE o_custkey = c.c_custkey
+              |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+              |WHERE c.c_custkey <= 200
+              |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    },
+    Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           |FROM customer c,
+           |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+           |         WHERE o_custkey = c.c_custkey
+           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+           |WHERE c.c_custkey <= 200
+           |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
     asofJoin, asofForward, eventsSessions, eventsSliding, eventsFunnel,
-    eventSequences, variantExtract, eventsSessionWindow, approxDistinct)
+    eventSequences, variantExtract, eventsSessionWindow, approxDistinct,
+    recursiveCte, lateralTop2)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{IncrementalAgg, Layout, Merge, TimeOps}
@@ -295,6 +296,54 @@ object Maintenance {
            |                           WHERE l2.l_partkey = p.p_partkey)
            |ORDER BY p_partkey, s_name, l_orderkey, l_linenumber, best_price""".stripMargin))
 
+  // Time-series resampling: daily grid per order status (sequence explode)
+  // left-joined to observed revenue, gaps forward-filled with a running
+  // last(ignoreNulls) window — the resample→ffill pipeline every
+  // time-series mart runs after ingest.
+  private val resampleFfill = Q(
+    "q_resample_ffill",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val daily = orders
+        .groupBy(col("o_orderstatus"), to_date(col("o_orderdate")).as("day"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val bounds = orders.agg(
+        to_date(min(col("o_orderdate"))).as("lo"),
+        to_date(max(col("o_orderdate"))).as("hi"))
+      val grid = orders.select("o_orderstatus").distinct()
+        .crossJoin(bounds)
+        .select(col("o_orderstatus"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("o_orderstatus").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("o_orderstatus", "day"), "left")
+        .withColumn("rev_ffill",
+          coalesce(last(col("rev"), ignoreNulls = true).over(w), lit(0.0)))
+        .withColumn("observed", col("rev").isNotNull)
+        .select("o_orderstatus", "day", "rev_ffill", "observed")
+        .orderBy("o_orderstatus", "day")
+    },
+    Some(s"""WITH daily AS (
+            |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS day,
+            |         ${oSum("o_totalprice")} AS rev
+            |  FROM orders GROUP BY 1, 2),
+            |bounds AS (
+            |  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+            |         CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+            |grid AS (
+            |  SELECT s.o_orderstatus,
+            |         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+            |  FROM (SELECT DISTINCT o_orderstatus FROM orders) s CROSS JOIN bounds)
+            |SELECT g.o_orderstatus, g.day,
+            |  coalesce(last_value(d.rev IGNORE NULLS) OVER (
+            |    PARTITION BY g.o_orderstatus ORDER BY g.day
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS rev_ffill,
+            |  d.rev IS NOT NULL AS observed
+            |FROM grid g LEFT JOIN daily d
+            |  ON d.o_orderstatus = g.o_orderstatus AND d.day = g.day
+            |ORDER BY g.o_orderstatus, g.day""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, zorder, ewmaQ,
-    eventsAnomaly, statsMoments, crossJoin, incrRollup, argminSupplier)
+    eventsAnomaly, statsMoments, crossJoin, incrRollup, argminSupplier,
+    resampleFfill)
 }

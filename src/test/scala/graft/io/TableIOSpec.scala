@@ -47,6 +47,38 @@ class TableIOSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("p1", 1), ("p2", 99)))
   }
 
+  test("csv round-trips with declared schema, header, custom delimiter") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv").toString + "/t"
+    val df = Seq((1L, "a|x", 1.5), (2L, "b", -0.25)).toDF("id", "s", "v")
+    TableIO.writeCsv(df, dir, header = true, delimiter = ";")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val back = TableIO.readCsv(spark, dir, schema, header = true, delimiter = ";")
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("orc round-trips") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    TableIO.writeOrc(df, dir)
+    assert(TableIO.readOrc(spark, dir).orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("compactDir shrinks a many-tiny-files zone without changing its rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(50).write.parquet(dir) // 50 tiny files
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 50)
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    TableIO.compactDir(spark, dir, targetFileBytes = 1L << 30)
+    assert(parquetFiles <= 2, s"still $parquetFiles files")
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
+  }
+
   test("quarantine read splits malformed jsonl lines from good rows") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("quarantine").toString
