@@ -343,7 +343,36 @@ object Maintenance {
             |  ON d.o_orderstatus = g.o_orderstatus AND d.day = g.day
             |ORDER BY g.o_orderstatus, g.day""".stripMargin))
 
+  // Three-valued-logic torture: NOT IN against a subquery list is only
+  // TRUE when no member matches AND the list is null-free — one NULL makes
+  // every non-member UNKNOWN, so the withnull branch returns nothing once
+  // a >450k order exists. Both engines must agree branch by branch.
+  private val notInNull = Q(
+    "q_not_in_null",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT 'nullfree' AS variant, c_custkey FROM customer_v
+              |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v
+              |                        WHERE o_totalprice > 400000 AND o_custkey IS NOT NULL)
+              |UNION ALL
+              |SELECT 'withnull' AS variant, c_custkey FROM customer_v
+              |WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 450000 THEN NULL
+              |                                    ELSE o_custkey END
+              |                        FROM orders_v WHERE o_totalprice > 400000)
+              |ORDER BY variant, c_custkey""".stripMargin)
+    },
+    Some("""SELECT 'nullfree' AS variant, c_custkey FROM customer
+           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+           |                        WHERE o_totalprice > 400000 AND o_custkey IS NOT NULL)
+           |UNION ALL
+           |SELECT 'withnull' AS variant, c_custkey FROM customer
+           |WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 450000 THEN NULL
+           |                                    ELSE o_custkey END
+           |                        FROM orders WHERE o_totalprice > 400000)
+           |ORDER BY variant, c_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, zorder, ewmaQ,
     eventsAnomaly, statsMoments, crossJoin, incrRollup, argminSupplier,
-    resampleFfill)
+    resampleFfill, notInNull)
 }

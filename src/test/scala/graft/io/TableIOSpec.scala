@@ -79,6 +79,17 @@ class TableIOSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before)
   }
 
+  test("schema evolution: mergeSchema unions evolving partition schemas") {
+    val base = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "a").write.parquet(s"$base/land_ts=1")
+    Seq((2L, "b", 9.5)).toDF("id", "a", "score").write.parquet(s"$base/land_ts=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.sorted.toSeq == Seq("a", "id", "land_ts", "score"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), Option(r.getAs[Any]("score"))))
+    assert(rows.toSeq == Seq((1L, None), (2L, Some(9.5)))) // old rows null-fill
+  }
+
   test("quarantine read splits malformed jsonl lines from good rows") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("quarantine").toString

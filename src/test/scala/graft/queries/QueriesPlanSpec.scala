@@ -73,6 +73,47 @@ class QueriesPlanSpec extends AnyFunSuite {
     assert(total > 0.15 * 25 && total <= 25.0 + 1e-6, s"total=$total")
   }
 
+  test("merge upsert plans an anti join (target scanned once, never windowed)") {
+    val plan = SparkEntry.queries("q_merge_upsert")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("correlated argmin decorrelates to an aggregate join, not a per-row loop") {
+    val plan = SparkEntry.queries("q_argmin_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashAggregate"), plan) // the decorrelated min
+  }
+
+  test("selective dim filter injects a runtime bloom filter into the fact scan") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force a shuffle join (bloom filters only help non-broadcast joins)
+      // and drop the size thresholds to fixture scale
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000)
+      val joined = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("no query plans a cartesian product except deliberate tiny cross joins") {
     val allowed = Set("q_simsearch_ivf", "q_text_tfidf") // broadcast single-row / centroid frames
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
