@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{IncrementalAgg, Layout, Merge, TimeOps}
+import graft.ops.{ApproxDistinct, IncrementalAgg, Layout, Merge, TimeOps}
 import QueryUtil._
 
 /**
@@ -372,7 +372,25 @@ object Maintenance {
            |                        FROM orders WHERE o_totalprice > 400000)
            |ORDER BY variant, c_custkey""".stripMargin))
 
+  // Mergeable HLL sketch state: distinct users per event type, state
+  // built from half the log and refreshed with the other half — serving
+  // estimates identical to a single-pass build (union = register max).
+  // Rows-only: sketch registers aren't portable across engines.
+  private val distinctSketch = Q(
+    "q_distinct_sketch",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val keys = Seq("event_type")
+      val hist = ev.filter(col("event_id") % 2 === 0)
+      val delta = ev.filter(col("event_id") % 2 =!= 0)
+      val state = ApproxDistinct.buildState(hist, keys, "user_id")
+      ApproxDistinct.serve(
+        ApproxDistinct.refresh(state, delta, keys, "user_id"), keys)
+        .orderBy("event_type")
+    },
+    None)
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, zorder, ewmaQ,
     eventsAnomaly, statsMoments, crossJoin, incrRollup, argminSupplier,
-    resampleFfill, notInNull)
+    resampleFfill, notInNull, distinctSketch)
 }

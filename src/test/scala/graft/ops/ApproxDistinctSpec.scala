@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ApproxDistinctSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private lazy val data = (1 to 20000)
+    .map(i => (i % 4, s"user_${i % 1777}")).toDF("k", "v")
+
+  test("sketch refresh over any split tracks the rebuild within error bounds") {
+    val full = ApproxDistinct.serve(
+      ApproxDistinct.buildState(data, Seq("k"), "v"), Seq("k"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+
+    // HLL mode promotion (sparse->dense) is history-dependent, so a split
+    // build is NOT bit-identical to a single pass — but it must stay
+    // within a fraction of a percent, and set-union idempotency must hold
+    val splits = Seq(
+      (data.filter(col("v").substr(6, 1) < "5"), data.filter(col("v").substr(6, 1) >= "5")),
+      (data.limit(0), data))
+    splits.foreach { case (hist, delta) =>
+      val got = ApproxDistinct.serve(
+        ApproxDistinct.refresh(
+          ApproxDistinct.buildState(hist, Seq("k"), "v"),
+          delta, Seq("k"), "v"),
+        Seq("k")).orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1)))
+      got.foreach { case (k, e) =>
+        assert(math.abs(e - full(k)).toDouble / full(k) < 0.01, s"k=$k $e vs ${full(k)}")
+      }
+    }
+
+    // idempotent in set semantics: re-delivering the whole dataset as a
+    // delta cannot inflate the estimate beyond sketch error
+    val redelivered = ApproxDistinct.serve(
+      ApproxDistinct.refresh(
+        ApproxDistinct.buildState(data, Seq("k"), "v"),
+        data, Seq("k"), "v"),
+      Seq("k")).orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1)))
+    redelivered.foreach { case (k, e) =>
+      assert(math.abs(e - full(k)).toDouble / full(k) < 0.01, s"k=$k $e vs ${full(k)}")
+    }
+
+    // determinism for a FIXED split: same refresh twice -> same estimates
+    def runOnce() = ApproxDistinct.serve(
+      ApproxDistinct.refresh(
+        ApproxDistinct.buildState(data.filter(col("k") =!= 0), Seq("k"), "v"),
+        data.filter(col("k") === 0), Seq("k"), "v"),
+      Seq("k")).orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(runOnce() === runOnce())
+  }
+
+  test("estimates land within 2% of exact; rollup unions without rescan") {
+    val exact = data.groupBy("k").agg(countDistinct("v").as("d"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val est = ApproxDistinct.serve(
+      ApproxDistinct.buildState(data, Seq("k"), "v"), Seq("k"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)).toDouble / exact(k) < 0.02, s"k=$k e=$e exact=${exact(k)}")
+    }
+
+    // day->total style rollup: union the 4 per-k sketches into one
+    val state = ApproxDistinct.buildState(data.withColumn("all", lit(1)), Seq("k", "all"), "v")
+    val total = ApproxDistinct.serve(
+      ApproxDistinct.rollup(state, Seq("all")), Seq("all"))
+      .collect().head.getLong(1)
+    val exactTotal = data.select(countDistinct("v")).collect().head.getLong(0)
+    assert(math.abs(total - exactTotal).toDouble / exactTotal < 0.02, s"$total vs $exactTotal")
+  }
+}
