@@ -182,6 +182,111 @@ object Analytics {
            |      FROM customer)
            |WHERE rn <= 3 ORDER BY c_nationkey, rank""".stripMargin))
 
+  /** Read events with the nanos→long legacy conf (TIMESTAMP(NANOS) fixture). */
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  // Cohort retention: users grouped by first-activity day, counted as
+  // active per day-offset — the product-analytics retention triangle.
+  // Two shuffles total (per-user min, then distinct per cell).
+  private val cohortRetention = Q(
+    "q_cohort_retention",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ev.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+           |cohorts AS (
+           |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+           |SELECT cohort_day, day - cohort_day AS day_offset,
+           |       COUNT(DISTINCT user_id) AS active_users
+           |FROM ev JOIN cohorts USING (user_id)
+           |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin))
+
+  // First-touch / last-touch attribution: the earliest and latest
+  // non-purchase event type before each user's first purchase, counted as
+  // acquisition paths. Windows ordered (ts, event_id) for determinism.
+  private val attribution = Q(
+    "q_attribution",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts"), col("event_type"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("fp_ts"))
+      val pre = ev.join(firstPurchase, "user_id")
+        .filter(col("ts") < col("fp_ts") && col("event_type") =!= "purchase")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val touched = pre
+        .withColumn("first_touch", first(col("event_type")).over(w))
+        .withColumn("last_touch", last(col("event_type")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .select("user_id", "first_touch", "last_touch").distinct()
+      touched.groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("first_touch", "last_touch")
+    },
+    Some("""WITH fp AS (
+           |  SELECT user_id, MIN(ts) AS fp_ts FROM events
+           |  WHERE event_type = 'purchase' GROUP BY user_id),
+           |pre AS (
+           |  SELECT e.user_id, e.event_type, e.ts, e.event_id
+           |  FROM events e JOIN fp USING (user_id)
+           |  WHERE e.ts < fp.fp_ts AND e.event_type <> 'purchase'),
+           |touched AS (
+           |  SELECT DISTINCT user_id,
+           |    first_value(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS first_touch,
+           |    last_value(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_touch
+           |  FROM pre)
+           |SELECT first_touch, last_touch, COUNT(*) AS n_users
+           |FROM touched GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin))
+
+  // Share-of-total: each nation's revenue share within its region. The
+  // window total stays DECIMAL (order-independent) until the final
+  // double division — a float window sum would be partition-order-
+  // dependent and break the hash.
+  private val shareOfTotal = Q(
+    "q_share_of_total",
+    (s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+      rev
+        .withColumn("share",
+          round(col("rev_dec").cast(DoubleType) / sum(col("rev_dec")).over(w).cast(DoubleType), 9))
+        .select(col("r_name"), col("n_name"),
+          col("rev_dec").cast(DoubleType).as("rev"), col("share"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""WITH rev AS (
+           |  SELECT r_name, n_name,
+           |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+           |  FROM orders
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |  GROUP BY r_name, n_name)
+           |SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS rev,
+           |       round(CAST(rev_dec AS DOUBLE) /
+           |             CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE), 9) AS share
+           |FROM rev ORDER BY r_name, n_name""".stripMargin))
+
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
-    rangeJoinBinned, topkHeap)
+    rangeJoinBinned, topkHeap, cohortRetention, attribution, shareOfTotal)
 }
