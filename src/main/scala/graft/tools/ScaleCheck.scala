@@ -51,8 +51,10 @@ object ScaleCheck {
       replicate("lineitem", Seq("l_orderkey"))
       replicate("orders", Seq("o_orderkey"))
       replicate("customer", Seq("c_custkey"))
+      // 10x event density in the same time window (user population also 10x)
+      replicate("events", Seq("event_id", "user_id"))
       // dimension/base tables the query surface also reads: copied verbatim
-      Seq("region", "nation", "supplier", "part", "events").foreach { tbl =>
+      Seq("region", "nation", "supplier", "part").foreach { tbl =>
         spark.read.parquet(s"$base/$tbl.parquet")
           .write.mode("overwrite").parquet(s"$big/$tbl.parquet")
       }
@@ -66,7 +68,9 @@ object ScaleCheck {
       "q1_agg", "q_join_inner", "q_window_rank", "q_topk_heap",
       "q_text_tfidf", "q_histogram",
       "q_pack_global", "q_interleave_mix", "q_vocab_build",
-      "q_corpus_clean", "q_join_five", "q_graph_pagerank")
+      "q_corpus_clean", "q_join_five", "q_graph_pagerank",
+      "q_merge_upsert", "q_scd2", "q_incr_rollup", "q_resample_ffill",
+      "q_ewma", "q_cohort_retention", "q_distinct_sketch")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

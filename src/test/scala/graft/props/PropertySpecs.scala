@@ -148,3 +148,56 @@ object AsofProps extends Properties("asof") {
     }
   }
 }
+
+object MaintenanceProps extends Properties("maintenance") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  val kvGen: Gen[List[(Int, Int)]] = Gen.choose(0, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.zip(Gen.choose(0, 6), Gen.choose(-100, 100))))
+
+  property("upsert is idempotent and matches the scalar map-update reference") = {
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    forAll(kvGen, kvGen) { (target0, updates0) =>
+      // key-unique sides (the operator's documented contract)
+      val target = target0.groupBy(_._1).map(_._2.head).toList
+      val updates = updates0.groupBy(_._1).map(_._2.head).toList
+      val t = target.toDF("k", "v")
+      val u = updates.toDF("k", "v")
+      val once = graft.ops.Merge.upsert(t, u, "k")
+      val got = once.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val ref = target.toMap ++ updates.toMap
+      val twice = graft.ops.Merge.upsert(once, u, "k")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      got == ref && twice == ref
+    }
+  }
+
+  property("ewma lies within [min, max] of its series and matches a scalar fold") = {
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    forAll(Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50.0, 50.0)))) { vals =>
+      val rows = vals.zipWithIndex.map { case (v, i) => (1, i.toLong, i.toLong, v) }
+      val df = rows.toDF("k", "eid", "ts", "v")
+      val got = graft.ops.TimeOps.ewma(df, "k", "ts", "v", 0.25, "eid")
+        .collect().head.getDouble(2)
+      val ref = vals.tail.foldLeft(vals.head)((acc, x) => 0.25 * x + 0.75 * acc)
+      val rounded = BigDecimal(ref).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.abs(got - rounded) < 1e-9 &&
+        got >= vals.min - 1e-9 && got <= vals.max + 1e-9
+    }
+  }
+
+  property("morton key round-trips: de-interleaving recovers both inputs") =
+    forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (a, b) =>
+      val z = (0 until 16).foldLeft(0L) { (acc, j) =>
+        acc | (((a >> j) & 1L) << (2 * j)) | (((b >> j) & 1L) << (2 * j + 1))
+      }
+      val backA = (0 until 16).foldLeft(0L)((acc, j) => acc | (((z >> (2 * j)) & 1L) << j))
+      val backB = (0 until 16).foldLeft(0L)((acc, j) => acc | (((z >> (2 * j + 1)) & 1L) << j))
+      backA == a && backB == b
+    }
+}
