@@ -50,4 +50,23 @@ object ApproxDistinct {
   def rollup(state: DataFrame, coarserKeys: Seq[String]): DataFrame =
     state.groupBy(coarserKeys.map(col): _*)
       .agg(expr("hll_union_agg(sk)").as("sk"))
+
+  /**
+   * EXACT distinct count of a long column via mergeable roaring-style
+   * bitmaps (`bitmap_construct_agg`) — the middle ground between
+   * `countDistinct` and HLL: the two-level (group, bucket) aggregation
+   * shuffles one ≤4 KB bitmap per 32768-value bucket instead of every
+   * distinct value, the bitmap union is exact (so this CAN be oracled
+   * against `COUNT(DISTINCT)` — see q_bitmap_distinct), and buckets make
+   * it dense-domain-proof: memory ∝ occupied buckets. The right tool when
+   * ids are integers and the count must be exact; HLL when a % error buys
+   * a 100× smaller state.
+   */
+  def exactDistinctBitmap(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val buckets = df
+      .groupBy((keys.map(col) :+ expr(s"bitmap_bucket_number($valueCol)").as("__bkt")): _*)
+      .agg(expr(s"bitmap_construct_agg(bitmap_bit_position($valueCol))").as("__bm"))
+    buckets.groupBy(keys.map(col): _*)
+      .agg(sum(expr("bitmap_count(__bm)")).as("exact_distinct"))
+  }
 }

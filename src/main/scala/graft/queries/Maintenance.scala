@@ -390,7 +390,18 @@ object Maintenance {
     },
     None)
 
+  // Exact distinct users per event type via mergeable bitmaps — the
+  // bitmap union is exact, so unlike the HLL sketch this hash-matches a
+  // plain COUNT(DISTINCT) oracle while shuffling bitmaps, not values.
+  private val bitmapDistinct = Q(
+    "q_bitmap_distinct",
+    (s, dir) =>
+      ApproxDistinct.exactDistinctBitmap(events(s, dir), Seq("event_type"), "user_id")
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, zorder, ewmaQ,
     eventsAnomaly, statsMoments, crossJoin, incrRollup, argminSupplier,
-    resampleFfill, notInNull, distinctSketch)
+    resampleFfill, notInNull, distinctSketch, bitmapDistinct)
 }
