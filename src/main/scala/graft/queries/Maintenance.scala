@@ -401,7 +401,43 @@ object Maintenance {
     Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  // OLS regression (price on quantity per return flag) from exact decimal
+  // sums Σx Σy Σxy Σx² — order-independent inputs, one identical IEEE
+  // formula per engine, 9 dp cut.
+  private val regression = Q(
+    "q_regr",
+    (s, dir) => {
+      val x = col("l_quantity").cast("decimal(18,6)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val agg = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum((x * y).cast("decimal(28,6)")).cast("double").as("sxy"),
+        sum((x * x).cast("decimal(28,6)")).cast("double").as("sxx"))
+      val n = col("n").cast("double")
+      val slope = (col("sxy") - col("sx") * col("sy") / n) /
+        (col("sxx") - col("sx") * col("sx") / n)
+      agg.select(
+        col("l_returnflag"), col("n"),
+        round(slope, 9).as("slope"),
+        round(col("sy") / n - slope * (col("sx") / n), 9).as("intercept"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH sums AS (
+           |  SELECT l_returnflag, COUNT(*) AS n,
+           |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+           |    CAST(SUM(CAST(x*y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+           |    CAST(SUM(CAST(x*x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+           |  FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,6)) AS x,
+           |               CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem)
+           |  GROUP BY l_returnflag)
+           |SELECT l_returnflag, n,
+           |  round((sxy - sx*sy/n) / (sxx - sx*sx/n), 9) AS slope,
+           |  round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * (sx/n), 9) AS intercept
+           |FROM sums ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, zorder, ewmaQ,
     eventsAnomaly, statsMoments, crossJoin, incrRollup, argminSupplier,
-    resampleFfill, notInNull, distinctSketch, bitmapDistinct)
+    resampleFfill, notInNull, distinctSketch, bitmapDistinct, regression)
 }
