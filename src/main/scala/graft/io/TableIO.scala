@@ -155,9 +155,11 @@ object TableIO {
    * guidance, README.md:655-657, is the same concern from the other side):
    * at 100 TB, scan parallelism and S3 listing both degrade with file
    * count, so zones get compacted on a schedule. Writes to a fresh
-   * directory and swaps via promote-style rename — readers never observe
-   * a half-compacted zone (the reference's read-write-overlap rule,
-   * README.md:619-637).
+   * directory and swaps via two renames — a reader sees the old files or
+   * the new ones, never a mix; the instant between the renames is the
+   * residual race that table formats close with a manifest commit, which
+   * is why at 100 TB this op belongs inside a maintenance window (the
+   * reference's read-write-overlap rule, README.md:619-637).
    */
   def compactDir(spark: SparkSession, dir: String, targetFileBytes: Long): Long = {
     val (fsys, p) = fs(spark, dir)
