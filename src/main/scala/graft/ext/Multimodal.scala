@@ -109,4 +109,27 @@ object Multimodal {
         rows.map(r => Row(r.getLong(0), decoder.resize(r.getAs[Array[Byte]](1), w, h)))
       }, schema)
   }
+
+  /** Frame sampling: one payload row fans out to ⌈len/everyN⌉ frame rows —
+    * the shuffle-free explode that turns a video column into per-frame
+    * training examples (each frame then flows through extractFeatures /
+    * similarity ops like any image). `flatMap` inside `mapPartitions`
+    * keeps the real-codec init amortized per partition, and output size
+    * is bounded by the sampling stride, not the source frame rate. */
+  def sampleFramesAll(df: DataFrame, everyN: Int,
+      decoder: Decoder = StubDecoder): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame", BinaryType)))
+    df.sparkSession.createDataFrame(
+      df.select("media_id", "payload").rdd.mapPartitions { rows =>
+        // per-partition init point for a real demuxer
+        rows.flatMap { r =>
+          decoder.sampleFrames(r.getAs[Array[Byte]](1), everyN)
+            .iterator.zipWithIndex
+            .map { case (f, i) => Row(r.getLong(0), i, f) }
+        }
+      }, schema)
+  }
 }

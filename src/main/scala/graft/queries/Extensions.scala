@@ -336,6 +336,24 @@ object Extensions {
             |  FROM q JOIN c ON query_id <> neighbor_id)
             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  // Frame sampling: video payloads fan out to per-frame rows (stride 4 →
+  // 4 frames from the 16-byte stub payload); oracle reproduces the frame
+  // bytes as md5-hex substrings.
+  private val multimodalFrames = Q(
+    "q_multimodal_frames",
+    (s, dir) => {
+      val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id")
+        .filter(col("kind") === "video")
+      Multimodal.sampleFramesAll(media, everyN = 4)
+        .select(col("media_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""SELECT doc_id AS media_id, CAST(j AS INTEGER) AS frame_idx,
+           |  upper(substr(md5(CAST(doc_id AS VARCHAR)), 8*j + 1, 8)) AS frame_hex
+           |FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS j)
+           |WHERE doc_id % 3 = 2
+           |ORDER BY media_id, frame_idx""".stripMargin))
+
   // ---- dedup clustering + incremental dedup ------------------------------
 
   // Connected components over the exact-Jaccard pairs; the DuckDB oracle
@@ -564,5 +582,5 @@ object Extensions {
     embedCentroids,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textFilter, textScrub, corpusClean,
-    multimodalMeta, multimodalResize, multimodalEmbed)
+    multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames)
 }
