@@ -170,8 +170,15 @@ object TableIO {
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val bak = new Path(p.getParent, s".${p.getName}.compact.old")
     if (fsys.exists(bak)) fsys.delete(bak, true)
-    fsys.rename(p, bak)
-    fsys.rename(tmp, p)
+    // Hadoop FileSystem.rename reports failure by RETURNING false — check
+    // both renames, and roll the first back if the second fails, so the
+    // zone is never left missing while the caller sees success
+    if (!fsys.rename(p, bak))
+      throw new java.io.IOException(s"compactDir: rename $p -> $bak failed")
+    if (!fsys.rename(tmp, p)) {
+      fsys.rename(bak, p) // restore the original zone
+      throw new java.io.IOException(s"compactDir: rename $tmp -> $p failed (original restored)")
+    }
     fsys.delete(bak, true)
     nFiles.toLong
   }

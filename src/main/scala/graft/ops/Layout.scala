@@ -35,10 +35,14 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** The same key as SQL text (for oracle engines / EXPLAIN parity). */
+  /** The same key as SQL text (for oracle engines / EXPLAIN parity). The
+    * operands are cast to BIGINT like [[mortonKey]] casts to long — on a
+    * 32-bit column, `1 << 31` would otherwise overflow (error in DuckDB,
+    * silent negative wrap in Spark SQL) once bit 15 of `b` is populated. */
   def mortonKeySql(a: String, b: String, bits: Int = 16): String =
     (0 until bits).map { j =>
-      s"((($a >> $j) & 1) << ${2 * j}) | ((($b >> $j) & 1) << ${2 * j + 1})"
+      s"(((CAST($a AS BIGINT) >> $j) & 1) << ${2 * j})" +
+        s" | (((CAST($b AS BIGINT) >> $j) & 1) << ${2 * j + 1})"
     }.mkString("(", " | ", ")")
 
   /**

@@ -62,9 +62,13 @@ object Merge {
    *
    * The change detector compares the attribute columns as a struct —
    * null-safe, column-order-fixed — so adding attributes to the dimension
-   * automatically extends the comparison. One equi-join of current rows
-   * against the batch + one union; history rows are never joined, which is
-   * what keeps cost proportional to |current| + |batch|, not |history|.
+   * automatically extends the comparison. Two joins total — current⟕batch
+   * (the branches below all project from this ONE joined frame, so
+   * Spark's exchange reuse shares its shuffle across them) and a
+   * batch-anti-current for first-version keys; history rows are never
+   * joined, which is what keeps cost proportional to |current| + |batch|,
+   * not |history|. Callers folding very large batches repeatedly should
+   * persist `dim`'s current slice across applications.
    */
   def scd2Apply(
       dim: DataFrame,
@@ -79,27 +83,26 @@ object Merge {
       struct(attrs.map(col): _*).as("__new_attrs"))
 
     val curJoined = cur.join(ch, Seq(key), "left")
-    val sameAttrs = struct(attrs.map(col): _*) <=> col("__new_attrs")
+      .withColumn("__changed",
+        col("__new_attrs").isNotNull &&
+          !(struct(attrs.map(col): _*) <=> col("__new_attrs")))
 
     // current rows: untouched (no batch row, or identical attrs) vs closed
-    val untouched = curJoined
-      .filter(col("__new_attrs").isNull || sameAttrs)
-      .drop("__new_attrs")
-    val closed = curJoined
-      .filter(col("__new_attrs").isNotNull && !sameAttrs)
-      .drop("__new_attrs")
+    val untouched = curJoined.filter(!col("__changed"))
+      .drop("__new_attrs", "__changed")
+    val closed = curJoined.filter(col("__changed"))
+      .drop("__new_attrs", "__changed")
       .withColumn("valid_to", lit(batchTs))
       .withColumn("is_current", lit(false))
 
-    // inserts: changed keys (new version) + keys absent from the dimension
-    val changedKeys = curJoined
-      .filter(col("__new_attrs").isNotNull && !sameAttrs)
-      .select(col(key))
-    val newKeys = ch.select(col(key))
-      .join(cur.select(col(key)), Seq(key), "left_anti")
-    val insertKeys = changedKeys.unionByName(newKeys)
-    val inserts = changes.join(insertKeys, Seq(key), "left_semi")
-      .select(col(key) +: attrs.map(col): _*)
+    // new versions for changed keys: the attrs ride along in the joined
+    // frame's struct — no join back to the change batch
+    val insertsChanged = curJoined.filter(col("__changed"))
+      .select(col(key) +: attrs.map(a => col(s"__new_attrs.$a").as(a)): _*)
+    // first versions for keys the dimension has never seen
+    val insertsNew = ch.join(cur.select(col(key)), Seq(key), "left_anti")
+      .select(col(key) +: attrs.map(a => col(s"__new_attrs.$a").as(a)): _*)
+    val inserts = insertsChanged.unionByName(insertsNew)
       .withColumn("valid_from", lit(batchTs))
       .withColumn("valid_to", lit(null).cast("long"))
       .withColumn("is_current", lit(true))

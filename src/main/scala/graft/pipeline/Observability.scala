@@ -29,8 +29,19 @@ final case class ActionRecord(
 final class RunRecorder extends QueryExecutionListener {
   private val records = new ConcurrentLinkedQueue[ActionRecord]()
 
-  private def outputRows(qe: QueryExecution): Option[Long] =
-    qe.executedPlan.metrics.get("numOutputRows").map(_.value)
+  private def outputRows(qe: QueryExecution): Option[Long] = {
+    // the root is usually AdaptiveSparkPlanExec (empty metrics) or
+    // WholeStageCodegenExec (only pipelineTime) — unwrap AQE to its final
+    // plan, then take the TOPMOST node that actually carries the metric
+    val root = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    root.collectFirst {
+      case n if n.metrics.contains("numOutputRows") => n.metrics("numOutputRows").value
+    }
+  }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
     records.add(ActionRecord(funcName, durationNs, outputRows(qe), None))

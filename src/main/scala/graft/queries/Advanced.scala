@@ -13,11 +13,6 @@ import QueryUtil._
  */
 object Advanced {
 
-  /** Read events with the nanos→long legacy conf (TIMESTAMP(NANOS) fixture). */
-  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-  }
 
   private val groupingSets = Q(
     "q_grouping_sets",

@@ -182,11 +182,6 @@ object Analytics {
            |      FROM customer)
            |WHERE rn <= 3 ORDER BY c_nationkey, rank""".stripMargin))
 
-  /** Read events with the nanos→long legacy conf (TIMESTAMP(NANOS) fixture). */
-  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-  }
 
   // Cohort retention: users grouped by first-activity day, counted as
   // active per day-offset — the product-analytics retention triangle.

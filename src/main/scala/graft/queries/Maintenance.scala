@@ -17,11 +17,6 @@ import QueryUtil._
  */
 object Maintenance {
 
-  /** Read events with the nanos→long legacy conf (TIMESTAMP(NANOS) fixture). */
-  private def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-  }
 
   // MERGE upsert: customers ending in 00 get a new segment, every 250th
   // key (shifted out of range) is a fresh insert — the daily-change-batch

@@ -22,6 +22,14 @@ object QueryUtil {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events fixture carries TIMESTAMP(NANOS): read it with the
+    * nanos→long legacy conf so `ts` arrives as integer nanoseconds —
+    * the one shared reader every events query must go through. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+  }
+
   /** Exact decimal sum of a 2-dp double column, surfaced as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 

@@ -13,11 +13,13 @@ import org.apache.spark.sql.types.StructType
  * and validated data lands append-only in the raw-hist zone.
  *
  * `Trigger.AvailableNow` turns the stream into exactly the reference's
- * cadence — each invocation drains everything new and stops — while the
- * checkpoint gives what the reference's copy-then-delete protocol only
- * approximates: exactly-once promotion across restarts, no re-reads, no
- * lost files, and late-arriving land files are picked up by the next run
- * with zero bookkeeping code.
+ * cadence — each invocation drains everything new and stops. The
+ * checkpoint tracks which land files are consumed (no re-reads, no lost
+ * files, late arrivals picked up next run); `foreachBatch` itself is
+ * AT-LEAST-once on restart, so effective exactly-once comes from making
+ * the promotion idempotent — each batch overwrites its own
+ * `ingest_batch=<id>` partition, and a replayed batch rewrites the same
+ * partition instead of appending duplicates.
  *
  * At scale the file-source's own listing state (spark.sql.streaming.
  * fileSource.log) replaces the reference's full-prefix S3 listing per
@@ -49,12 +51,21 @@ object LandIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val n = batch.count()
-        if (n > 0 && n < minRows)
-          throw new IllegalStateException(
-            s"batch $batchId failed validation: $n rows < $minRows (reference gate)")
-        if (n > 0)
-          batch.write.mode("append").parquet(rawHistDir)
+        // persist: the gate count and the promotion write would otherwise
+        // each re-read and re-parse every JSON file in the batch
+        batch.persist()
+        try {
+          val n = batch.count()
+          if (n > 0 && n < minRows)
+            throw new IllegalStateException(
+              s"batch $batchId failed validation: $n rows < $minRows (reference gate)")
+          if (n > 0)
+            // idempotent promotion: a replayed batchId overwrites its own
+            // partition — foreachBatch is at-least-once, this makes the
+            // zone effectively exactly-once
+            batch.write.mode("overwrite")
+              .parquet(s"${rawHistDir.stripSuffix("/")}/ingest_batch=$batchId")
+        } finally batch.unpersist()
       }
       .start()
     q.awaitTermination()
