@@ -29,19 +29,26 @@ final case class ActionRecord(
 final class RunRecorder extends QueryExecutionListener {
   private val records = new ConcurrentLinkedQueue[ActionRecord]()
 
-  private def outputRows(qe: QueryExecution): Option[Long] = {
-    // the root is usually AdaptiveSparkPlanExec (empty metrics) or
-    // WholeStageCodegenExec (only pipelineTime) — unwrap AQE to its final
-    // plan, then take the TOPMOST node that actually carries the metric
-    val root = qe.executedPlan match {
+  // The executed plan's root is usually AdaptiveSparkPlanExec (empty
+  // metrics) whose final plan nests in QueryStageExec wrappers — and
+  // QueryStageExec is a LEAF in tree traversal, so collectFirst never
+  // descends into it. Recurse through both wrappers explicitly and take
+  // the topmost real node carrying numOutputRows.
+  private def findOutputRows(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] =
+    p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
+        findOutputRows(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        if (q.metrics.contains("numOutputRows")) Some(q.metrics("numOutputRows").value)
+        else findOutputRows(q.plan)
+      case n if n.metrics.contains("numOutputRows") =>
+        Some(n.metrics("numOutputRows").value)
+      case n =>
+        n.children.iterator.map(findOutputRows).collectFirst { case Some(v) => v }
     }
-    root.collectFirst {
-      case n if n.metrics.contains("numOutputRows") => n.metrics("numOutputRows").value
-    }
-  }
+
+  private def outputRows(qe: QueryExecution): Option[Long] =
+    findOutputRows(qe.executedPlan)
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
     records.add(ActionRecord(funcName, durationNs, outputRows(qe), None))

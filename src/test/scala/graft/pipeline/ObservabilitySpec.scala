@@ -30,6 +30,20 @@ class ObservabilitySpec extends AnyFunSuite {
     } finally Observability.detach(spark, rec)
   }
 
+  test("row counts survive AQE + whole-stage codegen (parquet aggregate)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val rec = Observability.attach(spark)
+    try {
+      val n = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/nation.parquet")
+        .filter($"n_regionkey" =!= 99).groupBy("n_regionkey").count().collect().length
+      val recs = awaitRecords(rec, 1)
+      val last = recs.last
+      assert(last.error.isEmpty)
+      assert(last.outputRows.contains(n.toLong),
+        s"expected Some($n), got ${last.outputRows} — AQE/codegen root metric lookup broken")
+    } finally Observability.detach(spark, rec)
+  }
+
   test("recorder is detachable and clearable") {
     val rec = Observability.attach(spark)
     Seq(1).toDF("x").collect()
