@@ -70,4 +70,56 @@ object LandIngest {
       .start()
     q.awaitTermination()
   }
+
+  /**
+   * Streaming dimension maintenance: drain a change-event stream into a
+   * keyed snapshot table by folding each micro-batch through
+   * [[graft.ops.Merge.upsert]] — the continuous form of the curated-zone
+   * MERGE. Each batch: read current snapshot, upsert the (key-deduped,
+   * last-writer-wins by `seqCol`) batch, overwrite the snapshot zone.
+   * Idempotent per batch — a foreachBatch replay recomputes the same
+   * snapshot, so at-least-once delivery still converges. The
+   * read-then-overwrite of the same path is safe here because the upsert
+   * materializes through `localCheckpoint` before the write (the A→A
+   * overwrite race the reference warns about, README.md:619-637).
+   *
+   * At scale the snapshot would live in a table format with real commits;
+   * the operator contract — batch ⊕ snapshot → snapshot, deduped by key,
+   * ordered by sequence — is exactly what that writer would run.
+   */
+  def upsertStream(
+      spark: SparkSession,
+      changesDir: String,
+      schema: StructType,
+      key: String,
+      seqCol: String,
+      snapshotDir: String,
+      checkpointDir: String): Unit = {
+    val stream = spark.readStream.schema(schema).json(changesDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.{col, row_number}
+        import org.apache.spark.sql.expressions.Window
+        // last writer wins within the batch: keep the max-seq row per key
+        val deduped = batch
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(key).orderBy(col(seqCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(snapshotDir),
+          spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(snapshotDir))
+        val merged =
+          if (exists)
+            graft.ops.Merge.upsert(spark.read.parquet(snapshotDir), deduped, key)
+          else deduped
+        // cut the lineage to the path being overwritten
+        merged.localCheckpoint(true)
+          .write.mode("overwrite").parquet(snapshotDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -114,6 +114,18 @@ class QueriesPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join strategy hints steer the planner (merge / shuffle_hash / broadcast)") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    def planWith(hint: String): String =
+      li.join(o.hint(hint), li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey")).queryExecution.executedPlan.toString
+    assert(planWith("merge").contains("SortMergeJoin"))
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planWith("broadcast").contains("BroadcastHashJoin"))
+  }
+
   test("no query plans a cartesian product except deliberate tiny cross joins") {
     val allowed = Set("q_simsearch_ivf", "q_text_tfidf") // broadcast single-row / centroid frames
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

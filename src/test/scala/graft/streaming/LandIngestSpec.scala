@@ -40,6 +40,35 @@ class LandIngestSpec extends AnyFunSuite {
     assert(out.select("id").distinct().count() === 270)
   }
 
+  test("upsertStream folds change batches into a keyed snapshot (last writer wins)") {
+    val base = Files.createTempDirectory("upsert_stream")
+    val changes = Files.createDirectory(base.resolve("changes"))
+    val snap = base.resolve("snap").toString
+    val ckpt = base.resolve("ckpt").toString
+    val chSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("seq", LongType)))
+
+    def writeChanges(file: String, rows: Seq[(Long, String, Long)]): Unit =
+      Files.write(changes.resolve(file),
+        rows.map { case (i, n, q) => s"""{"id":$i,"name":"$n","seq":$q}""" }
+          .mkString("\n").getBytes("UTF-8"))
+
+    // batch 1: inserts + an intra-batch conflict on id=2 (seq 5 beats 3)
+    writeChanges("b1.jsonl", Seq((1L, "a", 1L), (2L, "old", 3L), (2L, "new", 5L)))
+    LandIngest.upsertStream(spark, changes.toString, chSchema, "id", "seq", snap, ckpt)
+    val s1 = spark.read.parquet(snap).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toMap
+    assert(s1 === Map(1L -> "a", 2L -> "new"))
+
+    // batch 2: update id=1, insert id=9; id=2 untouched
+    writeChanges("b2.jsonl", Seq((1L, "a2", 10L), (9L, "z", 1L)))
+    LandIngest.upsertStream(spark, changes.toString, chSchema, "id", "seq", snap, ckpt)
+    val s2 = spark.read.parquet(snap).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toMap
+    assert(s2 === Map(1L -> "a2", 2L -> "new", 9L -> "z"))
+  }
+
   test("a batch below the row-count gate fails the run before promotion") {
     val base = Files.createTempDirectory("land_ingest_gate")
     val land = Files.createDirectory(base.resolve("land"))
