@@ -164,6 +164,40 @@ object Assembly {
            |  lang, stratum_rank, doc_id
            |FROM r ORDER BY mix_priority, lang, doc_id""".stripMargin))
 
+  // Corpus tokenization against the trained vocabulary: text → (pos,
+  // token_id) rows, OOV → -1. The explode is shuffle-free; the vocab join
+  // broadcasts (the vocabulary is maxSize rows by construction) — the
+  // text-to-ids step every training pipeline runs after vocab build.
+  private val textToIds = Q(
+    "q_text_to_ids",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextStats.vocabulary(docs, "text", maxSize = 1000, minCount = 2L)
+        .select("token", "token_id")
+      docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(TextStats.tokens(col("text"))).as(Seq("pos", "token")))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("token_id"), lit(-1)).as("token_id"))
+        .orderBy("doc_id", "pos")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, ${oToks("text")} AS toks
+            |           FROM documents WHERE doc_id < 50),
+            |e AS (SELECT doc_id, CAST(j AS INTEGER) AS pos, toks[j + 1] AS token
+            |      FROM d, LATERAL (SELECT unnest(range(len(toks))) AS j)),
+            |tf AS (SELECT unnest(${oToks("text")}) AS token FROM documents),
+            |cnt AS (SELECT token, COUNT(*) AS n FROM tf GROUP BY 1
+            |        HAVING COUNT(*) >= 2),
+            |vocab AS (SELECT token, token_id FROM (
+            |  SELECT token,
+            |    CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) - 1
+            |      AS token_id
+            |  FROM cnt) WHERE token_id < 1000)
+            |SELECT e.doc_id, e.pos, coalesce(v.token_id, -1) AS token_id
+            |FROM e LEFT JOIN vocab v USING (token)
+            |ORDER BY doc_id, pos""".stripMargin))
+
   val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs,
-    packGlobal, chunkDocs, interleaveMix)
+    packGlobal, chunkDocs, interleaveMix, textToIds)
 }

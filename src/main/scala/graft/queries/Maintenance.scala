@@ -60,30 +60,31 @@ object Maintenance {
 
   // SCD2: a versioned dimension (current snapshot + some pre-existing
   // history) folds in a change batch at t=100 — closed rows, new versions,
-  // first versions for unseen keys, history untouched.
-  private val scd2 = Q(
-    "q_scd2",
-    (s, dir) => {
-      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
-      val cur0 = cust
-        .withColumn("valid_from", lit(0L))
-        .withColumn("valid_to", lit(null).cast("long"))
-        .withColumn("is_current", lit(true))
-      val hist0 = cust.filter(col("c_custkey") % 50 === 0)
-        .withColumn("c_mktsegment", lit("LEGACY"))
-        .withColumn("valid_from", lit(-100L))
-        .withColumn("valid_to", lit(0L))
-        .withColumn("is_current", lit(false))
-      val changes = cust.filter(col("c_custkey") % 40 === 0)
-        .withColumn("c_mktsegment", lit("MOVED"))
-        .unionByName(cust.filter(col("c_custkey") % 70 === 0).select(
-          (col("c_custkey") + 1000000).as("c_custkey"),
-          lit("BORN").as("c_mktsegment")))
-      Merge.scd2Apply(cur0.unionByName(hist0), changes,
-        "c_custkey", Seq("c_mktsegment"), batchTs = 100L)
-        .orderBy("c_custkey", "valid_from", "is_current")
-    },
-    Some("""WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+  // first versions for unseen keys, history untouched. The dimension
+  // builder is shared with q_scd2_lookup, which consumes the versions.
+  private def scd2Dim(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val cur0 = cust
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    val hist0 = cust.filter(col("c_custkey") % 50 === 0)
+      .withColumn("c_mktsegment", lit("LEGACY"))
+      .withColumn("valid_from", lit(-100L))
+      .withColumn("valid_to", lit(0L))
+      .withColumn("is_current", lit(false))
+    val changes = cust.filter(col("c_custkey") % 40 === 0)
+      .withColumn("c_mktsegment", lit("MOVED"))
+      .unionByName(cust.filter(col("c_custkey") % 70 === 0).select(
+        (col("c_custkey") + 1000000).as("c_custkey"),
+        lit("BORN").as("c_mktsegment")))
+    Merge.scd2Apply(cur0.unionByName(hist0), changes,
+      "c_custkey", Seq("c_mktsegment"), batchTs = 100L)
+  }
+
+  // the versioned-dimension CTE chain, shared by both SCD2 oracles
+  private val scd2DimSql =
+    """WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
            |cur0 AS (SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
            |                CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current FROM base),
            |hist0 AS (SELECT c_custkey, 'LEGACY', CAST(-100 AS BIGINT), CAST(0 AS BIGINT), FALSE
@@ -106,10 +107,42 @@ object Maintenance {
            |            WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.c_custkey = ch.c_custkey)),
            |inserts AS (SELECT c_custkey, seg AS c_mktsegment, CAST(100 AS BIGINT) AS valid_from,
            |                   CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
-           |            FROM (SELECT * FROM changed UNION ALL SELECT * FROM newkeys))
-           |SELECT * FROM hist UNION ALL SELECT * FROM untouched
-           |UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM inserts
-           |ORDER BY c_custkey, valid_from, is_current""".stripMargin))
+           |            FROM (SELECT * FROM changed UNION ALL SELECT * FROM newkeys)),
+           |dim2 AS (SELECT * FROM hist UNION ALL SELECT * FROM untouched
+           |         UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM inserts)""".stripMargin
+
+  private val scd2 = Q(
+    "q_scd2",
+    (s, dir) => scd2Dim(s, dir).orderBy("c_custkey", "valid_from", "is_current"),
+    Some(scd2DimSql +
+      "\nSELECT * FROM dim2 ORDER BY c_custkey, valid_from, is_current"))
+
+  // Point-in-time lookup against the versioned dimension: each fact joins
+  // the ONE version valid at its timestamp (the reason SCD2 exists). Key
+  // equality drives the shuffle; the validity range is a post-join filter.
+  private val scd2Lookup = Q(
+    "q_scd2_lookup",
+    (s, dir) => {
+      val dim = scd2Dim(s, dir)
+      val facts = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") % 300 - 50).cast("long").as("fact_ts"))
+      facts.join(dim,
+        facts("o_custkey") === dim("c_custkey") &&
+          dim("valid_from") <= facts("fact_ts") &&
+          (dim("valid_to").isNull || facts("fact_ts") < dim("valid_to")))
+        .select("o_orderkey", "o_custkey", "fact_ts", "c_mktsegment")
+        .orderBy("o_orderkey")
+    },
+    Some(scd2DimSql + """
+           |, facts AS (SELECT o_orderkey, o_custkey,
+           |              CAST(o_orderkey % 300 - 50 AS BIGINT) AS fact_ts FROM orders)
+           |SELECT f.o_orderkey, f.o_custkey, f.fact_ts, d.c_mktsegment
+           |FROM facts f JOIN dim2 d
+           |  ON f.o_custkey = d.c_custkey
+           | AND d.valid_from <= f.fact_ts
+           | AND (d.valid_to IS NULL OR f.fact_ts < d.valid_to)
+           |ORDER BY f.o_orderkey""".stripMargin))
 
   // Z-order layout key: Morton-interleave (p_partkey, p_size) — the
   // multi-dimensional clustering sort key, bit-reproducible in SQL.
@@ -432,7 +465,8 @@ object Maintenance {
            |  round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * (sx/n), 9) AS intercept
            |FROM sums ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, zorder, ewmaQ,
-    eventsAnomaly, statsMoments, crossJoin, incrRollup, argminSupplier,
-    resampleFfill, notInNull, distinctSketch, bitmapDistinct, regression)
+  val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder,
+    ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
+    argminSupplier, resampleFfill, notInNull, distinctSketch,
+    bitmapDistinct, regression)
 }
