@@ -382,6 +382,42 @@ object Extensions {
             |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
 
+  // Dedup APPLIED: the cleaned corpus — every near-dup cluster keeps only
+  // its canonical (minimum-id) member; unclustered docs pass through. The
+  // anti join against cluster losers is the step that actually shrinks a
+  // training corpus after detection.
+  private val dedupApply = Q(
+    "q_dedup_apply",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.clusterAssignments(
+        graft.ops.BoundedCache.cached(
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)))
+      val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |pairs AS (
+            |  SELECT d1, d2 FROM inter
+            |  JOIN sizes s1 ON s1.doc_id = d1
+            |  JOIN sizes s2 ON s2.doc_id = d2
+            |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8),
+            |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+            |          UNION SELECT d2, d1 FROM pairs),
+            |reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            |assign AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |           FROM reach GROUP BY a),
+            |losers AS (SELECT doc_id FROM assign WHERE doc_id <> cluster_id)
+            |SELECT doc_id, lang, source, n_chars FROM documents d
+            |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
   // Incremental ingest dedup: new batch (doc_id % 10 = 0) vs corpus (rest).
   private val dedupIncremental = Q(
     "q_dedup_incremental",
@@ -577,7 +613,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupClusters, dedupIncremental, textContamination,
+    dedupClusters, dedupApply, dedupIncremental, textContamination,
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
     embedCentroids,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
