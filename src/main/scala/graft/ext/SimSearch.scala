@@ -68,6 +68,26 @@ object SimSearch {
         (sum(col("x").cast(DoubleType).cast(DecimalType(28, 6))).cast(DoubleType)
           / count(lit(1))).as("centroid"))
 
+  /** Per-dimension z-score normalization (the standard feature scaler):
+    * dimension stats come from exact decimal sums — order-independent, so
+    * the scaled values are reproducible and oracle-checkable — and the
+    * |dims|-row stats frame broadcasts back onto the exploded corpus, so
+    * the only shuffle is the |dims|-group aggregate; the normalize itself
+    * is map-side. Output (id, dim, z) rows, z rounded 6 dp. */
+  def normalizeDims(corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol),
+      posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
+    val stats = e.groupBy("dim").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(DecimalType(28, 6))).cast(DoubleType).as("sx"),
+      sum((col("x") * col("x")).cast(DecimalType(28, 6))).cast(DoubleType).as("sxx"))
+    val mean = col("sx") / col("n")
+    e.join(broadcast(stats), "dim")
+      .withColumn("z", round((col("x") - mean) / sqrt(col("sxx") / col("n") - mean * mean), 6))
+      .select(col(idCol), col("dim"), col("z"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup). Exact;
     * for 100 TB corpora gate it behind `lshBuckets` first. Same
     * precomputed-norm + native-dot shape as `bruteForceTopK`. */

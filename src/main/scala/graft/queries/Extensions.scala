@@ -174,6 +174,28 @@ object Extensions {
            |      FROM embeddings)
            |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin))
 
+  // Feature scaling: per-dimension z-scores from exact decimal stats over
+  // the WHOLE corpus (the output filter does not bias the statistics).
+  private val embedNormalize = Q(
+    "q_embed_normalize",
+    (s, dir) =>
+      SimSearch.normalizeDims(t(s, dir, "embeddings"))
+        .filter(col("vec_id") < 20)
+        .orderBy("vec_id", "dim"),
+    Some("""WITH e AS (
+           |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim
+           |  FROM embeddings),
+           |stats AS (
+           |  SELECT dim, COUNT(*) AS n,
+           |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+           |    CAST(SUM(CAST(x*x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+           |  FROM e GROUP BY dim)
+           |SELECT vec_id, dim,
+           |  round((x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)), 6) AS z
+           |FROM e JOIN stats USING (dim)
+           |WHERE vec_id < 20 ORDER BY vec_id, dim""".stripMargin))
+
   // ---- E20 text analysis -------------------------------------------------
 
   private val textTokens = Q(
@@ -615,7 +637,7 @@ object Extensions {
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupApply, dedupIncremental, textContamination,
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
-    embedCentroids,
+    embedCentroids, embedNormalize,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textFilter, textScrub, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames)
