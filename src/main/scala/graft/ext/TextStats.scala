@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /**
  * Text analysis for training-data pipelines (SURVEY.md §2.3 E20): token
@@ -31,6 +31,46 @@ object TextStats {
   def termFrequencies(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
+
+  /**
+   * BM25 relevance scoring of every document against the corpus's own
+   * `topTerms` most frequent tokens (a deterministic, data-derived query —
+   * no fixture assumptions). Classic Okapi form per (doc, term):
+   *
+   *   idf(t)·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+   *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+   *
+   * summed over matched terms and rounded 9 dp. Plan shape: one
+   * (doc, token) aggregate for tf, a token-group aggregate for df, the
+   * tiny query-term frame broadcast onto the tf rows, scalar corpus
+   * stats (N, avgdl from exact integer sums) via a 1-row broadcast cross
+   * join — the per-doc scoring never shuffles the corpus again.
+   */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topTerms: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol), size(tokens(col(textCol))).as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val query = df
+      .join(termFrequencies(docs, textCol), "token")
+      .orderBy(col("n").desc, col("token")).limit(topTerms)
+      .select("token", "df")
+    tf.join(broadcast(query), "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__s",
+        col("__idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s").cast(DecimalType(28, 12))).cast(DoubleType), 9).as("bm25"))
+  }
 
   /** Per-group (e.g. per-language) term frequencies with a deterministic
     * top-k per group: one shuffle on (group, token), then a ranked window. */

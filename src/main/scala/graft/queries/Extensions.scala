@@ -196,6 +196,39 @@ object Extensions {
            |FROM e JOIN stats USING (dim)
            |WHERE vec_id < 20 ORDER BY vec_id, dim""".stripMargin))
 
+  // BM25 relevance against the corpus's own top-3 tokens (data-derived
+  // query, no fixture assumptions) — the retrieval-scoring step of a
+  // data-curation pipeline, oracle-matched formula for formula.
+  private val textBm25 = Q(
+    "q_text_bm25",
+    (s, dir) =>
+      TextStats.bm25(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("bm25").desc, col("doc_id")).limit(100),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+           |  FROM documents),
+           |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS INTEGER) AS dl
+           |       FROM documents),
+           |corpus AS (SELECT COUNT(*) AS n_docs,
+           |                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+           |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+           |gfreq AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1),
+           |query AS (SELECT df.token, df.df FROM df JOIN gfreq USING (token)
+           |          ORDER BY gfreq.n DESC, token LIMIT 3),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    ln(1.0 + (n_docs - q.df + 0.5) / (q.df + 0.5))
+           |      * tf.tf * 2.2 /
+           |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS s
+           |  FROM tf JOIN query q USING (token)
+           |  JOIN dl ON dl.doc_id = tf.doc_id
+           |  CROSS JOIN corpus)
+           |SELECT doc_id,
+           |  round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 9) AS bm25
+           |FROM scored GROUP BY doc_id
+           |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin))
+
   // ---- E20 text analysis -------------------------------------------------
 
   private val textTokens = Q(
@@ -639,6 +672,6 @@ object Extensions {
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
     embedCentroids, embedNormalize,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
-    textTfidf, textFilter, textScrub, corpusClean,
+    textTfidf, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames)
 }

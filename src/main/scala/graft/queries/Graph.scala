@@ -158,5 +158,60 @@ object Graph {
            |       ON n.node = s.dst)
            |SELECT node, pr FROM r3 ORDER BY node""".stripMargin))
 
-  val all: Seq[Q] = Seq(joinFive, pagerank)
+  /**
+   * Triangle counting over the undirected nation trade graph (edges =
+   * above-average-weight trade pairs; the adaptive threshold keeps the
+   * graph non-degenerate at every scale factor). The a<b<c orientation
+   * makes each triangle count once and turns the join into the standard
+   * two-hop + closing-edge shape — the plan that scales: |E| shuffles,
+   * never |V|³.
+   */
+  private val triangles = Q(
+    "q_graph_triangles",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val nc = n.select(col("n_nationkey").as("__ck"), col("n_name").as("cn"))
+      val ns = n.select(col("n_nationkey").as("__sk"), col("n_name").as("sn"))
+      val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(nc), c("c_nationkey") === col("__ck"))
+        .join(broadcast(ns), su("s_nationkey") === col("__sk"))
+        .select(least(col("cn"), col("sn")).as("a"),
+          greatest(col("cn"), col("sn")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      val avgW = pairs.agg((sum(col("w")).cast(DoubleType) / count(lit(1))).as("aw"))
+      val edges = pairs.crossJoin(broadcast(avgW))
+        .filter(col("w") >= col("aw")).select("a", "b")
+      val e1 = edges.select(col("a").as("x"), col("b").as("y"))
+      val e2 = edges.select(col("a").as("y"), col("b").as("z"))
+      val e3 = edges.select(col("a").as("x"), col("b").as("z"))
+      e1.join(e2, "y").join(e3, Seq("x", "z"))
+        .select(col("x"), col("y"), col("z"))
+        .orderBy("x", "y", "z")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT least(cn, sn) AS a, greatest(cn, sn) AS b, COUNT(*) AS w
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN (SELECT n_nationkey AS ck, n_name AS cn FROM nation) ON c_nationkey = ck
+           |  JOIN (SELECT n_nationkey AS sk, n_name AS sn FROM nation) ON s_nationkey = sk
+           |  WHERE cn <> sn GROUP BY 1, 2),
+           |edges AS (
+           |  SELECT a, b FROM pairs
+           |  WHERE w >= (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) FROM pairs))
+           |SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |FROM edges e1
+           |JOIN edges e2 ON e2.a = e1.b
+           |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+           |ORDER BY x, y, z""".stripMargin))
+
+  val all: Seq[Q] = Seq(joinFive, pagerank, triangles)
 }
