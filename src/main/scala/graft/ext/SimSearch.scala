@@ -83,8 +83,14 @@ object SimSearch {
       sum(col("x").cast(DecimalType(28, 6))).cast(DoubleType).as("sx"),
       sum((col("x") * col("x")).cast(DecimalType(28, 6))).cast(DoubleType).as("sxx"))
     val mean = col("sx") / col("n")
+    val variance = col("sxx") / col("n") - mean * mean
+    // zero-variance guard: a constant dimension scales to z=0, not NULL;
+    // and decimal→double rounding can land variance at -1e-18, where
+    // Spark's sqrt yields NaN but an oracle engine hard-errors
+    val z = when(variance <= 0, lit(0.0))
+      .otherwise(round((col("x") - mean) / sqrt(variance), 6))
     e.join(broadcast(stats), "dim")
-      .withColumn("z", round((col("x") - mean) / sqrt(col("sxx") / col("n") - mean * mean), 6))
+      .withColumn("z", z)
       .select(col(idCol), col("dim"), col("z"))
   }
 

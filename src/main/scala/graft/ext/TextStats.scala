@@ -48,16 +48,19 @@ object TextStats {
    */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       k1: Double = 1.2, b: Double = 0.75, topTerms: Int = 3): DataFrame = {
-    val tf = docs
+    // the (doc, token) aggregate feeds df, the query-term ranking, AND the
+    // final scoring join — bounded-cache it so the tokenize+aggregate pass
+    // runs once (same pattern as tfidf below)
+    val tf = graft.ops.BoundedCache.cached(docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf")))
     val dl = docs.select(col(idCol), size(tokens(col(textCol))).as("dl"))
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val query = df
-      .join(termFrequencies(docs, textCol), "token")
+    // global term count derives from tf — no second corpus tokenization
+    val query = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topTerms)
       .select("token", "df")
     tf.join(broadcast(query), "token")

@@ -192,7 +192,8 @@ object Extensions {
            |    CAST(SUM(CAST(x*x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
            |  FROM e GROUP BY dim)
            |SELECT vec_id, dim,
-           |  round((x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)), 6) AS z
+           |  CASE WHEN sxx/n - (sx/n)*(sx/n) <= 0 THEN 0.0
+           |       ELSE round((x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)), 6) END AS z
            |FROM e JOIN stats USING (dim)
            |WHERE vec_id < 20 ORDER BY vec_id, dim""".stripMargin))
 

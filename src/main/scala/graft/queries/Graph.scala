@@ -176,15 +176,18 @@ object Graph {
       val n = t(s, dir, "nation")
       val nc = n.select(col("n_nationkey").as("__ck"), col("n_name").as("cn"))
       val ns = n.select(col("n_nationkey").as("__sk"), col("n_name").as("sn"))
-      val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(su, li("l_suppkey") === su("s_suppkey"))
-        .join(broadcast(nc), c("c_nationkey") === col("__ck"))
-        .join(broadcast(ns), su("s_nationkey") === col("__sk"))
-        .select(least(col("cn"), col("sn")).as("a"),
-          greatest(col("cn"), col("sn")).as("b"))
-        .filter(col("a") =!= col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      // the 6-table join feeds the avg-threshold scalar AND all three
+      // triangle roles — bounded-cache it so the fact chain runs once
+      val pairs = graft.ops.BoundedCache.cached(
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(nc), c("c_nationkey") === col("__ck"))
+          .join(broadcast(ns), su("s_nationkey") === col("__sk"))
+          .select(least(col("cn"), col("sn")).as("a"),
+            greatest(col("cn"), col("sn")).as("b"))
+          .filter(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w")))
       val avgW = pairs.agg((sum(col("w")).cast(DoubleType) / count(lit(1))).as("aw"))
       val edges = pairs.crossJoin(broadcast(avgW))
         .filter(col("w") >= col("aw")).select("a", "b")

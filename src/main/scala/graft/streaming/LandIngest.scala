@@ -84,8 +84,20 @@ object LandIngest {
    * overwrite race the reference warns about, README.md:619-637).
    *
    * At scale the snapshot would live in a table format with real commits;
-   * the operator contract — batch ⊕ snapshot → snapshot, deduped by key,
-   * ordered by sequence — is exactly what that writer would run.
+   * the operator contract — batch ⊕ snapshot → snapshot, the MAX-sequence
+   * row winning per key regardless of arrival order — is exactly what
+   * that writer would run.
+   *
+   * Correctness properties (all load-bearing, all spec-covered):
+   *  - sequence-ordered, not arrival-ordered: the merge keeps the max-seq
+   *    row per key across snapshot AND batch, so a late-delivered change
+   *    file cannot regress a key to a stale value;
+   *  - deterministic ties: equal (key, seq) resolves by content hash, so
+   *    a foreachBatch replay reproduces the same snapshot bit for bit;
+   *  - crash-safe swap: the new snapshot lands in a tmp dir and replaces
+   *    the old one via checked renames (with startup recovery of a swap
+   *    interrupted between the two renames) — a kill mid-write can never
+   *    lose the keys that were not in the replayed batch.
    */
   def upsertStream(
       spark: SparkSession,
@@ -95,29 +107,49 @@ object LandIngest {
       seqCol: String,
       snapshotDir: String,
       checkpointDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, row_number, struct, xxhash64}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.hadoop.fs.Path
+
+    val snapPath = new Path(snapshotDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(snapshotDir), spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(snapPath.getParent, s".${snapPath.getName}.swap.old")
+    // recovery: a previous run died between the two swap renames — the
+    // backup IS the snapshot; restore it before draining
+    if (!fs.exists(snapPath) && fs.exists(bak)) fs.rename(bak, snapPath)
+
+    // max-seq-wins per key; ties (same key, same seq) resolve by content
+    // hash so the outcome is a function of the DATA, not of shuffle order
+    def latestPerKey(df: DataFrame): DataFrame =
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy(key).orderBy(
+            col(seqCol).desc, xxhash64(struct(df.columns.map(col): _*)).desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+
     val stream = spark.readStream.schema(schema).json(changesDir)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.functions.{col, row_number}
-        import org.apache.spark.sql.expressions.Window
-        // last writer wins within the batch: keep the max-seq row per key
-        val deduped = batch
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(key).orderBy(col(seqCol).desc)))
-          .filter(col("__rn") === 1).drop("__rn")
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(snapshotDir),
-          spark.sparkContext.hadoopConfiguration)
-        val exists = fs.exists(new org.apache.hadoop.fs.Path(snapshotDir))
         val merged =
-          if (exists)
-            graft.ops.Merge.upsert(spark.read.parquet(snapshotDir), deduped, key)
-          else deduped
-        // cut the lineage to the path being overwritten
+          if (fs.exists(snapPath))
+            latestPerKey(spark.read.parquet(snapshotDir).unionByName(batch))
+          else latestPerKey(batch)
+        // write-then-swap: readers (and a crash) see the old snapshot or
+        // the new one, never a partially written directory
+        val tmp = new Path(snapPath.getParent, s".${snapPath.getName}.swap.tmp")
         merged.localCheckpoint(true)
-          .write.mode("overwrite").parquet(snapshotDir)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (fs.exists(snapPath) && !fs.rename(snapPath, bak))
+          throw new java.io.IOException(s"upsertStream: rename $snapPath -> $bak failed")
+        if (!fs.rename(tmp, snapPath)) {
+          if (fs.exists(bak)) fs.rename(bak, snapPath)
+          throw new java.io.IOException(s"upsertStream: rename $tmp -> $snapPath failed (restored)")
+        }
+        fs.delete(bak, true)
+        ()
       }
       .start()
     q.awaitTermination()

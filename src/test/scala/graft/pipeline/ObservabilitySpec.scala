@@ -31,7 +31,9 @@ class ObservabilitySpec extends AnyFunSuite {
   }
 
   test("row counts survive AQE + whole-stage codegen (parquet aggregate)") {
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "true")
     val rec = Observability.attach(spark)
     try {
       val n = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/nation.parquet")
@@ -41,7 +43,13 @@ class ObservabilitySpec extends AnyFunSuite {
       assert(last.error.isEmpty)
       assert(last.outputRows.contains(n.toLong),
         s"expected Some($n), got ${last.outputRows} — AQE/codegen root metric lookup broken")
-    } finally Observability.detach(spark, rec)
+    } finally {
+      Observability.detach(spark, rec)
+      saved match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+    }
   }
 
   test("recorder is detachable and clearable") {

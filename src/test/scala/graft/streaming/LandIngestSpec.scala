@@ -67,6 +67,14 @@ class LandIngestSpec extends AnyFunSuite {
     val s2 = spark.read.parquet(snap).collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toMap
     assert(s2 === Map(1L -> "a2", 2L -> "new", 9L -> "z"))
+
+    // batch 3 arrives LATE with a stale sequence for id=1: the snapshot
+    // must not regress (sequence-ordered, not arrival-ordered)
+    writeChanges("b3.jsonl", Seq((1L, "stale", 0L)))
+    LandIngest.upsertStream(spark, changes.toString, chSchema, "id", "seq", snap, ckpt)
+    val s3 = spark.read.parquet(snap).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toMap
+    assert(s3 === Map(1L -> "a2", 2L -> "new", 9L -> "z"))
   }
 
   test("a batch below the row-count gate fails the run before promotion") {
