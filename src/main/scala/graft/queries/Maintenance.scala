@@ -465,8 +465,65 @@ object Maintenance {
            |  round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * (sx/n), 9) AS intercept
            |FROM sums ORDER BY l_returnflag""".stripMargin))
 
+  // Winsorization: clip a numeric feature at its group's exact P5/P95
+  // (percentile ≡ quantile_cont bit-exactly, the q_median precedent) —
+  // the outlier-taming step before numeric features feed a model. The
+  // per-group bounds broadcast back; clipping is map-side.
+  private val winsorize = Q(
+    "q_winsorize",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bounds = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.05)").as("lo"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .withColumn("clipped",
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("clipped")).as("sum_clipped"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L)
+            .when(col("l_extendedprice") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clipped"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH bounds AS (
+            |  SELECT l_returnflag,
+            |    CAST(quantile_cont(l_extendedprice, 0.05) AS DOUBLE) AS lo,
+            |    CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS hi
+            |  FROM lineitem GROUP BY 1)
+            |SELECT l_returnflag, COUNT(*) AS n,
+            |  ${oSum("least(greatest(l_extendedprice, lo), hi)")} AS sum_clipped,
+            |  SUM(CASE WHEN l_extendedprice < lo THEN 1
+            |           WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_clipped
+            |FROM lineitem JOIN bounds USING (l_returnflag)
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  // arg-extremum aggregates: per status, WHICH order is largest/smallest
+  // (max_by/min_by ≡ DuckDB arg_max/arg_min), deterministic because
+  // o_totalprice ties are broken inside the comparator struct.
+  private val argExtremum = Q(
+    "q_argmax",
+    (s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus").agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("biggest_order"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("smallest_order"),
+        max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus,
+           |  MAX(CASE WHEN rn_desc = 1 THEN o_orderkey END) AS biggest_order,
+           |  MAX(CASE WHEN rn_asc = 1 THEN o_orderkey END) AS smallest_order,
+           |  MAX(o_totalprice) AS max_price
+           |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+           |        row_number() OVER (PARTITION BY o_orderstatus
+           |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_desc,
+           |        row_number() OVER (PARTITION BY o_orderstatus
+           |          ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_asc
+           |      FROM orders)
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, notInNull, distinctSketch,
-    bitmapDistinct, regression)
+    bitmapDistinct, regression, winsorize, argExtremum)
 }
