@@ -45,6 +45,36 @@ object Merge {
     target.join(tombstones.select(key).distinct(), Seq(key), "left_anti")
 
   /**
+   * Changelog generation — the inverse of [[upsert]]: diff two snapshots
+   * of a keyed table into (op, row) change records, `op` ∈ I/U/D. A full
+   * outer join on the key with null-safe struct comparison of the
+   * attributes: present-only-in-new → I, present-in-both-and-different →
+   * U (carrying the new attributes), present-only-in-old → D. Identical
+   * rows produce nothing, so `diffSnapshots(s, upsert(s, b), k)` returns
+   * exactly the effective changes of `b`. This is the CDC feed a
+   * downstream consumer replays to stay in sync without rescanning
+   * either snapshot.
+   */
+  def diffSnapshots(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      key: String): DataFrame = {
+    val attrs = oldSnap.columns.filterNot(_ == key).toSeq
+    val o = oldSnap.select(col(key),
+      struct(attrs.map(col): _*).as("__old"))
+    val n = newSnap.select(col(key),
+      struct(attrs.map(col): _*).as("__new"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("__old").isNull, lit("I"))
+          .when(col("__new").isNull, lit("D"))
+          .when(!(col("__old") <=> col("__new")), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: col(key) +:
+        attrs.map(a => coalesce(col(s"__new.$a"), col(s"__old.$a")).as(a)): _*)
+  }
+
+  /**
    * SCD Type-2 apply: fold a change batch into a versioned dimension.
    *
    * `dim` rows carry (`key`, attributes..., `valid_from`, `valid_to`,

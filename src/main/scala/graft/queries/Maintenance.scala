@@ -522,8 +522,44 @@ object Maintenance {
            |      FROM orders)
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  // Changelog generation: diff two deterministic snapshots of customer
+  // (new = segment rewrite on %100 keys + %250 inserts + %9 deletes) into
+  // I/U/D change records — the CDC feed downstream consumers replay.
+  private val snapshotDiff = Q(
+    "q_snapshot_diff",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+      val newSnap = cust.filter(col("c_custkey") % 9 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 100 === 0, lit("UPDATED")).otherwise(col("c_mktsegment")))
+        .unionByName(cust.filter(col("c_custkey") % 250 === 0).select(
+          (col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("NEW-"), col("c_name")).as("c_name"),
+          lit("FRESH").as("c_mktsegment")))
+      Merge.diffSnapshots(cust, newSnap, "c_custkey")
+        .orderBy("c_custkey", "op")
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+           |news AS (
+           |  SELECT c_custkey, c_name,
+           |         CASE WHEN c_custkey % 100 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+           |  FROM base WHERE c_custkey % 9 <> 0
+           |  UNION ALL
+           |  SELECT c_custkey + 1000000, 'NEW-' || c_name, 'FRESH'
+           |  FROM base WHERE c_custkey % 250 = 0)
+           |SELECT CASE WHEN o.c_custkey IS NULL THEN 'I'
+           |            WHEN n.c_custkey IS NULL THEN 'D'
+           |            ELSE 'U' END AS op,
+           |       coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+           |       coalesce(n.c_name, o.c_name) AS c_name,
+           |       coalesce(n.c_mktsegment, o.c_mktsegment) AS c_mktsegment
+           |FROM base o FULL OUTER JOIN news n USING (c_custkey)
+           |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+           |   OR (o.c_name, o.c_mktsegment) IS DISTINCT FROM (n.c_name, n.c_mktsegment)
+           |ORDER BY c_custkey, op""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, notInNull, distinctSketch,
-    bitmapDistinct, regression, winsorize, argExtremum)
+    bitmapDistinct, regression, winsorize, argExtremum, snapshotDiff)
 }

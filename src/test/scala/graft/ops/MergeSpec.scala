@@ -49,6 +49,35 @@ class MergeSpec extends AnyFunSuite {
     assert(again.exceptAll(out).count() === 0)
   }
 
+  test("diffSnapshots emits I/U/D and round-trips with upsert") {
+    val oldSnap = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val newSnap = Seq((1, "a"), (2, "B"), (9, "z")).toDF("k", "v") // 3 deleted
+    val diff = Merge.diffSnapshots(oldSnap, newSnap, "k")
+      .orderBy("k").as[(String, Int, String)].collect()
+    assert(diff === Array(("U", 2, "B"), ("D", 3, "c"), ("I", 9, "z")))
+
+    // diff(s, upsert(s, b)) = the effective changes of b (no-op rows vanish)
+    val batch = Seq((1, "a"), (2, "B2")).toDF("k", "v") // (1,"a") is a no-op
+    val effective = Merge.diffSnapshots(oldSnap, Merge.upsert(oldSnap, batch, "k"), "k")
+      .as[(String, Int, String)].collect()
+    assert(effective === Array(("U", 2, "B2")))
+  }
+
+  test("operators tolerate empty inputs") {
+    val t = Seq((1, "a")).toDF("k", "v")
+    val empty = t.limit(0)
+    assert(Merge.upsert(t, empty, "k").count() === 1)
+    assert(Merge.upsert(empty, t, "k").count() === 1)
+    assert(Merge.deleteMatching(empty, t, "k").count() === 0)
+    assert(Merge.diffSnapshots(empty, empty, "k").count() === 0)
+    assert(Merge.scd2Apply(
+      empty.withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+        .select("k", "v", "valid_from", "valid_to", "is_current"),
+      t, "k", Seq("v"), 1L).count() === 1)
+  }
+
   test("scd2Apply treats null attributes null-safely (no spurious close)") {
     val dim = Seq((1, Option.empty[String], 0L, Option.empty[Long], true))
       .toDF("k", "attr", "valid_from", "valid_to", "is_current")
