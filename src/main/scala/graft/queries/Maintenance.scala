@@ -558,8 +558,42 @@ object Maintenance {
            |   OR (o.c_name, o.c_mktsegment) IS DISTINCT FROM (n.c_name, n.c_mktsegment)
            |ORDER BY c_custkey, op""".stripMargin))
 
+  // One-pass per-column profile of lineitem (string, money-decimal, and
+  // date domains) — the quality census the validate stage records per
+  // landed table.
+  private val profileQ = Q(
+    "q_profile",
+    (s, dir) =>
+      graft.validate.DataProfile.profile(t(s, dir, "lineitem"), Seq(
+        "l_returnflag" -> identity[org.apache.spark.sql.Column] _,
+        "l_quantity" -> ((c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")),
+        "l_shipdate" -> ((c: org.apache.spark.sql.Column) => to_date(c))))
+        .orderBy("column"),
+    Some("""SELECT 'l_returnflag' AS "column", COUNT(l_returnflag) AS n_nonnull,
+           |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  COUNT(DISTINCT l_returnflag) AS n_distinct,
+           |  CAST(MIN(l_returnflag) AS VARCHAR) AS min_s,
+           |  CAST(MAX(l_returnflag) AS VARCHAR) AS max_s
+           |FROM lineitem
+           |UNION ALL
+           |SELECT 'l_quantity', COUNT(l_quantity),
+           |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           |  COUNT(DISTINCT l_quantity),
+           |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR),
+           |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+           |FROM lineitem
+           |UNION ALL
+           |SELECT 'l_shipdate', COUNT(l_shipdate),
+           |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+           |  COUNT(DISTINCT l_shipdate),
+           |  CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR),
+           |  CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR)
+           |FROM lineitem
+           |ORDER BY "column"""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, notInNull, distinctSketch,
-    bitmapDistinct, regression, winsorize, argExtremum, snapshotDiff)
+    bitmapDistinct, regression, winsorize, argExtremum, snapshotDiff,
+    profileQ)
 }
