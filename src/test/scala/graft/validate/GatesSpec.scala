@@ -37,4 +37,20 @@ class GatesSpec extends AnyFunSuite {
     }
     assert(e.result.errors.size == 2) // both gates' errors in one failure
   }
+
+  test("profile counts nulls and distincts per column, normalizes extremes") {
+    val spark = graft.SparkTestBase.session
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some("x")), (Some(2.5), None),
+      (None, Some("x")), (Some(2.5), Some("y"))).toDF("num", "s")
+    val got = DataProfile.profile(df, Seq(
+      "num" -> ((c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")),
+      "s" -> identity[org.apache.spark.sql.Column] _))
+      .orderBy("column")
+      .as[(String, Long, Long, Long, Option[String], Option[String])].collect()
+    assert(got === Array(
+      ("num", 3L, 1L, 2L, Some("1.00"), Some("2.50")),
+      ("s", 3L, 1L, 2L, Some("x"), Some("y"))))
+  }
 }
