@@ -70,8 +70,13 @@ object Merge {
           .when(col("__new").isNull, lit("D"))
           .when(!(col("__old") <=> col("__new")), lit("U")))
       .filter(col("op").isNotNull)
+      // branch on WHICH side exists, not coalesce per attribute — an
+      // update that legitimately nulls a field must carry the null, or
+      // replaying the feed resurrects the old value
       .select(col("op") +: col(key) +:
-        attrs.map(a => coalesce(col(s"__new.$a"), col(s"__old.$a")).as(a)): _*)
+        attrs.map(a =>
+          when(col("__new").isNotNull, col(s"__new.$a"))
+            .otherwise(col(s"__old.$a")).as(a)): _*)
   }
 
   /**

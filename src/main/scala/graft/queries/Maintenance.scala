@@ -17,35 +17,50 @@ import QueryUtil._
  */
 object Maintenance {
 
+  // ---- shared synthetic change-batch shapes (Spark + SQL kept in ONE
+  // place so the merge/diff queries cannot drift): %100 keys get a
+  // segment rewrite; %250 keys spawn inserts under NEGATED keys —
+  // -(k)-1 can never collide with a real (non-negative) key at ANY
+  // fixture scale, where a fixed "+1000000" offset eventually would.
+  private def custBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+  private def modsOf(cust: org.apache.spark.sql.DataFrame) =
+    cust.filter(col("c_custkey") % 100 === 0)
+      .withColumn("c_mktsegment", lit("UPDATED"))
+
+  private def newsOf(cust: org.apache.spark.sql.DataFrame) =
+    cust.filter(col("c_custkey") % 250 === 0).select(
+      (-col("c_custkey") - 1).as("c_custkey"),
+      concat(lit("NEW-"), col("c_name")).as("c_name"),
+      lit("FRESH").as("c_mktsegment"))
+
+  private val baseSql = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+  private val modsSql =
+    "SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment FROM base WHERE c_custkey % 100 = 0"
+  private val newsSql =
+    """SELECT -c_custkey - 1 AS c_custkey, 'NEW-' || c_name AS c_name,
+      |       'FRESH' AS c_mktsegment FROM base WHERE c_custkey % 250 = 0""".stripMargin
 
   // MERGE upsert: customers ending in 00 get a new segment, every 250th
-  // key (shifted out of range) is a fresh insert — the daily-change-batch
-  // ingest shape folded into the previous snapshot.
+  // key (negated, collision-proof) is a fresh insert — the
+  // daily-change-batch ingest shape folded into the previous snapshot.
   private val mergeUpsert = Q(
     "q_merge_upsert",
     (s, dir) => {
-      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
-      val mods = cust.filter(col("c_custkey") % 100 === 0)
-        .withColumn("c_mktsegment", lit("UPDATED"))
-      val news = cust.filter(col("c_custkey") % 250 === 0).select(
-        (col("c_custkey") + 1000000).as("c_custkey"),
-        concat(lit("NEW-"), col("c_name")).as("c_name"),
-        lit("FRESH").as("c_mktsegment"))
-      Merge.upsert(cust, mods.unionByName(news), "c_custkey")
+      val cust = custBase(s, dir)
+      Merge.upsert(cust, modsOf(cust).unionByName(newsOf(cust)), "c_custkey")
         .orderBy("c_custkey")
     },
-    Some("""WITH base AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
-           |mods AS (SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
-           |         FROM base WHERE c_custkey % 100 = 0),
-           |news AS (SELECT c_custkey + 1000000 AS c_custkey, 'NEW-' || c_name AS c_name,
-           |                'FRESH' AS c_mktsegment
-           |         FROM base WHERE c_custkey % 250 = 0),
-           |upd AS (SELECT * FROM mods UNION ALL SELECT * FROM news)
-           |SELECT * FROM (
-           |  SELECT b.* FROM base b
-           |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
-           |  UNION ALL SELECT * FROM upd)
-           |ORDER BY c_custkey""".stripMargin))
+    Some(s"""WITH base AS ($baseSql),
+            |mods AS ($modsSql),
+            |news AS ($newsSql),
+            |upd AS (SELECT * FROM mods UNION ALL SELECT * FROM news)
+            |SELECT * FROM (
+            |  SELECT b.* FROM base b
+            |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
+            |  UNION ALL SELECT * FROM upd)
+            |ORDER BY c_custkey""".stripMargin))
 
   // MERGE delete: tombstone every 10th key (the right-to-erasure shape).
   private val mergeDelete = Q(
@@ -76,7 +91,7 @@ object Maintenance {
     val changes = cust.filter(col("c_custkey") % 40 === 0)
       .withColumn("c_mktsegment", lit("MOVED"))
       .unionByName(cust.filter(col("c_custkey") % 70 === 0).select(
-        (col("c_custkey") + 1000000).as("c_custkey"),
+        (-col("c_custkey") - 1).as("c_custkey"),
         lit("BORN").as("c_mktsegment")))
     Merge.scd2Apply(cur0.unionByName(hist0), changes,
       "c_custkey", Seq("c_mktsegment"), batchTs = 100L)
@@ -92,7 +107,7 @@ object Maintenance {
            |dim AS (SELECT * FROM cur0 UNION ALL SELECT * FROM hist0),
            |changes AS (SELECT c_custkey, 'MOVED' AS seg FROM base WHERE c_custkey % 40 = 0
            |            UNION ALL
-           |            SELECT c_custkey + 1000000, 'BORN' FROM base WHERE c_custkey % 70 = 0),
+           |            SELECT -c_custkey - 1, 'BORN' FROM base WHERE c_custkey % 70 = 0),
            |cur AS (SELECT * FROM dim WHERE is_current),
            |hist AS (SELECT * FROM dim WHERE NOT is_current),
            |changed AS (SELECT c.c_custkey, ch.seg FROM cur c
@@ -469,13 +484,22 @@ object Maintenance {
   // (percentile ≡ quantile_cont bit-exactly, the q_median precedent) —
   // the outlier-taming step before numeric features feed a model. The
   // per-group bounds broadcast back; clipping is map-side.
+  // NEAREST-RANK bounds, not interpolated quantiles: an interpolated P5
+  // is a full-precision double whose DECIMAL(18,2) rounding can differ
+  // between engines at representation boundaries; the rank-⌈p·n⌉ element
+  // is an actual 2-dp money value, so the clipped sum stays dsum-exact.
+  // Rank positions come from the same ceil(p·n) double math both engines.
   private val winsorize = Q(
     "q_winsorize",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val bounds = li.groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.05)").as("lo"),
-        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val ranked = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nr", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      val bounds = ranked.groupBy("l_returnflag").agg(
+        max(when(col("rn") === ceil(lit(0.05) * col("nr")), col("l_extendedprice"))).as("lo"),
+        max(when(col("rn") === ceil(lit(0.95) * col("nr")), col("l_extendedprice"))).as("hi"))
       li.join(broadcast(bounds), "l_returnflag")
         .withColumn("clipped",
           least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
@@ -487,11 +511,16 @@ object Maintenance {
             .otherwise(0L)).as("n_clipped"))
         .orderBy("l_returnflag")
     },
-    Some(s"""WITH bounds AS (
+    Some(s"""WITH ranked AS (
+            |  SELECT l_returnflag, l_extendedprice,
+            |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+            |    COUNT(*) OVER (PARTITION BY l_returnflag) AS nr
+            |  FROM lineitem),
+            |bounds AS (
             |  SELECT l_returnflag,
-            |    CAST(quantile_cont(l_extendedprice, 0.05) AS DOUBLE) AS lo,
-            |    CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS hi
-            |  FROM lineitem GROUP BY 1)
+            |    MAX(CASE WHEN rn = ceil(0.05 * nr) THEN l_extendedprice END) AS lo,
+            |    MAX(CASE WHEN rn = ceil(0.95 * nr) THEN l_extendedprice END) AS hi
+            |  FROM ranked GROUP BY 1)
             |SELECT l_returnflag, COUNT(*) AS n,
             |  ${oSum("least(greatest(l_extendedprice, lo), hi)")} AS sum_clipped,
             |  SUM(CASE WHEN l_extendedprice < lo THEN 1
@@ -532,10 +561,7 @@ object Maintenance {
       val newSnap = cust.filter(col("c_custkey") % 9 =!= 0)
         .withColumn("c_mktsegment",
           when(col("c_custkey") % 100 === 0, lit("UPDATED")).otherwise(col("c_mktsegment")))
-        .unionByName(cust.filter(col("c_custkey") % 250 === 0).select(
-          (col("c_custkey") + 1000000).as("c_custkey"),
-          concat(lit("NEW-"), col("c_name")).as("c_name"),
-          lit("FRESH").as("c_mktsegment")))
+        .unionByName(newsOf(cust))
       Merge.diffSnapshots(cust, newSnap, "c_custkey")
         .orderBy("c_custkey", "op")
     },
@@ -545,14 +571,15 @@ object Maintenance {
            |         CASE WHEN c_custkey % 100 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
            |  FROM base WHERE c_custkey % 9 <> 0
            |  UNION ALL
-           |  SELECT c_custkey + 1000000, 'NEW-' || c_name, 'FRESH'
+           |  SELECT -c_custkey - 1 AS c_custkey, 'NEW-' || c_name AS c_name,
+           |         'FRESH' AS c_mktsegment
            |  FROM base WHERE c_custkey % 250 = 0)
            |SELECT CASE WHEN o.c_custkey IS NULL THEN 'I'
            |            WHEN n.c_custkey IS NULL THEN 'D'
            |            ELSE 'U' END AS op,
            |       coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
-           |       coalesce(n.c_name, o.c_name) AS c_name,
-           |       coalesce(n.c_mktsegment, o.c_mktsegment) AS c_mktsegment
+           |       CASE WHEN n.c_custkey IS NOT NULL THEN n.c_name ELSE o.c_name END AS c_name,
+           |       CASE WHEN n.c_custkey IS NOT NULL THEN n.c_mktsegment ELSE o.c_mktsegment END AS c_mktsegment
            |FROM base o FULL OUTER JOIN news n USING (c_custkey)
            |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
            |   OR (o.c_name, o.c_mktsegment) IS DISTINCT FROM (n.c_name, n.c_mktsegment)

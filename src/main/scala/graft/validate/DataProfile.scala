@@ -24,17 +24,22 @@ import org.apache.spark.sql.functions._
  */
 object DataProfile {
 
-  def profile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame =
+  def profile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame = {
+    require(cols.nonEmpty, "DataProfile.profile: no columns to profile")
     cols.map { case (c, norm) =>
       df.select(col(c).as("v"))
         .groupBy("v").agg(count(lit(1)).as("cnt"))
         .agg(
-          sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_nonnull"),
-          sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
-          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+          // coalesce: an EMPTY table (the upstream-failure case a validate
+          // stage exists for) must profile as zeros, not NULLs that
+          // three-valued logic would silently wave through a gate
+          coalesce(sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)), lit(0L)).as("n_nonnull"),
+          coalesce(sum(when(col("v").isNull, col("cnt")).otherwise(0L)), lit(0L)).as("n_null"),
+          coalesce(sum(when(col("v").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_distinct"),
           min(norm(col("v"))).cast("string").as("min_s"),
           max(norm(col("v"))).cast("string").as("max_s"))
         .select(lit(c).as("column"), col("n_nonnull"), col("n_null"),
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_ unionByName _)
+  }
 }

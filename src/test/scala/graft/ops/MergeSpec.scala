@@ -61,6 +61,14 @@ class MergeSpec extends AnyFunSuite {
     val effective = Merge.diffSnapshots(oldSnap, Merge.upsert(oldSnap, batch, "k"), "k")
       .as[(String, Int, String)].collect()
     assert(effective === Array(("U", 2, "B2")))
+
+    // an update that NULLs a field must carry the null — not resurrect
+    // the old value through attribute-wise coalescing
+    val oldNn = Seq((1, Option("x"))).toDF("k", "v")
+    val newNn = Seq((1, Option.empty[String])).toDF("k", "v")
+    val nulled = Merge.diffSnapshots(oldNn, newNn, "k")
+      .as[(String, Int, Option[String])].collect()
+    assert(nulled === Array(("U", 1, None)))
   }
 
   test("operators tolerate empty inputs") {
