@@ -282,6 +282,72 @@ object Analytics {
            |             CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE), 9) AS share
            |FROM rev ORDER BY r_name, n_name""".stripMargin))
 
+  // Behavior transition matrix: within each user's event stream (ordered
+  // by ts, event_id), count consecutive event-type bigrams — the Markov
+  // transition counts behind next-event models. One shuffle (the window),
+  // then a tiny aggregate.
+  private val eventTransitions = Q(
+    "q_event_transitions",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+           |FROM (SELECT event_type,
+           |        lag(event_type) OVER (PARTITION BY user_id
+           |          ORDER BY ts, event_id) AS prev_type
+           |      FROM events)
+           |WHERE prev_type IS NOT NULL
+           |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin))
+
+  // ABC / Pareto classification: parts ranked by revenue, cumulative
+  // share (exact decimal running sum / exact decimal total) cut at
+  // 60%/90% — the inventory-curation shape. The running sum stays
+  // DECIMAL until the final double division, so the class boundaries are
+  // engine-identical.
+  private val abcClass = Q(
+    "q_abc_class",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
+      val wRun = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev_dec").desc, col("l_partkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      val share = sum(col("rev_dec")).over(wRun).cast(DoubleType) /
+        sum(col("rev_dec")).over(wAll).cast(DoubleType)
+      rev
+        .withColumn("abc",
+          when(share <= 0.6, "A").when(share <= 0.9, "B").otherwise("C"))
+        .groupBy("abc")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev_dec")).cast(DoubleType).as("revenue"))
+        .orderBy("abc")
+    },
+    Some("""WITH rev AS (
+           |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+           |  FROM lineitem GROUP BY 1),
+           |ranked AS (
+           |  SELECT l_partkey, rev_dec,
+           |    CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+           |    CAST(SUM(rev_dec) OVER () AS DOUBLE) AS share
+           |  FROM rev)
+           |SELECT CASE WHEN share <= 0.6 THEN 'A'
+           |            WHEN share <= 0.9 THEN 'B' ELSE 'C' END AS abc,
+           |  COUNT(*) AS n_parts, CAST(SUM(rev_dec) AS DOUBLE) AS revenue
+           |FROM ranked GROUP BY 1 ORDER BY abc""".stripMargin))
+
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
-    rangeJoinBinned, topkHeap, cohortRetention, attribution, shareOfTotal)
+    rangeJoinBinned, topkHeap, cohortRetention, attribution, shareOfTotal,
+    eventTransitions, abcClass)
 }
