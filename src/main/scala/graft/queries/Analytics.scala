@@ -317,15 +317,17 @@ object Analytics {
       val rev = t(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
+      // the global running sum is inherently one ordered pass, but it
+      // runs over |parts| aggregated rows, not |lineitem| rows — and the
+      // grand total is a broadcast scalar, not a second all-rows window
       val wRun = org.apache.spark.sql.expressions.Window
         .orderBy(col("rev_dec").desc, col("l_partkey"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1))
+      val total = rev.agg(sum(col("rev_dec")).as("total_dec"))
       val share = sum(col("rev_dec")).over(wRun).cast(DoubleType) /
-        sum(col("rev_dec")).over(wAll).cast(DoubleType)
-      rev
+        col("total_dec").cast(DoubleType)
+      rev.crossJoin(broadcast(total))
         .withColumn("abc",
           when(share <= 0.6, "A").when(share <= 0.9, "B").otherwise("C"))
         .groupBy("abc")
