@@ -349,7 +349,71 @@ object Analytics {
            |  COUNT(*) AS n_parts, CAST(SUM(rev_dec) AS DOUBLE) AS revenue
            |FROM ranked GROUP BY 1 ORDER BY abc""".stripMargin))
 
+  // Gaps-and-islands: longest run of consecutive ACTIVE DAYS per event
+  // type. day − dense_rank(day) is constant within a consecutive run —
+  // the classic islands key — then one aggregate per island and a max.
+  private val gapsIslands = Q(
+    "q_gaps_islands",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .select(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      val islands = daily
+        .withColumn("grp", col("day") - dense_rank().over(w))
+        .groupBy("event_type", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      islands.groupBy("event_type")
+        .agg(max(struct(col("len"), col("start_day"))).as("best"))
+        .select(col("event_type"), col("best.len").as("longest_streak"),
+          col("best.start_day").as("streak_start"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT DISTINCT event_type, epoch_ns(ts) // 86400000000000 AS day
+           |  FROM events),
+           |islands AS (
+           |  SELECT event_type,
+           |    day - dense_rank() OVER (PARTITION BY event_type ORDER BY day) AS grp,
+           |    day
+           |  FROM daily),
+           |runs AS (
+           |  SELECT event_type, grp, COUNT(*) AS len, MIN(day) AS start_day
+           |  FROM islands GROUP BY 1, 2)
+           |SELECT event_type, len AS longest_streak, start_day AS streak_start
+           |FROM (SELECT event_type, len, start_day,
+           |        row_number() OVER (PARTITION BY event_type
+           |          ORDER BY len DESC, start_day DESC) AS rn
+           |      FROM runs)
+           |WHERE rn = 1 ORDER BY event_type""".stripMargin))
+
+  // Median absolute deviation — the robust dispersion measure: exact
+  // per-group median, then the median of absolute deviations from it
+  // (both engines' exact quantile interpolation is bit-identical, the
+  // q_median precedent).
+  private val madQ = Q(
+    "q_mad",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(first(col("med")).as("median_qty"),
+          expr("percentile(abs(l_quantity - med), 0.5)").as("mad_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH med AS (
+           |  SELECT l_returnflag, CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS med
+           |  FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag,
+           |  ANY_VALUE(med) AS median_qty,
+           |  CAST(quantile_cont(abs(l_quantity - med), 0.5) AS DOUBLE) AS mad_qty
+           |FROM lineitem JOIN med USING (l_returnflag)
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
     rangeJoinBinned, topkHeap, cohortRetention, attribution, shareOfTotal,
-    eventTransitions, abcClass)
+    eventTransitions, abcClass, gapsIslands, madQ)
 }
