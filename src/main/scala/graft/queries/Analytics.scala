@@ -413,7 +413,43 @@ object Analytics {
            |FROM lineitem JOIN med USING (l_returnflag)
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  // Period-over-period reporting: monthly revenue per order status with
+  // the previous month's value and % change (lag window over exact
+  // decimal monthly sums; the division is the only float step, 9dp cut).
+  private val percentChange = Q(
+    "q_percent_change",
+    (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("month")
+      monthly
+        .withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
+        .select(col("o_orderstatus"), col("month"),
+          col("rev_dec").cast(DoubleType).as("rev"),
+          col("prev_dec").cast(DoubleType).as("prev_rev"),
+          round((col("rev_dec").cast(DoubleType) - col("prev_dec").cast(DoubleType)) /
+            col("prev_dec").cast(DoubleType) * 100, 9).as("pct_change"))
+        .orderBy("o_orderstatus", "month")
+    },
+    Some("""WITH monthly AS (
+           |  SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+           |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+           |  FROM orders GROUP BY 1, 2),
+           |lagged AS (
+           |  SELECT o_orderstatus, month, rev_dec,
+           |    lag(rev_dec) OVER (PARTITION BY o_orderstatus ORDER BY month) AS prev_dec
+           |  FROM monthly)
+           |SELECT o_orderstatus, month,
+           |  CAST(rev_dec AS DOUBLE) AS rev,
+           |  CAST(prev_dec AS DOUBLE) AS prev_rev,
+           |  round((CAST(rev_dec AS DOUBLE) - CAST(prev_dec AS DOUBLE)) /
+           |        CAST(prev_dec AS DOUBLE) * 100, 9) AS pct_change
+           |FROM lagged ORDER BY o_orderstatus, month""".stripMargin))
+
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
     rangeJoinBinned, topkHeap, cohortRetention, attribution, shareOfTotal,
-    eventTransitions, abcClass, gapsIslands, madQ)
+    eventTransitions, abcClass, gapsIslands, madQ, percentChange)
 }
