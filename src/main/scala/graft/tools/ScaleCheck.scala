@@ -70,7 +70,9 @@ object ScaleCheck {
       "q_pack_global", "q_interleave_mix", "q_vocab_build",
       "q_corpus_clean", "q_join_five", "q_graph_pagerank",
       "q_merge_upsert", "q_scd2", "q_incr_rollup", "q_resample_ffill",
-      "q_ewma", "q_cohort_retention", "q_distinct_sketch")
+      "q_ewma", "q_cohort_retention", "q_distinct_sketch",
+      "q_dedup_apply", "q_text_bm25", "q_graph_triangles", "q_winsorize",
+      "q_snapshot_diff", "q_profile", "q_abc_class")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
