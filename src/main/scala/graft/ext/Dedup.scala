@@ -356,10 +356,13 @@ object Dedup {
       posexplode(array((0 until 8).map(c => col(s"c_$c")): _*)).as(Seq("chunk_idx", "chunk")))
     val l = exploded.select(col(idCol).as("d1"), col("sig").as("sig1"), col("chunk_idx"), col("chunk"))
     val r = exploded.select(col(idCol).as("d2"), col("sig").as("sig2"), col("chunk_idx"), col("chunk"))
+    // Hamming-filter BEFORE deduplicating candidates: the bit_count is a
+    // cheap map-side expression, and rejecting far pairs first means the
+    // distinct's shuffle carries only the (rare) near-dup survivors
+    // instead of every banded collision
     l.join(r, Seq("chunk_idx", "chunk")).filter(col("d1") < col("d2"))
-      .select("d1", "d2", "sig1", "sig2").distinct()
       .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
       .filter(col("hamming") <= maxDistance)
-      .select("d1", "d2", "hamming")
+      .select("d1", "d2", "hamming").distinct()
   }
 }
