@@ -449,7 +449,52 @@ object Analytics {
            |        CAST(prev_dec AS DOUBLE) * 100, 9) AS pct_change
            |FROM lagged ORDER BY o_orderstatus, month""".stripMargin))
 
+  // Rolling z-score: monthly revenue vs its own trailing-6-month window
+  // (ROWS -5..0) — the moving-baseline anomaly detector. Window Σ and Σ²
+  // stay in exact decimal (order-independent within the frame), so the z
+  // formula sees identical IEEE inputs on both engines; 9dp cut.
+  private val rollingZscore = Q(
+    "q_rolling_zscore",
+    (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("month").rowsBetween(-5, 0)
+      val n = count(lit(1)).over(w).cast(DoubleType)
+      val s1 = sum(col("rev_dec")).over(w).cast(DoubleType)
+      val s2 = sum((col("rev_dec") * col("rev_dec")).cast(DecimalType(38, 4)))
+        .over(w).cast(DoubleType)
+      val mean = s1 / n
+      val variance = s2 / n - mean * mean
+      monthly
+        .withColumn("z", when(variance <= 0, lit(0.0))
+          .otherwise(round((col("rev_dec").cast(DoubleType) - mean) / sqrt(variance), 9)))
+        .select(col("o_orderstatus"), col("month"),
+          col("rev_dec").cast(DoubleType).as("rev"), col("z"))
+        .orderBy("o_orderstatus", "month")
+    },
+    Some("""WITH monthly AS (
+           |  SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+           |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+           |  FROM orders GROUP BY 1, 2),
+           |win AS (
+           |  SELECT o_orderstatus, month, rev_dec,
+           |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+           |    CAST(SUM(rev_dec) OVER w AS DOUBLE) AS s1,
+           |    CAST(SUM(CAST(rev_dec * rev_dec AS DECIMAL(38,4))) OVER w AS DOUBLE) AS s2
+           |  FROM monthly
+           |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY month
+           |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+           |SELECT o_orderstatus, month, CAST(rev_dec AS DOUBLE) AS rev,
+           |  CASE WHEN s2/n - (s1/n)*(s1/n) <= 0 THEN 0.0
+           |       ELSE round((CAST(rev_dec AS DOUBLE) - s1/n) /
+           |                  sqrt(s2/n - (s1/n)*(s1/n)), 9) END AS z
+           |FROM win ORDER BY o_orderstatus, month""".stripMargin))
+
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
     rangeJoinBinned, topkHeap, cohortRetention, attribution, shareOfTotal,
-    eventTransitions, abcClass, gapsIslands, madQ, percentChange)
+    eventTransitions, abcClass, gapsIslands, madQ, percentChange,
+    rollingZscore)
 }
