@@ -309,15 +309,21 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash per document from token 64-bit hashes, weighted by
-    * term frequency (tokens kept with multiplicity — frequency profiles
+  /** SimHash per document from 60-bit token hashes, weighted by term
+    * frequency (tokens kept with multiplicity — frequency profiles
     * discriminate far better than token sets on small vocabularies): bit j
-    * of the signature is the sign of Σ_tokens (2*bit_j(hash)-1). */
+    * of the signature is the sign of Σ_tokens (2*bit_j(hash)-1).
+    *
+    * Token hash = the first 15 hex chars of md5 (60 bits). md5 is the one
+    * 64-bit-grade hash portable verbatim across engines, which makes the
+    * WHOLE operator reproducible in plain SQL — the DuckDB oracle computes
+    * identical signatures, upgrading simhash from a rows-only check to a
+    * hash-matched one. Bits 60-63 of the signature are structurally zero. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
     // Σ(±1) per bit ≡ 2·(count of ones) − n: summing the raw bit is a
     // branch-free shift+and per row (the ±1 CASE WHEN form costs a
     // conditional in each aggregate update per token). The 64 per-bit
@@ -344,7 +350,9 @@ object Dedup {
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDistance. Candidate
     * generation bands the 64 bits into 8 chunks of 8 — any pair within
     * Hamming distance 7 shares at least one chunk (pigeonhole), so the
-    * join is on chunk equality, not all-pairs. */
+    * join is on chunk equality, not all-pairs. (With 60-bit md5 hashes the
+    * top chunk has 4 structurally-zero bits — slightly coarser buckets
+    * there, recall guarantee unchanged.) */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 6): DataFrame = {
     require(maxDistance < 8, "chunk banding guarantees recall only for distance < 8")
