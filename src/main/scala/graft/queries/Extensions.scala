@@ -76,14 +76,34 @@ object Extensions {
       .orderBy("d1", "d2"),
     Some(shingleCte))
 
-  // SimHash signatures are xxhash64-based — not reproducible in DuckDB, so
-  // rows-only (the ScalaTest spec asserts it finds the planted near-dups).
+  // SimHash token hashes are md5-60bit — portable verbatim, so the oracle
+  // recomputes the identical weighted bit-vote signatures and brute-forces
+  // all pairs at Hamming ≤ 6. The engine's chunk banding is guaranteed
+  // complete below 8 chunks' pigeonhole bound, so banded output ≡ the
+  // oracle's all-pairs filter — the hash match PROVES the LSH loses nothing.
   private val dedupSimhash = Q(
     "q_dedup_simhash",
     (s, dir) => Dedup.simhashNearDupPairs(
       t(s, dir, "documents"), "doc_id", "text", maxDistance = 6)
       .orderBy("d1", "d2"),
-    None)
+    Some("""WITH toks AS (
+           |  SELECT doc_id,
+           |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+           |  FROM documents),
+           |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+           |bits AS (
+           |  SELECT doc_id, j, SUM((h >> j) & 1) AS ones, COUNT(*) AS n
+           |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+           |  GROUP BY doc_id, j),
+           |sig AS (
+           |  SELECT doc_id,
+           |    SUM(CASE WHEN 2 * ones > n THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+           |  FROM bits GROUP BY doc_id)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY d1, d2""".stripMargin))
 
   // ---- E19 similarity search --------------------------------------------
 
@@ -667,6 +687,54 @@ object Extensions {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  // Bigram language-model counts: the n-gram statistics pass of corpus
+  // analysis. Shuffle-free until the one count aggregation; 1-based
+  // element_at matches DuckDB list indexing position-for-position.
+  private val textNgrams = Q(
+    "q_text_ngrams",
+    (s, dir) => {
+      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      t(s, dir, "documents")
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("bigram"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+           |  FROM documents),
+           |bi AS (
+           |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+           |                i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+           |  FROM toks)
+           |SELECT bigram, COUNT(*) AS cnt FROM bi
+           |GROUP BY bigram HAVING COUNT(*) >= 2
+           |ORDER BY cnt DESC, bigram""".stripMargin))
+
+  // Heavy hitters: Misra-Gries candidate sketch (bounded map-side state,
+  // shuffle ∝ capacity not vocabulary) + exact re-count verify — output is
+  // EXACTLY the tokens at ≥0.5% of the corpus, which is why a plain
+  // GROUP BY/HAVING oracle hash-matches a sketch-driven operator.
+  private val textHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+      graft.ops.FreqItems.heavyHitters(toks, "tok", support = 0.005)
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+           |  FROM documents)
+           |SELECT tok, COUNT(*) AS cnt FROM toks
+           |GROUP BY tok
+           |HAVING COUNT(*) >= CAST(ceil(CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) * 0.005) AS BIGINT)
+           |ORDER BY cnt DESC, tok""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupApply, dedupIncremental, textContamination,
@@ -674,5 +742,6 @@ object Extensions {
     embedCentroids, embedNormalize,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textFilter, textScrub, textBm25, corpusClean,
-    multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames)
+    multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
+    textNgrams, textHeavyHitters)
 }
