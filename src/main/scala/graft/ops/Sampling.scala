@@ -78,4 +78,29 @@ object Sampling {
       .filter(col("sample_rank") <= col("__k"))
       .drop("__k")
   }
+
+  /**
+   * Deterministic weighted sampling without replacement, n items with
+   * inclusion probability ∝ `weightCol` — Efraimidis–Spirakis A-Res: each
+   * row draws u ∈ (0,1) from its content hash and ranks by ln(u)/w
+   * descending (the one-shot equivalent of key u^(1/w); ln keeps the
+   * magnitudes in a well-conditioned range instead of pow's denormals).
+   * Corpus mixing's "sample documents ∝ quality score" primitive.
+   *
+   * u = (first 15 md5 hex chars)/2⁶⁰ — content-derived like every sampler
+   * here, so the draw is reproducible across engines and partitionings.
+   * The sort key is rounded to 9 dp (the engine's cross-engine IEEE
+   * contract for transcendentals) with keyCol as tie-break; the heavy lift
+   * is one global top-n, which Spark executes as per-partition heaps + a
+   * driver merge (TakeOrderedAndProject), never a full sort.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(2.0, 60.0))
+    val key = round(log(u) / col(weightCol).cast("double"), 9)
+    df.withColumn("sample_key", key)
+      .orderBy(col("sample_key").desc, col(keyCol))
+      .limit(n)
+  }
 }

@@ -46,4 +46,21 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptHalf == keptFullEven)
   }
+
+  test("weightedSample returns exactly n rows, deterministically, biased toward weight") {
+    import spark.implicits._
+    // weights: ids 0-99 weight 1, ids 100-199 weight 50 — the heavy half
+    // must dominate a 40-row sample, without excluding the light half a
+    // priori (every row has positive probability)
+    val df = (0L until 200L).map(i => (i, if (i < 100) 1.0 else 50.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", n = 40)
+    val rows = s1.collect()
+    assert(rows.length == 40)
+    val heavy = rows.count(_.getLong(0) >= 100L)
+    assert(heavy > 30, s"heavy-weight rows should dominate, got $heavy/40")
+    val ids2 = Sampling.weightedSample(df, "id", "w", n = 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == ids2)
+  }
 }
