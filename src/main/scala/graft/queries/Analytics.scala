@@ -493,8 +493,127 @@ object Analytics {
            |                  sqrt(s2/n - (s1/n)*(s1/n)), 9) END AS z
            |FROM win ORDER BY o_orderstatus, month""".stripMargin))
 
+  // Interval merge (union of overlapping per-key intervals): supplier
+  // "busy windows" from ship date + a data-derived duration. Islands via
+  // the running-max-of-ends gap flag; tie order (s, e) is island-invariant
+  // (same-start intervals always overlap) so both engines agree.
+  private val intervalMerge = Q(
+    "q_interval_merge",
+    (s, dir) => {
+      // DISTINCT is load-bearing, not just a speedup: interval union is
+      // duplicate-insensitive, and collapsing twin rows makes (s, e)
+      // a strict total order per partition — otherwise an engine may
+      // permute identical rows between the gap-flag window and the
+      // island cum-sum window, attaching a twin's flag to the wrong
+      // position and silently merging neighboring islands.
+      val iv = t(s, dir, "lineitem").select(
+        col("l_suppkey"), col("l_returnflag"),
+        to_date(col("l_shipdate")).as("s"),
+        date_add(to_date(col("l_shipdate")),
+          (col("l_quantity").cast("int") % 5 + 1)).as("e"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey", "l_returnflag").orderBy("s", "e")
+      val prevMax = max(col("e")).over(w.rowsBetween(Long.MinValue, -1))
+      val island = sum(
+        when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+        .over(w.rowsBetween(Long.MinValue, 0))
+      iv.withColumn("island", island)
+        .groupBy("l_suppkey", "l_returnflag", "island")
+        .agg(min(col("s")).as("is_"), max(col("e")).as("ie"))
+        .groupBy("l_suppkey", "l_returnflag")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(datediff(col("ie"), col("is_")) + 1).as("covered_days"),
+          max(datediff(col("ie"), col("is_")) + 1).cast("long").as("longest_days"))
+        .orderBy("l_suppkey", "l_returnflag")
+    },
+    Some("""WITH iv AS (
+           |  SELECT DISTINCT l_suppkey, l_returnflag, CAST(l_shipdate AS DATE) AS s,
+           |    CAST(CAST(l_shipdate AS DATE)
+           |         + to_days(CAST(l_quantity AS INTEGER) % 5 + 1) AS DATE) AS e
+           |  FROM lineitem),
+           |g AS (
+           |  SELECT l_suppkey, l_returnflag, s, e,
+           |    max(e) OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY s, e
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           |  FROM iv),
+           |isl AS (
+           |  SELECT l_suppkey, l_returnflag, s, e,
+           |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY s, e
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM g),
+           |m AS (
+           |  SELECT l_suppkey, l_returnflag, island,
+           |         min(s) AS is_, max(e) AS ie
+           |  FROM isl GROUP BY 1, 2, 3)
+           |SELECT l_suppkey, l_returnflag,
+           |  count(*) AS n_islands,
+           |  CAST(SUM(date_diff('day', is_, ie) + 1) AS BIGINT) AS covered_days,
+           |  CAST(MAX(date_diff('day', is_, ie) + 1) AS BIGINT) AS longest_days
+           |FROM m GROUP BY 1, 2 ORDER BY l_suppkey, l_returnflag""".stripMargin))
+
+  // Distribution shape of a categorical column per group: Shannon entropy
+  // and Gini impurity. Each p·ln p / p² term is rounded to 9 dp and summed
+  // as an exact decimal — the ONLY cross-engine-unsafe step (a double SUM
+  // is order-dependent) becomes order-independent, the engine's standard
+  // trick for transcendental aggregates.
+  private val entropyQ = Q(
+    "q_entropy",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")
+      val cnts = t(s, dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus").agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(w))
+      val p = col("c").cast(DoubleType) / col("n").cast(DoubleType)
+      cnts
+        .withColumn("ent_term", round(p * log(p), 9).cast(DecimalType(18, 9)))
+        .withColumn("gini_term", round(p * p, 9).cast(DecimalType(18, 9)))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_classes"),
+          (-sum(col("ent_term"))).cast(DoubleType).as("entropy"),
+          (lit(1.0) - sum(col("gini_term")).cast(DoubleType)).as("gini"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH c AS (
+           |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+           |  FROM orders GROUP BY 1, 2),
+           |t AS (
+           |  SELECT o_orderpriority, c,
+           |    SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+           |  FROM c),
+           |terms AS (
+           |  SELECT o_orderpriority,
+           |    CAST(round((CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+           |         * ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ent_term,
+           |    CAST(round((CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+           |         * (CAST(c AS DOUBLE)/CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS gini_term
+           |  FROM t)
+           |SELECT o_orderpriority,
+           |  COUNT(*) AS n_classes,
+           |  CAST(-SUM(ent_term) AS DOUBLE) AS entropy,
+           |  CAST(1.0 AS DOUBLE) - CAST(SUM(gini_term) AS DOUBLE) AS gini
+           |FROM terms GROUP BY 1 ORDER BY o_orderpriority""".stripMargin))
+
+  // Weighted sampling without replacement (Efraimidis–Spirakis, content-
+  // hash randomness): 50 orders drawn ∝ o_totalprice.
+  private val sampleWeighted = Q(
+    "q_sample_weighted",
+    (s, dir) =>
+      Sampling.weightedSample(
+        t(s, dir, "orders"), "o_orderkey", "o_totalprice", n = 50)
+        .select(col("o_orderkey"), col("o_totalprice"), col("sample_key"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_totalprice, sample_key FROM (
+           |  SELECT o_orderkey, o_totalprice,
+           |    round(ln(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           |             / 1152921504606846976.0) / o_totalprice, 9) AS sample_key
+           |  FROM orders
+           |  ORDER BY sample_key DESC, o_orderkey LIMIT 50)
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
     rangeJoinBinned, topkHeap, cohortRetention, attribution, shareOfTotal,
     eventTransitions, abcClass, gapsIslands, madQ, percentChange,
-    rollingZscore)
+    rollingZscore, intervalMerge, entropyQ, sampleWeighted)
 }
