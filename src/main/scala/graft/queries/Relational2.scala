@@ -419,10 +419,44 @@ object Relational2 {
            |  CAST(l_linenumber << 2 AS INTEGER) AS b_shl
            |FROM lineitem ORDER BY l_orderkey, l_linenumber, b_xor""".stripMargin))
 
+  // Bag-semantics set ops: EXCEPT ALL subtracts occurrence counts (every
+  // returned shipment cancels ONE occurrence of its part), INTERSECT ALL
+  // keeps the min multiplicity. Output re-aggregated so the multiset
+  // result stays order-checkable.
+  private val exceptAll = Q(
+    "q_except_all",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select("l_partkey")
+        .exceptAll(li.filter(col("l_returnflag") === "R").select("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_partkey")
+    },
+    Some("""SELECT l_partkey, COUNT(*) AS cnt FROM (
+           |  SELECT l_partkey FROM lineitem
+           |  EXCEPT ALL
+           |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+           |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
+
+  private val intersectAll = Q(
+    "q_intersect_all",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_linestatus") === "F").select("l_partkey")
+        .intersectAll(li.filter(col("l_returnflag") === "R").select("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_partkey")
+    },
+    Some("""SELECT l_partkey, COUNT(*) AS cnt FROM (
+           |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+           |  INTERSECT ALL
+           |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+           |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2,
     unpivot, having, scalarSubquery, cte,
     structFns, regexExtract, windowCume, dateSeries,
     unionDistinct, limitOffset, windowNth, countDistinctMulti, stringAgg,
-    mapFns, levenshteinQ, bitwise)
+    mapFns, levenshteinQ, bitwise, exceptAll, intersectAll)
 }
