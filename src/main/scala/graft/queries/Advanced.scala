@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.ops.TimeOps
 import QueryUtil._
@@ -361,9 +361,94 @@ object Advanced {
            |WHERE c.c_custkey <= 200
            |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
 
+  // Time-weighted average: each event's value holds until the next event
+  // of the same type (step-function semantics — sensor readings, prices,
+  // feature-flag states). Weights are exact integer microseconds, the
+  // value·duration products are exact decimals, so the one double
+  // division at the end is deterministic with no rounding.
+  private val twap = Q(
+    "q_twap",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        expr("ts DIV 1000").as("t"), col("event_id"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("t", "event_id")
+      ev.withColumn("dur", lead(col("t"), 1).over(w) - col("t"))
+        .groupBy("event_type")
+        .agg(count(col("dur")).as("n_intervals"),
+          sum(col("dur")).as("total_us"),
+          round(sum(col("v") * col("dur")).cast(DoubleType)
+            / sum(col("dur")).cast(DoubleType), 9).as("twap"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_type, epoch_us(ts) AS t, event_id,
+           |         CAST(value AS DECIMAL(18,6)) AS v
+           |  FROM events),
+           |d AS (
+           |  SELECT event_type, v,
+           |    lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) - t AS dur
+           |  FROM e)
+           |SELECT event_type, COUNT(dur) AS n_intervals,
+           |  CAST(SUM(dur) AS BIGINT) AS total_us,
+           |  round(CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 9) AS twap
+           |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  // User lifecycle accounting: each active month classifies a user as
+  // new / retained / resurrected, and the month AFTER a user's last
+  // active month records a churn. The four curves every growth dashboard
+  // plots, from one distinct user-month frame + one lag/lead window.
+  private val userLifecycle = Q(
+    "q_user_lifecycle",
+    (s, dir) => {
+      val um = events(s, dir)
+        .select(col("user_id"),
+          date_trunc("month", timestamp_micros(expr("ts DIV 1000")))
+            .cast("date").as("m"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("m")
+      val withNeighbors = um
+        .withColumn("prev", lag(col("m"), 1).over(w))
+        .withColumn("next", lead(col("m"), 1).over(w))
+      val active = withNeighbors.select(col("m"),
+        when(col("prev").isNull, lit("new"))
+          .when(add_months(col("prev"), 1) === col("m"), lit("retained"))
+          .otherwise(lit("resurrected")).as("status"))
+      val churned = withNeighbors
+        .filter(col("next").isNull || col("next") > add_months(col("m"), 1))
+        .select(add_months(col("m"), 1).as("m"), lit("churned").as("status"))
+      active.unionAll(churned)
+        .groupBy("m", "status").agg(count(lit(1)).as("n_users"))
+        .orderBy("m", "status")
+    },
+    Some("""WITH um AS (
+           |  SELECT DISTINCT user_id,
+           |    CAST(date_trunc('month', ts) AS DATE) AS m
+           |  FROM events),
+           |nb AS (
+           |  SELECT user_id, m,
+           |    lag(m) OVER (PARTITION BY user_id ORDER BY m) AS prev,
+           |    lead(m) OVER (PARTITION BY user_id ORDER BY m) AS next
+           |  FROM um),
+           |active AS (
+           |  SELECT m,
+           |    CASE WHEN prev IS NULL THEN 'new'
+           |         WHEN CAST(prev + INTERVAL 1 MONTH AS DATE) = m THEN 'retained'
+           |         ELSE 'resurrected' END AS status
+           |  FROM nb),
+           |churned AS (
+           |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m, 'churned' AS status
+           |  FROM nb
+           |  WHERE next IS NULL OR next > CAST(m + INTERVAL 1 MONTH AS DATE))
+           |SELECT m, status, COUNT(*) AS n_users
+           |FROM (SELECT * FROM active UNION ALL SELECT * FROM churned)
+           |GROUP BY 1, 2 ORDER BY m, status""".stripMargin))
+
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
     asofJoin, asofForward, eventsSessions, eventsSliding, eventsFunnel,
     eventSequences, variantExtract, eventsSessionWindow, approxDistinct,
-    recursiveCte, lateralTop2)
+    recursiveCte, lateralTop2, twap, userLifecycle)
 }
