@@ -132,4 +132,25 @@ object Multimodal {
         }
       }, schema)
   }
+
+  /** Overlapped audio windowing: each clip fans out to ⌈len/hop⌉ windows
+    * of `win` bytes starting every `hop` bytes (win > hop ⇒ consecutive
+    * windows overlap by win−hop — the STFT/wav2vec-style framing). Unlike
+    * the codec-bound ops above this needs NO decoder at all: windowing is
+    * byte arithmetic, so it runs as a pure column pipeline — sequence →
+    * transform → binary substr → posexplode — that stays inside
+    * whole-stage codegen and shuffles nothing. The trailing window is
+    * truncated at the clip end, never padded. */
+  def chunkAudio(df: DataFrame, win: Int, hop: Int): DataFrame = {
+    require(win > 0 && hop > 0, "window and hop must be positive")
+    val len = length(col("payload"))
+    val nChunks = ceil(len.cast(DoubleType) / hop).cast(IntegerType)
+    val windows = when(len > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        j => col("payload").substr(j * hop + 1, lit(win))))
+      .otherwise(array().cast(ArrayType(BinaryType)))
+    df.select(col("media_id"),
+      posexplode(windows).as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_len", length(col("chunk")))
+  }
 }

@@ -735,6 +735,26 @@ object Extensions {
            |HAVING COUNT(*) >= CAST(ceil(CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) * 0.005) AS BIGINT)
            |ORDER BY cnt DESC, tok""".stripMargin))
 
+  // Overlapped audio windowing (win=6, hop=4 over the 16-byte stub
+  // payload → 4 windows, last truncated to 4 bytes); the oracle rebuilds
+  // every window from the md5 hex the payload is derived from.
+  private val multimodalChunks = Q(
+    "q_multimodal_chunks",
+    (s, dir) => {
+      val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id")
+        .filter(col("kind") === "audio")
+      Multimodal.chunkAudio(media, win = 6, hop = 4)
+        .select(col("media_id"), col("chunk_idx"),
+          hex(col("chunk")).as("chunk_hex"), col("chunk_len"))
+        .orderBy("media_id", "chunk_idx")
+    },
+    Some("""SELECT doc_id AS media_id, CAST(j AS INTEGER) AS chunk_idx,
+           |  upper(substr(md5(CAST(doc_id AS VARCHAR)), 8*j + 1, least(12, 32 - 8*j))) AS chunk_hex,
+           |  CAST(least(6, 16 - 4*j) AS INTEGER) AS chunk_len
+           |FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS j)
+           |WHERE doc_id % 3 = 1
+           |ORDER BY media_id, chunk_idx""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
     dedupClusters, dedupApply, dedupIncremental, textContamination,
@@ -743,5 +763,5 @@ object Extensions {
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
-    textNgrams, textHeavyHitters)
+    multimodalChunks, textNgrams, textHeavyHitters)
 }

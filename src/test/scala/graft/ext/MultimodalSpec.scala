@@ -61,4 +61,23 @@ class MultimodalSpec extends AnyFunSuite {
       idCol = "media_id", vecCol = "embedding").collect()
     assert(topk.length == 4) // 2 queries x k=2
   }
+
+  test("chunkAudio: overlapped windows cover the clip, truncated at the end") {
+    val media = Multimodal.synthesizeMedia(ids, "doc_id")
+    val chunks = Multimodal.chunkAudio(media, win = 6, hop = 4)
+      .orderBy("media_id", "chunk_idx").collect()
+    // 16-byte payload, hop 4 -> 4 windows per clip
+    assert(chunks.length == 4 * 4)
+    val first = chunks.filter(_.getLong(0) == 0L)
+    assert(first.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(first.map(_.getInt(3)).toSeq == Seq(6, 6, 6, 4)) // last truncated
+    // window i begins hop bytes into window i-1: suffix/prefix overlap
+    val w0 = first(0).getAs[Array[Byte]](2)
+    val w1 = first(1).getAs[Array[Byte]](2)
+    assert(w0.drop(4).toSeq == w1.take(2).toSeq)
+    // reassembling hop-strided prefixes reproduces the payload exactly
+    val payload = media.filter($"media_id" === 0).collect().head.getAs[Array[Byte]](2)
+    val rebuilt = first.flatMap(_.getAs[Array[Byte]](2).take(4))
+    assert(rebuilt.toSeq == payload.toSeq)
+  }
 }
