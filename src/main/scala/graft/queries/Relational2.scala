@@ -453,10 +453,38 @@ object Relational2 {
            |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
            |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
 
+  // Fuzzy record linkage: Jaro-Winkler (native codegen'd expression,
+  // graft.functions.JaroWinkler) over blocked candidate pairs — blocking
+  // on (brand, size) keeps the quadratic comparison inside small groups,
+  // the standard entity-resolution shape. 9dp rounding before the
+  // threshold so both engines make identical keep/drop decisions.
+  private val jaroPairs = Q(
+    "q_jaro_pairs",
+    (s, dir) => {
+      graft.functions.StringFunctions.register(s)
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_size"), col("p_name"))
+      val a = p.select(col("p_partkey").as("k1"), col("p_brand"),
+        col("p_size"), col("p_name").as("n1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_brand"),
+        col("p_size"), col("p_name").as("n2"))
+      a.join(b, Seq("p_brand", "p_size")).filter(col("k1") < col("k2"))
+        .withColumn("jw", round(expr("jaro_winkler(n1, n2)"), 9))
+        .filter(col("jw") >= 0.6)
+        .select("k1", "k2", "jw").orderBy("k1", "k2")
+    },
+    Some("""SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+           |  round(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw
+           |FROM part a JOIN part b
+           |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           | AND a.p_partkey < b.p_partkey
+           |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.6
+           |ORDER BY k1, k2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2,
     unpivot, having, scalarSubquery, cte,
     structFns, regexExtract, windowCume, dateSeries,
     unionDistinct, limitOffset, windowNth, countDistinctMulti, stringAgg,
-    mapFns, levenshteinQ, bitwise, exceptAll, intersectAll)
+    mapFns, levenshteinQ, bitwise, exceptAll, intersectAll, jaroPairs)
 }
