@@ -131,12 +131,21 @@ object SimSearch {
       .select("new_id", "corpus_id", "sim")
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d ← a fixed
-    * affine hash mapped into [-0.5, 0.5). Driver-side tiny matrix, shipped
-    * as a literal — no RNG state on executors, stable across cluster sizes. */
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d ←
+    * md5("seed:p:d") mapped into [-0.5, 0.5). Driver-side tiny matrix,
+    * shipped as a literal — no RNG state on executors, stable across
+    * cluster sizes. md5 (not engine RNG) so the EXACT same doubles are
+    * recomputable in SQL: first 15 hex chars → 60-bit integer, /2⁶⁰
+    * (exact power-of-two scaling), −0.5 — every step correctly rounded
+    * identically on any IEEE engine, which lets a DuckDB oracle rebuild
+    * the planes and hash-match the whole LSH pipeline. */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextDouble() - 0.5)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val hex = md.digest(s"$seed:$p:$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0 - 0.5
+    }
   }
 
   /** Random-hyperplane LSH bucket id per vector: bit p = sign(v·plane_p).
@@ -166,10 +175,13 @@ object SimSearch {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    // seeded init: order by a deterministic hash of the id, take k
-    val init = base.orderBy(xxhash64(col("id")), col("id")).limit(k)
+    // seeded init: order by a deterministic content hash of the id, take
+    // k. md5 (not xxhash64) so a SQL oracle can reproduce the identical
+    // pick — the same portability switch as the LSH planes.
+    val init = base.orderBy(md5(col("id").cast("string")), col("id")).limit(k)
       .select(col("id"), col("v").as("cv"))
-      .withColumn("cid", row_number().over(Window.orderBy(xxhash64(col("id")), col("id"))) - 1)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(md5(col("id").cast("string")), col("id"))) - 1)
       .select("cid", "cv")
 
     def nearest(points: DataFrame, centroids: DataFrame): DataFrame = {
@@ -185,11 +197,16 @@ object SimSearch {
     }
 
     // one Lloyd refinement: element-wise mean per cluster, distributed by
-    // (cluster, dimension) so no single reducer holds a whole cluster
+    // (cluster, dimension) so no single reducer holds a whole cluster.
+    // The mean is an exact decimal sum ÷ count (a double AVG is
+    // order-dependent across partitionings/engines; the decimal sum is
+    // not), so centroid doubles are bit-identical everywhere.
     val assigned0 = nearest(base, init)
     val means = assigned0
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cid", "dim").agg(avg(col("x")).as("m"))
+      .groupBy("cid", "dim")
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType)
+        / count(lit(1))).as("m"))
       .groupBy("cid").agg(
         transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("cv"))
@@ -208,10 +225,13 @@ object SimSearch {
       ivfAssign(corpus, k, idCol, vecCol)
         .select(col("id").as("neighbor_id"), col("v").as("cvec"), col("cluster"))
         .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec"))))
-    // centroid of each cluster for probe selection (reuse assignment means)
+    // centroid of each cluster for probe selection (reuse assignment
+    // means) — exact decimal mean, same portability contract as ivfAssign
     val centroids = assigned
       .select(col("cluster"), posexplode(col("cvec")).as(Seq("dim", "x")))
-      .groupBy("cluster", "dim").agg(avg(col("x")).as("m"))
+      .groupBy("cluster", "dim")
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType)
+        / count(lit(1))).as("m"))
       .groupBy("cluster").agg(
         transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("ccv"))

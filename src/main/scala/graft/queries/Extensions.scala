@@ -129,6 +129,11 @@ object Extensions {
 
   // approximate scale paths: recall < 1 by construction → rows-only checks
   // (IvfSpec / SimSearchSpec assert sims match brute force on shared hits)
+  // LSH hyperplanes are md5-derived, so the oracle REBUILDS the identical
+  // plane matrix in SQL (15 md5 hex chars → /2⁶⁰ − 0.5 per component),
+  // recomputes every bucket, and ranks the same candidates — upgrading the
+  // approximate operator from a rows-only check to a hash match. The
+  // oracle reproduces the LSH output (bucket-limited), NOT exact top-k.
   private val simsearchLsh = Q(
     "q_simsearch_lsh",
     (s, dir) => {
@@ -136,8 +141,33 @@ object Extensions {
       SimSearch.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""WITH planes AS (
+            |  SELECT p, list_transform(generate_series(0, 63), d ->
+            |    ('0x' || substr(md5('42:' || p || ':' || d), 1, 15))::BIGINT
+            |      / 1152921504606846976.0 - 0.5) AS plane
+            |  FROM generate_series(0, 11) t(p)),
+            |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            |buckets AS (
+            |  SELECT vec_id,
+            |    SUM(CASE WHEN list_dot_product(v, plane) >= 0
+            |             THEN (1::BIGINT << p) ELSE 0 END) AS b
+            |  FROM emb CROSS JOIN planes GROUP BY vec_id),
+            |c AS (SELECT e.vec_id AS neighbor_id, e.v AS cv, b.b
+            |      FROM emb e JOIN buckets b ON e.vec_id = b.vec_id),
+            |q AS (SELECT e.vec_id AS query_id, e.v AS qv, b.b
+            |      FROM emb e JOIN buckets b ON e.vec_id = b.vec_id
+            |      WHERE e.vec_id < 10)
+            |SELECT query_id, rank, neighbor_id, sim FROM (
+            |  SELECT query_id, neighbor_id, $oracleCosine AS sim,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY $oracleCosine DESC, neighbor_id) AS INTEGER) AS rank
+            |  FROM q JOIN c ON q.b = c.b AND query_id <> neighbor_id)
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  // IVF is deterministic end-to-end (md5 init order, exact-decimal Lloyd
+  // means), so the oracle replays the ENTIRE index build — init pick,
+  // assignment argmin, centroid means, probe selection — and hash-matches
+  // the approximate search output, not just a rows count.
   private val simsearchIvf = Q(
     "q_simsearch_ivf",
     (s, dir) => {
@@ -145,7 +175,53 @@ object Extensions {
       SimSearch.ivfTopK(emb, emb.filter(col("vec_id") < 10), topK = 5, k = 16, nprobe = 4)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |init AS (
+           |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid,
+           |         v AS cv
+           |  FROM emb ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+           |a0 AS (
+           |  SELECT id, v, cid FROM (
+           |    SELECT e.id, e.v, i.cid,
+           |      row_number() OVER (PARTITION BY e.id ORDER BY
+           |        list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, i.cv)
+           |          + list_dot_product(i.cv, i.cv), i.cid) AS rn
+           |    FROM emb e CROSS JOIN init i) WHERE rn = 1),
+           |mx AS (
+           |  SELECT cid, d, CAST(SUM(CAST(v[d] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) ds
+           |  GROUP BY cid, d),
+           |cent AS (SELECT cid, list(m ORDER BY d) AS cv FROM mx GROUP BY cid),
+           |a1 AS (
+           |  SELECT id AS neighbor_id, v AS cvec, cid AS cluster FROM (
+           |    SELECT e.id, e.v, c.cid,
+           |      row_number() OVER (PARTITION BY e.id ORDER BY
+           |        list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, c.cv)
+           |          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+           |    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+           |mx2 AS (
+           |  SELECT cluster, d, CAST(SUM(CAST(cvec[d] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) ds
+           |  GROUP BY cluster, d),
+           |cent2 AS (SELECT cluster, list(m ORDER BY d) AS ccv FROM mx2 GROUP BY cluster),
+           |q AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 10),
+           |probes AS (
+           |  SELECT query_id, qv, cluster FROM (
+           |    SELECT q.query_id, q.qv, c.cluster,
+           |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+           |        list_dot_product(q.qv, q.qv) - 2.0*list_dot_product(q.qv, c.ccv)
+           |          + list_dot_product(c.ccv, c.ccv), c.cluster) AS rn
+           |    FROM q CROSS JOIN cent2 c) WHERE rn <= 4),
+           |cand AS (
+           |  SELECT p.query_id, a.neighbor_id,
+           |    list_dot_product(p.qv, a.cvec) /
+           |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.cvec, a.cvec))) AS sim
+           |  FROM probes p JOIN a1 a ON p.cluster = a.cluster AND p.query_id <> a.neighbor_id)
+           |SELECT query_id, rank, neighbor_id, sim FROM (
+           |  SELECT query_id, neighbor_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM cand) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   private val embedNearDup = Q(
     "q_embed_neardup",
@@ -693,12 +769,20 @@ object Extensions {
   private val textNgrams = Q(
     "q_text_ngrams",
     (s, dir) => {
+      // tokenize into a NAMED column first: an attribute referenced from
+      // inside the lambda is computed once per row, where the raw
+      // split+filter subtree inlined into element_at would re-tokenize the
+      // document per bigram position (O(len²) per doc — measured 25×
+      // slower). CollapseProject keeps the boundary because `ts` is
+      // referenced more than once.
       val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      val ts = col("ts")
+      val bigrams = when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1),
+          i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
         .otherwise(array().cast("array<string>"))
       t(s, dir, "documents")
+        .select(toks.as("ts"))
         .select(explode(bigrams).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 2)
