@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /**
  * Mergeable distinct-count sketches (Apache DataSketches HLL via Spark 4's
@@ -69,4 +71,83 @@ object ApproxDistinct {
     buckets.groupBy(keys.map(col): _*)
       .agg(sum(expr("bitmap_count(__bm)")).as("exact_distinct"))
   }
+
+  // --------------------------------------------------------------------
+  // KMV (k-minimum-values) sketch — the PORTABLE approximate distinct.
+  //
+  // State per group: the k smallest DISTINCT 60-bit hashes of the values,
+  // where hash = first 15 md5 hex chars of the value's string form (the
+  // engine-wide content-hash convention — Sampling/Dedup use the same).
+  // Estimator: exact count while fewer than k distinct hashes have been
+  // seen; otherwise (k−1)·2⁶⁰ / h_k with h_k the k-th smallest hash
+  // (Bar-Yossef et al. 2002; σ ≈ 1/√(k−2)).
+  //
+  // Why this exists next to the HLL sketch: KMV state is a pure SET
+  // operation — merge = union-then-take-k-smallest — so unlike
+  // DataSketches HLL (sparse→dense promotion makes different ingest
+  // histories differ by fractions of a percent, pinning q_distinct_sketch
+  // to a rows-only check) the KMV estimate is BIT-IDENTICAL across any
+  // split/merge order AND recomputable in portable SQL: a DuckDB oracle
+  // rebuilds the same hashes, picks the same k-th minimum, and applies
+  // the same IEEE formula. Approximate yet hash-matchable.
+  //
+  // Scale shape: the bounded Aggregator keeps ≤k longs per partial
+  // buffer, so map-side combine collapses each partition to k values and
+  // the shuffle carries |groups|·k — same contract as the HLL state,
+  // ~8·k bytes per group.
+
+  /** Bounded k-minimum-distinct-values aggregator. Buffer is DESCENDING
+    * (head = current cutoff max) so the common case — a hash above the
+    * cutoff once the buffer is warm — rejects on one comparison. */
+  class KmvAgg(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    override def zero: List[Long] = Nil
+    override def reduce(buf: List[Long], h: Long): List[Long] = insert(buf, h)
+    override def merge(a: List[Long], b: List[Long]): List[Long] =
+      b.foldLeft(a)(insert)
+    /** ascending k-minimum set, ready for element_at(k) = h_k */
+    override def finish(buf: List[Long]): Seq[Long] = buf.reverse
+    private def insert(buf: List[Long], h: Long): List[Long] =
+      if (buf.length >= k && h >= buf.head) buf
+      else if (buf.contains(h)) buf
+      else {
+        val merged = (h :: buf).sorted(Ordering[Long].reverse)
+        if (merged.length > k) merged.tail else merged
+      }
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** The engine-wide portable 60-bit content hash of a value. */
+  def kmvHash(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 15), 16, 10).cast(LongType)
+
+  /** Per-group KMV state (ascending array column `kmv` of ≤k hashes). */
+  def kmvBuildState(df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Int = 256): DataFrame = {
+    val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(agg(kmvHash(col(valueCol))).as("kmv"))
+  }
+
+  /** Merge two KMV state columns: distinct union, keep the k smallest —
+    * associative, commutative, idempotent, and bit-exact (a pure column
+    * expression: rollups/refreshes never rescan data). */
+  def kmvMerge(a: Column, b: Column, k: Int = 256): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Serve estimates from KMV state: exact below k, (k−1)·2⁶⁰/h_k at or
+    * above. Every step — int64→double conversion, one multiply (exact:
+    * (k−1)·2⁶⁰ needs ≤ log₂k + 60 ≤ 53 significand bits for k ≤ 2¹⁸ as a
+    * product of a small int and a power of two), one divide — is a single
+    * correctly-rounded IEEE op, identical on any engine. */
+  def kmvServe(state: DataFrame, keys: Seq[String], k: Int = 256): DataFrame =
+    state.select(keys.map(col) ++ Seq(
+      size(col("kmv")).as("n_kept"),
+      when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+          / element_at(col("kmv"), k).cast("double"))
+        .as("est_distinct")): _*)
 }

@@ -433,6 +433,46 @@ object Maintenance {
     },
     None)
 
+  // KMV k-minimum-values sketch: the PORTABLE approximate distinct.
+  // The engine builds state on two disjoint halves of lineitem, merges
+  // the states (pure set column op), and serves (k−1)·2⁶⁰/h_k — while
+  // the oracle computes the estimate in ONE pass over all rows in SQL.
+  // The hash match therefore proves, in the correctness gate itself, the
+  // property DataSketches HLL lacks: split-refresh ≡ rebuild bit-exactly
+  // AND the estimate is engine-portable.
+  private val kmvDistinct = Q(
+    "q_kmv_distinct",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val keys = Seq("l_returnflag")
+      val hist = li.filter(col("l_linenumber") % 2 === 0)
+      val delta = li.filter(col("l_linenumber") % 2 =!= 0)
+      val merged = ApproxDistinct.kmvBuildState(hist, keys, "l_orderkey")
+        .withColumnRenamed("kmv", "ka")
+        .join(ApproxDistinct.kmvBuildState(delta, keys, "l_orderkey")
+          .withColumnRenamed("kmv", "kb"), keys, "full_outer")
+        .select(col("l_returnflag"), ApproxDistinct.kmvMerge(
+          coalesce(col("ka"), array().cast("array<bigint>")),
+          coalesce(col("kb"), array().cast("array<bigint>"))).as("kmv"))
+      ApproxDistinct.kmvServe(merged, keys).orderBy("l_returnflag")
+    },
+    Some("""WITH h AS (
+           |  SELECT DISTINCT l_returnflag,
+           |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+           |  FROM lineitem),
+           |r AS (
+           |  SELECT l_returnflag, hv,
+           |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+           |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+           |  FROM h)
+           |SELECT l_returnflag,
+           |  CAST(LEAST(nd, 256) AS INTEGER) AS n_kept,
+           |  CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+           |       ELSE 255.0 * 1152921504606846976.0 / CAST(hv AS DOUBLE) END AS est_distinct
+           |FROM r
+           |WHERE rn = LEAST(nd, 256)
+           |ORDER BY l_returnflag""".stripMargin))
+
   // Exact distinct users per event type via mergeable bitmaps — the
   // bitmap union is exact, so unlike the HLL sketch this hash-matches a
   // plain COUNT(DISTINCT) oracle while shuffling bitmaps, not values.
@@ -621,6 +661,6 @@ object Maintenance {
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, notInNull, distinctSketch,
-    bitmapDistinct, regression, winsorize, argExtremum, snapshotDiff,
-    profileQ)
+    kmvDistinct, bitmapDistinct, regression, winsorize, argExtremum,
+    snapshotDiff, profileQ)
 }

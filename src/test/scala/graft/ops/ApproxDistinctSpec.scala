@@ -72,4 +72,51 @@ class ApproxDistinctSpec extends AnyFunSuite {
     val exactTotal = data.select(countDistinct("v")).collect().head.getLong(0)
     assert(math.abs(total - exactTotal).toDouble / exactTotal < 0.02, s"$total vs $exactTotal")
   }
+
+  test("KMV: split-merge is BIT-identical to a single build; exact below k") {
+    val k = 128
+    def serve(st: org.apache.spark.sql.DataFrame) =
+      ApproxDistinct.kmvServe(st, Seq("k"), k)
+        .orderBy("k").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+
+    val single = serve(ApproxDistinct.kmvBuildState(data, Seq("k"), "v", k))
+
+    // the property HLL cannot give: ANY split, merged, serves the exact
+    // same doubles as the one-pass build — not "within error", identical
+    val merged = ApproxDistinct.kmvBuildState(
+        data.filter(col("v").substr(6, 1) < "5"), Seq("k"), "v", k)
+      .withColumnRenamed("kmv", "ka")
+      .join(ApproxDistinct.kmvBuildState(
+          data.filter(col("v").substr(6, 1) >= "5"), Seq("k"), "v", k)
+        .withColumnRenamed("kmv", "kb"), Seq("k"), "full_outer")
+      .select(col("k"), ApproxDistinct.kmvMerge(
+        coalesce(col("ka"), array().cast("array<bigint>")),
+        coalesce(col("kb"), array().cast("array<bigint>")), k).as("kmv"))
+    assert(serve(merged) === single)
+
+    // idempotent: re-merging the full state into itself changes nothing
+    val self = ApproxDistinct.kmvBuildState(data, Seq("k"), "v", k)
+    val remerged = self.withColumnRenamed("kmv", "ka")
+      .select(col("k"),
+        ApproxDistinct.kmvMerge(col("ka"), col("ka"), k).as("kmv"))
+    assert(serve(remerged) === single)
+
+    // estimator accuracy: sigma ~ 1/sqrt(k-2) ~ 9% at k=128; allow 3 sigma
+    val exact = data.groupBy("k").agg(countDistinct("v").as("d"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    single.foreach { case (kk, _, e) =>
+      assert(math.abs(e - exact(kk)) / exact(kk) < 0.27, s"k=$kk e=$e exact=${exact(kk)}")
+    }
+
+    // below-k groups serve the EXACT distinct count
+    val tiny = (1 to 300).map(i => (i % 3, s"u${i % 40}")).toDF("k", "v")
+    val tinyServed = ApproxDistinct.kmvServe(
+      ApproxDistinct.kmvBuildState(tiny, Seq("k"), "v", k), Seq("k"), k)
+      .orderBy("k").collect()
+    tinyServed.foreach { r =>
+      assert(r.getInt(1) < k)
+      assert(r.getDouble(2) === 40.0)
+    }
+  }
 }
