@@ -41,4 +41,40 @@ object RangeJoin {
       .filter(col(ptCol).between(col(loCol), col(hiCol)))
       .drop("__bin")
   }
+
+  /**
+   * Interval×interval OVERLAP join (`[loL,hiL] ∩ [loR,hiR] ≠ ∅`, closed
+   * ends), optionally under equi-`keys` — the two-sided sibling of
+   * [[binnedRangeJoin]], same rewrite: both sides explode to the bins
+   * they cover and the theta join becomes a shuffled equi-join on
+   * (keys, bin) with the exact overlap predicate re-applied.
+   *
+   * A pair can share SEVERAL bins; a distinct would re-shuffle the whole
+   * output, so instead each pair is attributed to exactly ONE canonical
+   * bin — the bin containing the overlap's start `max(loL, loR)` (always
+   * a shared bin: the overlap start lies in both intervals). Emitted
+   * once, no dedup shuffle, bit-identical to the naive form — proven by
+   * the oracle, whose SQL is the PLAIN overlap join.
+   *
+   * Caller renames clashing payload columns (self-joins especially);
+   * `keys` columns must carry the same name on both sides.
+   */
+  def binnedIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      loL: String, hiL: String,
+      loR: String, hiR: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def explodeBins(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    explodeBins(left, loL, hiL)
+      .join(explodeBins(right, loR, hiR), keys :+ "__bin")
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .filter(floor(greatest(col(loL), col(loR)) / binWidth).cast("long") === col("__bin"))
+      .drop("__bin")
+  }
 }

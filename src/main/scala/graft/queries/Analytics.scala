@@ -165,6 +165,39 @@ object Analytics {
             |  ON l.d BETWEEN w.lo AND w.lo + 90
             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin))
 
+  // Interval×interval overlap join, binned: which same-customer order
+  // pairs have overlapping 7-day fulfillment windows. The two-sided band
+  // join — canonical-bin attribution emits each pair once with NO dedup
+  // shuffle; the oracle is the PLAIN overlap self-join, so the hash match
+  // proves the rewrite invisible.
+  private val intervalJoin = Q(
+    "q_interval_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def win(pfx: String) = o.select(
+        col("o_custkey").as("ck"),
+        col("o_orderkey").as(s"${pfx}_key"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as(s"${pfx}_lo"))
+        .withColumn(s"${pfx}_hi", col(s"${pfx}_lo") + 7)
+      graft.ops.RangeJoin.binnedIntervalJoin(
+        win("a"), win("b"), Seq("ck"), "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 8L)
+        .filter(col("a_key") < col("b_key"))
+        .select(col("ck"), col("a_key"), col("b_key"),
+          (least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")) + 1)
+            .as("overlap_days"))
+        .orderBy("ck", "a_key", "b_key")
+    },
+    Some("""WITH w AS (
+           |  SELECT o_custkey AS ck, o_orderkey AS k,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 7 AS hi
+           |  FROM orders)
+           |SELECT a.ck, a.k AS a_key, b.k AS b_key,
+           |  LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) + 1 AS overlap_days
+           |FROM w a JOIN w b
+           |  ON a.ck = b.ck AND a.k < b.k AND a.lo <= b.hi AND b.lo <= a.hi
+           |ORDER BY a.ck, a_key, b_key""".stripMargin))
+
   private val topkHeap = Q(
     "q_topk_heap",
     (s, dir) =>
@@ -613,7 +646,7 @@ object Analytics {
            |ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
-    rangeJoinBinned, topkHeap, cohortRetention, attribution, shareOfTotal,
+    rangeJoinBinned, intervalJoin, topkHeap, cohortRetention, attribution, shareOfTotal,
     eventTransitions, abcClass, gapsIslands, madQ, percentChange,
     rollingZscore, intervalMerge, entropyQ, sampleWeighted)
 }
