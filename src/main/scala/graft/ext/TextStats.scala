@@ -182,6 +182,42 @@ object TextStats {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("idf"), col("tf_idf"))
   }
 
+  /** Sparse TF-IDF cosine similarity pairs via an INVERTED-INDEX join —
+    * the lexical sibling of the dense-embedding near-dup path
+    * ([[graft.ext.SimSearch]]): docs are sparse weight vectors over their
+    * tokens; the pairwise dot product is computed by joining postings on
+    * token and summing weight products, so shuffle volume is Σ df² over
+    * the index, never docs². High-df tokens (df > `maxDf`) are pruned
+    * from the index first — they carry near-zero idf weight yet dominate
+    * Σ df² quadratically; the oracle prunes identically, so the check
+    * stays a hash match (of the pruned-vector cosine, a declared
+    * semantic, not an approximation drift).
+    *
+    * Determinism: weights are 9-dp-rounded tf·idf (the [[tfidf]]
+    * contract); dot products and norms are exact DECIMAL sums of
+    * per-term doubles — order-independent — finished by one sqrt, one
+    * multiply, one divide, one 9-dp round, all correctly-rounded IEEE. */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 10, minSim: Double = 0.3): DataFrame = {
+    val w = graft.ops.BoundedCache.cached(
+      tfidf(df, idCol, textCol)
+        .filter(col("df") <= maxDf)
+        .select(col(idCol), col("token"), col("tf_idf").as("w")))
+    val norms = w.groupBy(col(idCol)).agg(
+      sqrt(sum((col("w") * col("w")).cast(DecimalType(28, 12))).cast(DoubleType))
+        .as("nrm"))
+    w.select(col(idCol).as("d1"), col("token"), col("w").as("w1"))
+      .join(w.select(col(idCol).as("d2"), col("token"), col("w").as("w2")), "token")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(sum((col("w1") * col("w2")).cast(DecimalType(28, 12))).cast(DoubleType).as("dot"))
+      .join(norms.select(col(idCol).as("d1"), col("nrm").as("n1")), "d1")
+      .join(norms.select(col(idCol).as("d2"), col("nrm").as("n2")), "d2")
+      .withColumn("cos", round(col("dot") / (col("n1") * col("n2")), 9))
+      .filter(col("cos") >= minSim)
+      .select("d1", "d2", "cos")
+  }
+
   /** C4-style quality gate: keep documents passing every heuristic —
     * token count in range, mean token length sane, enough stopword
     * evidence of natural language, and not ALL-CAPS shouting. Returns the

@@ -446,9 +446,38 @@ object Advanced {
            |FROM (SELECT * FROM active UNION ALL SELECT * FROM churned)
            |GROUP BY 1, 2 ORDER BY m, status""".stripMargin))
 
+  // Trailing-window COUNT DISTINCT (7-day active users per day). The
+  // naive form is a days×events range join — O(|days|·|events|) and a
+  // nested loop. The scale rewrite: distinct (user, day) pairs once, then
+  // each pair explodes to the ≤7 days it is visible in, and a plain
+  // grouped distinct count per visible day finishes — shuffle is 7× the
+  // distinct-pair count, never days×events. Oracle = the naive range
+  // join, so the hash match proves the rewrite invisible.
+  private val rollingDistinct = Q(
+    "q_rolling_distinct",
+    (s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+        .distinct()
+      val vis = ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day_vis"))
+      val actual = ud.select(col("day").as("day_vis")).distinct()
+      vis.groupBy("day_vis").agg(countDistinct("user_id").as("active_7d"))
+        .join(actual, Seq("day_vis"), "left_semi")
+        .withColumnRenamed("day_vis", "day")
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (
+           |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+           |  FROM events),
+           |days AS (SELECT DISTINCT day FROM ud)
+           |SELECT d.day, COUNT(DISTINCT u.user_id) AS active_7d
+           |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+           |GROUP BY d.day ORDER BY d.day""".stripMargin))
+
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
     asofJoin, asofForward, eventsSessions, eventsSliding, eventsFunnel,
     eventSequences, variantExtract, eventsSessionWindow, approxDistinct,
-    recursiveCte, lateralTop2, twap, userLifecycle)
+    recursiveCte, lateralTop2, twap, userLifecycle, rollingDistinct)
 }

@@ -647,6 +647,45 @@ object Extensions {
            |WHERE doc_id < 20
            |ORDER BY doc_id, token""".stripMargin))
 
+  // Sparse TF-IDF cosine pairs via inverted-index join — lexical doc-doc
+  // similarity with shuffle Σ df², never docs². On a Zipfian corpus the
+  // maxDf prune bounds posting lists; the synthetic fixture's vocabulary
+  // is 31 tokens all near-ubiquitous (pruning would empty the index), so
+  // the query scopes to a fixed 200-doc block — the q_jaro_pairs /
+  // simsearch pattern: constant pair work at any SF, operator semantics
+  // fully exercised.
+  private val textCosine = Q(
+    "q_text_cosine",
+    (s, dir) => TextStats.sparseCosinePairs(
+      t(s, dir, "documents").filter(col("doc_id") < 200),
+      "doc_id", "text", maxDf = 1000, minSim = 0.8)
+      .orderBy("d1", "d2"),
+    Some("""WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
+           |tf AS (
+           |  SELECT doc_id, tok AS token, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+           |                x -> x <> '')) AS tok FROM d)
+           |  GROUP BY 1, 2),
+           |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n_docs FROM d),
+           |w AS (
+           |  SELECT doc_id, token,
+           |    round(tf * round(ln((n_docs + 1.0)/(df + 1.0)), 9), 9) AS w
+           |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+           |  WHERE df <= 1000),
+           |norms AS (
+           |  SELECT doc_id, sqrt(CAST(SUM(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+           |  FROM w GROUP BY doc_id),
+           |dots AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |    CAST(SUM(CAST(a.w*b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+           |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT d1, d2, round(dot/(na.nrm*nb.nrm), 9) AS cos
+           |FROM dots JOIN norms na ON na.doc_id = d1 JOIN norms nb ON nb.doc_id = d2
+           |WHERE round(dot/(na.nrm*nb.nrm), 9) >= 0.8
+           |ORDER BY d1, d2""".stripMargin))
+
   private val textFilter = Q(
     "q_text_filter",
     (s, dir) => TextStats.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
@@ -845,7 +884,7 @@ object Extensions {
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
     embedCentroids, embedNormalize,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
-    textTfidf, textFilter, textScrub, textBm25, corpusClean,
+    textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
     multimodalChunks, textNgrams, textHeavyHitters)
 }

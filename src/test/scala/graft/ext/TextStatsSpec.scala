@@ -97,4 +97,18 @@ class TextStatsSpec extends AnyFunSuite {
     assert(fp(0).getLong(2) == fp(1).getLong(2))     // rolling hash agrees
     assert(fp(0).getLong(2) != fp(2).getLong(2))
   }
+
+  test("sparseCosinePairs: identical docs hit 1.0, token-disjoint docs never pair") {
+    val d = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"), (3L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val got = TextStats.sparseCosinePairs(d, "doc_id", "text",
+        maxDf = 100, minSim = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((0L, 1L)) == 1.0)               // identical vectors
+    assert(!got.contains((0L, 2L)))            // no shared token, no pair
+    assert(got.keys.forall { case (a, b) => a < b }) // oriented, no mirror dupes
+    assert(got((0L, 3L)) > 0 && got((0L, 3L)) < 1.0)
+  }
 }
