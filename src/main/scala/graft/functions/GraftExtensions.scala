@@ -72,6 +72,9 @@ object VecDotRewriteRule extends Rule[LogicalPlan] {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => VecDotRewriteRule)
+    // whole-operator native plans (SURVEY §1.5 ladder rung (c))
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }

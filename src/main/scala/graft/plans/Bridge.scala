@@ -1,0 +1,14 @@
+// The one file outside the graft namespace: private[sql] access to
+// Dataset.ofRows, the supported way for an extension library to wrap a
+// hand-built LogicalPlan back into a DataFrame (the same technique public
+// Spark extension projects use). Nothing else may live in this package.
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{classic, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+object Bridge {
+  /** Analyze + wrap a logical plan as a DataFrame on this session. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -122,6 +122,32 @@ object Advanced {
            |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts
            |ORDER BY p.event_id""".stripMargin))
 
+  // The NATIVE as-of join physical operator (plans/AsofJoinNative): same
+  // contract as q_asof_join but planned as AsofJoinExec — one two-pointer
+  // merge per co-partition instead of union+window. Same DuckDB ASOF
+  // oracle: the hash match proves the custom exec's semantics.
+  private val asofNative = Q(
+    "q_asof_native",
+    (s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("cts"),
+          col("event_id").as("click_id"), col("ts_us").as("click_ts"))
+      graft.plans.AsofJoinNative.join(purchases, clicks,
+        key = "user_id", leftTs = "pts", rightTs = "cts",
+        payload = Seq("click_id", "click_ts"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pts
+           |           FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+           |      FROM events WHERE event_type = 'click')
+           |SELECT p.event_id, p.user_id, p.pts, c.click_id, c.cts AS click_ts
+           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts
+           |ORDER BY p.event_id""".stripMargin))
+
   private val asofForward = Q(
     "q_asof_forward",
     (s, dir) => {
@@ -477,7 +503,7 @@ object Advanced {
 
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
-    asofJoin, asofForward, eventsSessions, eventsSliding, eventsFunnel,
+    asofJoin, asofNative, asofForward, eventsSessions, eventsSliding, eventsFunnel,
     eventSequences, variantExtract, eventsSessionWindow, approxDistinct,
     recursiveCte, lateralTop2, twap, userLifecycle, rollingDistinct)
 }
