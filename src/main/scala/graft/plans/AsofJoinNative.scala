@@ -152,6 +152,22 @@ case class AsofJoinExec(
     val rKeyB = BindReferences.bindReference[Expression](rKey, rOut)
     val rTsB = BindReferences.bindReference[Expression](rTs, rOut)
 
+    // fast path: key and ts physically integral (long/int backed) → the
+    // merge runs on primitive longs read from two tiny codegen'd
+    // projections, no per-row boxing or interpreted ordering. Timestamps
+    // compare by their raw micros — order-preserving, no lossy cast.
+    val physGet: PartialFunction[org.apache.spark.sql.types.DataType, (InternalRow, Int) => Long] = {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => (r, i) => r.getLong(i)
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType => (r, i) => r.getInt(i).toLong
+      case org.apache.spark.sql.types.ShortType => (r, i) => r.getShort(i).toLong
+      case org.apache.spark.sql.types.ByteType => (r, i) => r.getByte(i).toLong
+    }
+    val fastPath =
+      Seq(lKey, lTs, rKey, rTs).map(_.dataType).forall(physGet.isDefinedAt)
+
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val proj = UnsafeProjection.create(outExprs)
       val joined = new JoinedRow
@@ -162,7 +178,46 @@ case class AsofJoinExec(
       var lastKey: Any = null
       var lastMatch: InternalRow = null
 
-      lIt.map { l =>
+      if (fastPath) {
+        // attributes sit at fixed ordinals in the sorted child rows —
+        // read them in place, no extraction projection per row
+        val lki = lOut.indexWhere(_.exprId == lKey.exprId)
+        val lti = lOut.indexWhere(_.exprId == lTs.exprId)
+        val rki = rOut.indexWhere(_.exprId == rKey.exprId)
+        val rti = rOut.indexWhere(_.exprId == rTs.exprId)
+        val lkGet = physGet(lKey.dataType); val ltGet = physGet(lTs.dataType)
+        val rkGet = physGet(rKey.dataType); val rtGet = physGet(rTs.dataType)
+        var lastK = 0L
+        var haveMatch = false
+        lIt.map { l =>
+          if (l.isNullAt(lki) || l.isNullAt(lti)) proj(joined(l, nullRight))
+          else {
+            val lk = lkGet(l, lki); val lt = ltGet(l, lti)
+            var scan = !rDone
+            while (scan) {
+              var step = false
+              if (rRow.isNullAt(rki)) step = true
+              else {
+                val rk = rkGet(rRow, rki)
+                if (rk < lk) step = true
+                else if (rk == lk) {
+                  if (rRow.isNullAt(rti)) step = true
+                  else if (rtGet(rRow, rti) <= lt) {
+                    lastK = rk; haveMatch = true
+                    lastMatch = rRow.copy(); step = true
+                  }
+                }
+              }
+              if (step) {
+                if (rIt.hasNext) rRow = rIt.next() else { rDone = true; rRow = null }
+                scan = !rDone
+              } else scan = false
+            }
+            val m = if (haveMatch && lastK == lk) lastMatch else nullRight
+            proj(joined(l, m))
+          }
+        }
+      } else lIt.map { l =>
         val lk = lKeyB.eval(l)
         val lt = lTsB.eval(l)
         if (lk == null || lt == null) proj(joined(l, nullRight))

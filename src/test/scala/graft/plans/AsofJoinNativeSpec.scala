@@ -63,6 +63,19 @@ class AsofJoinNativeSpec extends AnyFunSuite {
     assert(got === Seq((1L, "z", java.lang.Long.valueOf(9L))))
   }
 
+  test("generic path: string keys take the interpreted-ordering merge") {
+    val left = Seq((1L, "alice", 10L), (2L, "bob", 10L), (3L, "carol", 10L))
+      .toDF("id", "k", "lts")
+    val right = Seq(("alice", 5L, "a1", 1L), ("alice", 9L, "a2", 2L),
+      ("bob", 11L, "late", 3L)).toDF("k", "rts", "v1", "v2")
+    val got = collectPairs(
+      AsofJoinNative.join(left, right, "k", "lts", "rts", Seq("v1", "v2")))
+    assert(got === Seq(
+      (1L, "a2", java.lang.Long.valueOf(2L)),
+      (2L, null, null),   // only a later click exists
+      (3L, null, null)))  // key absent from right
+  }
+
   test("plans AsofJoinExec with planner-inserted exchanges and sorts") {
     val left = (1 to 50).map(i => (i.toLong, i % 5L, i.toLong)).toDF("id", "k", "lts")
       .repartition(7)
