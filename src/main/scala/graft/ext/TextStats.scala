@@ -182,6 +182,43 @@ object TextStats {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("idf"), col("tf_idf"))
   }
 
+  /** Bigram language-model quality scoring — the portable stand-in for
+    * KenLM-perplexity corpus filtering: score each document by the mean
+    * add-1-smoothed log-probability of its bigrams under the corpus's own
+    * bigram model, `lnP(w2|w1) = ln((c(w1,w2)+1)/(ctx(w1)+V))` with
+    * `ctx(w1) = Σ_w2 c(w1,w2)` (so probabilities sum to 1 per context)
+    * and V the corpus vocabulary size. Low scores = improbable token
+    * sequences = boilerplate/garbage candidates.
+    *
+    * Scale shape: ONE tokenize pass (cached) feeds the bigram-count,
+    * context-count and vocabulary aggregates plus the scoring join —
+    * shuffles carry bigram occurrences and the two count tables, never
+    * docs × vocab. Determinism: each ln is 9-dp-rounded (the [[tfidf]]
+    * contract), per-doc sums are exact decimals, one final division.
+    * Documents with fewer than 2 tokens have no bigrams and drop out. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = graft.ops.BoundedCache.cached(
+      df.select(col(idCol), tokens(col(textCol)).as("ts")))
+    val ts = col("ts")
+    val pairs = base
+      .select(col(idCol), explode(when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1),
+          i => struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = base.select(explode(ts).as("tok"))
+      .agg(countDistinct(col("tok")).as("vs"))
+    pairs.join(bi, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log((col("cb") + 1.0) / (col("cu") + col("vs"))), 9))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        round((sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType)
+          / count(lit(1))), 9).as("avg_logp"))
+  }
+
   /** Sparse TF-IDF cosine similarity pairs via an INVERTED-INDEX join —
     * the lexical sibling of the dense-embedding near-dup path
     * ([[graft.ext.SimSearch]]): docs are sparse weight vectors over their

@@ -838,6 +838,31 @@ object Extensions {
            |GROUP BY bigram HAVING COUNT(*) >= 2
            |ORDER BY cnt DESC, bigram""".stripMargin))
 
+  // Bigram-LM quality scoring: mean add-1 log-probability per doc under
+  // the corpus's own bigram model — the portable KenLM-perplexity filter.
+  private val textLmScore = Q(
+    "q_text_lmscore",
+    (s, dir) => TextStats.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(ts) - 1), i -> ts[i])) AS w1,
+           |    unnest(list_transform(generate_series(1, len(ts) - 1), i -> ts[i + 1])) AS w2
+           |  FROM toks),
+           |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+           |ctx AS (SELECT w1, COUNT(*) AS cu FROM pairs GROUP BY 1),
+           |v AS (SELECT COUNT(DISTINCT tok) AS vs
+           |      FROM (SELECT unnest(ts) AS tok FROM toks)),
+           |sc AS (
+           |  SELECT doc_id, round(ln((cb + 1.0) / (cu + vs)), 9) AS lp
+           |  FROM pairs JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |  round(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS avg_logp
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // Heavy hitters: Misra-Gries candidate sketch (bounded map-side state,
   // shuffle ∝ capacity not vocabulary) + exact re-count verify — output is
   // EXACTLY the tokens at ≥0.5% of the corpus, which is why a plain
@@ -886,5 +911,5 @@ object Extensions {
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
-    multimodalChunks, textNgrams, textHeavyHitters)
+    multimodalChunks, textNgrams, textLmScore, textHeavyHitters)
 }

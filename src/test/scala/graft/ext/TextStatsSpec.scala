@@ -98,6 +98,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(fp(0).getLong(2) != fp(2).getLong(2))
   }
 
+  test("bigramLmScore: common word sequences outrank improbable ones; <2-token docs drop") {
+    val d = Seq(
+      (0L, "the cat sat"), (1L, "the cat sat"), (2L, "the cat sat"),
+      (3L, "sat cat the"),  // same tokens, unseen transitions
+      (4L, "single"))       // no bigrams -> absent from output
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramLmScore(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    assert(got.map(_._1) === List(0L, 1L, 2L, 3L))
+    assert(got.forall(_._2 == 2))               // two bigrams per doc
+    assert(got(0)._3 == got(1)._3)              // identical docs, identical score
+    assert(got(0)._3 > got(3)._3)               // frequent transitions more probable
+  }
+
   test("sparseCosinePairs: identical docs hit 1.0, token-disjoint docs never pair") {
     val d = Seq(
       (0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
