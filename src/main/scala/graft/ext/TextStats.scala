@@ -215,8 +215,11 @@ object TextStats {
       .withColumn("lp", round(log((col("cb") + 1.0) / (col("cu") + col("vs"))), 9))
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_bigrams"),
-        round((sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType)
-          / count(lit(1))), 9).as("avg_logp"))
+        // exact decimal sum ÷ count is already bit-identical across
+        // engines; a final cosmetic round would re-introduce divergence
+        // exactly at half-boundary values (observed at sf0.1)
+        (sum(col("lp").cast(DecimalType(28, 12))).cast(DoubleType)
+          / count(lit(1))).as("avg_logp"))
   }
 
   /** Sparse TF-IDF cosine similarity pairs via an INVERTED-INDEX join —

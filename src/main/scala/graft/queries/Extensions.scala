@@ -860,7 +860,7 @@ object Extensions {
            |  SELECT doc_id, round(ln((cb + 1.0) / (cu + vs)), 9) AS lp
            |  FROM pairs JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v)
            |SELECT doc_id, COUNT(*) AS n_bigrams,
-           |  round(CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS avg_logp
+           |  CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_logp
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   // Heavy hitters: Misra-Gries candidate sketch (bounded map-side state,
