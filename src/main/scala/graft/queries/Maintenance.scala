@@ -433,6 +433,81 @@ object Maintenance {
     },
     None)
 
+  // Resample by LINEAR INTERPOLATION: thin the daily series to weekly
+  // anchor points, then reconstruct every day between its surrounding
+  // anchors — the compress-and-reconstruct shape (downsampled storage,
+  // full-resolution serving). prev/next anchors arrive via running
+  // last/first(ignoreNulls) windows — one sort per key, no self-join;
+  // days outside the anchor range stay null by NULL arithmetic.
+  private val resampleLerp = Q(
+    "q_resample_lerp",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val daily = orders
+        .groupBy(col("o_orderstatus"), to_date(col("o_orderdate")).as("day"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val anchors = daily
+        .filter(datediff(col("day"), lit("1970-01-01")) % 7 === 0)
+      val bounds = orders.agg(
+        to_date(min(col("o_orderdate"))).as("lo"),
+        to_date(max(col("o_orderdate"))).as("hi"))
+      val grid = orders.select("o_orderstatus").distinct()
+        .crossJoin(bounds)
+        .select(col("o_orderstatus"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val d = datediff(col("day"), lit("1970-01-01")).cast("double")
+      val wB = Window.partitionBy("o_orderstatus").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("o_orderstatus").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val joined = grid.join(anchors, Seq("o_orderstatus", "day"), "left")
+        .withColumn("pv", last(col("rev"), ignoreNulls = true).over(wB))
+        .withColumn("pd", last(when(col("rev").isNotNull, d), ignoreNulls = true).over(wB))
+        .withColumn("nv", first(col("rev"), ignoreNulls = true).over(wF))
+        .withColumn("nd", first(when(col("rev").isNotNull, d), ignoreNulls = true).over(wF))
+      joined.select(col("o_orderstatus"), col("day"),
+        when(col("pd") === col("nd"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * ((d - col("pd")) / (col("nd") - col("pd")))).as("rev_lerp"))
+        .orderBy("o_orderstatus", "day")
+    },
+    Some(s"""WITH daily AS (
+            |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS day,
+            |         ${oSum("o_totalprice")} AS rev
+            |  FROM orders GROUP BY 1, 2),
+            |anchors AS (
+            |  SELECT * FROM daily
+            |  WHERE date_diff('day', DATE '1970-01-01', day) % 7 = 0),
+            |bounds AS (
+            |  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+            |         CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+            |grid AS (
+            |  SELECT s.o_orderstatus, g.day
+            |  FROM (SELECT DISTINCT o_orderstatus FROM orders) s
+            |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+            |              FROM bounds) g),
+            |marked AS (
+            |  SELECT g.o_orderstatus, g.day, a.rev,
+            |    CAST(date_diff('day', DATE '1970-01-01', g.day) AS DOUBLE) AS d
+            |  FROM grid g LEFT JOIN anchors a
+            |    ON g.o_orderstatus = a.o_orderstatus AND g.day = a.day),
+            |wind AS (
+            |  SELECT o_orderstatus, day, d,
+            |    last_value(rev IGNORE NULLS) OVER wb AS pv,
+            |    last_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS) OVER wb AS pd,
+            |    first_value(rev IGNORE NULLS) OVER wf AS nv,
+            |    first_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS) OVER wf AS nd
+            |  FROM marked
+            |  WINDOW
+            |    wb AS (PARTITION BY o_orderstatus ORDER BY day
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            |    wf AS (PARTITION BY o_orderstatus ORDER BY day
+            |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            |SELECT o_orderstatus, day,
+            |  CASE WHEN pd = nd THEN pv
+            |       ELSE pv + (nv - pv) * ((d - pd) / (nd - pd)) END AS rev_lerp
+            |FROM wind ORDER BY o_orderstatus, day""".stripMargin))
+
   // KMV k-minimum-values sketch: the PORTABLE approximate distinct.
   // The engine builds state on two disjoint halves of lineitem, merges
   // the states (pure set column op), and serves (k−1)·2⁶⁰/h_k — while
@@ -660,7 +735,7 @@ object Maintenance {
 
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
-    argminSupplier, resampleFfill, notInNull, distinctSketch,
+    argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,
     kmvDistinct, bitmapDistinct, regression, winsorize, argExtremum,
     snapshotDiff, profileQ)
 }

@@ -73,7 +73,9 @@ object ScaleCheck {
       "q_merge_upsert", "q_scd2", "q_incr_rollup", "q_resample_ffill",
       "q_ewma", "q_cohort_retention", "q_distinct_sketch",
       "q_dedup_apply", "q_text_bm25", "q_graph_triangles", "q_winsorize",
-      "q_snapshot_diff", "q_profile", "q_abc_class")
+      "q_snapshot_diff", "q_profile", "q_abc_class",
+      "q_asof_native", "q_asof_join", "q_interval_join", "q_rolling_distinct",
+      "q_kmv_distinct", "q_text_lmscore", "q_text_cosine")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
