@@ -36,12 +36,18 @@ object Dedup {
     * Pure array ops (split → transform over an index sequence → explode) —
     * stays inside whole-stage codegen, no window, no UDF. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
+    // tokenize into a NAMED column first: a split subtree captured inside
+    // the transform lambda would re-tokenize the document per shingle
+    // position (O(len²) per doc — the q_text_ngrams lesson, measured 25×).
+    // CollapseProject keeps the boundary because `toks` is referenced from
+    // several places.
+    val toks = col("__toks")
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array())
-    df.select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+    df.select(col(idCol), split(lower(col(textCol)), " ").as("__toks"))
+      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** Exact pairwise Jaccard over shingle sets, joined on shared shingles

@@ -289,7 +289,12 @@ object TextStats {
     * Zero/one-token docs yield null fractions (nullif denominators), never
     * a /0 artifact. */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // named token column: the top-token count runs a filter(toks, …) per
+    // DISTINCT token — with the tokenize subtree inlined in the lambda
+    // that re-splits the document O(distinct) times per doc (the
+    // q_text_ngrams lesson)
+    val pre = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     val nToks = size(toks)
     val safeN = nullif(nToks, lit(0)).cast(DoubleType)
     val distinctToks = array_distinct(toks)
@@ -303,7 +308,7 @@ object TextStats {
         slice(toks, lit(2), nToks - 1),
         (a, b) => concat(a, lit(" "), b)))
     val safeBi = nullif(size(bigrams), lit(0)).cast(DoubleType)
-    df.select(
+    pre.select(
       col(idCol),
       nToks.as("n_tokens"),
       (lit(1.0) - size(distinctToks) / safeN).as("dup_token_frac"),
