@@ -154,6 +154,63 @@ object EventStreams {
       .start()
   }
 
+  // ---- stateful as-of enrichment (flatMapGroupsWithState) ---------------
+
+  final case class EnrichEvent(user_id: Long, ts: Long, side: Int, event_id: Long)
+  final case class ClickState(click_id: Long, click_ts: Long)
+  final case class EnrichOut(event_id: Long, user_id: Long, pts: Long,
+      click_id: Option[Long], click_ts: Option[Long])
+
+  /** Streaming twin of the backward as-of join (`q_asof_join` /
+    * `q_asof_native`): purchases are enriched with the user's latest
+    * click SO FAR. Clicks and purchases arrive as one keyed stream; per
+    * key the batch's events replay in (ts, side, event_id) order — clicks
+    * first at equal ts so equality matches, ascending event_id so the
+    * greatest click id wins a (key, ts) tie, both exactly the batch
+    * operator's contract — and the GroupState carries only the LATEST
+    * click across micro-batches: O(1) state per key, the property that
+    * lets a 1000-executor stream enrich indefinitely where a stream-side
+    * buffer of click history would grow without bound. */
+  def asofEnrichStream(
+      spark: SparkSession,
+      eventsDir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = readEvents(spark, eventsDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), expr("ts DIV 1000").as("ts"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        col("event_id"))
+      .as[EnrichEvent]
+
+    def fn(userId: Long, events: Iterator[EnrichEvent],
+        state: GroupState[ClickState]): Iterator[EnrichOut] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts, e.side, e.event_id))
+      val out = Seq.newBuilder[EnrichOut]
+      var st = state.getOption.orNull
+      sorted.foreach { e =>
+        if (e.side == 0) st = ClickState(e.event_id, e.ts)
+        else out += EnrichOut(e.event_id, userId, e.ts,
+          Option(st).map(_.click_id), Option(st).map(_.click_ts))
+      }
+      if (st != null) state.update(st) // latest click survives the batch
+      out.result().iterator
+    }
+
+    stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming dedup WITHIN the watermark gap: the first arrival of each
     * key survives, and the watermark BOUNDS the dedup state — which is
     * what makes infinite-stream dedup feasible at scale (an unbounded

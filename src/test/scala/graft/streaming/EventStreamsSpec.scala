@@ -41,6 +41,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming as-of enrichment equals the batch backward as-of join") {
+    import org.apache.spark.sql.functions._
+    val q = EventStreams.asofEnrichStream(spark, SparkTestBase.sf0001, "ev_asof_test")
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.sql(
+      "SELECT event_id, user_id, pts, click_id, click_ts FROM ev_asof_test ORDER BY event_id")
+      .collect().map(_.toSeq).toSeq
+
+    val ev = spark.read.parquet(s"${SparkTestBase.sf0001}/events.parquet")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("cts"),
+        col("event_id").as("click_id"), col("ts_us").as("click_ts"))
+    val batch = graft.ops.TimeOps.asofJoinBackward(purchases, clicks,
+      "user_id", "pts", "cts", Seq("click_id", "click_ts"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming watermarked dedup: same key set as batch distinct, bounded re-emission") {
     val q = EventStreams.distinctKeysStream(spark, SparkTestBase.sf0001, "ev_dedup_test")
     try q.awaitTermination(120000) finally q.stop()
