@@ -433,6 +433,49 @@ object Maintenance {
     },
     None)
 
+  // Distributed constraint validation: the reference's validate stage as
+  // a queryable violations table — min-rows floor, not-null, unique key
+  // (lineitem's composite key HAS real duplicates in the fixture),
+  // referential integrity by anti join, value range. violations = 0 ⇔
+  // pass; the oracle recomputes every rule in SQL.
+  private val constraintsQ = Q(
+    "q_constraints",
+    (s, dir) => {
+      import graft.validate.Constraints._
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val li = t(s, dir, "lineitem")
+      checkAll(Seq(
+        minRows(orders, "orders_min_rows_100", 100L),
+        notNull(orders, "orders_custkey_not_null", "o_custkey"),
+        uniqueKey(orders, "orders_pk_unique", Seq("o_orderkey")),
+        uniqueKey(li, "lineitem_pk_unique", Seq("l_orderkey", "l_linenumber")),
+        foreignKey(orders, "orders_fk_customer", "o_custkey", customer, "c_custkey"),
+        inRange(li, "lineitem_qty_range_1_50", "l_quantity", 1.0, 50.0)))
+    },
+    Some("""SELECT rule, violations FROM (
+           |  SELECT 'orders_min_rows_100' AS rule,
+           |         GREATEST(0, 100 - COUNT(*)) AS violations FROM orders
+           |  UNION ALL
+           |  SELECT 'orders_custkey_not_null',
+           |         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+           |  UNION ALL
+           |  SELECT 'orders_pk_unique',
+           |         COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+           |  UNION ALL
+           |  SELECT 'lineitem_pk_unique',
+           |         COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+           |  UNION ALL
+           |  SELECT 'orders_fk_customer', COUNT(*) FROM orders o
+           |  WHERE o.o_custkey IS NOT NULL
+           |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+           |  UNION ALL
+           |  SELECT 'lineitem_qty_range_1_50',
+           |         SUM(CASE WHEN l_quantity IS NOT NULL
+           |                   AND (l_quantity < 1 OR l_quantity > 50)
+           |                  THEN 1 ELSE 0 END) FROM lineitem)
+           |ORDER BY rule""".stripMargin))
+
   // Resample by LINEAR INTERPOLATION: thin the daily series to weekly
   // anchor points, then reconstruct every day between its surrounding
   // anchors — the compress-and-reconstruct shape (downsampled storage,
@@ -737,5 +780,5 @@ object Maintenance {
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,
     kmvDistinct, bitmapDistinct, regression, winsorize, argExtremum,
-    snapshotDiff, profileQ)
+    snapshotDiff, profileQ, constraintsQ)
 }
