@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -180,6 +181,54 @@ object TextStats {
       .withColumn("idf", round(log((col("n_docs") + 1.0) / (col("df") + 1.0)), 9))
       .withColumn("tf_idf", round(col("tf") * col("idf"), 9))
       .select(col(idCol), col("token"), col("tf"), col("df"), col("idf"), col("tf_idf"))
+  }
+
+  /** ONE BPE merge iteration — the tokenizer-training primitive, corpus-
+    * scale: find the globally most frequent adjacent token pair (ties:
+    * lexicographic) and merge its non-overlapping occurrences greedily
+    * left-to-right in every document, exactly the sequential tokenizer's
+    * semantics, but with no sequential scan: overlap only arises for
+    * w1 = w2 runs, where greedy-keep = the even offsets of each island of
+    * consecutive start positions — an islands window, not a fold. Emits
+    * (doc, w1, w2, n_before, n_after, merged_text); iterate the operator
+    * for a full vocabulary build. Shuffles: position explode (one window
+    * per doc), pair-count aggregate, top-1 broadcast back. Empty docs
+    * carry no positions and drop out. */
+  def bpeMergeStep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = graft.ops.BoundedCache.cached(
+      df.select(col(idCol), tokens(col(textCol)).as("ts")))
+    val pos = base.select(col(idCol), posexplode(col("ts")).as(Seq("p", "tok")))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy("p")
+    val withNext = graft.ops.BoundedCache.cached(
+      pos.withColumn("nxt", lead(col("tok"), 1).over(wDoc)))
+    val top = withNext.filter(col("nxt").isNotNull)
+      .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"), col("nxt"))
+      .limit(1).select(col("tok").as("w1"), col("nxt").as("w2"))
+    val marked = withNext.crossJoin(broadcast(top))
+      .withColumn("is_start", col("tok") === col("w1") && col("nxt") === col("w2"))
+    val starts = marked.filter(col("is_start"))
+      .withColumn("island", col("p") - row_number().over(wDoc))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col(idCol), col("island")).orderBy("p")))
+      .filter((col("rn2") - 1) % 2 === 0)
+      .select(col(idCol), col("p"))
+    val kept = graft.ops.BoundedCache.cached(starts)
+    val rebuilt = marked
+      .join(kept.withColumn("mstart", lit(true)), Seq(idCol, "p"), "left")
+      .join(kept.select(col(idCol), (col("p") + 1).as("p"), lit(true).as("consumed")),
+        Seq(idCol, "p"), "left")
+      .filter(col("consumed").isNull)
+      .select(col(idCol), col("p"), col("w1"), col("w2"),
+        when(col("mstart"), concat(col("w1"), col("w2"))).otherwise(col("tok")).as("tok2"))
+    rebuilt.groupBy(col(idCol), col("w1"), col("w2")).agg(
+      count(lit(1)).as("n_after"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("tok2")))),
+        s => s.getField("tok2"))).as("merged_text"))
+      .join(base.select(col(idCol), size(col("ts")).cast("long").as("n_before")), Seq(idCol))
+      .select(col(idCol), col("w1"), col("w2"), col("n_before"),
+        col("n_after"), col("merged_text"))
   }
 
   /** Bigram language-model quality scoring — the portable stand-in for

@@ -838,6 +838,53 @@ object Extensions {
            |GROUP BY bigram HAVING COUNT(*) >= 2
            |ORDER BY cnt DESC, bigram""".stripMargin))
 
+  // One BPE merge iteration: corpus-global top pair, greedy left-to-right
+  // non-overlapping merge per doc via the islands-of-starts rewrite — a
+  // sequential tokenizer-training step with no sequential scan. Oracle
+  // replays the identical selection + merge in SQL.
+  private val bpeStep = Q(
+    "q_bpe_step",
+    (s, dir) => TextStats.bpeMergeStep(t(s, dir, "documents"), "doc_id", "text")
+      .filter(col("doc_id") < 50)
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+           |  FROM documents),
+           |pos AS (
+           |  SELECT doc_id,
+           |    unnest(generate_series(1, len(ts))) - 1 AS p,
+           |    unnest(ts) AS tok
+           |  FROM toks),
+           |nx AS (SELECT doc_id, p, tok,
+           |         lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS nxt FROM pos),
+           |top AS (SELECT tok AS w1, nxt AS w2 FROM nx WHERE nxt IS NOT NULL
+           |        GROUP BY tok, nxt ORDER BY COUNT(*) DESC, tok, nxt LIMIT 1),
+           |marked AS (SELECT n.*, t.w1, t.w2,
+           |             (n.tok = t.w1 AND n.nxt = t.w2) AS is_start
+           |           FROM nx n CROSS JOIN top t),
+           |starts AS (
+           |  SELECT doc_id, p,
+           |    row_number() OVER (PARTITION BY doc_id, island ORDER BY p) AS rn2
+           |  FROM (SELECT doc_id, p,
+           |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+           |        FROM marked WHERE is_start)),
+           |kept AS (SELECT doc_id, p FROM starts WHERE (rn2 - 1) % 2 = 0),
+           |rebuilt AS (
+           |  SELECT m.doc_id, m.p, m.w1, m.w2,
+           |    CASE WHEN k.p IS NOT NULL THEN m.w1 || m.w2 ELSE m.tok END AS tok2
+           |  FROM marked m
+           |  LEFT JOIN kept k ON m.doc_id = k.doc_id AND m.p = k.p
+           |  LEFT JOIN kept c ON m.doc_id = c.doc_id AND m.p = c.p + 1
+           |  WHERE c.p IS NULL),
+           |agg AS (
+           |  SELECT doc_id, any_value(w1) AS w1, any_value(w2) AS w2,
+           |         COUNT(*) AS n_after,
+           |         string_agg(tok2, ' ' ORDER BY p) AS merged_text
+           |  FROM rebuilt GROUP BY doc_id)
+           |SELECT a.doc_id, w1, w2, len(t.ts)::BIGINT AS n_before, n_after, merged_text
+           |FROM agg a JOIN toks t ON a.doc_id = t.doc_id
+           |WHERE a.doc_id < 50 ORDER BY a.doc_id""".stripMargin))
+
   // Bigram-LM quality scoring: mean add-1 log-probability per doc under
   // the corpus's own bigram model — the portable KenLM-perplexity filter.
   private val textLmScore = Q(
@@ -911,5 +958,5 @@ object Extensions {
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
-    multimodalChunks, textNgrams, textLmScore, textHeavyHitters)
+    multimodalChunks, textNgrams, textLmScore, bpeStep, textHeavyHitters)
 }

@@ -98,6 +98,27 @@ class TextStatsSpec extends AnyFunSuite {
     assert(fp(0).getLong(2) != fp(2).getLong(2))
   }
 
+  test("bpeMergeStep: greedy left-to-right overlap semantics on identical-token runs") {
+    // (a,a) is the most frequent adjacent pair; runs of a exercise the
+    // overlapping-start case where greedy order matters
+    val d = Seq(
+      (0L, "a a a a b"),   // -> aa aa b
+      (1L, "a a a"),       // -> aa a   (position 2 left unmerged)
+      (2L, "b a a b"),     // -> b aa b
+      (3L, "x y"))         // untouched
+      .toDF("doc_id", "text")
+    val got = TextStats.bpeMergeStep(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(got.forall(r => r._2 == "a" && r._3 == "a"))
+    assert(got.map(r => (r._1, r._4, r._5, r._6)).toSeq === Seq(
+      (0L, 5L, 3L, "aa aa b"),
+      (1L, 3L, 2L, "aa a"),
+      (2L, 4L, 3L, "b aa b"),
+      (3L, 2L, 2L, "x y")))
+  }
+
   test("bigramLmScore: common word sequences outrank improbable ones; <2-token docs drop") {
     val d = Seq(
       (0L, "the cat sat"), (1L, "the cat sat"), (2L, "the cat sat"),
