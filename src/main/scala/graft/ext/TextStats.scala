@@ -183,6 +183,20 @@ object TextStats {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("idf"), col("tf_idf"))
   }
 
+  /** Feature hashing (the hashing trick): token counts folded into a
+    * FIXED dimensionality via the engine-wide md5 60-bit content hash mod
+    * `dim` — vocabulary-free vectorization, so the feature space needs no
+    * fit/broadcast step and is stable under corpus growth (the property
+    * that matters for incremental training pipelines). Sparse output
+    * (doc, bucket, cnt); densify downstream only if the model needs it. */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+
   /** ONE BPE merge iteration — the tokenizer-training primitive, corpus-
     * scale: find the globally most frequent adjacent token pair (ties:
     * lexicographic) and merge its non-overlapping occurrences greedily

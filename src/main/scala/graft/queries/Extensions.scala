@@ -838,6 +838,21 @@ object Extensions {
            |GROUP BY bigram HAVING COUNT(*) >= 2
            |ORDER BY cnt DESC, bigram""".stripMargin))
 
+  // Hashing-trick vectorizer: vocabulary-free fixed-dim token features
+  // via md5-mod buckets — portable, so the oracle rebuilds every bucket.
+  private val textHashVec = Q(
+    "q_text_hashvec",
+    (s, dir) => TextStats.hashFeatures(t(s, dir, "documents"), "doc_id", "text")
+      .filter(col("doc_id") < 20)
+      .orderBy("doc_id", "bucket"),
+    Some("""SELECT doc_id,
+           |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+           |  COUNT(*) AS cnt
+           |FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+           |              x -> x <> '')) AS tok FROM documents)
+           |WHERE doc_id < 20
+           |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin))
+
   // One BPE merge iteration: corpus-global top pair, greedy left-to-right
   // non-overlapping merge per doc via the islands-of-starts rewrite — a
   // sequential tokenizer-training step with no sequential scan. Oracle
@@ -958,5 +973,6 @@ object Extensions {
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
-    multimodalChunks, textNgrams, textLmScore, bpeStep, textHeavyHitters)
+    multimodalChunks, textNgrams, textLmScore, bpeStep, textHashVec,
+    textHeavyHitters)
 }
