@@ -534,6 +534,32 @@ object Extensions {
             |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
 
+  // Same components via LARGE-STAR/SMALL-STAR contraction — O(log²)
+  // rounds on any topology where min-label propagation needs O(diameter).
+  // Same recursive-CTE oracle as q_dedup_clusters: the hash match proves
+  // the contraction algorithm's components equal transitive closure.
+  private val dedupClustersLss = Q(
+    "q_dedup_clusters_lss",
+    (s, dir) => graft.ops.ConnectedComponents.largeStarSmallStar(
+      graft.ops.BoundedCache.cached(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |pairs AS (
+            |  SELECT d1, d2 FROM inter
+            |  JOIN sizes s1 ON s1.doc_id = d1
+            |  JOIN sizes s2 ON s2.doc_id = d2
+            |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8),
+            |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+            |          UNION SELECT d2, d1 FROM pairs),
+            |reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
+
   // Dedup APPLIED: the cleaned corpus — every near-dup cluster keeps only
   // its canonical (minimum-id) member; unclustered docs pass through. The
   // anti join against cluster losers is the step that actually shrinks a
@@ -967,7 +993,7 @@ object Extensions {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
-    dedupClusters, dedupApply, dedupIncremental, textContamination,
+    dedupClusters, dedupClustersLss, dedupApply, dedupIncremental, textContamination,
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
     embedCentroids, embedNormalize,
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
