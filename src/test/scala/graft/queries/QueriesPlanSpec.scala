@@ -126,6 +126,55 @@ class QueriesPlanSpec extends AnyFunSuite {
     assert(planWith("broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // one pathological key holding ~all rows + thresholds low enough for
+    // the local fixture: AQE must mark the sort-merge join skew-handled
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val skewed = (1 to 200000).map(i => (if (i % 100 == 0) i.toLong else 7L, s"pad_$i" * 5))
+        .toDF("k", "payload")
+      val dim = (1L to 2200L).map(k => (k, s"d_$k")).toDF("k", "dv")
+      val joined = skewed.join(dim, "k")
+      // execute THROUGH this plan: an action on a derived Dataset (e.g.
+      // joined.count()) runs its own QueryExecution and leaves this
+      // AdaptiveSparkPlanExec un-executed, still showing the static plan
+      val a = joined.queryExecution.executedPlan.asInstanceOf[AdaptiveSparkPlanExec]
+      // 198000 rows on hot key 7 + the 22 multiples of 100 within 1..2200
+      assert(a.execute().count() === 198022L)
+      val plan = a.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(2000))
+      assert(plan.contains("AQEShuffleRead"), plan.take(2000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("catalog statistics flip a join to broadcast (CBO evidence)") {
+    // ANALYZE TABLE gives the optimizer a real size; a small analyzed dim
+    // joins broadcast WITHOUT a hint even when the session threshold was
+    // the only signal
+    spark.sql("DROP TABLE IF EXISTS stats_dim")
+    spark.read.parquet(s"$sf/nation.parquet").write.saveAsTable("stats_dim")
+    spark.sql("ANALYZE TABLE stats_dim COMPUTE STATISTICS")
+    val fact = spark.read.parquet(s"$sf/customer.parquet")
+    val plan = fact.join(spark.table("stats_dim"),
+      fact("c_nationkey") === spark.table("stats_dim")("n_nationkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    spark.sql("DROP TABLE IF EXISTS stats_dim")
+  }
+
   test("no query plans a cartesian product except deliberate tiny cross joins") {
     val allowed = Set("q_simsearch_ivf", "q_text_tfidf") // broadcast single-row / centroid frames
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
