@@ -193,8 +193,8 @@ object TextStats {
       dim: Int = 1024): DataFrame =
     df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .select(col(idCol),
-        pmod(conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"),
-          lit(dim.toLong)).as("bucket"))
+        pmod(graft.ops.ApproxDistinct.kmvHash(col("token")), lit(dim.toLong))
+          .as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** ONE BPE merge iteration — the tokenizer-training primitive, corpus-
@@ -299,16 +299,24 @@ object TextStats {
     * Determinism: weights are 9-dp-rounded tf·idf (the [[tfidf]]
     * contract); dot products and norms are exact DECIMAL sums of
     * per-term doubles — order-independent — finished by one sqrt, one
-    * multiply, one divide, one 9-dp round, all correctly-rounded IEEE. */
+    * multiply, one divide, all correctly-rounded IEEE; the quotient is
+    * served unrounded (a cosmetic round diverges across engines at half
+    * boundaries). */
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
       maxDf: Int = 10, minSim: Double = 0.3): DataFrame = {
     val w = graft.ops.BoundedCache.cached(
       tfidf(df, idCol, textCol)
         .filter(col("df") <= maxDf)
         .select(col(idCol), col("token"), col("tf_idf").as("w")))
+    // zero-norm docs (all tokens at idf 0) would make cos = 0/0 = NaN,
+    // and NaN sorts ABOVE every threshold — drop them from the index
     val norms = w.groupBy(col(idCol)).agg(
       sqrt(sum((col("w") * col("w")).cast(DecimalType(28, 12))).cast(DoubleType))
         .as("nrm"))
+      .filter(col("nrm") > 0)
+    // the quotient of exact-decimal-derived doubles is already
+    // bit-identical across engines; a final cosmetic round would diverge
+    // exactly at half-boundary values (the bigramLmScore lesson)
     w.select(col(idCol).as("d1"), col("token"), col("w").as("w1"))
       .join(w.select(col(idCol).as("d2"), col("token"), col("w").as("w2")), "token")
       .filter(col("d1") < col("d2"))
@@ -316,7 +324,7 @@ object TextStats {
       .agg(sum((col("w1") * col("w2")).cast(DecimalType(28, 12))).cast(DoubleType).as("dot"))
       .join(norms.select(col(idCol).as("d1"), col("nrm").as("n1")), "d1")
       .join(norms.select(col(idCol).as("d2"), col("nrm").as("n2")), "d2")
-      .withColumn("cos", round(col("dot") / (col("n1") * col("n2")), 9))
+      .withColumn("cos", col("dot") / (col("n1") * col("n2")))
       .filter(col("cos") >= minSim)
       .select("d1", "d2", "cos")
   }

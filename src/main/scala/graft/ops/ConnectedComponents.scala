@@ -64,10 +64,11 @@ object ConnectedComponents {
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
 
-    var edges = canon(
-      pairs.select(col(d1).cast("long").as("u"), col(d2).cast("long").as("v")))
-      .localCheckpoint()
-    val nodes = bidir(edges).select(col("u").as("id")).distinct().localCheckpoint()
+    val raw = pairs.select(col(d1).cast("long").as("u"), col(d2).cast("long").as("v"))
+    var edges = canon(raw).localCheckpoint()
+    // node universe from the RAW pairs: canon drops self-loops, and a node
+    // appearing only as (x, x) must still come back labeled (x, x)
+    val nodes = bidir(raw).select(col("u").as("id")).distinct().localCheckpoint()
 
     var prev = checksum(edges)
     var converged = false

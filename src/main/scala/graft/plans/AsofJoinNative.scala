@@ -45,6 +45,15 @@ object AsofJoinNative {
     * with left column names (same contract as the composed operator). */
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    // key/ts types MUST match across sides: ClusteredDistribution is
+    // satisfied per child, so an int-vs-long key pair would hash-partition
+    // differently (murmur3 of int 5 ≠ long 5), silently mis-pairing
+    // partitions — fail fast instead
+    def dt(df: DataFrame, c: String) = df.schema(c).dataType
+    require(dt(left, key) == dt(right, key),
+      s"key type mismatch: ${dt(left, key)} vs ${dt(right, key)}")
+    require(dt(left, leftTs) == dt(right, rightTs),
+      s"ts type mismatch: ${dt(left, leftTs)} vs ${dt(right, rightTs)}")
     val r = right.select((key +: rightTs +: payload).distinct.map(right(_)): _*)
     val rp = r.queryExecution.analyzed
     val payloadOut = payload.map { p =>

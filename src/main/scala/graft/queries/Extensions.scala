@@ -511,6 +511,24 @@ object Extensions {
   // Connected components over the exact-Jaccard pairs; the DuckDB oracle
   // computes the same transitive closure with a recursive CTE, so the
   // iterative min-label propagation is verified end-to-end.
+  // ONE transitive-closure oracle shared by both components queries —
+  // two copies could assert different ground truths after a partial edit
+  private val closureOracle =
+    s"""WITH RECURSIVE $pairsCtes,
+       |pairs AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION SELECT d2, d1 FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   private val dedupClusters = Q(
     "q_dedup_clusters",
     (s, dir) => Dedup.clusterAssignments(
@@ -519,20 +537,7 @@ object Extensions {
       graft.ops.BoundedCache.cached(
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)))
       .orderBy("doc_id"),
-    Some(s"""WITH RECURSIVE $pairsCtes,
-            |pairs AS (
-            |  SELECT d1, d2 FROM inter
-            |  JOIN sizes s1 ON s1.doc_id = d1
-            |  JOIN sizes s2 ON s2.doc_id = d2
-            |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8),
-            |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-            |          UNION SELECT d2, d1 FROM pairs),
-            |reach AS (
-            |  SELECT a, b FROM edges
-            |  UNION
-            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-            |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
+    Some(closureOracle))
 
   // Same components via LARGE-STAR/SMALL-STAR contraction — O(log²)
   // rounds on any topology where min-label propagation needs O(diameter).
@@ -545,20 +550,7 @@ object Extensions {
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id"),
-    Some(s"""WITH RECURSIVE $pairsCtes,
-            |pairs AS (
-            |  SELECT d1, d2 FROM inter
-            |  JOIN sizes s1 ON s1.doc_id = d1
-            |  JOIN sizes s2 ON s2.doc_id = d2
-            |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8),
-            |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-            |          UNION SELECT d2, d1 FROM pairs),
-            |reach AS (
-            |  SELECT a, b FROM edges
-            |  UNION
-            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-            |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin))
+    Some(closureOracle))
 
   // Dedup APPLIED: the cleaned corpus — every near-dup cluster keeps only
   // its canonical (minimum-id) member; unclustered docs pass through. The
@@ -700,16 +692,17 @@ object Extensions {
            |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
            |  WHERE df <= 1000),
            |norms AS (
-           |  SELECT doc_id, sqrt(CAST(SUM(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
-           |  FROM w GROUP BY doc_id),
+           |  SELECT doc_id, nrm FROM (
+           |    SELECT doc_id, sqrt(CAST(SUM(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+           |    FROM w GROUP BY doc_id) WHERE nrm > 0),
            |dots AS (
            |  SELECT a.doc_id AS d1, b.doc_id AS d2,
            |    CAST(SUM(CAST(a.w*b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
            |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
-           |SELECT d1, d2, round(dot/(na.nrm*nb.nrm), 9) AS cos
+           |SELECT d1, d2, dot/(na.nrm*nb.nrm) AS cos
            |FROM dots JOIN norms na ON na.doc_id = d1 JOIN norms nb ON nb.doc_id = d2
-           |WHERE round(dot/(na.nrm*nb.nrm), 9) >= 0.8
+           |WHERE dot/(na.nrm*nb.nrm) >= 0.8
            |ORDER BY d1, d2""".stripMargin))
 
   private val textFilter = Q(

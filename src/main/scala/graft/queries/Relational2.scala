@@ -134,9 +134,13 @@ object Relational2 {
   private val quantileMulti = Q(
     "q_quantile_multi",
     (s, dir) => {
-      val ps = array(Seq(0.1, 0.25, 0.5, 0.75, 0.9).map(lit): _*)
+      // ONE fraction list feeds both the aggregate and the labels — a
+      // second literal copy could silently drift
+      val fractions = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val ps = array(fractions.map(lit): _*)
+      val fracSql = fractions.map(f => s"${f}D").mkString(", ")
       t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+        .agg(expr(s"percentile(l_quantity, array($fracSql))").as("qs"))
         .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("i", "qv")))
         .select(col("l_returnflag"),
           element_at(ps, col("i") + 1).as("p"), col("qv"))

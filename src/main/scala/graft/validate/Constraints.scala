@@ -22,10 +22,15 @@ object Constraints {
     df.agg(sum(when(col(colName).isNull, 1L).otherwise(0L)).as("violations"))
       .select(lit(rule).as("rule"), coalesce(col("violations"), lit(0L)).as("violations"))
 
-  /** Duplicate-key multiplicity: COUNT(*) − COUNT(DISTINCT keys). */
+  /** Duplicate-key multiplicity: COUNT(*) − COUNT(DISTINCT keys). The
+    * distinct runs over ONE struct of the key columns so a key tuple with
+    * a null component still counts as a value (SQL row-value semantics,
+    * what DuckDB's COUNT(DISTINCT (a, b)) does) — a bare multi-column
+    * countDistinct would silently skip those rows and report phantom
+    * violations. */
   def uniqueKey(df: DataFrame, rule: String, keyCols: Seq[String]): DataFrame =
     df.agg((count(lit(1)) -
-      countDistinct(col(keyCols.head), keyCols.tail.map(col): _*)).as("violations"))
+      countDistinct(struct(keyCols.map(col): _*))).as("violations"))
       .select(lit(rule).as("rule"), col("violations"))
 
   /** Orphaned children: non-null FK values with no parent (SQL FK

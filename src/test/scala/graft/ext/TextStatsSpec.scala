@@ -142,7 +142,9 @@ class TextStatsSpec extends AnyFunSuite {
     val got = TextStats.sparseCosinePairs(d, "doc_id", "text",
         maxDf = 100, minSim = 0.0)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    assert(got((0L, 1L)) == 1.0)               // identical vectors
+    // identical vectors: 1.0 within one ulp (the quotient is served
+    // unrounded — sqrt introduces the last-place wobble)
+    assert(math.abs(got((0L, 1L)) - 1.0) < 1e-12)
     assert(!got.contains((0L, 2L)))            // no shared token, no pair
     assert(got.keys.forall { case (a, b) => a < b }) // oriented, no mirror dupes
     assert(got((0L, 3L)) > 0 && got((0L, 3L)) < 1.0)

@@ -25,6 +25,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got(30L) == 30L && got(31L) == 30L)
   }
 
+  test("self-loop-only nodes still come back labeled with themselves") {
+    val got = run(Seq((5L, 5L), (1L, 2L)))
+    assert(got === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("long chain converges in O(log^2) rounds where propagation needs O(n)") {
     val chain = (0L until 200L).map(i => (i, i + 1))
     val got = run(chain)
