@@ -501,9 +501,85 @@ object Advanced {
            |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
            |GROUP BY d.day ORDER BY d.day""".stripMargin))
 
+  // Trending: top-3 event types per day by TRAILING-7-DAY volume — the
+  // rolling-distinct rewrite plus a rank: daily counts explode to the ≤7
+  // days they are visible in, re-aggregate, rank within day. Shuffle is
+  // 7×|day×type| rows, never days×events.
+  private val trendingTopk = Q(
+    "q_trending",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts DIV 86400000000000").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val vis = daily.select(col("event_type"), col("cnt"),
+        explode(sequence(col("day"), col("day") + 6)).as("day_vis"))
+        .groupBy("day_vis", "event_type").agg(sum(col("cnt")).as("n7"))
+      val actual = daily.select(col("day").as("day_vis")).distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("day_vis")
+        .orderBy(col("n7").desc, col("event_type"))
+      vis.join(actual, Seq("day_vis"), "left_semi")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("day_vis").as("day"), col("rnk").cast("int").as("rnk"),
+          col("event_type"), col("n7"))
+        .orderBy("day", "rnk")
+    },
+    Some("""WITH daily AS (
+           |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type, COUNT(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |days AS (SELECT DISTINCT day FROM daily)
+           |SELECT day, rnk, event_type, n7 FROM (
+           |  SELECT d.day, u.event_type, SUM(u.cnt) AS n7,
+           |    CAST(row_number() OVER (PARTITION BY d.day
+           |      ORDER BY SUM(u.cnt) DESC, u.event_type) AS INTEGER) AS rnk
+           |  FROM days d JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day
+           |  GROUP BY d.day, u.event_type)
+           |WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin))
+
+  // Chi-square independence test (order priority × order status):
+  // observed counts exact, expected = row·col/n in doubles, per-cell
+  // terms 9dp-rounded then exact-decimal summed (the q_entropy contract
+  // for order-independent transcendental/NONLINEAR aggregates).
+  private val chiSquare = Q(
+    "q_chi2",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val cells = o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("obs"))
+      val rows = cells.groupBy("o_orderpriority").agg(sum(col("obs")).as("r"))
+      val cols_ = cells.groupBy("o_orderstatus").agg(sum(col("obs")).as("c"))
+      val n = cells.agg(sum(col("obs")).as("n"))
+      val e = col("r").cast("double") * col("c").cast("double") / col("n").cast("double")
+      val term = round((col("obs") - e) * (col("obs") - e) / e, 9)
+      cells.join(rows, "o_orderpriority").join(cols_, "o_orderstatus")
+        .crossJoin(broadcast(n))
+        .agg(
+          sum(term.cast(DecimalType(28, 12))).cast("double").as("chi2"),
+          ((countDistinct(col("o_orderpriority")) - 1)
+            * (countDistinct(col("o_orderstatus")) - 1)).as("dof"))
+    },
+    Some("""WITH cells AS (
+           |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+           |  FROM orders GROUP BY 1, 2),
+           |r AS (SELECT o_orderpriority, SUM(obs) AS r FROM cells GROUP BY 1),
+           |c AS (SELECT o_orderstatus, SUM(obs) AS c FROM cells GROUP BY 1),
+           |n AS (SELECT SUM(obs) AS n FROM cells),
+           |terms AS (
+           |  SELECT cells.o_orderpriority, cells.o_orderstatus, obs,
+           |    round((obs - CAST(r AS DOUBLE)*CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+           |        * (obs - CAST(r AS DOUBLE)*CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+           |        / (CAST(r AS DOUBLE)*CAST(c AS DOUBLE)/CAST(n AS DOUBLE)), 9) AS term
+           |  FROM cells JOIN r USING (o_orderpriority) JOIN c USING (o_orderstatus)
+           |  CROSS JOIN n)
+           |SELECT CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS chi2,
+           |  (COUNT(DISTINCT o_orderpriority) - 1)
+           |    * (COUNT(DISTINCT o_orderstatus) - 1) AS dof
+           |FROM terms""".stripMargin))
+
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
     asofJoin, asofNative, asofForward, eventsSessions, eventsSliding, eventsFunnel,
     eventSequences, variantExtract, eventsSessionWindow, approxDistinct,
-    recursiveCte, lateralTop2, twap, userLifecycle, rollingDistinct)
+    recursiveCte, lateralTop2, twap, userLifecycle, rollingDistinct,
+    trendingTopk, chiSquare)
 }
