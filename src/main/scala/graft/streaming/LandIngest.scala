@@ -154,4 +154,65 @@ object LandIngest {
       .start()
     q.awaitTermination()
   }
+
+  /**
+   * Streaming distinct-count state via the KMV sketch
+   * ([[graft.ops.ApproxDistinct]]): each micro-batch's values fold into a
+   * per-group k-minimum-hash state table. The reason KMV (not HLL, not
+   * exact sets) is the right streaming state: the merge is a pure SET
+   * union — ASSOCIATIVE, COMMUTATIVE, IDEMPOTENT — so foreachBatch's
+   * at-least-once redelivery cannot inflate the estimate, any
+   * batch-arrival order serves the identical bits, and state stays ≤ k
+   * longs per group forever. Write-then-swap like [[upsertStream]] so
+   * readers never see a torn state directory.
+   */
+  def kmvDistinctStream(
+      spark: SparkSession,
+      changesDir: String,
+      schema: StructType,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int,
+      stateDir: String,
+      checkpointDir: String): Unit = {
+    import org.apache.spark.sql.functions.{array, coalesce, col, lit}
+    import org.apache.hadoop.fs.Path
+    import graft.ops.ApproxDistinct
+
+    val statePath = new Path(stateDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(statePath.getParent, s".${statePath.getName}.swap.old")
+    if (!fs.exists(statePath) && fs.exists(bak)) fs.rename(bak, statePath)
+
+    val stream = spark.readStream.schema(schema).json(changesDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = ApproxDistinct.kmvBuildState(batch, keys, valueCol, k)
+        val merged =
+          if (fs.exists(statePath)) {
+            val prev = spark.read.parquet(stateDir).withColumnRenamed("kmv", "ka")
+            prev.join(delta.withColumnRenamed("kmv", "kb"), keys, "full_outer")
+              .select((keys.map(col) :+ ApproxDistinct.kmvMerge(
+                coalesce(col("ka"), array().cast("array<bigint>")),
+                coalesce(col("kb"), array().cast("array<bigint>")), k).as("kmv")): _*)
+          } else delta
+        val tmp = new Path(statePath.getParent, s".${statePath.getName}.swap.tmp")
+        merged.localCheckpoint(true)
+          .write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(bak)) fs.delete(bak, true)
+        if (fs.exists(statePath) && !fs.rename(statePath, bak))
+          throw new java.io.IOException(s"kmvDistinctStream: rename $statePath -> $bak failed")
+        if (!fs.rename(tmp, statePath)) {
+          if (fs.exists(bak)) fs.rename(bak, statePath)
+          throw new java.io.IOException(s"kmvDistinctStream: rename $tmp -> $statePath failed (restored)")
+        }
+        fs.delete(bak, true)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }
