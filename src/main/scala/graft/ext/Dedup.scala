@@ -329,7 +329,7 @@ object Dedup {
     val toks = docs.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
+      .withColumn("h", graft.ops.ApproxDistinct.kmvHash(col("tok")))
     // Σ(±1) per bit ≡ 2·(count of ones) − n: summing the raw bit is a
     // branch-free shift+and per row (the ±1 CASE WHEN form costs a
     // conditional in each aggregate update per token). The 64 per-bit

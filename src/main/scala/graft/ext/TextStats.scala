@@ -215,10 +215,14 @@ object TextStats {
     val wDoc = Window.partitionBy(col(idCol)).orderBy("p")
     val withNext = graft.ops.BoundedCache.cached(
       pos.withColumn("nxt", lead(col("tok"), 1).over(wDoc)))
-    val top = withNext.filter(col("nxt").isNotNull)
-      .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tok"), col("nxt"))
-      .limit(1).select(col("tok").as("w1"), col("nxt").as("w2"))
+    // cached: the single-row top pair feeds both the kept-starts plan and
+    // the rebuilt plan — exchange reuse does not cross the cache boundary,
+    // so an uncached top would run the pair-count shuffle + sort twice
+    val top = graft.ops.BoundedCache.cached(
+      withNext.filter(col("nxt").isNotNull)
+        .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"), col("nxt"))
+        .limit(1).select(col("tok").as("w1"), col("nxt").as("w2")))
     val marked = withNext.crossJoin(broadcast(top))
       .withColumn("is_start", col("tok") === col("w1") && col("nxt") === col("w2"))
     val starts = marked.filter(col("is_start"))

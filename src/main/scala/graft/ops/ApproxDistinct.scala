@@ -123,13 +123,17 @@ object ApproxDistinct {
   def kmvHash(value: Column): Column =
     conv(substring(md5(value.cast("string")), 1, 15), 16, 10).cast(LongType)
 
-  /** Per-group KMV state (ascending array column `kmv` of ≤k hashes). */
+  /** Per-group KMV state: ascending array column `kmv` of ≤k hashes plus
+    * `kmv_k`, the k it was built with — the state is SELF-DESCRIBING, so
+    * serving can never misread a saturated small-k sketch as an exact
+    * count by assuming a larger k. */
   def kmvBuildState(df: DataFrame, keys: Seq[String], valueCol: String,
       k: Int = 256): DataFrame = {
     val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
     df.filter(col(valueCol).isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(agg(kmvHash(col(valueCol))).as("kmv"))
+      .withColumn("kmv_k", lit(k))
   }
 
   /** Merge two KMV state columns: distinct union, keep the k smallest —
@@ -138,16 +142,18 @@ object ApproxDistinct {
   def kmvMerge(a: Column, b: Column, k: Int = 256): Column =
     slice(array_sort(array_union(a, b)), 1, k)
 
-  /** Serve estimates from KMV state: exact below k, (k−1)·2⁶⁰/h_k at or
-    * above. Every step — int64→double conversion, one multiply (exact:
-    * (k−1)·2⁶⁰ needs ≤ log₂k + 60 ≤ 53 significand bits for k ≤ 2¹⁸ as a
-    * product of a small int and a power of two), one divide — is a single
-    * correctly-rounded IEEE op, identical on any engine. */
-  def kmvServe(state: DataFrame, keys: Seq[String], k: Int = 256): DataFrame =
+  /** Serve estimates from KMV state: exact below the state's own k,
+    * (k−1)·2⁶⁰/h_k at or above — k read from the state's `kmv_k` column,
+    * never assumed by the reader. Every step — int64→double conversion,
+    * one multiply (exact: (k−1)·2⁶⁰ needs ≤ log₂k + 60 ≤ 53 significand
+    * bits for k ≤ 2¹⁸ as a product of a small int and a power of two),
+    * one divide — is a single correctly-rounded IEEE op, identical on
+    * any engine. */
+  def kmvServe(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select(keys.map(col) ++ Seq(
       size(col("kmv")).as("n_kept"),
-      when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
-          / element_at(col("kmv"), k).cast("double"))
+      when(size(col("kmv")) < col("kmv_k"), size(col("kmv")).cast("double"))
+        .otherwise((col("kmv_k") - 1).cast("double") * lit(1152921504606846976.0)
+          / expr("kmv[kmv_k - 1]").cast("double"))
         .as("est_distinct")): _*)
 }

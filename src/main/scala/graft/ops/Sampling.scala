@@ -96,7 +96,10 @@ object Sampling {
    */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       n: Int): DataFrame = {
-    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+    // the engine-wide 60-bit content hash (ApproxDistinct.kmvHash is the
+    // one definition the DuckDB oracles mirror); long→double and
+    // string→double of the same exact integer round identically
+    val u = ApproxDistinct.kmvHash(col(keyCol))
       .cast("double") / lit(math.pow(2.0, 60.0))
     val key = round(log(u) / col(weightCol).cast("double"), 9)
     df.withColumn("sample_key", key)

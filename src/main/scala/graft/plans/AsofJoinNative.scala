@@ -134,8 +134,11 @@ case class AsofJoinExec(
     Seq(SortOrder(rKey, Ascending), SortOrder(rTs, Ascending)) ++
       payload.map(p => SortOrder(attr(right, p), Ascending)))
 
-  /** Left rows pass through in order with payload appended. */
+  /** Left rows pass through in order with payload appended — advertise
+    * both properties so downstream operators needing the same
+    * clustering/ordering skip their exchange and sort. */
   override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =

@@ -561,17 +561,19 @@ object Maintenance {
   private val kmvDistinct = Q(
     "q_kmv_distinct",
     (s, dir) => {
+      val k = 256 // ONE k for build, merge, and the state's kmv_k
       val li = t(s, dir, "lineitem")
       val keys = Seq("l_returnflag")
       val hist = li.filter(col("l_linenumber") % 2 === 0)
       val delta = li.filter(col("l_linenumber") % 2 =!= 0)
-      val merged = ApproxDistinct.kmvBuildState(hist, keys, "l_orderkey")
-        .withColumnRenamed("kmv", "ka")
-        .join(ApproxDistinct.kmvBuildState(delta, keys, "l_orderkey")
-          .withColumnRenamed("kmv", "kb"), keys, "full_outer")
+      val merged = ApproxDistinct.kmvBuildState(hist, keys, "l_orderkey", k)
+        .select(col("l_returnflag"), col("kmv").as("ka"))
+        .join(ApproxDistinct.kmvBuildState(delta, keys, "l_orderkey", k)
+          .select(col("l_returnflag"), col("kmv").as("kb")), keys, "full_outer")
         .select(col("l_returnflag"), ApproxDistinct.kmvMerge(
           coalesce(col("ka"), array().cast("array<bigint>")),
-          coalesce(col("kb"), array().cast("array<bigint>"))).as("kmv"))
+          coalesce(col("kb"), array().cast("array<bigint>")), k).as("kmv"),
+          lit(k).as("kmv_k"))
       ApproxDistinct.kmvServe(merged, keys).orderBy("l_returnflag")
     },
     Some("""WITH h AS (

@@ -170,7 +170,13 @@ object EventStreams {
     * operator's contract — and the GroupState carries only the LATEST
     * click across micro-batches: O(1) state per key, the property that
     * lets a 1000-executor stream enrich indefinitely where a stream-side
-    * buffer of click history would grow without bound. */
+    * buffer of click history would grow without bound.
+    *
+    * Cross-batch disorder: state only advances, and a purchase never
+    * attaches a click with ts beyond its own (as-of `<=` holds under ANY
+    * batch split); the O(1)-state trade is that a purchase arriving
+    * before its matching click's batch serves null rather than waiting —
+    * the watermark-buffer variant would trade state growth for that. */
   def asofEnrichStream(
       spark: SparkSession,
       eventsDir: String,
@@ -192,9 +198,21 @@ object EventStreams {
       val out = Seq.newBuilder[EnrichOut]
       var st = state.getOption.orNull
       sorted.foreach { e =>
-        if (e.side == 0) st = ClickState(e.event_id, e.ts)
-        else out += EnrichOut(e.event_id, userId, e.ts,
-          Option(st).map(_.click_id), Option(st).map(_.click_ts))
+        if (e.side == 0) {
+          // state only ADVANCES (ts, then id — the batch tie-break): an
+          // out-of-order older click from a later micro-batch must not
+          // clobber newer carried state
+          if (st == null || st.click_ts < e.ts
+              || (st.click_ts == e.ts && st.click_id < e.event_id))
+            st = ClickState(e.event_id, e.ts)
+        } else {
+          // the carried state may be AHEAD of an out-of-order purchase
+          // from a later micro-batch — as-of semantics (rightTs <= leftTs)
+          // must still hold, so a future click never attaches
+          val m = Option(st).filter(_.click_ts <= e.ts)
+          out += EnrichOut(e.event_id, userId, e.ts,
+            m.map(_.click_id), m.map(_.click_ts))
+        }
       }
       if (st != null) state.update(st) // latest click survives the batch
       out.result().iterator

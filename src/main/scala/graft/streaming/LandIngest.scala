@@ -193,11 +193,23 @@ object LandIngest {
         val delta = ApproxDistinct.kmvBuildState(batch, keys, valueCol, k)
         val merged =
           if (fs.exists(statePath)) {
-            val prev = spark.read.parquet(stateDir).withColumnRenamed("kmv", "ka")
-            prev.join(delta.withColumnRenamed("kmv", "kb"), keys, "full_outer")
+            // a state built with a DIFFERENT k cannot be merged at this k
+            // (hashes beyond the smaller k are already lost) — fail the
+            // batch loudly instead of serving silently wrong estimates.
+            // The assert is EMBEDDED in the consumed column so column
+            // pruning cannot drop it.
+            import org.apache.spark.sql.functions.{assert_true, when => cwhen}
+            val prev = spark.read.parquet(stateDir)
+              .select((keys.map(col) :+
+                cwhen(assert_true(col("kmv_k") === lit(k),
+                  lit(s"kmvDistinctStream: persisted state k != caller k=$k")).isNull,
+                  col("kmv")).as("ka")): _*)
+            prev.join(delta.select((keys.map(col) :+ col("kmv").as("kb")): _*),
+                keys, "full_outer")
               .select((keys.map(col) :+ ApproxDistinct.kmvMerge(
                 coalesce(col("ka"), array().cast("array<bigint>")),
-                coalesce(col("kb"), array().cast("array<bigint>")), k).as("kmv")): _*)
+                coalesce(col("kb"), array().cast("array<bigint>")), k).as("kmv") :+
+                lit(k).as("kmv_k")): _*)
           } else delta
         val tmp = new Path(statePath.getParent, s".${statePath.getName}.swap.tmp")
         merged.localCheckpoint(true)

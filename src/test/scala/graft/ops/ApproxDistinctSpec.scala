@@ -76,7 +76,7 @@ class ApproxDistinctSpec extends AnyFunSuite {
   test("KMV: split-merge is BIT-identical to a single build; exact below k") {
     val k = 128
     def serve(st: org.apache.spark.sql.DataFrame) =
-      ApproxDistinct.kmvServe(st, Seq("k"), k)
+      ApproxDistinct.kmvServe(st, Seq("k"))
         .orderBy("k").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
 
@@ -86,20 +86,21 @@ class ApproxDistinctSpec extends AnyFunSuite {
     // same doubles as the one-pass build — not "within error", identical
     val merged = ApproxDistinct.kmvBuildState(
         data.filter(col("v").substr(6, 1) < "5"), Seq("k"), "v", k)
-      .withColumnRenamed("kmv", "ka")
+      .select(col("k"), col("kmv").as("ka"))
       .join(ApproxDistinct.kmvBuildState(
           data.filter(col("v").substr(6, 1) >= "5"), Seq("k"), "v", k)
-        .withColumnRenamed("kmv", "kb"), Seq("k"), "full_outer")
+        .select(col("k"), col("kmv").as("kb")), Seq("k"), "full_outer")
       .select(col("k"), ApproxDistinct.kmvMerge(
         coalesce(col("ka"), array().cast("array<bigint>")),
-        coalesce(col("kb"), array().cast("array<bigint>")), k).as("kmv"))
+        coalesce(col("kb"), array().cast("array<bigint>")), k).as("kmv"),
+        lit(k).as("kmv_k"))
     assert(serve(merged) === single)
 
     // idempotent: re-merging the full state into itself changes nothing
     val self = ApproxDistinct.kmvBuildState(data, Seq("k"), "v", k)
-    val remerged = self.withColumnRenamed("kmv", "ka")
-      .select(col("k"),
-        ApproxDistinct.kmvMerge(col("ka"), col("ka"), k).as("kmv"))
+    val remerged = self.select(col("k"),
+        ApproxDistinct.kmvMerge(col("kmv"), col("kmv"), k).as("kmv"),
+        col("kmv_k"))
     assert(serve(remerged) === single)
 
     // estimator accuracy: sigma ~ 1/sqrt(k-2) ~ 9% at k=128; allow 3 sigma
@@ -112,11 +113,21 @@ class ApproxDistinctSpec extends AnyFunSuite {
     // below-k groups serve the EXACT distinct count
     val tiny = (1 to 300).map(i => (i % 3, s"u${i % 40}")).toDF("k", "v")
     val tinyServed = ApproxDistinct.kmvServe(
-      ApproxDistinct.kmvBuildState(tiny, Seq("k"), "v", k), Seq("k"), k)
+      ApproxDistinct.kmvBuildState(tiny, Seq("k"), "v", k), Seq("k"))
       .orderBy("k").collect()
     tinyServed.foreach { r =>
       assert(r.getInt(1) < k)
       assert(r.getDouble(2) === 40.0)
+    }
+
+    // the self-describing state means a saturated small-k sketch can
+    // NEVER be misread as exact: serve follows the state's own k
+    val small = ApproxDistinct.kmvBuildState(data, Seq("k"), "v", 16)
+    val smallServed = ApproxDistinct.kmvServe(small, Seq("k"))
+      .orderBy("k").collect()
+    smallServed.foreach { r =>
+      assert(r.getInt(1) === 16)       // saturated at ITS k
+      assert(r.getDouble(2) > 100.0)   // estimator path, not "exactly 16"
     }
   }
 }

@@ -114,7 +114,7 @@ class LandIngestSpec extends AnyFunSuite {
       Seq("grp"), "v", 64, state, base.resolve("ck1").toString)
 
     def served(st: org.apache.spark.sql.DataFrame) =
-      ApproxDistinct.kmvServe(st, Seq("grp"), 64)
+      ApproxDistinct.kmvServe(st, Seq("grp"))
         .orderBy("grp").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
 
