@@ -312,20 +312,38 @@ object TextStats {
       tfidf(df, idCol, textCol)
         .filter(col("df") <= maxDf)
         .select(col(idCol), col("token"), col("tf_idf").as("w")))
+    // Two numeric hazards meet here, and the shape below threads between
+    // them. (1) Casting a DOUBLE product to decimal systematically lands
+    // on half-ties (true products of two 9-dp values are exact 18-decimal
+    // rationals) where the engines' double→decimal rounding can disagree
+    // — so recover each weight EXACTLY as DECIMAL(14,9) (always
+    // representable; the double is within an ulp, no tie possible) and
+    // multiply in decimal: the 18-scale product is exact, and the
+    // reduction to scale 12 is a DECIMAL→decimal cast whose ties resolve
+    // identically (half-up on positives) in both engines. (2) Keeping the
+    // SUM at scale 18 would push the scaled integer past 2⁵³, where
+    // DuckDB's decimal→double cast double-rounds (observed 1-ulp drift on
+    // every row) — scale 12 keeps the final cast single-rounded. The
+    // scale-12 reduction is Spark's decimal cast (HALF_UP); DuckDB's
+    // decimal CAST TRUNCATES, so the oracle reduces with round(x, 12)
+    // (half-away-from-zero ≡ HALF_UP on these non-negative products).
+    val wd = col("w").cast(DecimalType(14, 9))
     // zero-norm docs (all tokens at idf 0) would make cos = 0/0 = NaN,
     // and NaN sorts ABOVE every threshold — drop them from the index
-    val norms = w.groupBy(col(idCol)).agg(
-      sqrt(sum((col("w") * col("w")).cast(DecimalType(28, 12))).cast(DoubleType))
-        .as("nrm"))
+    val norms = w.select(col(idCol), wd.as("wd"))
+      .groupBy(col(idCol)).agg(
+        sqrt(sum((col("wd") * col("wd")).cast(DecimalType(28, 12)))
+          .cast(DoubleType)).as("nrm"))
       .filter(col("nrm") > 0)
     // the quotient of exact-decimal-derived doubles is already
     // bit-identical across engines; a final cosmetic round would diverge
     // exactly at half-boundary values (the bigramLmScore lesson)
-    w.select(col(idCol).as("d1"), col("token"), col("w").as("w1"))
-      .join(w.select(col(idCol).as("d2"), col("token"), col("w").as("w2")), "token")
+    w.select(col(idCol).as("d1"), col("token"), wd.as("w1"))
+      .join(w.select(col(idCol).as("d2"), col("token"), wd.as("w2")), "token")
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2")
-      .agg(sum((col("w1") * col("w2")).cast(DecimalType(28, 12))).cast(DoubleType).as("dot"))
+      .agg(sum((col("w1") * col("w2")).cast(DecimalType(28, 12)))
+        .cast(DoubleType).as("dot"))
       .join(norms.select(col(idCol).as("d1"), col("nrm").as("n1")), "d1")
       .join(norms.select(col(idCol).as("d2"), col("nrm").as("n2")), "d2")
       .withColumn("cos", col("dot") / (col("n1") * col("n2")))

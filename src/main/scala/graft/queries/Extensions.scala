@@ -691,14 +691,16 @@ object Extensions {
            |    round(tf * round(ln((n_docs + 1.0)/(df + 1.0)), 9), 9) AS w
            |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
            |  WHERE df <= 1000),
+           |wd AS (SELECT doc_id, token, CAST(w AS DECIMAL(14,9)) AS w FROM w),
            |norms AS (
            |  SELECT doc_id, nrm FROM (
-           |    SELECT doc_id, sqrt(CAST(SUM(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
-           |    FROM w GROUP BY doc_id) WHERE nrm > 0),
+           |    SELECT doc_id,
+           |      sqrt(CAST(SUM(round(w*w, 12)) AS DOUBLE)) AS nrm
+           |    FROM wd GROUP BY doc_id) WHERE nrm > 0),
            |dots AS (
            |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-           |    CAST(SUM(CAST(a.w*b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
-           |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+           |    CAST(SUM(round(a.w*b.w, 12)) AS DOUBLE) AS dot
+           |  FROM wd a JOIN wd b ON a.token = b.token AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
            |SELECT d1, d2, dot/(na.nrm*nb.nrm) AS cos
            |FROM dots JOIN norms na ON na.doc_id = d1 JOIN norms nb ON nb.doc_id = d2

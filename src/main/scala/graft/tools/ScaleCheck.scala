@@ -75,7 +75,8 @@ object ScaleCheck {
       "q_dedup_apply", "q_text_bm25", "q_graph_triangles", "q_winsorize",
       "q_snapshot_diff", "q_profile", "q_abc_class",
       "q_asof_native", "q_asof_join", "q_interval_join", "q_rolling_distinct",
-      "q_kmv_distinct", "q_text_lmscore", "q_text_cosine")
+      "q_kmv_distinct", "q_text_lmscore", "q_text_cosine",
+      "q_bpe_step", "q_dedup_clusters_lss", "q_trending", "q_constraints")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
