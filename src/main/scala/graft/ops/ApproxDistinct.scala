@@ -142,6 +142,26 @@ object ApproxDistinct {
   def kmvMerge(a: Column, b: Column, k: Int = 256): Column =
     slice(array_sort(array_union(a, b)), 1, k)
 
+  /** Roll KMV state up to a coarser grouping (day→month, region→global)
+    * WITHOUT rescanning data: explode member hashes, keep the k smallest
+    * distinct per coarse group. Because the merge is an exact set
+    * operation, the rolled-up state is BIT-IDENTICAL to building directly
+    * at the coarse level — which is what lets a DuckDB oracle check a
+    * rollup-served estimate with a plain single-pass query. */
+  def kmvRollup(state: DataFrame, coarserKeys: Seq[String], k: Int = 256): DataFrame = {
+    // k-mismatch guard EMBEDDED in the first key column (pruning-proof);
+    // a generator cannot nest inside when(), so the guard rides the key
+    val guardedHead = when(
+      assert_true(col("kmv_k") === lit(k),
+        lit(s"kmvRollup: state k != caller k=$k")).isNull,
+      col(coarserKeys.head)).as(coarserKeys.head)
+    state
+      .select((guardedHead +: coarserKeys.tail.map(col)) :+ explode(col("kmv")).as("h"): _*)
+      .groupBy(coarserKeys.map(col): _*)
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("kmv"))
+      .withColumn("kmv_k", lit(k))
+  }
+
   /** Serve estimates from KMV state: exact below the state's own k,
     * (k−1)·2⁶⁰/h_k at or above — k read from the state's `kmv_k` column,
     * never assumed by the reader. Every step — int64→double conversion,

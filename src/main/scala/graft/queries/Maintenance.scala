@@ -558,6 +558,26 @@ object Maintenance {
   // The hash match therefore proves, in the correctness gate itself, the
   // property DataSketches HLL lacks: split-refresh ≡ rebuild bit-exactly
   // AND the estimate is engine-portable.
+  // ONE single-pass oracle shared by the split-merge and rollup KMV
+  // queries — both engine paths must serve exactly this
+  private val kmvOracle =
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, hv,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+      |  FROM h)
+      |SELECT l_returnflag,
+      |  CAST(LEAST(nd, 256) AS INTEGER) AS n_kept,
+      |  CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+      |       ELSE 255.0 * 1152921504606846976.0 / CAST(hv AS DOUBLE) END AS est_distinct
+      |FROM r
+      |WHERE rn = LEAST(nd, 256)
+      |ORDER BY l_returnflag""".stripMargin
+
   private val kmvDistinct = Q(
     "q_kmv_distinct",
     (s, dir) => {
@@ -576,22 +596,24 @@ object Maintenance {
           lit(k).as("kmv_k"))
       ApproxDistinct.kmvServe(merged, keys).orderBy("l_returnflag")
     },
-    Some("""WITH h AS (
-           |  SELECT DISTINCT l_returnflag,
-           |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
-           |  FROM lineitem),
-           |r AS (
-           |  SELECT l_returnflag, hv,
-           |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
-           |    count(*) OVER (PARTITION BY l_returnflag) AS nd
-           |  FROM h)
-           |SELECT l_returnflag,
-           |  CAST(LEAST(nd, 256) AS INTEGER) AS n_kept,
-           |  CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
-           |       ELSE 255.0 * 1152921504606846976.0 / CAST(hv AS DOUBLE) END AS est_distinct
-           |FROM r
-           |WHERE rn = LEAST(nd, 256)
-           |ORDER BY l_returnflag""".stripMargin))
+    Some(kmvOracle))
+
+  // KMV ROLLUP: states built at (returnflag, linestatus), rolled up to
+  // returnflag by exploding member hashes and re-taking the k smallest —
+  // no data rescan. The oracle is the SAME single-pass query as
+  // q_kmv_distinct: the hash match proves rollup ≡ direct build, the
+  // set-semantics property that makes sketch state tables cheap to
+  // re-aggregate at any granularity.
+  private val kmvRollupQ = Q(
+    "q_kmv_rollup",
+    (s, dir) => {
+      val fine = ApproxDistinct.kmvBuildState(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_orderkey", 256)
+      ApproxDistinct.kmvServe(
+        ApproxDistinct.kmvRollup(fine, Seq("l_returnflag"), 256),
+        Seq("l_returnflag")).orderBy("l_returnflag")
+    },
+    Some(kmvOracle))
 
   // Exact distinct users per event type via mergeable bitmaps — the
   // bitmap union is exact, so unlike the HLL sketch this hash-matches a
@@ -781,6 +803,6 @@ object Maintenance {
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,
-    kmvDistinct, bitmapDistinct, regression, winsorize, argExtremum,
+    kmvDistinct, kmvRollupQ, bitmapDistinct, regression, winsorize, argExtremum,
     snapshotDiff, profileQ, constraintsQ)
 }
