@@ -198,6 +198,67 @@ object Analytics {
            |  ON a.ck = b.ck AND a.k < b.k AND a.lo <= b.hi AND b.lo <= a.hi
            |ORDER BY a.ck, a_key, b_key""".stripMargin))
 
+  // Rolling median (trailing-7-row, nearest-rank): exact sliding-window
+  // percentile via sorted frame collect — per-row cost bounded by the
+  // FRAME length (7), not the partition, so it scales as O(n·w log w)
+  // per key with one shuffle+sort. Nearest-rank, not interpolated:
+  // engine-divergent interpolation under casts is the known trap.
+  private val rollingMedian = Q(
+    "q_rolling_median",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+      daily
+        .withColumn("frame", sort_array(collect_list(col("rev")).over(w)))
+        .select(col("day"), col("rev"),
+          // Spark `/` on ints is DOUBLE division — truncate back to the
+          // integer rank (floor ≡ DuckDB's `//` on positives)
+          element_at(col("frame"),
+            ((size(col("frame")) + 1) / 2).cast("int")).as("rev_med7"))
+        .orderBy("day")
+    },
+    Some(s"""WITH daily AS (
+            |  SELECT CAST(o_orderdate AS DATE) AS day, ${oSum("o_totalprice")} AS rev
+            |  FROM orders GROUP BY 1)
+            |SELECT day, rev,
+            |  list_sort(frame)[(len(frame) + 1) // 2] AS rev_med7
+            |FROM (
+            |  SELECT day, rev,
+            |    array_agg(rev) OVER (ORDER BY day
+            |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS frame
+            |  FROM daily)
+            |ORDER BY day""".stripMargin))
+
+  // Equi-DEPTH histogram (quantile bucketing): ntile(8) splits the value
+  // distribution into equal-count buckets; min/max/count per bucket =
+  // the boundary table a CBO or feature-binner consumes. One sort.
+  private val histogramEqd = Q(
+    "q_histogram_eqdepth",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast(DecimalType(18, 2)).as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).cast("double").as("lo"),
+          max(col("v")).cast("double").as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT bucket, COUNT(*) AS n,
+           |  CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi
+           |FROM (
+           |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+           |    CAST(ntile(8) OVER (ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+           |      l_orderkey, l_linenumber) AS INTEGER) AS bucket
+           |  FROM lineitem)
+           |GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   private val topkHeap = Q(
     "q_topk_heap",
     (s, dir) =>
@@ -646,7 +707,8 @@ object Analytics {
            |ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
-    rangeJoinBinned, intervalJoin, topkHeap, cohortRetention, attribution, shareOfTotal,
+    rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd,
+    topkHeap, cohortRetention, attribution, shareOfTotal,
     eventTransitions, abcClass, gapsIslands, madQ, percentChange,
     rollingZscore, intervalMerge, entropyQ, sampleWeighted)
 }
