@@ -232,22 +232,45 @@ object Analytics {
             |  FROM daily)
             |ORDER BY day""".stripMargin))
 
-  // Equi-DEPTH histogram (quantile bucketing): ntile(8) splits the value
-  // distribution into equal-count buckets; min/max/count per bucket =
-  // the boundary table a CBO or feature-binner consumes. One sort.
+  // Equi-DEPTH histogram (quantile bucketing): the boundary table a CBO
+  // or feature-binner consumes. NOT the row-level global ntile (which
+  // single-threads a full sort of the fact table): the same result is
+  // exact from per-distinct-VALUE counts — bucket b covers fixed global
+  // row indexes [lo_b, hi_b] (ntile's fill rule), and its min/max are
+  // the values whose cumulative-count range covers those indexes. The
+  // only global window runs over |distinct v| rows; the oracle IS the
+  // row-level ntile, so the hash match proves the rewrite.
   private val histogramEqd = Q(
     "q_histogram_eqdepth",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
-      t(s, dir, "lineitem")
-        .select(col("l_extendedprice").cast(DecimalType(18, 2)).as("v"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("bucket", ntile(8).over(w))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"),
-          min(col("v")).cast("double").as("lo"),
-          max(col("v")).cast("double").as("hi"))
+      val nb = 8
+      val counts = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast(DecimalType(18, 2)).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      val wcum = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = counts.withColumn("hi_cum", sum(col("c")).over(wcum))
+        .withColumn("lo_cum", col("hi_cum") - col("c") + 1)
+      val total = counts.agg(sum(col("c")).as("nn"))
+      // ntile fill rule: first (N mod nb) buckets get ⌈N/nb⌉ rows
+      val buckets = s.range(1, nb + 1).toDF("bucket")
+        .crossJoin(broadcast(total))
+        .withColumn("base", expr(s"nn DIV $nb"))
+        .withColumn("rem", expr(s"nn % $nb"))
+        .withColumn("lo_b", (col("bucket") - 1) * col("base")
+          + least(col("bucket") - 1, col("rem")) + 1)
+        .withColumn("n", col("base") + when(col("bucket") <= col("rem"), 1L).otherwise(0L))
+        .withColumn("hi_b", col("lo_b") + col("n") - 1)
+      val lo = broadcast(buckets).join(cum,
+          col("lo_b").between(col("lo_cum"), col("hi_cum")))
+        .select(col("bucket"), col("v").as("lov"))
+      val hi = broadcast(buckets).join(cum,
+          col("hi_b").between(col("lo_cum"), col("hi_cum")))
+        .select(col("bucket").as("bucket2"), col("v").as("hiv"))
+      buckets.join(lo, "bucket").join(hi, col("bucket") === col("bucket2"))
+        .select(col("bucket").cast("int").as("bucket"), col("n"),
+          col("lov").cast("double").as("lo"), col("hiv").cast("double").as("hi"))
         .orderBy("bucket")
     },
     Some("""SELECT bucket, COUNT(*) AS n,
