@@ -282,6 +282,44 @@ object Analytics {
            |  FROM lineitem)
            |GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  // Key-skew diagnosis — the census run BEFORE choosing salting or
+  // relying on AQE skew splits (ops/Skew, the AQE plan spec): per join
+  // key, cardinality, hottest-key share, and max/avg ratio from exact
+  // integer counts, one row per candidate key column.
+  private val skewProfile = Q(
+    "q_skew_profile",
+    (s, dir) => {
+      def profile(df: org.apache.spark.sql.DataFrame, label: String, key: String) = {
+        val counts = df.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("c"))
+        counts.agg(
+          count(lit(1)).as("n_keys"), sum(col("c")).as("total"),
+          max(col("c")).as("max_cnt"))
+          .select(lit(label).as("key_col"),
+            col("n_keys"), col("total"), col("max_cnt"),
+            // max/avg = max·n/total: integer inputs, ONE double division
+            (col("max_cnt").cast("double") * col("n_keys")
+              / col("total")).as("skew_ratio"))
+      }
+      profile(t(s, dir, "lineitem"), "lineitem.l_suppkey", "l_suppkey")
+        .unionByName(profile(t(s, dir, "orders"), "orders.o_custkey", "o_custkey"))
+        .unionByName(profile(events(s, dir), "events.user_id", "user_id"))
+        .orderBy("key_col")
+    },
+    Some("""SELECT key_col, n_keys, total, max_cnt,
+           |  CAST(max_cnt AS DOUBLE) * n_keys / total AS skew_ratio
+           |FROM (
+           |  SELECT 'lineitem.l_suppkey' AS key_col, COUNT(*) AS n_keys,
+           |    SUM(c) AS total, MAX(c) AS max_cnt
+           |  FROM (SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1)
+           |  UNION ALL
+           |  SELECT 'orders.o_custkey', COUNT(*), SUM(c), MAX(c)
+           |  FROM (SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1)
+           |  UNION ALL
+           |  SELECT 'events.user_id', COUNT(*), SUM(c), MAX(c)
+           |  FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1))
+           |ORDER BY key_col""".stripMargin))
+
   private val topkHeap = Q(
     "q_topk_heap",
     (s, dir) =>
@@ -730,7 +768,7 @@ object Analytics {
            |ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
-    rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd,
+    rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     topkHeap, cohortRetention, attribution, shareOfTotal,
     eventTransitions, abcClass, gapsIslands, madQ, percentChange,
     rollingZscore, intervalMerge, entropyQ, sampleWeighted)
