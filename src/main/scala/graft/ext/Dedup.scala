@@ -84,6 +84,64 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /**
+   * Exact-threshold Jaccard similarity join via PREFIX FILTERING — the
+   * AllPairs/PPJoin family (Bayardo et al. WWW'07, Xiao et al. WWW'08):
+   * the third dedup scale path beside the full inverted-index join
+   * ([[jaccardPairs]]) and probabilistic LSH ([[minhashNearDupPairs]]),
+   * and the only one that is BOTH exact and sub-inverted-index.
+   *
+   * Under any fixed global token order, two sets with J ≥ t must share a
+   * token within their first `sz − ⌈t·sz⌉ + 1` tokens — so only that
+   * prefix is indexed. With rarest-first order (document frequency asc)
+   * the indexed tokens are also the most selective ones, so at 100 TB the
+   * candidate join shuffles ≈ (1−t) of the token volume on keys whose
+   * posting lists are the corpus's SHORTEST — where jaccardPairs shuffles
+   * every token and pays Σ df² on the most common ones. A size filter
+   * (J ≥ t ⟹ t·max ≤ min) prunes candidates before verification, and
+   * verification computes exact Jaccard from per-document sorted shingle
+   * sets (cost ∝ candidates × doc length). No global rank table is ever
+   * materialized: the order is realized as a per-document window.
+   *
+   * The ⌈t·sz⌉ terms subtract a 1e-9 guard before ceil: if IEEE rounds
+   * t·sz one ulp above an exact integer, the un-guarded prefix would be
+   * one token too short (can MISS pairs) — the guard errs toward a
+   * longer prefix / looser size filter, which only adds candidates that
+   * exact verification then rejects.
+   *
+   * Output: (d1, d2, jaccard), d1 < d2, jaccard ≥ threshold — identical
+   * to [[jaccardPairs]]; the shared oracle proves the filter loses
+   * nothing.
+   */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = graft.ops.BoundedCache.cached(hashedShingles(docs, idCol, textCol, n))
+    val dfTok = sh.groupBy("shash").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shash"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val prefix = sh.join(dfTok, "shash")
+      .withColumn("__pos", row_number().over(wDoc))
+      .join(sizes, idCol)
+      .filter(col("__pos") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
+    val a = prefix.select(col(idCol).as("d1"), col("shash"), col("__sz").as("sz1"))
+    val b = prefix.select(col(idCol).as("d2"), col("shash"), col("__sz").as("sz2"))
+    val cand = a.join(b, a("shash") === b("shash") && a("d1") < b("d2")
+        && least(col("sz1"), col("sz2")) >=
+          ceil(lit(threshold) * greatest(col("sz1"), col("sz2")) - lit(1e-9)))
+      .select("d1", "d2").distinct()
+    val sets = sh.groupBy(col(idCol))
+      .agg(collect_set(col("shash")).as("__set"), count(lit(1)).as("__n"))
+    cand
+      .join(sets.select(col(idCol).as("d1"), col("__set").as("s1"), col("__n").as("n1")), "d1")
+      .join(sets.select(col(idCol).as("d2"), col("__set").as("s2"), col("__n").as("n2")), "d2")
+      .withColumn("i", size(array_intersect(col("s1"), col("s2"))).cast(LongType))
+      .withColumn("jaccard",
+        col("i").cast(DoubleType) / (col("n1") + col("n2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
   // ---- MinHash + banded LSH ---------------------------------------------
 
   /** Universal-hash family h_i(x) = (a_i*x + b_i) mod p over a 31-bit base

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.ops.{Sampling, Skew}
+import graft.ops.{Sampling, Skew, Skyline}
 import QueryUtil._
 
 /**
@@ -767,7 +767,24 @@ object Analytics {
            |  ORDER BY sample_key DESC, o_orderkey LIMIT 50)
            |ORDER BY o_orderkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram,
+  // 2-D Pareto frontier: parts that are undominated in (price↓, size↑).
+  // The staircase rewrite (ops/Skyline) replaces the quadratic NOT EXISTS
+  // self-join the oracle runs — the hash match proves it equivalent.
+  private val skylineQ = Q(
+    "q_skyline",
+    (s, dir) =>
+      Skyline.skyline2d(
+        t(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+        minCol = "p_retailprice", maxCol = "p_size")
+        .orderBy("p_retailprice", "p_partkey"),
+    Some("""SELECT p_partkey, p_retailprice, p_size FROM part a
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM part b
+           |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+           |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+           |ORDER BY p_retailprice, p_partkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     topkHeap, cohortRetention, attribution, shareOfTotal,
     eventTransitions, abcClass, gapsIslands, madQ, percentChange,

@@ -76,6 +76,15 @@ object Extensions {
       .orderBy("d1", "d2"),
     Some(shingleCte))
 
+  // Prefix filtering (AllPairs/PPJoin) shares the exact operator's oracle:
+  // the hash match proves the prefix index + size filter drop no pair.
+  private val dedupPrefix = Q(
+    "q_dedup_prefix",
+    (s, dir) => Dedup.prefixFilterPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      .orderBy("d1", "d2"),
+    Some(shingleCte))
+
   // SimHash token hashes are md5-60bit — portable verbatim, so the oracle
   // recomputes the identical weighted bit-vote signatures and brute-forces
   // all pairs at Hamming ≤ 6. The engine's chunk banding is guaranteed
@@ -987,7 +996,7 @@ object Extensions {
            |ORDER BY media_id, chunk_idx""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash,
+    dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash, dedupPrefix,
     dedupClusters, dedupClustersLss, dedupApply, dedupIncremental, textContamination,
     simsearchTopK, simsearchLsh, simsearchIvf, embedNearDup, embedIncremental,
     embedCentroids, embedNormalize,

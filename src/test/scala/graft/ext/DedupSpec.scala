@@ -34,6 +34,27 @@ class DedupSpec extends AnyFunSuite {
     assert(j45 == 1.0) // identical docs
   }
 
+  test("prefix-filter pairs equal the exact operator's, with identical jaccard") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("d1").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pf = Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("d1").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pf.toSeq == exact.toSeq)
+  }
+
+  test("prefix-filter at an exact-integer t·sz boundary misses nothing") {
+    // 5 distinct trigrams per doc, threshold 0.8 ⇒ t·sz = 4.0 exactly:
+    // the ceil-guard case. J = 4/6 < 0.8 for (10,11); (12,13) identical J=1.
+    val d = Seq(
+      (10L, "a b c d e f g"), (11L, "a b c d e f x"),
+      (12L, "p q r s t u v"), (13L, "p q r s t u v")).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.8)
+      .orderBy("d1").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pf = Dedup.prefixFilterPairs(d, "doc_id", "text", 3, 0.8)
+      .orderBy("d1").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pf.toSeq == exact.toSeq && pf.toSeq == Seq((12L, 13L)))
+  }
+
   test("MinHash+LSH verified pairs equal the exact operator's") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("d1", "d2").orderBy("d1").collect().toSeq
