@@ -975,6 +975,45 @@ object Extensions {
            |HAVING COUNT(*) >= CAST(ceil(CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) * 0.005) AS BIGINT)
            |ORDER BY cnt DESC, tok""".stripMargin))
 
+  // Count-min sketch: frequency estimates for the corpus's top-20 tokens
+  // probed against a 4×1024 sketch. The md5-salted buckets are portable,
+  // so DuckDB rebuilds the identical sketch and the APPROXIMATE estimates
+  // hash-match exactly (the q_kmv_distinct contract for counters).
+  private val cmsCounts = Q(
+    "q_cms_counts",
+    (s, dir) => {
+      val toks = graft.ops.BoundedCache.cached(
+        t(s, dir, "documents")
+          .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok")))
+      val state = graft.ops.CountMin.buildState(toks, "tok")
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_c"))
+        .orderBy(col("exact_c").desc, col("tok")).limit(20)
+      graft.ops.CountMin.estimate(state, top, "tok")
+        .join(top, "tok")
+        .select("tok", "exact_c", "cms_count")
+        .orderBy("tok")
+    },
+    Some("""WITH toks AS (
+           |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+           |  FROM documents),
+           |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+           |state AS (
+           |  SELECT r,
+           |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 1024 AS b,
+           |    COUNT(*) AS c
+           |  FROM toks CROSS JOIN rs GROUP BY 1, 2),
+           |top AS (
+           |  SELECT tok, COUNT(*) AS exact_c FROM toks GROUP BY tok
+           |  ORDER BY exact_c DESC, tok LIMIT 20),
+           |probes AS (
+           |  SELECT tok, exact_c, r,
+           |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 1024 AS b
+           |  FROM top CROSS JOIN rs)
+           |SELECT p.tok, p.exact_c, MIN(s.c) AS cms_count
+           |FROM probes p JOIN state s ON s.r = p.r AND s.b = p.b
+           |GROUP BY p.tok, p.exact_c
+           |ORDER BY p.tok""".stripMargin))
+
   // Overlapped audio windowing (win=6, hop=4 over the 16-byte stub
   // payload → 4 windows, last truncated to 4 bytes); the oracle rebuilds
   // every window from the md5 hex the payload is derived from.
@@ -1004,5 +1043,5 @@ object Extensions {
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
     multimodalChunks, textNgrams, textLmScore, bpeStep, textHashVec,
-    textHeavyHitters)
+    textHeavyHitters, cmsCounts)
 }

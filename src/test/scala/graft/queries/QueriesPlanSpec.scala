@@ -114,6 +114,28 @@ class QueriesPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    // a fact table partitioned on the join key, as a curated zone would be
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // the dim must be a file-backed scan: a local relation's filter is
+    // constant-folded away before PartitionPruning looks for a selective
+    // predicate, and no DPP subquery gets planted
+    spark.createDataFrame(Seq(("A", "keep"), ("N", "drop"), ("R", "drop")))
+      .toDF("flag", "tag").write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === "keep")
+    val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // the fact scan's PartitionFilters must carry a dynamicpruning
+    // expression fed by the dim's broadcast — at 100 TB this is the
+    // difference between scanning one partition and scanning the table
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+  }
+
   test("join strategy hints steer the planner (merge / shuffle_hash / broadcast)") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
