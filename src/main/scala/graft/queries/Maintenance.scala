@@ -800,7 +800,44 @@ object Maintenance {
            |FROM lineitem
            |ORDER BY "column"""".stripMargin))
 
-  val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder,
+  // The DataSourceV2 connector (sources/PostcodeSource): the reference's
+  // HTTP postcode API as a splittable deterministic source. Index filters
+  // push into partition planning, the region agg mirrors the reference's
+  // LOWER-key count (O15), and the md5-derived fields let DuckDB replay
+  // the ENTIRE source with generate_series — hash match proves the
+  // distributed generator byte-identical to the sequential specification.
+  private val dsv2Source = Q(
+    "q_dsv2_source",
+    (s, dir) => {
+      val df = s.read.format("graft.sources.PostcodeSource")
+        .option("rows", 10000).option("partitions", 8).load()
+      df.filter(col("index") >= 100 && col("index") < 9000)
+        .groupBy(lower(col("european_electoral_region")).as("region"))
+        .agg(count(lit(1)).as("n"),
+          min(col("eastings")).as("min_e"),
+          max(col("northings")).as("max_n"),
+          sum(col("quality")).as("sum_q"))
+        .orderBy("region")
+    },
+    Some("""WITH idx AS (SELECT unnest(generate_series(0, 9999)) AS index),
+           |h AS (SELECT index, md5(CAST(index AS VARCHAR)) AS hex FROM idx),
+           |rows_ AS (SELECT index,
+           |  CAST(('0x' || substr(hex, 1, 15))::BIGINT % 9 + 1 AS INTEGER) AS quality,
+           |  CAST(('0x' || substr(hex, 17, 8))::BIGINT % 700000 AS INTEGER) AS eastings,
+           |  CAST(('0x' || substr(hex, 25, 8))::BIGINT % 1300000 AS INTEGER) AS northings,
+           |  (['East Midlands', 'Eastern', 'London', 'North East', 'North West',
+           |    'Northern Ireland', 'Scotland', 'South East', 'South West',
+           |    'Wales', 'West Midlands', 'Yorkshire and The Humber'
+           |   ])[CAST(('0x' || substr(hex, 1, 15))::BIGINT % 12 AS INTEGER) + 1]
+           |    AS european_electoral_region
+           |  FROM h)
+           |SELECT lower(european_electoral_region) AS region, COUNT(*) AS n,
+           |  MIN(eastings) AS min_e, MAX(northings) AS max_n,
+           |  CAST(SUM(quality) AS BIGINT) AS sum_q
+           |FROM rows_ WHERE index >= 100 AND index < 9000
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,
     kmvDistinct, kmvRollupQ, bitmapDistinct, regression, winsorize, argExtremum,

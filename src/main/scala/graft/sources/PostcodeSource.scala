@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * DataSourceV2 connector: the reference's HTTP postcode API
+ * (`/root/reference/python_scripts/write_data_to_land.py:31-40` — a
+ * driver-side loop of 1000 `urlopen` calls) re-expressed as a PROPER
+ * Spark source. The reference fetches random documents; a distributed
+ * source must be deterministic and splittable, so rows derive from the
+ * portable md5-60bit family over the row index — every executor, every
+ * retry, every run produces identical bytes (and a SQL oracle can replay
+ * the whole table with `generate_series` + `md5`).
+ *
+ * What makes it a real source rather than a parallelized loop:
+ *  - **splits**: the index range [0, rows) divides into `partitions`
+ *    equal InputPartitions — 1000 executors pull 1000 disjoint slices,
+ *    no driver bottleneck, no shared state;
+ *  - **column pruning** (`SupportsPushDownRequiredColumns`): a reader
+ *    computes ONLY the requested fields — a count(*) materializes no
+ *    strings;
+ *  - **filter pushdown** (`SupportsPushDownFilters`): comparisons on
+ *    `index` narrow the generated range BEFORE partition planning, so
+ *    fully-excluded partitions are never even created (the generator's
+ *    analog of parquet partition pruning). Non-index filters stay with
+ *    Spark, index filters are also re-evaluated by Spark only if left
+ *    in `postScanFilters` — here they are fully consumed.
+ *
+ * Usage: `spark.read.format("graft.sources.PostcodeSource")
+ *   .option("rows", 1000).option("partitions", 8).load()`.
+ */
+class PostcodeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PostcodeSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PostcodeTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object PostcodeSource {
+  /** The reference's unpacked postcode document shape (SURVEY §2.1 O2):
+    * `result.*` lifted to top level. */
+  val schema: StructType = StructType(Seq(
+    StructField("index", LongType, nullable = false),
+    StructField("postcode", StringType, nullable = false),
+    StructField("quality", IntegerType, nullable = false),
+    StructField("eastings", IntegerType, nullable = false),
+    StructField("northings", IntegerType, nullable = false),
+    StructField("european_electoral_region", StringType, nullable = false)))
+
+  val regions: Seq[String] = Seq(
+    "East Midlands", "Eastern", "London", "North East", "North West",
+    "Northern Ireland", "Scotland", "South East", "South West",
+    "Wales", "West Midlands", "Yorkshire and The Humber")
+
+  private val hexDigits = "0123456789abcdef"
+
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Field derivations — each from a disjoint hex slice of md5(index),
+    * kept 1:1 replayable in DuckDB SQL (1-based substr positions). */
+  def h60(hex: String): Long = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  def h32(hex: String): Long = java.lang.Long.parseLong(hex.substring(16, 24), 16)
+  def h32b(hex: String): Long = java.lang.Long.parseLong(hex.substring(24, 32), 16)
+
+  def postcodeOf(hex: String): String =
+    (hex.substring(0, 4) + " " + hex.substring(4, 7)).toUpperCase
+  def qualityOf(hex: String): Int = (h60(hex) % 9L).toInt + 1
+  def eastingsOf(hex: String): Int = (h32(hex) % 700000L).toInt
+  def northingsOf(hex: String): Int = (h32b(hex) % 1300000L).toInt
+  def regionOf(hex: String): String = regions((h60(hex) % 12L).toInt)
+}
+
+class PostcodeTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_postcodes($rows)"
+  override def schema(): StructType = PostcodeSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PostcodeScanBuilder(rows, partitions)
+}
+
+class PostcodeScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = PostcodeSource.schema
+  private var lo: Long = 0L // inclusive
+  private var hi: Long = rows // exclusive
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    this.requiredSchema = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushed, rest) = filters.partition {
+      case EqualTo("index", _: Long) => true
+      case GreaterThan("index", _: Long) => true
+      case GreaterThanOrEqual("index", _: Long) => true
+      case LessThan("index", _: Long) => true
+      case LessThanOrEqual("index", _: Long) => true
+      case _ => false
+    }
+    pushed.foreach {
+      case EqualTo("index", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan("index", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("index", v: Long) => lo = math.max(lo, v)
+      case LessThan("index", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("index", v: Long) => hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    pushedDown = pushed
+    rest
+  }
+
+  private var pushedDown: Array[Filter] = Array.empty
+  override def pushedFilters(): Array[Filter] = pushedDown
+
+  override def build(): Scan =
+    new PostcodeScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), partitions, requiredSchema)
+}
+
+/** One contiguous index slice [start, end). */
+case class PostcodeInputPartition(start: Long, end: Long) extends InputPartition
+
+class PostcodeScan(lo: Long, hi: Long, partitions: Int, readSchema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = readSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_postcodes range=[$lo,$hi) partitions=$partitions cols=${readSchema.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) return Array.empty
+    val p = math.min(partitions.toLong, n).toInt
+    // equal slices of the SURVIVING range: filters already shrank [lo,hi),
+    // so excluded slices are never planned at all
+    (0 until p).map { i =>
+      val s = lo + i * n / p
+      val e = lo + (i + 1) * n / p
+      PostcodeInputPartition(s, e)
+    }.filter(ip => ip.end > ip.start).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PostcodeReaderFactory(readSchema)
+}
+
+class PostcodeReaderFactory(readSchema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ip = partition.asInstanceOf[PostcodeInputPartition]
+    new PostcodeReader(ip.start, ip.end, readSchema)
+  }
+}
+
+class PostcodeReader(start: Long, end: Long, readSchema: StructType)
+    extends PartitionReader[InternalRow] {
+  import PostcodeSource._
+
+  private var i = start - 1
+  // resolve field generators once per reader, not per row; only the
+  // PRUNED columns are ever computed
+  private val gens: Array[(Long, String) => Any] = readSchema.fields.map { f =>
+    f.name match {
+      case "index" => (idx: Long, _: String) => idx
+      case "postcode" => (_: Long, hex: String) => UTF8String.fromString(postcodeOf(hex))
+      case "quality" => (_: Long, hex: String) => qualityOf(hex)
+      case "eastings" => (_: Long, hex: String) => eastingsOf(hex)
+      case "northings" => (_: Long, hex: String) => northingsOf(hex)
+      case "european_electoral_region" =>
+        (_: Long, hex: String) => UTF8String.fromString(regionOf(hex))
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+  }
+  private val needsHex = readSchema.fieldNames.exists(_ != "index")
+
+  override def next(): Boolean = { i += 1; i < end }
+  override def get(): InternalRow = {
+    val hex = if (needsHex) md5Hex(i.toString) else null
+    val vals = new Array[Any](gens.length)
+    var j = 0
+    while (j < gens.length) { vals(j) = gens(j)(i, hex); j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+  override def close(): Unit = ()
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PostcodeSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+
+  private def read(rows: Int = 1000, partitions: Int = 4) =
+    spark.read.format("graft.sources.PostcodeSource")
+      .option("rows", rows).option("partitions", partitions).load()
+
+  test("full scan yields `rows` rows across `partitions` input partitions") {
+    val df = read(1000, 4)
+    assert(df.count() == 1000)
+    assert(df.rdd.getNumPartitions == 4)
+  }
+
+  test("rows are deterministic and match the sequential specification") {
+    val r = read().filter(col("index") === 7).collect().head
+    val hex = PostcodeSource.md5Hex("7")
+    assert(r.getAs[String]("postcode") == PostcodeSource.postcodeOf(hex))
+    assert(r.getAs[Int]("quality") == PostcodeSource.qualityOf(hex))
+    assert(r.getAs[Int]("eastings") == PostcodeSource.eastingsOf(hex))
+    assert(r.getAs[Int]("northings") == PostcodeSource.northingsOf(hex))
+    assert(r.getAs[String]("european_electoral_region") == PostcodeSource.regionOf(hex))
+    val a = read().orderBy("index").collect()
+    val b = read().orderBy("index").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("index filters push into partition planning: an equality scan plans ONE slice") {
+    val df = read(10000, 8).filter(col("index") === 1234L)
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    val range = read(10000, 8).filter(col("index") >= 9900L)
+    // 100 surviving rows over 8 requested slices: all 8 planned, but each
+    // covers only the surviving range
+    assert(range.count() == 100)
+  }
+
+  test("column pruning reaches the reader: scan schema carries only requested fields") {
+    val df = read().select("index", "quality")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("index", "quality"))
+  }
+
+  test("pushed filters and surviving range surface in the scan description") {
+    val df = read(10000, 8).filter(col("index") >= 5000L && col("index") < 6000L)
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.description().contains("range=[5000,6000)"))
+  }
+}
