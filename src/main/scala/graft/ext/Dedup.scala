@@ -142,6 +142,30 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
+  /**
+   * Per-document duplicated-shingle fraction: of a document's distinct
+   * shingles, the share that appear in at least `minDocs` documents — the
+   * corpus-level duplication signal (RefinedWeb/Gopher-style) that ranks
+   * HOW duplicated each document is, where the pairwise operators only
+   * say WHETHER two documents collide. Documents with fewer than n tokens
+   * have no shingles and are absent from the output.
+   *
+   * Scale shape: one document-frequency aggregate over hashed shingles,
+   * one join back, one per-document aggregate — all equi-key shuffles on
+   * the 8-byte shingle hash; nothing pairwise, nothing windowed.
+   */
+  def dupFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Int = 2): DataFrame = {
+    val sh = graft.ops.BoundedCache.cached(hashedShingles(docs, idCol, textCol, n))
+    val docFreq = sh.groupBy("shash").agg(count(lit(1)).as("__df"))
+    sh.join(docFreq, "shash")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("__dup"))
+      .withColumn("dup_frac", col("__dup").cast(DoubleType) / col("n_shingles"))
+      .drop("__dup")
+  }
+
   // ---- MinHash + banded LSH ---------------------------------------------
 
   /** Universal-hash family h_i(x) = (a_i*x + b_i) mod p over a 31-bit base

@@ -282,6 +282,75 @@ object Analytics {
            |  FROM lineitem)
            |GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  // Quantile feature bucketizer — FIT (edges from exact integer cumulative
+  // counts: edge_i = min v with hi_cum·nb ≥ i·N, all-integer predicate so
+  // no fraction ever rounds) + TRANSFORM (bucket = 1 + #edges below the
+  // value). Unlike ntile (q_histogram_eqdepth) equal values NEVER split
+  // across buckets — the property a feature pipeline needs. Assignment is
+  // computed per DISTINCT value with the 3-row edge table broadcast; rows
+  // only ever aggregate.
+  private val featureBucketize = Q(
+    "q_feature_bucketize",
+    (s, dir) => {
+      val nb = 4
+      val cum = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("hi_cum", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("v")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      val tot = cum.agg(sum(col("c")).as("nn"))
+      val edges = s.range(1, nb).toDF("i").crossJoin(broadcast(tot))
+        .join(cum, col("hi_cum") * nb >= col("i") * col("nn"))
+        .groupBy("i").agg(min(col("v")).as("e"))
+      cum.join(broadcast(edges), col("v") > col("e"), "left")
+        .groupBy("v", "c").agg(count(col("e")).as("__nb"))
+        .withColumn("bucket", (col("__nb") + 1).cast("int"))
+        .groupBy("bucket")
+        .agg(sum(col("c")).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+           |cum AS (SELECT v, COUNT(*) AS c,
+           |  SUM(COUNT(*)) OVER (ORDER BY v) AS hi_cum FROM v GROUP BY v),
+           |tot AS (SELECT SUM(c) AS nn FROM cum),
+           |edges AS (
+           |  SELECT i, MIN(v) AS e
+           |  FROM (SELECT unnest([1, 2, 3]) AS i) CROSS JOIN tot JOIN cum
+           |    ON hi_cum * 4 >= i * nn
+           |  GROUP BY i),
+           |vb AS (
+           |  SELECT c.v, c.c, CAST(1 + COUNT(e) AS INTEGER) AS bucket
+           |  FROM cum c LEFT JOIN edges ON c.v > edges.e
+           |  GROUP BY c.v, c.c)
+           |SELECT bucket, CAST(SUM(c) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+           |FROM vb GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  // Deterministic MODE aggregate: most frequent quantity per return flag,
+  // ties to the smallest value — a ranked window over the count frame,
+  // never a full sort of rows.
+  private val modeQ = Q(
+    "q_mode",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy(col("cnt").desc, col("v"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("v"))
+        .groupBy("l_returnflag", "v").agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("l_returnflag"), col("v").as("mode_qty"), col("cnt"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, mode_qty, cnt FROM (
+           |  SELECT l_returnflag, v AS mode_qty, cnt,
+           |    row_number() OVER (PARTITION BY l_returnflag
+           |      ORDER BY cnt DESC, v) AS rn
+           |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS cnt
+           |        FROM lineitem GROUP BY 1, 2))
+           |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin))
+
   // Key-skew diagnosis — the census run BEFORE choosing salting or
   // relying on AQE skew splits (ops/Skew, the AQE plan spec): per join
   // key, cardinality, hottest-key share, and max/avg ratio from exact
@@ -786,6 +855,7 @@ object Analytics {
 
   val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
+    featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,
     eventTransitions, abcClass, gapsIslands, madQ, percentChange,
     rollingZscore, intervalMerge, entropyQ, sampleWeighted)

@@ -975,6 +975,23 @@ object Extensions {
            |HAVING COUNT(*) >= CAST(ceil(CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) * 0.005) AS BIGINT)
            |ORDER BY cnt DESC, tok""".stripMargin))
 
+  // Per-document duplication fraction — the graded corpus-quality signal
+  // built on the same shingle frame as the pairwise dedup operators.
+  private val textNovelty = Q(
+    "q_text_novelty",
+    (s, dir) => Dedup.dupFraction(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      .orderBy("doc_id"),
+    Some("""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
+           |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |docfreq AS (SELECT shingle, COUNT(*) AS d FROM sh GROUP BY 1)
+           |SELECT doc_id, COUNT(*) AS n_shingles,
+           |  CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+           |FROM sh JOIN docfreq USING (shingle)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // Count-min sketch: frequency estimates for the corpus's top-20 tokens
   // probed against a 4×1024 sketch. The md5-salted buckets are portable,
   // so DuckDB rebuilds the identical sketch and the APPROXIMATE estimates
@@ -1043,5 +1060,5 @@ object Extensions {
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
     multimodalChunks, textNgrams, textLmScore, bpeStep, textHashVec,
-    textHeavyHitters, cmsCounts)
+    textHeavyHitters, cmsCounts, textNovelty)
 }

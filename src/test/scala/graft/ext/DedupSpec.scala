@@ -55,6 +55,14 @@ class DedupSpec extends AnyFunSuite {
     assert(pf.toSeq == exact.toSeq && pf.toSeq == Seq((12L, 13L)))
   }
 
+  test("dupFraction: identical twins fully duplicated, unique docs zero") {
+    val df = Dedup.dupFraction(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(df(4L) == 1.0 && df(5L) == 1.0) // identical pair
+    assert(df(2L) == 0.0 && df(3L) == 0.0) // unique docs
+    assert(df(0L) > 0.5 && df(0L) < 1.0)   // near-dup shares most shingles
+  }
+
   test("MinHash+LSH verified pairs equal the exact operator's") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("d1", "d2").orderBy("d1").collect().toSeq
