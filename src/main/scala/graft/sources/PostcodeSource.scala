@@ -47,7 +47,8 @@ class PostcodeSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new PostcodeTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsPerBatch", "250").toLong)
 }
 
 object PostcodeSource {
@@ -95,16 +96,17 @@ object PostcodeSource {
   def regionOf(hex: String): String = regions((h60(hex) % 12L).toInt)
 }
 
-class PostcodeTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+class PostcodeTable(rows: Long, partitions: Int, rowsPerBatch: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_postcodes($rows)"
   override def schema(): StructType = PostcodeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PostcodeScanBuilder(rows, partitions)
+    new PostcodeScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-class PostcodeScanBuilder(rows: Long, partitions: Int)
+class PostcodeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var requiredSchema: StructType = PostcodeSource.schema
@@ -140,16 +142,21 @@ class PostcodeScanBuilder(rows: Long, partitions: Int)
   override def pushedFilters(): Array[Filter] = pushedDown
 
   override def build(): Scan =
-    new PostcodeScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), partitions, requiredSchema)
+    new PostcodeScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), partitions,
+      requiredSchema, rowsPerBatch)
 }
 
 /** One contiguous index slice [start, end). */
 case class PostcodeInputPartition(start: Long, end: Long) extends InputPartition
 
-class PostcodeScan(lo: Long, hi: Long, partitions: Int, readSchema: StructType)
+class PostcodeScan(lo: Long, hi: Long, partitions: Int, readSchema: StructType,
+    rowsPerBatch: Long = 250L)
     extends Scan with Batch {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PostcodeMicroBatchStream(lo, hi, partitions, readSchema, rowsPerBatch)
   override def description(): String =
     s"graft_postcodes range=[$lo,$hi) partitions=$partitions cols=${readSchema.fieldNames.mkString(",")}"
 
@@ -163,6 +170,62 @@ class PostcodeScan(lo: Long, hi: Long, partitions: Int, readSchema: StructType)
       val s = lo + i * n / p
       val e = lo + (i + 1) * n / p
       PostcodeInputPartition(s, e)
+    }.filter(ip => ip.end > ip.start).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PostcodeReaderFactory(readSchema)
+}
+
+/** Stream offset = the next index to generate; json is just the number. */
+case class PostcodeOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/**
+ * Micro-batch face of the same generator: the reference's cron-polled
+ * extract (1000 rows per weekly run) as a Structured Streaming source.
+ * Offsets are plain index positions; each micro-batch serves the slice
+ * [start, min(start + rowsPerBatch, rows)) split over the same
+ * InputPartitions as the batch path — admission control
+ * ([[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]])
+ * caps batch size, and Trigger.AvailableNow drains exactly to the `rows`
+ * mark then stops. Determinism of the md5-derived rows makes replay
+ * after checkpoint recovery byte-identical — the property the land-zone
+ * promotion contract (streaming/LandIngest) relies on.
+ */
+class PostcodeMicroBatchStream(lo: Long, hi: Long, partitions: Int,
+    readSchema: StructType, rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
+
+  override def initialOffset(): SOffset = PostcodeOffset(lo)
+  override def latestOffset(): SOffset = PostcodeOffset(hi)
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[PostcodeOffset].v
+    limit match {
+      case r: ReadMaxRows => PostcodeOffset(math.min(hi, s + r.maxRows()))
+      case _ => PostcodeOffset(hi)
+    }
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def reportLatestOffset(): SOffset = PostcodeOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def deserializeOffset(json: String): SOffset = PostcodeOffset(json.toLong)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PostcodeOffset].v
+    val e = end.asInstanceOf[PostcodeOffset].v
+    val n = e - s
+    if (n <= 0) return Array.empty
+    val p = math.min(partitions.toLong, n).toInt
+    (0 until p).map { i =>
+      PostcodeInputPartition(s + i * n / p, s + (i + 1) * n / p)
     }.filter(ip => ip.end > ip.start).toArray
   }
 

@@ -49,6 +49,40 @@ class PostcodeSourceSpec extends AnyFunSuite {
     assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("index", "quality"))
   }
 
+  test("micro-batch stream drains to the batch result under AvailableNow, rate-limited") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pc_stream").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft.sources.PostcodeSource")
+      .option("rows", 1000).option("partitions", 4).option("rowsPerBatch", 300)
+      .load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized { batches += ((id, df.count())) }; ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    // 1000 rows at <=300/batch: 4 batches, sizes 300/300/300/100
+    assert(batches.map(_._2).sum == 1000, s"batches: $batches")
+    assert(batches.size == 4 && batches.map(_._2).max <= 300)
+    // stream contents equal the batch read, row for row
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_pc_stream2").toString
+    var streamed: Array[org.apache.spark.sql.Row] = Array.empty
+    val q2 = spark.readStream.format("graft.sources.PostcodeSource")
+      .option("rows", 200).option("partitions", 4).load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt2)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val part = df.collect()
+        streamed = streamed ++ part; ()
+      }
+      .start()
+    q2.awaitTermination(120000)
+    val batch = read(200, 4).collect()
+    assert(streamed.sortBy(_.getLong(0)).sameElements(batch.sortBy(_.getLong(0))))
+  }
+
   test("pushed filters and surviving range surface in the scan description") {
     val df = read(10000, 8).filter(col("index") >= 5000L && col("index") < 6000L)
     val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
