@@ -107,11 +107,16 @@ class PostcodeTable(rows: Long, partitions: Int, rowsPerBatch: Long)
 }
 
 class PostcodeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
 
   private var requiredSchema: StructType = PostcodeSource.schema
   private var lo: Long = 0L // inclusive
   private var hi: Long = rows // exclusive
+  private var unconsumed: Array[Filter] = Array.empty
+  private var aggFuncs: Option[Seq[AggregateFunc]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
@@ -135,15 +140,99 @@ class PostcodeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L
       case _ =>
     }
     pushedDown = pushed
+    unconsumed = rest
     rest
   }
 
   private var pushedDown: Array[Filter] = Array.empty
   override def pushedFilters(): Array[Filter] = pushedDown
 
-  override def build(): Scan =
-    new PostcodeScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), partitions,
-      requiredSchema, rowsPerBatch)
+  // ---- aggregate pushdown: COUNT(*) / COUNT(index) / MIN(index) /
+  // MAX(index) over the (already filter-narrowed) range are pure
+  // arithmetic — a count over a trillion synthetic rows never generates
+  // one. Complete pushdown: the scan emits the final single row.
+  private def isIndexRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("index")
+      case _ => false
+    }
+
+  private def supported(agg: Aggregation): Option[Seq[AggregateFunc]] =
+    if (agg.groupByExpressions.nonEmpty || unconsumed.nonEmpty) None
+    else {
+      val fns = agg.aggregateExpressions.toSeq
+      val ok = fns.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && isIndexRef(c.column)
+        case m: Min => isIndexRef(m.column)
+        case m: Max => isIndexRef(m.column)
+        case _ => false
+      }
+      if (ok) Some(fns) else None
+    }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    supported(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    supported(aggregation) match {
+      case some @ Some(_) => aggFuncs = some; true
+      case None => false
+    }
+
+  override def build(): Scan = {
+    val l = math.max(lo, 0L)
+    val h = math.max(hi, l)
+    aggFuncs match {
+      case Some(fns) => new PostcodeAggScan(l, h, fns)
+      case None => new PostcodeScan(l, h, partitions, requiredSchema, rowsPerBatch)
+    }
+  }
+}
+
+/** The completely-pushed-down aggregate result: one row, from arithmetic
+  * on the surviving index range — the generator's analog of reading
+  * parquet footer statistics instead of data pages. */
+class PostcodeAggScan(lo: Long, hi: Long,
+    fns: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc])
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+
+  private val n = hi - lo
+  private val fields = fns.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  }
+  override def readSchema(): StructType = StructType(fields)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_postcodes agg-pushdown range=[$lo,$hi) fns=${fns.map(_.toString).mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PostcodeInputPartition(0, 1))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Seq[Any] = fns.map {
+      case _: CountStar => n
+      case _: Count => n
+      case _: Min => if (n > 0) lo else null
+      case _: Max => if (n > 0) hi - 1 else null
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+    new SingleRowReaderFactory(values)
+  }
+}
+
+class SingleRowReaderFactory(values: Seq[Any]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values.toArray)
+      override def close(): Unit = ()
+    }
 }
 
 /** One contiguous index slice [start, end). */

@@ -83,6 +83,27 @@ class PostcodeSourceSpec extends AnyFunSuite {
     assert(streamed.sortBy(_.getLong(0)).sameElements(batch.sortBy(_.getLong(0))))
   }
 
+  test("aggregate pushdown: count/min/max over a trillion rows is range arithmetic") {
+    val t0 = System.nanoTime()
+    val r = spark.read.format("graft.sources.PostcodeSource")
+      .option("rows", 1000000000000L).option("partitions", 8).load()
+      .filter(col("index") >= 1000L && col("index") < 999999999999L)
+      .agg(count(lit(1)).as("n"), min(col("index")).as("mn"), max(col("index")).as("mx"))
+      .collect().head
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(r.getLong(0) == 999999998999L)
+    assert(r.getLong(1) == 1000L && r.getLong(2) == 999999999998L)
+    // a generated scan of 10^12 rows would run for hours; arithmetic doesn't
+    assert(elapsedSec < 30, s"agg pushdown did not bypass generation: ${elapsedSec}s")
+    // empty surviving range: count 0, null extrema (SQL semantics)
+    val e = spark.read.format("graft.sources.PostcodeSource")
+      .option("rows", 100).load()
+      .filter(col("index") > 1000L)
+      .agg(count(col("index")).as("n"), min(col("index")).as("mn"))
+      .collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+  }
+
   test("pushed filters and surviving range surface in the scan description") {
     val df = read(10000, 8).filter(col("index") >= 5000L && col("index") < 6000L)
     val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
