@@ -53,4 +53,53 @@ object Mixture {
         expr(s"((2 * stratum_rank - 1) * ${stride}L) div (2 * __w)"))
       .drop("__w")
   }
+
+  /**
+   * Per-stratum cap in caller-chosen priority order: keep at most `cap`
+   * rows of each stratum, preferring rows that sort FIRST on `orderCols`
+   * (e.g. quality descending — FineWeb-style per-domain capping, which
+   * bounds any one source's share of the corpus while keeping its best
+   * documents). Unlike [[graft.ops.Sampling.balancedSample]] (cap = the
+   * smallest stratum, order = content-hash uniform), the cap here is a
+   * policy constant and the order a meaningful ranking, so the two ops
+   * answer different questions: balance vs. bound.
+   *
+   * One shuffle (the per-stratum rank window); with bounded stratum
+   * cardinality the partitions stay executor-sized at corpus scale, and a
+   * skewed giant stratum still ranks in O(its size) — no global sort.
+   * `orderCols` must totally order rows within a stratum (append a unique
+   * id) or the kept set is ambiguous.
+   */
+  def capPerStratum(df: DataFrame, strataCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column], cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("stratum_rank", row_number().over(w).cast("long"))
+      .filter(col("stratum_rank") <= cap)
+  }
+
+  /**
+   * Global budget fill: walk rows in the total order given by (unique,
+   * numeric, non-null) `orderCol` and keep every row that STARTS before
+   * the weight budget is exhausted — "take documents in quality order
+   * until the token budget is spent", the greedy corpus-selection rule.
+   * The kept set is exactly { row : exclusive-prefix-sum(weight) <
+   * budget }, so the last kept row may overshoot — the standard greedy
+   * semantics (a budget cut mid-document keeps the document).
+   *
+   * Distribution is the whole point: a naive cumulative-sum window over
+   * ONE global order serializes through a single partition, so this
+   * delegates to [[Packing.packGreedyGlobal]]'s two-pass parallel prefix
+   * sum (quantile range boundaries → per-range totals → broadcast base
+   * offsets + per-range local window) and filters on the derived start
+   * offset. Cost: two column-pruned passes + one range-partitioned
+   * window; driver state one long per range.
+   */
+  def selectByBudget(df: DataFrame, orderCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    Packing.packGreedyGlobal(df, orderCol, weightCol, budget)
+      .filter(col("seq_id") === 0L)
+      .drop("seq_id", "seq_offset")
+  }
 }

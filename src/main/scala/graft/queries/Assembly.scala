@@ -198,6 +198,49 @@ object Assembly {
             |FROM e LEFT JOIN vocab v USING (token)
             |ORDER BY doc_id, pos""".stripMargin))
 
+  // Per-source cap in quality order (n_chars desc as the stand-in quality
+  // signal): bound any one source to its 10 best documents — the
+  // FineWeb-style domain-capping rule. Distinct from q_balance_langs:
+  // policy-constant cap + meaningful ranking vs min-stratum + hash order.
+  private val sourceCap = Q(
+    "q_source_cap",
+    (s, dir) =>
+      Mixture.capPerStratum(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), Seq(col("n_chars").desc, col("doc_id")), cap = 10)
+        .select("source", "stratum_rank", "doc_id", "n_chars")
+        .orderBy("source", "stratum_rank"),
+    Some("""SELECT source, stratum_rank, doc_id, n_chars FROM (
+           |  SELECT source, doc_id, n_chars,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS stratum_rank
+           |  FROM documents)
+           |WHERE stratum_rank <= 10
+           |ORDER BY source, stratum_rank""".stripMargin))
+
+  // Greedy budget fill: best documents first (n_chars desc, doc_id tie)
+  // until a 50k-char corpus budget is spent; the row that crosses the
+  // boundary is kept (greedy semantics). Runs on the two-pass parallel
+  // prefix sum — the oracle's single cumulative window is exactly the
+  // shape the operator exists to avoid at scale.
+  private val tokenBudget = Q(
+    "q_token_budget",
+    (s, dir) =>
+      Mixture.selectByBudget(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars")
+          .withColumn("__ord", col("doc_id") - col("n_chars") * lit(1000000L)),
+        "__ord", "n_chars", budget = 50000L)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, source, n_chars FROM (
+           |  SELECT doc_id, source, n_chars,
+           |    CAST(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      - n_chars AS start
+           |  FROM documents)
+           |WHERE start < 50000
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs,
-    packGlobal, chunkDocs, interleaveMix, textToIds)
+    packGlobal, chunkDocs, interleaveMix, textToIds, sourceCap, tokenBudget)
 }

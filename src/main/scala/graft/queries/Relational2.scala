@@ -506,10 +506,64 @@ object Relational2 {
            |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.6
            |ORDER BY k1, k2""".stripMargin))
 
+  // ANSI-mode-safe arithmetic: Spark 4 runs under ANSI SQL where /0 and
+  // bad casts THROW; the try_* family restores the permissive null-on-
+  // error semantics per-expression instead of per-session. Each output is
+  // a single IEEE op or cast (no reassociated sums), so doubles hash
+  // bit-exactly against DuckDB's nullif / TRY_CAST formulations.
+  private val tryArith = Q(
+    "q_try_arith",
+    (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          try_divide(col("o_totalprice"), col("o_custkey") % lit(7))
+            .as("price_per_bucket"),
+          expr("try_cast(CASE WHEN o_orderstatus = 'O' THEN 'x' " +
+            "ELSE substring(o_orderpriority, 1, 1) END AS INT)")
+            .as("prio_or_null"),
+          try_element_at(split(col("o_orderpriority"), " "), lit(2))
+            .as("prio_word2"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           |  o_totalprice / nullif(o_custkey % 7, 0) AS price_per_bucket,
+           |  TRY_CAST(CASE WHEN o_orderstatus = 'O' THEN 'x'
+           |    ELSE substring(o_orderpriority, 1, 1) END AS INTEGER)
+           |    AS prio_or_null,
+           |  string_split(o_orderpriority, ' ')[2] AS prio_word2
+           |FROM orders WHERE o_orderkey < 2000
+           |ORDER BY o_orderkey""".stripMargin))
+
+  // Spark 4 collations: a case-insensitive equi-join expressed as
+  // UTF8_LCASE-collated equality — the engine-native replacement for
+  // wrapping both keys in lower() (which blocks stats-and-index use on a
+  // real catalog). The probe side is the dimension's own names uppercased,
+  // so every row matches exactly its case-folded self and the hash match
+  // proves collated equality ≡ the lower()-join the oracle runs.
+  private val collateJoin = Q(
+    "q_collate_join",
+    (s, dir) => {
+      val nation = t(s, dir, "nation")
+      val probe = nation.select(upper(col("n_name")).as("probe_name"),
+        col("n_nationkey").as("probe_key"))
+      nation.join(probe,
+          collate(col("n_name"), "UTF8_LCASE") ===
+            collate(col("probe_name"), "UTF8_LCASE"))
+        .select(col("n_nationkey"), col("n_name"), col("probe_key"))
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n.n_nationkey, n.n_name, p.probe_key
+           |FROM nation n
+           |JOIN (SELECT upper(n_name) AS probe_name, n_nationkey AS probe_key
+           |      FROM nation) p
+           |  ON lower(n.n_name) = lower(p.probe_name)
+           |ORDER BY n.n_nationkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     windowExtra, windowRange, stringFns2, arrayFns, condAgg, medianQ, dateFns2,
     unpivot, having, scalarSubquery, cte,
     quantileMulti, structFns, regexExtract, windowCume, dateSeries,
     unionDistinct, limitOffset, windowNth, countDistinctMulti, stringAgg,
-    mapFns, levenshteinQ, bitwise, exceptAll, intersectAll, jaroPairs)
+    mapFns, levenshteinQ, bitwise, exceptAll, intersectAll, jaroPairs,
+    tryArith, collateJoin)
 }

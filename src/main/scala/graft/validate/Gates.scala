@@ -1,6 +1,7 @@
 package graft.validate
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 import graft.meta.TableMeta
 
@@ -54,5 +55,43 @@ object Gates {
   def enforce(results: GateResult*): Unit = {
     val combined = results.reduce(_ ++ _)
     if (!combined.passed) throw new GateFailure(combined)
+  }
+
+  /**
+   * Single-pass validated write: piggyback the gate metrics on the write
+   * job itself via [[Observation]] instead of running `count()` first.
+   * At 100 TB the count-then-write idiom reads the input twice (and under
+   * non-deterministic upstreams can even gate on different data than it
+   * writes); `df.observe` folds the row count and per-column null counts
+   * into the write's own task metrics, so validation costs zero extra
+   * scans and sees exactly the rows that landed.
+   *
+   * Gate failures follow the reference's accumulate-then-abort contract:
+   * the parquet output of a failed batch is deleted (the land zone never
+   * holds a partial promotion) and ALL violations raise in one
+   * [[GateFailure]]. Returns the passing [[GateResult]] otherwise.
+   */
+  def gatedWrite(df: DataFrame, path: String, minRows: Long,
+      notNullCols: Seq[String] = Nil): GateResult = {
+    val obs = Observation()
+    val metrics = count(lit(1)).as("rows") +:
+      notNullCols.map(c => count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode("overwrite").parquet(path)
+    val m = obs.get
+    val rows = m("rows").asInstanceOf[Long]
+    val nullErrs = notNullCols.flatMap { c =>
+      val n = m(s"nulls_$c").asInstanceOf[Long]
+      if (n == 0) None else Some(s"column $c: $n null values in not-null column")
+    }
+    val result = rowCountGate(rows, minRows) ++
+      GateResult("not_null", nullErrs.isEmpty, nullErrs)
+    if (!result.passed) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      throw new GateFailure(result)
+    }
+    result
   }
 }

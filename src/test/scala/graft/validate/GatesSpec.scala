@@ -38,6 +38,29 @@ class GatesSpec extends AnyFunSuite {
     assert(e.result.errors.size == 2) // both gates' errors in one failure
   }
 
+  test("gatedWrite validates in the write pass: pass keeps output, fail deletes it") {
+    val spark = graft.SparkTestBase.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gated").toString
+
+    // passing write: metrics come from the write job itself (no second scan)
+    val ok = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")))
+      .toDF("id", "v")
+    val r = Gates.gatedWrite(ok, s"$dir/ok", minRows = 3, notNullCols = Seq("v"))
+    assert(r.passed)
+    assert(spark.read.parquet(s"$dir/ok").count() == 3)
+
+    // failing write: BOTH violations accumulate and the output is removed
+    val bad = Seq((1L, Some("a")), (2L, None)).toDF("id", "v")
+    val e = intercept[Gates.GateFailure] {
+      Gates.gatedWrite(bad, s"$dir/bad", minRows = 3, notNullCols = Seq("v"))
+    }
+    assert(e.result.errors.size == 2)
+    assert(e.result.errors.exists(_.contains("row count 2")))
+    assert(e.result.errors.exists(_.contains("column v: 1 null")))
+    assert(!new java.io.File(s"$dir/bad").exists())
+  }
+
   test("profile counts nulls and distincts per column, normalizes extremes") {
     val spark = graft.SparkTestBase.session
     import spark.implicits._
