@@ -176,4 +176,51 @@ object ApproxDistinct {
         .otherwise((col("kmv_k") - 1).cast("double") * lit(1152921504606846976.0)
           / expr("kmv[kmv_k - 1]").cast("double"))
         .as("est_distinct")): _*)
+
+  /**
+   * Set-operation estimates for two KMV states — |A∪B|, Jaccard, and
+   * |A∩B| — from the sketches alone, never rescanning data. The classic
+   * KMV estimators (Beyer et al., "On Synopses for Distinct-Value
+   * Estimation Under Multiset Operations", SIGMOD'07): the merged sketch
+   * (k smallest of the union) serves |A∪B| exactly like any KMV state;
+   * the fraction ρ of its members present in BOTH input sketches is an
+   * unbiased Jaccard estimate; |A∩B| = ρ·|A∪B|. Every arithmetic step is
+   * a single correctly-rounded IEEE op over integers ≤2⁶⁰, so a DuckDB
+   * oracle rebuilding the same md5 sketches reproduces the estimates
+   * bit-for-bit — approximate answers, exactly checkable.
+   *
+   * Both states must share `k` (asserted via their kmv_k columns). Join
+   * on `keys` is full-outer (a group absent on one side has an empty
+   * sketch); with `keys` empty the two global sketches pair by cross
+   * join. Cost: one tiny |groups|-row join of ≤k-element arrays.
+   */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keys: Seq[String],
+      k: Int = 256): DataFrame = {
+    val emptyArr = array().cast("array<bigint>")
+    val la = a.select(keys.map(col) :+ col("kmv").as("__ka") :+
+      col("kmv_k").as("__kka"): _*)
+    val rb = b.select(keys.map(col) :+ col("kmv").as("__kb") :+
+      col("kmv_k").as("__kkb"): _*)
+    val joined =
+      if (keys.isEmpty) la.crossJoin(rb)
+      else la.join(rb, keys, "full_outer")
+    val guard = assert_true(
+      coalesce(col("__kka"), lit(k)) === lit(k) &&
+        coalesce(col("__kkb"), lit(k)) === lit(k),
+      lit(s"kmvSetOps: state k != caller k=$k"))
+    val ka = coalesce(col("__ka"), emptyArr)
+    val kb = coalesce(col("__kb"), emptyArr)
+    val merged = slice(array_sort(array_union(ka, kb)), 1, k)
+    val nKept = size(merged)
+    val estUnion = when(guard.isNull && nKept < k, nKept.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+        / element_at(merged, k).cast("double"))
+    val inBoth = size(array_intersect(array_intersect(merged, ka), kb))
+    val jaccard = inBoth.cast("double") / nKept.cast("double")
+    joined.select(keys.map(col) ++ Seq(
+      nKept.as("n_kept"),
+      estUnion.as("est_union"),
+      jaccard.as("jaccard"),
+      (jaccard * estUnion).as("est_intersection")): _*)
+  }
 }

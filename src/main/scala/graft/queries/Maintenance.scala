@@ -615,6 +615,43 @@ object Maintenance {
     },
     Some(kmvOracle))
 
+  // KMV SET OPERATIONS (Beyer et al., SIGMOD'07): |A∪B|, Jaccard, |A∩B|
+  // for the R-flag and A-flag order-key sets, served from the two
+  // sketches alone — the "how much do these segments overlap" question a
+  // sketch state table answers without rescanning 100 TB. The oracle
+  // rebuilds the same md5 sketches in SQL; every estimator step is one
+  // IEEE op, so the APPROXIMATE answers hash-match bit-for-bit.
+  private val kmvSetOpsQ = Q(
+    "q_kmv_setops",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = ApproxDistinct.kmvBuildState(
+        li.filter(col("l_returnflag") === "R"), Nil, "l_orderkey", 256)
+      val b = ApproxDistinct.kmvBuildState(
+        li.filter(col("l_returnflag") === "A"), Nil, "l_orderkey", 256)
+      ApproxDistinct.kmvSetOps(a, b, Nil, 256)
+    },
+    Some("""WITH sa AS (
+           |  SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+           |  FROM lineitem WHERE l_returnflag = 'R' ORDER BY hv LIMIT 256),
+           |sb AS (
+           |  SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+           |  FROM lineitem WHERE l_returnflag = 'A' ORDER BY hv LIMIT 256),
+           |u AS (SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)
+           |      ORDER BY hv LIMIT 256),
+           |st AS (SELECT count(*) AS nk, max(hv) AS hk FROM u),
+           |ib AS (SELECT count(*) AS ni FROM u
+           |       WHERE hv IN (SELECT hv FROM sa) AND hv IN (SELECT hv FROM sb))
+           |SELECT CAST(nk AS INTEGER) AS n_kept,
+           |  CASE WHEN nk < 256 THEN CAST(nk AS DOUBLE)
+           |       ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS est_union,
+           |  CAST(ni AS DOUBLE) / CAST(nk AS DOUBLE) AS jaccard,
+           |  (CAST(ni AS DOUBLE) / CAST(nk AS DOUBLE)) *
+           |    (CASE WHEN nk < 256 THEN CAST(nk AS DOUBLE)
+           |          ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END)
+           |    AS est_intersection
+           |FROM st, ib""".stripMargin))
+
   // Exact distinct users per event type via mergeable bitmaps — the
   // bitmap union is exact, so unlike the HLL sketch this hash-matches a
   // plain COUNT(DISTINCT) oracle while shuffling bitmaps, not values.
@@ -840,6 +877,6 @@ object Maintenance {
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,
-    kmvDistinct, kmvRollupQ, bitmapDistinct, regression, winsorize, argExtremum,
+    kmvDistinct, kmvRollupQ, kmvSetOpsQ, bitmapDistinct, regression, winsorize, argExtremum,
     snapshotDiff, profileQ, constraintsQ)
 }

@@ -130,4 +130,61 @@ class ApproxDistinctSpec extends AnyFunSuite {
       assert(r.getDouble(2) > 100.0)   // estimator path, not "exactly 16"
     }
   }
+
+  test("KMV set ops: exact below k; within sigma bounds above; empty-side safe") {
+    val k = 128
+    // small disjoint + overlapping sets: everything below k → all EXACT
+    val xs = (1 to 60).map(i => (0, s"u$i")).toDF("k", "v")
+    val ys = (31 to 90).map(i => (0, s"u$i")).toDF("k", "v")
+    val small = ApproxDistinct.kmvSetOps(
+      ApproxDistinct.kmvBuildState(xs, Seq("k"), "v", k),
+      ApproxDistinct.kmvBuildState(ys, Seq("k"), "v", k), Seq("k"), k)
+      .collect().head
+    assert(small.getInt(1) === 90)                    // n_kept = |A∪B| exact
+    assert(small.getDouble(2) === 90.0)               // est_union exact
+    assert(small.getDouble(3) === 30.0 / 90.0)        // jaccard exact
+    assert(small.getDouble(4) === (30.0 / 90.0) * 90.0)
+
+    // saturated: B ⊂ A with |A|=1777, |B|=1200 → union 1777, J=1200/1777.
+    // This fixed md5 draw serves est_union 1693.24, inBoth 91 → Ĵ=91/128
+    // (cross-checked against an independent Python reference): assert the
+    // exact served values — the draw is deterministic, not luck
+    val bigA = (1 to 40000).map(i => (0, s"a_${i % 1777}")).toDF("k", "v")
+    val bigB = (1 to 40000).map(i => (0, s"a_${577 + i % 1200}")).toDF("k", "v")
+    val est = ApproxDistinct.kmvSetOps(
+      ApproxDistinct.kmvBuildState(bigA, Seq("k"), "v", k),
+      ApproxDistinct.kmvBuildState(bigB, Seq("k"), "v", k), Seq("k"), k)
+      .collect().head
+    assert(math.abs(est.getDouble(2) - 1693.2406305217) < 1e-6)
+    assert(est.getDouble(3) === 91.0 / 128.0)
+    assert(math.abs(est.getDouble(4) - (91.0 / 128.0) * 1693.2406305217) < 1e-6)
+    // and the estimates do bracket the truth within ~3σ (σ≈1/√(k−2))
+    assert(math.abs(est.getDouble(2) - 1777.0) / 1777.0 < 0.27)
+    assert(math.abs(est.getDouble(3) - 1200.0 / 1777.0) < 0.12)
+
+    // full-outer join semantics: a group present on one side only gets
+    // jaccard 0 and intersection 0, union = that side's estimate
+    val lonely = ApproxDistinct.kmvSetOps(
+      ApproxDistinct.kmvBuildState(xs, Seq("k"), "v", k),
+      ApproxDistinct.kmvBuildState(
+        ys.withColumn("k", lit(1)), Seq("k"), "v", k), Seq("k"), k)
+      .orderBy("k").collect()
+    assert(lonely.length === 2)
+    lonely.foreach { r =>
+      assert(r.getInt(1) === 60)
+      assert(r.getDouble(2) === 60.0)
+      assert(r.getDouble(3) === 0.0)
+      assert(r.getDouble(4) === 0.0)
+    }
+
+    // k-mismatch is an error, not a silent misestimate
+    val e = intercept[Exception] {
+      ApproxDistinct.kmvSetOps(
+        ApproxDistinct.kmvBuildState(xs, Seq("k"), "v", 64),
+        ApproxDistinct.kmvBuildState(ys, Seq("k"), "v", k), Seq("k"), k)
+        .collect()
+    }
+    assert(e.getMessage.contains("kmvSetOps") ||
+      e.getCause != null && e.getCause.getMessage.contains("kmvSetOps"))
+  }
 }
