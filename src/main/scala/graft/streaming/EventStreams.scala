@@ -307,6 +307,94 @@ object EventStreams {
         unix_micros(col("cts")).as("cts_us"))
   }
 
+  // ---- transformWithState (the Spark 4 arbitrary-state API) -------------
+
+  final case class SpendEvent(user_id: Long, ts: Long, event_id: Long, value: Double)
+  final case class SpendState(n: Long, cents: Long)
+  final case class SpendOut(user_id: Long, ts: Long, event_id: Long,
+      n_events: Long, cum_cents: Long)
+
+  /** Per-user running purchase totals via `transformWithState` — the
+    * Spark 4 successor to flatMapGroupsWithState: named typed state
+    * primitives (ValueState here; ListState/MapState, TTL, timers in the
+    * same handle) on a RocksDB-backed store, so per-key state scales to
+    * disk instead of executor heap. State per user is O(1) — a (count,
+    * cents) pair — the shape that holds on an infinite stream.
+    *
+    * Money accumulates in integer cents: `BigDecimal.valueOf(v * 100)
+    * .setScale(0, HALF_UP)` — the exact arithmetic Spark's `round()`
+    * applies, so the batch twin reproduces the stream bit-for-bit.
+    * Within a batch the key's rows replay in (ts, event_id) order; state
+    * then carries across micro-batches in arrival order. */
+  class RunningSpendProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SpendEvent, SpendOut] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[SpendState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SpendState]("spend",
+        org.apache.spark.sql.Encoders.product[SpendState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SpendEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SpendOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts, e.event_id))
+      var st = if (state.exists()) state.get() else SpendState(0L, 0L)
+      val out = sorted.map { e =>
+        val cents = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        st = SpendState(st.n + 1, st.cents + cents)
+        SpendOut(key, e.ts, e.event_id, st.n, st.cents)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  def runningSpendStream(
+      spark: SparkSession,
+      eventsDir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    // transformWithState requires the RocksDB provider (HDFS-backed state
+    // does not implement the new primitives)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = readEvents(spark, eventsDir).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[SpendEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningSpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Batch twin of [[runningSpendStream]]: the same running totals as a
+    * cumulative window in (ts, event_id) order with `round(value*100)`
+    * cents — Spark's `round` is the HALF_UP-on-decimal-string the
+    * processor applies, so the two paths are bit-identical. */
+  def runningSpendBatch(spark: SparkSession, eventsDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    readEvents(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        count(lit(1)).over(w).as("n_events"),
+        sum(col("cents")).over(w).as("cum_cents"))
+  }
+
   /** Batch twin of the streaming aggregation — identical window semantics,
     * used for correctness cross-checks (a DuckDB oracle can't run a
     * stream, but it can run this). */

@@ -41,6 +41,20 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("transformWithState running spend equals the batch cumulative window") {
+    val q = EventStreams.runningSpendStream(spark, SparkTestBase.sf0001, "ev_tws_test")
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, ts, event_id, n_events, cum_cents FROM ev_tws_test " +
+        "ORDER BY user_id, ts, event_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventStreams.runningSpendBatch(spark, SparkTestBase.sf0001)
+      .orderBy("user_id", "ts", "event_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming as-of enrichment equals the batch backward as-of join") {
     import org.apache.spark.sql.functions._
     val q = EventStreams.asofEnrichStream(spark, SparkTestBase.sf0001, "ev_asof_test")
