@@ -534,6 +534,36 @@ object Relational2 {
            |FROM orders WHERE o_orderkey < 2000
            |ORDER BY o_orderkey""".stripMargin))
 
+  // IGNORE NULLS window navigation — the gap-fill family on a sparse
+  // column (price only when the order is fulfilled): previous non-null
+  // (lag), last-observation-carried-forward (last_value), and the 2nd
+  // non-null seen so far (nth_value). Values pass through untouched, so
+  // doubles hash exactly.
+  private val windowIgnoreNulls = Q(
+    "q_window_ignorenulls",
+    (s, dir) => {
+      val sparse = when(col("o_orderstatus") === "F", col("o_totalprice"))
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(sparse, 1, null, ignoreNulls = true).over(w).as("prev_f_price"),
+        last(sparse, ignoreNulls = true).over(wf).as("locf_price"),
+        nth_value(sparse, 2, ignoreNulls = true).over(wf).as("second_f_price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |  lag(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, 1 IGNORE NULLS)
+           |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           |    AS prev_f_price,
+           |  last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IGNORE NULLS)
+           |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_price,
+           |  nth_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, 2 IGNORE NULLS)
+           |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_f_price
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   // Spark 4 collations: a case-insensitive equi-join expressed as
   // UTF8_LCASE-collated equality — the engine-native replacement for
   // wrapping both keys in lower() (which blocks stats-and-index use on a
@@ -565,5 +595,5 @@ object Relational2 {
     quantileMulti, structFns, regexExtract, windowCume, dateSeries,
     unionDistinct, limitOffset, windowNth, countDistinctMulti, stringAgg,
     mapFns, levenshteinQ, bitwise, exceptAll, intersectAll, jaroPairs,
-    tryArith, collateJoin)
+    tryArith, collateJoin, windowIgnoreNulls)
 }
