@@ -35,7 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
  *    fully-excluded partitions are never even created (the generator's
  *    analog of parquet partition pruning). Non-index filters stay with
  *    Spark, index filters are also re-evaluated by Spark only if left
- *    in `postScanFilters` — here they are fully consumed.
+ *    in `postScanFilters` — here they are fully consumed;
+ *  - **limit / top-N pushdown** (`SupportsPushDownLimit` /
+ *    `SupportsPushDownTopN`): LIMIT n truncates the surviving range to n
+ *    indexes (complete — no residual limit); ORDER BY index [DESC]
+ *    LIMIT n keeps the range's head/tail (partial — Spark re-sorts the
+ *    ≤n survivors). A `LIMIT 10` against 10¹² rows plans 10 rows;
  *
  * Usage: `spark.read.format("graft.sources.PostcodeSource")
  *   .option("rows", 1000).option("partitions", 8).load()`.
@@ -108,9 +113,9 @@ class PostcodeTable(rows: Long, partitions: Int, rowsPerBatch: Long)
 
 class PostcodeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 
   private var requiredSchema: StructType = PostcodeSource.schema
   private var lo: Long = 0L // inclusive
@@ -147,6 +152,45 @@ class PostcodeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L
   private var pushedDown: Array[Filter] = Array.empty
   override def pushedFilters(): Array[Filter] = pushedDown
 
+  // ---- limit / top-N pushdown: LIMIT n truncates the surviving range to
+  // its first n indexes (any n rows satisfy an unordered LIMIT, so the
+  // pushdown is COMPLETE — Spark adds no residual limit); ORDER BY index
+  // [DESC] LIMIT n keeps the range's first/last n (PARTIAL — readers emit
+  // slices in partition order, so Spark re-sorts the ≤n survivors, a
+  // driver-side no-op). Either way the excluded indexes are never
+  // generated or planned. Guarded against composing with a pushed
+  // aggregate: truncating the range would change the aggregate's value.
+  private var limitFullyPushed = true
+  private var limitPushed = false
+
+  override def pushLimit(limit: Int): Boolean =
+    if (aggFuncs.isDefined || unconsumed.nonEmpty) false
+    else {
+      hi = math.min(hi, math.max(lo, 0L) + limit)
+      limitPushed = true
+      true
+    }
+
+  override def isPartiallyPushed(): Boolean = !limitFullyPushed
+
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val onIndexAsc = orders.toSeq match {
+      case Seq(o) if isIndexRef(o.expression) =>
+        Some(o.direction == SortDirection.ASCENDING)
+      case _ => None
+    }
+    if (aggFuncs.isDefined || unconsumed.nonEmpty || onIndexAsc.isEmpty) false
+    else {
+      val l = math.max(lo, 0L)
+      val h = math.max(hi, l)
+      if (onIndexAsc.get) hi = math.min(h, l + limit)
+      else lo = math.max(l, h - limit)
+      limitFullyPushed = false
+      limitPushed = true
+      true
+    }
+  }
+
   // ---- aggregate pushdown: COUNT(*) / COUNT(index) / MIN(index) /
   // MAX(index) over the (already filter-narrowed) range are pure
   // arithmetic — a count over a trillion synthetic rows never generates
@@ -158,7 +202,7 @@ class PostcodeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L
     }
 
   private def supported(agg: Aggregation): Option[Seq[AggregateFunc]] =
-    if (agg.groupByExpressions.nonEmpty || unconsumed.nonEmpty) None
+    if (agg.groupByExpressions.nonEmpty || unconsumed.nonEmpty || limitPushed) None
     else {
       val fns = agg.aggregateExpressions.toSeq
       val ok = fns.forall {

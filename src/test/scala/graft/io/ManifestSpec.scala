@@ -1,0 +1,64 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ManifestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("manifest").toString
+
+  test("write commits atomically: readers see old or new snapshot, never a mix") {
+    val dir = tmpDir()
+    Manifest.write((1 to 100).toDF("v"), dir, "s1")
+    assert(Manifest.read(spark, dir).count() == 100)
+
+    // resolve the OLD snapshot's files, then land a new one: the old
+    // file list stays fully readable (no mix, no missing files)
+    val oldFiles = Manifest.currentFiles(spark, dir)
+    Manifest.write((1 to 250).toDF("v"), dir, "s2")
+    assert(Manifest.read(spark, dir).count() == 250)
+    val oldDf = spark.read.parquet(oldFiles.map(f => s"$dir/$f"): _*)
+    assert(oldDf.count() == 100)
+  }
+
+  test("a write that dies before the manifest swap leaves the table untouched") {
+    val dir = tmpDir()
+    Manifest.write((1 to 50).toDF("v"), dir, "s1")
+    // simulate a job that landed data but crashed pre-commit: an orphan
+    // data dir appears, the manifest still points at s1
+    (51 to 60).toDF("v").write.parquet(s"$dir/data-crashed")
+    assert(Manifest.read(spark, dir).count() == 50)
+    // vacuum removes the orphan and the superseded, keeps the live set
+    Manifest.write((1 to 70).toDF("v"), dir, "s2")
+    val removed = Manifest.vacuum(spark, dir)
+    assert(removed.toSet == Set("data-s1", "data-crashed"))
+    assert(Manifest.read(spark, dir).count() == 70)
+  }
+
+  test("compact keeps bytes, shrinks file count, swaps without a race window") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10000).toDF("v").repartition(16), dir, "s1")
+    assert(Manifest.currentFiles(spark, dir).size == 16)
+    val sumBefore = Manifest.read(spark, dir).agg(sum("v")).collect().head.getLong(0)
+    Manifest.compact(spark, dir, "s1-compacted", targetFileBytes = 1L << 30)
+    val files = Manifest.currentFiles(spark, dir)
+    assert(files.size == 1 && files.head.startsWith("data-s1-compacted/"))
+    assert(Manifest.read(spark, dir).agg(sum("v")).collect().head.getLong(0) == sumBefore)
+  }
+
+  test("duplicate snapshot ids and never-committed reads are refused") {
+    val dir = tmpDir()
+    Manifest.write((1 to 5).toDF("v"), dir, "s1")
+    intercept[IllegalArgumentException] {
+      Manifest.write((1 to 5).toDF("v"), dir, "s1")
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.read(spark, tmpDir())
+    }
+  }
+}

@@ -109,4 +109,30 @@ class PostcodeSourceSpec extends AnyFunSuite {
     val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
     assert(scans.head.scan.description().contains("range=[5000,6000)"))
   }
+
+  test("LIMIT pushdown truncates the range; rows beyond it are never planned") {
+    val df = read(100000, 8).limit(7)
+    assert(df.collect().length == 7)
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.description().contains("range=[0,7)"))
+
+    // composes with filter pushdown: the limit applies to the SURVIVING range
+    val f = read(100000, 8).filter(col("index") >= 100L).limit(10)
+    assert(f.collect().map(_.getAs[Long]("index")).sorted.toSeq == (100L to 109L))
+    val fs = f.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(fs.head.scan.description().contains("range=[100,110)"))
+  }
+
+  test("ORDER BY index DESC LIMIT pushes top-N: only the tail slice is planned") {
+    val df = read(100000, 8).orderBy(col("index").desc).limit(3)
+    assert(df.collect().map(_.getAs[Long]("index")).toSeq == Seq(99999L, 99998L, 99997L))
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.description().contains("range=[99997,100000)"))
+  }
+
+  test("a pushed aggregate refuses limit truncation: the count stays exact") {
+    val n = read(1000000, 8).agg(count(lit(1)).as("n")).limit(1)
+      .collect().head.getLong(0)
+    assert(n == 1000000L)
+  }
 }
