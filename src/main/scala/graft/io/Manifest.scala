@@ -26,12 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  * Scale notes: the manifest holds one line per file — compaction
  * ([[compact]]) keeps file count = ceil(bytes/target), so the manifest
- * stays KB-sized while data grows; [[vacuum]] removes unreferenced data
- * dirs strictly AFTER the manifest no longer points at them, so a
- * long-running reader that resolved the old manifest keeps its files
- * until the retention window closes (time-travel by keeping N manifests
- * would be the next rung; one current snapshot is enough for the
- * reference's land→promote contract).
+ * stays KB-sized while data grows; [[vacuum]] removes only data dirs no
+ * retained manifest references, so a long-running reader that resolved
+ * an old snapshot keeps its files until retention drops it.
+ *
+ * Time travel: every commit ALSO retains `manifest-<snapshot>.json`, so
+ * [[readAt]] reproduces any retained snapshot byte-for-byte — for a
+ * training corpus that is the provenance primitive ("the model trained
+ * on snapshot X" stays answerable after the table moves on). Retention
+ * is explicit: `vacuum(keepLast = n)` keeps the n newest manifests (the
+ * current one always) and every data dir any of them references.
  */
 object Manifest {
 
@@ -41,19 +45,51 @@ object Manifest {
   }
 
   private def manifestPath(dir: String) = new Path(dir, "manifest.json")
+  private def snapshotManifestPath(dir: String, snapshot: String) =
+    new Path(dir, s"manifest-$snapshot.json")
 
-  /** Files of the CURRENT snapshot (relative paths), or empty if the
-    * table has never committed. */
-  def currentFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val (fsys, _) = fs(spark, dir)
-    val mp = manifestPath(dir)
+  private def readManifest(fsys: FileSystem, mp: Path): Seq[String] = {
     if (!fsys.exists(mp)) return Nil
     val in = fsys.open(mp)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    // one JSON object: {"snapshot":"...","files":["data-.../part-...parquet",...]}
+    // one JSON object: {"snapshot":"...","committed_at":...,"files":[...]}
     "\"([^\"]*part-[^\"]*\\.parquet)\"".r.findAllMatchIn(text).map(_.group(1)).toSeq
+  }
+
+  /** Files of the CURRENT snapshot (relative paths), or empty if the
+    * table has never committed. */
+  def currentFiles(spark: SparkSession, dir: String): Seq[String] =
+    readManifest(fs(spark, dir)._1, manifestPath(dir))
+
+  /** Commit sequence number embedded in a manifest — the total order of
+    * commits (mod-times tie within a millisecond; a counter cannot). */
+  private def commitSeq(fsys: FileSystem, mp: Path): Long = {
+    if (!fsys.exists(mp)) return -1L
+    val in = fsys.open(mp)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    "\"commit_seq\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text)
+      .map(_.group(1).toLong).getOrElse(-1L)
+  }
+
+  private def retainedManifests(fsys: FileSystem, base: Path): Seq[Path] =
+    if (!fsys.exists(base)) Nil
+    else fsys.listStatus(base).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("manifest-") && n.endsWith(".json")
+      }
+
+  /** Retained snapshot ids, oldest → newest commit order. */
+  def snapshots(spark: SparkSession, dir: String): Seq[String] = {
+    val (fsys, base) = fs(spark, dir)
+    retainedManifests(fsys, base)
+      .sortBy(p => (commitSeq(fsys, p), p.getName))
+      .map(_.getName.stripPrefix("manifest-").stripSuffix(".json"))
   }
 
   /** Overwrite-commit: land `df` as a fresh snapshot and atomically swap
@@ -72,21 +108,37 @@ object Manifest {
       .sortBy(_.getPath.getName)
     val body = files.map(s =>
         s"""    "data-$snapshot/${s.getPath.getName}"""").mkString(",\n")
+    val seq = (retainedManifests(fsys, base).map(commitSeq(fsys, _)) :+ -1L).max + 1
     val json =
       s"""{
          |  "snapshot": "$snapshot",
+         |  "commit_seq": $seq,
+         |  "committed_at": ${System.currentTimeMillis()},
          |  "files": [
          |$body
          |  ]
          |}
          |""".stripMargin
-    val tmp = new Path(base, s".manifest-$snapshot.tmp")
-    val out = fsys.create(tmp, true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // the commit point: one atomic rename over the previous manifest
-    fsys.delete(manifestPath(dir), false)
-    if (!fsys.rename(tmp, manifestPath(dir)))
-      throw new RuntimeException(s"manifest commit failed for $dir @ $snapshot")
+    def land(tmpName: String, dest: Path): Unit = {
+      val tmp = new Path(base, tmpName)
+      val out = fsys.create(tmp, true)
+      try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      fsys.delete(dest, false)
+      if (!fsys.rename(tmp, dest))
+        throw new RuntimeException(s"manifest commit failed for $dir @ $snapshot")
+    }
+    // retained history first (readable via readAt even after later commits),
+    // then the commit point: one atomic rename onto the current pointer
+    land(s".manifest-$snapshot.hist.tmp", snapshotManifestPath(dir, snapshot))
+    land(s".manifest-$snapshot.tmp", manifestPath(dir))
+  }
+
+  /** Time travel: read a RETAINED snapshot exactly as committed. */
+  def readAt(spark: SparkSession, dir: String, snapshot: String): DataFrame = {
+    val (fsys, _) = fs(spark, dir)
+    val files = readManifest(fsys, snapshotManifestPath(dir, snapshot))
+    require(files.nonEmpty, s"no retained snapshot '$snapshot' under $dir")
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
   /** Read the current snapshot — from the manifest's file list, never
@@ -114,17 +166,25 @@ object Manifest {
     n
   }
 
-  /** Delete data directories the current manifest no longer references.
-    * Runs strictly after a commit, so only superseded snapshots go; a
-    * retention delay (caller-side) protects in-flight readers. */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+  /** Retention: keep the `keepLast` newest retained manifests (the
+    * current snapshot is always among them — it is the newest) plus
+    * every data dir any of them references; delete older manifests,
+    * their now-unreferenced data dirs, and orphan dirs from crashed
+    * pre-commit writes. Returns the removed entries. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
     val (fsys, base) = fs(spark, dir)
-    val live = currentFiles(spark, dir).map(_.split('/').head).toSet
-    val gone = fsys.listStatus(base).toSeq
+    val all = snapshots(spark, dir)
+    val (dropSnaps, keepSnaps) = all.splitAt(math.max(0, all.size - keepLast))
+    val live = keepSnaps
+      .flatMap(s => readManifest(fsys, snapshotManifestPath(dir, s)))
+      .map(_.split('/').head).toSet
+    val goneDirs = fsys.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
       .filterNot(s => live.contains(s.getPath.getName))
       .map(_.getPath)
-    gone.foreach(p => fsys.delete(p, true))
-    gone.map(_.getName)
+    goneDirs.foreach(p => fsys.delete(p, true))
+    dropSnaps.foreach(s => fsys.delete(snapshotManifestPath(dir, s), false))
+    goneDirs.map(_.getName) ++ dropSnaps.map(s => s"manifest-$s")
   }
 }

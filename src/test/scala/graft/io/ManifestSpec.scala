@@ -36,8 +36,28 @@ class ManifestSpec extends AnyFunSuite {
     // vacuum removes the orphan and the superseded, keeps the live set
     Manifest.write((1 to 70).toDF("v"), dir, "s2")
     val removed = Manifest.vacuum(spark, dir)
-    assert(removed.toSet == Set("data-s1", "data-crashed"))
+    assert(removed.toSet == Set("data-s1", "data-crashed", "manifest-s1"))
     assert(Manifest.read(spark, dir).count() == 70)
+  }
+
+  test("time travel: retained snapshots replay exactly; retention drops the oldest") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "v1")
+    Manifest.write((1 to 20).toDF("v"), dir, "v2")
+    Manifest.write((1 to 30).toDF("v"), dir, "v3")
+    assert(Manifest.snapshots(spark, dir) == Seq("v1", "v2", "v3"))
+    assert(Manifest.readAt(spark, dir, "v1").count() == 10)
+    assert(Manifest.readAt(spark, dir, "v2").count() == 20)
+    assert(Manifest.read(spark, dir).count() == 30)
+
+    // keepLast=2: v1's manifest and data go, v2 stays time-travelable
+    val removed = Manifest.vacuum(spark, dir, keepLast = 2)
+    assert(removed.toSet == Set("data-v1", "manifest-v1"))
+    assert(Manifest.snapshots(spark, dir) == Seq("v2", "v3"))
+    assert(Manifest.readAt(spark, dir, "v2").count() == 20)
+    intercept[IllegalArgumentException] {
+      Manifest.readAt(spark, dir, "v1")
+    }
   }
 
   test("compact keeps bytes, shrinks file count, swaps without a race window") {
