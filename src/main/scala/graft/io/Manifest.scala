@@ -13,29 +13,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * README.md:619-637's read-write-overlap rule is the same concern
  * handled by scheduling).
  *
- * Layout: `dir/data-<snapshot>/part-*.parquet` + `dir/manifest.json`.
- * Every write lands a FRESH data directory, then publishes it by
- * atomically replacing the one manifest file (write temp + rename — the
- * primitive object stores and HDFS both give for a single key). Readers
- * list nothing: they read the file list FROM the manifest, so they see
- * the previous snapshot or the new one, never a mix, never a partial
- * job — a writer that dies before the rename leaves an orphan data dir
- * and an untouched table. On S3 at 100 TB this also kills the two
- * listing pathologies: no LIST on the read path at all, and no
- * rename-directory commit on the write path.
+ * Layout: `dir/data-<snapshot>/part-*.parquet` plus one
+ * `dir/manifest-<snapshot>.json` per committed snapshot. The CURRENT
+ * snapshot is the retained manifest with the highest `commit_seq` —
+ * there is deliberately NO mutable "current pointer" file: the commit
+ * point is one rename of a temp file onto the FRESH key
+ * `manifest-<snapshot>.json`. A fresh-key rename needs no
+ * delete-then-rename dance (which on HDFS/S3A leaves a window with no
+ * pointer at all and bricks the table if the writer dies inside it):
+ * the new manifest either exists completely or not at all, so readers
+ * resolve the previous snapshot or the new one — never a mix, never an
+ * absent table. A writer that dies earlier leaves an orphan data dir
+ * and an unchanged current snapshot.
  *
- * Scale notes: the manifest holds one line per file — compaction
- * ([[compact]]) keeps file count = ceil(bytes/target), so the manifest
- * stays KB-sized while data grows; [[vacuum]] removes only data dirs no
- * retained manifest references, so a long-running reader that resolved
- * an old snapshot keeps its files until retention drops it.
+ * Reads list only the KB-sized `manifest-*.json` keys — never the data
+ * tree: the data file set comes from inside the manifest. At 100 TB on
+ * S3 that kills both listing pathologies (no LIST over millions of data
+ * keys on reads, no rename-directory commit on writes).
  *
- * Time travel: every commit ALSO retains `manifest-<snapshot>.json`, so
- * [[readAt]] reproduces any retained snapshot byte-for-byte — for a
- * training corpus that is the provenance primitive ("the model trained
- * on snapshot X" stays answerable after the table moves on). Retention
- * is explicit: `vacuum(keepLast = n)` keeps the n newest manifests (the
- * current one always) and every data dir any of them references.
+ * Concurrency contract: one writer at a time (the reference's pipeline
+ * is sequential; Spark's own file commit protocol assumes the same).
+ * `commit_seq` = max retained seq + 1 gives retained manifests a total
+ * order; concurrent writers could allocate the same seq — the order
+ * then falls back to the (deterministic) snapshot-name tie-break, which
+ * is why multi-writer use needs an external lock, not this module.
+ *
+ * Time travel: every snapshot's manifest is retained until [[vacuum]]
+ * drops it, so [[readAt]] reproduces any retained snapshot byte-for-byte
+ * — for a training corpus that is the provenance primitive ("the model
+ * trained on snapshot X" stays answerable after the table moves on).
+ * Retention is explicit: `vacuum(keepLast = n)` keeps the n newest
+ * manifests and every data dir any of them references; data dirs no
+ * retained manifest has EVER referenced (crashed pre-commit writes) are
+ * deleted only once older than `orphanGraceMs`, so vacuum cannot shoot
+ * down a write that has landed data but not yet committed.
  */
 object Manifest {
 
@@ -44,38 +55,31 @@ object Manifest {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def manifestPath(dir: String) = new Path(dir, "manifest.json")
-  private def snapshotManifestPath(dir: String, snapshot: String) =
+  private def manifestPath(dir: String, snapshot: String) =
     new Path(dir, s"manifest-$snapshot.json")
 
-  private def readManifest(fsys: FileSystem, mp: Path): Seq[String] = {
-    if (!fsys.exists(mp)) return Nil
+  private final case class ManifestData(snapshot: String, seq: Long, files: Seq[String])
+
+  /** One read per manifest: snapshot id, commit_seq, and the data file
+    * list. The file pattern requires the `data-<dir>/` prefix, so the
+    * quoted `snapshot` field can never parse as a phantom file. */
+  private def parse(fsys: FileSystem, mp: Path): Option[ManifestData] = {
+    if (!fsys.exists(mp)) return None
     val in = fsys.open(mp)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    // one JSON object: {"snapshot":"...","committed_at":...,"files":[...]}
-    "\"([^\"]*part-[^\"]*\\.parquet)\"".r.findAllMatchIn(text).map(_.group(1)).toSeq
+    val snap = "\"snapshot\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse(return None)
+    val seq = "\"commit_seq\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(return None)
+    val files = "\"(data-[^\"/]+/part-[^\"/]*\\.parquet)\"".r
+      .findAllMatchIn(text).map(_.group(1)).toSeq
+    Some(ManifestData(snap, seq, files))
   }
 
-  /** Files of the CURRENT snapshot (relative paths), or empty if the
-    * table has never committed. */
-  def currentFiles(spark: SparkSession, dir: String): Seq[String] =
-    readManifest(fs(spark, dir)._1, manifestPath(dir))
-
-  /** Commit sequence number embedded in a manifest — the total order of
-    * commits (mod-times tie within a millisecond; a counter cannot). */
-  private def commitSeq(fsys: FileSystem, mp: Path): Long = {
-    if (!fsys.exists(mp)) return -1L
-    val in = fsys.open(mp)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    "\"commit_seq\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text)
-      .map(_.group(1).toLong).getOrElse(-1L)
-  }
-
-  private def retainedManifests(fsys: FileSystem, base: Path): Seq[Path] =
+  /** All retained manifests, oldest → newest commit order. */
+  private def retained(fsys: FileSystem, base: Path): Seq[ManifestData] =
     if (!fsys.exists(base)) Nil
     else fsys.listStatus(base).toSeq
       .map(_.getPath)
@@ -83,32 +87,41 @@ object Manifest {
         val n = p.getName
         n.startsWith("manifest-") && n.endsWith(".json")
       }
+      .flatMap(parse(fsys, _))
+      .sortBy(m => (m.seq, m.snapshot))
 
   /** Retained snapshot ids, oldest → newest commit order. */
   def snapshots(spark: SparkSession, dir: String): Seq[String] = {
     val (fsys, base) = fs(spark, dir)
-    retainedManifests(fsys, base)
-      .sortBy(p => (commitSeq(fsys, p), p.getName))
-      .map(_.getName.stripPrefix("manifest-").stripSuffix(".json"))
+    retained(fsys, base).map(_.snapshot)
   }
 
-  /** Overwrite-commit: land `df` as a fresh snapshot and atomically swap
-    * the manifest to it. The table transitions old→new in one rename;
-    * any failure before that rename leaves the current snapshot live. */
+  /** Files of the CURRENT (newest-commit) snapshot, relative paths;
+    * empty if the table has never committed. */
+  def currentFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val (fsys, base) = fs(spark, dir)
+    retained(fsys, base).lastOption.map(_.files).getOrElse(Nil)
+  }
+
+  /** Overwrite-commit: land `df` as a fresh snapshot, then publish it
+    * with ONE rename onto the fresh manifest key — the commit point.
+    * Any failure before that rename leaves the current snapshot live. */
   def write(df: DataFrame, dir: String, snapshot: String): Unit = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val spark = df.sparkSession
     val (fsys, base) = fs(spark, dir)
     val dataDir = new Path(base, s"data-$snapshot")
     require(!fsys.exists(dataDir), s"snapshot $snapshot already landed under $dir")
+    require(!fsys.exists(manifestPath(dir, snapshot)),
+      s"snapshot $snapshot already committed under $dir")
     df.write.parquet(dataDir.toString)
     val files = fsys.listStatus(dataDir).toSeq
       .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
+    val seq = (retained(fsys, base).map(_.seq) :+ -1L).max + 1
     val body = files.map(s =>
         s"""    "data-$snapshot/${s.getPath.getName}"""").mkString(",\n")
-    val seq = (retainedManifests(fsys, base).map(commitSeq(fsys, _)) :+ -1L).max + 1
     val json =
       s"""{
          |  "snapshot": "$snapshot",
@@ -119,34 +132,28 @@ object Manifest {
          |  ]
          |}
          |""".stripMargin
-    def land(tmpName: String, dest: Path): Unit = {
-      val tmp = new Path(base, tmpName)
-      val out = fsys.create(tmp, true)
-      try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      fsys.delete(dest, false)
-      if (!fsys.rename(tmp, dest))
-        throw new RuntimeException(s"manifest commit failed for $dir @ $snapshot")
-    }
-    // retained history first (readable via readAt even after later commits),
-    // then the commit point: one atomic rename onto the current pointer
-    land(s".manifest-$snapshot.hist.tmp", snapshotManifestPath(dir, snapshot))
-    land(s".manifest-$snapshot.tmp", manifestPath(dir))
+    val tmp = new Path(base, s".manifest-$snapshot.tmp")
+    val out = fsys.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // the commit point: one rename onto a key that has never existed
+    if (!fsys.rename(tmp, manifestPath(dir, snapshot)))
+      throw new RuntimeException(s"manifest commit failed for $dir @ $snapshot")
+  }
+
+  /** Read the current snapshot — from the manifest's file list, never
+    * from a data-directory listing. A table that never committed reads
+    * as absent (error), not as empty. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = currentFiles(spark, dir)
+    require(files.nonEmpty, s"no committed snapshot under $dir")
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
   /** Time travel: read a RETAINED snapshot exactly as committed. */
   def readAt(spark: SparkSession, dir: String, snapshot: String): DataFrame = {
     val (fsys, _) = fs(spark, dir)
-    val files = readManifest(fsys, snapshotManifestPath(dir, snapshot))
+    val files = parse(fsys, manifestPath(dir, snapshot)).map(_.files).getOrElse(Nil)
     require(files.nonEmpty, s"no retained snapshot '$snapshot' under $dir")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
-  }
-
-  /** Read the current snapshot — from the manifest's file list, never
-    * from a directory listing. Missing manifest = empty table is an
-    * error (a table that never committed should be read as absent). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = currentFiles(spark, dir)
-    require(files.nonEmpty, s"no committed snapshot under $dir")
     spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
@@ -161,30 +168,38 @@ object Manifest {
     require(files.nonEmpty, s"no committed snapshot under $dir")
     val bytes = files.map(f => fsys.getFileStatus(new Path(base, f)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val df = read(spark, dir).repartition(n.toInt)
+    val df = spark.read.parquet(files.map(f => s"$dir/$f"): _*).repartition(n.toInt)
     write(df, dir, snapshot)
     n
   }
 
   /** Retention: keep the `keepLast` newest retained manifests (the
-    * current snapshot is always among them — it is the newest) plus
-    * every data dir any of them references; delete older manifests,
-    * their now-unreferenced data dirs, and orphan dirs from crashed
-    * pre-commit writes. Returns the removed entries. */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): Seq[String] = {
+    * current snapshot is the newest, so it always survives) plus every
+    * data dir any of them references. Data dirs referenced only by
+    * DROPPED manifests were committed and superseded — deleted at once.
+    * Data dirs NO retained manifest has ever referenced are either
+    * crashed pre-commit writes or writes still in flight: deleted only
+    * once older than `orphanGraceMs`. Returns the removed entries. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1,
+      orphanGraceMs: Long = 3600000L): Seq[String] = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val (fsys, base) = fs(spark, dir)
-    val all = snapshots(spark, dir)
-    val (dropSnaps, keepSnaps) = all.splitAt(math.max(0, all.size - keepLast))
-    val live = keepSnaps
-      .flatMap(s => readManifest(fsys, snapshotManifestPath(dir, s)))
-      .map(_.split('/').head).toSet
+    val all = retained(fsys, base)
+    val (dropped, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    def dirsOf(ms: Seq[ManifestData]) =
+      ms.flatMap(_.files).map(_.split('/').head).toSet
+    val live = dirsOf(kept)
+    val superseded = dirsOf(dropped) -- live
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
     val goneDirs = fsys.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
       .filterNot(s => live.contains(s.getPath.getName))
+      .filter { s =>
+        superseded.contains(s.getPath.getName) || s.getModificationTime < cutoff
+      }
       .map(_.getPath)
     goneDirs.foreach(p => fsys.delete(p, true))
-    dropSnaps.foreach(s => fsys.delete(snapshotManifestPath(dir, s), false))
-    goneDirs.map(_.getName) ++ dropSnaps.map(s => s"manifest-$s")
+    dropped.foreach(m => fsys.delete(manifestPath(dir, m.snapshot), false))
+    goneDirs.map(_.getName) ++ dropped.map(m => s"manifest-${m.snapshot}")
   }
 }

@@ -357,7 +357,12 @@ object EventStreams {
       queryName: String): StreamingQuery = {
     import spark.implicits._
     // transformWithState requires the RocksDB provider (HDFS-backed state
-    // does not implement the new primitives)
+    // does not implement the new primitives). NOTE: the provider is a
+    // session-level conf read at query start, so this PINS the session's
+    // later stateful streams to RocksDB too — fine for new queries
+    // (RocksDB implements every stateful op), but a checkpoint WRITTEN
+    // under the HDFS provider cannot resume under RocksDB; resume such a
+    // query from a separate session (`spark.newSession()`).
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val schema = readEvents(spark, eventsDir).schema

@@ -66,18 +66,26 @@ object Gates {
    * into the write's own task metrics, so validation costs zero extra
    * scans and sees exactly the rows that landed.
    *
-   * Gate failures follow the reference's accumulate-then-abort contract:
-   * the parquet output of a failed batch is deleted (the land zone never
-   * holds a partial promotion) and ALL violations raise in one
+   * The batch lands in a sibling `.__inflight` directory and is promoted
+   * to `path` only after every gate passes, so a failing (or mid-write
+   * dying) batch can never damage the previous good output. Gate
+   * failures follow the reference's accumulate-then-abort contract: the
+   * inflight directory is deleted and ALL violations raise in one
    * [[GateFailure]]. Returns the passing [[GateResult]] otherwise.
+   * The promote itself is the delete+rename swap — its brief window is
+   * exactly the race [[graft.io.Manifest]] exists to close; use that for
+   * snapshot-isolated zones.
    */
   def gatedWrite(df: DataFrame, path: String, minRows: Long,
       notNullCols: Seq[String] = Nil): GateResult = {
     val obs = Observation()
     val metrics = count(lit(1)).as("rows") +:
       notNullCols.map(c => count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+    val target = new org.apache.hadoop.fs.Path(path)
+    val inflight = new org.apache.hadoop.fs.Path(path + ".__inflight")
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     df.observe(obs, metrics.head, metrics.tail: _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(inflight.toString)
     val m = obs.get
     val rows = m("rows").asInstanceOf[Long]
     val nullErrs = notNullCols.flatMap { c =>
@@ -87,11 +95,12 @@ object Gates {
     val result = rowCountGate(rows, minRows) ++
       GateResult("not_null", nullErrs.isEmpty, nullErrs)
     if (!result.passed) {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+      fs.delete(inflight, true)
       throw new GateFailure(result)
     }
+    fs.delete(target, true)
+    if (!fs.rename(inflight, target))
+      throw new RuntimeException(s"gatedWrite: promote failed for $path")
     result
   }
 }

@@ -26,17 +26,24 @@ class ManifestSpec extends AnyFunSuite {
     assert(oldDf.count() == 100)
   }
 
-  test("a write that dies before the manifest swap leaves the table untouched") {
+  test("a write that dies before the manifest commit leaves the table untouched") {
     val dir = tmpDir()
     Manifest.write((1 to 50).toDF("v"), dir, "s1")
     // simulate a job that landed data but crashed pre-commit: an orphan
-    // data dir appears, the manifest still points at s1
+    // data dir appears, the current snapshot is still s1
     (51 to 60).toDF("v").write.parquet(s"$dir/data-crashed")
     assert(Manifest.read(spark, dir).count() == 50)
-    // vacuum removes the orphan and the superseded, keeps the live set
     Manifest.write((1 to 70).toDF("v"), dir, "s2")
-    val removed = Manifest.vacuum(spark, dir)
-    assert(removed.toSet == Set("data-s1", "data-crashed", "manifest-s1"))
+
+    // default grace window: the orphan might be an IN-FLIGHT write that
+    // has landed data but not yet committed — vacuum must not touch it
+    val careful = Manifest.vacuum(spark, dir)
+    assert(careful.toSet == Set("data-s1", "manifest-s1"))
+    assert(new java.io.File(s"$dir/data-crashed").exists())
+
+    // past the grace window (0 here) the orphan is a crashed write: gone
+    val removed = Manifest.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(removed.toSet == Set("data-crashed"))
     assert(Manifest.read(spark, dir).count() == 70)
   }
 

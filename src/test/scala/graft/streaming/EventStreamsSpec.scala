@@ -42,8 +42,17 @@ class EventStreamsSpec extends AnyFunSuite {
   }
 
   test("transformWithState running spend equals the batch cumulative window") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
     val q = EventStreams.runningSpendStream(spark, SparkTestBase.sf0001, "ev_tws_test")
-    try q.awaitTermination(120000) finally q.stop()
+    try q.awaitTermination(120000) finally {
+      q.stop()
+      // un-pin the suite's shared session from RocksDB for later suites
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
     val streamed = spark.sql(
       "SELECT user_id, ts, event_id, n_events, cum_cents FROM ev_tws_test " +
         "ORDER BY user_id, ts, event_id")

@@ -50,7 +50,7 @@ class GatesSpec extends AnyFunSuite {
     assert(r.passed)
     assert(spark.read.parquet(s"$dir/ok").count() == 3)
 
-    // failing write: BOTH violations accumulate and the output is removed
+    // failing write: BOTH violations accumulate, nothing lands
     val bad = Seq((1L, Some("a")), (2L, None)).toDF("id", "v")
     val e = intercept[Gates.GateFailure] {
       Gates.gatedWrite(bad, s"$dir/bad", minRows = 3, notNullCols = Seq("v"))
@@ -59,6 +59,13 @@ class GatesSpec extends AnyFunSuite {
     assert(e.result.errors.exists(_.contains("row count 2")))
     assert(e.result.errors.exists(_.contains("column v: 1 null")))
     assert(!new java.io.File(s"$dir/bad").exists())
+    assert(!new java.io.File(s"$dir/bad.__inflight").exists())
+
+    // a failing re-run must leave the PREVIOUS good output untouched
+    intercept[Gates.GateFailure] {
+      Gates.gatedWrite(bad, s"$dir/ok", minRows = 3, notNullCols = Seq("v"))
+    }
+    assert(spark.read.parquet(s"$dir/ok").count() == 3)
   }
 
   test("profile counts nulls and distincts per column, normalizes extremes") {
