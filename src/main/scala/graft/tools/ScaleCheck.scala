@@ -76,7 +76,9 @@ object ScaleCheck {
       "q_snapshot_diff", "q_profile", "q_abc_class",
       "q_asof_native", "q_asof_join", "q_interval_join", "q_rolling_distinct",
       "q_kmv_distinct", "q_text_lmscore", "q_text_cosine",
-      "q_bpe_step", "q_dedup_clusters_lss", "q_trending", "q_constraints")
+      "q_bpe_step", "q_dedup_clusters_lss", "q_trending", "q_constraints",
+      "q_dedup_prefix", "q_skyline", "q_cms_counts", "q_cogroup_recon",
+      "q_source_cap", "q_token_budget", "q_kmv_setops")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
