@@ -576,10 +576,97 @@ object Advanced {
            |    * (COUNT(DISTINCT o_orderstatus) - 1) AS dof
            |FROM terms""".stripMargin))
 
+  // Spearman rank correlation (quantity vs price per return flag) on
+  // tie-AVERAGED ranks, kept integral as double-ranks r2 = 2·rank + ties
+  // − 1 (Spearman is affine-invariant, so scaling ranks by 2 changes
+  // nothing and keeps every moment sum an exact integer). All sums ride
+  // DECIMAL(38,0) (DuckDB: HUGEINT); only the final num/√(dx·dy) is
+  // IEEE, cut at 9 dp on both engines.
+  private val rankCorr = Q(
+    "q_rank_corr",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val W = org.apache.spark.sql.expressions.Window
+      def r2(c: String) =
+        (lit(2) * rank().over(
+            W.partitionBy("l_returnflag").orderBy(col(c)))
+          + count(lit(1)).over(W.partitionBy("l_returnflag", c))
+          - 1).cast(DecimalType(14, 0))
+      val ranked = li.select(col("l_returnflag"),
+        r2("l_quantity").as("rx"), r2("l_extendedprice").as("ry"))
+      val d38 = DecimalType(38, 0)
+      val agg = ranked.groupBy("l_returnflag").agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col("rx")).cast(d38).as("sx"),
+        sum(col("ry")).cast(d38).as("sy"),
+        sum((col("rx") * col("ry")).cast(DecimalType(28, 0))).cast(d38).as("sxy"),
+        sum((col("rx") * col("rx")).cast(DecimalType(28, 0))).cast(d38).as("sxx"),
+        sum((col("ry") * col("ry")).cast(DecimalType(28, 0))).cast(d38).as("syy"))
+      agg.select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+              * (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)), 9)
+            .as("spearman_rho"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT l_returnflag,
+           |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+           |      AS HUGEINT) AS rx,
+           |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+           |      AS HUGEINT) AS ry
+           |  FROM lineitem),
+           |m AS (
+           |  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+           |    SUM(rx) AS sx, SUM(ry) AS sy,
+           |    SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+           |  FROM ranked GROUP BY 1)
+           |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+           |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+           |         * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS spearman_rho
+           |FROM m ORDER BY l_returnflag""".stripMargin))
+
+  // Benford first-digit profile of order totals — the forensic
+  // data-quality screen. The leading digit comes from the CENTS INTEGER
+  // rendered as a string (double→string formatting is engine-specific;
+  // bigint→string is canonical), so the digit extraction is exact;
+  // expected share log10(1+1/d) and the observed share are 9dp-rounded
+  // IEEE on both engines.
+  private val benford = Q(
+    "q_benford",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val digit = substring(cents.cast("string"), 1, 1).cast("int")
+      val counts = o.select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          round(col("n").cast(DoubleType) / col("total").cast(DoubleType), 9)
+            .as("share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)), 9)
+            .as("benford_share"))
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (
+           |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+           |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           |  FROM orders),
+           |counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+           |t AS (SELECT SUM(n) AS total FROM counts)
+           |SELECT digit, n,
+           |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share,
+           |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9) AS benford_share
+           |FROM counts CROSS JOIN t ORDER BY digit""".stripMargin))
+
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
     asofJoin, asofNative, asofForward, eventsSessions, eventsSliding, eventsFunnel,
     eventSequences, variantExtract, eventsSessionWindow, approxDistinct,
     recursiveCte, lateralTop2, twap, userLifecycle, rollingDistinct,
-    trendingTopk, chiSquare)
+    trendingTopk, chiSquare, rankCorr, benford)
 }
