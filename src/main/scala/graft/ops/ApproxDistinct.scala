@@ -28,6 +28,9 @@ import org.apache.spark.sql.types.LongType
  */
 object ApproxDistinct {
 
+  /** 2⁶⁰ — the KMV hash space size (60-bit md5 prefix), exact in a double. */
+  private val HashSpace = 1152921504606846976.0
+
   /** Per-group HLL sketch state over `valueCol` (binary column `sk`). */
   def buildState(df: DataFrame, keys: Seq[String], valueCol: String,
       lgK: Int = 14): DataFrame =
@@ -173,7 +176,7 @@ object ApproxDistinct {
     state.select(keys.map(col) ++ Seq(
       size(col("kmv")).as("n_kept"),
       when(size(col("kmv")) < col("kmv_k"), size(col("kmv")).cast("double"))
-        .otherwise((col("kmv_k") - 1).cast("double") * lit(1152921504606846976.0)
+        .otherwise((col("kmv_k") - 1).cast("double") * lit(HashSpace)
           / expr("kmv[kmv_k - 1]").cast("double"))
         .as("est_distinct")): _*)
 
@@ -212,8 +215,11 @@ object ApproxDistinct {
     val kb = coalesce(col("__kb"), emptyArr)
     val merged = slice(array_sort(array_union(ka, kb)), 1, k)
     val nKept = size(merged)
+    // the k-mismatch guard rides the when-CONDITION (evaluated for every
+    // row on either branch), the same pruning-proof trick as kmvRollup's
+    // key-embedded guard; assert_true yields null on success
     val estUnion = when(guard.isNull && nKept < k, nKept.cast("double"))
-      .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace)
         / element_at(merged, k).cast("double"))
     val inBoth = size(array_intersect(array_intersect(merged, ka), kb))
     val jaccard = inBoth.cast("double") / nKept.cast("double")

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /**
@@ -327,17 +328,15 @@ object EventStreams {
     * Within a batch the key's rows replay in (ts, event_id) order; state
     * then carries across micro-batches in arrival order. */
   class RunningSpendProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SpendEvent, SpendOut] {
-    @transient private var state: org.apache.spark.sql.streaming.ValueState[SpendState] = _
+      extends StatefulProcessor[Long, SpendEvent, SpendOut] {
+    @transient private var state: ValueState[SpendState] = _
 
-    override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[SpendState]("spend",
-        org.apache.spark.sql.Encoders.product[SpendState],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        Encoders.product[SpendState], TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[SpendEvent],
-        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SpendOut] = {
+        timerValues: TimerValues): Iterator[SpendOut] = {
       val sorted = rows.toArray.sortBy(e => (e.ts, e.event_id))
       var st = if (state.exists()) state.get() else SpendState(0L, 0L)
       val out = sorted.map { e =>
@@ -374,7 +373,7 @@ object EventStreams {
       .as[SpendEvent]
       .groupByKey(_.user_id)
       .transformWithState(new RunningSpendProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append())
       .writeStream
       .outputMode("append")
       .format("memory")
@@ -388,9 +387,9 @@ object EventStreams {
     * cents — Spark's `round` is the HALF_UP-on-decimal-string the
     * processor applies, so the two paths are bit-identical. */
   def runningSpendBatch(spark: SparkSession, eventsDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val w = Window.partitionBy("user_id")
       .orderBy("ts", "event_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      .rowsBetween(Window.unboundedPreceding, 0)
     readEvents(spark, eventsDir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"),
