@@ -35,27 +35,39 @@ object Bench {
     // that actually predicts cluster-scale behavior, where compile cost
     // amortizes over hours of execution
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var ok = true
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
-            ok = false
+            err = Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").linesIterator
+                .take(1).mkString.take(200))
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, ok)
+      (name, times.min, err)
     }
     // a failed query must not silently feed the metric: its time is the
-    // sentinel -1 and it is excluded from the total, with the failure
-    // surfaced in the JSON itself
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    // sentinel -1 and it is excluded from the total; the failure — WITH
+    // its first exception line — lands in the JSON itself so the driver
+    // artifact is self-diagnosing, not just a name list
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, err) => jstr(k) + ":" + (if (err.isEmpty) v else -1.0) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, Some(_)) => jstr(k) }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -101,7 +101,12 @@ object Sampling {
     // string→double of the same exact integer round identically
     val u = ApproxDistinct.kmvHash(col(keyCol))
       .cast("double") / lit(math.pow(2.0, 60.0))
-    val key = round(log(u) / col(weightCol).cast("double"), 9)
+    // rescale by 1e6 BEFORE the 9-dp round: ln(u)/weight is ~1e-8 for
+    // large weights, where a raw 9-dp grid keeps ~1 significant digit and
+    // the top-n boundary lands inside mass ties that a last-ulp ln()
+    // difference across engines can flip; at 1e6 the grid carries ~7
+    // significant digits and the rank order is stable
+    val key = round(log(u) / col(weightCol).cast("double") * lit(1e6), 9)
     df.withColumn("sample_key", key)
       .orderBy(col("sample_key").desc, col(keyCol))
       .limit(n)

@@ -375,7 +375,7 @@ object Analytics {
         .unionByName(profile(events(s, dir), "events.user_id", "user_id"))
         .orderBy("key_col")
     },
-    Some("""SELECT key_col, n_keys, total, max_cnt,
+    Some("""SELECT key_col, n_keys, CAST(total AS BIGINT) AS total, max_cnt,
            |  CAST(max_cnt AS DOUBLE) * n_keys / total AS skew_ratio
            |FROM (
            |  SELECT 'lineitem.l_suppkey' AS key_col, COUNT(*) AS n_keys,
@@ -831,7 +831,7 @@ object Analytics {
     Some("""SELECT o_orderkey, o_totalprice, sample_key FROM (
            |  SELECT o_orderkey, o_totalprice,
            |    round(ln(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
-           |             / 1152921504606846976.0) / o_totalprice, 9) AS sample_key
+           |             / 1152921504606846976.0) / o_totalprice * 1e6, 9) AS sample_key
            |  FROM orders
            |  ORDER BY sample_key DESC, o_orderkey LIMIT 50)
            |ORDER BY o_orderkey""".stripMargin))

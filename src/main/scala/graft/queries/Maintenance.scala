@@ -451,9 +451,15 @@ object Maintenance {
         uniqueKey(orders, "orders_pk_unique", Seq("o_orderkey")),
         uniqueKey(li, "lineitem_pk_unique", Seq("l_orderkey", "l_linenumber")),
         foreignKey(orders, "orders_fk_customer", "o_custkey", customer, "c_custkey"),
-        inRange(li, "lineitem_qty_range_1_50", "l_quantity", 1.0, 50.0)))
+        inRange(li, "lineitem_qty_range_1_50", "l_quantity", 1.0, 50.0),
+        // accepted-values + format checks — the reference README's
+        // remaining validate-stage rule kinds; the enum deliberately
+        // EXCLUDES 'P' so a real nonzero count is exercised
+        inEnum(orders, "orders_status_enum_F_O", "o_orderstatus", Seq("F", "O")),
+        matchesRegex(customer, "customer_name_format", "c_name",
+          "Customer#[0-9]{9}")))
     },
-    Some("""SELECT rule, violations FROM (
+    Some("""SELECT rule, CAST(violations AS BIGINT) AS violations FROM (
            |  SELECT 'orders_min_rows_100' AS rule,
            |         GREATEST(0, 100 - COUNT(*)) AS violations FROM orders
            |  UNION ALL
@@ -473,7 +479,17 @@ object Maintenance {
            |  SELECT 'lineitem_qty_range_1_50',
            |         SUM(CASE WHEN l_quantity IS NOT NULL
            |                   AND (l_quantity < 1 OR l_quantity > 50)
-           |                  THEN 1 ELSE 0 END) FROM lineitem)
+           |                  THEN 1 ELSE 0 END) FROM lineitem
+           |  UNION ALL
+           |  SELECT 'orders_status_enum_F_O',
+           |         SUM(CASE WHEN o_orderstatus IS NOT NULL
+           |                   AND o_orderstatus NOT IN ('F', 'O')
+           |                  THEN 1 ELSE 0 END) FROM orders
+           |  UNION ALL
+           |  SELECT 'customer_name_format',
+           |         SUM(CASE WHEN c_name IS NOT NULL
+           |                   AND NOT regexp_full_match(c_name, 'Customer#[0-9]{9}')
+           |                  THEN 1 ELSE 0 END) FROM customer)
            |ORDER BY rule""".stripMargin))
 
   // Resample by LINEAR INTERPOLATION: thin the daily series to weekly
@@ -742,8 +758,8 @@ object Maintenance {
             |  FROM ranked GROUP BY 1)
             |SELECT l_returnflag, COUNT(*) AS n,
             |  ${oSum("least(greatest(l_extendedprice, lo), hi)")} AS sum_clipped,
-            |  SUM(CASE WHEN l_extendedprice < lo THEN 1
-            |           WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_clipped
+            |  CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1
+            |           WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
             |FROM lineitem JOIN bounds USING (l_returnflag)
             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
@@ -816,21 +832,21 @@ object Maintenance {
         "l_shipdate" -> ((c: org.apache.spark.sql.Column) => to_date(c))))
         .orderBy("column"),
     Some("""SELECT 'l_returnflag' AS "column", COUNT(l_returnflag) AS n_nonnull,
-           |  SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            |  COUNT(DISTINCT l_returnflag) AS n_distinct,
            |  CAST(MIN(l_returnflag) AS VARCHAR) AS min_s,
            |  CAST(MAX(l_returnflag) AS VARCHAR) AS max_s
            |FROM lineitem
            |UNION ALL
            |SELECT 'l_quantity', COUNT(l_quantity),
-           |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            |  COUNT(DISTINCT l_quantity),
            |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR),
            |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
            |FROM lineitem
            |UNION ALL
            |SELECT 'l_shipdate', COUNT(l_shipdate),
-           |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+           |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            |  COUNT(DISTINCT l_shipdate),
            |  CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR),
            |  CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR)

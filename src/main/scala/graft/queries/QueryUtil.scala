@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /**
  * A named engine query plus (when SQL-expressible) its DuckDB oracle over
@@ -22,12 +22,26 @@ object QueryUtil {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture carries TIMESTAMP(NANOS): read it with the
-    * nanos→long legacy conf so `ts` arrives as integer nanoseconds —
-    * the one shared reader every events query must go through. */
+  /** The one shared reader every events query must go through. The
+    * documented contract downstream is `ts` = epoch NANOSECONDS as LONG;
+    * the fixture's physical type has drifted between TIMESTAMP(NANOS)
+    * (readable only as a nanos long under the legacy conf) and
+    * TIMESTAMP(MICROS, NTZ), so normalize whatever arrives. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    normalizeTs(t(spark, dir, "events"))
+  }
+
+  /** Normalize an events frame's `ts` column to epoch-nanos LONG.
+    * Session timezone is pinned UTC by every entrypoint, so the
+    * NTZ→TIMESTAMP cast is value-preserving. Works on streaming frames
+    * too (pure projection). */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df
+    case TimestampType | TimestampNTZType =>
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    case other =>
+      throw new IllegalStateException(s"events.ts has unsupported type $other")
   }
 
   /** Exact decimal sum of a 2-dp double column, surfaced as double. */

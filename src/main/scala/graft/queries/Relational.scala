@@ -519,10 +519,7 @@ object Relational {
     (s, dir) => {
       // tumbling-window counts — batch twin of the Structured Streaming
       // query in graft.streaming.EventStreams (same date_trunc semantics).
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-      // a nanos Long under the legacy conf — rebase to micros explicitly.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
+      val ev = events(s, dir)
         .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       ev.groupBy(
           unix_timestamp(date_trunc("hour", col("ts_t"))).as("win_start"),

@@ -18,11 +18,28 @@ object EventStreams {
   /** Tumbling-window counts as a *streaming* query over the parquet file
     * source. Watermark bounds state; AvailableNow drains all existing
     * files then stops — the idempotent-batch twin of a long-lived stream. */
-  /** The events fixture carries parquet TIMESTAMP(NANOS); Spark 4 reads it
-    * only as a nanos Long under the legacy conf — rebase to micros. */
+  /** Batch read of the events fixture with `ts` normalized to the
+    * epoch-nanos-LONG contract every consumer below assumes — the fixture's
+    * physical type has drifted between TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS, NTZ), so delegate to the shared normalizer. */
   private def readEvents(spark: SparkSession, eventsDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$eventsDir/events.parquet")
+    graft.queries.QueryUtil.normalizeTs(
+      spark.read.parquet(s"$eventsDir/events.parquet"))
+  }
+
+  /** File-source STREAM over the events fixture, `ts` normalized the same
+    * way. The readStream schema must be the file's RAW schema (a declared
+    * LONG over a physical timestamp column would mis-read), so infer it
+    * from a batch read and normalize the streaming frame afterwards —
+    * `normalizeTs` is a pure projection, legal on streaming plans. */
+  private def streamEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$eventsDir/events.parquet").schema
+    graft.queries.QueryUtil.normalizeTs(
+      spark.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(eventsDir))
   }
 
   def hourlyCountsStream(
@@ -30,11 +47,7 @@ object EventStreams {
       eventsDir: String,
       queryName: String,
       watermark: String = "1 hour"): StreamingQuery = {
-    val schema = readEvents(spark, eventsDir).schema
-    // the file-source stream needs a directory; glob-filter to the table
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsDir)
+    val events = streamEvents(spark, eventsDir)
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
     events
       .withWatermark("ts_t", watermark)
@@ -62,10 +75,7 @@ object EventStreams {
       eventsDir: String,
       queryName: String,
       watermark: String = "1 hour"): StreamingQuery = {
-    val schema = readEvents(spark, eventsDir).schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsDir)
+    streamEvents(spark, eventsDir)
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", watermark)
       .groupBy(window(col("ts_t"), "1 hour", "15 minutes"), col("event_type"))
@@ -113,10 +123,7 @@ object EventStreams {
       queryName: String,
       gapNanos: Long = 30L * 60 * 1000 * 1000 * 1000): StreamingQuery = {
     import spark.implicits._
-    val schema = readEvents(spark, eventsDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsDir)
+    val stream = streamEvents(spark, eventsDir)
       .select(col("user_id"), col("ts"))
       .as[SessEvent]
 
@@ -183,10 +190,7 @@ object EventStreams {
       eventsDir: String,
       queryName: String): StreamingQuery = {
     import spark.implicits._
-    val schema = readEvents(spark, eventsDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsDir)
+    val stream = streamEvents(spark, eventsDir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), expr("ts DIV 1000").as("ts"),
         when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
@@ -243,10 +247,7 @@ object EventStreams {
       eventsDir: String,
       queryName: String,
       watermark: String = "1 hour"): StreamingQuery = {
-    val schema = readEvents(spark, eventsDir).schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsDir)
+    streamEvents(spark, eventsDir)
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -269,11 +270,8 @@ object EventStreams {
       eventsDir: String,
       queryName: String,
       watermark: String = "1 hour"): StreamingQuery = {
-    val schema = readEvents(spark, eventsDir).schema
     def side(eventType: String, tsName: String, userName: String) =
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(eventsDir)
+      streamEvents(spark, eventsDir)
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(userName),
           timestamp_micros(expr("ts DIV 1000")).as(tsName))
@@ -364,10 +362,7 @@ object EventStreams {
     // query from a separate session (`spark.newSession()`).
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val schema = readEvents(spark, eventsDir).schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(eventsDir)
+    streamEvents(spark, eventsDir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[SpendEvent]

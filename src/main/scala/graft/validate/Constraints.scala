@@ -50,6 +50,24 @@ object Constraints {
         && !col(colName).between(lo, hi), 1L).otherwise(0L)).as("violations"))
       .select(lit(rule).as("rule"), coalesce(col("violations"), lit(0L)).as("violations"))
 
+  /** Values outside an allowed enumeration (reference README names the
+    * accepted-values check as part of the real validate stage). Nulls
+    * pass — pair with [[notNull]] when membership is also mandatory. */
+  def inEnum(df: DataFrame, rule: String, colName: String,
+      allowed: Seq[String]): DataFrame =
+    df.agg(sum(when(col(colName).isNotNull
+        && !col(colName).isin(allowed: _*), 1L).otherwise(0L)).as("violations"))
+      .select(lit(rule).as("rule"), coalesce(col("violations"), lit(0L)).as("violations"))
+
+  /** Values not fully matching a regex (anchored rlike — Java and RE2-ish
+    * engines agree on this fragment class; keep patterns to the portable
+    * subset). Nulls pass. */
+  def matchesRegex(df: DataFrame, rule: String, colName: String,
+      pattern: String): DataFrame =
+    df.agg(sum(when(col(colName).isNotNull
+        && !col(colName).rlike("^(?:" + pattern + ")$"), 1L).otherwise(0L)).as("violations"))
+      .select(lit(rule).as("rule"), coalesce(col("violations"), lit(0L)).as("violations"))
+
   /** Batch-size floor (the reference's ≥100-rows gate): violations =
     * shortfall below `minRows`. */
   def minRows(df: DataFrame, rule: String, minRows: Long): DataFrame =

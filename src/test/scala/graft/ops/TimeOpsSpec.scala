@@ -70,9 +70,8 @@ class TimeOpsSpec extends AnyFunSuite {
     val streamed = spark.sql(
       """SELECT user_id, session_id, n_events, start_ts, end_ts
         |FROM sess_test ORDER BY user_id, session_id""".stripMargin).collect()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = TimeOps.sessionize(
-      spark.read.parquet(s"${SparkTestBase.sf0001}/events.parquet")
+      graft.queries.QueryUtil.events(spark, SparkTestBase.sf0001)
         .select("user_id", "ts"), "user_id", "ts",
       gap = 30L * 60 * 1000 * 1000 * 1000)
       .orderBy("user_id", "session_id").collect()

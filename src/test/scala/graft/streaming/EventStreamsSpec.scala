@@ -72,7 +72,7 @@ class EventStreamsSpec extends AnyFunSuite {
       "SELECT event_id, user_id, pts, click_id, click_ts FROM ev_asof_test ORDER BY event_id")
       .collect().map(_.toSeq).toSeq
 
-    val ev = spark.read.parquet(s"${SparkTestBase.sf0001}/events.parquet")
+    val ev = graft.queries.QueryUtil.events(spark, SparkTestBase.sf0001)
       .withColumn("ts_us", expr("ts DIV 1000"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts_us").as("pts"))
