@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -225,9 +225,13 @@ object SimSearch {
       ivfAssign(corpus, k, idCol, vecCol)
         .select(col("id").as("neighbor_id"), col("v").as("cvec"), col("cluster"))
         .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec"))))
-    // centroid of each cluster for probe selection (reuse assignment
-    // means) — exact decimal mean, same portability contract as ivfAssign
-    val centroids = assigned
+    ivfSearch(assigned, ivfCentroids(assigned), queries, topK, nprobe, idCol, vecCol)
+  }
+
+  /** Probe centroids recomputed from an assignment (exact decimal mean,
+    * the same portability contract as ivfAssign). */
+  private def ivfCentroids(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cluster"), posexplode(col("cvec")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim")
       .agg((sum(col("x").cast(DecimalType(28, 12))).cast(DoubleType)
@@ -235,6 +239,13 @@ object SimSearch {
       .groupBy("cluster").agg(
         transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("ccv"))
+
+  /** The search phase over a (built or loaded) index: nprobe cluster
+    * picks per query against the broadcast centroid table, then one
+    * cluster-key join into the assignment. */
+  private def ivfSearch(assigned: DataFrame, centroids: DataFrame,
+      queries: DataFrame, topK: Int, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("qn", sqrt(VectorFunctions.vecDotExpr("qvec", "qvec")))
     // pick nprobe closest clusters per query
@@ -255,6 +266,37 @@ object SimSearch {
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= topK)
       .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Persist the IVF index: the assignment lands as parquet PARTITIONED
+    * BY cluster — a probe then reads only its nprobe cluster directories
+    * (dynamic partition pruning fires on the broadcast cluster join) —
+    * plus the k-row probe-centroid table. This is the build/search split
+    * the 100 TB design needs: the O(corpus) Lloyd pass runs ONCE per
+    * corpus version and every later query batch pays only
+    * nprobe/k-of-corpus scan + a KB-sized centroid read. */
+  def buildIvfIndex(corpus: DataFrame, indexDir: String, k: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    VectorFunctions.register(corpus.sparkSession)
+    val assigned = ivfAssign(corpus, k, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("v").as("cvec"), col("cluster"))
+      .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec")))
+    assigned.write.mode("overwrite")
+      .partitionBy("cluster").parquet(s"$indexDir/assigned")
+    ivfCentroids(assigned).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Search a [[buildIvfIndex]]-persisted index — identical output to
+    * [[ivfTopK]] over the same corpus (the index IS the deterministic
+    * assignment), without re-running the build. */
+  def ivfTopKIndexed(spark: SparkSession, indexDir: String,
+      queries: DataFrame, topK: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(spark)
+    val assigned = spark.read.parquet(s"$indexDir/assigned")
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    ivfSearch(assigned, centroids, queries, topK, nprobe, idCol, vecCol)
   }
 
   /** Approximate top-k: candidates drawn only from the query's LSH bucket

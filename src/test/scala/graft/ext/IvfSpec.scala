@@ -31,6 +31,23 @@ class IvfSpec extends AnyFunSuite {
     assert(hits > 0, s"IVF found none of the true top-5 (${ivf.length} rows returned)")
   }
 
+  test("a persisted index searches identically to the inline build, without rebuilding") {
+    val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    SimSearch.buildIvfIndex(emb, idx, k = 8)
+    // the partitioned layout: one directory per cluster, probes prune to nprobe of them
+    val parts = new java.io.File(s"$idx/assigned").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
+    assert(parts.nonEmpty && parts.size <= 8)
+
+    val inline = SimSearch.ivfTopK(emb, queries, topK = 5, k = 8, nprobe = 3)
+      .collect().map(_.toSeq).toSeq
+    val indexed = SimSearch.ivfTopKIndexed(spark, idx, queries, topK = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(indexed === inline.sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int])))
+  }
+
   test("ivfAssign: every vector gets exactly one cluster in [0, k)") {
     val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
     val assigned = SimSearch.ivfAssign(emb, k = 8)
