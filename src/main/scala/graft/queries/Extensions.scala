@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, SimSearch, TextStats}
+import graft.ext.{Dedup, Multimodal, RealMedia, SimSearch, TextStats}
 import QueryUtil._
 
 /**
@@ -541,6 +541,127 @@ object Extensions {
            |FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS j)
            |WHERE doc_id % 3 = 2
            |ORDER BY media_id, frame_idx""".stripMargin))
+
+  // ---- REAL media decode (MediaCodec: P6 PPM / concatenated-P6 / WAV) ----
+  // Payload content is an md5 block chain the oracle REGENERATES with SQL
+  // md5(); the Spark side sees only encoded container bytes and must parse
+  // them for real — a hash match proves decode ∘ encode preserved content.
+
+  private val mediaProbe = Q(
+    "q_media_probe",
+    (s, dir) => {
+      val media = RealMedia.synthesize(t(s, dir, "documents"), "doc_id")
+      RealMedia.probeAll(media).orderBy("media_id")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS k3,
+           |    4 + 2*CAST(doc_id % 5 AS INT) AS ih,
+           |    8000 + 4000*CAST(doc_id % 4 AS INT) AS rate,
+           |    16*(2 + CAST(doc_id % 3 AS INT)) AS ns,
+           |    2 + CAST(doc_id % 4 AS INT) AS vk
+           |  FROM documents),
+           |p AS (
+           |  SELECT media_id,
+           |    CASE k3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           |    CAST(CASE k3 WHEN 1 THEN 0 ELSE 16 END AS INTEGER) AS width,
+           |    CAST(CASE k3 WHEN 0 THEN ih WHEN 1 THEN 0 ELSE 4 END AS INTEGER) AS height,
+           |    CAST(CASE k3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE vk END AS INTEGER) AS n_frames,
+           |    CAST(CASE k3 WHEN 1 THEN rate ELSE 0 END AS INTEGER) AS sample_rate,
+           |    CASE k3 WHEN 0 THEN 3*ih WHEN 1 THEN ns // 8 ELSE 12*vk END AS nblocks
+           |  FROM m),
+           |b AS (
+           |  SELECT media_id,
+           |    ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(bi AS VARCHAR)),
+           |       2*j + 1, 2))::BIGINT AS v
+           |  FROM p, LATERAL (SELECT unnest(range(0, nblocks)) AS bi) bs,
+           |          LATERAL (SELECT unnest(range(0, 16)) AS j) js),
+           |s AS (SELECT media_id, SUM(v) AS sum_b, COUNT(*) AS n_b FROM b GROUP BY media_id)
+           |SELECT p.media_id AS media_id, kind, width, height, n_frames, sample_rate,
+           |  CAST(sum_b AS BIGINT) AS sum_b, CAST(n_b AS BIGINT) AS n_b
+           |FROM p JOIN s ON p.media_id = s.media_id ORDER BY p.media_id""".stripMargin))
+
+  // NN resize through the REAL codec: decode P6 → nearest-neighbor 8×8 →
+  // re-encode; the oracle replays the NN source-index arithmetic over the
+  // md5 chain and prepends the canonical "P6\n8 8\n255\n" header hex.
+  private val mediaResize = Q(
+    "q_media_resize",
+    (s, dir) => {
+      val media = RealMedia.synthesize(t(s, dir, "documents"), "doc_id")
+        .filter(col("kind") === "image")
+      Multimodal.resizeAll(media, w = 8, h = 8, RealMedia.RealDecoder)
+        .select(col("media_id"), hex(col("payload")).as("resized_hex"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT media_id,
+           |  '50360A3820380A3235350A' || upper(string_agg(hx, '' ORDER BY i)) AS resized_hex
+           |FROM (
+           |  SELECT media_id, i,
+           |    substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(si // 16 AS VARCHAR)),
+           |      2*(si % 16) + 1, 2) AS hx
+           |  FROM (
+           |    SELECT doc_id AS media_id, i,
+           |      ((((i//24) * (4 + 2*CAST(doc_id % 5 AS INT))) // 8) * 16
+           |        + ((i%24)//3)*2)*3 + (i%3) AS si
+           |    FROM documents, LATERAL (SELECT unnest(range(0, 192)) AS i) ii
+           |    WHERE doc_id % 3 = 0))
+           |GROUP BY media_id ORDER BY media_id""".stripMargin))
+
+  // Real RIFF/PCM16 decode: signed-sample reconstruction from the chain's
+  // little-endian byte pairs, all-integer outputs so the compare is exact.
+  private val mediaWav = Q(
+    "q_media_wav",
+    (s, dir) => {
+      val media = RealMedia.synthesize(t(s, dir, "documents"), "doc_id")
+        .filter(col("kind") === "audio")
+      RealMedia.wavStats(media).orderBy("media_id")
+    },
+    Some("""WITH a AS (
+           |  SELECT doc_id AS media_id,
+           |    8000 + 4000*CAST(doc_id % 4 AS INT) AS rate,
+           |    16*(2 + CAST(doc_id % 3 AS INT)) AS ns
+           |  FROM documents WHERE doc_id % 3 = 1),
+           |sm AS (
+           |  SELECT media_id, rate, ns,
+           |    ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(j // 8 AS VARCHAR)),
+           |       2*(2*(j % 8)) + 1, 2))::INT
+           |    + 256 * ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(j // 8 AS VARCHAR)),
+           |       2*(2*(j % 8) + 1) + 1, 2))::INT AS u
+           |  FROM a, LATERAL (SELECT unnest(range(0, ns)) AS j) js),
+           |sv AS (SELECT media_id, rate, ns,
+           |         ABS(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS av
+           |       FROM sm)
+           |SELECT media_id, CAST(rate AS INTEGER) AS sample_rate,
+           |  CAST(ns AS INTEGER) AS n_samples,
+           |  CAST(SUM(av) AS BIGINT) AS sum_abs, CAST(MAX(av) AS INTEGER) AS peak
+           |FROM sv GROUP BY media_id, rate, ns ORDER BY media_id""".stripMargin))
+
+  // Concatenated-P6 demux + stride-2 frame sampling through the SAME
+  // sampleFramesAll plumbing the stub used; per-frame pixel sums prove
+  // each frame's bytes round-tripped the demux → re-encode → decode path.
+  private val mediaFrames = Q(
+    "q_media_frames",
+    (s, dir) => {
+      val media = RealMedia.synthesize(t(s, dir, "documents"), "doc_id")
+        .filter(col("kind") === "video")
+      RealMedia.frameStats(media, everyN = 2).orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH v AS (
+           |  SELECT doc_id AS media_id, 2 + CAST(doc_id % 4 AS INT) AS vk
+           |  FROM documents WHERE doc_id % 3 = 2),
+           |f AS (
+           |  SELECT media_id, CAST(fi AS INTEGER) AS src_frame
+           |  FROM v, LATERAL (SELECT unnest(range(0, vk)) AS fi) fs
+           |  WHERE fi % 2 = 0),
+           |b AS (
+           |  SELECT media_id, src_frame,
+           |    ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':'
+           |        || CAST(12*src_frame + bi AS VARCHAR)), 2*j + 1, 2))::BIGINT AS x
+           |  FROM f, LATERAL (SELECT unnest(range(0, 12)) AS bi) bs,
+           |          LATERAL (SELECT unnest(range(0, 16)) AS j) js)
+           |SELECT media_id, CAST(src_frame // 2 AS INTEGER) AS frame_idx,
+           |  CAST(16 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           |  CAST(SUM(x) AS BIGINT) AS sum_b
+           |FROM b GROUP BY media_id, src_frame ORDER BY media_id, frame_idx""".stripMargin))
 
   // ---- dedup clustering + incremental dedup ------------------------------
 
@@ -1087,6 +1208,7 @@ object Extensions {
     textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
-    multimodalChunks, textNgrams, textLmScore, bpeStep, textHashVec,
+    multimodalChunks, mediaProbe, mediaResize, mediaWav, mediaFrames,
+    textNgrams, textLmScore, bpeStep, textHashVec,
     textHeavyHitters, cmsCounts, textNovelty)
 }
