@@ -201,3 +201,57 @@ object MaintenanceProps extends Properties("maintenance") {
       backA == a && backB == b
     }
 }
+
+/** Codec round-trip laws on arbitrary rasters/samples — the properties
+  * that make the REAL media decode trustworthy beyond the fixed specs:
+  * any (w, h, rgb) survives P6 encode→decode, any frame list survives
+  * concat→demux, any PCM clip survives WAV encode→decode, and NN resize
+  * hits exactly the ⌊·⌋ source-index mapping. */
+object MediaCodecProps extends Properties("mediacodec") {
+  import graft.ext.MediaCodec
+
+  private val dimGen = Gen.choose(1, 24)
+  private def rgbGen(w: Int, h: Int): Gen[Array[Byte]] =
+    Gen.containerOfN[Array, Byte](w * h * 3, Gen.choose(-128, 127).map(_.toByte))
+
+  property("P6 encode/decode is identity") =
+    forAll(dimGen, dimGen) { (w, h) =>
+      forAll(rgbGen(w, h)) { rgb =>
+        val (dw, dh, drgb) = MediaCodec.decodePpm(MediaCodec.encodePpm(w, h, rgb))
+        dw == w && dh == h && drgb.sameElements(rgb)
+      }
+    }
+
+  property("concatenated-P6 demux recovers every frame in order") =
+    forAll(Gen.choose(1, 5), dimGen, dimGen) { (k, w, h) =>
+      forAll(Gen.listOfN(k, rgbGen(w, h))) { frames =>
+        val stream = frames.map(MediaCodec.encodePpm(w, h, _)).reduce(_ ++ _)
+        val out = MediaCodec.decodePpmFrames(stream)
+        out.size == k && out.zip(frames).forall { case ((dw, dh, rgb), exp) =>
+          dw == w && dh == h && rgb.sameElements(exp)
+        }
+      }
+    }
+
+  property("WAV encode/decode is identity (rate and samples)") =
+    forAll(Gen.choose(8000, 48000), Gen.nonEmptyListOf(Gen.choose(Short.MinValue, Short.MaxValue))) {
+      (rate, samples) =>
+        val (dr, ds) = MediaCodec.decodeWav(MediaCodec.encodeWav(rate, samples.map(_.toShort).toArray))
+        dr == rate && ds.sameElements(samples.map(_.toShort))
+    }
+
+  property("NN resize output pixel (y,x) equals source pixel (⌊y·h/oh⌋, ⌊x·w/ow⌋)") =
+    forAll(dimGen, dimGen, dimGen, dimGen) { (w, h, ow, oh) =>
+      forAll(rgbGen(w, h)) { rgb =>
+        val out = MediaCodec.resizeNearest(w, h, rgb, ow, oh)
+        out.length == ow * oh * 3 &&
+          (0 until oh).forall { y =>
+            (0 until ow).forall { x =>
+              val si = ((y * h / oh) * w + (x * w / ow)) * 3
+              val di = (y * ow + x) * 3
+              (0 until 3).forall(c => out(di + c) == rgb(si + c))
+            }
+          }
+      }
+    }
+}
