@@ -102,4 +102,33 @@ object Mixture {
       .filter(col("seq_id") === 0L)
       .drop("seq_id", "seq_offset")
   }
+
+  /**
+   * Temperature-balanced mixture weights at α = 0.5 — the multilingual
+   * training recipe (sample stratum l ∝ count_l^α, α < 1 upweights
+   * low-resource strata). α is FIXED at 1/2 because `sqrt` is the one
+   * fractional power IEEE 754 requires to be correctly rounded, so the
+   * weights are bit-identical on any engine — a general `pow(c, α)`
+   * rides each libm's exp/ln and is not portable. Determinism of the
+   * shares: `sqrt(c)` exact-rounded per IEEE; the normalizer is an EXACT
+   * decimal sum of the (few) per-stratum sqrt values; the share is then
+   * ONE double division. `target_docs = floor(share · budget)` — floor,
+   * not round, so targets never oversubscribe the budget.
+   *
+   * One count aggregate (map-side combined) + a broadcast-sized stratum
+   * table: nothing here grows with corpus size except the count scan.
+   */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_n", sqrt(col("n_docs").cast(DoubleType)))
+    val total = counts.agg(
+      sum(col("sqrt_n").cast(DecimalType(28, 12))).cast(DoubleType).as("z"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("sqrt_n") / col("z"))
+      .withColumn("target_docs", floor(col("share") * budget).cast("long"))
+      .drop("z")
+  }
 }

@@ -241,6 +241,80 @@ object Assembly {
            |WHERE start < 50000
            |ORDER BY doc_id""".stripMargin))
 
+  // Temperature-balanced mixture weights (α = 1/2 — the multilingual
+  // upweight-low-resource recipe). α is fixed at 1/2 because IEEE sqrt is
+  // correctly rounded on every engine where a general pow(c, α) is not;
+  // the normalizer is an exact decimal sum, so shares are bit-portable.
+  private val mixTemperature = Q(
+    "q_mix_temperature",
+    (s, dir) =>
+      Mixture.temperatureWeights(t(s, dir, "documents"), "lang", budget = 100000L)
+        .orderBy("lang"),
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+           |sq AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS sqrt_n FROM c),
+           |z AS (SELECT CAST(SUM(CAST(sqrt_n AS DECIMAL(28,12))) AS DOUBLE) AS z FROM sq)
+           |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, sqrt_n,
+           |  sqrt_n / z AS share,
+           |  CAST(floor(sqrt_n / z * 100000) AS BIGINT) AS target_docs
+           |FROM sq, z ORDER BY lang""".stripMargin))
+
+  // A trained quality classifier applied at scale — the fastText-style
+  // filter stage, as a LINEAR margin over the engine's quality features.
+  // Deliberately no sigmoid: exp() is libm-dependent across engines, the
+  // logit margin is pure IEEE mul/add with pinned association, so the
+  // scores hash-match exactly. keep ⇔ margin > 0 (same decision boundary).
+  // Oracle literals are ::DOUBLE-pinned — a bare 0.01 parses as DECIMAL
+  // in DuckDB and the mixed decimal/double tree drifts by an ulp.
+  private val qualityMargin = Q(
+    "q_quality_margin",
+    (s, dir) => {
+      val m = TextStats.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
+      m.select(col("doc_id"),
+          (((lit(-2.0) + lit(0.01) * col("n_tokens"))
+            + lit(4.0) * col("stop_ratio"))
+            + lit(-0.5) * col("avg_token_len")).as("margin"))
+        .withColumn("keep", col("margin") > 0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, len(toks) AS n_tokens,
+           |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           |      / nullif(len(toks), 0) AS stop_ratio,
+           |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / nullif(len(toks), 0) AS avg_token_len
+           |  FROM (SELECT doc_id, text,
+           |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |        FROM documents))
+           |SELECT doc_id,
+           |  ((-2.0::DOUBLE + 0.01::DOUBLE * n_tokens) + 4.0::DOUBLE * stop_ratio)
+           |    + (-0.5::DOUBLE) * avg_token_len AS margin,
+           |  (((-2.0::DOUBLE + 0.01::DOUBLE * n_tokens) + 4.0::DOUBLE * stop_ratio)
+           |    + (-0.5::DOUBLE) * avg_token_len) > 0 AS keep
+           |FROM f ORDER BY doc_id""".stripMargin))
+
+  // Deterministic per-epoch shuffle: every epoch gets its own content-hash
+  // order (md5("epoch:doc_id")). Deliberately NO materialized row_number —
+  // a per-epoch rank window would serialize each epoch through one
+  // reducer; the hash IS the sort key, and a range-partitioned sort by
+  // (epoch, shuffle_key) scales to any corpus. Training loaders consume
+  // the order directly.
+  private val shuffleEpoch = Q(
+    "q_shuffle_epoch",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      val epochs = s.range(0, 3).toDF("epoch")
+      docs.crossJoin(broadcast(epochs))
+        .withColumn("shuffle_key",
+          md5(concat_ws(":", col("epoch"), col("doc_id"))))
+        .select("epoch", "shuffle_key", "doc_id")
+        .orderBy("epoch", "shuffle_key", "doc_id")
+    },
+    Some("""SELECT epoch, md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           |  doc_id
+           |FROM documents, (SELECT unnest(range(0, 3)) AS epoch) e
+           |ORDER BY epoch, shuffle_key, doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs,
-    packGlobal, chunkDocs, interleaveMix, textToIds, sourceCap, tokenBudget)
+    packGlobal, chunkDocs, interleaveMix, textToIds, sourceCap, tokenBudget,
+    mixTemperature, qualityMargin, shuffleEpoch)
 }
