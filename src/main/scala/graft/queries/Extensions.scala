@@ -663,6 +663,66 @@ object Extensions {
            |  CAST(SUM(x) AS BIGINT) AS sum_b
            |FROM b GROUP BY media_id, src_frame ORDER BY media_id, frame_idx""".stripMargin))
 
+  // Media near-dup with REAL decode: RealDecoder features (per-slice mean
+  // intensity / mean |sample|, integer-exact sums then two deterministic
+  // divisions) feed the exact top-k operator — the full decoded-media →
+  // similarity bridge. Oracle regenerates content values from the md5
+  // chain, slices with the same ⌊d·n/dim⌋ bounds, and replays the cosine.
+  private val mediaEmbed = Q(
+    "q_media_embed",
+    (s, dir) => {
+      val media = RealMedia.synthesize(t(s, dir, "documents"), "doc_id")
+      val feats = Multimodal.extractFeatures(media, dim = 8, RealMedia.RealDecoder)
+      SimSearch.bruteForceTopK(feats, feats.filter(col("media_id") < 10), k = 3,
+        idCol = "media_id", vecCol = "embedding")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH m AS (
+            |  SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS k3,
+            |    4 + 2*CAST(doc_id % 5 AS INT) AS ih,
+            |    16*(2 + CAST(doc_id % 3 AS INT)) AS ns,
+            |    2 + CAST(doc_id % 4 AS INT) AS vk
+            |  FROM documents),
+            |sized AS (
+            |  SELECT media_id, k3,
+            |    CASE k3 WHEN 0 THEN 48*ih WHEN 1 THEN ns ELSE 192*vk END AS n
+            |  FROM m),
+            |vals AS (
+            |  SELECT media_id, k3, n, i,
+            |    CASE WHEN k3 IN (0, 2) THEN
+            |      ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(i // 16 AS VARCHAR)),
+            |         2*(i % 16) + 1, 2))::BIGINT
+            |    ELSE ABS(CASE WHEN
+            |        ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(i // 8 AS VARCHAR)),
+            |           2*(2*(i % 8)) + 1, 2))::INT
+            |        + 256 * ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(i // 8 AS VARCHAR)),
+            |           2*(2*(i % 8) + 1) + 1, 2))::INT >= 32768
+            |      THEN ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(i // 8 AS VARCHAR)),
+            |           2*(2*(i % 8)) + 1, 2))::INT
+            |        + 256 * ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(i // 8 AS VARCHAR)),
+            |           2*(2*(i % 8) + 1) + 1, 2))::INT - 65536
+            |      ELSE ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(i // 8 AS VARCHAR)),
+            |           2*(2*(i % 8)) + 1, 2))::INT
+            |        + 256 * ('0x' || substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(i // 8 AS VARCHAR)),
+            |           2*(2*(i % 8) + 1) + 1, 2))::INT END) END AS v
+            |  FROM sized, LATERAL (SELECT unnest(range(0, n)) AS i) ii),
+            |slices AS (
+            |  SELECT media_id, k3, d,
+            |    (CAST(SUM(v) AS DOUBLE) / ((d+1)*n//8 - d*n//8))
+            |      / (CASE WHEN k3 IN (0, 2) THEN 255.0::DOUBLE ELSE 32768.0::DOUBLE END) AS f
+            |  FROM vals, LATERAL (SELECT unnest(range(0, 8)) AS d) dd
+            |  WHERE i >= d*n//8 AND i < (d+1)*n//8
+            |  GROUP BY media_id, k3, d, n),
+            |e AS (SELECT media_id, list(f ORDER BY d) AS v FROM slices GROUP BY media_id),
+            |q AS (SELECT media_id AS query_id, v AS qv FROM e WHERE media_id < 10),
+            |c AS (SELECT media_id AS neighbor_id, v AS cv FROM e)
+            |SELECT query_id, rank, neighbor_id, sim FROM (
+            |  SELECT query_id, neighbor_id, $oracleCosine AS sim,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY $oracleCosine DESC, neighbor_id) AS INTEGER) AS rank
+            |  FROM q JOIN c ON query_id <> neighbor_id)
+            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
   // ---- dedup clustering + incremental dedup ------------------------------
 
   // Connected components over the exact-Jaccard pairs; the DuckDB oracle
@@ -1209,6 +1269,6 @@ object Extensions {
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
     multimodalChunks, mediaProbe, mediaResize, mediaWav, mediaFrames,
-    textNgrams, textLmScore, bpeStep, textHashVec,
+    mediaEmbed, textNgrams, textLmScore, bpeStep, textHashVec,
     textHeavyHitters, cmsCounts, textNovelty)
 }
