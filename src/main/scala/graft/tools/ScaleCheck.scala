@@ -78,7 +78,9 @@ object ScaleCheck {
       "q_kmv_distinct", "q_text_lmscore", "q_text_cosine",
       "q_bpe_step", "q_dedup_clusters_lss", "q_trending", "q_constraints",
       "q_dedup_prefix", "q_skyline", "q_cms_counts", "q_cogroup_recon",
-      "q_source_cap", "q_token_budget", "q_kmv_setops")
+      "q_source_cap", "q_token_budget", "q_kmv_setops",
+      "q_media_probe", "q_media_embed", "q_simsearch_ivf_index",
+      "q_quality_margin", "q_shuffle_epoch", "q_mix_temperature")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
