@@ -299,6 +299,41 @@ object SimSearch {
     ivfSearch(assigned, centroids, queries, topK, nprobe, idCol, vecCol)
   }
 
+  /** Order-independent corpus fingerprint: exact-decimal sum of per-row
+    * xxhash64 over (id, vector) — one map-side-combined aggregate, no
+    * shuffle beyond the final scalar, overflow-free under ANSI mode. Any
+    * changed/added/dropped row moves the sum. */
+  def corpusFingerprint(corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): String =
+    String.valueOf(corpus.select(
+      sum(xxhash64(col(idCol), col(vecCol).cast("string"))
+        .cast(DecimalType(38, 0)))).head().get(0))
+
+  /** Build-if-needed with STALENESS PROOF: the index directory carries the
+    * fingerprint of the corpus it was built from, and a mismatch forces a
+    * rebuild — a persisted index silently serving assignments from an old
+    * corpus version is the failure mode that corrupts every downstream
+    * search. The check costs one scan of the corpus (far cheaper than the
+    * Lloyd build it guards); callers that version their corpus externally
+    * (e.g. a [[graft.io.Manifest]] snapshot id per build) can key the
+    * index dir by snapshot instead and skip the scan. Returns true if the
+    * index was (re)built. */
+  def ensureIvfIndex(corpus: DataFrame, indexDir: String, k: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val spark = corpus.sparkSession
+    val fp = corpusFingerprint(corpus, idCol, vecCol)
+    val marker = new java.io.File(s"$indexDir/fingerprint")
+    val fresh = marker.exists() && {
+      val txt = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim
+      txt == s"$fp:$k"
+    }
+    if (!fresh) {
+      buildIvfIndex(corpus, indexDir, k, idCol, vecCol)
+      java.nio.file.Files.write(marker.toPath, s"$fp:$k".getBytes)
+    }
+    !fresh
+  }
+
   /** Approximate top-k: candidates drawn only from the query's LSH bucket
     * (and the corpus is pre-bucketed once). Recall < 1 by construction;
     * this is the plan shape that survives a 1000-executor scale-up. */

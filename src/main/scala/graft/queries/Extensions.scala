@@ -248,11 +248,11 @@ object Extensions {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) +
-        "_" + emb.count()
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$key"
-      if (!new java.io.File(s"$idx/centroids").exists())
-        SimSearch.buildIvfIndex(emb, idx, k = 16)
+      // fingerprint-guarded reuse: a regenerated fixture at the same path
+      // forces a rebuild instead of silently serving stale assignments
+      SimSearch.ensureIvfIndex(emb, idx, k = 16)
       SimSearch.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
         topK = 5, nprobe = 4)
         .orderBy("query_id", "rank")

@@ -48,6 +48,20 @@ class IvfSpec extends AnyFunSuite {
     assert(indexed === inline.sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int])))
   }
 
+  test("ensureIvfIndex: builds once, reuses on same corpus, rebuilds on corpus change") {
+    val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-ensure").toString
+    assert(SimSearch.ensureIvfIndex(emb, idx, k = 8))        // first: builds
+    assert(!SimSearch.ensureIvfIndex(emb, idx, k = 8))       // unchanged: reuses
+    assert(SimSearch.ensureIvfIndex(emb, idx, k = 4))        // different k: rebuilds
+    // a changed corpus at the same path must NOT be served stale results
+    val changed = emb.filter(col("vec_id") % 7 =!= 0)
+    assert(SimSearch.ensureIvfIndex(changed, idx, k = 4))
+    val out = SimSearch.ivfTopKIndexed(spark, idx,
+      changed.filter(col("vec_id") < 5), topK = 3, nprobe = 2).collect()
+    assert(out.forall(_.getLong(2) % 7 != 0), "stale index served a dropped row")
+  }
+
   test("ivfAssign: every vector gets exactly one cluster in [0, k)") {
     val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
     val assigned = SimSearch.ivfAssign(emb, k = 8)
