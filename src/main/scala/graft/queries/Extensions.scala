@@ -861,6 +861,42 @@ object Extensions {
            |WHERE CAST(i AS DOUBLE) / te_sz >= 0.3
            |ORDER BY train_id, test_id""".stripMargin))
 
+  // The decontamination APPLY step: drop every training doc flagged
+  // against the benchmark set — detection (q_text_contamination) and
+  // removal as one anti-join, the shape a real pipeline ships. The
+  // flagged set is benchmark-sized × train-hits, never corpus²; the
+  // anti-join broadcasts it.
+  private val decontaminateApply = Q(
+    "q_decontaminate_apply",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val flagged = Dedup.contaminationAgainstCorpus(
+        train, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, minContain = 0.3)
+        .select(col("train_id").as("doc_id")).distinct()
+      train.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""WITH shingled AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(toks)-2),
+           |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS shingle
+           |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |tr AS (SELECT * FROM shingled WHERE doc_id % 10 <> 0),
+           |te AS (SELECT * FROM shingled WHERE doc_id % 10 = 0),
+           |tesz AS (SELECT doc_id, COUNT(*) AS te_sz FROM te GROUP BY 1),
+           |inter AS (SELECT tr.doc_id AS train_id, te.doc_id AS test_id, COUNT(*) AS i
+           |          FROM tr JOIN te ON tr.shingle = te.shingle GROUP BY 1, 2),
+           |flagged AS (
+           |  SELECT DISTINCT train_id FROM inter JOIN tesz ON tesz.doc_id = test_id
+           |  WHERE CAST(i AS DOUBLE) / te_sz >= 0.3)
+           |SELECT doc_id, lang, source, n_chars FROM documents d
+           |WHERE doc_id % 10 <> 0
+           |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.train_id = d.doc_id)
+           |ORDER BY doc_id""".stripMargin))
+
   // ---- TF-IDF, quality gate, PII scrub -----------------------------------
 
   private val textTfidf = Q(
@@ -1262,6 +1298,7 @@ object Extensions {
   val all: Seq[Q] = Seq(
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash, dedupPrefix,
     dedupClusters, dedupClustersLss, dedupApply, dedupIncremental, textContamination,
+    decontaminateApply,
     simsearchTopK, simsearchLsh, simsearchIvf, simsearchIvfIndex,
     embedNearDup, embedIncremental,
     embedCentroids, embedNormalize,
