@@ -136,6 +136,24 @@ class QueriesPlanSpec extends AnyFunSuite {
       s"no dynamic partition pruning in:\n$plan")
   }
 
+  test("persisted IVF index: search plans a broadcast join over the cluster-partitioned scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
+    graft.ext.SimSearch.ensureIvfIndex(emb, idx, k = 8)
+    val out = graft.ext.SimSearch.ivfTopKIndexed(spark, idx,
+      emb.filter(col("vec_id") < 5), topK = 3, nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the assignment side must be the partitioned file scan joined via
+    // broadcast (probes are nprobe×|queries| rows) — at 100 TB the probe
+    // set reaches the scan as a runtime partition filter, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast cluster join in:\n$plan")
+    assert(plan.contains(s"Scan parquet"), s"no file-backed index scan in:\n$plan")
+    // the index scan must carry cluster as a partition column (pruning
+    // surface); dynamicpruning itself is planner-version dependent here
+    assert(plan.contains("cluster"), s"cluster partition column absent from:\n$plan")
+  }
+
   test("join strategy hints steer the planner (merge / shuffle_hash / broadcast)") {
     import org.apache.spark.sql.functions.col
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
