@@ -314,7 +314,42 @@ object Assembly {
            |FROM documents, (SELECT unnest(range(0, 3)) AS epoch) e
            |ORDER BY epoch, shuffle_key, doc_id""".stripMargin))
 
+  // The corpus DATA CARD: the per-(lang, source) rollup a training run
+  // records next to its artifacts — volume, token mass, quality pass
+  // rate, length profile. One scan + one group-by; every figure integer
+  // or decimal-exact so the card is reproducible anywhere.
+  private val corpusReport = Q(
+    "q_corpus_report",
+    (s, dir) => {
+      val m = TextStats.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
+        .join(t(s, dir, "documents").select("doc_id", "lang", "source"), "doc_id")
+      m.groupBy("lang", "source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          sum(when(col("is_quality"), 1L).otherwise(0L)).as("n_quality"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          expr("sum(CAST(n_chars AS BIGINT)) DIV count(1)").as("mean_chars_floor"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, lang, source, length(text) AS n_chars,
+           |    len(toks) AS n_tokens,
+           |    (len(toks) BETWEEN 20 AND 10000)
+           |      AND (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           |           / nullif(len(toks), 0) < 0.5) AS is_quality
+           |  FROM (SELECT doc_id, lang, source, text,
+           |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |        FROM documents))
+           |SELECT lang, source, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(CASE WHEN is_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           |  CAST(MIN(n_chars) AS INTEGER) AS min_chars,
+           |  CAST(MAX(n_chars) AS INTEGER) AS max_chars,
+           |  CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS mean_chars_floor
+           |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+
   val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs,
     packGlobal, chunkDocs, interleaveMix, textToIds, sourceCap, tokenBudget,
-    mixTemperature, qualityMargin, shuffleEpoch)
+    mixTemperature, qualityMargin, shuffleEpoch, corpusReport)
 }
