@@ -135,18 +135,24 @@ object MediaCodec {
     var samples: Array[Short] = null
     while (buf.remaining() >= 8 && (sampleRate < 0 || samples == null)) {
       val id = ascii4(); val size = buf.getInt
+      require(size >= 0 && size <= buf.remaining(),
+        s"truncated WAV: chunk '$id' declares $size bytes, ${buf.remaining()} remain")
       id match {
         case "fmt " =>
+          require(size >= 8, s"fmt chunk too small ($size)")
           val start = buf.position()
           val fmt = buf.getShort; val channels = buf.getShort
           sampleRate = buf.getInt
           require(fmt == 1 && channels == 1, s"only PCM mono supported ($fmt/$channels)")
-          buf.position(start + size)
+          buf.position(math.min(start + size + (size & 1), buf.limit()))
         case "data" =>
+          val start = buf.position()
           samples = new Array[Short](size / 2)
           var j = 0
           while (j < samples.length) { samples(j) = buf.getShort; j += 1 }
-        case _ => buf.position(buf.position() + size + (size & 1)) // skip, pad to even
+          buf.position(math.min(start + size + (size & 1), buf.limit()))
+        case _ => // skip, pad to even (pad byte may be absent at EOF)
+          buf.position(math.min(buf.position() + size + (size & 1), buf.limit()))
       }
     }
     require(sampleRate > 0 && samples != null, "missing fmt or data chunk")

@@ -211,10 +211,13 @@ object RealMedia {
     private def slice(xs: Array[Double], dim: Int): Array[Double] =
       Array.tabulate(dim) { d =>
         val lo = d * xs.length / dim
-        val hi = math.max(lo + 1, (d + 1) * xs.length / dim)
-        var s = 0.0; var i = lo
-        while (i < math.min(hi, xs.length)) { s += xs(i); i += 1 }
-        s / (math.min(hi, xs.length) - lo)
+        val hi = math.min(math.max(lo + 1, (d + 1) * xs.length / dim), xs.length)
+        if (lo >= hi) 0.0 // payload shorter than dim: empty slice, not NaN
+        else {
+          var s = 0.0; var i = lo
+          while (i < hi) { s += xs(i); i += 1 }
+          s / (hi - lo)
+        }
       }
   }
 }

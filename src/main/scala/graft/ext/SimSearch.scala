@@ -322,14 +322,29 @@ object SimSearch {
       idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
     val spark = corpus.sparkSession
     val fp = corpusFingerprint(corpus, idCol, vecCol)
-    val marker = new java.io.File(s"$indexDir/fingerprint")
-    val fresh = marker.exists() && {
-      val txt = new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim
-      txt == s"$fp:$k"
+    // Hadoop FS, not java.io: the index dir may be on an object store —
+    // the staleness guard must live on the same filesystem as the index.
+    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/fingerprint")
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = s"$fp:$k"
+    val fresh = fs.exists(markerPath) && {
+      val in = fs.open(markerPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      txt == want
     }
     if (!fresh) {
+      // Invalidate-then-rebuild ordering: drop the marker (and any stale
+      // index data) BEFORE the build, write the marker only AFTER it
+      // succeeds. A crash mid-build then leaves NO marker — the next run
+      // rebuilds — instead of an old marker pointing at new half-written
+      // data (the silent-staleness failure this function exists to stop).
+      fs.delete(markerPath, false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/assigned"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/centroids"), true)
       buildIvfIndex(corpus, indexDir, k, idCol, vecCol)
-      java.nio.file.Files.write(marker.toPath, s"$fp:$k".getBytes)
+      val out = fs.create(markerPath, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
     }
     !fresh
   }

@@ -327,6 +327,13 @@ object Advanced {
            |    AS sequence
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  // HLL++ estimate next to the exact count. The raw estimate is
+  // engine-specific (HLL registers aren't portable), so the DRIVER-vis
+  // output carries only portable columns: the group keys, the exact
+  // count, and `approx_ok` — the 5%-relative-error assertion computed
+  // from the estimate. The oracle reproduces keys + exact count and
+  // asserts the bound as literal TRUE, so rows/schema/hash all check;
+  // estimate ACCURACY itself stays pinned by ApproxDistinctSpec.
   private val approxDistinct = Q(
     "q_approx_distinct",
     (s, dir) =>
@@ -335,8 +342,14 @@ object Advanced {
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).as("approx_ok"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+           |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           |  TRUE AS approx_ok
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // Recursive CTE (Spark 4 WITH RECURSIVE): walk the +5 key chain inside
   // each region's nation block — linear recursion resolved by the engine's
@@ -529,7 +542,7 @@ object Advanced {
            |  FROM events GROUP BY 1, 2),
            |days AS (SELECT DISTINCT day FROM daily)
            |SELECT day, rnk, event_type, n7 FROM (
-           |  SELECT d.day, u.event_type, SUM(u.cnt) AS n7,
+           |  SELECT d.day, u.event_type, CAST(SUM(u.cnt) AS BIGINT) AS n7,
            |    CAST(row_number() OVER (PARTITION BY d.day
            |      ORDER BY SUM(u.cnt) DESC, u.event_type) AS INTEGER) AS rnk
            |  FROM days d JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day

@@ -241,15 +241,20 @@ object Extensions {
   // at 100 TB the Lloyd build amortizes across thousands of query
   // batches. Identical output to q_simsearch_ivf (the persisted index IS
   // the deterministic assignment), so the same oracle hash-checks it;
-  // the index is keyed by (fixture dir, corpus count) and REUSED when
-  // present — the second bench run measures pure search cost.
+  // the index is keyed by (fixture dir, PROCESS) and reused within the
+  // JVM — later invocations in the same run measure pure search cost.
+  // Per-process scoping (the pid in the key) keeps two concurrent
+  // bench/test processes from racing on the non-atomic rebuild (parquet
+  // overwrite + marker write); a production deployment would key by
+  // corpus snapshot id on shared storage with a single builder instead.
   private val simsearchIvfIndex = Q(
     "q_simsearch_ivf_index",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val key = java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$key"
+      val pid = java.lang.ProcessHandle.current().pid()
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${key}_p$pid"
       // fingerprint-guarded reuse: a regenerated fixture at the same path
       // forces a rebuild instead of silently serving stale assignments
       SimSearch.ensureIvfIndex(emb, idx, k = 16)

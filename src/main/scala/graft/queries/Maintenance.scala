@@ -418,7 +418,11 @@ object Maintenance {
   // Mergeable HLL sketch state: distinct users per event type, state
   // built from half the log and refreshed with the other half — serving
   // estimates identical to a single-pass build (union = register max).
-  // Rows-only: sketch registers aren't portable across engines.
+  // Sketch registers aren't portable across engines, so the driver-visible
+  // columns are the keys + exact distinct + `est_ok`, the 5%-relative-
+  // error assertion on the served estimate; the oracle recomputes the
+  // exact count and asserts the bound TRUE (estimate determinism and
+  // refresh≡rebuild stay pinned by ApproxDistinctSpec).
   private val distinctSketch = Q(
     "q_distinct_sketch",
     (s, dir) => {
@@ -427,11 +431,20 @@ object Maintenance {
       val hist = ev.filter(col("event_id") % 2 === 0)
       val delta = ev.filter(col("event_id") % 2 =!= 0)
       val state = ApproxDistinct.buildState(hist, keys, "user_id")
-      ApproxDistinct.serve(
+      val served = ApproxDistinct.serve(
         ApproxDistinct.refresh(state, delta, keys, "user_id"), keys)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      served.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_distinct") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("est_ok"))
         .orderBy("event_type")
     },
-    None)
+    Some("""SELECT event_type,
+           |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           |  TRUE AS est_ok
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   // Distributed constraint validation: the reference's validate stage as
   // a queryable violations table — min-rows floor, not-null, unique key

@@ -55,8 +55,9 @@ class ObjectStoreManifestSpec extends AnyFunSuite {
     val s = SparkTestBase.session
     s.sparkContext.hadoopConfiguration
       .set("fs.s3mock.impl", classOf[ObjectStoreFS].getName)
-    // cached FileSystem instances would bypass a late impl registration
-    s.sparkContext.hadoopConfiguration.set("fs.s3mock.impl.disable.cache", "false")
+    // cached FileSystem instances would bypass a late impl registration,
+    // so actually DISABLE the cache ("true") for this scheme
+    s.sparkContext.hadoopConfiguration.set("fs.s3mock.impl.disable.cache", "true")
     s
   }
   import spark.implicits._
