@@ -67,7 +67,14 @@ object Bench {
     val errors = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errors,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errors,"sf":"$sfDir"}"""
+    println(json)
+    // the driver artifact keeps only a tail of stdout — persist the full
+    // JSON to a file too, and print the path LAST so it survives the cut
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    java.nio.file.Files.writeString(out, json + "\n")
+    println(s"bench json written to ${out.toAbsolutePath}")
     spark.stop()
   }
 }

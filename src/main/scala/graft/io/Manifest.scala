@@ -14,29 +14,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * handled by scheduling).
  *
  * Layout: `dir/data-<snapshot>/part-*.parquet` plus one
- * `dir/manifest-<snapshot>.json` per committed snapshot. The CURRENT
- * snapshot is the retained manifest with the highest `commit_seq` —
- * there is deliberately NO mutable "current pointer" file: the commit
- * point is one rename of a temp file onto the FRESH key
- * `manifest-<snapshot>.json`. A fresh-key rename needs no
- * delete-then-rename dance (which on HDFS/S3A leaves a window with no
- * pointer at all and bricks the table if the writer dies inside it):
- * the new manifest either exists completely or not at all, so readers
- * resolve the previous snapshot or the new one — never a mix, never an
- * absent table. A writer that dies earlier leaves an orphan data dir
- * and an unchanged current snapshot.
+ * `dir/manifest-<commit_seq>.json` per committed snapshot (the snapshot
+ * id lives INSIDE the manifest). The CURRENT snapshot is the retained
+ * manifest with the highest `commit_seq` — there is deliberately NO
+ * mutable "current pointer" file: the commit point is one rename of a
+ * temp file onto the fresh key `manifest-<seq>.json`. A fresh-key
+ * rename needs no delete-then-rename dance (which on HDFS/S3A leaves a
+ * window with no pointer at all and bricks the table if the writer dies
+ * inside it): the new manifest either exists completely or not at all,
+ * so readers resolve the previous snapshot or the new one — never a
+ * mix, never an absent table. A writer that dies earlier leaves an
+ * orphan data dir and an unchanged current snapshot.
  *
  * Reads list only the KB-sized `manifest-*.json` keys — never the data
  * tree: the data file set comes from inside the manifest. At 100 TB on
  * S3 that kills both listing pathologies (no LIST over millions of data
  * keys on reads, no rename-directory commit on writes).
  *
- * Concurrency contract: one writer at a time (the reference's pipeline
- * is sequential; Spark's own file commit protocol assumes the same).
- * `commit_seq` = max retained seq + 1 gives retained manifests a total
- * order; concurrent writers could allocate the same seq — the order
- * then falls back to the (deterministic) snapshot-name tie-break, which
- * is why multi-writer use needs an external lock, not this module.
+ * Concurrency contract — optimistic, single winner per seq: keying the
+ * commit file by `commit_seq` (not by snapshot name) makes the publish
+ * rename a compare-and-swap. Two writers that both computed seq = N
+ * race onto the SAME key `manifest-<N>.json`; on a filesystem whose
+ * rename refuses an existing destination (HDFS; Hadoop's local FS —
+ * asserted by ManifestSpec) exactly one rename succeeds and the loser
+ * THROWS, leaving only an orphan data dir for [[vacuum]] — it can never
+ * silently supersede or interleave with the winner. This is the same
+ * protocol shape as Delta's `<version>.json` log commit. On stores
+ * without atomic no-overwrite rename (raw S3) the CAS needs an external
+ * coordination layer, exactly as Delta requires a LogStore there.
  *
  * Time travel: every snapshot's manifest is retained until [[vacuum]]
  * drops it, so [[readAt]] reproduces any retained snapshot byte-for-byte
@@ -55,8 +60,8 @@ object Manifest {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def manifestPath(dir: String, snapshot: String) =
-    new Path(dir, s"manifest-$snapshot.json")
+  private def manifestPath(dir: String, seq: Long) =
+    new Path(dir, s"manifest-$seq.json")
 
   private final case class ManifestData(snapshot: String, seq: Long, files: Seq[String])
 
@@ -104,15 +109,24 @@ object Manifest {
   }
 
   /** Overwrite-commit: land `df` as a fresh snapshot, then publish it
-    * with ONE rename onto the fresh manifest key — the commit point.
-    * Any failure before that rename leaves the current snapshot live. */
-  def write(df: DataFrame, dir: String, snapshot: String): Unit = {
+    * with ONE rename onto the fresh seq-keyed manifest — the commit
+    * point, and a CAS against concurrent writers (see object doc). Any
+    * failure before that rename leaves the current snapshot live; losing
+    * the CAS throws, leaving an orphan data dir for [[vacuum]]. */
+  def write(df: DataFrame, dir: String, snapshot: String): Unit =
+    writeImpl(df, dir, snapshot, () => ())
+
+  /** Test seam: `beforePublish` runs after the manifest temp file is
+    * staged, immediately before the commit rename — the window a
+    * concurrent writer would race into. */
+  private[io] def writeImpl(df: DataFrame, dir: String, snapshot: String,
+      beforePublish: () => Unit): Unit = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val spark = df.sparkSession
     val (fsys, base) = fs(spark, dir)
     val dataDir = new Path(base, s"data-$snapshot")
     require(!fsys.exists(dataDir), s"snapshot $snapshot already landed under $dir")
-    require(!fsys.exists(manifestPath(dir, snapshot)),
+    require(retained(fsys, base).forall(_.snapshot != snapshot),
       s"snapshot $snapshot already committed under $dir")
     df.write.parquet(dataDir.toString)
     val files = fsys.listStatus(dataDir).toSeq
@@ -135,9 +149,22 @@ object Manifest {
     val tmp = new Path(base, s".manifest-$snapshot.tmp")
     val out = fsys.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // the commit point: one rename onto a key that has never existed
-    if (!fsys.rename(tmp, manifestPath(dir, snapshot)))
-      throw new RuntimeException(s"manifest commit failed for $dir @ $snapshot")
+    beforePublish()
+    // the commit point AND the concurrency CAS: one rename onto the
+    // seq-keyed manifest. A concurrent writer that already published
+    // this seq makes the rename refuse (dest exists) — fail LOUDLY;
+    // the landed data dir stays behind as a vacuum-able orphan.
+    if (!fsys.rename(tmp, manifestPath(dir, seq))) {
+      val taken = fsys.exists(manifestPath(dir, seq))
+      fsys.delete(tmp, false)
+      if (taken)
+        throw new java.util.ConcurrentModificationException(
+          s"commit_seq $seq for $dir was taken by a concurrent writer; " +
+            s"snapshot $snapshot NOT committed (data-$snapshot left as orphan)")
+      else
+        throw new RuntimeException(
+          s"manifest commit rename failed for $dir @ $snapshot (seq $seq)")
+    }
   }
 
   /** Read the current snapshot — from the manifest's file list, never
@@ -151,8 +178,9 @@ object Manifest {
 
   /** Time travel: read a RETAINED snapshot exactly as committed. */
   def readAt(spark: SparkSession, dir: String, snapshot: String): DataFrame = {
-    val (fsys, _) = fs(spark, dir)
-    val files = parse(fsys, manifestPath(dir, snapshot)).map(_.files).getOrElse(Nil)
+    val (fsys, base) = fs(spark, dir)
+    val files = retained(fsys, base)
+      .find(_.snapshot == snapshot).map(_.files).getOrElse(Nil)
     require(files.nonEmpty, s"no retained snapshot '$snapshot' under $dir")
     spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
@@ -199,7 +227,7 @@ object Manifest {
       }
       .map(_.getPath)
     goneDirs.foreach(p => fsys.delete(p, true))
-    dropped.foreach(m => fsys.delete(manifestPath(dir, m.snapshot), false))
+    dropped.foreach(m => fsys.delete(manifestPath(dir, m.seq), false))
     goneDirs.map(_.getName) ++ dropped.map(m => s"manifest-${m.snapshot}")
   }
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed global running aggregates — the scale-safe replacement for
+ * `Window.orderBy(...)` with no partition spec (which Spark executes as a
+ * SINGLE-partition sort: the whole frame through one task, the classic
+ * 100 TB serialization point). Same two-pass parallel-prefix shape as
+ * [[Packing.packGreedyGlobal]]:
+ *
+ *   0. `numRanges−1` approx-quantile boundaries of `orderCol`, baked into
+ *      the plan as literals so a row's range id is a pure function of its
+ *      value (both passes derive identical partitioning by construction);
+ *   1. ONE aggregate row per range to the driver (|ranges| values,
+ *      bounded by cluster size, not data) — an exclusive scan over those
+ *      gives each range its carry-in base;
+ *   2. broadcast the bases back; each row combines its range's base with
+ *      a LOCAL running aggregate (a per-range window — parallel).
+ *
+ * Contract shared with `packGreedyGlobal`: `orderCol` numeric and
+ * non-null; for uniquely-defined per-row output it must also be unique
+ * (the intended caller passes DISTINCT values, e.g. a groupBy key).
+ */
+object PrefixSum {
+
+  /** Range id as a literal fold over the quantile bounds — `#bounds < v`. */
+  private def rangeId(df: DataFrame, orderCol: String, numRanges: Int): (DataFrame, Column) = {
+    val n = if (numRanges > 0) numRanges
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = df.stat.approxQuantile(
+      orderCol, (1 until n).map(_.toDouble / n).toArray, 0.001).distinct
+    val v = col(orderCol).cast("double")
+    val pid = bounds.map(b => when(v > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    (df.withColumn("__pid", pid), col("__pid"))
+  }
+
+  /** Inclusive global running SUM of `weightCol` in `orderCol` order,
+    * emitted as LONG column `outCol`. Bit-identical to
+    * `sum(w).over(Window.orderBy(orderCol).rowsBetween(unboundedPreceding,
+    * currentRow))` — without the single-partition sort. */
+  def runningSum(df: DataFrame, orderCol: String, weightCol: String,
+      outCol: String, numRanges: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (pidded, pid) = rangeId(df, orderCol, numRanges)
+    val totals = pidded.groupBy(pid)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (p, w) => val row = (p, acc); acc += w; row }.toSeq
+    val w = Window.partitionBy(pid).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pidded.join(broadcast(bases.toDF("__pid", "__base")), "__pid")
+      .withColumn(outCol,
+        (col("__base") + sum(col(weightCol).cast("long")).over(w)).cast("long"))
+      .drop("__pid", "__base")
+  }
+
+  /** The 2-D skyline staircase, distributed: running MAX of `valueCol`
+    * over rows with a strictly-smaller (`ltCol`) and smaller-or-equal
+    * (`leCol`) `orderCol`. `ltCol` is null on the global minimum (no
+    * strictly-cheaper row exists) — same contract as
+    * `lag(max.over(orderBy))`. The carry-in base for a range is the max
+    * of all earlier ranges, an exclusive max-scan of |ranges| values. */
+  def staircaseMax(df: DataFrame, orderCol: String, valueCol: String,
+      leCol: String, ltCol: String, numRanges: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (pidded, pid) = rangeId(df, orderCol, numRanges)
+    val maxes = pidded.groupBy(pid)
+      .agg(max(col(valueCol).cast("double")).as("__m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    var acc = Option.empty[Double]
+    val bases = maxes.map { case (p, m) =>
+      val row = (p, acc); acc = Some(acc.fold(m)(math.max(_, m))); row
+    }.toSeq
+    val ord = Window.partitionBy(pid).orderBy(col(orderCol))
+    val localLe = max(col(valueCol).cast("double"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val baseDf = bases.map { case (p, b) => (p, b.getOrElse(Double.NaN), b.isDefined) }
+      .toDF("__pid", "__base", "__has_base")
+    val base = when(col("__has_base"), col("__base"))
+    pidded.join(broadcast(baseDf), "__pid")
+      .withColumn(leCol, greatest(localLe, coalesce(base, localLe)))
+      .withColumn(ltCol, {
+        val lagLe = lag(col(leCol), 1).over(ord)
+        coalesce(lagLe, base)
+      })
+      .drop("__pid", "__base", "__has_base")
+  }
+}

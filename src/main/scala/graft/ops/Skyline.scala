@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -12,13 +11,13 @@ import org.apache.spark.sql.functions._
  * STAIRCASE, recoverable from running maxima over the distinct values of
  * the minimized column.
  *
- * Scale shape: one aggregation to |distinct minimize-values| rows, one
- * global-window sort over THAT reduced frame (the equi-depth-histogram
- * rule: windows over distinct values, never over rows), and a broadcast
- * join back — the full table is never self-joined, never globally sorted.
- * At 100 TB with a bounded value domain the staircase frame is tiny; the
- * per-row dominance test is two broadcast-hash-joined comparisons inside
- * codegen.
+ * Scale shape: one aggregation to |distinct minimize-values| rows, the
+ * staircase (running maxima) over THAT reduced frame via the distributed
+ * two-pass prefix scan of [[PrefixSum.staircaseMax]] — no zero-partition
+ * window even when the minimized column is continuous and |distinct| ≈
+ * |rows| — and a broadcast join back: the full table is never
+ * self-joined, never globally sorted. The per-row dominance test is two
+ * broadcast-hash-joined comparisons inside codegen.
  */
 object Skyline {
 
@@ -40,11 +39,7 @@ object Skyline {
   def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
     val in = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
     val perV = in.groupBy(col(minCol)).agg(max(col(maxCol)).as("__mx"))
-    val ord = Window.orderBy(col(minCol))
-    val stairs = perV
-      .withColumn("__run_le",
-        max(col("__mx")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__run_lt", lag(col("__run_le"), 1).over(ord))
+    val stairs = PrefixSum.staircaseMax(perV, minCol, "__mx", "__run_le", "__run_lt")
       .select(col(minCol), col("__run_le"), col("__run_lt"))
     in.join(broadcast(stairs), Seq(minCol))
       .filter((col("__run_lt").isNull || col("__run_lt") < col(maxCol))

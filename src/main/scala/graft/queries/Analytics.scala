@@ -238,8 +238,11 @@ object Analytics {
   // exact from per-distinct-VALUE counts — bucket b covers fixed global
   // row indexes [lo_b, hi_b] (ntile's fill rule), and its min/max are
   // the values whose cumulative-count range covers those indexes. The
-  // only global window runs over |distinct v| rows; the oracle IS the
-  // row-level ntile, so the hash match proves the rewrite.
+  // cumulative count over distinct values is the DISTRIBUTED two-pass
+  // prefix sum (ops/PrefixSum) — no zero-partition window anywhere, so
+  // the plan survives a continuous column where |distinct| ≈ |rows|.
+  // The oracle IS the row-level ntile, so the hash match proves the
+  // rewrite.
   private val histogramEqd = Q(
     "q_histogram_eqdepth",
     (s, dir) => {
@@ -247,10 +250,7 @@ object Analytics {
       val counts = t(s, dir, "lineitem")
         .select(col("l_extendedprice").cast(DecimalType(18, 2)).as("v"))
         .groupBy("v").agg(count(lit(1)).as("c"))
-      val wcum = org.apache.spark.sql.expressions.Window.orderBy("v")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val cum = counts.withColumn("hi_cum", sum(col("c")).over(wcum))
+      val cum = graft.ops.PrefixSum.runningSum(counts, "v", "c", "hi_cum")
         .withColumn("lo_cum", col("hi_cum") - col("c") + 1)
       val total = counts.agg(sum(col("c")).as("nn"))
       // ntile fill rule: first (N mod nb) buckets get ⌈N/nb⌉ rows

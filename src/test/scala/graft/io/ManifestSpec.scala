@@ -78,6 +78,30 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.read(spark, dir).agg(sum("v")).collect().head.getLong(0) == sumBefore)
   }
 
+  test("two writers racing the same commit_seq: exactly one wins, the loser throws") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "s1") // seq 0
+    // Writer A stages its manifest for seq 1, and INSIDE its commit
+    // window writer B runs a full write — B also computes seq 1 and
+    // publishes manifest-1.json first. A's publish rename then hits an
+    // existing key: the CAS refuses, A throws, B's commit stands.
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Manifest.writeImpl((11 to 30).toDF("v"), dir, "a-loser",
+        beforePublish = () => Manifest.write((31 to 80).toDF("v"), dir, "b-winner"))
+    }
+    assert(ex.getMessage.contains("concurrent writer"))
+    // no silent supersede: the table's history is s1 -> b-winner only
+    assert(Manifest.snapshots(spark, dir) == Seq("s1", "b-winner"))
+    assert(Manifest.read(spark, dir).count() == 50)
+    intercept[IllegalArgumentException] { Manifest.readAt(spark, dir, "a-loser") }
+    // the loser's landed data is an orphan: invisible to readers,
+    // reclaimed by vacuum once past the grace window
+    assert(new java.io.File(s"$dir/data-a-loser").exists())
+    val removed = Manifest.vacuum(spark, dir, keepLast = 2, orphanGraceMs = 0L)
+    assert(removed.contains("data-a-loser"))
+    assert(Manifest.read(spark, dir).count() == 50)
+  }
+
   test("duplicate snapshot ids and never-committed reads are refused") {
     val dir = tmpDir()
     Manifest.write((1 to 5).toDF("v"), dir, "s1")

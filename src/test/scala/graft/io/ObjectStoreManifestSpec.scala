@@ -75,8 +75,9 @@ class ObjectStoreManifestSpec extends AnyFunSuite {
 
     val manifestRenames = ObjectStoreFS.renames.asScala
       .filter(_._2.contains("/manifest-")).toSeq
+    // commit keys are seq-numbered (the CAS key), not snapshot-named
     assert(manifestRenames.map(_._2.split('/').last).sorted ===
-      Seq("manifest-s1.json", "manifest-s2.json"))
+      Seq("manifest-0.json", "manifest-1.json"))
     // the commit rename: dst never existed, src is a FILE — the two
     // properties that make the publish atomic-per-object on S3
     manifestRenames.foreach { case (src, _, dstExisted, srcWasDir) =>

@@ -229,4 +229,18 @@ class QueriesPlanSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
+
+  test("equi-depth histogram and skyline plan NO zero-partition window") {
+    // Window with an empty partitionSpec = the whole frame through one
+    // task — the serialization point ops/PrefixSum exists to remove.
+    for (name <- Seq("q_histogram_eqdepth", "q_skyline")) {
+      val unpartitioned = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }
+      assert(unpartitioned.isEmpty,
+        s"$name plans ${unpartitioned.size} unpartitioned window(s)")
+    }
+  }
 }
