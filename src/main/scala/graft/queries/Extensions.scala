@@ -869,8 +869,13 @@ object Extensions {
   // The decontamination APPLY step: drop every training doc flagged
   // against the benchmark set — detection (q_text_contamination) and
   // removal as one anti-join, the shape a real pipeline ships. The
-  // flagged set is benchmark-sized × train-hits, never corpus²; the
-  // anti-join broadcasts it.
+  // flagged set is benchmark-sized × train-hits, never corpus² — but the
+  // broadcast is deliberately NOT hint-forced: AQE converts the anti
+  // join to a broadcast join at runtime when the flagged set's ACTUAL
+  // size fits the threshold, and degrades to a shuffled join when it
+  // doesn't (a forced hint would instead OOM the driver the day a
+  // contamination sweep flags half the corpus). Both shapes are asserted
+  // and hash-compared in BroadcastFallbackSpec.
   private val decontaminateApply = Q(
     "q_decontaminate_apply",
     (s, dir) => {
@@ -880,7 +885,7 @@ object Extensions {
         train, docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 3, minContain = 0.3)
         .select(col("train_id").as("doc_id")).distinct()
-      train.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      train.join(flagged, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
