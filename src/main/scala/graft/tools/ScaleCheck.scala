@@ -22,6 +22,7 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (args.contains("x100")) { run100x(spark, args); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val big = "/tmp/graft_sf1x"
     val replicas = 10
@@ -95,5 +96,62 @@ object ScaleCheck {
       println(f"$name%-22s $tSmall%8.2f $tBig%8.2f ${tBig / tSmall}%7.1f  $rows")
     }
     spark.stop()
+  }
+
+  /** 100× scale curve for the dedup/ANN family specifically — the claims
+    * in SURVEY §8 are about 1000×, and 10× leaves room for a hidden
+    * quadratic to hide inside the constant factors. Base is sf0.01
+    * (documents/embeddings only; the family reads nothing else) so the
+    * 100× corpus lands at the same absolute size as the 10× check's —
+    * the CURVE (1× → 10× → 100× on fixed cores) is the evidence:
+    * candidate generation that is secretly pairs² would go ~100× between
+    * the last two points, bucketed-linear goes ~10×. */
+  private def run100x(spark: SparkSession, args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.01"
+    def bigDir(r: Int) = s"/tmp/graft_sf100x_$r"
+    val factors = Seq(10, 100)
+
+    def replicate(table: String, keyCol: String, replicas: Int,
+        textCol: Option[String]): Unit = {
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      val n = src.count()
+      val out = (0 until replicas).map { i =>
+        val shifted = src.withColumn(keyCol, col(keyCol) + lit(i.toLong * 100000000L))
+        textCol.fold(shifted)(t => shifted.withColumn(t,
+          regexp_replace(col(t), "(\\S+)", s"z${i}x$$1")))
+      }.reduce(_ unionByName _)
+      out.repartition(32).write.mode("overwrite")
+        .parquet(s"${bigDir(replicas)}/$table.parquet")
+      println(s"[scale100] $table x$replicas: $n -> ${n * replicas} rows")
+    }
+    if (!(args.contains("reuse")
+        && new java.io.File(s"${bigDir(100)}/embeddings.parquet").exists())) {
+      factors.foreach { r =>
+        replicate("documents", "doc_id", r, textCol = Some("text"))
+        replicate("embeddings", "vec_id", r, textCol = None)
+      }
+    }
+
+    import graft.SparkEntry
+    val family = Seq("q_dedup_minhash", "q_dedup_prefix", "q_dedup_clusters",
+      "q_dedup_clusters_lss", "q_simsearch_lsh", "q_simsearch_ivf_index")
+    def time(fn: => Long): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"query"}%-24s ${"1x"}%8s ${"10x"}%8s ${"100x"}%8s ${"100/10"}%7s  rows100x")
+    family.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def measure(dir: String): (Double, Long) = {
+        graft.ops.BoundedCache.clear()
+        if (name == "q_simsearch_ivf_index") fn(spark, dir).count() // build once
+        var rows = 0L
+        val t = time { rows = fn(spark, dir).count(); rows } // steady state
+        (t, rows)
+      }
+      val (t1, _) = measure(base)
+      val (t10, _) = measure(bigDir(10))
+      val (t100, rows) = measure(bigDir(100))
+      println(f"$name%-24s $t1%8.2f $t10%8.2f $t100%8.2f ${t100 / t10}%7.1f  $rows")
+    }
   }
 }
