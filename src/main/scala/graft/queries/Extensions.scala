@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, RealMedia, SimSearch, TextStats}
+import graft.ext.{Dedup, Multimodal, Pq, RealMedia, SimSearch, SpanDedup, TextStats}
 import QueryUtil._
 
 /**
@@ -1305,7 +1305,154 @@ object Extensions {
            |WHERE doc_id % 3 = 1
            |ORDER BY media_id, chunk_idx""".stripMargin))
 
+  /** Shared DuckDB CTE: tokenized docs exactly as TextStats.tokens
+    * (split on space, lowercase, empties dropped) with 0-based pos. */
+  private val tokCte =
+    """toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |                 x -> x <> '') AS a FROM documents),
+      |tok AS (SELECT doc_id, i AS pos, a[i+1] AS tok
+      |        FROM toks, LATERAL (SELECT unnest(range(0, len(a))) AS i))""".stripMargin
+
+  /** Shared DuckDB CTE chain reproducing SpanDedup.repeatedSpans (W=3):
+    * window occurrences -> duplicated windows -> canonical-first removal
+    * -> per-doc overlap/adjacency merge into maximal spans. */
+  private val spanCtes =
+    s"""$tokCte,
+      |occ AS (
+      |  SELECT doc_id, i AS pos, a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] AS win
+      |  FROM toks, LATERAL (SELECT unnest(range(0, len(a) - 2)) AS i)
+      |  WHERE len(a) >= 3),
+      |dups AS (SELECT win, MIN(doc_id) AS fdoc FROM occ
+      |         GROUP BY win HAVING COUNT(*) > 1),
+      |firsts AS (SELECT o.win, d.fdoc, MIN(o.pos) AS fpos
+      |           FROM occ o JOIN dups d ON d.win = o.win AND d.fdoc = o.doc_id
+      |           GROUP BY o.win, d.fdoc),
+      |rem AS (SELECT o.doc_id, o.pos
+      |        FROM occ o JOIN firsts f ON f.win = o.win
+      |        WHERE NOT (o.doc_id = f.fdoc AND o.pos = f.fpos)),
+      |marked AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN MAX(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR pos > MAX(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+      |    THEN 1 ELSE 0 END AS new_span
+      |  FROM rem),
+      |ids AS (SELECT doc_id, pos,
+      |          CAST(SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+      |        FROM marked),
+      |spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end,
+      |            CAST(COUNT(*) AS BIGINT) AS n_windows
+      |          FROM ids GROUP BY doc_id, span_id)""".stripMargin
+
+  // Exact substring dedup (Lee et al. 2022's property, token-window
+  // form): maximal cross/within-doc repeated 3-token spans, canonical
+  // first occurrence exempt. Catches boilerplate INSIDE otherwise-unique
+  // docs — the duplication class document-level Jaccard cannot see.
+  private val spanDedup = Q(
+    "q_span_dedup",
+    (s, dir) => SpanDedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", w = 3)
+      .orderBy("doc_id", "span_start"),
+    Some(s"""WITH $spanCtes
+            |SELECT doc_id, span_start, span_end, n_windows FROM spans
+            |ORDER BY doc_id, span_start""".stripMargin))
+
+  // The APPLY: every duplicated span excised, exactly one copy of each
+  // repeated passage surviving corpus-wide; docs keep their remaining
+  // tokens in order.
+  private val spanDedupApply = Q(
+    "q_span_dedup_apply",
+    (s, dir) => SpanDedup.removeSpans(t(s, dir, "documents"), "doc_id", "text", w = 3)
+      .orderBy("doc_id"),
+    Some(s"""WITH $spanCtes,
+            |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+            |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+            |           WHERE s.doc_id = t.doc_id
+            |             AND t.pos BETWEEN s.span_start AND s.span_end))
+            |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens_kept,
+            |  string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // Product-quantized ANN (Jégou et al. 2011): 64-dim vectors become 8
+  // one-byte codes (64× smaller search state), cosine-corrected ADC
+  // candidate scan (codes + one stored exact norm per vector), exact
+  // cosine re-rank of the bounded pool. Every stage is engine-portable
+  // (md5-seeded init, exact-decimal Lloyd means, sub-ordered ADC sums),
+  // so the oracle below REPRODUCES the whole PQ pipeline in SQL — the
+  // hash match checks codebooks, codes, candidate generation, and
+  // re-rank end to end (the q_simsearch_ivf/q_simsearch_lsh contract for
+  // approximate operators: reproduce the approximation, don't just
+  // bound it).
+  private val simsearchPq = Q(
+    "q_simsearch_pq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), topK = 5,
+        m = 8, ks = 16, candidates = 50)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val adcChain = (0 until 8)
+        .map(s => s"MAX(CASE WHEN t.sub = $s THEN t.part END)").mkString(" + ")
+      s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |subsq AS (SELECT unnest(range(0, 8)) AS sub),
+        |subv AS (
+        |  SELECT id, sub, v[(sub*8+1):(sub*8+8)] AS sv FROM emb CROSS JOIN subsq),
+        |init AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid, id
+        |  FROM emb ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |cb0 AS (SELECT s.sub, i.cid, s.sv AS cv FROM subv s JOIN init i ON i.id = s.id),
+        |a0 AS (
+        |  SELECT id, sub, cid, sv FROM (
+        |    SELECT s.id, s.sub, c.cid, s.sv,
+        |      row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+        |        list_dot_product(s.sv, s.sv) - 2.0*list_dot_product(s.sv, c.cv)
+        |          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        |    FROM subv s JOIN cb0 c ON c.sub = s.sub) WHERE rn = 1),
+        |mx AS (
+        |  SELECT sub, cid, d,
+        |    CAST(SUM(CAST(sv[d] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) ds
+        |  GROUP BY sub, cid, d),
+        |cb AS (SELECT sub, cid, list(mu ORDER BY d) AS cv FROM mx GROUP BY sub, cid),
+        |codes AS (
+        |  SELECT id, sub, cid FROM (
+        |    SELECT s.id, s.sub, c.cid,
+        |      row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+        |        list_dot_product(s.sv, s.sv) - 2.0*list_dot_product(s.sv, c.cv)
+        |          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        |    FROM subv s JOIN cb c ON c.sub = s.sub) WHERE rn = 1),
+        |norms AS (SELECT id, sqrt(list_dot_product(v, v)) AS cn FROM emb),
+        |q AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 10),
+        |qsub AS (
+        |  SELECT query_id, sub, qv[(sub*8+1):(sub*8+8)] AS qsv FROM q CROSS JOIN subsq),
+        |tbl AS (
+        |  SELECT s.query_id, s.sub, c.cid, list_dot_product(s.qsv, c.cv) AS part
+        |  FROM qsub s JOIN cb c ON c.sub = s.sub),
+        |adc AS (
+        |  SELECT t.query_id, k.id, $adcChain AS adc
+        |  FROM codes k JOIN tbl t ON t.sub = k.sub AND t.cid = k.cid
+        |  WHERE t.query_id <> k.id GROUP BY t.query_id, k.id),
+        |cand AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT a.query_id, a.id,
+        |      row_number() OVER (PARTITION BY a.query_id
+        |        ORDER BY (a.adc / n.cn) DESC, a.id) AS crn
+        |    FROM adc a JOIN norms n ON n.id = a.id) WHERE crn <= 50),
+        |rer AS (
+        |  SELECT c.query_id, c.id AS neighbor_id,
+        |    list_dot_product(q.qv, e.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+        |  FROM cand c JOIN emb e ON e.id = c.id JOIN q ON q.query_id = c.query_id)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM rer) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
+    spanDedup, spanDedupApply, simsearchPq,
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash, dedupPrefix,
     dedupClusters, dedupClustersLss, dedupApply, dedupIncremental, textContamination,
     decontaminateApply,

@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+  private def emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+
+  test("codes are the compressed state: m entries per vector, cid < ks") {
+    val (codes, codebook) = Pq.trainEncode(emb, m = 8, ks = 16)
+    val n = emb.count()
+    assert(codes.count() === n * 8)
+    assert(codes.groupBy("id").count().filter(col("count") =!= 8).count() === 0)
+    assert(codes.filter(col("cid") < 0 || col("cid") >= 16).count() === 0)
+    assert(codebook.count() <= 8L * 16)
+    // every codebook entry is a full subvector
+    assert(codebook.filter(size(col("cv")) =!= 8).count() === 0)
+  }
+
+  test("with a corpus-wide candidate pool the exact re-rank equals brute force") {
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val pq = Pq.pqTopK(emb, q, topK = 3, m = 8, ks = 16, candidates = n)
+      .orderBy("query_id", "rank").collect()
+    val bf = SimSearch.bruteForceTopK(emb, q, k = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(pq === bf)
+  }
+
+  test("ADC with a bounded pool keeps nonzero overlap with true top-k (fixture floor)") {
+    val q = emb.filter(col("vec_id") < 5)
+    val pq = Pq.pqTopK(emb, q, topK = 5, m = 8, ks = 16, candidates = 50)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = SimSearch.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect bf).size.toDouble / bf.size
+    // the sf0.001 fixture's embeddings are near-random (cosine spread is
+    // tight), the worst case for PQ distortion — still demand real signal
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+}
