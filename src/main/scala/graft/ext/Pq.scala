@@ -147,4 +147,71 @@ object Pq {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
   }
+
+  /**
+   * IVF+PQ — the full FAISS-style composition, each layer attacking a
+   * different 100 TB constraint: IVF probe pruning bounds the I/O (only
+   * nprobe/k of the corpus is touched), PQ codes bound the MEMORY of the
+   * scanned cells (m bytes + one norm per vector), and the exact re-rank
+   * of the bounded candidate pool restores accuracy. Deterministic end
+   * to end for the same reasons as [[SimSearch.ivfTopK]] and [[pqTopK]],
+   * so a SQL oracle replays both chains and the glue.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+      kIvf: Int = 16, nprobe: Int = 4, m: Int = 8, ks: Int = 16,
+      candidates: Int = 30,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    // coarse layer: IVF assignment + probe pick (identical math to ivfTopK)
+    val assigned = SimSearch.ivfAssign(corpus, kIvf, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("v").as("cvec"), col("cluster"))
+      .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec")))
+    val cents = SimSearch.ivfCentroids(assigned)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("d2",
+        VectorFunctions.vecDotExpr("qv", "qv")
+          - lit(2.0) * VectorFunctions.vecDotExpr("qv", "ccv")
+          + VectorFunctions.vecDotExpr("ccv", "ccv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("cluster"))))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "cluster")
+    // fine layer: PQ codes; ADC scan restricted to the probed cells
+    val (codes, codebook) = trainEncode(corpus, m, ks, idCol, vecCol)
+    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    val subDim = d / m
+    val qsubs = q.select(col("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("qv"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "qsv")))
+    val table = qsubs.join(codebook, "sub")
+      .withColumn("part", VectorFunctions.vecDotExpr("qsv", "cv"))
+      .select("query_id", "sub", "cid", "part")
+    val pool = codes
+      .join(assigned.select(col("neighbor_id").as("id"), col("cluster"), col("cn")), "id")
+      .join(broadcast(probes), "cluster")
+      .filter(col("query_id") =!= col("id"))
+    val cand = pool.join(broadcast(table), Seq("query_id", "sub", "cid"))
+      .groupBy("query_id", "id", "cn")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("part")))),
+          x => x.getField("part")),
+        lit(0.0), (a, x) => a + x).as("adc"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy((col("adc") / col("cn")).desc, col("id"))))
+      .filter(col("crn") <= candidates)
+      .select("query_id", "id")
+    // exact re-rank
+    val cvecs = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn2", sqrt(VectorFunctions.vecDotExpr("cv", "cv")))
+    val qvecs = q.withColumn("qn", sqrt(VectorFunctions.vecDotExpr("qv", "qv")))
+    cand.join(cvecs, "id").join(broadcast(qvecs), "query_id")
+      .withColumn("sim",
+        VectorFunctions.vecDotExpr("qv", "cv") / (col("qn") * col("cn2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
 }

@@ -230,7 +230,7 @@ object SimSearch {
 
   /** Probe centroids recomputed from an assignment (exact decimal mean,
     * the same portability contract as ivfAssign). */
-  private def ivfCentroids(assigned: DataFrame): DataFrame =
+  private[ext] def ivfCentroids(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cluster"), posexplode(col("cvec")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim")

@@ -1451,8 +1451,122 @@ object Extensions {
         |  FROM rer) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     })
 
+  // IVF+PQ composed (the FAISS IVFPQ shape): IVF probes bound the I/O,
+  // PQ codes bound the memory of the scanned cells, exact re-rank
+  // restores accuracy. The oracle replays BOTH proven chains (the
+  // q_simsearch_ivf index build and the q_simsearch_pq codebook/ADC
+  // pipeline) plus the composition glue — hash match end to end.
+  private val simsearchIvfPq = Q(
+    "q_simsearch_ivfpq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), topK = 5,
+        kIvf = 16, nprobe = 4, m = 8, ks = 16, candidates = 30)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val adcChain = (0 until 8)
+        .map(s => s"MAX(CASE WHEN t.sub = $s THEN t.part END)").mkString(" + ")
+      s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |init AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid,
+        |         v AS cv
+        |  FROM emb ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |a0 AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT e.id, e.v, i.cid,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, i.cv)
+        |          + list_dot_product(i.cv, i.cv), i.cid) AS rn
+        |    FROM emb e CROSS JOIN init i) WHERE rn = 1),
+        |mx AS (
+        |  SELECT cid, d, CAST(SUM(CAST(v[d] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) ds
+        |  GROUP BY cid, d),
+        |cent AS (SELECT cid, list(m ORDER BY d) AS cv FROM mx GROUP BY cid),
+        |a1 AS (
+        |  SELECT id AS neighbor_id, v AS cvec, cid AS cluster FROM (
+        |    SELECT e.id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.id ORDER BY
+        |        list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, c.cv)
+        |          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        |    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+        |mx2 AS (
+        |  SELECT cluster, d, CAST(SUM(CAST(cvec[d] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) ds
+        |  GROUP BY cluster, d),
+        |cent2 AS (SELECT cluster, list(m ORDER BY d) AS ccv FROM mx2 GROUP BY cluster),
+        |q AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 10),
+        |probes AS (
+        |  SELECT query_id, cluster FROM (
+        |    SELECT q.query_id, c.cluster,
+        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |        list_dot_product(q.qv, q.qv) - 2.0*list_dot_product(q.qv, c.ccv)
+        |          + list_dot_product(c.ccv, c.ccv), c.cluster) AS rn
+        |    FROM q CROSS JOIN cent2 c) WHERE rn <= 4),
+        |subsq AS (SELECT unnest(range(0, 8)) AS sub),
+        |subv AS (
+        |  SELECT id, sub, v[(sub*8+1):(sub*8+8)] AS sv FROM emb CROSS JOIN subsq),
+        |pinit AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid, id
+        |  FROM emb ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 16),
+        |pcb0 AS (SELECT s.sub, i.cid, s.sv AS cv FROM subv s JOIN pinit i ON i.id = s.id),
+        |pa0 AS (
+        |  SELECT id, sub, cid, sv FROM (
+        |    SELECT s.id, s.sub, c.cid, s.sv,
+        |      row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+        |        list_dot_product(s.sv, s.sv) - 2.0*list_dot_product(s.sv, c.cv)
+        |          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        |    FROM subv s JOIN pcb0 c ON c.sub = s.sub) WHERE rn = 1),
+        |pmx AS (
+        |  SELECT sub, cid, d,
+        |    CAST(SUM(CAST(sv[d] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM pa0 CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) ds
+        |  GROUP BY sub, cid, d),
+        |pcb AS (SELECT sub, cid, list(mu ORDER BY d) AS cv FROM pmx GROUP BY sub, cid),
+        |codes AS (
+        |  SELECT id, sub, cid FROM (
+        |    SELECT s.id, s.sub, c.cid,
+        |      row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+        |        list_dot_product(s.sv, s.sv) - 2.0*list_dot_product(s.sv, c.cv)
+        |          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        |    FROM subv s JOIN pcb c ON c.sub = s.sub) WHERE rn = 1),
+        |norms AS (SELECT id, sqrt(list_dot_product(v, v)) AS cn FROM emb),
+        |qsub AS (
+        |  SELECT query_id, sub, qv[(sub*8+1):(sub*8+8)] AS qsv FROM q CROSS JOIN subsq),
+        |tbl AS (
+        |  SELECT s.query_id, s.sub, c.cid, list_dot_product(s.qsv, c.cv) AS part
+        |  FROM qsub s JOIN pcb c ON c.sub = s.sub),
+        |pool AS (
+        |  SELECT p.query_id, a.neighbor_id AS id
+        |  FROM probes p JOIN a1 a ON a.cluster = p.cluster
+        |  WHERE p.query_id <> a.neighbor_id),
+        |adc AS (
+        |  SELECT t.query_id, k.id, $adcChain AS adc
+        |  FROM codes k
+        |  JOIN pool ON pool.id = k.id
+        |  JOIN tbl t ON t.sub = k.sub AND t.cid = k.cid AND t.query_id = pool.query_id
+        |  GROUP BY t.query_id, k.id),
+        |cand AS (
+        |  SELECT query_id, id FROM (
+        |    SELECT a.query_id, a.id,
+        |      row_number() OVER (PARTITION BY a.query_id
+        |        ORDER BY (a.adc / n.cn) DESC, a.id) AS crn
+        |    FROM adc a JOIN norms n ON n.id = a.id) WHERE crn <= 30),
+        |rer AS (
+        |  SELECT c.query_id, c.id AS neighbor_id,
+        |    list_dot_product(q.qv, e.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+        |  FROM cand c JOIN emb e ON e.id = c.id JOIN q ON q.query_id = c.query_id)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM rer) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(
-    spanDedup, spanDedupApply, simsearchPq,
+    spanDedup, spanDedupApply, simsearchPq, simsearchIvfPq,
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash, dedupPrefix,
     dedupClusters, dedupClustersLss, dedupApply, dedupIncremental, textContamination,
     decontaminateApply,

@@ -30,6 +30,20 @@ class PqSpec extends AnyFunSuite {
     assert(pq === bf)
   }
 
+  test("IVF+PQ with a pool-wide candidate budget equals plain IVF (composition glue is lossless)") {
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    // exact re-rank of EVERY vector in the probed cells == ivfTopK's
+    // exact ranking of those same cells: only the PQ candidate cut can
+    // differ, and a corpus-wide budget removes it
+    val composed = Pq.ivfPqTopK(emb, q, topK = 3, kIvf = 8, nprobe = 2,
+      m = 8, ks = 16, candidates = n)
+      .orderBy("query_id", "rank").collect()
+    val ivf = SimSearch.ivfTopK(emb, q, topK = 3, k = 8, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(composed === ivf)
+  }
+
   test("ADC with a bounded pool keeps nonzero overlap with true top-k (fixture floor)") {
     val q = emb.filter(col("vec_id") < 5)
     val pq = Pq.pqTopK(emb, q, topK = 5, m = 8, ks = 16, candidates = 50)
