@@ -52,6 +52,31 @@ object SimSearch {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Hard-negative mining for contrastive training: per query vector, the
+    * `k` most-similar corpus vectors with a DIFFERENT label (the negatives
+    * a contrastive loss learns most from). Same scale contract as
+    * [[bruteForceTopK]] — the query batch broadcasts, the corpus is
+    * scanned once and never shuffled, the label-mismatch predicate prunes
+    * inside the broadcast join before any scoring. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qn", sqrt(VectorFunctions.vecDotExpr("qvec", "qvec")))
+    val scored = c.join(broadcast(q), col("__ql") =!= col("__nl"))
+      .withColumn("sim",
+        VectorFunctions.vecDotExpr("qvec", "cvec") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Per-label centroid vectors (class prototypes / IVF-training shape),
     * one output row per (label, dimension). The explode+groupBy plan is
     * the scale-correct one: partial hash aggregation collapses every

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, SimSearch}
+import QueryUtil._
+
+/**
+ * Web-corpus curation queries (SURVEY.md §2.4): the published
+ * crawl-to-corpus cleanup steps — Gopher repetition signals,
+ * corpus-frequent-n-gram boilerplate removal, SemDeDup, DSIR importance
+ * weights — each over the driver's `documents` / `embeddings` fixtures
+ * with a full-replay DuckDB oracle (every fraction is one IEEE division
+ * of exact integer counts; the one transcendental goes through the repo's
+ * 9-dp `ln` rounding contract).
+ */
+object Curate {
+
+  /** Shared DuckDB token CTE: positions are 0-based like Spark's
+    * posexplode; DuckDB lists are 1-indexed, hence the +1s. */
+  private val toksCte =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)"""
+
+  private def gramList(n: Int): String = {
+    val parts = (1 to n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(range(0, len(t)-${n - 1}), i -> $parts)"
+  }
+
+  private val gopherRepetition = Q(
+    "q_gopher_repetition",
+    (s, dir) => Curation.gopherRepetition(t(s, dir, "documents"))
+      .orderBy("doc_id"),
+    Some(s"""WITH $toksCte,
+            |words AS (SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_dist FROM toks),
+            |bi AS (SELECT doc_id, unnest(${gramList(2)}) AS g FROM toks WHERE len(t) >= 2),
+            |bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+            |bia AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS topf
+            |        FROM bic GROUP BY 1),
+            |tri AS (SELECT doc_id, unnest(${gramList(3)}) AS g FROM toks WHERE len(t) >= 3),
+            |tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+            |tria AS (SELECT doc_id,
+            |           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+            |             / CAST(SUM(c) AS DOUBLE) AS dupf
+            |         FROM tric GROUP BY 1)
+            |SELECT w.doc_id, CAST(n_words AS BIGINT) AS n_words,
+            |  CAST(n_words - n_dist AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+            |  COALESCE(topf, 0.0) AS top_bigram_frac,
+            |  COALESCE(dupf, 0.0) AS dup_trigram_frac
+            |FROM words w LEFT JOIN bia USING (doc_id) LEFT JOIN tria USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
+  private val boilerplateNgrams = Q(
+    "q_boilerplate_ngrams",
+    (s, dir) => Curation.frequentNgrams(t(s, dir, "documents"), n = 5, minDocs = 2)
+      .orderBy("gram"),
+    Some(s"""WITH $toksCte,
+            |g AS (SELECT DISTINCT doc_id, gram FROM (
+            |        SELECT doc_id, unnest(${gramList(5)}) AS gram
+            |        FROM toks WHERE len(t) >= 5))
+            |SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+            |FROM g GROUP BY gram HAVING COUNT(*) >= 2
+            |ORDER BY gram""".stripMargin))
+
+  private val boilerplateScrub = Q(
+    "q_boilerplate_scrub",
+    (s, dir) => Curation.scrubFrequentNgrams(t(s, dir, "documents"), n = 5, minDocs = 2)
+      .orderBy("doc_id"),
+    Some(s"""WITH $toksCte,
+            |pt AS (SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos FROM toks),
+            |pg AS (SELECT doc_id, unnest(${gramList(5)}) AS gram,
+            |         unnest(range(0, len(t)-4)) AS pos
+            |       FROM toks WHERE len(t) >= 5),
+            |freq AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pg)
+            |         GROUP BY gram HAVING COUNT(*) >= 2),
+            |cov AS (SELECT DISTINCT p.doc_id, p.pos + o.o AS pos
+            |        FROM pg p JOIN freq USING (gram)
+            |        CROSS JOIN (SELECT unnest(range(0, 5)) AS o) o),
+            |kept AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+            |           string_agg(tok, ' ' ORDER BY pos) AS text_clean
+            |         FROM pt WHERE NOT EXISTS (
+            |           SELECT 1 FROM cov WHERE cov.doc_id = pt.doc_id AND cov.pos = pt.pos)
+            |         GROUP BY doc_id)
+            |SELECT d.doc_id, COALESCE(n_kept, 0) AS n_kept,
+            |  COALESCE(text_clean, '') AS text_clean
+            |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+            |ORDER BY d.doc_id""".stripMargin))
+
+  // SemDeDup over the same deterministic k-means the IVF oracle replays:
+  // the shared a1 CTE IS the engine's ivfAssign output, so the oracle
+  // hash-checks cluster membership AND the within-cluster cosine verdicts.
+  private val semDedup = Q(
+    "q_semdedup",
+    (s, dir) => Curation.semDedup(t(s, dir, "embeddings"), tau = 0.4, k = 16)
+      .select(col("vec_id"), col("cluster"), col("keep").cast("int").as("keep"))
+      .orderBy("vec_id"),
+    Some(s"""WITH ${Extensions.ivfA1Ctes},
+            |drops AS (SELECT DISTINCT b.neighbor_id AS id
+            |  FROM a1 a JOIN a1 b
+            |    ON a.cluster = b.cluster AND a.neighbor_id < b.neighbor_id
+            |  WHERE list_dot_product(a.cvec, b.cvec) /
+            |    (sqrt(list_dot_product(a.cvec, a.cvec)) *
+            |     sqrt(list_dot_product(b.cvec, b.cvec))) >= 0.4)
+            |SELECT a1.neighbor_id AS vec_id, CAST(cluster AS INTEGER) AS cluster,
+            |  CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+            |FROM a1 LEFT JOIN drops d ON a1.neighbor_id = d.id
+            |ORDER BY vec_id""".stripMargin))
+
+  private val dsirWeights = Q(
+    "q_dsir_weights",
+    (s, dir) => Curation.dsirWeights(
+      t(s, dir, "documents"), col("source") === "src0")
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, source = 'src0' AS is_target,
+           |                unnest(string_split(lower(text), ' ')) AS tok
+           |              FROM documents),
+           |counts AS (SELECT tok,
+           |             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           |             CAST(COUNT(*) AS BIGINT) AS cc
+           |           FROM toks GROUP BY tok),
+           |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cc) AS BIGINT) AS nc,
+           |          CAST(COUNT(*) AS BIGINT) AS vocab FROM counts),
+           |ratios AS (SELECT tok,
+           |             round(ln((CAST(ct + 1 AS DOUBLE) * CAST(nc + vocab AS DOUBLE))
+           |               / (CAST(cc + 1 AS DOUBLE) * CAST(nt + vocab AS DOUBLE))), 9) AS lr
+           |           FROM counts CROSS JOIN tot)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(CAST(lr AS DECIMAL(28, 12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS dsir_weight
+           |FROM toks JOIN ratios USING (tok)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // Contrastive hard negatives: most-similar DIFFERENT-label vectors.
+  private val hardNegatives = Q(
+    "q_hard_negatives",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimSearch.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv
+           |           FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, label AS nl, embedding::DOUBLE[] AS cv
+           |      FROM embeddings)
+           |SELECT query_id, rank, neighbor_id, sim FROM (
+           |  SELECT query_id, neighbor_id,
+           |    list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))) AS sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))) DESC,
+           |        neighbor_id) AS INTEGER) AS rank
+           |  FROM q JOIN c ON ql <> nl)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  // k-anonymity release gate: quasi-identifier combinations carried by
+  // fewer than k docs are suppressed to '*'.
+  private val kAnon = Q(
+    "q_kanon",
+    (s, dir) => Curation.kAnonymize(
+      t(s, dir, "documents").select("doc_id", "lang", "source"),
+      Seq("lang", "source"), k = 8)
+      .orderBy("doc_id"),
+    Some("""WITH n AS (SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  CASE WHEN c >= 8 THEN d.lang ELSE '*' END AS lang,
+           |  CASE WHEN c >= 8 THEN d.source ELSE '*' END AS source
+           |FROM documents d JOIN n ON d.lang = n.lang AND d.source = n.source
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(gopherRepetition, boilerplateNgrams, boilerplateScrub,
+    semDedup, dsirWeights, hardNegatives, kAnon)
+}

@@ -177,8 +177,11 @@ object Extensions {
   // means), so the oracle replays the ENTIRE index build — init pick,
   // assignment argmin, centroid means, probe selection — and hash-matches
   // the approximate search output, not just a rows count.
-  private val ivfOracleSql =
-    """WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** CTE chain replaying the deterministic IVF build through the final
+    * cluster assignment (`a1`) — shared with the SemDeDup oracle in
+    * [[Curate]], which clusters with the identical k-means. */
+  private[queries] val ivfA1Ctes =
+    """emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
            |init AS (
            |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid,
            |         v AS cv
@@ -201,7 +204,10 @@ object Extensions {
            |      row_number() OVER (PARTITION BY e.id ORDER BY
            |        list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, c.cv)
            |          + list_dot_product(c.cv, c.cv), c.cid) AS rn
-           |    FROM emb e CROSS JOIN cent c) WHERE rn = 1),
+           |    FROM emb e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+
+  private val ivfOracleSql =
+    s"""WITH $ivfA1Ctes,
            |mx2 AS (
            |  SELECT cluster, d, CAST(SUM(CAST(cvec[d] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
            |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) ds

@@ -81,7 +81,13 @@ object ScaleCheck {
       "q_dedup_prefix", "q_skyline", "q_cms_counts", "q_cogroup_recon",
       "q_source_cap", "q_token_budget", "q_kmv_setops",
       "q_media_probe", "q_media_embed", "q_simsearch_ivf_index",
-      "q_quality_margin", "q_shuffle_epoch", "q_mix_temperature")
+      "q_quality_margin", "q_shuffle_epoch", "q_mix_temperature",
+      // round-5 curation family. q_semdedup is 10×-only by design: fixture
+      // replication makes every vector 100 exact copies, so within-cluster
+      // pair count grows with duplicate multiplicity² — a property of the
+      // pathological corpus, not the plan (same artifact as q_dedup_simhash)
+      "q_gopher_repetition", "q_boilerplate_scrub", "q_dsir_weights",
+      "q_semdedup", "q_hard_negatives", "q_kanon")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -135,7 +141,8 @@ object ScaleCheck {
     import graft.SparkEntry
     val family = Seq("q_dedup_minhash", "q_dedup_prefix", "q_dedup_clusters",
       "q_dedup_clusters_lss", "q_simsearch_lsh", "q_simsearch_ivf_index",
-      "q_span_dedup", "q_span_dedup_apply", "q_simsearch_pq", "q_simsearch_ivfpq")
+      "q_span_dedup", "q_span_dedup_apply", "q_simsearch_pq", "q_simsearch_ivfpq",
+      "q_boilerplate_scrub", "q_gopher_repetition")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
