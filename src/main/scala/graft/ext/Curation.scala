@@ -226,4 +226,41 @@ object Curation {
         (sum(col("lr").cast(DecimalType(28, 12))).cast(DoubleType)
           / count(lit(1)).cast(DoubleType)).as("dsir_weight"))
   }
+
+  /**
+   * Cross-source n-gram containment matrix — the corpus-governance census
+   * behind source-level dedup and contamination triage: for every ordered
+   * pair of sources (a, b), what fraction of a's distinct n-grams also
+   * appear somewhere in b? High containment of a benchmark-ish source in a
+   * crawl source means leakage; near-total mutual containment means two
+   * ingest feeds crawled the same site and one should be dropped wholesale
+   * (cheaper than doc-level dedup of their union).
+   *
+   * Output: (src_a, src_b, grams_a, shared, containment) for pairs with
+   * shared ≥ 1, src_a ≠ b.
+   *
+   * Scale shape: the pair join is keyed on the GRAM, and each gram
+   * contributes at most |sources|² pair rows after a per-gram DISTINCT
+   * source projection — so shuffle is Σ_gram df_src², bounded by
+   * |grams| × |sources|², with |sources| a catalog-sized constant (tens
+   * to thousands). Nothing is ever documents²; the corpus is scanned
+   * once. The per-source gram universe sizes reduce from the same
+   * distinct projection.
+   */
+  def sourceOverlap(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text", n: Int = 5): DataFrame = {
+    val srcGrams = graft.ops.BoundedCache.cached(
+      posNgrams(docs, srcCol, textCol, n)
+        .select(col(srcCol).as("src"), col("gram")).distinct())
+    val sizes = srcGrams.groupBy("src").agg(count(lit(1)).as("grams"))
+    val shared = srcGrams.select(col("src").as("src_a"), col("gram"))
+      .join(srcGrams.select(col("src").as("src_b"), col("gram")), "gram")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("src").as("src_a"), col("grams").as("grams_a")), "src_a")
+      .withColumn("containment",
+        col("shared").cast(DoubleType) / col("grams_a").cast(DoubleType))
+      .select("src_a", "src_b", "grams_a", "shared", "containment")
+  }
 }

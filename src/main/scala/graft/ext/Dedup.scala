@@ -461,4 +461,37 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
       .select("d1", "d2", "hamming").distinct()
   }
+
+  /**
+   * Dedup threshold sweep — the curve a corpus owner reads BEFORE picking
+   * a Jaccard cutoff: for each candidate threshold, how many near-dup
+   * pairs fire and how many documents would be dropped under the
+   * keep-lowest-id convention (a doc is dropped iff it is the d2 of some
+   * surviving pair). One pass: the pair set is computed ONCE at the
+   * loosest threshold (the same shared-shingle join as [[jaccardPairs]]),
+   * then each pair fans out only to the thresholds it clears — the sweep
+   * costs one small explode over the pair set, never a per-threshold
+   * rescan of the corpus. Distinct-doc counts are exact.
+   *
+   * Output: (threshold, n_pairs, n_docs_dropped) per threshold, including
+   * zero rows for thresholds nothing clears.
+   */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double], n: Int = 3): DataFrame = {
+    require(thresholds.nonEmpty)
+    val base = jaccardPairs(docs, idCol, textCol, n, thresholds.min)
+    val fired = base
+      .withColumn("threshold", explode(array(thresholds.map(lit): _*)))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("d2")).as("n_docs_dropped"))
+    val all = docs.sparkSession
+      .createDataset(thresholds)(org.apache.spark.sql.Encoders.scalaDouble)
+      .toDF("threshold")
+    all.join(fired, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+  }
 }
