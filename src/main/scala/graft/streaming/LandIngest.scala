@@ -227,4 +227,86 @@ object LandIngest {
       .start()
     q.awaitTermination()
   }
+
+  /**
+   * Fold ONE micro-batch into the persisted histogram-sketch state
+   * (`ops/HistSketch`), guarded for `foreachBatch`'s at-least-once
+   * window: the committed state CARRIES the id of the last folded batch
+   * (`last_batch` column, same value every row), and a replayed
+   * `batchId ≤ last_batch` is a no-op — counts are a monoid, NOT an
+   * idempotent union like KMV, so without the guard a crash between
+   * commit and checkpoint-advance would double-count the batch. The
+   * guard and the state commit are ATOMIC because the id rides inside
+   * the same swap-renamed parquet dir. Returns true when folded, false
+   * when skipped as a replay.
+   */
+  def foldHistBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      keys: Seq[String],
+      valueCol: String,
+      lo: Double, hi: Double, bins: Int,
+      stateDir: String): Boolean = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.hadoop.fs.Path
+    import graft.ops.HistSketch
+
+    val statePath = new Path(stateDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(statePath.getParent, s".${statePath.getName}.swap.old")
+    if (!fs.exists(statePath) && fs.exists(bak)) fs.rename(bak, statePath)
+
+    val prev = if (fs.exists(statePath)) Some(spark.read.parquet(stateDir)) else None
+    val lastBatch = prev.map(_.select("last_batch").head.getLong(0)).getOrElse(-1L)
+    if (batchId <= lastBatch) return false // at-least-once replay
+
+    val delta = HistSketch.buildState(batch, keys, valueCol, lo, hi, bins)
+    val merged = prev match {
+      case Some(p) => HistSketch.mergeStates(
+        p.select((keys.map(col) :+ col("bin") :+ col("cnt")): _*), delta, keys)
+      case None => delta
+    }
+    val committed = merged.withColumn("last_batch", lit(batchId))
+    val tmp = new Path(statePath.getParent, s".${statePath.getName}.swap.tmp")
+    committed.localCheckpoint(true).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(statePath) && !fs.rename(statePath, bak))
+      throw new java.io.IOException(s"foldHistBatch: rename $statePath -> $bak failed")
+    if (!fs.rename(tmp, statePath)) {
+      if (fs.exists(bak)) fs.rename(bak, statePath)
+      throw new java.io.IOException(s"foldHistBatch: rename $tmp -> $statePath failed (restored)")
+    }
+    fs.delete(bak, true)
+    true
+  }
+
+  /**
+   * Streaming quantile-sketch maintenance: drain available JSONL batches
+   * and fold each into the mergeable histogram state — the monitoring
+   * twin of `q_quantile_sketch`, refreshed from deltas (each batch
+   * shuffles groups×bins longs, the data is never rescanned; serving is
+   * `HistSketch.quantiles` over the state table at any moment).
+   */
+  def histSketchStream(
+      spark: SparkSession,
+      changesDir: String,
+      schema: StructType,
+      keys: Seq[String],
+      valueCol: String,
+      lo: Double, hi: Double, bins: Int,
+      stateDir: String,
+      checkpointDir: String): Unit = {
+    val stream = spark.readStream.schema(schema).json(changesDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldHistBatch(spark, batch, batchId, keys, valueCol, lo, hi, bins, stateDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

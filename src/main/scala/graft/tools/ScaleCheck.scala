@@ -87,12 +87,18 @@ object ScaleCheck {
       // pair count grows with duplicate multiplicity² — a property of the
       // pathological corpus, not the plan (same artifact as q_dedup_simhash)
       "q_gopher_repetition", "q_boilerplate_scrub", "q_dsir_weights",
-      "q_semdedup", "q_hard_negatives", "q_kanon")
+      "q_semdedup", "q_hard_negatives", "q_kanon",
+      // round-5 model-fitting / tuning-diagnostic family
+      "q_linreg_fit", "q_quantile_sketch", "q_dedup_sweep",
+      "q_source_overlap", "q_rag_retrieve")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    // `only=q1,q2` arg: re-measure a subset against existing 10x tables
+    val only = args.collectFirst { case a if a.startsWith("only=") =>
+      a.stripPrefix("only=").split(",").toSet }
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${"10x"}%8s ${"ratio"}%7s  rows10x")
-    heavy.foreach { name =>
+    heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       graft.ops.BoundedCache.clear()
       val tSmall = time(fn(spark, base).count())

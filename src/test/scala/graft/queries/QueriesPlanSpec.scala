@@ -230,6 +230,32 @@ class QueriesPlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  test("rag retrieval: top-k is TakeOrderedAndProject, query side broadcasts") {
+    val plan = SparkEntry.queries("q_rag_retrieve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // per-partition heads merged on the driver — k rows cross the wire,
+    // never a global sort of every scored chunk
+    assert(plan.contains("TakeOrderedAndProject"), "top-k is a global sort")
+    assert(plan.contains("BroadcastHashJoin"), "query features not broadcast")
+  }
+
+  test("linreg fit shuffles ONE row: no hash exchange, no window, no sort") {
+    val plan = SparkEntry.queries("q_linreg_fit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      "sufficient-stat aggregate should reduce to a single partition, not hash-shuffle")
+    assert(!plan.contains("WindowExec") && !plan.contains("CartesianProduct"))
+  }
+
+  test("histogram-sketch quantile windows are partitioned by group (state-bounded)") {
+    val unpartitioned = SparkEntry.queries("q_quantile_sketch")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+    assert(unpartitioned.isEmpty, "sketch serving planned an unpartitioned window")
+  }
+
   test("equi-depth histogram and skyline plan NO zero-partition window") {
     // Window with an empty partitionSpec = the whole frame through one
     // task — the serialization point ops/PrefixSum exists to remove.

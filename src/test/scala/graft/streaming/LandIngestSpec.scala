@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Path}
 
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -130,5 +130,51 @@ class LandIngestSpec extends AnyFunSuite {
     LandIngest.kmvDistinctStream(spark, changes.toString, chSchema,
       Seq("grp"), "v", 64, state, base.resolve("ck2").toString)
     assert(served(spark.read.parquet(state)) === served(oneShot))
+  }
+
+  test("histSketchStream: streamed batches reproduce the one-shot sketch; batch replay is a guarded no-op") {
+    import graft.ops.HistSketch
+    import spark.implicits._
+    val base = Files.createTempDirectory("hist_stream")
+    val changes = Files.createDirectory(base.resolve("changes"))
+    val state = base.resolve("state").toString
+    val chSchema = StructType(Seq(
+      StructField("grp", StringType), StructField("v", DoubleType)))
+    def writeVals(file: String, rows: Seq[(String, Double)]): Unit =
+      Files.write(changes.resolve(file),
+        rows.map { case (g, v) => s"""{"grp":"$g","v":$v}""" }
+          .mkString("\n").getBytes("UTF-8"))
+
+    val rnd = new scala.util.Random(31)
+    val all = (1 to 1200).map(i => (if (i % 2 == 0) "a" else "b", rnd.nextInt(5000) / 10.0))
+    val (b1, b2) = all.splitAt(500)
+    writeVals("b1.jsonl", b1)
+    LandIngest.histSketchStream(spark, changes.toString, chSchema,
+      Seq("grp"), "v", 0.0, 500.0, 50, state, base.resolve("ck1").toString)
+    writeVals("b2.jsonl", b2)
+    LandIngest.histSketchStream(spark, changes.toString, chSchema,
+      Seq("grp"), "v", 0.0, 500.0, 50, state, base.resolve("ck1").toString)
+
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "bin", "cnt").orderBy("grp", "bin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // streamed state ≡ one-shot build, BIT-identical (count monoid)
+    val oneShot = HistSketch.buildState(
+      all.toDF("grp", "v"), Seq("grp"), "v", 0.0, 500.0, 50)
+    assert(bins(spark.read.parquet(state)) === bins(oneShot))
+
+    // at-least-once window: re-folding an ALREADY-COMMITTED batchId is
+    // refused by the last_batch guard (counts are NOT idempotent — this
+    // is the guard that makes foreachBatch replay safe)
+    val replay = b2.toDF("grp", "v")
+    val lastId = spark.read.parquet(state).select("last_batch").head.getLong(0)
+    assert(!LandIngest.foldHistBatch(spark, replay, lastId,
+      Seq("grp"), "v", 0.0, 500.0, 50, state))
+    assert(bins(spark.read.parquet(state)) === bins(oneShot))
+    // ...while a genuinely NEW batch id folds in
+    assert(LandIngest.foldHistBatch(spark, replay, lastId + 1,
+      Seq("grp"), "v", 0.0, 500.0, 50, state))
+    assert(bins(spark.read.parquet(state)) !== bins(oneShot))
   }
 }
