@@ -69,6 +69,82 @@ object Learn {
             |    1.0 - (syy - (b0*sy + b1*sx1y + b2*sx2y)) / (syy - sy*sy/n) FROM b)
             |ORDER BY coef""".stripMargin))
 
+  // Per-language models from ONE aggregate — the "thousands of
+  // per-stratum models in one corpus pass" shape; same cofactor tree as
+  // the global fit, one 10-decimal row per group shuffles.
+  private val linregByLang = Q(
+    "q_linreg_by_lang",
+    (s, dir) => {
+      val toks = graft.ext.TextStats.tokens(col("text"))
+      LinearFit.fitOls2(
+        t(s, dir, "documents").select(
+          col("lang"),
+          col("n_chars").as("y"),
+          size(toks).as("x1"),
+          size(array_distinct(toks)).as("x2")),
+        "y", "x1", "x2", groupCols = Seq("lang"))
+        .orderBy("lang", "coef")
+    },
+    Some(s"""WITH f AS (
+            |  SELECT lang, CAST(n_chars AS DECIMAL(18,0)) AS y,
+            |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS DECIMAL(18,0)) AS x1,
+            |    CAST(len(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS DECIMAL(18,0)) AS x2
+            |  FROM documents),
+            |s AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+            |  CAST(SUM(x1) AS DOUBLE) AS sx1, CAST(SUM(x2) AS DOUBLE) AS sx2,
+            |  CAST(SUM(y) AS DOUBLE) AS sy,
+            |  CAST(SUM(x1*x1) AS DOUBLE) AS sx1x1, CAST(SUM(x1*x2) AS DOUBLE) AS sx1x2,
+            |  CAST(SUM(x2*x2) AS DOUBLE) AS sx2x2,
+            |  CAST(SUM(x1*y) AS DOUBLE) AS sx1y, CAST(SUM(x2*y) AS DOUBLE) AS sx2y,
+            |  CAST(SUM(y*y) AS DOUBLE) AS syy FROM f GROUP BY lang),
+            |d AS (SELECT *,
+            |  n*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1*sx2x2 - sx1x2*sx2)
+            |    + sx2*(sx1*sx1x2 - sx1x1*sx2) AS det FROM s),
+            |b AS (SELECT *,
+            |  (sy*(sx1x1*sx2x2 - sx1x2*sx1x2) - sx1*(sx1y*sx2x2 - sx1x2*sx2y)
+            |    + sx2*(sx1y*sx1x2 - sx1x1*sx2y)) / det AS b0,
+            |  (n*(sx1y*sx2x2 - sx1x2*sx2y) - sy*(sx1*sx2x2 - sx1x2*sx2)
+            |    + sx2*(sx1*sx2y - sx1y*sx2)) / det AS b1,
+            |  (n*(sx1x1*sx2y - sx1y*sx1x2) - sx1*(sx1*sx2y - sx1y*sx2)
+            |    + sy*(sx1*sx1x2 - sx1x1*sx2)) / det AS b2 FROM d)
+            |SELECT lang, coef, value FROM (
+            |  SELECT lang, 'b0' AS coef, b0 AS value FROM b
+            |  UNION ALL SELECT lang, 'b1', b1 FROM b
+            |  UNION ALL SELECT lang, 'b2', b2 FROM b
+            |  UNION ALL SELECT lang, 'r2',
+            |    1.0 - (syy - (b0*sy + b1*sx1y + b2*sx2y)) / (syy - sy*sy/n) FROM b)
+            |ORDER BY lang, coef""".stripMargin))
+
+  // Power-law (scaling-law) fit per source: ln(chars) = a + b·ln(tokens).
+  // Real-valued features through the 9-dp ln contract; products rounded
+  // into DECIMAL(28,12) so the sums stay exact and order-independent.
+  private val powerlawFit = Q(
+    "q_powerlaw_fit",
+    (s, dir) => {
+      val toks = graft.ext.TextStats.tokens(col("text"))
+      LinearFit.fitPowerLaw(
+        t(s, dir, "documents").select(
+          col("source"), col("n_chars").as("y"), size(toks).as("x")),
+        "y", "x", groupCols = Seq("source"))
+        .orderBy("source")
+    },
+    Some("""WITH f AS (
+           |  SELECT source,
+           |    round(ln(CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS DOUBLE)), 9) AS lx,
+           |    round(ln(CAST(n_chars AS DOUBLE)), 9) AS ly
+           |  FROM documents
+           |  WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0
+           |    AND n_chars > 0),
+           |s AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+           |  CAST(SUM(CAST(lx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+           |  CAST(SUM(CAST(ly AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+           |  CAST(SUM(CAST(round(lx*lx, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+           |  CAST(SUM(CAST(round(lx*ly, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+           |  FROM f GROUP BY 1)
+           |SELECT source, (sy - b*sx)/n AS a, b, n FROM (
+           |  SELECT *, (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b FROM s)
+           |ORDER BY source""".stripMargin))
+
   // Mergeable histogram-sketch quantiles over events.value per type:
   // [0,500) in 50 bins, nearest-rank targets, in-bin interpolation. The
   // oracle replays binning + serving — hash match on APPROXIMATE
@@ -206,5 +282,6 @@ object Learn {
            |CROSS JOIN qn
            |ORDER BY cos DESC, d.doc_id, d.chunk_id LIMIT 5""".stripMargin))
 
-  val all: Seq[Q] = Seq(linregFit, quantileSketch, dedupSweep, sourceOverlap, ragRetrieve)
+  val all: Seq[Q] = Seq(linregFit, linregByLang, powerlawFit, quantileSketch,
+    dedupSweep, sourceOverlap, ragRetrieve)
 }

@@ -89,7 +89,8 @@ object ScaleCheck {
       "q_gopher_repetition", "q_boilerplate_scrub", "q_dsir_weights",
       "q_semdedup", "q_hard_negatives", "q_kanon",
       // round-5 model-fitting / tuning-diagnostic family
-      "q_linreg_fit", "q_quantile_sketch", "q_dedup_sweep",
+      "q_linreg_fit", "q_linreg_by_lang", "q_powerlaw_fit",
+      "q_quantile_sketch", "q_dedup_sweep",
       "q_source_overlap", "q_rag_retrieve")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9

@@ -57,6 +57,37 @@ class LearnOpsSpec extends AnyFunSuite {
     assert(got("b0") == b0 && got("b1") == b1 && got("b2") == b2 && got("r2") == r2)
   }
 
+  test("fitOls2 grouped: one pass recovers a DIFFERENT exact model per group") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 300).flatMap { _ =>
+      val x1 = rnd.nextInt(50).toLong
+      val x2 = rnd.nextInt(30).toLong
+      Seq(("g1", 1L + 2L * x1 + 3L * x2, x1, x2),
+        ("g2", 7L + 4L * x1 - 2L * x2, x1, x2))
+    }
+    val got = LinearFit.fitOls2(rows.toDF("g", "y", "x1", "x2"),
+      "y", "x1", "x2", groupCols = Seq("g"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for ((g, cs) <- Seq("g1" -> Seq(1.0, 2.0, 3.0), "g2" -> Seq(7.0, 4.0, -2.0)))
+      for ((c, i) <- cs.zipWithIndex)
+        assert(math.abs(got((g, s"b$i")) - c) < 1e-9, s"$g b$i")
+    assert(math.abs(got(("g1", "r2")) - 1.0) < 1e-12)
+  }
+
+  test("fitPowerLaw recovers the exponent of an exact power law per group") {
+    val rows = (1 to 60).flatMap { i =>
+      val x = i.toLong
+      Seq(("sq", x * x * x, x), // y = x³ → b = 3
+        ("lin", 5L * x, x)) //      y = 5x → b = 1, a = ln 5
+    }
+    val got = LinearFit.fitPowerLaw(rows.toDF("g", "y", "x"),
+      "y", "x", groupCols = Seq("g"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(got("sq")._2 - 3.0) < 1e-6)
+    assert(math.abs(got("lin")._2 - 1.0) < 1e-6)
+    assert(math.abs(got("lin")._1 - math.log(5.0)) < 1e-6)
+  }
+
   // ---- HistSketch --------------------------------------------------------
 
   private def mkValues(seed: Int, nRows: Int) = {
