@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Analytics, Assembly, Curate, Extensions, Graph, Learn, Maintenance, Q, Relational, Relational2, TypedOps}
+import graft.queries.{Advanced, Analytics, Assembly, Curate, Extensions, Graph, Learn, Maintenance, Mining, Q, Relational, Relational2, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are declared in graft.queries.Relational (E1-E16 relational
@@ -13,7 +13,7 @@ object SparkEntry {
   val allQueries: Seq[Q] =
     Relational.all ++ Relational2.all ++ Extensions.all ++ Advanced.all ++
       Analytics.all ++ Assembly.all ++ Graph.all ++ Maintenance.all ++ TypedOps.all ++
-      Curate.all ++ Learn.all
+      Curate.all ++ Learn.all ++ Mining.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

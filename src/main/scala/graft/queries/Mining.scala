@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.Bloom
+import QueryUtil._
+
+/**
+ * Pattern-mining and sketch-pruning queries (SURVEY.md §2.4): the
+ * market-basket / association-rule family every OLAP engine grows, plus
+ * the bloom-pruned semi-join (the user-level twin of Spark's runtime
+ * bloom-filter injection) and the per-group covariance aggregate that
+ * feeds PCA/whitening over the embeddings table.
+ */
+object Mining {
+
+  private val bloomM = 8192
+  private val bloomK = 3
+
+  /** DuckDB replay of [[Bloom.position]] for probe i of SQL expr `key`. */
+  private def oPos(key: String, i: Int): String =
+    s"(('0x' || substr(md5('$i:' || CAST($key AS VARCHAR)), 1, 15))::BIGINT % $bloomM)"
+
+  // Bloom-pruned semi-join: membership signature of the BUILDING-segment
+  // customers (≤ m rows of set bits, independent of member count) is
+  // broadcast and probed with k=3 bit-tests — zero shuffle of the orders
+  // side — then survivors are EXACTLY verified against the member keys.
+  // The output counts bloom passes vs true members per priority class,
+  // so the oracle (which rebuilds the identical md5-60bit bit set in
+  // SQL) proves the false-positive behavior bit-for-bit, not just the
+  // verified final answer. Scale story: when the build side's key set
+  // outgrows the broadcast threshold, its m-bit signature does not —
+  // scan-side pruning survives where a broadcast semi-join dies.
+  private val bloomSemijoin = Q(
+    "q_bloom_semijoin",
+    (s, dir) => {
+      val members = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+      val bits = Bloom.buildBits(members, "key", bloomM, bloomK)
+      val probed = Bloom.probe(t(s, dir, "orders"), "o_custkey", bits, bloomM, bloomK)
+      val verified = probed.join(
+          broadcast(members.select(col("key").as("__mk")).distinct()),
+          col("o_custkey") === col("__mk"), "left")
+        .withColumn("is_member", col("__mk").isNotNull)
+      verified.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("is_member"), 1L).otherwise(0L)).as("n_member"),
+          sum(when(col("bloom_pass") && !col("is_member"), 1L).otherwise(0L)).as("n_fp"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""WITH members AS (
+            |  SELECT DISTINCT c_custkey AS key FROM customer
+            |  WHERE c_mktsegment = 'BUILDING'),
+            |bits AS (
+            |  SELECT DISTINCT ${oPos("key", 0)} AS pos FROM members
+            |  UNION SELECT ${oPos("key", 1)} FROM members
+            |  UNION SELECT ${oPos("key", 2)} FROM members),
+            |probes AS (
+            |  SELECT o_orderpriority,
+            |    ${oPos("o_custkey", 0)} IN (SELECT pos FROM bits)
+            |      AND ${oPos("o_custkey", 1)} IN (SELECT pos FROM bits)
+            |      AND ${oPos("o_custkey", 2)} IN (SELECT pos FROM bits) AS bloom_pass,
+            |    o_custkey IN (SELECT key FROM members) AS is_member
+            |  FROM orders)
+            |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+            |  CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+            |  CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+            |  CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+            |FROM probes GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // Market-basket co-occurrence: part pairs ordered together, support
+  // ≥ 2 orders. Pair generation is a self-equi-join on the basket key —
+  // shuffle ∝ |lineitem| (both sides hash on l_orderkey, exchange
+  // reused), pair fan-out bounded by Σ C(basket_i, 2) which real
+  // pipelines cap per basket (TPC-H baskets are ≤ 7 lines, so the cap
+  // is moot here). Never materializes the |parts|² pair space.
+  private val basketPairs = Q(
+    "q_basket_pairs",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy(desc("n_orders"), col("p1"), col("p2"))
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+           |SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           |  CAST(COUNT(*) AS BIGINT) AS n_orders
+           |FROM li a JOIN li b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+           |ORDER BY n_orders DESC, p1, p2""".stripMargin))
+
+  // Association rules from the co-occurrence pairs: both directions,
+  // confidence = supp(a∪b)/supp(a), lift = supp(a∪b)·N/(supp(a)·supp(b)).
+  // All ratios are single IEEE divisions of EXACT integer counts, so the
+  // doubles are order-independent and hash-match the oracle. The item
+  // supports broadcast (≤ |parts| rows); only the pair table shuffles.
+  private val basketRules = Q(
+    "q_basket_rules",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val dirs = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("n_ab"))
+        .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("n_ab")))
+      val ic = li.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n"))
+      val tot = li.agg(countDistinct("l_orderkey").as("nn"))
+      dirs
+        .join(broadcast(ic.select(col("p").as("__pa"), col("n").as("n_ante"))),
+          col("ante") === col("__pa"))
+        .join(broadcast(ic.select(col("p").as("__pc"), col("n").as("n_cons"))),
+          col("cons") === col("__pc"))
+        .crossJoin(broadcast(tot))
+        .select(col("ante"), col("cons"), col("n_ab"), col("n_ante"), col("n_cons"),
+          (col("n_ab").cast("double") / col("n_ante")).as("conf"),
+          ((col("n_ab") * col("nn")).cast("double") /
+            (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
+        .orderBy("ante", "cons")
+    },
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |pairs AS (
+           |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           |    CAST(COUNT(*) AS BIGINT) AS n_ab
+           |  FROM li a JOIN li b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |dirs AS (
+           |  SELECT p1 AS ante, p2 AS cons, n_ab FROM pairs
+           |  UNION ALL SELECT p2, p1, n_ab FROM pairs),
+           |ic AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY 1),
+           |tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nn FROM li)
+           |SELECT ante, cons, n_ab, a.n AS n_ante, b.n AS n_cons,
+           |  CAST(n_ab AS DOUBLE) / a.n AS conf,
+           |  CAST(n_ab * nn AS DOUBLE) / CAST(a.n * b.n AS DOUBLE) AS lift
+           |FROM dirs JOIN ic a ON ante = a.p JOIN ic b ON cons = b.p
+           |CROSS JOIN tot
+           |ORDER BY ante, cons""".stripMargin))
+
+  // Per-label mean + covariance of the first 4 embedding dims — the
+  // sufficient-statistic aggregate that feeds PCA/whitening/Mahalanobis
+  // over a vector column. ONE map-side-combined hash aggregate; d +
+  // d(d+1)/2 exact-decimal sums per group shuffle (never raw vectors).
+  // float×float products are exact in double, so the decimal-cast sums
+  // are order-independent and the final IEEE divisions deterministic —
+  // the distributed covariance hash-matches a sequential oracle.
+  private val embedCovariance = Q(
+    "q_embed_covariance",
+    (s, dir) => {
+      val d = 4
+      val e = t(s, dir, "embeddings").select(
+        col("label") +:
+          (0 until d).map(i =>
+            element_at(col("embedding"), i + 1).cast("double").as(s"e$i")): _*)
+      val sums = (0 until d).map(i =>
+        sum(col(s"e$i").cast(DecimalType(28, 6))).as(s"s$i"))
+      val prods = for { i <- 0 until d; j <- i until d } yield
+        sum((col(s"e$i") * col(s"e$j")).cast(DecimalType(28, 12))).as(s"p$i$j")
+      val aggd = e.groupBy("label")
+        .agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+      val means = (0 until d).map(i =>
+        (col(s"s$i").cast("double") / col("n")).as(s"m$i"))
+      val covs = for { i <- 0 until d; j <- i until d } yield
+        (col(s"p$i$j").cast("double") / col("n") -
+          (col(s"s$i").cast("double") / col("n")) *
+          (col(s"s$j").cast("double") / col("n"))).as(s"c$i$j")
+      aggd.select(col("label").cast("int").as("label") +: col("n") +: (means ++ covs): _*)
+        .orderBy("label")
+    },
+    Some {
+      val d = 4
+      def ei(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+      val sums = (0 until d).map(i =>
+        s"SUM(CAST(${ei(i)} AS DECIMAL(28,6))) AS s$i").mkString(", ")
+      val prods = (for { i <- 0 until d; j <- i until d } yield
+        s"SUM(CAST(${ei(i)} * ${ei(j)} AS DECIMAL(28,12))) AS p$i$j").mkString(", ")
+      val means = (0 until d).map(i =>
+        s"CAST(s$i AS DOUBLE) / n AS m$i").mkString(", ")
+      val covs = (for { i <- 0 until d; j <- i until d } yield
+        s"CAST(p$i$j AS DOUBLE) / n - (CAST(s$i AS DOUBLE) / n) * (CAST(s$j AS DOUBLE) / n) AS c$i$j")
+        .mkString(", ")
+      s"""WITH a AS (
+         |  SELECT CAST(label AS INTEGER) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+         |    $sums, $prods
+         |  FROM embeddings GROUP BY 1)
+         |SELECT label, n, $means, $covs FROM a ORDER BY label""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(bloomSemijoin, basketPairs, basketRules, embedCovariance)
+}

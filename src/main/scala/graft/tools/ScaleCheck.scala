@@ -91,7 +91,10 @@ object ScaleCheck {
       // round-5 model-fitting / tuning-diagnostic family
       "q_linreg_fit", "q_linreg_by_lang", "q_powerlaw_fit",
       "q_quantile_sketch", "q_dedup_sweep",
-      "q_source_overlap", "q_rag_retrieve")
+      "q_source_overlap", "q_rag_retrieve",
+      // round-5 pattern-mining family
+      "q_bloom_semijoin", "q_basket_pairs", "q_basket_rules",
+      "q_embed_covariance")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
