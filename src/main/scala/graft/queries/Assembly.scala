@@ -258,6 +258,65 @@ object Assembly {
            |  CAST(floor(sqrt_n / z * 100000) AS BIGINT) AS target_docs
            |FROM sq, z ORDER BY lang""".stripMargin))
 
+  // Mixture MATERIALIZATION: q_mix_temperature SETS per-language repeat
+  // weights; this step actually emits the upsampled epoch. Fractional
+  // weights resolve by deterministic stochastic rounding — repeat =
+  // ⌊w⌋ + [md5-uniform(doc) < frac(w)] — so E[copies] = w·n exactly,
+  // reruns are bit-identical, and no RNG state rides the cluster. The
+  // fractional threshold compares 60-bit INTEGERS (frac·2^60 is exact
+  // for the binary-representable weights), never floats. Explode fan-out
+  // is ≤ ⌈w⌉ per row with ZERO shuffle before the audit aggregate — at
+  // scale the exploded stream goes straight to the sink and the
+  // aggregate is the data-card check that lands next to it.
+  private val upsampleWeights = Seq(
+    ("en", 1.0), ("de", 2.5), ("fr", 2.0), ("es", 1.75), ("zh", 3.25))
+
+  private val upsampleMix = Q(
+    "q_upsample_mix",
+    (s, dir) => {
+      def chain(f: Double => Long) =
+        upsampleWeights.tail.foldLeft(
+          when(col("lang") === upsampleWeights.head._1, lit(f(upsampleWeights.head._2)))) {
+          case (acc, (l, wt)) => acc.when(col("lang") === l, lit(f(wt)))
+        }.otherwise(lit(f(1.0)))
+      val u = conv(substring(md5(concat(lit("up:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val rep = chain(w => math.floor(w).toLong) +
+        when(u < chain(w => ((w - math.floor(w)) * math.pow(2, 60)).toLong), 1L)
+          .otherwise(0L)
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("rep", rep)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1L), col("rep"))).as("copy"))
+        .groupBy("lang").agg(
+          countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_copies"),
+          (count(lit(1)).cast("double") / countDistinct("doc_id")).as("ratio"),
+          sum(col("doc_id") * col("copy")).as("checksum"))
+        .orderBy("lang")
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, lang,
+           |    CASE lang WHEN 'de' THEN 2.5::DOUBLE WHEN 'fr' THEN 2.0::DOUBLE
+           |      WHEN 'es' THEN 1.75::DOUBLE WHEN 'zh' THEN 3.25::DOUBLE
+           |      ELSE 1.0::DOUBLE END AS wt,
+           |    ('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, lang, CAST(floor(wt) AS BIGINT)
+           |    + CASE WHEN u < CAST((wt - floor(wt)) * 1152921504606846976.0::DOUBLE AS BIGINT)
+           |      THEN 1 ELSE 0 END AS rep
+           |  FROM w),
+           |c AS (
+           |  SELECT doc_id, lang,
+           |    unnest(generate_series(1, rep)) AS copy
+           |  FROM r)
+           |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+           |  CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS ratio,
+           |  CAST(SUM(doc_id * copy) AS BIGINT) AS checksum
+           |FROM c GROUP BY lang ORDER BY lang""".stripMargin))
+
   // A trained quality classifier applied at scale — the fastText-style
   // filter stage, as a LINEAR margin over the engine's quality features.
   // Deliberately no sigmoid: exp() is libm-dependent across engines, the
@@ -351,5 +410,5 @@ object Assembly {
 
   val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs,
     packGlobal, chunkDocs, interleaveMix, textToIds, sourceCap, tokenBudget,
-    mixTemperature, qualityMargin, shuffleEpoch, corpusReport)
+    mixTemperature, upsampleMix, qualityMargin, shuffleEpoch, corpusReport)
 }

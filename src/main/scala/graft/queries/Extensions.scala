@@ -816,6 +816,56 @@ object Extensions {
             |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
             |ORDER BY doc_id""".stripMargin))
 
+  // Canonical-survivor selection by QUALITY, not minimum id: each
+  // near-dup cluster keeps its LONGEST member (n_chars, ties to the
+  // lower doc_id) — the "which copy survives" policy corpus pipelines
+  // actually apply, since the longest variant usually carries the least
+  // truncation/boilerplate damage. The per-cluster argmax is a
+  // cluster-partitioned window (state bounded by cluster size, no
+  // global sort); the mapping joins back on the cluster id so every
+  // member resolves to its survivor.
+  private val dedupCanonical = Q(
+    "q_dedup_canonical",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.clusterAssignments(
+        graft.ops.BoundedCache.cached(
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val canon = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id").as("__c"), col("doc_id").as("canonical_id"))
+      clusters.join(canon, col("cluster_id") === col("__c"))
+        .select("doc_id", "cluster_id", "canonical_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |pairs AS (
+            |  SELECT d1, d2 FROM inter
+            |  JOIN sizes s1 ON s1.doc_id = d1
+            |  JOIN sizes s2 ON s2.doc_id = d2
+            |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8),
+            |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+            |          UNION SELECT d2, d1 FROM pairs),
+            |reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            |assign AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |           FROM reach GROUP BY a),
+            |canon AS (
+            |  SELECT cluster_id, doc_id AS canonical_id FROM (
+            |    SELECT a.cluster_id, a.doc_id,
+            |      row_number() OVER (PARTITION BY a.cluster_id
+            |        ORDER BY d.n_chars DESC, a.doc_id) AS rn
+            |    FROM assign a JOIN documents d ON d.doc_id = a.doc_id)
+            |  WHERE rn = 1)
+            |SELECT a.doc_id, a.cluster_id, c.canonical_id
+            |FROM assign a JOIN canon c ON a.cluster_id = c.cluster_id
+            |ORDER BY a.doc_id""".stripMargin))
+
   // Incremental ingest dedup: new batch (doc_id % 10 = 0) vs corpus (rest).
   private val dedupIncremental = Q(
     "q_dedup_incremental",
@@ -1574,7 +1624,8 @@ object Extensions {
   val all: Seq[Q] = Seq(
     spanDedup, spanDedupApply, simsearchPq, simsearchIvfPq,
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash, dedupPrefix,
-    dedupClusters, dedupClustersLss, dedupApply, dedupIncremental, textContamination,
+    dedupClusters, dedupClustersLss, dedupApply, dedupCanonical, dedupIncremental,
+    textContamination,
     decontaminateApply,
     simsearchTopK, simsearchLsh, simsearchIvf, simsearchIvfIndex,
     embedNearDup, embedIncremental,

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Value-level checks for the corpus-policy operators added in round 5:
+  * canonical-survivor selection and mixture upsampling. */
+class PolicySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+  val sf = SparkTestBase.sf0001
+
+  test("canonical survivor is the longest member of its own cluster") {
+    val assign = SparkEntry.queries("q_dedup_canonical")(spark, sf).collect()
+    assert(assign.nonEmpty)
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = assign.groupBy(_.getLong(1))
+    byCluster.values.foreach { members =>
+      val canon = members.head.getLong(2)
+      assert(members.forall(_.getLong(2) == canon), "mixed canonicals in one cluster")
+      assert(members.exists(_.getLong(0) == canon), "canonical outside its cluster")
+      val best = members.map(m => (lens(m.getLong(0)), -m.getLong(0))).max
+      assert((lens(canon), -canon) === best, "canonical is not the longest member")
+    }
+  }
+
+  test("upsample repeats land between floor(w) and ceil(w) with exact doc coverage") {
+    val got = SparkEntry.queries("q_upsample_mix")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Map("en" -> 1.0, "de" -> 2.5, "fr" -> 2.0, "es" -> 1.75, "zh" -> 3.25)
+    counts.foreach { case (lang, n) =>
+      val (nDocs, nCopies) = got(lang)
+      assert(nDocs === n, s"$lang: every doc must appear (no downsampling)")
+      val wt = w.getOrElse(lang, 1.0)
+      assert(nCopies >= math.floor(wt).toLong * n && nCopies <= math.ceil(wt).toLong * n,
+        s"$lang: $nCopies copies outside [${math.floor(wt) * n}, ${math.ceil(wt) * n}]")
+    }
+    // integral weights are exact, not stochastic
+    assert(got("en")._2 === counts("en"))
+    assert(got("fr")._2 === 2 * counts("fr"))
+  }
+
+  test("upsample is deterministic across invocations") {
+    val a = SparkEntry.queries("q_upsample_mix")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q_upsample_mix")(spark, sf).collect().toSeq
+    assert(a === b)
+  }
+}
