@@ -553,6 +553,40 @@ object Advanced {
   // observed counts exact, expected = row·col/n in doubles, per-cell
   // terms 9dp-rounded then exact-decimal summed (the q_entropy contract
   // for order-independent transcendental/NONLINEAR aggregates).
+  // Recency-weighted popularity: per event type, trailing 8-day count
+  // with half-per-day exponential decay. Decay 1/2 (not 0.9) is a DESIGN
+  // choice for determinism: every weight 2^-k is an exact dyadic, so the
+  // weighted sum is computed as an exact INTEGER sum of cnt·2^(7-k) and
+  // one final division by 128 — order-independent, no libm pow anywhere.
+  // Shuffle is |day×type| daily counts, never events; the max-day scalar
+  // broadcasts. The ranking-feed "decayed counter" shape, feasible at
+  // any corpus size because state is one integer per (type, day).
+  private val decayedCounts = Q(
+    "q_decayed_counts",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(expr("ts DIV 86400000000000").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val mx = daily.agg(max("day").as("maxday"))
+      daily.crossJoin(broadcast(mx))
+        .withColumn("k", (col("maxday") - col("day")).cast("int"))
+        .filter(col("k") <= 7)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          (sum(expr("cnt * shiftleft(CAST(1 AS BIGINT), 7 - k)")).cast("double")
+            / lit(128.0)).as("decayed"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+           |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type, COUNT(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |mx AS (SELECT MAX(day) AS maxday FROM daily)
+           |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           |  CAST(SUM(cnt * (1 << CAST(7 - (maxday - day) AS INTEGER))) AS DOUBLE)
+           |    / 128.0 AS decayed
+           |FROM daily, mx WHERE maxday - day <= 7
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   private val chiSquare = Q(
     "q_chi2",
     (s, dir) => {
@@ -681,5 +715,5 @@ object Advanced {
     asofJoin, asofNative, asofForward, eventsSessions, eventsSliding, eventsFunnel,
     eventSequences, variantExtract, eventsSessionWindow, approxDistinct,
     recursiveCte, lateralTop2, twap, userLifecycle, rollingDistinct,
-    trendingTopk, chiSquare, rankCorr, benford)
+    trendingTopk, decayedCounts, chiSquare, rankCorr, benford)
 }

@@ -76,17 +76,26 @@ object Mining {
   // shuffle ∝ |lineitem| (both sides hash on l_orderkey, exchange
   // reused), pair fan-out bounded by Σ C(basket_i, 2) which real
   // pipelines cap per basket (TPC-H baskets are ≤ 7 lines, so the cap
-  // is moot here). Never materializes the |parts|² pair space.
+  // is moot here). Never materializes the |parts|² pair space. The
+  // distinct basket frame is bounded-cached: q_basket_rules re-reads it
+  // three times (pairs, item supports, total), siblings share one scan.
+  private def basketFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.ops.BoundedCache.cached(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct())
+
+  private def pairCounts(li: org.apache.spark.sql.DataFrame) =
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+
   private val basketPairs = Q(
     "q_basket_pairs",
     (s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-      li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
+      pairCounts(basketFrame(s, dir))
+        .select(col("p1"), col("p2"), col("n_ab").as("n_orders"))
         .orderBy(desc("n_orders"), col("p1"), col("p2"))
     },
     Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -105,13 +114,8 @@ object Mining {
   private val basketRules = Q(
     "q_basket_rules",
     (s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
+      val li = basketFrame(s, dir)
+      val pairs = pairCounts(li)
       val dirs = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("n_ab"))
         .unionAll(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("n_ab")))
       val ic = li.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("n"))

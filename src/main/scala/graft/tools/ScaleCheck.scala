@@ -94,7 +94,8 @@ object ScaleCheck {
       "q_source_overlap", "q_rag_retrieve",
       // round-5 pattern-mining family
       "q_bloom_semijoin", "q_basket_pairs", "q_basket_rules",
-      "q_embed_covariance", "q_dedup_canonical", "q_upsample_mix")
+      "q_embed_covariance", "q_dedup_canonical", "q_upsample_mix",
+      "q_decayed_counts")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
