@@ -247,11 +247,17 @@ object Analytics {
     "q_histogram_eqdepth",
     (s, dir) => {
       val nb = 8
-      val counts = t(s, dir, "lineitem")
-        .select(col("l_extendedprice").cast(DecimalType(18, 2)).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("c"))
-      val cum = graft.ops.PrefixSum.runningSum(counts, "v", "c", "hi_cum")
-        .withColumn("lo_cum", col("hi_cum") - col("c") + 1)
+      // the distinct-value frame feeds 3 PrefixSum passes (quantile
+      // bounds, range totals, final window) and the cum frame feeds the
+      // lo/hi bucket joins + the total — bounded-cache both or the
+      // lineitem scan+aggregate reruns six times
+      val counts = graft.ops.BoundedCache.cached(
+        t(s, dir, "lineitem")
+          .select(col("l_extendedprice").cast(DecimalType(18, 2)).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("c")))
+      val cum = graft.ops.BoundedCache.cached(
+        graft.ops.PrefixSum.runningSum(counts, "v", "c", "hi_cum")
+          .withColumn("lo_cum", col("hi_cum") - col("c") + 1))
       val total = counts.agg(sum(col("c")).as("nn"))
       // ntile fill rule: first (N mod nb) buckets get ⌈N/nb⌉ rows
       val buckets = s.range(1, nb + 1).toDF("bucket")

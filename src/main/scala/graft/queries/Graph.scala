@@ -216,5 +216,51 @@ object Graph {
            |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
            |ORDER BY x, y, z""".stripMargin))
 
-  val all: Seq[Q] = Seq(joinFive, pagerank, triangles)
+  // End-to-end entity resolution (the MDM "match-merge" composite):
+  // blocked fuzzy-match candidates (brand+size blocks — candidate work
+  // Σ block², never |parts|²) → Jaro-Winkler gate (the same custom
+  // codegen expression q_jaro_pairs proves against DuckDB) →
+  // large-star/small-star connected components (O(log²) rounds on any
+  // topology) → entity id = minimum member + member count, the shape a
+  // golden-record/survivorship step consumes directly. At sf0.001 the
+  // blocks are too sparse for any ≥0.8 match — empty output on both
+  // engines is itself the correct answer there.
+  private val entityResolution = Q(
+    "q_entity_resolution",
+    (s, dir) => {
+      graft.functions.StringFunctions.register(s)
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_partkey").as("k1"), col("p_brand"),
+        col("p_size"), col("p_name").as("n1"))
+      val b = p.select(col("p_partkey").as("k2"), col("p_brand"),
+        col("p_size"), col("p_name").as("n2"))
+      val edges = a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("k1") < col("k2"))
+        .filter(round(expr("jaro_winkler(n1, n2)"), 9) >= 0.8)
+        .select(col("k1").as("d1"), col("k2").as("d2"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("entity_id")
+      graft.ops.ConnectedComponents.largeStarSmallStar(edges)
+        .select(col("id").as("p_partkey"), col("component").as("entity_id"))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT a.p_partkey AS d1, b.p_partkey AS d2
+           |  FROM part a JOIN part b
+           |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           |   AND a.p_partkey < b.p_partkey
+           |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.8),
+           |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+           |          UNION SELECT d2, d1 FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |assign AS (SELECT a AS p_partkey, least(a, min(b)) AS entity_id
+           |           FROM reach GROUP BY a)
+           |SELECT p_partkey, entity_id,
+           |  CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+           |FROM assign ORDER BY p_partkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(joinFive, pagerank, triangles, entityResolution)
 }

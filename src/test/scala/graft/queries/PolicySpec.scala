@@ -46,6 +46,19 @@ class PolicySpec extends AnyFunSuite {
     assert(got("fr")._2 === 2 * counts("fr"))
   }
 
+  test("entity resolution: entity id is the minimum member, counts consistent") {
+    // sf0.001 blocks are too sparse for any >=0.8 match; use sf0.01
+    val assign = SparkEntry.queries("q_entity_resolution")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(assign.nonEmpty)
+    val byEntity = assign.groupBy(_.getLong(1))
+    byEntity.foreach { case (eid, members) =>
+      assert(members.map(_.getLong(0)).min === eid, "entity id must be the min member")
+      assert(members.forall(_.getLong(2) == members.length), "n_members mismatch")
+      assert(members.length >= 2, "singletons should not appear (edge-derived nodes only)")
+    }
+  }
+
   test("upsample is deterministic across invocations") {
     val a = SparkEntry.queries("q_upsample_mix")(spark, sf).collect().toSeq
     val b = SparkEntry.queries("q_upsample_mix")(spark, sf).collect().toSeq
