@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ext.{Curation, Dedup, Retrieval}
 import graft.ops.{HistSketch, LinearFit}
@@ -282,6 +283,73 @@ object Learn {
            |CROSS JOIN qn
            |ORDER BY cos DESC, d.doc_id, d.chunk_id LIMIT 5""".stripMargin))
 
+  // Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+  // Massive Data Streams", Google 2012): the distributed way to get a
+  // CI on a corpus statistic — true resampling needs sampling WITHOUT
+  // replacement across partitions, Poisson(1) weights need only a local
+  // draw per (row, replica). Determinism design: the draw is an md5-60bit
+  // integer compared against PRE-INTEGERIZED Poisson CDF thresholds
+  // (⌊cdf·2^60⌋ Long literals baked into both plans at authoring time),
+  // so no float comparison and no engine RNG anywhere; replica means are
+  // exact-decimal weighted sums with ONE final IEEE division. Scale
+  // shape: explode ×B then ONE map-side-combined aggregate — B counters
+  // per partition cross the wire; the CI is a trivial driver-side
+  // quantile over B rows downstream.
+  private val bootstrapMeans = Q(
+    "q_bootstrap_means",
+    (s, dir) => {
+      val B = 32
+      // Poisson(1) CDF at k = 0..4, integerized to 60-bit thresholds;
+      // weights cap at 5 (covers 99.96% of the mass, deterministic).
+      val cdf = {
+        var acc = 0.0; var fact = 1.0
+        (0 to 4).map { k =>
+          if (k > 0) fact *= k
+          acc += math.exp(-1.0) / fact
+          (acc * math.pow(2, 60)).toLong
+        }
+      }
+      val u = conv(substring(md5(concat(
+          col("replica").cast("string"), lit(":"), col("o_orderkey").cast("string"))),
+          1, 15), 16, 10).cast("long")
+      val w = cdf.map(c => when(u > lit(c), 1L).otherwise(0L)).reduce(_ + _)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(sequence(lit(0), lit(B - 1))).as("replica"))
+        .withColumn("w", w)
+        .groupBy("replica")
+        .agg(sum(col("w")).as("n_eff"),
+          (sum(col("w") * col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double") / sum(col("w"))).as("mean_rev"))
+        .select(col("replica").cast("int").as("replica"), col("n_eff"), col("mean_rev"))
+        .orderBy("replica")
+    },
+    Some {
+      val cdf = {
+        var acc = 0.0; var fact = 1.0
+        (0 to 4).map { k =>
+          if (k > 0) fact *= k
+          acc += math.exp(-1.0) / fact
+          (acc * math.pow(2, 60)).toLong
+        }
+      }
+      val wExpr = cdf.map(c => s"(CASE WHEN u > $c THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT o_orderkey, o_totalprice, r.replica
+         |  FROM orders, (SELECT unnest(range(0, 32)) AS replica) r),
+         |h AS (
+         |  SELECT replica, o_totalprice,
+         |    ('0x' || substr(md5(CAST(replica AS VARCHAR) || ':'
+         |      || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS u
+         |  FROM e),
+         |w AS (SELECT replica, o_totalprice, $wExpr AS w FROM h)
+         |SELECT CAST(replica AS INTEGER) AS replica,
+         |  CAST(SUM(w) AS BIGINT) AS n_eff,
+         |  CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    / CAST(SUM(w) AS BIGINT) AS mean_rev
+         |FROM w GROUP BY replica ORDER BY replica""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(linregFit, linregByLang, powerlawFit, quantileSketch,
-    dedupSweep, sourceOverlap, ragRetrieve)
+    dedupSweep, sourceOverlap, ragRetrieve, bootstrapMeans)
 }

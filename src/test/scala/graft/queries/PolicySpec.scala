@@ -59,6 +59,29 @@ class PolicySpec extends AnyFunSuite {
     }
   }
 
+  test("poisson bootstrap: replica means bracket the true mean at the right scale") {
+    val reps = SparkEntry.queries("q_bootstrap_means")(spark, sf).collect()
+    assert(reps.length === 32)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val n = orders.length
+    val mean = orders.sum / n
+    val sd = math.sqrt(orders.map(x => (x - mean) * (x - mean)).sum / n)
+    val se = sd / math.sqrt(n.toDouble)
+    // Poisson(1) weights: E[n_eff] = n, Var[mean_b] ~ se^2
+    reps.foreach { r =>
+      assert(math.abs(r.getLong(1) - n) < 0.2 * n, "n_eff far from n")
+      assert(math.abs(r.getDouble(2) - mean) < 6 * se, "replica mean implausibly far")
+    }
+    val bmeans = reps.map(_.getDouble(2))
+    val bsd = {
+      val m = bmeans.sum / bmeans.length
+      math.sqrt(bmeans.map(x => (x - m) * (x - m)).sum / bmeans.length)
+    }
+    assert(bsd > 0.2 * se && bsd < 5 * se,
+      s"bootstrap spread $bsd inconsistent with true SE $se")
+  }
+
   test("upsample is deterministic across invocations") {
     val a = SparkEntry.queries("q_upsample_mix")(spark, sf).collect().toSeq
     val b = SparkEntry.queries("q_upsample_mix")(spark, sf).collect().toSeq
