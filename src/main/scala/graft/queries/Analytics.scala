@@ -859,7 +859,77 @@ object Analytics {
            |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
            |ORDER BY p_retailprice, p_partkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ,
+  // Single-changepoint detection on the monthly order-VOLUME series:
+  // the split k minimizing SSE_left + SSE_right, both derived from
+  // prefix sums of cnt and cnt² — exact INTEGERS, and kept under 2^53
+  // by construction so the int→double casts are value-preserving on
+  // BOTH engines. (The revenue variant is deliberately out: Σr² of a
+  // 2-dp money decimal overflows into int128 territory where DuckDB's
+  // decimal→double cast is NOT correctly rounded — observed 17-ulp
+  // drift at sf0.001 — while counts stay in the exact-double range up
+  // to ~10⁶ orders/month.) Every candidate's SSE is then the same
+  // pinned IEEE tree. The window is over MONTHS — calendar-bounded
+  // (the q_abc_class contract), not data-bounded; the candidate scan
+  // is |months| rows and the argmin a deterministic (sse, month) sort.
+  // O(1) passes, no per-split rescan: the prefix sums make evaluating
+  // all |months| splits one projection.
+  private val changepoint = Q(
+    "q_changepoint",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("r"))
+      val w = W.orderBy("month")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val cum = m
+        .withColumn("s1", sum(col("r")).over(w))
+        .withColumn("s2", sum(col("r") * col("r")).over(w))
+        .withColumn("k", row_number().over(W.orderBy("month")).cast("long"))
+      val tot = m.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("r")).cast("double").as("ts1"),
+        sum(col("r") * col("r")).cast("double").as("ts2"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("k") < col("n"))
+        .select(col("month"), col("k"), col("n"),
+          col("s1").cast("double").as("d1"), col("s2").cast("double").as("d2"),
+          col("ts1"), col("ts2"))
+        .select(col("month"),
+          round((col("d2") - (col("d1") * col("d1")) / col("k"))
+            + ((col("ts2") - col("d2"))
+              - ((col("ts1") - col("d1")) * (col("ts1") - col("d1")))
+                / (col("n") - col("k"))), 6).as("sse"),
+          round(col("d1") / col("k"), 6).as("mean_left"),
+          round((col("ts1") - col("d1")) / (col("n") - col("k")), 6).as("mean_right"))
+        .orderBy(col("sse"), col("month"))
+        .limit(1)
+    },
+    Some("""WITH m AS (
+           |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+           |    COUNT(*) AS r
+           |  FROM orders GROUP BY 1),
+           |c AS (
+           |  SELECT month, r,
+           |    SUM(r) OVER w AS s1,
+           |    SUM(r * r) OVER w AS s2,
+           |    CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS k
+           |  FROM m
+           |  WINDOW w AS (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |tot AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS DOUBLE) AS ts1,
+           |    CAST(SUM(r * r) AS DOUBLE) AS ts2
+           |  FROM m)
+           |SELECT month,
+           |  round((d2 - (d1 * d1) / k)
+           |    + ((ts2 - d2) - ((ts1 - d1) * (ts1 - d1)) / (n - k)), 6) AS sse,
+           |  round(d1 / k, 6) AS mean_left,
+           |  round((ts1 - d1) / (n - k), 6) AS mean_right
+           |FROM (SELECT month, k, n, CAST(s1 AS DOUBLE) AS d1,
+           |        CAST(s2 AS DOUBLE) AS d2, ts1, ts2
+           |      FROM c, tot WHERE k < n)
+           |ORDER BY sse, month LIMIT 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,

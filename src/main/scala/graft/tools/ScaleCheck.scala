@@ -95,7 +95,8 @@ object ScaleCheck {
       // round-5 pattern-mining family
       "q_bloom_semijoin", "q_basket_pairs", "q_basket_rules",
       "q_embed_covariance", "q_dedup_canonical", "q_upsample_mix",
-      "q_decayed_counts", "q_entity_resolution", "q_bootstrap_means")
+      "q_decayed_counts", "q_entity_resolution", "q_bootstrap_means",
+      "q_changepoint")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
