@@ -929,7 +929,92 @@ object Analytics {
            |      FROM c, tot WHERE k < n)
            |ORDER BY sse, month LIMIT 1""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint,
+  // Smoothed target encoding (the Micci-Barreca empirical-Bayes feature):
+  // enc(c) = (Σy_c + m·μ)/(n_c + m) — the category mean shrunk toward the
+  // global mean by pseudo-count m, the leakage-safe way to turn a
+  // high-cardinality category into one numeric feature. Sums are exact
+  // decimals; μ and every encode are single pinned IEEE divisions, so the
+  // doubles hash across engines. One map-side-combined aggregate per
+  // category + a broadcast scalar — flat in corpus size.
+  private val targetEncode = Q(
+    "q_target_encode",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val g = o.agg(dsum(col("o_totalprice")).as("gsum"),
+        count(lit(1)).cast("long").as("gn"))
+      val m = 50.0
+      o.groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("long").as("n"),
+          dsum(col("o_totalprice")).as("csum"))
+        .crossJoin(broadcast(g))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("csum") / col("n"), 6).as("raw_mean"),
+          round((col("csum") + lit(m) * (col("gsum") / col("gn")))
+            / (col("n").cast("double") + lit(m)), 6).as("encoded"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""WITH g AS (SELECT ${oSum("o_totalprice")} AS gsum,
+            |  CAST(COUNT(*) AS BIGINT) AS gn FROM orders),
+            |c AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+            |  ${oSum("o_totalprice")} AS csum FROM orders GROUP BY 1)
+            |SELECT o_orderpriority, n,
+            |  round(csum / n, 6) AS raw_mean,
+            |  round((csum + 50.0::DOUBLE * (gsum / gn))
+            |    / (CAST(n AS DOUBLE) + 50.0::DOUBLE), 6) AS encoded
+            |FROM c, g ORDER BY o_orderpriority""".stripMargin))
+
+  // Weekly-seasonality strength of the daily order volume: R² of the
+  // day-of-week model = 1 − SSE_within/SSE_total, every sufficient
+  // statistic an exact integer (counts and count², < 2^53 — the
+  // q_changepoint cast contract). One row out; the answer to "does this
+  // metric need deseasonalizing before anomaly detection".
+  private val seasonality = Q(
+    "q_seasonality",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dow", (weekday(col("day")) + 1).cast("int"))
+      val byDow = daily.groupBy("dow")
+        .agg(count(lit(1)).as("nd"), sum("cnt").as("s1"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+        .select(
+          sum(col("nd")).as("n_days"),
+          sum(col("s1")).cast("double").as("t1"),
+          sum(col("s2")).cast("double").as("t2"),
+          // per-dow terms are nonlinear (s1²/nd) → 6-dp round then exact
+          // decimal sum (the q_chi2 contract), or the 7-term double sum
+          // would be association-order-dependent across engines
+          sum(round(col("s2").cast("double")
+              - (col("s1") * col("s1")).cast("double") / col("nd"), 6)
+            .cast(DecimalType(28, 6))).cast("double").as("ssw"))
+      byDow.select(col("n_days"),
+        round(col("t2") - col("t1") * col("t1") / col("n_days"), 6).as("sst"),
+        round(col("ssw"), 6).as("ssw"),
+        round(lit(1.0) - col("ssw")
+          / (col("t2") - col("t1") * col("t1") / col("n_days")), 9).as("r2_dow"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS cnt
+           |  FROM orders GROUP BY 1),
+           |d AS (SELECT isodow(day) AS dow, cnt FROM daily),
+           |bydow AS (
+           |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS nd,
+           |    CAST(SUM(cnt) AS BIGINT) AS s1, CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+           |  FROM d GROUP BY 1),
+           |agg AS (
+           |  SELECT CAST(SUM(nd) AS BIGINT) AS n_days,
+           |    CAST(SUM(s1) AS DOUBLE) AS t1, CAST(SUM(s2) AS DOUBLE) AS t2,
+           |    CAST(SUM(CAST(round(CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / nd, 6)
+           |      AS DECIMAL(28,6))) AS DOUBLE) AS ssw
+           |  FROM bydow)
+           |SELECT n_days,
+           |  round(t2 - t1 * t1 / n_days, 6) AS sst,
+           |  round(ssw, 6) AS ssw,
+           |  round(1.0::DOUBLE - ssw / (t2 - t1 * t1 / n_days), 9) AS r2_dow
+           |FROM agg""".stripMargin))
+
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,
