@@ -255,3 +255,48 @@ object MediaCodecProps extends Properties("mediacodec") {
       }
     }
 }
+
+object BloomProps extends Properties("bloom") {
+
+  // each trial runs Spark jobs — a handful of generated sets suffices
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  /** Scalar reference of [[graft.ops.Bloom.position]]: md5 hex of
+    * "i:key", first 15 hex digits as a long, mod m. */
+  private def refPosition(key: Long, i: Int, m: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$key".getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % m
+  }
+
+  private val keysGen = Gen.nonEmptyListOf(Gen.choose(0L, 1000000L)).map(_.distinct)
+
+  property("no false negatives: every built key passes its own filter") =
+    forAll(keysGen) { keys =>
+      val spark = SparkTestBase.session
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val df = keys.toDF("key")
+      val bits = graft.ops.Bloom.buildBits(df, "key", m = 512, k = 3)
+      graft.ops.Bloom.probe(df, "key", bits, m = 512, k = 3)
+        .filter(!col("bloom_pass")).count() == 0L
+    }
+
+  property("engine probe decision equals the scalar md5 reference") =
+    forAll(keysGen, keysGen) { (members, probes) =>
+      val spark = SparkTestBase.session
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val m = 512; val k = 3
+      val bitSet = members.flatMap(key => (0 until k).map(refPosition(key, _, m))).toSet
+      val bits = graft.ops.Bloom.buildBits(members.toDF("key"), "key", m, k)
+      val engine = graft.ops.Bloom.probe(probes.toDF("key"), "key", bits, m, k)
+        .select(col("key"), col("bloom_pass"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      probes.forall { p =>
+        engine(p) == (0 until k).forall(i => bitSet.contains(refPosition(p, i, m)))
+      }
+    }
+}
