@@ -68,7 +68,10 @@ object Pq {
     val subDim = d / m
     val subs = graft.ops.BoundedCache.cached(subvectors(base, m, subDim))
     // seeded init: the ks md5-first ids seed EVERY subspace (one pick,
-    // broadcast) — the same portable ordering as SimSearch.ivfAssign
+    // broadcast) — the same portable ordering as SimSearch.ivfAssign.
+    // The unpartitioned row_number window below runs AFTER limit(ks):
+    // WindowExec's single-partition warning is about these ≤ks (16)
+    // seed rows, bounded by design, never the corpus.
     val initIds = base
       .orderBy(md5(col("id").cast("string")), col("id")).limit(ks)
       .withColumn("cid",

@@ -154,7 +154,7 @@ object ScaleCheck {
     val family = Seq("q_dedup_minhash", "q_dedup_prefix", "q_dedup_clusters",
       "q_dedup_clusters_lss", "q_simsearch_lsh", "q_simsearch_ivf_index",
       "q_span_dedup", "q_span_dedup_apply", "q_simsearch_pq", "q_simsearch_ivfpq",
-      "q_boilerplate_scrub", "q_gopher_repetition")
+      "q_boilerplate_scrub", "q_gopher_repetition", "q_dedup_canonical")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
