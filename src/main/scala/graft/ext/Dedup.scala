@@ -71,9 +71,12 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = graft.ops.BoundedCache.cached(hashedShingles(docs, idCol, textCol, n))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("d1"), col("shash"))
-    val b = sh.select(col(idCol).as("d2"), col("shash"))
-    val inter = a.join(b, a("shash") === b("shash") && a("d1") < b("d2"))
+    // rename the key on one side: both frames project the SAME cached
+    // plan, so a bare shash === shash would resolve to one attribute
+    // (Spark's self-join disambiguation rescues it, with a warning)
+    val a = sh.select(col(idCol).as("d1"), col("shash").as("s1"))
+    val b = sh.select(col(idCol).as("d2"), col("shash").as("s2"))
+    val inter = a.join(b, col("s1") === col("s2") && col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col(idCol).as("d1"), col("sz").as("sz1")), "d1")
@@ -124,9 +127,9 @@ object Dedup {
       .join(sizes, idCol)
       .filter(col("__pos") <=
         col("__sz") - ceil(lit(threshold) * col("__sz") - lit(1e-9)) + 1)
-    val a = prefix.select(col(idCol).as("d1"), col("shash"), col("__sz").as("sz1"))
-    val b = prefix.select(col(idCol).as("d2"), col("shash"), col("__sz").as("sz2"))
-    val cand = a.join(b, a("shash") === b("shash") && a("d1") < b("d2")
+    val a = prefix.select(col(idCol).as("d1"), col("shash").as("s1h"), col("__sz").as("sz1"))
+    val b = prefix.select(col(idCol).as("d2"), col("shash").as("s2h"), col("__sz").as("sz2"))
+    val cand = a.join(b, col("s1h") === col("s2h") && col("d1") < col("d2")
         && least(col("sz1"), col("sz2")) >=
           ceil(lit(threshold) * greatest(col("sz1"), col("sz2")) - lit(1e-9)))
       .select("d1", "d2").distinct()

@@ -165,6 +165,62 @@ object Curate {
            |FROM documents d JOIN n ON d.lang = n.lang AND d.source = n.source
            |ORDER BY doc_id""".stripMargin))
 
+  // Within-document repetition SCRUB — the fix-side of the Gopher
+  // repetition SIGNALS (q_gopher_repetition measures, this removes):
+  // the token stream cuts into consecutive 2-token blocks, duplicate
+  // blocks within the same document drop keep-first, survivors
+  // reassemble in order. Block hashing turns the scrub into an exact
+  // doc-partitioned window (shuffle ∝ blocks, state ∝ doc length —
+  // never substring search), and the md5 of the reassembled stream
+  // proves byte-exact reconstruction against the oracle.
+  private val docRepScrub = Q(
+    "q_doc_rep_scrub",
+    (s, dir) => {
+      val B = 2
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "bh").orderBy("bi")
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.ext.TextStats.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0),
+              (ceil(size(col("tk")).cast("double") / B) - 1).cast("int")),
+            i => slice(col("tk"), i * B + 1, lit(B)))).as(Seq("bi", "block")))
+        .withColumn("bh", md5(concat_ws(" ", col("block"))))
+        .withColumn("keep", row_number().over(w) === 1)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), size(col("block"))).otherwise(0))
+            .cast("long").as("n_tokens_kept"),
+          md5(concat_ws(" ", flatten(transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("bi"), col("block"))))),
+            _.getField("block"))))).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, i AS bi, list_slice(t, i*2+1, i*2+2) AS block
+           |  FROM (SELECT doc_id, t,
+           |          unnest(range(0, CAST(ceil(len(t)/2.0) AS BIGINT))) AS i
+           |        FROM tk WHERE len(t) > 0)),
+           |k AS (
+           |  SELECT doc_id, bi, block,
+           |    row_number() OVER (PARTITION BY doc_id, md5(array_to_string(block, ' '))
+           |      ORDER BY bi) = 1 AS keep
+           |  FROM b)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN keep THEN len(block) ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+           |  md5(array_to_string(flatten(list(block ORDER BY bi) FILTER (WHERE keep)), ' '))
+           |    AS clean_fp
+           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(gopherRepetition, boilerplateNgrams, boilerplateScrub,
-    semDedup, dsirWeights, hardNegatives, kAnon)
+    semDedup, dsirWeights, hardNegatives, kAnon, docRepScrub)
 }
