@@ -406,4 +406,43 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"))
       .orderBy("win_start", "event_type")
+
+  // ---- decayed popularity counters (streaming state + serve) -----------
+
+  /** Daily-count STATE stream — the q_decayed_counts aggregate maintained
+    * incrementally: state is ONE LONG per (event_type, day) however many
+    * events stream through, and the decayed serve ([[decayedFromDaily]])
+    * is a projection over state, never a rescan of events. Counter
+    * addition is the ⊕-merge, so per-batch counts roll up exactly (the
+    * CountMin/IncrementalAgg contract — redelivery must be deduplicated
+    * upstream, as in LandIngest). */
+  def dailyCountsStream(
+      spark: SparkSession,
+      eventsDir: String,
+      queryName: String): StreamingQuery =
+    streamEvents(spark, eventsDir)
+      .groupBy(expr("ts DIV 86400000000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Trailing-8-day half-per-day decayed popularity served from a
+    * (day, event_type, cnt) state table — the exact projection
+    * q_decayed_counts runs after its batch aggregate (same integer
+    * shift weights, one final division by 128). */
+  def decayedFromDaily(daily: DataFrame): DataFrame = {
+    val mx = daily.agg(max("day").as("maxday"))
+    daily.crossJoin(broadcast(mx))
+      .withColumn("k", (col("maxday") - col("day")).cast("int"))
+      .filter(col("k") <= 7)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        (sum(expr("cnt * shiftleft(CAST(1 AS BIGINT), 7 - k)")).cast("double")
+          / lit(128.0)).as("decayed"))
+      .orderBy("event_type")
+  }
 }

@@ -102,4 +102,15 @@ class EventStreamsSpec extends AnyFunSuite {
     val raw = spark.read.parquet(s"${SparkTestBase.sf0001}/events.parquet").count()
     assert(rows.length < raw)
   }
+  test("streaming daily-count state serves decayed counters equal to the batch query") {
+    val q = EventStreams.dailyCountsStream(spark, SparkTestBase.sf0001, "ev_decay_test")
+    try q.awaitTermination(120000) finally q.stop()
+    val served = EventStreams.decayedFromDaily(spark.table("ev_decay_test"))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("q_decayed_counts")(spark, SparkTestBase.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty)
+    assert(served == batch)
+  }
+
 }
