@@ -200,5 +200,54 @@ object Mining {
          |SELECT label, n, $means, $covs FROM a ORDER BY label""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(bloomSemijoin, basketPairs, basketRules, embedCovariance)
+  // Symmetric int8 quantization of the embedding column (the storage/
+  // serving twin of PQ: per-vector absmax scale, q = round(x/scale),
+  // |q| ≤ 127 by construction). Pure projection — zero shuffle, 4×
+  // smaller vectors downstream. The md5 over the quantized ints proves
+  // both engines round every component identically (ties away from
+  // zero on both), and max_err certifies |x − q·scale| ≤ scale/2.
+  private val embedInt8 = Q(
+    "q_embed_int8",
+    (s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale", {
+          val rs = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
+          when(rs === 0.0, lit(1.0)).otherwise(rs)
+        })
+        .withColumn("q", transform(col("v"), x => round(x / col("scale"), 0).cast("int")))
+        // NB: max_err must read the RAW scale. Spark 4 lateral column
+        // aliases would silently rebind col("scale") to a same-select
+        // `round(scale, 9) AS scale` output — so the rounded display
+        // column gets its own name only at the end.
+        .select(col("vec_id"),
+          col("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
+          md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("qfp"),
+          round(array_max(transform(col("v"),
+            x => abs(x - round(x / col("scale"), 0) * col("scale")))), 9).as("max_err"))
+        .withColumn("scale", round(col("scale"), 9))
+        .orderBy("vec_id")
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sc AS (
+           |  SELECT vec_id, v,
+           |    CASE WHEN s = 0 THEN 1.0::DOUBLE ELSE s END AS scale
+           |  FROM (SELECT vec_id, v,
+           |          list_max(list_transform(v, x -> abs(x))) / 127.0::DOUBLE AS s
+           |        FROM v)),
+           |q AS (
+           |  SELECT vec_id, v, scale,
+           |    list_transform(v, x -> CAST(round(x / scale, 0) AS INTEGER)) AS q
+           |  FROM sc)
+           |SELECT vec_id, round(scale, 9) AS scale,
+           |  CAST(list_sum(q) AS BIGINT) AS qsum,
+           |  md5(array_to_string(q, ',')) AS qfp,
+           |  round(list_max(list_transform(v,
+           |    x -> abs(x - round(x / scale, 0) * scale))), 9) AS max_err
+           |FROM q ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(bloomSemijoin, basketPairs, basketRules, embedCovariance,
+    embedInt8)
 }
