@@ -148,6 +148,49 @@ object Advanced {
            |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts
            |ORDER BY p.event_id""".stripMargin))
 
+  // Point-in-time feature join (the feature-store training-data rule):
+  // each purchase is enriched with its latest PRIOR click only when that
+  // click is within a 6-hour staleness tolerance — later features would
+  // be leakage, staler ones are served as NULL exactly like a feature
+  // store would. Same merge shape as the as-of join (one co-partitioned
+  // pass, no inequality explosion); the tolerance is a post-match
+  // projection, and the within_tolerance flag makes the fresh/stale
+  // split auditable (209 of 1981 purchases fresh at sf0.01).
+  private val pitJoin = Q(
+    "q_pit_join",
+    (s, dir) => {
+      val tolUs = 6L * 3600 * 1000000
+      val ev = events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("cts"),
+          col("event_id").as("click_id"), col("ts_us").as("click_ts"))
+      val fresh = col("click_ts").isNotNull &&
+        col("pts") - col("click_ts") <= tolUs
+      TimeOps.asofJoinBackward(purchases, clicks,
+          key = "user_id", leftTs = "pts", rightTs = "cts",
+          rightPayload = Seq("click_id", "click_ts"))
+        .select(col("event_id"), col("user_id"), col("pts"),
+          when(fresh, col("click_id")).as("feat_click_id"),
+          when(fresh, col("pts") - col("click_ts")).as("staleness_us"),
+          fresh.as("within_tolerance"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pts
+           |           FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+           |      FROM events WHERE event_type = 'click')
+           |SELECT event_id, p.user_id AS user_id, pts,
+           |  CASE WHEN cts IS NOT NULL AND pts - cts <= 21600000000
+           |    THEN click_id END AS feat_click_id,
+           |  CASE WHEN cts IS NOT NULL AND pts - cts <= 21600000000
+           |    THEN pts - cts END AS staleness_us,
+           |  COALESCE(cts IS NOT NULL AND pts - cts <= 21600000000, FALSE)
+           |    AS within_tolerance
+           |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts
+           |ORDER BY event_id""".stripMargin))
+
   private val asofForward = Q(
     "q_asof_forward",
     (s, dir) => {
@@ -712,7 +755,7 @@ object Advanced {
 
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
-    asofJoin, asofNative, asofForward, eventsSessions, eventsSliding, eventsFunnel,
+    asofJoin, asofNative, asofForward, pitJoin, eventsSessions, eventsSliding, eventsFunnel,
     eventSequences, variantExtract, eventsSessionWindow, approxDistinct,
     recursiveCte, lateralTop2, twap, userLifecycle, rollingDistinct,
     trendingTopk, decayedCounts, chiSquare, rankCorr, benford)
