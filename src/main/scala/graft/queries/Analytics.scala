@@ -929,6 +929,106 @@ object Analytics {
            |      FROM c, tot WHERE k < n)
            |ORDER BY sse, month LIMIT 1""".stripMargin))
 
+  // Kaplan-Meier survival of the signup→first-high-value-purchase
+  // funnel (value ≥ 150 — the threshold that leaves a real censored
+  // population in the fixture: 87/150 users at sf0.01), WITH right
+  // censoring at the user's last event — dropping the censored would
+  // bias conversion fast. Published as a
+  // product estimator; computed here exp-free: each factor's
+  // ln(1 − d/n) goes through the repo's 9-dp ln contract and the
+  // cumulative product becomes a cumulative EXACT-DECIMAL sum of
+  // ln-terms (order-independent where a double product/sum is not), so
+  // ln S(t) hash-matches and S is one exp away for the consumer. The
+  // at-risk counts are a prefix sum over DISTINCT DURATIONS — a
+  // calendar-bounded window (the q_abc_class contract), never a
+  // per-user scan. S(t) = 0 (d = n) yields NULL ln_s + a flag.
+  private val survivalKm = Q(
+    "q_survival_km",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("ts DIV 86400000000000").as("day"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("day")).as("s_day"))
+      val pu = ev.filter(col("event_type") === "purchase" && col("value") >= 150.0)
+        .join(su, "user_id").filter(col("day") >= col("s_day"))
+        .groupBy("user_id").agg(min(col("day")).as("p_day"))
+      val last = ev.join(su.select("user_id"), Seq("user_id"))
+        .groupBy("user_id").agg(max(col("day")).as("l_day"))
+      val durs = su.join(pu, Seq("user_id"), "left").join(last, "user_id")
+        .select(col("user_id"),
+          when(col("p_day").isNotNull, col("p_day") - col("s_day"))
+            .otherwise(col("l_day") - col("s_day")).as("dur"),
+          col("p_day").isNotNull.as("died"))
+      val byDur = durs.groupBy("dur").agg(
+        sum(when(col("died"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("died"), 0L).otherwise(1L)).as("c"))
+      val wOrd = W.orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wPrev = W.orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val tot = durs.agg(count(lit(1)).as("n_total"))
+      byDur.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .withColumn("term",
+          when(col("d") > 0 && col("d") < col("n_risk"),
+            round(log(lit(1.0) - col("d").cast("double") / col("n_risk")), 9)))
+        .withColumn("s_zero",
+          max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wOrd) === 1)
+        .withColumn("ln_s",
+          when(!col("s_zero"),
+            coalesce(sum(col("term").cast(DecimalType(28, 12))).over(wOrd),
+              lit(java.math.BigDecimal.ZERO)).cast("double")))
+        .select(col("dur"), col("n_risk"), col("d"), col("c"),
+          col("s_zero"), col("ln_s"))
+        .orderBy("dur")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, value, epoch_ns(ts) // 86400000000000 AS day
+           |  FROM events),
+           |su AS (SELECT user_id, MIN(day) AS s_day FROM ev
+           |       WHERE event_type = 'signup' GROUP BY 1),
+           |pu AS (SELECT e.user_id, MIN(day) AS p_day
+           |       FROM ev e JOIN su USING (user_id)
+           |       WHERE event_type = 'purchase' AND value >= 150.0 AND day >= s_day
+           |       GROUP BY 1),
+           |lst AS (SELECT e.user_id, MAX(day) AS l_day
+           |        FROM ev e JOIN su USING (user_id) GROUP BY 1),
+           |durs AS (
+           |  SELECT su.user_id,
+           |    CASE WHEN p_day IS NOT NULL THEN p_day - s_day
+           |         ELSE l_day - s_day END AS dur,
+           |    p_day IS NOT NULL AS died
+           |  FROM su LEFT JOIN pu USING (user_id) JOIN lst USING (user_id)),
+           |bydur AS (
+           |  SELECT dur,
+           |    CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           |    CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c
+           |  FROM durs GROUP BY 1),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM durs),
+           |risk AS (
+           |  SELECT dur, d, c,
+           |    n_total - COALESCE(SUM(d + c) OVER
+           |      (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS n_risk
+           |  FROM bydur, tot),
+           |terms AS (
+           |  SELECT dur, n_risk, d, c,
+           |    CASE WHEN d > 0 AND d < n_risk
+           |      THEN round(ln(1.0::DOUBLE - CAST(d AS DOUBLE) / n_risk), 9) END AS term,
+           |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
+           |      (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+           |      AS s_zero
+           |  FROM risk)
+           |SELECT dur, n_risk, d, c, s_zero,
+           |  CASE WHEN NOT s_zero THEN
+           |    CAST(COALESCE(SUM(CAST(term AS DECIMAL(28,12))) OVER
+           |      (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |      0) AS DOUBLE) END AS ln_s
+           |FROM terms ORDER BY dur""".stripMargin))
+
   // Smoothed target encoding (the Micci-Barreca empirical-Bayes feature):
   // enc(c) = (Σy_c + m·μ)/(n_c + m) — the category mean shrunk toward the
   // global mean by pseudo-count m, the leakage-safe way to turn a
@@ -1014,7 +1114,7 @@ object Analytics {
            |  round(1.0::DOUBLE - ssw / (t2 - t1 * t1 / n_days), 9) AS r2_dow
            |FROM agg""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality,
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,
