@@ -1029,6 +1029,103 @@ object Analytics {
            |      0) AS DOUBLE) END AS ln_s
            |FROM terms ORDER BY dur""".stripMargin))
 
+  // Difference-in-differences (the 2×2 canonical causal design):
+  // ATT = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), treatment =
+  // BUILDING-segment customers, policy date pinned at 1998-07-01.
+  // Four exact-decimal sums + four counts are the ENTIRE sufficient
+  // state (one combiner-friendly aggregate row per cell at any scale);
+  // the estimate is a pinned IEEE tree over their ratios. The dim join
+  // broadcasts; the fact table never shuffles twice.
+  private val diffInDiff = Q(
+    "q_diff_in_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val seg = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          (col("c_mktsegment") === "BUILDING").as("treated"))
+      val cells = o.join(broadcast(seg), "o_custkey")
+        .withColumn("post", col("o_orderdate") >= lit("1998-07-01").cast("date"))
+        .groupBy("treated", "post")
+        .agg(dsum(col("o_totalprice")).as("s"), count(lit(1)).cast("long").as("n"))
+        .withColumn("mean", col("s") / col("n"))
+      val m = cells.groupBy()
+        .pivot(concat(when(col("treated"), lit("t")).otherwise(lit("c")),
+          when(col("post"), lit("1")).otherwise(lit("0"))),
+          Seq("t0", "t1", "c0", "c1"))
+        .agg(first(col("mean")))
+      m.select(
+          round(col("t0"), 6).as("mean_t_pre"), round(col("t1"), 6).as("mean_t_post"),
+          round(col("c0"), 6).as("mean_c_pre"), round(col("c1"), 6).as("mean_c_post"),
+          round((col("t1") - col("t0")) - (col("c1") - col("c0")), 6).as("att"))
+    },
+    Some(s"""WITH cells AS (
+            |  SELECT c_mktsegment = 'BUILDING' AS treated,
+            |    o_orderdate >= DATE '1998-07-01' AS post,
+            |    ${oSum("o_totalprice")} AS s, CAST(COUNT(*) AS BIGINT) AS n
+            |  FROM orders JOIN customer ON o_custkey = c_custkey
+            |  GROUP BY 1, 2),
+            |m AS (
+            |  SELECT
+            |    MAX(CASE WHEN treated AND NOT post THEN s / n END) AS t0,
+            |    MAX(CASE WHEN treated AND post THEN s / n END) AS t1,
+            |    MAX(CASE WHEN NOT treated AND NOT post THEN s / n END) AS c0,
+            |    MAX(CASE WHEN NOT treated AND post THEN s / n END) AS c1
+            |  FROM cells)
+            |SELECT round(t0, 6) AS mean_t_pre, round(t1, 6) AS mean_t_post,
+            |  round(c0, 6) AS mean_c_pre, round(c1, 6) AS mean_c_post,
+            |  round((t1 - t0) - (c1 - c0), 6) AS att
+            |FROM m""".stripMargin))
+
+  // Seasonal-naive forecast evaluation (MASE, Hyndman & Koehler 2006):
+  // the last 6 months are the holdout; forecast_snaive(m) = volume(m−12),
+  // forecast_naive(m) = volume(m−1). Every error is an exact integer
+  // |Δcount|, the two MAEs exact-integer sums over the holdout, and the
+  // MASE one IEEE division — the "is a model better than carrying last
+  // year forward" gate a forecasting pipeline runs before deploying.
+  // Windows are over MONTHS (calendar-bounded, the q_abc_class contract).
+  private val forecastMase = Q(
+    "q_forecast_mase",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = W.orderBy("month")
+      m.withColumn("snaive", lag(col("cnt"), 12).over(w))
+        .withColumn("naive", lag(col("cnt"), 1).over(w))
+        .withColumn("rn_desc",
+          row_number().over(W.orderBy(col("month").desc)))
+        .filter(col("rn_desc") <= 6)
+        .agg(count(lit(1)).as("n_holdout"),
+          (sum(abs(col("cnt") - col("snaive"))).cast("double")
+            / count(lit(1))).as("mae_snaive"),
+          (sum(abs(col("cnt") - col("naive"))).cast("double")
+            / count(lit(1))).as("mae_naive"))
+        .select(col("n_holdout"),
+          round(col("mae_snaive"), 6).as("mae_snaive"),
+          round(col("mae_naive"), 6).as("mae_naive"),
+          round(col("mae_snaive") / col("mae_naive"), 9).as("mase"))
+    },
+    Some("""WITH m AS (
+           |  SELECT date_trunc('month', o_orderdate)::DATE AS month, COUNT(*) AS cnt
+           |  FROM orders GROUP BY 1),
+           |f AS (
+           |  SELECT month, cnt,
+           |    lag(cnt, 12) OVER (ORDER BY month) AS snaive,
+           |    lag(cnt, 1) OVER (ORDER BY month) AS naive,
+           |    row_number() OVER (ORDER BY month DESC) AS rn_desc
+           |  FROM m),
+           |h AS (SELECT * FROM f WHERE rn_desc <= 6),
+           |agg AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_holdout,
+           |    CAST(SUM(abs(cnt - snaive)) AS DOUBLE) / COUNT(*) AS mae_snaive,
+           |    CAST(SUM(abs(cnt - naive)) AS DOUBLE) / COUNT(*) AS mae_naive
+           |  FROM h)
+           |SELECT n_holdout, round(mae_snaive, 6) AS mae_snaive,
+           |  round(mae_naive, 6) AS mae_naive,
+           |  round(mae_snaive / mae_naive, 9) AS mase
+           |FROM agg""".stripMargin))
+
   // Smoothed target encoding (the Micci-Barreca empirical-Bayes feature):
   // enc(c) = (Σy_c + m·μ)/(n_c + m) — the category mean shrunk toward the
   // global mean by pseudo-count m, the leakage-safe way to turn a
@@ -1114,7 +1211,7 @@ object Analytics {
            |  round(1.0::DOUBLE - ssw / (t2 - t1 * t1 / n_days), 9) AS r2_dow
            |FROM agg""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm,
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,

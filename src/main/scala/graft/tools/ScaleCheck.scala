@@ -97,7 +97,8 @@ object ScaleCheck {
       "q_embed_covariance", "q_dedup_canonical", "q_upsample_mix",
       "q_decayed_counts", "q_entity_resolution", "q_bootstrap_means",
       "q_changepoint", "q_target_encode", "q_seasonality", "q_doc_rep_scrub",
-      "q_embed_int8", "q_pit_join", "q_survival_km")
+      "q_embed_int8", "q_pit_join", "q_survival_km",
+      "q_diff_in_diff", "q_forecast_mase")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
