@@ -1029,6 +1029,145 @@ object Analytics {
            |      0) AS DOUBLE) END AS ln_s
            |FROM terms ORDER BY dur""".stripMargin))
 
+  // Two-sample Kolmogorov-Smirnov drift statistic (1996 vs 1997 ship
+  // years): D = max_v |F1(v) − F2(v)|, the standard
+  // distribution-drift monitor. Scale + determinism design: the
+  // cumulative counts come from the DISTRIBUTED two-pass prefix sum
+  // (ops/PrefixSum — a naive Window.orderBy(v) would single-thread
+  // |distinct prices| ≈ |rows| through one task), and the max is over
+  // the INTEGER cross-product |c1·n2 − c2·n1| — the CDF comparison in
+  // exact arithmetic, one division at the very end. Top-1 via
+  // TakeOrdered (k rows cross the wire).
+  private val ksDrift = Q(
+    "q_ks_drift",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast(DecimalType(18, 2)).as("v"),
+          year(col("l_shipdate")).as("yr"))
+        .filter(col("yr").isin(1996, 1997))
+      val counts = graft.ops.BoundedCache.cached(
+        li.groupBy("v").agg(
+          sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("c2")))
+      val cum1 = graft.ops.PrefixSum.runningSum(counts, "v", "c1", "f1")
+      val cum = graft.ops.PrefixSum.runningSum(cum1, "v", "c2", "f2")
+      val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("dscaled", abs(col("f1") * col("n2") - col("f2") * col("n1")))
+        .orderBy(col("dscaled").desc, col("v"))
+        .limit(1)
+        .select(col("n1"), col("n2"), col("dscaled"),
+          round(col("dscaled").cast("double") / (col("n1") * col("n2")), 9).as("d"),
+          col("v").cast("double").as("at_v"))
+    },
+    Some("""WITH li AS (
+           |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+           |    year(l_shipdate) AS yr
+           |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)),
+           |counts AS (
+           |  SELECT v,
+           |    CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |    CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           |  FROM li GROUP BY 1),
+           |cum AS (
+           |  SELECT v,
+           |    SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+           |    SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+           |  FROM counts),
+           |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+           |        FROM counts)
+           |SELECT n1, n2, CAST(abs(f1 * n2 - f2 * n1) AS BIGINT) AS dscaled,
+           |  round(CAST(abs(f1 * n2 - f2 * n1) AS DOUBLE) / (n1 * n2), 9) AS d,
+           |  CAST(v AS DOUBLE) AS at_v
+           |FROM cum, tot
+           |ORDER BY abs(f1 * n2 - f2 * n1) DESC, v LIMIT 1""".stripMargin))
+
+  // Population stability index between the same two cohorts over 10
+  // fixed-width price bins — the deployed-model drift gate (PSI > 0.2 ⇒
+  // investigate). Shares are exact rationals; each nonlinear term
+  // (p1−p2)·ln(p1/p2) is 9-dp-rounded then EXACT-DECIMAL summed (the
+  // q_chi2 contract: a 10-term double sum is association-order-
+  // dependent). One aggregate over 10 bins.
+  private val psiDrift = Q(
+    "q_psi_drift",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") / 10000).cast("int").as("bin"),
+          year(col("l_shipdate")).as("yr"))
+        .filter(col("yr").isin(1996, 1997))
+      val bins = li.groupBy(least(col("bin"), lit(9)).as("bin")).agg(
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("c2"))
+      val tot = bins.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val p1 = col("c1").cast("double") / col("n1")
+      val p2 = col("c2").cast("double") / col("n2")
+      bins.crossJoin(broadcast(tot))
+        .filter(col("c1") > 0 && col("c2") > 0)
+        .withColumn("term", round((p1 - p2) * log(p1 / p2), 9))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("term").cast(DecimalType(28, 12))).cast("double").as("psi"))
+    },
+    Some("""WITH li AS (
+           |  SELECT LEAST(CAST(floor(l_extendedprice / 10000) AS INTEGER), 9) AS bin,
+           |    year(l_shipdate) AS yr
+           |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)),
+           |bins AS (
+           |  SELECT bin,
+           |    CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |    CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           |  FROM li GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+           |        FROM bins),
+           |terms AS (
+           |  SELECT round((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+           |      * ln((CAST(c1 AS DOUBLE) / n1) / (CAST(c2 AS DOUBLE) / n2)), 9) AS term
+           |  FROM bins, tot WHERE c1 > 0 AND c2 > 0)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           |  CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS psi
+           |FROM terms""".stripMargin))
+
+  // Gini concentration of per-customer ORDER COUNTS (how concentrated
+  // is activity across the customer base). Integer outcomes keep every
+  // sufficient statistic an exact integer under 2^53 (the q_changepoint
+  // cast contract — a revenue Gini's Σrank·cents overflows into the
+  // non-portable int128→double cast zone). Ranks are UNIQUE by the
+  // (count, custkey) tiebreak: rank = #smaller-count customers (prefix
+  // sum over distinct counts — bounded) + within-tie row_number
+  // (window bounded by the tie group). G = 2Σr·y/(nΣy) − (n+1)/n as a
+  // pinned IEEE tree.
+  private val giniOrders = Q(
+    "q_gini_orders",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val y = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+      val byY = y.groupBy("y").agg(count(lit(1)).as("cy"))
+      val below = graft.ops.PrefixSum.runningSum(byY, "y", "cy", "upto")
+        .withColumn("below", col("upto") - col("cy"))
+        .select(col("y").as("__y"), col("below"))
+      val ranked = y.join(below, col("y") === col("__y"))
+        .withColumn("r", col("below") +
+          row_number().over(W.partitionBy("y").orderBy("o_custkey")))
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum(col("y")).as("sy"),
+          sum(col("r") * col("y")).as("sry"))
+        .select(col("n"), col("sy"),
+          round(lit(2.0) * col("sry") / (col("n") * col("sy"))
+            - (col("n") + lit(1)).cast("double") / col("n"), 9).as("gini"))
+    },
+    Some("""WITH y AS (
+           |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |r AS (
+           |  SELECT o_custkey, y,
+           |    CAST(row_number() OVER (ORDER BY y, o_custkey) AS BIGINT) AS r
+           |  FROM y)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+           |  round(2.0::DOUBLE * SUM(r * y) / (COUNT(*) * SUM(y))
+           |    - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 9) AS gini
+           |FROM r""".stripMargin))
+
   // Difference-in-differences (the 2×2 canonical causal design):
   // ATT = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), treatment =
   // BUILDING-segment customers, policy date pinned at 1998-07-01.
@@ -1211,7 +1350,7 @@ object Analytics {
            |  round(1.0::DOUBLE - ssw / (t2 - t1 * t1 / n_days), 9) AS r2_dow
            |FROM agg""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase,
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,
