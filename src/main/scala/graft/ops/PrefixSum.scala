@@ -30,8 +30,11 @@ object PrefixSum {
   private def rangeId(df: DataFrame, orderCol: String, numRanges: Int): (DataFrame, Column) = {
     val n = if (numRanges > 0) numRanges
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val bounds = df.stat.approxQuantile(
-      orderCol, (1 until n).map(_.toDouble / n).toArray, 0.001).distinct
+    // n == 1 → a single range, no interior bounds (approxQuantile on an
+    // empty probability array NPEs — caught by PrefixSumSpec)
+    val bounds = if (n <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(
+        orderCol, (1 until n).map(_.toDouble / n).toArray, 0.001).distinct
     val v = col(orderCol).cast("double")
     val pid = bounds.map(b => when(v > lit(b), 1).otherwise(0))
       .foldLeft(lit(0))(_ + _)

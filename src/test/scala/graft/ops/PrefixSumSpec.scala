@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Direct contract tests for the distributed two-pass prefix scans —
+  * load-bearing for q_histogram_eqdepth / q_ks_drift / q_gini_orders /
+  * q_skyline, which only exercise them through their oracles. The
+  * reference implementation is the single-partition window the op
+  * exists to replace: results must be BIT-identical. */
+class PrefixSumSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.session
+
+  /** Deterministic pseudo-random frame: unique order keys, lumpy
+    * weights, shuffled across partitions so range bases matter. */
+  private def frame(n: Int, seed: Int) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    rng.shuffle((1 to n).toList)
+      .map(k => (k.toLong, (rng.nextInt(1000) + 1).toLong))
+      .toDF("k", "w").repartition(7)
+  }
+
+  test("runningSum is bit-identical to the single-partition window sum") {
+    for ((n, seed) <- Seq((1, 1), (5, 2), (1000, 3), (5000, 4))) {
+      val df = frame(n, seed)
+      val got = PrefixSum.runningSum(df, "k", "w", "cum")
+        .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = df.withColumn("cum",
+          sum(col("w")).over(Window.orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === ref, s"n=$n seed=$seed")
+    }
+  }
+
+  test("runningSum with explicit range counts still covers every row once") {
+    val df = frame(997, 9)
+    for (ranges <- Seq(1, 2, 31)) {
+      val out = PrefixSum.runningSum(df, "k", "w", "cum", numRanges = ranges)
+      assert(out.count() === 997)
+      val total = df.agg(sum("w")).head().getLong(0)
+      assert(out.agg(max("cum")).head().getLong(0) === total)
+    }
+  }
+
+  test("staircaseMax matches the single-partition running-max window") {
+    val df = frame(800, 5).withColumn("v", (col("w") % 97).cast("double"))
+    val got = PrefixSum.staircaseMax(df, "k", "v", "le", "lt")
+      .select("k", "le", "lt").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    val w = Window.orderBy("k")
+    val ref = df
+      .withColumn("le", max(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lt", lag(col("le"), 1).over(w))
+      .select("k", "le", "lt").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(got === ref)
+  }
+}
