@@ -1168,6 +1168,57 @@ object Analytics {
            |    - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 9) AS gini
            |FROM r""".stripMargin))
 
+  // Autocorrelation function of the daily order volume at lags 1..7 —
+  // the "is there weekly structure / how fast does memory decay"
+  // diagnostic feeding the seasonality and forecast gates. Exactness
+  // trick: multiply the centered series through by T so every centered
+  // value T·y_t − S is an exact INTEGER; numerators and denominator are
+  // then exact integer sums (< 2^53 at any plausible daily scale) and
+  // each r_k is ONE IEEE division. Lag pairing is a self-join on
+  // day − k (calendar-aware: a gap day pairs with nothing), fan-out ≤ 7
+  // rows per day, daily table bounded by the calendar.
+  private val acf = Q(
+    "q_acf",
+    (s, dir) => {
+      val daily = graft.ops.BoundedCache.cached(
+        t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("y")))
+      val tot = daily.agg(count(lit(1)).as("tt"), sum(col("y")).as("ss"),
+        sum(col("y") * col("y")).as("syy"))
+      val a = daily.select(col("day"), col("y").as("ya"),
+        explode(sequence(lit(1), lit(7))).as("lagk"))
+      val b = daily.select(col("day").as("__bd"), col("y").as("yb"))
+      a.join(b, expr("date_sub(day, lagk)") === col("__bd"))
+        .crossJoin(broadcast(tot))
+        .groupBy("lagk")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("tt") * col("ya") - col("ss"))
+            * (col("tt") * col("yb") - col("ss"))).as("num"))
+        .crossJoin(broadcast(tot))
+        .select(col("lagk"), col("n_pairs"),
+          round(col("num").cast("double")
+            / (col("tt") * col("syy") - col("ss") * col("ss")), 9).as("r"))
+        .orderBy("lagk")
+    },
+    Some("""WITH daily AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS tt, CAST(SUM(y) AS BIGINT) AS ss,
+           |    CAST(SUM(y * y) AS BIGINT) AS syy
+           |  FROM daily),
+           |pairs AS (
+           |  SELECT k.lagk, a.y AS ya, b.y AS yb
+           |  FROM daily a
+           |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lagk) k
+           |  JOIN daily b ON b.day = a.day - CAST(lagk AS INTEGER))
+           |SELECT CAST(lagk AS INTEGER) AS lagk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  round(CAST(SUM((tt * ya - ss) * (tt * yb - ss)) AS DOUBLE)
+           |    / (tt * syy - ss * ss), 9) AS r
+           |FROM pairs, tot
+           |GROUP BY lagk, tt, syy, ss ORDER BY lagk""".stripMargin))
+
   // Difference-in-differences (the 2×2 canonical causal design):
   // ATT = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), treatment =
   // BUILDING-segment customers, policy date pinned at 1998-07-01.
@@ -1350,7 +1401,7 @@ object Analytics {
            |  round(1.0::DOUBLE - ssw / (t2 - t1 * t1 / n_days), 9) AS r2_dow
            |FROM agg""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders,
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders, acf,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,
