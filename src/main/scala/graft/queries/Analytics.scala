@@ -1219,6 +1219,66 @@ object Analytics {
            |FROM pairs, tot
            |GROUP BY lagk, tt, syy, ss ORDER BY lagk""".stripMargin))
 
+  // Robust trend: Mann-Kendall S/tau + the Theil-Sen slope over the
+  // monthly volume series. All pairwise — but over MONTHS, so the pair
+  // space is calendar²-bounded (3k pairs for 80 months), never data².
+  // S and tau are exact integers / one division; the Sen slope is the
+  // nearest-rank median of pairwise Δy/Δx slopes, selected by a
+  // deterministic (slope, m1, m2) order — Δy, Δx exact integers, each
+  // slope ONE IEEE division, so the median element is the same row on
+  // both engines.
+  private val trendRobust = Q(
+    "q_trend_robust",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val m = graft.ops.BoundedCache.cached(
+        t(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("mi", (year(col("month")) * 12 + month(col("month"))).cast("long")))
+      val pairs = m.as("a").join(m.as("b"), col("a.mi") < col("b.mi"))
+        .select((col("b.y") - col("a.y")).as("dy"), (col("b.mi") - col("a.mi")).as("dx"),
+          col("a.mi").as("m1"), col("b.mi").as("m2"))
+      val mk = pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(signum(col("dy")).cast("long")).as("s_mk"))
+      val ranked = pairs
+        .withColumn("slope", round(col("dy").cast("double") / col("dx"), 9))
+        .withColumn("rn", row_number().over(W.orderBy(col("slope"), col("m1"), col("m2"))))
+      val med = ranked.crossJoin(broadcast(mk))
+        .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+        .select(col("n_pairs").as("__np"), col("slope").as("sen_slope"))
+      mk.crossJoin(broadcast(med))
+        .select(col("n_pairs"), col("s_mk"),
+          round(col("s_mk").cast("double") / col("n_pairs"), 9).as("tau"),
+          col("sen_slope"))
+    },
+    Some("""WITH m0 AS (
+           |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+           |    CAST(COUNT(*) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |m AS (
+           |  SELECT month, y,
+           |    CAST(year(month) * 12 + month(month) AS BIGINT) AS mi
+           |  FROM m0),
+           |pairs AS (
+           |  SELECT b.y - a.y AS dy, b.mi - a.mi AS dx, a.mi AS m1, b.mi AS m2
+           |  FROM m a JOIN m b ON a.mi < b.mi),
+           |mk AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    CAST(SUM(sign(dy)) AS BIGINT) AS s_mk
+           |  FROM pairs),
+           |ranked AS (
+           |  SELECT round(CAST(dy AS DOUBLE) / dx, 9) AS slope,
+           |    row_number() OVER (ORDER BY round(CAST(dy AS DOUBLE) / dx, 9), m1, m2) AS rn
+           |  FROM pairs),
+           |med AS (
+           |  SELECT slope AS sen_slope FROM ranked, mk WHERE rn = (n_pairs + 1) // 2)
+           |SELECT n_pairs, s_mk,
+           |  round(CAST(s_mk AS DOUBLE) / n_pairs, 9) AS tau,
+           |  sen_slope
+           |FROM mk, med""".stripMargin))
+
   // Difference-in-differences (the 2×2 canonical causal design):
   // ATT = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), treatment =
   // BUILDING-segment customers, policy date pinned at 1998-07-01.
@@ -1401,7 +1461,7 @@ object Analytics {
            |  round(1.0::DOUBLE - ssw / (t2 - t1 * t1 / n_days), 9) AS r2_dow
            |FROM agg""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders, acf,
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders, acf, trendRobust,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,
