@@ -46,21 +46,44 @@ object PrefixSum {
     * `sum(w).over(Window.orderBy(orderCol).rowsBetween(unboundedPreceding,
     * currentRow))` — without the single-partition sort. */
   def runningSum(df: DataFrame, orderCol: String, weightCol: String,
-      outCol: String, numRanges: Int = 0): DataFrame = {
+      outCol: String, numRanges: Int = 0): DataFrame =
+    runningSums(df, orderCol, Seq(weightCol), Seq(outCol), numRanges)
+
+  /** Several inclusive running sums in ONE two-pass scan: same range ids,
+    * one per-range totals collect carrying all weight columns, one
+    * partitioned window per output. Chaining single-column calls instead
+    * would re-execute every earlier call's join+window inside each later
+    * call's quantile/totals jobs — measured 2× on q_ks_drift's CDF pair. */
+  def runningSums(df: DataFrame, orderCol: String, weightCols: Seq[String],
+      outCols: Seq[String], numRanges: Int = 0): DataFrame = {
+    require(weightCols.nonEmpty && weightCols.length == outCols.length)
     val spark = df.sparkSession
     import spark.implicits._
     val (pidded, pid) = rangeId(df, orderCol, numRanges)
+    val aggs = weightCols.map(wc => sum(col(wc).cast("long")).as(s"__w_$wc"))
     val totals = pidded.groupBy(pid)
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val bases = totals.map { case (p, w) => val row = (p, acc); acc += w; row }.toSeq
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), weightCols.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val acc = Array.fill(weightCols.length)(0L)
+    val bases = totals.map { case (p, ws) =>
+      val row = (p, acc.toSeq)
+      ws.zipWithIndex.foreach { case (w, i) => acc(i) += w }
+      row
+    }.toSeq
+    val baseDf = broadcast(bases.map { case (p, bs) => (p, bs) }
+      .toDF("__pid", "__bases"))
     val w = Window.partitionBy(pid).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pidded.join(broadcast(bases.toDF("__pid", "__base")), "__pid")
-      .withColumn(outCol,
-        (col("__base") + sum(col(weightCol).cast("long")).over(w)).cast("long"))
-      .drop("__pid", "__base")
+    val joined = pidded.join(baseDf, "__pid")
+    val withOuts = weightCols.zip(outCols).zipWithIndex
+      .foldLeft(joined) { case (acc0, ((wc, oc), i)) =>
+        acc0.withColumn(oc,
+          (element_at(col("__bases"), i + 1)
+            + sum(col(wc).cast("long")).over(w)).cast("long"))
+      }
+    withOuts.drop("__pid", "__bases")
   }
 
   /** The 2-D skyline staircase, distributed: running MAX of `valueCol`

@@ -1049,8 +1049,8 @@ object Analytics {
         li.groupBy("v").agg(
           sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("c1"),
           sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("c2")))
-      val cum1 = graft.ops.PrefixSum.runningSum(counts, "v", "c1", "f1")
-      val cum = graft.ops.PrefixSum.runningSum(cum1, "v", "c2", "f2")
+      val cum = graft.ops.PrefixSum.runningSums(counts, "v",
+        Seq("c1", "c2"), Seq("f1", "f2"))
       val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       cum.crossJoin(broadcast(tot))
         .withColumn("dscaled", abs(col("f1") * col("n2") - col("f2") * col("n1")))

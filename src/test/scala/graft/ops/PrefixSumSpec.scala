@@ -63,4 +63,19 @@ class PrefixSumSpec extends AnyFunSuite {
       .toMap
     assert(got === ref)
   }
+  test("runningSums computes several cumulative columns in one pass, bit-identical") {
+    val df = frame(1200, 11).withColumn("w2", (col("w") * 3 + 1) % 500)
+    val got = PrefixSum.runningSums(df, "k", Seq("w", "w2"), Seq("c1", "c2"))
+      .select("k", "c1", "c2").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val win = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df
+      .withColumn("c1", sum(col("w")).over(win))
+      .withColumn("c2", sum(col("w2")).over(win))
+      .select("k", "c1", "c2").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === ref)
+  }
+
 }
