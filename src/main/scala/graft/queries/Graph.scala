@@ -234,10 +234,13 @@ object Graph {
         col("p_size"), col("p_name").as("n1"))
       val b = p.select(col("p_partkey").as("k2"), col("p_brand"),
         col("p_size"), col("p_name").as("n2"))
-      val edges = a.join(b, Seq("p_brand", "p_size"))
-        .filter(col("k1") < col("k2"))
-        .filter(round(expr("jaro_winkler(n1, n2)"), 9) >= 0.8)
-        .select(col("k1").as("d1"), col("k2").as("d2"))
+      // cached: the contraction consumes the edge list over several
+      // iterations — without this every round re-runs the jaro join
+      val edges = graft.ops.BoundedCache.cached(
+        a.join(b, Seq("p_brand", "p_size"))
+          .filter(col("k1") < col("k2"))
+          .filter(round(expr("jaro_winkler(n1, n2)"), 9) >= 0.8)
+          .select(col("k1").as("d1"), col("k2").as("d2")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("entity_id")
       graft.ops.ConnectedComponents.largeStarSmallStar(edges)
         .select(col("id").as("p_partkey"), col("component").as("entity_id"))
