@@ -333,6 +333,82 @@ object Analytics {
            |SELECT bucket, CAST(SUM(c) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
            |FROM vb GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  // RFM segmentation — the classic BI composite: per-customer recency /
+  // frequency / monetary, each quintiled by the EXACT integer fill rule
+  // of q_feature_bucketize (equal values never split buckets) with the
+  // cumulative counts on the DISTRIBUTED prefix sum (monetary has
+  // ≈|customers| distinct values — a bare cumulative window would
+  // single-thread it), then the 5×5×5 segment rollup with exact-decimal
+  // average spend. Quintile 1 = lowest value (so r_q 1 = most recent).
+  private val rfm = Q(
+    "q_rfm",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("mxd"))
+      val base = graft.ops.BoundedCache.cached(
+        o.groupBy("o_custkey").agg(
+            max(to_date(col("o_orderdate"))).as("lastd"),
+            count(lit(1)).as("f"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).as("m0"))
+          .crossJoin(broadcast(mx))
+          .select(col("o_custkey"),
+            datediff(col("mxd"), col("lastd")).cast("long").as("r"),
+            col("f"), col("m0").cast(DecimalType(18, 2)).as("m")))
+      val tot = base.agg(count(lit(1)).as("nn"))
+      def quintile(f: String) = {
+        val cum = graft.ops.PrefixSum.runningSum(
+          base.groupBy(f).agg(count(lit(1)).as("c")), f, "c", "hi")
+        val edges = s.range(1, 5).toDF("i").crossJoin(broadcast(tot))
+          .join(cum, col("hi") * 5 >= col("i") * col("nn"))
+          .groupBy("i").agg(min(col(f)).as("e"))
+        base.select(col("o_custkey"), col(f))
+          .join(broadcast(edges), col(f) > col("e"), "left")
+          .groupBy(col("o_custkey"))
+          .agg(count(col("e")).as("__q"))
+          .select(col("o_custkey"), (col("__q") + 1).cast("int").as(s"${f}_q"))
+      }
+      base.join(quintile("r"), "o_custkey")
+        .join(quintile("f"), "o_custkey")
+        .join(quintile("m"), "o_custkey")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("m")).cast("double") / count(lit(1)), 6).as("avg_spend"))
+        .orderBy("r_q", "f_q", "m_q")
+    },
+    Some {
+      def oQuintile(f: String) =
+        s"""cum_$f AS (
+           |  SELECT $f AS v, COUNT(*) AS c,
+           |    SUM(COUNT(*)) OVER (ORDER BY $f) AS hi
+           |  FROM base GROUP BY 1),
+           |edges_$f AS (
+           |  SELECT i, MIN(v) AS e
+           |  FROM (SELECT unnest([1, 2, 3, 4]) AS i) CROSS JOIN tot
+           |  JOIN cum_$f ON hi * 5 >= i * nn
+           |  GROUP BY i),
+           |q_$f AS (
+           |  SELECT b.o_custkey, CAST(1 + COUNT(e) AS INTEGER) AS ${f}_q
+           |  FROM base b LEFT JOIN edges_$f ON b.$f > edges_$f.e
+           |  GROUP BY b.o_custkey)""".stripMargin
+      s"""WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+         |base AS (
+         |  SELECT o_custkey,
+         |    CAST(mxd - MAX(CAST(o_orderdate AS DATE)) AS BIGINT) AS r,
+         |    CAST(COUNT(*) AS BIGINT) AS f,
+         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+         |  FROM orders CROSS JOIN mx GROUP BY o_custkey, mxd),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+         |${oQuintile("r")},
+         |${oQuintile("f")},
+         |${oQuintile("m")}
+         |SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         |  round(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6) AS avg_spend
+         |FROM base
+         |JOIN q_r USING (o_custkey) JOIN q_f USING (o_custkey)
+         |JOIN q_m USING (o_custkey)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    })
+
   // Deterministic MODE aggregate: most frequent quantity per return flag,
   // ties to the smallest value — a ranked window over the count frame,
   // never a full sort of rows.
@@ -1461,7 +1537,7 @@ object Analytics {
            |  round(1.0::DOUBLE - ssw / (t2 - t1 * t1 / n_days), 9) AS r2_dow
            |FROM agg""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders, acf, trendRobust,
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders, acf, trendRobust, rfm,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,
