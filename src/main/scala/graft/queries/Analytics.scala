@@ -1274,7 +1274,8 @@ object Analytics {
         .crossJoin(broadcast(tot))
         .select(col("lagk"), col("n_pairs"),
           round(col("num").cast("double")
-            / (col("tt") * col("syy") - col("ss") * col("ss")), 9).as("r"))
+            / (col("tt") * (col("tt") * col("syy") - col("ss") * col("ss")))
+              .cast("double"), 9).as("r"))
         .orderBy("lagk")
     },
     Some("""WITH daily AS (
@@ -1291,7 +1292,7 @@ object Analytics {
            |  JOIN daily b ON b.day = a.day - CAST(lagk AS INTEGER))
            |SELECT CAST(lagk AS INTEGER) AS lagk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
            |  round(CAST(SUM((tt * ya - ss) * (tt * yb - ss)) AS DOUBLE)
-           |    / (tt * syy - ss * ss), 9) AS r
+           |    / CAST(tt * (tt * syy - ss * ss) AS DOUBLE), 9) AS r
            |FROM pairs, tot
            |GROUP BY lagk, tt, syy, ss ORDER BY lagk""".stripMargin))
 
