@@ -81,6 +81,128 @@ class StatsBruteForceSpec extends AnyFunSuite {
     assert(row.getDouble(3) > 1.5 && row.getDouble(3) < 2.5, "planted slope ~2")
   }
 
+  test("seasonality R2 matches brute force and detects a planted dow effect") {
+    val rng = new scala.util.Random(13)
+    // weekday 100±3, weekend 30±3 — strong weekly structure
+    val daily = (0 until 280).map { d =>
+      val dow = java.time.LocalDate.ofEpochDay(d.toLong).getDayOfWeek.getValue
+      (d, (if (dow >= 6) 30 else 100) + rng.nextInt(7) - 3)
+    }
+    val dir = ordersDir(daily)
+    val row = SparkEntry.queries("q_seasonality")(spark, dir).collect().head
+    val byDow = daily.groupBy { case (d, _) =>
+      java.time.LocalDate.ofEpochDay(d.toLong).getDayOfWeek.getValue
+    }.values.map(_.map(_._2.toDouble))
+    val all = daily.map(_._2.toDouble)
+    val mean = all.sum / all.length
+    val sst = all.map(x => (x - mean) * (x - mean)).sum
+    val ssw = byDow.map { g =>
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum
+    }.sum
+    assert(row.getLong(0) === daily.length)
+    assert(math.abs(row.getDouble(1) - sst) < 1e-3, "sst")
+    assert(math.abs(row.getDouble(2) - ssw) < 1e-3, "ssw")
+    assert(math.abs(row.getDouble(3) - (1.0 - ssw / sst)) < 1e-6, "r2")
+    assert(row.getDouble(3) > 0.9, "planted weekly effect must dominate")
+  }
+
+  test("gini matches the pairwise mean-absolute-difference identity") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val dir = java.nio.file.Files.createTempDirectory("statsbf").toString
+    // 120 customers with lumpy order counts (incl. ties)
+    val counts = (1 to 120).map(c => c.toLong -> (1 + rng.nextInt(12)).toLong)
+    counts.flatMap { case (ck, n) =>
+      Seq.fill(n.toInt)((new Timestamp(86400000L), ck))
+    }.toDF("o_orderdate", "o_custkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val row = SparkEntry.queries("q_gini_orders")(spark, dir).collect().head
+    val ys = counts.map(_._2.toDouble)
+    val n = ys.length
+    val mad = (for { a <- ys; b <- ys } yield math.abs(a - b)).sum
+    val brute = mad / (2.0 * n * n * (ys.sum / n))
+    assert(row.getLong(0) === n)
+    assert(math.abs(row.getDouble(2) - brute) < 1e-6)
+  }
+
+  test("KS and PSI match brute force on a planted distribution shift") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val dir = java.nio.file.Files.createTempDirectory("statsbf").toString
+    // 1996 prices ~ U[0, 50000); 1997 prices ~ U[20000, 90000): clear drift
+    def ts(year: Int) = Timestamp.valueOf(s"$year-06-01 00:00:00")
+    val rows =
+      (1 to 4000).map(_ => (rng.nextInt(50000).toDouble, ts(1996))) ++
+      (1 to 5000).map(_ => (20000.0 + rng.nextInt(70000), ts(1997)))
+    rows.toDF("l_extendedprice", "l_shipdate").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ks = SparkEntry.queries("q_ks_drift")(spark, dir).collect().head
+    val g1 = rows.filter(_._2.getYear + 1900 == 1996).map(_._1).sorted
+    val g2 = rows.filter(_._2.getYear + 1900 == 1997).map(_._1).sorted
+    val values = (g1 ++ g2).distinct.sorted
+    val d = values.map { v =>
+      val f1 = g1.count(_ <= v).toDouble / g1.length
+      val f2 = g2.count(_ <= v).toDouble / g2.length
+      math.abs(f1 - f2)
+    }.max
+    assert(math.abs(ks.getDouble(3) - d) < 1e-6, "KS D")
+    assert(d > 0.3, "planted shift must register")
+    val psi = SparkEntry.queries("q_psi_drift")(spark, dir).collect().head
+    val bins1 = g1.groupBy(v => math.min(math.floor(v / 10000).toInt, 9))
+    val bins2 = g2.groupBy(v => math.min(math.floor(v / 10000).toInt, 9))
+    val brutePsi = (bins1.keySet intersect bins2.keySet).toSeq.map { b =>
+      val p1 = bins1(b).length.toDouble / g1.length
+      val p2 = bins2(b).length.toDouble / g2.length
+      BigDecimal((p1 - p2) * math.log(p1 / p2))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum
+    assert(math.abs(psi.getDouble(1) - brutePsi) < 1e-6, "PSI")
+    // NB: textbook PSI excludes bins where either share is zero, which is
+    // exactly where a SUPPORT shift lives — the statistic understates
+    // hard drift (practitioners smooth empty bins). The brute equality
+    // above is the contract; the gate here is just "clearly nonzero".
+    assert(psi.getDouble(1) > 0.02, "planted drift must register")
+  }
+
+  test("Kaplan-Meier on the fixture matches a driver-side recomputation") {
+    val sf = SparkTestBase.sf0001
+    val rows = SparkEntry.queries("q_survival_km")(spark, sf).collect()
+    val ev = QueryUtil.events(spark, sf)
+      .selectExpr("user_id", "event_type", "value", "ts DIV 86400000000000 AS day")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val sDay = ev.filter(_._2 == "signup").groupBy(_._1).view.mapValues(_.map(_._4).min).toMap
+    val durs = sDay.toSeq.map { case (u, s0) =>
+      val deaths = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= 150.0 && e._4 >= s0)
+      if (deaths.nonEmpty) (deaths.map(_._4).min - s0, true)
+      else (ev.filter(_._1 == u).map(_._4).max - s0, false)
+    }
+    var atRisk = durs.length.toLong
+    var lnS = BigDecimal(0)
+    val expected = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (dur, g) =>
+      val d = g.count(_._2).toLong; val c = g.size - d
+      val row = (dur, atRisk, d, c.toLong)
+      val term = if (d > 0 && d < atRisk)
+        Some(BigDecimal(math.log(1.0 - d.toDouble / atRisk))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      else None
+      val zero = d == atRisk
+      term.foreach(lnS += _)
+      atRisk -= d + c
+      (row, if (zero) None else Some(lnS.toDouble), zero)
+    }
+    assert(rows.map(_.getLong(0)).toSeq === expected.map(_._1._1).toSeq,
+      s"durations: engine=${rows.map(_.getLong(0)).mkString(",")} brute=${expected.map(_._1._1).mkString(",")}")
+    assert(rows.length === expected.length)
+    rows.zip(expected).foreach { case (r, ((dur, nr, d, c), ln, _)) =>
+      assert(r.getLong(0) === dur); assert(r.getLong(1) === nr)
+      assert(r.getLong(2) === d); assert(r.getLong(3) === c)
+      ln match {
+        case Some(v) => assert(math.abs(r.getDouble(5) - v) < 1e-8, s"ln_s at $dur")
+        case None => assert(r.isNullAt(5))
+      }
+    }
+  }
+
   test("acf of an alternating series is strongly negative at lag 1, positive at lag 2") {
     // strict 2-day alternation 20/80 for 200 consecutive days
     val daily = (0 until 200).map(d => (d, if (d % 2 == 0) 20 else 80))
