@@ -290,6 +290,79 @@ object Advanced {
            |       (SELECT COUNT(*) FROM v) AS n_view,
            |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin))
 
+  // Funnel conversion rates with WILSON 95% intervals — the score
+  // interval a growth dashboard should show instead of ±1.96·√(pq/n)
+  // (Wald collapses at small n / extreme p). Every input is an exact
+  // integer stage count; z and z² are pinned double literals rendered
+  // into BOTH plans from the same Scala value, and the interval is one
+  // pinned IEEE tree per stage (sqrt is correctly rounded everywhere).
+  private val funnelWilson = Q(
+    "q_funnel_wilson",
+    (s, dir) => {
+      val z = 1.96
+      val zz = z * z
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("ts DIV 1000").as("t"), col("event_type"))
+      val sStage = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("t")).as("s_ts"))
+      val vStage = ev.filter(col("event_type") === "view")
+        .join(sStage, "user_id").filter(col("t") >= col("s_ts"))
+        .groupBy("user_id").agg(min(col("t")).as("v_ts"))
+      val pStage = ev.filter(col("event_type") === "purchase")
+        .join(vStage, "user_id").filter(col("t") >= col("v_ts"))
+        .groupBy("user_id").agg(min(col("t")).as("p_ts"))
+      val counts = sStage.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(vStage.agg(count(lit(1)).as("n_view")))
+        .crossJoin(pStage.agg(count(lit(1)).as("n_purchase")))
+      val stages = counts.select(lit("1_view_given_signup").as("stage"),
+          col("n_signup").as("n_prev"), col("n_view").as("n_conv"))
+        .unionAll(counts.select(lit("2_purchase_given_view").as("stage"),
+          col("n_view").as("n_prev"), col("n_purchase").as("n_conv")))
+      val p = col("n_conv").cast("double") / col("n_prev")
+      val nD = col("n_prev").cast("double")
+      val denom = lit(1.0) + lit(zz) / nD
+      val center = (p + lit(zz) / (lit(2.0) * nD)) / denom
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD
+        + lit(zz) / (lit(4.0) * nD * nD)) / denom
+      stages.select(col("stage"), col("n_prev"), col("n_conv"),
+          round(p, 9).as("p_hat"),
+          round(center - half, 9).as("wilson_lo"),
+          round(center + half, 9).as("wilson_hi"))
+        .orderBy("stage")
+    },
+    Some {
+      val z = 1.96
+      val zz = z * z
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+         |s AS (SELECT user_id, MIN(t) AS s_ts FROM e WHERE event_type = 'signup' GROUP BY 1),
+         |v AS (SELECT e.user_id, MIN(t) AS v_ts FROM e JOIN s USING (user_id)
+         |      WHERE event_type = 'view' AND t >= s_ts GROUP BY 1),
+         |p AS (SELECT e.user_id, MIN(t) AS p_ts FROM e JOIN v USING (user_id)
+         |      WHERE event_type = 'purchase' AND t >= v_ts GROUP BY 1),
+         |counts AS (
+         |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase),
+         |stages AS (
+         |  SELECT '1_view_given_signup' AS stage, n_signup AS n_prev, n_view AS n_conv
+         |  FROM counts
+         |  UNION ALL
+         |  SELECT '2_purchase_given_view', n_view, n_purchase FROM counts),
+         |w AS (
+         |  SELECT stage, n_prev, n_conv,
+         |    CAST(n_conv AS DOUBLE) / n_prev AS p,
+         |    CAST(n_prev AS DOUBLE) AS nd
+         |  FROM stages)
+         |SELECT stage, n_prev, n_conv, round(p, 9) AS p_hat,
+         |  round((p + $zz / (2.0::DOUBLE * nd)) / (1.0::DOUBLE + $zz / nd)
+         |    - $z * sqrt(p * (1.0::DOUBLE - p) / nd + $zz / (4.0::DOUBLE * nd * nd))
+         |      / (1.0::DOUBLE + $zz / nd), 9) AS wilson_lo,
+         |  round((p + $zz / (2.0::DOUBLE * nd)) / (1.0::DOUBLE + $zz / nd)
+         |    + $z * sqrt(p * (1.0::DOUBLE - p) / nd + $zz / (4.0::DOUBLE * nd * nd))
+         |      / (1.0::DOUBLE + $zz / nd), 9) AS wilson_hi
+         |FROM w ORDER BY stage""".stripMargin
+    })
+
   private val variantExtract = Q(
     "q_variant_extract",
     (s, dir) =>
@@ -755,7 +828,7 @@ object Advanced {
 
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
-    asofJoin, asofNative, asofForward, pitJoin, eventsSessions, eventsSliding, eventsFunnel,
+    asofJoin, asofNative, asofForward, pitJoin, eventsSessions, eventsSliding, eventsFunnel, funnelWilson,
     eventSequences, variantExtract, eventsSessionWindow, approxDistinct,
     recursiveCte, lateralTop2, twap, userLifecycle, rollingDistinct,
     trendingTopk, decayedCounts, chiSquare, rankCorr, benford)
