@@ -363,6 +363,61 @@ object Advanced {
          |FROM w ORDER BY stage""".stripMargin
     })
 
+  // Cohort LTV curves: cumulative purchase revenue per user by
+  // months-since-signup, one curve per signup-month cohort — the
+  // retention matrix's revenue twin. Revenue goes through the exact
+  // DECIMAL(28,6) sum contract; the cumulative window is partitioned by
+  // COHORT and ordered by months-since (both calendar-bounded), and the
+  // per-user division is the final pinned IEEE op.
+  private val cohortLtv = Q(
+    "q_cohort_ltv",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("CAST(year(date_add(DATE '1970-01-01', CAST(ts DIV 86400000000000 AS INT))) * 12 "
+            + "+ month(date_add(DATE '1970-01-01', CAST(ts DIV 86400000000000 AS INT))) AS BIGINT)")
+            .as("midx"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("midx")).as("c0"))
+      val sizes = cohort.groupBy("c0").agg(count(lit(1)).as("n_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .filter(col("midx") >= col("c0"))
+        .groupBy(col("c0"), (col("midx") - col("c0")).as("months_since"))
+        .agg(sum(col("value").cast(DecimalType(28, 6))).as("rev"))
+      val w = W.partitionBy("c0").orderBy("months_since")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      rev.withColumn("cum", sum(col("rev")).over(w))
+        .join(broadcast(sizes), "c0")
+        .select(col("c0").as("cohort_month"), col("months_since"), col("n_users"),
+          round(col("cum").cast("double") / col("n_users"), 6).as("ltv_per_user"))
+        .orderBy("cohort_month", "months_since")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, value,
+           |    CAST(year(DATE '1970-01-01' + CAST(epoch_ns(ts) // 86400000000000 AS INTEGER)) * 12
+           |      + month(DATE '1970-01-01' + CAST(epoch_ns(ts) // 86400000000000 AS INTEGER)) AS BIGINT) AS midx
+           |  FROM events),
+           |cohort AS (SELECT user_id, MIN(midx) AS c0 FROM ev
+           |           WHERE event_type = 'signup' GROUP BY 1),
+           |sizes AS (SELECT c0, CAST(COUNT(*) AS BIGINT) AS n_users FROM cohort GROUP BY 1),
+           |rev AS (
+           |  SELECT c0, midx - c0 AS months_since,
+           |    SUM(CAST(value AS DECIMAL(28,6))) AS rev
+           |  FROM ev JOIN cohort USING (user_id)
+           |  WHERE event_type = 'purchase' AND midx >= c0
+           |  GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT c0, months_since,
+           |    SUM(rev) OVER (PARTITION BY c0 ORDER BY months_since
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM rev)
+           |SELECT c0 AS cohort_month, months_since, n_users,
+           |  round(CAST(cum AS DOUBLE) / n_users, 6) AS ltv_per_user
+           |FROM cum JOIN sizes USING (c0)
+           |ORDER BY cohort_month, months_since""".stripMargin))
+
   private val variantExtract = Q(
     "q_variant_extract",
     (s, dir) =>
@@ -828,7 +883,7 @@ object Advanced {
 
   val all: Seq[Q] = Seq(
     groupingSets, joinRight, nullSafeEq, sqlEntry, jsonExtract,
-    asofJoin, asofNative, asofForward, pitJoin, eventsSessions, eventsSliding, eventsFunnel, funnelWilson,
+    asofJoin, asofNative, asofForward, pitJoin, eventsSessions, eventsSliding, eventsFunnel, funnelWilson, cohortLtv,
     eventSequences, variantExtract, eventsSessionWindow, approxDistinct,
     recursiveCte, lateralTop2, twap, userLifecycle, rollingDistinct,
     trendingTopk, decayedCounts, chiSquare, rankCorr, benford)
