@@ -203,6 +203,49 @@ class StatsBruteForceSpec extends AnyFunSuite {
     }
   }
 
+  test("Wilson bounds are roots of the score equation (independent of the closed form)") {
+    // the closed form could be mistyped identically in engine AND oracle
+    // (the ACF lesson); the defining equation (p̂−p)² = z²·p(1−p)/n is an
+    // independent witness the bounds must satisfy.
+    val rows = SparkEntry.queries("q_funnel_wilson")(spark, SparkTestBase.sf0001).collect()
+    assert(rows.length === 2)
+    val zz = 1.96 * 1.96
+    rows.foreach { r =>
+      val n = r.getLong(1).toDouble
+      val p = r.getDouble(3)
+      for (bound <- Seq(r.getDouble(4), r.getDouble(5))) {
+        val lhs = (p - bound) * (p - bound)
+        val rhs = zz * bound * (1.0 - bound) / n
+        assert(math.abs(lhs - rhs) < 1e-9, s"score equation violated at $bound")
+      }
+      // p̂ = 1 makes the upper bound round to 1.0 at 9 dp — non-strict there
+      assert(r.getDouble(4) < p && p <= r.getDouble(5), "bounds must bracket p-hat")
+    }
+  }
+
+  test("cohort LTV matches a per-user driver recomputation on the fixture") {
+    val sf = SparkTestBase.sf0001
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = QueryUtil.events(spark, sf)
+      .selectExpr("user_id", "event_type", "value",
+        "CAST(year(date_add(DATE '1970-01-01', CAST(ts DIV 86400000000000 AS INT))) * 12 "
+          + "+ month(date_add(DATE '1970-01-01', CAST(ts DIV 86400000000000 AS INT))) AS BIGINT) AS midx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val cohort = ev.filter(_._2 == "signup").groupBy(_._1).view.mapValues(_.map(_._4).min).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size).toMap
+    val rev = ev.filter(_._2 == "purchase").flatMap { case (u, _, v, m) =>
+      cohort.get(u).filter(m >= _).map(c0 => (c0, m - c0) -> BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val cum = rev.filter { case ((c0, m), _) => c0 == key._1 && m <= key._2 }.values.sum
+      val expected = (cum / sizes(key._1)).toDouble
+      assert(r.getLong(2) === sizes(key._1).toLong)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-5, s"ltv at $key")
+    }
+  }
+
   test("acf of an alternating series is strongly negative at lag 1, positive at lag 2") {
     // strict 2-day alternation 20/80 for 200 consecutive days
     val daily = (0 until 200).map(d => (d, if (d % 2 == 0) 20 else 80))
