@@ -1356,6 +1356,56 @@ object Analytics {
            |  sen_slope
            |FROM mk, med""".stripMargin))
 
+  // Lorenz curve at deciles — the curve behind q_gini_orders: cumulative
+  // share of order volume held by the bottom d/10 of customers (ranked
+  // by activity, ties broken by custkey exactly as the Gini ranks).
+  // Decile cutoffs are exact integer ranks ⌊n·d/10⌋; the cumulative
+  // volumes come from one broadcast non-equi join of the ranked frame
+  // against 10 cutoff rows (never a second sort), and every share is
+  // one IEEE division of exact integers.
+  private val lorenz = Q(
+    "q_lorenz",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val y = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("y"))
+      val byY = y.groupBy("y").agg(count(lit(1)).as("cy"))
+      val below = graft.ops.PrefixSum.runningSum(byY, "y", "cy", "upto")
+        .withColumn("below", col("upto") - col("cy"))
+        .select(col("y").as("__y"), col("below"))
+      val ranked = graft.ops.BoundedCache.cached(
+        y.join(below, col("y") === col("__y"))
+          .withColumn("r", col("below") +
+            row_number().over(W.partitionBy("y").orderBy("o_custkey")))
+          .select("y", "r"))
+      val tot = ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val deciles = s.range(1, 11).toDF("d").crossJoin(broadcast(tot))
+        .withColumn("cutoff", expr("n * d DIV 10"))
+      deciles.join(ranked, col("r") <= col("cutoff"), "left")
+        .groupBy("d", "n", "sy", "cutoff")
+        .agg(coalesce(sum(col("y")), lit(0L)).as("cum_y"))
+        .select(col("d").cast("int").as("decile"),
+          col("cutoff").as("n_customers"),
+          round(col("cum_y").cast("double") / col("sy"), 9).as("volume_share"))
+        .orderBy("decile")
+    },
+    Some("""WITH y AS (
+           |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |ranked AS (
+           |  SELECT y, CAST(row_number() OVER (ORDER BY y, o_custkey) AS BIGINT) AS r
+           |  FROM y),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+           |        FROM ranked),
+           |deciles AS (
+           |  SELECT CAST(d AS INTEGER) AS decile, n * d // 10 AS cutoff, sy
+           |  FROM (SELECT unnest(range(1, 11)) AS d) CROSS JOIN tot)
+           |SELECT decile, cutoff AS n_customers,
+           |  round(CAST(COALESCE(SUM(y), 0) AS DOUBLE) / sy, 9) AS volume_share
+           |FROM deciles LEFT JOIN ranked ON r <= cutoff
+           |GROUP BY decile, cutoff, sy
+           |ORDER BY decile""".stripMargin))
+
   // Difference-in-differences (the 2×2 canonical causal design):
   // ATT = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), treatment =
   // BUILDING-segment customers, policy date pinned at 1998-07-01.
@@ -1538,7 +1588,7 @@ object Analytics {
            |  round(1.0::DOUBLE - ssw / (t2 - t1 * t1 / n_days), 9) AS r2_dow
            |FROM agg""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders, acf, trendRobust, rfm,
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders, lorenz, acf, trendRobust, rfm,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,
