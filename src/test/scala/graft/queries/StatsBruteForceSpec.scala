@@ -263,4 +263,14 @@ class StatsBruteForceSpec extends AnyFunSuite {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(rows(1) - brute) < 1e-9)
   }
+  test("lorenz curve is monotone, ends at 1, and stays on or below the diagonal") {
+    val rows = SparkEntry.queries("q_lorenz")(spark, SparkTestBase.sf0001).collect()
+      .map(r => (r.getInt(0), r.getDouble(2)))
+    assert(rows.length === 10)
+    assert(math.abs(rows.last._2 - 1.0) < 1e-9, "bottom 100% must hold 100%")
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a <= b, "monotone") }
+    // ranked ascending by activity: bottom d/10 of customers hold AT MOST d/10 of volume
+    rows.foreach { case (d, share) => assert(share <= d / 10.0 + 1e-9, s"above diagonal at $d") }
+  }
+
 }
