@@ -1406,6 +1406,63 @@ object Analytics {
            |GROUP BY decile, cutoff, sy
            |ORDER BY decile""".stripMargin))
 
+  // CUSUM control chart over the monthly volume series — the sequential
+  // drift detector. The textbook recursion S_t = max(0, S_{t−1} + x_t − k)
+  // looks inherently serial, but max-plus is associative: S_t =
+  // P_t − min_{j≤t} P_j with P the plain prefix sum of (x_t − k) — so
+  // the chart falls out of TWO parallel prefix scans (sum, then running
+  // min), no sequential pass anywhere. Reference k = the series' own
+  // integer mean floor(Σx/n) keeps every value an exact integer: P_t is
+  // Σx_{1..t} − t·k, exactly. Alarm = S_t > 5·⌈√(Σ(x−x̄)²/n)⌉ (an
+  // integer threshold derived once). Windows are over months —
+  // calendar-bounded (the q_abc_class contract).
+  private val cusum = Q(
+    "q_cusum",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("x"))
+      val tot = m.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val w = W.orderBy("month")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      m.crossJoin(broadcast(tot))
+        .withColumn("k", expr("sx DIV n"))
+        .withColumn("p", sum(col("x")).over(w) - col("k")
+          * row_number().over(W.orderBy("month")))
+        .withColumn("minp", least(min(col("p")).over(w), lit(0L)))
+        .withColumn("cusum", col("p") - col("minp"))
+        .withColumn("thr", lit(5L) * ceil(sqrt(
+          (col("sxx") - (col("sx") * col("sx")).cast("double") / col("n"))
+            / col("n"))).cast("long"))
+        .select(col("month"), col("x"), col("cusum"),
+          (col("cusum") > col("thr")).as("alarm"))
+        .orderBy("month")
+    },
+    Some("""WITH m AS (
+           |  SELECT date_trunc('month', o_orderdate)::DATE AS month,
+           |    CAST(COUNT(*) AS BIGINT) AS x
+           |  FROM orders GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxx
+           |  FROM m),
+           |c AS (
+           |  SELECT month, x, sx // n AS k,
+           |    SUM(x) OVER w - (sx // n) * CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS p,
+           |    n, sx, sxx
+           |  FROM m, tot
+           |  WINDOW w AS (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |s AS (
+           |  SELECT month, x,
+           |    p - LEAST(MIN(p) OVER (ORDER BY month
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum,
+           |    5 * CAST(ceil(sqrt((sxx - CAST(sx * sx AS DOUBLE) / n) / n)) AS BIGINT) AS thr
+           |  FROM c)
+           |SELECT month, x, cusum, cusum > thr AS alarm
+           |FROM s ORDER BY month""".stripMargin))
+
   // Difference-in-differences (the 2×2 canonical causal design):
   // ATT = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), treatment =
   // BUILDING-segment customers, policy date pinned at 1998-07-01.
@@ -1588,7 +1645,7 @@ object Analytics {
            |  round(1.0::DOUBLE - ssw / (t2 - t1 * t1 / n_days), 9) AS r2_dow
            |FROM agg""".stripMargin))
 
-  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders, lorenz, acf, trendRobust, rfm,
+  val all: Seq[Q] = Seq(pivotQ, statsExact, sampleMod, sampleStratified, saltedJoin, histogram, skylineQ, changepoint, targetEncode, seasonality, survivalKm, diffInDiff, forecastMase, ksDrift, psiDrift, giniOrders, lorenz, acf, trendRobust, rfm, cusum,
     rangeJoinBinned, intervalJoin, rollingMedian, histogramEqd, skewProfile,
     featureBucketize, modeQ,
     topkHeap, cohortRetention, attribution, shareOfTotal,

@@ -100,7 +100,7 @@ object ScaleCheck {
       "q_embed_int8", "q_pit_join", "q_survival_km",
       "q_diff_in_diff", "q_forecast_mase", "q_ks_drift", "q_psi_drift",
       "q_gini_orders", "q_acf", "q_trend_robust", "q_rfm", "q_funnel_wilson",
-      "q_cohort_ltv", "q_lorenz")
+      "q_cohort_ltv", "q_lorenz", "q_cusum")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

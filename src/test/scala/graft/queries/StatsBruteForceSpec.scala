@@ -273,4 +273,19 @@ class StatsBruteForceSpec extends AnyFunSuite {
     rows.foreach { case (d, share) => assert(share <= d / 10.0 + 1e-9, s"above diagonal at $d") }
   }
 
+  test("cusum via prefix-min identity equals the serial recursion") {
+    val rng = new scala.util.Random(31)
+    // quiet ~60/month, then a +25 sustained shift: the chart must climb
+    val daily = (0 until 48).map(m => (m * 30 + 3, (if (m < 36) 60 else 85) + rng.nextInt(7) - 3))
+    val dir = ordersDir(daily)
+    val rows = SparkEntry.queries("q_cusum")(spark, dir).collect()
+    val ms = months(daily).map(_._2)
+    val k = ms.sum / ms.length // integer floor mean, same as the query
+    var st = 0L
+    val serial = ms.map { x => st = math.max(0L, st + x - k); st }
+    assert(rows.map(_.getLong(2)).toSeq === serial, "prefix-min identity vs recursion")
+    assert(rows.takeRight(3).forall(_.getBoolean(3)), "sustained shift must alarm")
+    assert(!rows.take(12).exists(_.getBoolean(3)), "quiet period must not alarm")
+  }
+
 }
