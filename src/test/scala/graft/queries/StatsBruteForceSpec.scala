@@ -288,4 +288,26 @@ class StatsBruteForceSpec extends AnyFunSuite {
     assert(!rows.take(12).exists(_.getBoolean(3)), "quiet period must not alarm")
   }
 
+  test("decayed counters match a serial half-decay recomputation on planted events") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("statsbf").toString
+    // "steady" fires 5/day for 12 days; "spiky" fires only on the last day (x40)
+    val rows = (0 until 12).flatMap { day =>
+      val ts = new Timestamp(day.toLong * 86400000L + 3600000L)
+      Seq.fill(5)((ts, "steady")) ++
+        (if (day == 11) Seq.fill(40)((ts, "spiky")) else Nil)
+    }
+    rows.toDF("ts", "event_type").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_decayed_counts")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // serial: weights 2^-k for k = days-before-max, horizon 8 days
+    val steady = (0 to 7).map(k => 5.0 * math.pow(0.5, k)).sum
+    assert(got("steady")._1 === 8)
+    assert(math.abs(got("steady")._2 - steady) < 1e-12)
+    assert(got("spiky") === ((1L, 40.0)), "spike decayed weight 2^0 on max day")
+    // recency dominance: the fresh spike outranks the steady accumulator
+    assert(got("spiky")._2 > got("steady")._2)
+  }
+
 }
