@@ -364,7 +364,10 @@ object SimSearch {
       // succeeds. A crash mid-build then leaves NO marker — the next run
       // rebuilds — instead of an old marker pointing at new half-written
       // data (the silent-staleness failure this function exists to stop).
-      fs.delete(markerPath, false)
+      if (fs.exists(markerPath) && !fs.delete(markerPath, false))
+        throw new java.io.IOException(
+          s"cannot invalidate stale IVF index marker $markerPath — refusing to " +
+            "rebuild over a marker that would mis-certify the result")
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/assigned"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/centroids"), true)
       buildIvfIndex(corpus, indexDir, k, idCol, vecCol)

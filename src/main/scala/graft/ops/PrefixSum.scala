@@ -60,7 +60,10 @@ object PrefixSum {
     val spark = df.sparkSession
     import spark.implicits._
     val (pidded, pid) = rangeId(df, orderCol, numRanges)
-    val aggs = weightCols.map(wc => sum(col(wc).cast("long")).as(s"__w_$wc"))
+    // coalesce: an all-NULL weight column within one range yields sum()=NULL
+    // and would NPE the getLong below — an empty contribution is 0, not null
+    val aggs = weightCols.map(wc =>
+      coalesce(sum(col(wc).cast("long")), lit(0L)).as(s"__w_$wc"))
     val totals = pidded.groupBy(pid)
       .agg(aggs.head, aggs.tail: _*)
       .collect()

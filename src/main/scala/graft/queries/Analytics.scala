@@ -1086,8 +1086,8 @@ object Analytics {
            |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM durs),
            |risk AS (
            |  SELECT dur, d, c,
-           |    n_total - COALESCE(SUM(d + c) OVER
-           |      (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    n_total - COALESCE(CAST(SUM(d + c) OVER
+           |      (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
            |      AS n_risk
            |  FROM bydur, tot),
            |terms AS (
@@ -1381,12 +1381,20 @@ object Analytics {
       val tot = ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
       val deciles = s.range(1, 11).toDF("d").crossJoin(broadcast(tot))
         .withColumn("cutoff", expr("n * d DIV 10"))
-      deciles.join(ranked, col("r") <= col("cutoff"), "left")
-        .groupBy("d", "n", "sy", "cutoff")
-        .agg(coalesce(sum(col("y")), lit(0L)).as("cum_y"))
+      // INNER join with the 10-row decile frame as the broadcast side: a
+      // LEFT join from deciles would force BroadcastNestedLoopJoin to
+      // build the full |customers| ranked frame (left-outer cannot build
+      // left). Every customer matches at least decile 10 (cutoff = n), so
+      // inner loses only deciles whose cutoff undercuts every rank — the
+      // tiny left-join below restores those with cum_y = 0.
+      val cum = ranked.join(broadcast(deciles), col("r") <= col("cutoff"))
+        .groupBy("d").agg(sum(col("y")).as("cum_y"))
+        .withColumnRenamed("d", "__d")
+      deciles.join(broadcast(cum), col("d") === col("__d"), "left")
         .select(col("d").cast("int").as("decile"),
           col("cutoff").as("n_customers"),
-          round(col("cum_y").cast("double") / col("sy"), 9).as("volume_share"))
+          round(coalesce(col("cum_y"), lit(0L)).cast("double") / col("sy"), 9)
+            .as("volume_share"))
         .orderBy("decile")
     },
     Some("""WITH y AS (
@@ -1450,7 +1458,7 @@ object Analytics {
            |  FROM m),
            |c AS (
            |  SELECT month, x, sx // n AS k,
-           |    SUM(x) OVER w - (sx // n) * CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS p,
+           |    CAST(SUM(x) OVER w AS BIGINT) - (sx // n) * CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS p,
            |    n, sx, sxx
            |  FROM m, tot
            |  WINDOW w AS (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),

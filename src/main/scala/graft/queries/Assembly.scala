@@ -274,6 +274,16 @@ object Assembly {
   private val upsampleMix = Q(
     "q_upsample_mix",
     (s, dir) => {
+      // Cross-engine guard: Spark truncates (w-⌊w⌋)·2^60 via toLong while
+      // the DuckDB oracle CASTs (round-to-nearest). They agree iff every
+      // fractional part is exactly representable at 2^-60 — fail loudly on
+      // a non-dyadic weight (e.g. 1.1) instead of diverging by 1 ulp.
+      upsampleWeights.foreach { case (l, w) =>
+        val frac = (w - math.floor(w)) * math.pow(2, 60)
+        require(frac == math.rint(frac),
+          s"upsample weight $w for '$l' has a non-dyadic fraction; " +
+            "Spark trunc vs DuckDB round would diverge")
+      }
       def chain(f: Double => Long) =
         upsampleWeights.tail.foldLeft(
           when(col("lang") === upsampleWeights.head._1, lit(f(upsampleWeights.head._2)))) {

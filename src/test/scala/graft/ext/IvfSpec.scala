@@ -62,6 +62,24 @@ class IvfSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) % 7 != 0), "stale index served a dropped row")
   }
 
+  test("crash between build and marker-write: next run rebuilds (marker is written last)") {
+    val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-crash").toString
+    assert(SimSearch.ensureIvfIndex(emb, idx, k = 4))
+    // Poisoned rebuild: vecCol of scalar type passes the fingerprint scan
+    // (it only casts to string) but blows up inside buildIvfIndex — i.e.
+    // the process "dies" after invalidation, before the marker write.
+    intercept[Exception] {
+      SimSearch.ensureIvfIndex(emb, idx, k = 4, vecCol = "vec_id")
+    }
+    val marker = new java.io.File(s"$idx/fingerprint")
+    assert(!marker.exists(), "a failed rebuild must not leave a marker behind")
+    // and therefore the next healthy run rebuilds rather than serving the
+    // half-written index
+    assert(SimSearch.ensureIvfIndex(emb, idx, k = 4))
+    assert(marker.exists())
+  }
+
   test("ivfAssign: every vector gets exactly one cluster in [0, k)") {
     val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
     val assigned = SimSearch.ivfAssign(emb, k = 8)

@@ -104,4 +104,34 @@ class MediaCodecSpec extends AnyFunSuite {
     val feats = RealMedia.RealDecoder.features(wav, 4)
     assert(feats.length === 4 && feats.forall(f => f >= 0.0 && f <= 1.0))
   }
+
+  test("decodeWav rejects a chunk whose declared size overruns the payload") {
+    val wav = MediaCodec.encodeWav(8000, Array.tabulate(16)(i => (i * 500).toShort))
+    val truncated = wav.take(wav.length - 10) // data chunk now overruns
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeWav(truncated))
+    assert(e.getMessage.contains("truncated WAV"))
+  }
+
+  test("decodeWav skips an odd-size junk chunk (pad byte honoured)") {
+    val wav = MediaCodec.encodeWav(8000, Array.tabulate(8)(i => (i * 400).toShort))
+    // splice a 3-byte 'junk' chunk (odd size => 1 pad byte) after the WAVE tag
+    val junk = "junk".getBytes ++ Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0)
+    val spliced = wav.take(12) ++ junk ++ wav.drop(12)
+    // fix the RIFF size field (bytes 4..7, little-endian)
+    val riffSize = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = ((riffSize >> (8 * i)) & 0xff).toByte
+    val (rate, samples) = MediaCodec.decodeWav(spliced)
+    assert(rate === 8000 && samples.length === 8)
+  }
+
+  test("features on a payload shorter than dim yields values, never NaN") {
+    // 2 samples spread across 16 slices: repeats, not division-by-zero
+    val tiny = MediaCodec.encodeWav(8000, Array[Short](100, -200))
+    val feats = RealMedia.RealDecoder.features(tiny, 16)
+    assert(feats.length === 16 && feats.forall(f => !f.isNaN))
+    // the degenerate zero-sample clip: every slice is empty -> 0.0, not NaN
+    val empty = MediaCodec.encodeWav(8000, Array.empty[Short])
+    val zfeats = RealMedia.RealDecoder.features(empty, 8)
+    assert(zfeats.length === 8 && zfeats.forall(_ == 0.0))
+  }
 }

@@ -26,6 +26,66 @@ def canon(v):
     return v
 
 
+# The driver hashes values AFTER a pandas conversion, so int-width drift
+# (INTEGER vs BIGINT) is invisible — but HUGEINT becomes float64 and the
+# hash diverges even when every value is identical. This killed q_cusum /
+# q_survival_km (r5), q_trending (r4), and four queries in r3. Class map:
+# any type-CLASS mismatch between the Spark parquet output and the DuckDB
+# oracle output is a tripwire failure, and HUGEINT is fatal outright.
+_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date", "BLOB": "binary",
+    "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts", "TIMESTAMP_NS": "ts",
+}
+
+
+def _tclass(t):
+    t = str(t)
+    if "HUGEINT" in t:
+        return "HUGEINT"
+    if t.startswith("DECIMAL"):
+        return t  # scale/precision must match exactly
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
+        return "nested"
+    return _CLASS.get(t, t)
+
+
+def type_audit(con, oracle, out_dir):
+    """Fail on HUGEINT in any oracle output column, and on any type-class
+    mismatch vs the Spark parquet output. Run at feature freeze."""
+    import os
+    bad = []
+    for q in sorted(oracle):
+        if not os.path.isdir(f"{out_dir}/{q}"):
+            continue
+        try:
+            orel = con.sql(oracle[q])
+        except Exception as e:
+            bad.append((q, "*", f"ORACLE-SQL-ERROR {e}"))
+            continue
+        otypes = dict(zip(orel.columns, orel.types))
+        srel = con.sql(f"SELECT * FROM '{out_dir}/{q}/*.parquet' LIMIT 0")
+        stypes = dict(zip(srel.columns, srel.types))
+        for c, ot in otypes.items():
+            oc = _tclass(ot)
+            if oc == "HUGEINT":
+                bad.append((q, c, f"oracle type {ot} (HUGEINT -> pandas float64 -> driver hash diverges); CAST it"))
+                continue
+            if c not in stypes:
+                bad.append((q, c, "column missing from Spark output"))
+                continue
+            sc = _tclass(stypes[c])
+            if oc != sc:
+                bad.append((q, c, f"type-class mismatch spark={stypes[c]} oracle={ot}"))
+    for q, c, msg in bad:
+        print(f"TYPE-AUDIT {q:24s} {c}: {msg}")
+    print(f"type_audit: {'FAIL ' + str(len(bad)) + ' violations' if bad else 'OK'} "
+          f"({len(oracle)} oracles)")
+    return len(bad)
+
+
 def main(sf_dir, out_dir):
     import os
     con = duckdb.connect()
@@ -74,8 +134,9 @@ def main(sf_dir, out_dir):
                         print(f"    spark: {g}")
                         print(f"    duck:  {e}")
                         break
-    print(f"\npass={n_pass} fail={n_fail} rows_only={n_rowsonly}")
-    return 0 if n_fail == 0 else 1
+    n_type = type_audit(con, oracle, out_dir)
+    print(f"\npass={n_pass} fail={n_fail} rows_only={n_rowsonly} type_violations={n_type}")
+    return 0 if n_fail == 0 and n_type == 0 else 1
 
 
 if __name__ == "__main__":
