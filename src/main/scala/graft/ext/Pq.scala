@@ -217,4 +217,125 @@ object Pq {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
   }
+
+  /** Persist the full IVF+PQ index — the build/search split
+    * [[SimSearch.buildIvfIndex]] gives plain IVF, extended with the PQ
+    * artifacts: `assigned` (vectors + norms, PARTITIONED BY cluster, for
+    * the exact re-rank), `centroids` (kIvf rows), `codebook` (m·ks rows),
+    * and `codes` (the m sub-codes per vector, co-PARTITIONED BY cluster so
+    * a probe's ADC scan reads only its nprobe cluster directories). At
+    * 100 TB the Lloyd + codebook training runs once per corpus version;
+    * every query batch pays nprobe/kIvf of the CODE table (m bytes +
+    * one norm per vector), never the full vectors. */
+  def buildIvfPqIndex(corpus: DataFrame, indexDir: String,
+      kIvf: Int = 16, m: Int = 8, ks: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    SimSearch.ivfAssign(corpus, kIvf, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("v").as("cvec"), col("cluster"))
+      .withColumn("cn", sqrt(VectorFunctions.vecDotExpr("cvec", "cvec")))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$indexDir/assigned")
+    // read the landed assignment back so centroids + code co-partitioning
+    // don't re-run the Lloyd pass
+    val assigned = spark.read.parquet(s"$indexDir/assigned")
+    SimSearch.ivfCentroids(assigned).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val (codes, codebook) = trainEncode(corpus, m, ks, idCol, vecCol)
+    codebook.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    codes.join(assigned.select(col("neighbor_id").as("id"),
+        col("cluster"), col("cn")), "id")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$indexDir/codes")
+  }
+
+  /** Search a [[buildIvfPqIndex]]-persisted index — identical output to
+    * [[ivfPqTopK]] over the same corpus and parameters (every persisted
+    * artifact is the deterministic product of the same seeded chains),
+    * without re-running the Lloyd or codebook builds. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, topK: Int,
+      nprobe: Int = 4, candidates: Int = 30,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(spark)
+    val assigned = spark.read.parquet(s"$indexDir/assigned")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    // m and subDim recovered from the (m·ks)-row codebook artifact
+    val mr = codebook.agg(max(col("sub")), max(size(col("cv")))).head()
+    val (m, subDim) = (mr.getInt(0) + 1, mr.getInt(1))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("d2",
+        VectorFunctions.vecDotExpr("qv", "qv")
+          - lit(2.0) * VectorFunctions.vecDotExpr("qv", "ccv")
+          + VectorFunctions.vecDotExpr("ccv", "ccv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("cluster"))))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "cluster")
+    val qsubs = q.select(col("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("qv"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "qsv")))
+    val table = qsubs.join(codebook, "sub")
+      .withColumn("part", VectorFunctions.vecDotExpr("qsv", "cv"))
+      .select("query_id", "sub", "cid", "part")
+    // the broadcast probe join lands on the cluster-partitioned code
+    // table: dynamic partition pruning limits the ADC scan to the probed
+    // cluster directories
+    val pool = codes.join(broadcast(probes), "cluster")
+      .filter(col("query_id") =!= col("id"))
+    val cand = pool.join(broadcast(table), Seq("query_id", "sub", "cid"))
+      .groupBy("query_id", "id", "cn")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("part")))),
+          x => x.getField("part")),
+        lit(0.0), (a, x) => a + x).as("adc"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("query_id").orderBy((col("adc") / col("cn")).desc, col("id"))))
+      .filter(col("crn") <= candidates)
+      .select("query_id", "id")
+    // exact re-rank against the index's own vector store
+    val cvecs = assigned.select(col("neighbor_id").as("id"),
+      col("cvec").as("cv"), col("cn").as("cn2"))
+    val qvecs = q.withColumn("qn", sqrt(VectorFunctions.vecDotExpr("qv", "qv")))
+    cand.join(cvecs, "id").join(broadcast(qvecs), "query_id")
+      .withColumn("sim",
+        VectorFunctions.vecDotExpr("qv", "cv") / (col("qn") * col("cn2")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
+
+  /** Build-if-needed with the same staleness proof as
+    * [[SimSearch.ensureIvfIndex]]: fingerprint marker written LAST, deleted
+    * FIRST on rebuild, so a crash mid-build forces the next run to rebuild.
+    * Returns true if the index was (re)built. */
+  def ensureIvfPqIndex(corpus: DataFrame, indexDir: String,
+      kIvf: Int = 16, m: Int = 8, ks: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val spark = corpus.sparkSession
+    val fp = SimSearch.corpusFingerprint(corpus, idCol, vecCol)
+    val markerPath = new org.apache.hadoop.fs.Path(s"$indexDir/fingerprint")
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = s"$fp:$kIvf:$m:$ks"
+    val fresh = fs.exists(markerPath) && {
+      val in = fs.open(markerPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      txt == want
+    }
+    if (!fresh) {
+      if (fs.exists(markerPath) && !fs.delete(markerPath, false))
+        throw new java.io.IOException(
+          s"cannot invalidate stale IVF+PQ index marker $markerPath")
+      Seq("assigned", "centroids", "codebook", "codes").foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$d"), true))
+      buildIvfPqIndex(corpus, indexDir, kIvf, m, ks, idCol, vecCol)
+      val out = fs.create(markerPath, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+    }
+    !fresh
+  }
 }

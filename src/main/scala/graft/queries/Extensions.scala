@@ -1512,15 +1512,7 @@ object Extensions {
   // restores accuracy. The oracle replays BOTH proven chains (the
   // q_simsearch_ivf index build and the q_simsearch_pq codebook/ADC
   // pipeline) plus the composition glue — hash match end to end.
-  private val simsearchIvfPq = Q(
-    "q_simsearch_ivfpq",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), topK = 5,
-        kIvf = 16, nprobe = 4, m = 8, ks = 16, candidates = 30)
-        .orderBy("query_id", "rank")
-    },
-    Some {
+  private val ivfPqOracleSql: String = {
       val adcChain = (0 until 8)
         .map(s => s"MAX(CASE WHEN t.sub = $s THEN t.part END)").mkString(" + ")
       s"""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1619,10 +1611,43 @@ object Extensions {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM rer) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    })
+    }
+
+  private val simsearchIvfPq = Q(
+    "q_simsearch_ivfpq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), topK = 5,
+        kIvf = 16, nprobe = 4, m = 8, ks = 16, candidates = 30)
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfPqOracleSql))
+
+  // The build/search split of the same IVF+PQ search: Lloyd assignment,
+  // centroids, codebook, and cluster-partitioned codes persist once per
+  // corpus version (fingerprint-guarded like q_simsearch_ivf_index) and a
+  // query batch pays only the nprobe code directories + the bounded
+  // re-rank — the 9-second inline build becomes a build-once artifact.
+  // Output is bit-identical to q_simsearch_ivfpq (every artifact is the
+  // deterministic product of the same seeded chains), so the same
+  // replayed-build oracle hash-checks it.
+  private val simsearchIvfPqIndex = Q(
+    "q_simsearch_ivfpq_index",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val pid = java.lang.ProcessHandle.current().pid()
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_${key}_p$pid"
+      Pq.ensureIvfPqIndex(emb, idx, kIvf = 16, m = 8, ks = 16)
+      Pq.ivfPqTopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+        topK = 5, nprobe = 4, candidates = 30)
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfPqOracleSql))
 
   val all: Seq[Q] = Seq(
-    spanDedup, spanDedupApply, simsearchPq, simsearchIvfPq,
+    spanDedup, spanDedupApply, simsearchPq, simsearchIvfPq, simsearchIvfPqIndex,
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash, dedupPrefix,
     dedupClusters, dedupClustersLss, dedupApply, dedupCanonical, dedupIncremental,
     textContamination,

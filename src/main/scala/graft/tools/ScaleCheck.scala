@@ -158,6 +158,7 @@ object ScaleCheck {
     val family = Seq("q_dedup_minhash", "q_dedup_prefix", "q_dedup_clusters",
       "q_dedup_clusters_lss", "q_simsearch_lsh", "q_simsearch_ivf_index",
       "q_span_dedup", "q_span_dedup_apply", "q_simsearch_pq", "q_simsearch_ivfpq",
+      "q_simsearch_ivfpq_index",
       "q_boilerplate_scrub", "q_gopher_repetition", "q_dedup_canonical")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
@@ -167,7 +168,7 @@ object ScaleCheck {
       val fn = SparkEntry.queries(name)
       def measure(dir: String): (Double, Long) = {
         graft.ops.BoundedCache.clear()
-        if (name == "q_simsearch_ivf_index") fn(spark, dir).count() // build once
+        if (name.endsWith("_index")) fn(spark, dir).count() // build once
         var rows = 0L
         val t = time { rows = fn(spark, dir).count(); rows } // steady state
         (t, rows)

@@ -55,4 +55,22 @@ class PqSpec extends AnyFunSuite {
     // tight), the worst case for PQ distortion — still demand real signal
     assert(recall >= 0.4, s"recall@5 = $recall")
   }
+
+  test("a persisted IVF+PQ index searches identically to the inline build, and reuses") {
+    val q = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
+    assert(Pq.ensureIvfPqIndex(emb, idx, kIvf = 8, m = 8, ks = 16))   // builds
+    assert(!Pq.ensureIvfPqIndex(emb, idx, kIvf = 8, m = 8, ks = 16))  // reuses
+    // the cluster-partitioned code layout: probes prune to nprobe directories
+    val parts = new java.io.File(s"$idx/codes").listFiles()
+      .filter(_.getName.startsWith("cluster=")).map(_.getName).toSet
+    assert(parts.nonEmpty && parts.size <= 8)
+    val inline = Pq.ivfPqTopK(emb, q, topK = 3,
+        kIvf = 8, nprobe = 3, m = 8, ks = 16, candidates = 20)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val indexed = Pq.ivfPqTopKIndexed(spark, idx, q, topK = 3,
+        nprobe = 3, candidates = 20)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(indexed === inline)
+  }
 }
