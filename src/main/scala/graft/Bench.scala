@@ -18,6 +18,16 @@ object Bench {
       // engine optimizer rules (e.g. fold-over-zip → native VecDot)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // session-aging control: with the UI off, the status stores still
+      // retain per-execution plan graphs + metrics and per-job/stage state
+      // for the WHOLE 249-query run (defaults: 1000 executions), and that
+      // heap buildup taxed late-alphabet queries ~2-4x in round 5 (fresh-
+      // JVM control: q_window_rank 0.15s vs 0.54s in-session, q_winsorize
+      // 0.54 vs 1.90). Keep only a handful of executions live.
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -34,7 +44,17 @@ object Bench {
     // JIT, the second measures steady-state engine throughput — the number
     // that actually predicts cluster-scale behavior, where compile cost
     // amortizes over hours of execution
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (1st arg or SPARK_GRAFT_BENCH_ONLY, comma list):
+    // lets a fresh JVM measure a few queries in isolation — the control
+    // experiment that separates plan regressions from session aging
+    // (codegen-cache/GC buildup across a 249-plan run). Driver invokes
+    // with no args → full run, unchanged.
+    val only: Option[Set[String]] =
+      args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
+        .map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

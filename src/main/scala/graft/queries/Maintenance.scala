@@ -903,7 +903,49 @@ object Maintenance {
            |FROM rows_ WHERE index >= 100 AND index < 9000
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // The same connector with its NETWORK face on: rows arrive as JSONL
+  // pages over real localhost HTTP (PostcodeApiTwin — the container has
+  // no egress, a production user points `url` at the live service), get
+  // result.*-flattened by the reader, and the oracle replays the wire
+  // payload from the md5 family — hash match proves socket + paging +
+  // JSON parse byte-identical to the sequential specification. min(pc)
+  // exercises the string field through the wire.
+  private val httpSource = Q(
+    "q_http_source",
+    (s, dir) => {
+      val df = s.read.format("graft.sources.PostcodeSource")
+        .option("rows", 5000).option("partitions", 8)
+        .option("rowsPerBatch", 500)
+        .option("url", graft.sources.PostcodeApiTwin.url)
+        .load()
+      df.filter(col("index") >= 50 && col("index") < 4500)
+        .groupBy(lower(col("european_electoral_region")).as("region"))
+        .agg(count(lit(1)).as("n"),
+          min(col("postcode")).as("min_pc"),
+          max(col("northings")).as("max_n"),
+          sum(col("quality")).as("sum_q"))
+        .orderBy("region")
+    },
+    Some("""WITH idx AS (SELECT unnest(generate_series(0, 4999)) AS index),
+           |h AS (SELECT index, md5(CAST(index AS VARCHAR)) AS hex FROM idx),
+           |rows_ AS (SELECT index,
+           |  upper(substr(hex, 1, 4) || ' ' || substr(hex, 5, 3)) AS postcode,
+           |  CAST(('0x' || substr(hex, 1, 15))::BIGINT % 9 + 1 AS INTEGER) AS quality,
+           |  CAST(('0x' || substr(hex, 25, 8))::BIGINT % 1300000 AS INTEGER) AS northings,
+           |  (['East Midlands', 'Eastern', 'London', 'North East', 'North West',
+           |    'Northern Ireland', 'Scotland', 'South East', 'South West',
+           |    'Wales', 'West Midlands', 'Yorkshire and The Humber'
+           |   ])[CAST(('0x' || substr(hex, 1, 15))::BIGINT % 12 AS INTEGER) + 1]
+           |    AS european_electoral_region
+           |  FROM h)
+           |SELECT lower(european_electoral_region) AS region, COUNT(*) AS n,
+           |  MIN(postcode) AS min_pc, MAX(northings) AS max_n,
+           |  CAST(SUM(quality) AS BIGINT) AS sum_q
+           |FROM rows_ WHERE index >= 50 AND index < 4500
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
+    httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,
     kmvDistinct, kmvRollupQ, kmvSetOpsQ, bitmapDistinct, regression, winsorize, argExtremum,

@@ -53,7 +53,8 @@ class PostcodeSource extends TableProvider {
     new PostcodeTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("rowsPerBatch", "250").toLong)
+      properties.getOrDefault("rowsPerBatch", "250").toLong,
+      Option(properties.get("url")))
 }
 
 object PostcodeSource {
@@ -101,17 +102,19 @@ object PostcodeSource {
   def regionOf(hex: String): String = regions((h60(hex) % 12L).toInt)
 }
 
-class PostcodeTable(rows: Long, partitions: Int, rowsPerBatch: Long)
+class PostcodeTable(rows: Long, partitions: Int, rowsPerBatch: Long,
+    url: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_postcodes($rows)"
   override def schema(): StructType = PostcodeSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PostcodeScanBuilder(rows, partitions, rowsPerBatch)
+    new PostcodeScanBuilder(rows, partitions, rowsPerBatch, url)
 }
 
-class PostcodeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L)
+class PostcodeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L,
+    url: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
@@ -229,7 +232,7 @@ class PostcodeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L
     val h = math.max(hi, l)
     aggFuncs match {
       case Some(fns) => new PostcodeAggScan(l, h, fns)
-      case None => new PostcodeScan(l, h, partitions, requiredSchema, rowsPerBatch)
+      case None => new PostcodeScan(l, h, partitions, requiredSchema, rowsPerBatch, url)
     }
   }
 }
@@ -283,13 +286,13 @@ class SingleRowReaderFactory(values: Seq[Any]) extends PartitionReaderFactory {
 case class PostcodeInputPartition(start: Long, end: Long) extends InputPartition
 
 class PostcodeScan(lo: Long, hi: Long, partitions: Int, readSchema: StructType,
-    rowsPerBatch: Long = 250L)
+    rowsPerBatch: Long = 250L, url: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new PostcodeMicroBatchStream(lo, hi, partitions, readSchema, rowsPerBatch)
+    new PostcodeMicroBatchStream(lo, hi, partitions, readSchema, rowsPerBatch, url)
   override def description(): String =
     s"graft_postcodes range=[$lo,$hi) partitions=$partitions cols=${readSchema.fieldNames.mkString(",")}"
 
@@ -307,7 +310,7 @@ class PostcodeScan(lo: Long, hi: Long, partitions: Int, readSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PostcodeReaderFactory(readSchema)
+    new PostcodeReaderFactory(readSchema, url, rowsPerBatch)
 }
 
 /** Stream offset = the next index to generate; json is just the number. */
@@ -329,7 +332,7 @@ case class PostcodeOffset(v: Long)
  * promotion contract (streaming/LandIngest) relies on.
  */
 class PostcodeMicroBatchStream(lo: Long, hi: Long, partitions: Int,
-    readSchema: StructType, rowsPerBatch: Long)
+    readSchema: StructType, rowsPerBatch: Long, url: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -363,13 +366,18 @@ class PostcodeMicroBatchStream(lo: Long, hi: Long, partitions: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PostcodeReaderFactory(readSchema)
+    new PostcodeReaderFactory(readSchema, url, rowsPerBatch)
 }
 
-class PostcodeReaderFactory(readSchema: StructType) extends PartitionReaderFactory {
+class PostcodeReaderFactory(readSchema: StructType,
+    url: Option[String] = None, pageSize: Long = 250L)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ip = partition.asInstanceOf[PostcodeInputPartition]
-    new PostcodeReader(ip.start, ip.end, readSchema)
+    url match {
+      case Some(u) => new PostcodeHttpReader(ip.start, ip.end, readSchema, u, pageSize)
+      case None => new PostcodeReader(ip.start, ip.end, readSchema)
+    }
   }
 }
 
@@ -402,5 +410,95 @@ class PostcodeReader(start: Long, end: Long, readSchema: StructType)
     while (j < gens.length) { vals(j) = gens(j)(i, hex); j += 1 }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
+  override def close(): Unit = ()
+}
+
+/**
+ * The NETWORK face of the source: each partition pulls its index slice
+ * from an HTTP endpoint in `pageSize`-row pages —
+ * `GET $url?start=<s>&count=<n>&cols=<c1,c2>` returning one JSON object
+ * per line in the reference API's envelope (`{"index":i,"result":{...}}`,
+ * `python_scripts/write_data_to_land.py:31-40`) — and flattens `result.*`
+ * into the pruned read schema. What makes this the 100 TB shape rather
+ * than the reference's driver-side loop of per-row `urlopen` calls:
+ *
+ *  - the INDEX RANGE is the unit of work, so 1000 executors fetch 1000
+ *    disjoint slices with zero driver involvement and zero overlap;
+ *  - column pruning travels ON THE WIRE (`cols=`): a 2-column projection
+ *    moves 2 fields per row, not the whole document;
+ *  - pushed filters/limits shrank [start,end) before planning, so
+ *    excluded pages are never requested at all;
+ *  - transient faults (5xx, dropped connections) retry per page with
+ *    exponential backoff, bounded — a blip never kills a 1000-partition
+ *    job, a hard outage fails it loudly.
+ */
+class PostcodeHttpReader(start: Long, end: Long, readSchema: StructType,
+    url: String, pageSize: Long) extends PartitionReader[InternalRow] {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val colsParam = readSchema.fieldNames.mkString(",")
+  private var pageStart = start
+  private var page: Iterator[InternalRow] = Iterator.empty
+
+  private def fetchPage(s: Long, n: Long): Iterator[InternalRow] = {
+    val u = java.net.URI.create(s"$url?start=$s&count=$n&cols=$colsParam").toURL
+    var attempt = 0
+    var body: String = null
+    while (body == null) {
+      try {
+        val conn = u.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(5000)
+        conn.setReadTimeout(30000)
+        val code = conn.getResponseCode
+        if (code == 200) {
+          val in = conn.getInputStream
+          try body = new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } else {
+          conn.getErrorStream match { case null => (); case e => e.close() }
+          throw new java.io.IOException(s"HTTP $code from $u")
+        }
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(25L << attempt) // 50,100,200,400 ms
+      }
+    }
+    body.linesIterator.filter(_.nonEmpty).map(parseLine)
+  }
+
+  private def parseLine(line: String): InternalRow = {
+    val node = mapper.readTree(line)
+    val result = node.get("result")
+    val vals = new Array[Any](readSchema.fields.length)
+    var j = 0
+    while (j < readSchema.fields.length) {
+      vals(j) = readSchema.fields(j).name match {
+        case "index" => node.get("index").asLong()
+        case "postcode" => UTF8String.fromString(result.get("postcode").asText())
+        case "quality" => result.get("quality").asInt()
+        case "eastings" => result.get("eastings").asInt()
+        case "northings" => result.get("northings").asInt()
+        case "european_electoral_region" =>
+          UTF8String.fromString(result.get("european_electoral_region").asText())
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+
+  override def next(): Boolean =
+    if (page.hasNext) true
+    else if (pageStart >= end) false
+    else {
+      val n = math.min(pageSize, end - pageStart)
+      page = fetchPage(pageStart, n)
+      pageStart += n
+      next()
+    }
+
+  override def get(): InternalRow = page.next()
   override def close(): Unit = ()
 }
