@@ -25,33 +25,107 @@ trait Stage {
   def run(ctx: PipelineContext): Unit
 }
 
-final case class StageReport(stage: String, succeeded: Boolean, durationMs: Long, error: Option[Throwable])
+final case class StageReport(stage: String, succeeded: Boolean, durationMs: Long,
+    error: Option[Throwable], attempts: Int = 1)
 final case class PipelineResult(reports: Seq[StageReport]) {
   def succeeded: Boolean = reports.forall(_.succeeded)
 }
 
-final class Pipeline(stages: Seq[Stage]) {
-  /** Run stages in order; a failure stops the run (linear hard deps, like
-    * the reference DAG) but is reported, not thrown. */
+/** @param maxRetries  per-STAGE retry budget beyond the first attempt
+  *                    (Airflow's task-level `retries`); a stage fails the
+  *                    run only after exhausting it
+  * @param retryDelayMs fixed delay between attempts (`retry_delay`)
+  * @param sleep       injectable for tests; production default blocks the
+  *                    orchestrator thread, never an executor */
+final class Pipeline(stages: Seq[Stage], maxRetries: Int = 0,
+    retryDelayMs: Long = 0L, sleep: Long => Unit = Thread.sleep) {
+  /** Run stages in order; a failure (after retries) stops the run (linear
+    * hard deps, like the reference DAG) but is reported, not thrown. */
   def run(ctx: PipelineContext): PipelineResult = {
     val reports = Seq.newBuilder[StageReport]
     var failed = false
     stages.foreach { s =>
       if (!failed) {
         val t0 = System.nanoTime()
-        ctx.log(s"stage ${s.name}: start")
-        try {
-          s.run(ctx)
-          reports += StageReport(s.name, succeeded = true, (System.nanoTime() - t0) / 1000000, None)
-          ctx.log(s"stage ${s.name}: ok")
-        } catch {
-          case e: Throwable =>
-            failed = true
-            reports += StageReport(s.name, succeeded = false, (System.nanoTime() - t0) / 1000000, Some(e))
-            ctx.log(s"stage ${s.name}: FAILED — ${e.getMessage}")
+        var attempt = 0
+        var done = false
+        var lastError: Option[Throwable] = None
+        while (!done && attempt <= maxRetries) {
+          attempt += 1
+          ctx.log(s"stage ${s.name}: start (attempt $attempt)")
+          try {
+            s.run(ctx)
+            done = true
+            lastError = None
+            ctx.log(s"stage ${s.name}: ok")
+          } catch {
+            case e: Throwable =>
+              lastError = Some(e)
+              ctx.log(s"stage ${s.name}: attempt $attempt FAILED — ${e.getMessage}")
+              if (attempt <= maxRetries && retryDelayMs > 0) sleep(retryDelayMs)
+          }
         }
+        failed = !done
+        reports += StageReport(s.name, succeeded = done,
+          (System.nanoTime() - t0) / 1000000, lastError, attempt)
       }
     }
     PipelineResult(reports.result())
   }
+
+  /** Idempotent backfill over logical dates (Airflow's catchup/backfill
+    * unit of work is the data interval, `SNAPSHOT_DATE` in the reference
+    * DAG at dags/example_etl_dag.py:12): one run per `ds`, with `ds` in
+    * the context conf, and a completion marker (`done-<ds>` under
+    * `stateDir`) written only after the run SUCCEEDS. Re-invoking after a
+    * crash re-executes exactly the dates with no marker — succeeded dates
+    * are skipped, so the backfill is restartable and at-most-once per
+    * date as long as each stage is itself idempotent per ds (the zone
+    * write contract). */
+  def backfill(ctx: PipelineContext, dates: Seq[String],
+      stateDir: String): Map[String, PipelineResult] = {
+    val dir = new java.io.File(stateDir)
+    dir.mkdirs()
+    dates.map { ds =>
+      val marker = new java.io.File(dir, s"done-$ds")
+      if (marker.exists()) {
+        ctx.log(s"backfill $ds: already complete, skipping")
+        ds -> PipelineResult(Seq.empty)
+      } else {
+        val result = run(ctx.copy(conf = ctx.conf + ("ds" -> ds)))
+        if (result.succeeded) {
+          java.nio.file.Files.writeString(marker.toPath, ds)
+        }
+        ds -> result
+      }
+    }.toMap
+  }
+}
+
+/** Schedule arithmetic for the reference's weekly cadence (`30 13 * * 0`,
+  * dags/example_etl_dag.py:30-32) — the out-of-engine trigger re-expressed
+  * as pure functions so the semantics are testable: which logical runs a
+  * `(dayOfWeek, time)` weekly schedule produced in an interval, and which
+  * of them execute under Airflow's catchup flag (the reference sets
+  * catchup=False: only the LATEST missed run fires). */
+object Scheduler {
+  import java.time.{DayOfWeek, LocalDateTime, LocalTime}
+
+  /** All logical fire times of a weekly schedule in (afterExclusive, now]. */
+  def weeklyRuns(afterExclusive: LocalDateTime, now: LocalDateTime,
+      dow: DayOfWeek, at: LocalTime): Seq[LocalDateTime] = {
+    require(!now.isBefore(afterExclusive), "now precedes the window start")
+    var t = afterExclusive.toLocalDate.atTime(at)
+    while (t.getDayOfWeek != dow) t = t.plusDays(1)
+    if (!t.isAfter(afterExclusive)) t = t.plusWeeks(1)
+    val out = Seq.newBuilder[LocalDateTime]
+    while (!t.isAfter(now)) { out += t; t = t.plusWeeks(1) }
+    out.result()
+  }
+
+  /** Airflow catchup semantics: catchup=true runs every missed interval in
+    * order; catchup=false collapses the backlog to the single latest one. */
+  def dueRuns(missed: Seq[LocalDateTime], catchup: Boolean): Seq[LocalDateTime] =
+    if (catchup || missed.isEmpty) missed
+    else Seq(missed.sortWith(_.isBefore(_)).last)
 }

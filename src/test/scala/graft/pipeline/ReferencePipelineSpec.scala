@@ -14,30 +14,7 @@ import graft.meta.{ColumnMeta, DatabaseMeta, Meta, TableMeta}
 class ReferencePipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.session
 
-  private def writeMeta(dir: String): Unit = {
-    val rawCols = Seq(
-      "postcode", "country", "european_electoral_region", "region",
-      "admin_district", "codes_admin_district").map(ColumnMeta(_, "character")) ++
-      Seq("quality", "eastings", "northings", "index").map(ColumnMeta(_, "int")) ++
-      Seq("longitude", "latitude").map(ColumnMeta(_, "double"))
-    val curatedCols = rawCols :+ ColumnMeta("dea_version", "character")
-    val calcCols = Seq(
-      ColumnMeta("european_electoral_region", "character"),
-      ColumnMeta("n", "int"),
-      ColumnMeta("dea_version", "character"),
-      ColumnMeta("dea_snapshot_date", "date"))
-    Files.createDirectories(Paths.get(s"$dir/raw"))
-    Files.createDirectories(Paths.get(s"$dir/curated"))
-    Files.writeString(Paths.get(s"$dir/raw/random_postcodes.json"),
-      Meta.renderTable(TableMeta("random_postcodes", "json", rawCols)))
-    Files.writeString(Paths.get(s"$dir/curated/random_postcodes.json"),
-      Meta.renderTable(TableMeta("random_postcodes", "parquet", curatedCols)))
-    Files.writeString(Paths.get(s"$dir/curated/calculated.json"),
-      Meta.renderTable(TableMeta("calculated", "parquet", calcCols,
-        partitions = Seq("dea_snapshot_date"))))
-    Files.writeString(Paths.get(s"$dir/curated/database.json"),
-      """{"name": "example_postcodes_db", "bucket": "IGNORED", "base_folder": "database"}""")
-  }
+  import ReferencePipelineSpec.writeMeta
 
   test("four-stage pipeline: extract, gates+promote, curate, catalog, readback") {
     val base = Files.createTempDirectory("graft_pipeline").toString
@@ -128,5 +105,33 @@ class ReferencePipelineSpec extends AnyFunSuite {
     // nothing promoted — land data intact, raw-hist absent
     assert(TableIO.listDataFiles(spark, s"$base/land/random_postcodes").nonEmpty)
     assert(TableIO.listDataFiles(spark, s"$base/raw_hist/random_postcodes").isEmpty)
+  }
+}
+
+object ReferencePipelineSpec {
+  /** Shared fixture: the reference meta_data/ folder shape. */
+  def writeMeta(dir: String): Unit = {
+    val rawCols = Seq(
+      "postcode", "country", "european_electoral_region", "region",
+      "admin_district", "codes_admin_district").map(ColumnMeta(_, "character")) ++
+      Seq("quality", "eastings", "northings", "index").map(ColumnMeta(_, "int")) ++
+      Seq("longitude", "latitude").map(ColumnMeta(_, "double"))
+    val curatedCols = rawCols :+ ColumnMeta("dea_version", "character")
+    val calcCols = Seq(
+      ColumnMeta("european_electoral_region", "character"),
+      ColumnMeta("n", "int"),
+      ColumnMeta("dea_version", "character"),
+      ColumnMeta("dea_snapshot_date", "date"))
+    Files.createDirectories(Paths.get(s"$dir/raw"))
+    Files.createDirectories(Paths.get(s"$dir/curated"))
+    Files.writeString(Paths.get(s"$dir/raw/random_postcodes.json"),
+      Meta.renderTable(TableMeta("random_postcodes", "json", rawCols)))
+    Files.writeString(Paths.get(s"$dir/curated/random_postcodes.json"),
+      Meta.renderTable(TableMeta("random_postcodes", "parquet", curatedCols)))
+    Files.writeString(Paths.get(s"$dir/curated/calculated.json"),
+      Meta.renderTable(TableMeta("calculated", "parquet", calcCols,
+        partitions = Seq("dea_snapshot_date"))))
+    Files.writeString(Paths.get(s"$dir/curated/database.json"),
+      """{"name": "example_postcodes_db", "bucket": "IGNORED", "base_folder": "database"}""")
   }
 }
