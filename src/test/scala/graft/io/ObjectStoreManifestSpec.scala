@@ -12,15 +12,68 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
 
-/** A test-only Hadoop FileSystem with OBJECT-STORE rename semantics:
+/** A test-only Hadoop FileSystem with OBJECT-STORE semantics:
   * rename onto an existing key is refused (S3 has no atomic overwrite-
-  * rename), every rename and listStatus is recorded for assertions, and
-  * renames publishing a `manifest-*` key can be forced to fail — the
-  * writer-dies-at-the-commit-point probe. Data lives on the local disk;
-  * only the SEMANTICS are object-store-shaped. */
+  * rename), an object is INVISIBLE until its write stream closes (S3 PUT:
+  * no partially-uploaded key ever appears to a reader), every rename and
+  * listStatus is recorded for assertions, and renames publishing a
+  * `manifest-*` key can be forced to fail — the writer-dies-at-the-
+  * commit-point probe. Data lives on the local disk; only the SEMANTICS
+  * are object-store-shaped. */
 class ObjectStoreFS extends RawLocalFileSystem {
   override def getScheme: String = "s3mock"
   override def getUri: URI = URI.create("s3mock:///")
+
+  // ---- PUT-at-close: create() writes to a hidden staging key and the
+  // object materializes atomically when the stream closes. Readers (and
+  // listings) never observe in-progress bytes — the S3 visibility model
+  // that local-FS tests silently violate.
+  private def stagingOf(f: Path): Path =
+    new Path(f.getParent, s".inprogress.${f.getName}")
+
+  private def putAtClose(f: Path, overwrite: Boolean)(
+      open: Path => org.apache.hadoop.fs.FSDataOutputStream)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite && exists(f))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+    val staged = stagingOf(f)
+    val out = open(staged)
+    new org.apache.hadoop.fs.FSDataOutputStream(
+      new java.io.FilterOutputStream(out) {
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          out.write(b, off, len)
+        override def close(): Unit = {
+          out.close()
+          // the PUT completes: materialize atomically (S3 PUT may
+          // overwrite an existing key — last writer wins)
+          java.nio.file.Files.move(
+            pathToFile(staged).toPath, pathToFile(f).toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }, null)
+  }
+
+  // both public create chains must stage: RawLocalFileSystem dispatches
+  // FileSystem.create(Path, boolean) through the non-permission overload
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    putAtClose(f, overwrite)(p => super.create(p, permission, true,
+      bufferSize, replication, blockSize, progress))
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    putAtClose(f, overwrite)(p => super.create(p, true,
+      bufferSize, replication, blockSize, progress))
+
+  private def isStaging(st: org.apache.hadoop.fs.FileStatus): Boolean =
+    st.getPath.getName.startsWith(".inprogress.")
 
   override def rename(src: Path, dst: Path): Boolean = {
     ObjectStoreFS.renames.add((src.toUri.getPath, dst.toUri.getPath,
@@ -33,7 +86,7 @@ class ObjectStoreFS extends RawLocalFileSystem {
 
   override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
     ObjectStoreFS.lists.add(p.toUri.getPath)
-    super.listStatus(p)
+    super.listStatus(p).filterNot(isStaging)
   }
 }
 
@@ -130,5 +183,31 @@ class ObjectStoreManifestSpec extends AnyFunSuite {
     // every read is the object-store pathology the design kills
     assert(!listed.exists(_.contains("/data-")),
       s"snapshot resolution listed the data tree: $listed")
+  }
+
+  test("PUT-at-close: an in-progress object is invisible; it appears whole at close") {
+    ObjectStoreFS.reset()
+    val local = Files.createTempDirectory("s3mock-put").toString
+    val dir = new Path(s"s3mock:$local/putsem")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val key = new Path(dir, "object.bin")
+    val out = fs.create(key, true)
+    out.write("hello ".getBytes("UTF-8"))
+    // mid-upload: the key does not exist and listings do not show it
+    assert(!fs.exists(key), "in-progress PUT is visible")
+    assert(!fs.listStatus(dir).map(_.getPath.getName).contains("object.bin"))
+    out.write("world".getBytes("UTF-8"))
+    out.close()
+    // at close the object materializes whole
+    assert(fs.exists(key))
+    val in = fs.open(key)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    assert(txt === "hello world")
+    // and create(overwrite=false) onto an existing key refuses up front
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      fs.create(key, false)
+    }
   }
 }
