@@ -417,6 +417,48 @@ object Extensions {
            |      FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  // Model-inference-as-columnar-op (round 6): a logistic quality
+  // classifier scored entirely inside the engine — z = w·features over
+  // the proven q_text_quality feature formulas, score = σ(z), keep =
+  // z ≥ 0. Weights are fixed DYADIC constants so both engines bind the
+  // identical doubles; ln/exp follow the repo-wide round-9dp display
+  // convention (the keep decision uses the exact z, not the rounded
+  // score). At 100 TB this is one codegen'd projection per row — the
+  // shape a learned quality filter (fastText-style) runs at in corpus
+  // curation; swapping real trained weights changes only the literals.
+  private val qualityModel = Q(
+    "q_quality_model",
+    (s, dir) => {
+      val m = TextStats.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
+      val z = lit(-2.0) + lit(0.25) * log(lit(1.0) + col("n_tokens")) +
+        lit(4.0) * col("stop_ratio") - lit(0.75) * col("avg_token_len")
+      m.select(col("doc_id"),
+          z.as("__z"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 9).as("score"))
+        .withColumn("keep", col("__z") >= 0.0)
+        .select("doc_id", "score", "keep")
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id,
+           |    CAST(len(toks) AS INTEGER) AS n_tokens,
+           |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / nullif(len(toks), 0) AS avg_token_len,
+           |    CAST(len(list_filter(toks,
+           |        t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           |      / nullif(len(toks), 0) AS stop_ratio
+           |  FROM (SELECT doc_id, text,
+           |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+           |        FROM documents)),
+           |z AS (
+           |  SELECT doc_id,
+           |    -2.0 + 0.25 * ln(1.0 + n_tokens) + 4.0 * stop_ratio
+           |      - 0.75 * avg_token_len AS z
+           |  FROM f)
+           |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 9) AS score,
+           |  z >= 0.0 AS keep
+           |FROM z ORDER BY doc_id""".stripMargin))
+
   private val textLangId = Q(
     "q_text_langid",
     (s, dir) => TextStats.langId(t(s, dir, "documents"), "doc_id", "text")
@@ -815,6 +857,72 @@ object Extensions {
             |SELECT doc_id, lang, source, n_chars FROM documents d
             |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
             |ORDER BY doc_id""".stripMargin))
+
+  // Leakage-safe split (round 6): near-dup cluster members NEVER straddle
+  // train/val/test — the split hashes the cluster REPRESENTATIVE (the
+  // min-id member; an unclustered doc is its own rep), so a held-out
+  // document cannot leak into training through a near-duplicate copy —
+  // the contamination mode plain per-doc hash splits are blind to. The
+  // oracle recomputes clusters via transitive closure AND the straddle
+  // census independently, so straddling_clusters = 0 is PROVEN by both
+  // engines, not assumed from the construction. Scale shape: clusters +
+  // one broadcast-joined rep column + the same hash-threshold split as
+  // q_split_assign; nothing beyond the cluster step's own cost.
+  private val splitLeakageSafe = Q(
+    "q_split_leakage_safe",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.clusterAssignments(
+        graft.ops.BoundedCache.cached(
+          Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)))
+      val rep = docs.select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      val assigned = graft.ops.Sampling.hashSplit(rep, "rep")
+      val violations = assigned.groupBy("rep")
+        .agg(countDistinct("split").as("ns"))
+        .agg(count(when(col("ns") > 1, 1)).as("straddling_clusters"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("rep").as("n_groups"),
+          sum(col("doc_id")).as("checksum"))
+        .crossJoin(broadcast(violations))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |pairs AS (
+            |  SELECT d1, d2 FROM inter
+            |  JOIN sizes s1 ON s1.doc_id = d1
+            |  JOIN sizes s2 ON s2.doc_id = d2
+            |  WHERE CAST(i AS DOUBLE)/(s1.sz + s2.sz - i) >= 0.8),
+            |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+            |          UNION SELECT d2, d1 FROM pairs),
+            |reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            |assign AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |           FROM reach GROUP BY a),
+            |rep AS (
+            |  SELECT d.doc_id, COALESCE(a.cluster_id, d.doc_id) AS rep
+            |  FROM documents d LEFT JOIN assign a ON a.doc_id = d.doc_id),
+            |sp AS (
+            |  SELECT doc_id, rep,
+            |    CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+            |         WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+            |         ELSE 'test' END AS split
+            |  FROM rep),
+            |viol AS (
+            |  SELECT CAST(COUNT(*) FILTER (WHERE ns > 1) AS BIGINT)
+            |    AS straddling_clusters
+            |  FROM (SELECT rep, COUNT(DISTINCT split) AS ns FROM sp GROUP BY rep))
+            |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups,
+            |  CAST(SUM(doc_id) AS BIGINT) AS checksum,
+            |  straddling_clusters
+            |FROM sp, viol
+            |GROUP BY split, straddling_clusters ORDER BY split""".stripMargin))
 
   // Canonical-survivor selection by QUALITY, not minimum id: each
   // near-dup cluster keeps its LONGEST member (n_chars, ties to the
@@ -1650,12 +1758,14 @@ object Extensions {
     spanDedup, spanDedupApply, simsearchPq, simsearchIvfPq, simsearchIvfPqIndex,
     dedupExact, dedupKeyed, dedupJaccard, dedupMinhash, dedupSimhash, dedupPrefix,
     dedupClusters, dedupClustersLss, dedupApply, dedupCanonical, dedupIncremental,
+    splitLeakageSafe,
     textContamination,
     decontaminateApply,
     simsearchTopK, simsearchLsh, simsearchIvf, simsearchIvfIndex,
     embedNearDup, embedIncremental,
     embedCentroids, embedNormalize,
-    textTokens, textTfLang, textQuality, textLangId, textFingerprint, textRepetition,
+    textTokens, textTfLang, textQuality, qualityModel, textLangId,
+    textFingerprint, textRepetition,
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
     multimodalChunks, mediaProbe, mediaResize, mediaWav, mediaFrames,
