@@ -40,7 +40,14 @@ object PostcodeApiTwin {
       t.setDaemon(true)
       t
     }))
-    s.start()
+    // start() spawns the HTTP-Dispatcher thread, which INHERITS the
+    // creating thread's daemon flag — start from a daemon thread or the
+    // dispatcher pins the JVM open after main returns (Verify/Bench under
+    // `run / fork := true` would never exit)
+    val starter = new Thread(() => s.start(), "postcode-api-twin-starter")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
     s
   }
 
