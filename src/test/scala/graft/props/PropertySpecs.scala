@@ -240,6 +240,38 @@ object MediaCodecProps extends Properties("mediacodec") {
         dr == rate && ds.sameElements(samples.map(_.toShort))
     }
 
+  property("adversarial bytes: decoders throw cleanly, never hang or return garbage") =
+    forAll(Gen.oneOf(
+      // pure noise
+      Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      // valid WAV prefix, truncated at a random point
+      Gen.choose(8000, 16000).flatMap { rate =>
+        Gen.choose(1, 32).flatMap { n =>
+          val wav = MediaCodec.encodeWav(rate, Array.tabulate(n)(i => (i * 321).toShort))
+          Gen.choose(1, wav.length - 1).map(wav.take)
+        }
+      },
+      // valid PPM with a flipped header byte
+      Gen.choose(1, 8).flatMap { w =>
+        val ppm = MediaCodec.encodePpm(w, 2, Array.fill(w * 2 * 3)(7.toByte))
+        Gen.choose(0, math.min(12, ppm.length - 1)).map { i =>
+          val c = ppm.clone(); c(i) = (c(i) ^ 0x35).toByte; c
+        }
+      })) { bytes =>
+      def safelyRejectsOrParses(f: => Any): Boolean =
+        try { f; true }
+        catch {
+          case _: IllegalArgumentException => true
+          case _: java.nio.BufferUnderflowException => true
+          case _: NumberFormatException => true
+          case _: ArrayIndexOutOfBoundsException => false // silent OOB = bug
+          case _: OutOfMemoryError => false
+        }
+      safelyRejectsOrParses(MediaCodec.decodeWav(bytes)) &&
+        safelyRejectsOrParses(MediaCodec.decodePpm(bytes)) &&
+        safelyRejectsOrParses(MediaCodec.decodePpmFrames(bytes).toArray)
+    }
+
   property("NN resize output pixel (y,x) equals source pixel (⌊y·h/oh⌋, ⌊x·w/ow⌋)") =
     forAll(dimGen, dimGen, dimGen, dimGen) { (w, h, ow, oh) =>
       forAll(rgbGen(w, h)) { rgb =>
