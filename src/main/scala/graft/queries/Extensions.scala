@@ -1620,6 +1620,89 @@ object Extensions {
   // restores accuracy. The oracle replays BOTH proven chains (the
   // q_simsearch_ivf index build and the q_simsearch_pq codebook/ADC
   // pipeline) plus the composition glue — hash match end to end.
+  // ANN quality measured IN-ENGINE (round 6): recall@5 of the persisted
+  // IVF index against exact brute force, as a function of nprobe — the
+  // "measure, don't guess" dial a corpus pipeline turns before committing
+  // to an accuracy/cost point. Reuses the SAME pid-keyed index dir as
+  // q_simsearch_ivf_index (built once per process); the oracle replays
+  // the full assignment + probe ranking for every nprobe AND the exact
+  // top-k independently, so the recall numbers are hash-proven, not
+  // self-reported. Recall is monotone in nprobe by construction; the
+  // oracle match pins the actual values.
+  private val annRecall = Q(
+    "q_ann_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val pid = java.lang.ProcessHandle.current().pid()
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${key}_p$pid"
+      SimSearch.ensureIvfIndex(emb, idx, k = 16)
+      val brute = SimSearch.bruteForceTopK(emb, qs, 5)
+        .select("query_id", "neighbor_id")
+      val per = Seq(1, 2, 4).map(np =>
+          SimSearch.ivfTopKIndexed(s, idx, qs, topK = 5, nprobe = np)
+            .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id")))
+        .reduce(_ unionByName _)
+      val tot = brute.agg(count(lit(1)).as("n_relevant"))
+      per.join(brute.withColumn("__rel", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("returned"),
+          sum(coalesce(col("__rel"), lit(0))).as("hits"))
+        .crossJoin(broadcast(tot))
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("n_relevant"), 9))
+        .orderBy("nprobe")
+    },
+    Some(s"""WITH $ivfA1Ctes,
+            |mx2 AS (
+            |  SELECT cluster, d, CAST(SUM(CAST(cvec[d] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+            |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) ds
+            |  GROUP BY cluster, d),
+            |cent2 AS (SELECT cluster, list(m ORDER BY d) AS ccv FROM mx2 GROUP BY cluster),
+            |q AS (SELECT id AS query_id, v AS qv FROM emb WHERE id < 10),
+            |pr AS (
+            |  SELECT query_id, qv, cluster,
+            |    row_number() OVER (PARTITION BY query_id ORDER BY
+            |      list_dot_product(qv, qv) - 2.0*list_dot_product(qv, ccv)
+            |        + list_dot_product(ccv, ccv), cluster) AS rn
+            |  FROM q CROSS JOIN cent2),
+            |nps AS (SELECT unnest([1, 2, 4]) AS nprobe),
+            |ivfk AS (
+            |  SELECT nprobe, query_id, neighbor_id FROM (
+            |    SELECT n.nprobe, c.query_id, c.neighbor_id,
+            |      row_number() OVER (PARTITION BY n.nprobe, c.query_id
+            |        ORDER BY c.sim DESC, c.neighbor_id) AS rank
+            |    FROM nps n JOIN (
+            |      SELECT p.rn, p.query_id, a.neighbor_id,
+            |        list_dot_product(p.qv, a.cvec) /
+            |          (sqrt(list_dot_product(p.qv, p.qv))
+            |            * sqrt(list_dot_product(a.cvec, a.cvec))) AS sim
+            |      FROM pr p JOIN a1 a
+            |        ON p.cluster = a.cluster AND p.query_id <> a.neighbor_id) c
+            |      ON c.rn <= n.nprobe) WHERE rank <= 5),
+            |bf AS (
+            |  SELECT query_id, neighbor_id FROM (
+            |    SELECT q.query_id, a.neighbor_id,
+            |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+            |        list_dot_product(q.qv, a.cvec) /
+            |          (sqrt(list_dot_product(q.qv, q.qv))
+            |            * sqrt(list_dot_product(a.cvec, a.cvec))) DESC,
+            |        a.neighbor_id) AS rank
+            |    FROM q JOIN a1 a ON q.query_id <> a.neighbor_id) WHERE rank <= 5),
+            |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM bf)
+            |SELECT CAST(nprobe AS INTEGER) AS nprobe,
+            |  CAST(COUNT(*) AS BIGINT) AS returned,
+            |  CAST(COUNT(b.query_id) AS BIGINT) AS hits,
+            |  n_relevant,
+            |  round(CAST(COUNT(b.query_id) AS DOUBLE) / n_relevant, 9) AS recall
+            |FROM ivfk i
+            |LEFT JOIN bf b
+            |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id, tot
+            |GROUP BY nprobe, n_relevant ORDER BY nprobe""".stripMargin))
+
   private val ivfPqOracleSql: String = {
       val adcChain = (0 until 8)
         .map(s => s"MAX(CASE WHEN t.sub = $s THEN t.part END)").mkString(" + ")
@@ -1761,7 +1844,7 @@ object Extensions {
     splitLeakageSafe,
     textContamination,
     decontaminateApply,
-    simsearchTopK, simsearchLsh, simsearchIvf, simsearchIvfIndex,
+    simsearchTopK, simsearchLsh, simsearchIvf, simsearchIvfIndex, annRecall,
     embedNearDup, embedIncremental,
     embedCentroids, embedNormalize,
     textTokens, textTfLang, textQuality, qualityModel, textLangId,
