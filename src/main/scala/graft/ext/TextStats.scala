@@ -249,6 +249,61 @@ object TextStats {
         col("n_after"), col("merged_text"))
   }
 
+  /** FULL BPE vocabulary training — [[bpeMergeStep]] iterated `nMerges`
+    * times to produce the tokenizer's merges table (step, w1, w2, cnt).
+    * Each iteration is fully distributed (pair-count aggregate + islands
+    * merge); the driver sees exactly ONE row per step (the winning pair —
+    * the same bounded-driver contract as ConnectedComponents' 1-row
+    * convergence checksum), and the sequence frame is localCheckpoint'ed
+    * per round so plan depth stays constant. At 100 TB this is the
+    * standard trainer shape: n rounds of shuffle ∝ corpus positions,
+    * merges table ∝ n. Stops early if no pair remains. */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDoc = Window.partitionBy("id").orderBy("p")
+    var seq = df.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("p", "tok")))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val withNext = seq.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+        .localCheckpoint(true)
+      val top = withNext.filter(col("nxt").isNotNull)
+        .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"), col("nxt"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (w1, w2, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, w1, w2, cnt))
+        val marked = withNext.withColumn("is_start",
+          col("tok") === lit(w1) && col("nxt") === lit(w2))
+        val kept = marked.filter(col("is_start"))
+          .withColumn("island", col("p") - row_number().over(wDoc))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy(col("id"), col("island")).orderBy("p")))
+          .filter((col("rn2") - 1) % 2 === 0)
+          .select(col("id"), col("p"))
+        seq = marked
+          .join(kept.withColumn("mstart", lit(true)), Seq("id", "p"), "left")
+          .join(kept.select(col("id"), (col("p") + 1).as("p"),
+            lit(true).as("consumed")), Seq("id", "p"), "left")
+          .filter(col("consumed").isNull)
+          .select(col("id"), col("p"),
+            when(col("mstart"), concat(lit(w1), lit(w2)))
+              .otherwise(col("tok")).as("tok"))
+          .withColumn("p", row_number().over(wDoc) - 1)
+          .localCheckpoint(true)
+      }
+      step += 1
+    }
+    merges.result().toDF("step", "w1", "w2", "cnt")
+  }
+
   /** Bigram language-model quality scoring — the portable stand-in for
     * KenLM-perplexity corpus filtering: score each document by the mean
     * add-1-smoothed log-probability of its bigrams under the corpus's own

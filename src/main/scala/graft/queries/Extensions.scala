@@ -1348,6 +1348,66 @@ object Extensions {
            |FROM agg a JOIN toks t ON a.doc_id = t.doc_id
            |WHERE a.doc_id < 50 ORDER BY a.doc_id""".stripMargin))
 
+  // FULL BPE vocabulary training (round 6): q_bpe_step's single merge
+  // iterated into the tokenizer's merges table — 4 rounds over the
+  // doc_id<2000 sub-corpus, each round distributed with a 1-row driver
+  // pick. The oracle UNROLLS all 4 rounds in SQL (each step re-derives
+  // pairs from the previous step's rebuilt sequences), so the whole
+  // training trajectory — winning pair AND its count at every step,
+  // which depends on every earlier merge being applied exactly — is
+  // hash-proven, not just the first step.
+  private val bpeTrainQ = Q(
+    "q_bpe_train",
+    (s, dir) => TextStats.bpeTrain(
+        t(s, dir, "documents").filter(col("doc_id") < 2000),
+        "doc_id", "text", nMerges = 4)
+      .orderBy("step"),
+    Some {
+      val n = 4
+      val steps = (1 to n).map { i =>
+        s"""nx$i AS (
+           |  SELECT id, p, tok, lead(tok) OVER (PARTITION BY id ORDER BY p) AS nxt
+           |  FROM seq${i - 1}),
+           |top$i AS (
+           |  SELECT tok AS w1, nxt AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM nx$i WHERE nxt IS NOT NULL
+           |  GROUP BY tok, nxt ORDER BY COUNT(*) DESC, tok, nxt LIMIT 1),
+           |marked$i AS (
+           |  SELECT n.*, t.w1, t.w2, (n.tok = t.w1 AND n.nxt = t.w2) AS is_start
+           |  FROM nx$i n CROSS JOIN top$i t),
+           |kept$i AS (
+           |  SELECT id, p FROM (
+           |    SELECT id, p, row_number() OVER (PARTITION BY id, island ORDER BY p) AS rn2
+           |    FROM (SELECT id, p,
+           |            p - row_number() OVER (PARTITION BY id ORDER BY p) AS island
+           |          FROM marked$i WHERE is_start))
+           |  WHERE (rn2 - 1) % 2 = 0),
+           |rebuilt$i AS (
+           |  SELECT m.id, m.p,
+           |    CASE WHEN k.p IS NOT NULL THEN m.w1 || m.w2 ELSE m.tok END AS tok
+           |  FROM marked$i m
+           |  LEFT JOIN kept$i k ON m.id = k.id AND m.p = k.p
+           |  LEFT JOIN kept$i c ON m.id = c.id AND m.p = c.p + 1
+           |  WHERE c.p IS NULL),
+           |seq$i AS (
+           |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY p) - 1 AS p, tok
+           |  FROM rebuilt$i)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to n).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS step, w1, w2, cnt FROM top$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+         |  FROM documents WHERE doc_id < 2000),
+         |seq0 AS (
+         |  SELECT id, unnest(generate_series(1, len(ts))) - 1 AS p, unnest(ts) AS tok
+         |  FROM toks),
+         |$steps
+         |$out
+         |ORDER BY step""".stripMargin
+    })
+
   // Bigram-LM quality scoring: mean add-1 log-probability per doc under
   // the corpus's own bigram model — the portable KenLM-perplexity filter.
   private val textLmScore = Q(
@@ -1852,6 +1912,6 @@ object Extensions {
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
     multimodalChunks, mediaProbe, mediaResize, mediaWav, mediaFrames,
-    mediaEmbed, textNgrams, textLmScore, bpeStep, textHashVec,
+    mediaEmbed, textNgrams, textLmScore, bpeStep, bpeTrainQ, textHashVec,
     textHeavyHitters, cmsCounts, textNovelty)
 }
