@@ -259,7 +259,14 @@ object TextStats {
     * standard trainer shape: n rounds of shuffle ∝ corpus positions,
     * merges table ∝ n. Stops early if no pair remains. */
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int): DataFrame =
+    bpeTrainFull(df, idCol, textCol, nMerges)._1
+
+  /** [[bpeTrain]] exposing BOTH outputs: the merges table and the final
+    * TOKENIZED corpus (id, p, tok after every merge) — the apply side of
+    * tokenizer training, one frame, no recompute. */
+  def bpeTrainFull(df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     val wDoc = Window.partitionBy("id").orderBy("p")
@@ -301,7 +308,7 @@ object TextStats {
       }
       step += 1
     }
-    merges.result().toDF("step", "w1", "w2", "cnt")
+    (merges.result().toDF("step", "w1", "w2", "cnt"), seq)
   }
 
   /** Bigram language-model quality scoring — the portable stand-in for

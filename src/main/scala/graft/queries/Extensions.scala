@@ -1362,8 +1362,11 @@ object Extensions {
         t(s, dir, "documents").filter(col("doc_id") < 2000),
         "doc_id", "text", nMerges = 4)
       .orderBy("step"),
-    Some {
-      val n = 4
+    Some(bpeTrainOracle))
+
+  /** Shared WITH-chain for the BPE oracles: toks/seq0 then n unrolled
+    * merge rounds (nx_i/top_i/marked_i/kept_i/rebuilt_i/seq_i). */
+  private def bpeOracleCtes(n: Int): String = {
       val steps = (1 to n).map { i =>
         s"""nx$i AS (
            |  SELECT id, p, tok, lead(tok) OVER (PARTITION BY id ORDER BY p) AS nxt
@@ -1393,20 +1396,61 @@ object Extensions {
            |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY p) - 1 AS p, tok
            |  FROM rebuilt$i)""".stripMargin
       }.mkString(",\n")
-      val out = (1 to n).map(i =>
-        s"SELECT CAST($i AS INTEGER) AS step, w1, w2, cnt FROM top$i")
-        .mkString("\nUNION ALL\n")
-      s"""WITH toks AS (
+      s"""toks AS (
          |  SELECT doc_id AS id,
          |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
          |  FROM documents WHERE doc_id < 2000),
          |seq0 AS (
          |  SELECT id, unnest(generate_series(1, len(ts))) - 1 AS p, unnest(ts) AS tok
          |  FROM toks),
-         |$steps
-         |$out
-         |ORDER BY step""".stripMargin
-    })
+         |$steps""".stripMargin
+  }
+
+  // lazy: referenced by bpeTrainQ, which is declared earlier in init order
+  private lazy val bpeTrainOracle: String = {
+    val n = 4
+    val out = (1 to n).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS step, w1, w2, cnt FROM top$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeOracleCtes(n)}
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  // BPE APPLY (round 6): the tokenized corpus AFTER the 4 learned merges
+  // — train and apply share one pass (bpeTrainFull returns both frames).
+  // Output: per-doc token counts before/after + the rebuilt text for the
+  // first 50 docs; the oracle's seq4 chain re-derives every merge AND its
+  // application, so the tokenization itself is hash-proven.
+  private lazy val bpeApplyOracle: String = {
+    s"""WITH ${bpeOracleCtes(4)},
+       |after AS (
+       |  SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+       |    string_agg(tok, ' ' ORDER BY p) AS text_after
+       |  FROM seq4 GROUP BY id)
+       |SELECT t.id AS doc_id, CAST(len(t.ts) AS BIGINT) AS n_before,
+       |  a.n_after, a.text_after
+       |FROM toks t JOIN after a ON a.doc_id = t.id
+       |WHERE t.id < 50 ORDER BY doc_id""".stripMargin
+  }
+
+  private val bpeApplyQ = Q(
+    "q_bpe_apply",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      val (_, seq) = TextStats.bpeTrainFull(docs, "doc_id", "text", nMerges = 4)
+      val after = seq.groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_after"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok"))).as("text_after"))
+      docs.select(col("doc_id"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_before"))
+        .join(after, "doc_id")
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id")
+    },
+    Some(bpeApplyOracle))
 
   // Bigram-LM quality scoring: mean add-1 log-probability per doc under
   // the corpus's own bigram model — the portable KenLM-perplexity filter.
@@ -1912,6 +1956,6 @@ object Extensions {
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
     multimodalChunks, mediaProbe, mediaResize, mediaWav, mediaFrames,
-    mediaEmbed, textNgrams, textLmScore, bpeStep, bpeTrainQ, textHashVec,
+    mediaEmbed, textNgrams, textLmScore, bpeStep, bpeTrainQ, bpeApplyQ, textHashVec,
     textHeavyHitters, cmsCounts, textNovelty)
 }
