@@ -84,17 +84,23 @@ final class Pipeline(stages: Seq[Stage], maxRetries: Int = 0,
     * write contract). */
   def backfill(ctx: PipelineContext, dates: Seq[String],
       stateDir: String): Map[String, PipelineResult] = {
-    val dir = new java.io.File(stateDir)
-    dir.mkdirs()
+    // Hadoop FS, not java.io: the completion markers must survive a
+    // driver-node swap, so the state dir can live on the same shared
+    // storage as the zones (object store, HDFS) — the marker IS the
+    // restart contract
+    val base = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = base.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(base)
     dates.map { ds =>
-      val marker = new java.io.File(dir, s"done-$ds")
-      if (marker.exists()) {
+      val marker = new org.apache.hadoop.fs.Path(base, s"done-$ds")
+      if (fs.exists(marker)) {
         ctx.log(s"backfill $ds: already complete, skipping")
         ds -> PipelineResult(Seq.empty)
       } else {
         val result = run(ctx.copy(conf = ctx.conf + ("ds" -> ds)))
         if (result.succeeded) {
-          java.nio.file.Files.writeString(marker.toPath, ds)
+          val out = fs.create(marker, true)
+          try out.write(ds.getBytes("UTF-8")) finally out.close()
         }
         ds -> result
       }
