@@ -72,6 +72,59 @@ object LandIngest {
   }
 
   /**
+   * The EXTRACT stage itself as a checkpointed streaming job — the
+   * reference's driver-side loop of 1000 `urlopen` calls
+   * (write_data_to_land.py:31-40) re-expressed over the DSv2 source's
+   * network face: rate-limited micro-batches pull index slices from the
+   * API (real HTTP when `url` is set), each batch lands idempotently in
+   * its own `ingest_batch=<id>` partition, and the reference's ≥minRows
+   * gate (test_data.py:33-35) validates the TOTAL landed zone after the
+   * drain — the gate the reference applies to what extract produced, not
+   * to arbitrary micro-batch boundaries.
+   *
+   * `Trigger.AvailableNow` + the offset checkpoint give the cron-run
+   * shape with incremental progress: each invocation pulls exactly the
+   * index range not yet landed (growing `rows` later drains only the
+   * delta), a crash resumes from the recorded offset, and a replayed
+   * batch overwrites its own partition instead of duplicating. Returns
+   * the total rows in the land zone after the drain.
+   */
+  def extractFromApi(
+      spark: SparkSession,
+      url: Option[String],
+      rows: Long,
+      landDir: String,
+      checkpointDir: String,
+      rowsPerBatch: Long = 250L,
+      partitions: Int = 4,
+      minRows: Long = 100L): Long = {
+    val reader = spark.readStream.format("graft.sources.PostcodeSource")
+      .option("rows", rows).option("partitions", partitions)
+      .option("rowsPerBatch", rowsPerBatch)
+    val stream = url.fold(reader)(u => reader.option("url", u)).load()
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (batch.count() > 0)
+            batch.write.mode("overwrite")
+              .parquet(s"${landDir.stripSuffix("/")}/ingest_batch=$batchId")
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+    val landed =
+      try spark.read.parquet(landDir).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    if (landed < minRows)
+      throw new IllegalStateException(
+        s"extract landed $landed rows < $minRows (reference gate)")
+    landed
+  }
+
+  /**
    * Streaming dimension maintenance: drain a change-event stream into a
    * keyed snapshot table by folding each micro-batch through
    * [[graft.ops.Merge.upsert]] — the continuous form of the curated-zone

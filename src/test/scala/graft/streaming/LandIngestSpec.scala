@@ -177,4 +177,39 @@ class LandIngestSpec extends AnyFunSuite {
       Seq("grp"), "v", 0.0, 500.0, 50, state))
     assert(bins(spark.read.parquet(state)) !== bins(oneShot))
   }
+
+  test("extractFromApi: HTTP extract drains incrementally, idempotently, and gates the total") {
+    import graft.sources.PostcodeApiTwin
+    val base = java.nio.file.Files.createTempDirectory("extract_api").toString
+    val land = s"$base/land"
+    val ckpt = s"$base/ckpt"
+    // first run: 600 rows at <=250/batch over real localhost HTTP
+    val n1 = LandIngest.extractFromApi(spark, Some(PostcodeApiTwin.url),
+      rows = 600, land, ckpt, rowsPerBatch = 250)
+    assert(n1 === 600)
+    // re-run with nothing new: offset checkpoint -> no duplicate landing
+    val n2 = LandIngest.extractFromApi(spark, Some(PostcodeApiTwin.url),
+      rows = 600, land, ckpt, rowsPerBatch = 250)
+    assert(n2 === 600)
+    // the API "grows": the same checkpoint drains ONLY the 200-row delta
+    val n3 = LandIngest.extractFromApi(spark, Some(PostcodeApiTwin.url),
+      rows = 800, land, ckpt, rowsPerBatch = 250)
+    assert(n3 === 800)
+    // landed content is byte-identical to the generator batch read
+    val landed = spark.read.parquet(land)
+      .select("index", "postcode", "quality", "eastings", "northings",
+        "european_electoral_region")
+      .orderBy("index").collect().map(_.toSeq).toSeq
+    val expected = spark.read.format("graft.sources.PostcodeSource")
+      .option("rows", 800).option("partitions", 4).load()
+      .orderBy("index").collect().map(_.toSeq).toSeq
+    assert(landed === expected)
+    // the reference gate fires on a too-small extract
+    val tiny = java.nio.file.Files.createTempDirectory("extract_tiny").toString
+    val e = intercept[IllegalStateException] {
+      LandIngest.extractFromApi(spark, Some(PostcodeApiTwin.url),
+        rows = 50, s"$tiny/land", s"$tiny/ckpt")
+    }
+    assert(e.getMessage.contains("reference gate"))
+  }
 }
