@@ -159,7 +159,10 @@ object ScaleCheck {
       "q_dedup_clusters_lss", "q_simsearch_lsh", "q_simsearch_ivf_index",
       "q_span_dedup", "q_span_dedup_apply", "q_simsearch_pq", "q_simsearch_ivfpq",
       "q_simsearch_ivfpq_index",
-      "q_boilerplate_scrub", "q_gopher_repetition", "q_dedup_canonical")
+      "q_boilerplate_scrub", "q_gopher_repetition", "q_dedup_canonical",
+      // round-6 additions; q_bpe_train is deliberately absent — its
+      // doc_id<2000 corpus cap makes any scale row trivially flat
+      "q_split_leakage_safe", "q_ann_recall")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
