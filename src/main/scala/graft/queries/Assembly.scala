@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.DecimalType
+
 import graft.ext.TextStats
 import graft.ops.{Mixture, Packing, Sampling}
 import QueryUtil._
@@ -271,6 +273,74 @@ object Assembly {
   private val upsampleWeights = Seq(
     ("en", 1.0), ("de", 2.5), ("fr", 2.0), ("es", 1.75), ("zh", 3.25))
 
+  // Loss-aware mixture reweighting (round 6, DoReMi-flavored one-shot):
+  // domain weight ∝ √n_d · exp(η·excess_d) with excess = the domain's
+  // LM-loss above the easiest domain — upweight what the (bigram proxy)
+  // model finds hard, temper by size. √ and the exact-decimal sums keep
+  // it portable (α = 1/2 IS the temperature recipe, q_temperature_mix);
+  // η = 0.5 dyadic; every nonlinear term round-9 before decimal
+  // summation (the repo convention for exp/ln). Scale shape: the bigram
+  // LM aggregates (corpus ∝ shuffles, proven by q_text_lmscore) then
+  // ~|domains| rows of arithmetic — at 100 TB the model signal comes
+  // from the proxy score table, never a per-row loop.
+  private val mixtureReweight = Q(
+    "q_mixture_reweight",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextStats.bigramLmScore(docs, "doc_id", "text")
+      val byLang = docs.select("doc_id", "lang").join(scored, "doc_id")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("avg_logp").cast(DecimalType(28, 12))).cast("double")
+            / count(lit(1))).as("__m"))
+        .withColumn("mean_logp", round(col("__m"), 9))
+        .drop("__m")
+      val lmin = byLang.agg(min(-col("mean_logp")).as("lmin"))
+      val w = byLang.crossJoin(broadcast(lmin))
+        .withColumn("excess", round(-col("mean_logp") - col("lmin"), 9))
+        .withColumn("w_raw",
+          round(sqrt(col("n_docs")) * exp(lit(0.5) * col("excess")), 9))
+      val tot = w.agg(sum(col("w_raw").cast(DecimalType(28, 12))).as("tw"))
+      w.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("mean_logp"), col("excess"),
+          round(col("w_raw") / col("tw").cast("double"), 9).as("weight"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+           |  FROM documents),
+           |pairs AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(generate_series(1, len(ts) - 1), i -> ts[i])) AS w1,
+           |    unnest(list_transform(generate_series(1, len(ts) - 1), i -> ts[i + 1])) AS w2
+           |  FROM toks),
+           |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+           |ctx AS (SELECT w1, COUNT(*) AS cu FROM pairs GROUP BY 1),
+           |v AS (SELECT COUNT(DISTINCT tok) AS vs
+           |      FROM (SELECT unnest(ts) AS tok FROM toks)),
+           |sc AS (
+           |  SELECT doc_id, round(ln((cb + 1.0) / (cu + vs)), 9) AS lp
+           |  FROM pairs JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+           |doc AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_logp
+           |  FROM sc GROUP BY doc_id),
+           |lang_ AS (
+           |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    round(CAST(SUM(CAST(s.avg_logp AS DECIMAL(28,12))) AS DOUBLE)
+           |      / COUNT(*), 9) AS mean_logp
+           |  FROM documents d JOIN doc s USING (doc_id) GROUP BY d.lang),
+           |m AS (SELECT MIN(-mean_logp) AS lmin FROM lang_),
+           |w AS (
+           |  SELECT lang, n_docs, mean_logp,
+           |    round(-mean_logp - lmin, 9) AS excess,
+           |    round(sqrt(n_docs) * exp(0.5 * round(-mean_logp - lmin, 9)), 9) AS w_raw
+           |  FROM lang_, m),
+           |t AS (SELECT SUM(CAST(w_raw AS DECIMAL(28,12))) AS tw FROM w)
+           |SELECT lang, n_docs, mean_logp, excess,
+           |  round(w_raw / CAST(tw AS DOUBLE), 9) AS weight
+           |FROM w, t ORDER BY lang""".stripMargin))
+
   private val upsampleMix = Q(
     "q_upsample_mix",
     (s, dir) => {
@@ -420,5 +490,5 @@ object Assembly {
 
   val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs,
     packGlobal, chunkDocs, interleaveMix, textToIds, sourceCap, tokenBudget,
-    mixTemperature, upsampleMix, qualityMargin, shuffleEpoch, corpusReport)
+    mixTemperature, upsampleMix, mixtureReweight, qualityMargin, shuffleEpoch, corpusReport)
 }
