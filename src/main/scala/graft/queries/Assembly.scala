@@ -283,9 +283,10 @@ object Assembly {
   // LM aggregates (corpus ∝ shuffles, proven by q_text_lmscore) then
   // ~|domains| rows of arithmetic — at 100 TB the model signal comes
   // from the proxy score table, never a per-row loop.
-  private val mixtureReweight = Q(
-    "q_mixture_reweight",
-    (s, dir) => {
+  /** The reweighting chain shared by q_mixture_reweight and
+    * q_mixture_allocate: (lang, n_docs, mean_logp, excess, weight). */
+  private def lossAwareWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val docs = t(s, dir, "documents")
       val scored = TextStats.bigramLmScore(docs, "doc_id", "text")
       val byLang = docs.select("doc_id", "lang").join(scored, "doc_id")
@@ -304,42 +305,108 @@ object Assembly {
       w.crossJoin(broadcast(tot))
         .select(col("lang"), col("n_docs"), col("mean_logp"), col("excess"),
           round(col("w_raw") / col("tw").cast("double"), 9).as("weight"))
+  }
+
+  /** DuckDB CTE chain matching [[lossAwareWeights]] (ends at `wt`:
+    * lang, n_docs, mean_logp, excess, weight). */
+  private val lossAwareWeightsCtes: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(ts) - 1), i -> ts[i])) AS w1,
+      |    unnest(list_transform(generate_series(1, len(ts) - 1), i -> ts[i + 1])) AS w2
+      |  FROM toks),
+      |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+      |ctx AS (SELECT w1, COUNT(*) AS cu FROM pairs GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tok) AS vs
+      |      FROM (SELECT unnest(ts) AS tok FROM toks)),
+      |sc AS (
+      |  SELECT doc_id, round(ln((cb + 1.0) / (cu + vs)), 9) AS lp
+      |  FROM pairs JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
+      |doc AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_logp
+      |  FROM sc GROUP BY doc_id),
+      |lang_ AS (
+      |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    round(CAST(SUM(CAST(s.avg_logp AS DECIMAL(28,12))) AS DOUBLE)
+      |      / COUNT(*), 9) AS mean_logp
+      |  FROM documents d JOIN doc s USING (doc_id) GROUP BY d.lang),
+      |m AS (SELECT MIN(-mean_logp) AS lmin FROM lang_),
+      |w AS (
+      |  SELECT lang, n_docs, mean_logp,
+      |    round(-mean_logp - lmin, 9) AS excess,
+      |    round(sqrt(n_docs) * exp(0.5 * round(-mean_logp - lmin, 9)), 9) AS w_raw
+      |  FROM lang_, m),
+      |t AS (SELECT SUM(CAST(w_raw AS DECIMAL(28,12))) AS tw FROM w),
+      |wt AS (
+      |  SELECT lang, n_docs, mean_logp, excess,
+      |    round(w_raw / CAST(tw AS DOUBLE), 9) AS weight
+      |  FROM w, t)""".stripMargin
+
+  private val mixtureReweight = Q(
+    "q_mixture_reweight",
+    (s, dir) => lossAwareWeights(s, dir).orderBy("lang"),
+    Some(s"""WITH $lossAwareWeightsCtes
+            |SELECT lang, n_docs, mean_logp, excess, weight
+            |FROM wt ORDER BY lang""".stripMargin))
+
+  // Budget ALLOCATION from the loss-aware weights (round 6): the step
+  // that turns weights into an actual corpus slice — each domain gets
+  // budget_d = floor(weight_d · B) tokens and fills it greedily in
+  // content-hash order (the deterministic uniform shuffle every sampler
+  // here uses), so the emitted slice is reproducible and unbiased within
+  // each domain. Per-domain running sums are partitioned windows (the
+  // q_pack_sequences shape); nothing is data-proportional on one thread
+  // beyond a single domain's docs, and at 100 TB the allocation is a
+  // projection + one partitioned window over the already-scored corpus.
+  private val mixtureAllocate = Q(
+    "q_mixture_allocate",
+    (s, dir) => {
+      val budgetTotal = 100000.0
+      val wts = lossAwareWeights(s, dir)
+        .select(col("lang"),
+          floor(col("weight") * lit(budgetTotal)).cast("long").as("budget_tokens"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs.withColumn("cum", sum(col("n_tokens")).over(w))
+        .join(broadcast(wts), "lang")
+        .filter(col("cum") - col("n_tokens") < col("budget_tokens"))
+        .groupBy("lang", "budget_tokens")
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("n_tokens")).as("tokens_selected"),
+          sum(col("doc_id")).as("checksum"))
         .orderBy("lang")
     },
-    Some("""WITH toks AS (
-           |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
-           |  FROM documents),
-           |pairs AS (
-           |  SELECT doc_id,
-           |    unnest(list_transform(generate_series(1, len(ts) - 1), i -> ts[i])) AS w1,
-           |    unnest(list_transform(generate_series(1, len(ts) - 1), i -> ts[i + 1])) AS w2
-           |  FROM toks),
-           |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
-           |ctx AS (SELECT w1, COUNT(*) AS cu FROM pairs GROUP BY 1),
-           |v AS (SELECT COUNT(DISTINCT tok) AS vs
-           |      FROM (SELECT unnest(ts) AS tok FROM toks)),
-           |sc AS (
-           |  SELECT doc_id, round(ln((cb + 1.0) / (cu + vs)), 9) AS lp
-           |  FROM pairs JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v),
-           |doc AS (
-           |  SELECT doc_id,
-           |    CAST(SUM(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_logp
-           |  FROM sc GROUP BY doc_id),
-           |lang_ AS (
-           |  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |    round(CAST(SUM(CAST(s.avg_logp AS DECIMAL(28,12))) AS DOUBLE)
-           |      / COUNT(*), 9) AS mean_logp
-           |  FROM documents d JOIN doc s USING (doc_id) GROUP BY d.lang),
-           |m AS (SELECT MIN(-mean_logp) AS lmin FROM lang_),
-           |w AS (
-           |  SELECT lang, n_docs, mean_logp,
-           |    round(-mean_logp - lmin, 9) AS excess,
-           |    round(sqrt(n_docs) * exp(0.5 * round(-mean_logp - lmin, 9)), 9) AS w_raw
-           |  FROM lang_, m),
-           |t AS (SELECT SUM(CAST(w_raw AS DECIMAL(28,12))) AS tw FROM w)
-           |SELECT lang, n_docs, mean_logp, excess,
-           |  round(w_raw / CAST(tw AS DOUBLE), 9) AS weight
-           |FROM w, t ORDER BY lang""".stripMargin))
+    Some(s"""WITH $lossAwareWeightsCtes,
+            |budget AS (
+            |  SELECT lang, CAST(floor(weight * 100000.0) AS BIGINT) AS budget_tokens
+            |  FROM wt),
+            |d AS (
+            |  SELECT doc_id, lang,
+            |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+            |      AS BIGINT) AS n_tokens
+            |  FROM documents),
+            |c AS (
+            |  SELECT doc_id, lang, n_tokens,
+            |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+            |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            |  FROM d)
+            |SELECT c.lang, b.budget_tokens,
+            |  CAST(COUNT(*) AS BIGINT) AS n_selected,
+            |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+            |  CAST(SUM(doc_id) AS BIGINT) AS checksum
+            |FROM c JOIN budget b ON b.lang = c.lang
+            |WHERE cum - n_tokens < budget_tokens
+            |GROUP BY c.lang, b.budget_tokens
+            |ORDER BY c.lang""".stripMargin))
 
   private val upsampleMix = Q(
     "q_upsample_mix",
@@ -490,5 +557,5 @@ object Assembly {
 
   val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs,
     packGlobal, chunkDocs, interleaveMix, textToIds, sourceCap, tokenBudget,
-    mixTemperature, upsampleMix, mixtureReweight, qualityMargin, shuffleEpoch, corpusReport)
+    mixTemperature, upsampleMix, mixtureReweight, mixtureAllocate, qualityMargin, shuffleEpoch, corpusReport)
 }
