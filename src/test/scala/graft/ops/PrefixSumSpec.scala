@@ -78,4 +78,27 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(got === ref)
   }
 
+
+  test("an all-NULL weight column within a range partition yields 0 bases, not an NPE") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 400 ordered keys, weight NULL for the entire low half: with several
+    // range partitions, at least one per-range sum() is NULL (ADVICE r5)
+    val df = (0L until 400L).map(k =>
+        (k, if (k < 200) None else Some(k % 7 + 1))).toDF("k", "w")
+    def vals(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val got = vals(PrefixSum.runningSum(df, "k", "w", "c", numRanges = 8)
+      .select("k", "c").collect())
+    val win = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = vals(df.withColumn("c", sum(col("w")).over(win))
+      .select("k", "c").collect())
+    // contract: bit-identical to the plain window — a NULL prefix is NULL
+    // on both sides (the ADVICE fix removed only the internal NPE on the
+    // all-NULL range totals, not the window's null semantics)
+    assert(got === ref)
+    assert(got(0L).isEmpty && got(199L).isEmpty && got(200L).contains(200L % 7 + 1))
+  }
 }

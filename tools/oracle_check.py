@@ -139,5 +139,44 @@ def main(sf_dir, out_dir):
     return 0 if n_fail == 0 and n_type == 0 else 1
 
 
+def tie_audit(sf_dir, out_dir):
+    """Row-order stability tripwire: run every oracle under two engine
+    configurations (threads 1 vs 8) and fail if any returns rows in a
+    different order — an under-specified ORDER BY that happens to pass
+    today flakes under DuckDB's parallel/external sort tomorrow. Heavy
+    oracles that OOM under a tight limit are skipped, not failed."""
+    import os
+
+    def connect(threads):
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return con
+
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    c1, c8 = connect(1), connect(8)
+    unstable, skipped = [], []
+    for q in sorted(oracle):
+        try:
+            a = [tuple(canon(v) for v in r) for r in c1.execute(oracle[q]).fetchall()]
+            b = [tuple(canon(v) for v in r) for r in c8.execute(oracle[q]).fetchall()]
+        except Exception as e:
+            skipped.append((q, str(e)[:60]))
+            continue
+        if a != b:
+            unstable.append(q)
+            print(f"TIE-AUDIT {q}: row order differs between threads=1 and threads=8")
+    print(f"tie_audit: {'FAIL ' + str(unstable) if unstable else 'OK'} "
+          f"({len(oracle)} oracles, {len(skipped)} skipped)")
+    for q, e in skipped:
+        print(f"  skipped {q}: {e}")
+    return 1 if unstable else 0
+
+
 if __name__ == "__main__":
+    if "--tie-audit" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--tie-audit"]
+        sys.exit(tie_audit(args[0], args[1]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
