@@ -89,6 +89,62 @@ object PrefixSum {
     withOuts.drop("__pid", "__bases")
   }
 
+  /** Per-group inclusive running sums — the grouped form of
+    * [[runningSums]], for "cumulative sum within each domain" shapes
+    * where `Window.partitionBy(group)` alone would serialize an entire
+    * domain through one task (at 100 TB with ~5 language domains that is
+    * ~20 TB per task). Parallelism here is |groups| × |ranges|:
+    *
+    *   - quantile bounds are computed ONCE on the global `orderCol`
+    *     distribution (the intended orderCol is a uniform content hash,
+    *     so every group's rows spread evenly over the ranges);
+    *   - pass 1 collects ONE totals row per (group, range) — bounded by
+    *     |groups|·|ranges|, never data — and the exclusive carry-in scan
+    *     runs per group on the driver;
+    *   - pass 2 windows over (group, range) partitions, each a bounded
+    *     slice of one domain.
+    *
+    * `tieCols` complete the in-range sort when `orderCol` is not unique
+    * within a group (e.g. a truncated 60-bit hash). Bit-identical to
+    * `sum(w).over(Window.partitionBy(group).orderBy(orderCol, ties...))`.
+    */
+  def runningSumsBy(df: DataFrame, groupCol: String, orderCol: String,
+      tieCols: Seq[String], weightCols: Seq[String], outCols: Seq[String],
+      numRanges: Int = 0): DataFrame = {
+    require(weightCols.nonEmpty && weightCols.length == outCols.length)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (pidded, pid) = rangeId(df, orderCol, numRanges)
+    val aggs = weightCols.map(wc =>
+      coalesce(sum(col(wc).cast("long")), lit(0L)).as(s"__w_$wc"))
+    val totals = pidded.groupBy(col(groupCol).cast("string").as("__g"), pid)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        weightCols.indices.map(i => r.getLong(i + 2))))
+    val bases = totals.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val acc = Array.fill(weightCols.length)(0L)
+      rows.sortBy(_._2).map { case (_, p, ws) =>
+        val row = (g, p, acc.toSeq)
+        ws.zipWithIndex.foreach { case (w, i) => acc(i) += w }
+        row
+      }
+    }
+    val baseDf = broadcast(bases.toDF("__g", "__pid", "__bases"))
+    val joined = pidded.withColumn("__g", col(groupCol).cast("string"))
+      .join(baseDf, Seq("__g", "__pid"))
+    val w = Window.partitionBy(col(groupCol), pid)
+      .orderBy((col(orderCol) +: tieCols.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOuts = weightCols.zip(outCols).zipWithIndex
+      .foldLeft(joined) { case (acc0, ((wc, oc), i)) =>
+        acc0.withColumn(oc,
+          (element_at(col("__bases"), i + 1)
+            + sum(col(wc).cast("long")).over(w)).cast("long"))
+      }
+    withOuts.drop("__g", "__pid", "__bases")
+  }
+
   /** The 2-D skyline staircase, distributed: running MAX of `valueCol`
     * over rows with a strictly-smaller (`ltCol`) and smaller-or-equal
     * (`leCol`) `orderCol`. `ltCol` is null on the global minimum (no

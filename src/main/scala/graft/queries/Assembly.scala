@@ -274,13 +274,18 @@ object Assembly {
     ("en", 1.0), ("de", 2.5), ("fr", 2.0), ("es", 1.75), ("zh", 3.25))
 
   // Loss-aware mixture reweighting (round 6, DoReMi-flavored one-shot):
-  // domain weight ∝ √n_d · exp(η·excess_d) with excess = the domain's
+  // domain weight ∝ √n_d · growth(η·excess_d) with excess = the domain's
   // LM-loss above the easiest domain — upweight what the (bigram proxy)
   // model finds hard, temper by size. √ and the exact-decimal sums keep
   // it portable (α = 1/2 IS the temperature recipe, q_temperature_mix);
-  // η = 0.5 dyadic; every nonlinear term round-9 before decimal
-  // summation (the repo convention for exp/ln). Scale shape: the bigram
-  // LM aggregates (corpus ∝ shuffles, proven by q_text_lmscore) then
+  // η = 0.5 dyadic. Round 7: the exponential is the COMPOUND-GROWTH
+  // surrogate (1 + η·x/16)^16 — exp's defining limit at k=16 — built
+  // from four explicit squarings, so every op in the tree is a
+  // correctly-rounded IEEE *,/ (no libm exp(), whose last-ulp varies by
+  // platform; the repo standard set by q_quality_margin). η·x and /16
+  // are exact power-of-two scalings, so both engines round identically
+  // at each of the five multiply steps. Scale shape: the bigram LM
+  // aggregates (corpus ∝ shuffles, proven by q_text_lmscore) then
   // ~|domains| rows of arithmetic — at 100 TB the model signal comes
   // from the proxy score table, never a per-row loop.
   /** The reweighting chain shared by q_mixture_reweight and
@@ -297,10 +302,11 @@ object Assembly {
         .withColumn("mean_logp", round(col("__m"), 9))
         .drop("__m")
       val lmin = byLang.agg(min(-col("mean_logp")).as("lmin"))
+      val b = lit(1.0) + lit(0.5) * col("excess") / lit(16.0)
+      val b2 = b * b; val b4 = b2 * b2; val b8 = b4 * b4; val b16 = b8 * b8
       val w = byLang.crossJoin(broadcast(lmin))
         .withColumn("excess", round(-col("mean_logp") - col("lmin"), 9))
-        .withColumn("w_raw",
-          round(sqrt(col("n_docs")) * exp(lit(0.5) * col("excess")), 9))
+        .withColumn("w_raw", round(sqrt(col("n_docs")) * b16, 9))
       val tot = w.agg(sum(col("w_raw").cast(DecimalType(28, 12))).as("tw"))
       w.crossJoin(broadcast(tot))
         .select(col("lang"), col("n_docs"), col("mean_logp"), col("excess"),
@@ -335,11 +341,18 @@ object Assembly {
       |      / COUNT(*), 9) AS mean_logp
       |  FROM documents d JOIN doc s USING (doc_id) GROUP BY d.lang),
       |m AS (SELECT MIN(-mean_logp) AS lmin FROM lang_),
-      |w AS (
+      |e AS (
       |  SELECT lang, n_docs, mean_logp,
-      |    round(-mean_logp - lmin, 9) AS excess,
-      |    round(sqrt(n_docs) * exp(0.5 * round(-mean_logp - lmin, 9)), 9) AS w_raw
+      |    round(-mean_logp - lmin, 9) AS excess
       |  FROM lang_, m),
+      |g1 AS (SELECT *, 1.0 + 0.5 * excess / 16.0 AS b FROM e),
+      |g2 AS (SELECT *, b * b AS b2 FROM g1),
+      |g3 AS (SELECT *, b2 * b2 AS b4 FROM g2),
+      |g4 AS (SELECT *, b4 * b4 AS b8 FROM g3),
+      |w AS (
+      |  SELECT lang, n_docs, mean_logp, excess,
+      |    round(sqrt(n_docs) * (b8 * b8), 9) AS w_raw
+      |  FROM g4),
       |t AS (SELECT SUM(CAST(w_raw AS DECIMAL(28,12))) AS tw FROM w),
       |wt AS (
       |  SELECT lang, n_docs, mean_logp, excess,
@@ -358,10 +371,13 @@ object Assembly {
   // budget_d = floor(weight_d · B) tokens and fills it greedily in
   // content-hash order (the deterministic uniform shuffle every sampler
   // here uses), so the emitted slice is reproducible and unbiased within
-  // each domain. Per-domain running sums are partitioned windows (the
-  // q_pack_sequences shape); nothing is data-proportional on one thread
-  // beyond a single domain's docs, and at 100 TB the allocation is a
-  // projection + one partitioned window over the already-scored corpus.
+  // each domain. Round 7: the per-domain cumulative sum runs through
+  // PrefixSum.runningSumsBy — parallelism |ranges|×|domains|, not
+  // |domains| (a bare Window.partitionBy(lang) would push an entire
+  // ~20 TB domain through ONE task at 100 TB with ~5 languages). The
+  // greedy order key is the 60-bit md5 hash (uniform, so one global set
+  // of range bounds serves every domain), tie-broken by doc_id —
+  // mirrored verbatim in the oracle's window ORDER BY.
   private val mixtureAllocate = Q(
     "q_mixture_allocate",
     (s, dir) => {
@@ -371,11 +387,10 @@ object Assembly {
           floor(col("weight") * lit(budgetTotal)).cast("long").as("budget_tokens"))
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      docs.withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("u", conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long"))
+      graft.ops.PrefixSum.runningSumsBy(docs, "lang", "u", Seq("doc_id"),
+          Seq("n_tokens"), Seq("cum"))
         .join(broadcast(wts), "lang")
         .filter(col("cum") - col("n_tokens") < col("budget_tokens"))
         .groupBy("lang", "budget_tokens")
@@ -391,12 +406,13 @@ object Assembly {
             |d AS (
             |  SELECT doc_id, lang,
             |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
-            |      AS BIGINT) AS n_tokens
+            |      AS BIGINT) AS n_tokens,
+            |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
             |  FROM documents),
             |c AS (
             |  SELECT doc_id, lang, n_tokens,
             |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
-            |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            |      ORDER BY u, doc_id
             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
             |  FROM d)
             |SELECT c.lang, b.budget_tokens,

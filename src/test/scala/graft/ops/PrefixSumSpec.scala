@@ -79,6 +79,30 @@ class PrefixSumSpec extends AnyFunSuite {
   }
 
 
+  test("runningSumsBy matches the per-group window, with parallelism ranges×groups") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    // 5 lumpy groups (one holds half the rows — the serialized-domain
+    // shape q_mixture_allocate hit), non-unique order keys to exercise
+    // the tie-break column
+    val df = rng.shuffle((1 to 3000).toList).map { i =>
+      val g = if (i % 2 == 0) "en" else Seq("de", "fr", "es", "zh")(i % 4)
+      (g, (i % 251).toLong, i.toLong, (rng.nextInt(900) + 1).toLong)
+    }.toDF("g", "u", "id", "w").repartition(7)
+    for (ranges <- Seq(0, 1, 13)) {
+      val got = PrefixSum.runningSumsBy(df, "g", "u", Seq("id"), Seq("w"), Seq("cum"),
+          numRanges = ranges)
+        .select("g", "id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val win = Window.partitionBy("g").orderBy("u", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ref = df.withColumn("cum", sum(col("w")).over(win))
+        .select("g", "id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === ref, s"ranges=$ranges")
+    }
+  }
+
   test("an all-NULL weight column within a range partition yields 0 bases, not an NPE") {
     val spark2 = spark
     import spark2.implicits._
