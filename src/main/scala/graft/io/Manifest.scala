@@ -185,6 +185,40 @@ object Manifest {
     spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
+  /** Export the CURRENT snapshot in the SYMLINK-MANIFEST layout external
+    * engines consume without any graft code — the interop format Delta
+    * generates for Presto/Athena/Trino (`GENERATE symlink_format_manifest`):
+    * a plain text file at `<dir>/_symlink_format_manifest/manifest`
+    * holding one fully-qualified data-file URI per line, newest snapshot
+    * only. Any engine that can read a parquet file list (Spark, Trino,
+    * Hive via SymlinkTextInputFormat, DuckDB `read_parquet([list])`)
+    * consumes the snapshot directly — closing the "Parquet/Delta I/O"
+    * gap without table-format jars. The export is derived state, not a
+    * commit: it is REGENERATED after each publish (same cadence Delta
+    * requires for its manifests) and written via temp + rename so a
+    * concurrent reader sees the old or new list, never a torn file.
+    * Returns the exported URIs in manifest order. */
+  def exportSymlinkManifest(spark: SparkSession, dir: String): Seq[String] = {
+    val (fsys, base) = fs(spark, dir)
+    val files = currentFiles(spark, dir)
+    require(files.nonEmpty, s"no committed snapshot under $dir")
+    val abs = files.map(f => fsys.makeQualified(new Path(base, f)).toString)
+    val outDir = new Path(base, "_symlink_format_manifest")
+    fsys.mkdirs(outDir)
+    val tmp = new Path(outDir, ".manifest.tmp")
+    val out = fsys.create(tmp, true)
+    try out.write((abs.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(outDir, "manifest")
+    // derived artifact, not the commit point: an overwrite-refusing FS
+    // needs the delete first; the worst a racing reader sees is the
+    // previous complete export (rename is still atomic per-file)
+    fsys.delete(dest, false)
+    if (!fsys.rename(tmp, dest))
+      throw new RuntimeException(s"symlink manifest export failed for $dir")
+    abs
+  }
+
   /** Compact the current snapshot into ceil(bytes/target) files AS A NEW
     * SNAPSHOT — same bytes, fewer files, and unlike
     * [[TableIO.compactDir]] the swap has no race: readers resolve either

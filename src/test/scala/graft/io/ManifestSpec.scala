@@ -112,4 +112,43 @@ class ManifestSpec extends AnyFunSuite {
       Manifest.read(spark, tmpDir())
     }
   }
+
+  test("symlink-manifest export: plain spark.read.parquet over the list is byte-identical") {
+    val dir = tmpDir()
+    Manifest.write((1 to 300).toDF("v").withColumn("sq", col("v") * col("v"))
+      .repartition(3), dir, "s1")
+    val uris = Manifest.exportSymlinkManifest(spark, dir)
+
+    // an external engine's view: read the text file, feed the listed
+    // parquet URIs straight to a vanilla reader — no graft code involved
+    val listed = scala.io.Source.fromFile(
+      s"$dir/_symlink_format_manifest/manifest")
+    val lines = try listed.getLines().toList finally listed.close()
+    assert(lines == uris.toList && lines.nonEmpty)
+    assert(lines.forall(_.endsWith(".parquet")))
+    val external = spark.read.parquet(lines: _*)
+    val expected = Manifest.read(spark, dir)
+    assert(external.orderBy("v").collect().toSeq ===
+      expected.orderBy("v").collect().toSeq)
+
+    // a new commit supersedes; re-export tracks the NEW current snapshot
+    // and never mixes the two file sets
+    Manifest.write((1 to 40).toDF("v").withColumn("sq", col("v") + 1), dir, "s2")
+    val uris2 = Manifest.exportSymlinkManifest(spark, dir)
+    assert(uris2.forall(_.contains("data-s2/")) && uris2.nonEmpty)
+    val src2 = scala.io.Source.fromFile(s"$dir/_symlink_format_manifest/manifest")
+    val lines2 = try src2.getLines().toList finally src2.close()
+    assert(lines2 == uris2.toList)
+    assert(spark.read.parquet(lines2: _*).count() == 40)
+
+    // the export dir is invisible to the commit protocol: snapshots,
+    // reads, and vacuum behave exactly as without it
+    assert(Manifest.snapshots(spark, dir) == Seq("s1", "s2"))
+    Manifest.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    assert(Manifest.read(spark, dir).count() == 40)
+    // exporting a never-committed table is an error, not an empty list
+    intercept[IllegalArgumentException] {
+      Manifest.exportSymlinkManifest(spark, tmpDir())
+    }
+  }
 }
