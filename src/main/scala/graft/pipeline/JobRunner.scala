@@ -68,9 +68,12 @@ object JobRunner {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try {
-      val result = dispatch(spark, sys.env)
-      if (!result.succeeded) sys.exit(1)
-    } finally spark.stop()
+    // sys.exit inside the try would terminate WITHOUT unwinding —
+    // System.exit never runs finally blocks, so spark.stop() would be
+    // left to Spark's shutdown hook (ADVICE r6). Record, stop, THEN exit.
+    val code =
+      try { if (dispatch(spark, sys.env).succeeded) 0 else 1 }
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

@@ -442,22 +442,35 @@ class PostcodeHttpReader(start: Long, end: Long, readSchema: StructType,
   private def fetchPage(s: Long, n: Long): Iterator[InternalRow] = {
     val u = java.net.URI.create(s"$url?start=$s&count=$n&cols=$colsParam").toURL
     var attempt = 0
-    var body: String = null
-    while (body == null) {
+    while (true) {
       try {
         val conn = u.openConnection().asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(5000)
         conn.setReadTimeout(30000)
         val code = conn.getResponseCode
-        if (code == 200) {
+        val body = if (code == 200) {
           val in = conn.getInputStream
-          try body = new String(in.readAllBytes(),
+          try new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
         } else {
           conn.getErrorStream match { case null => (); case e => e.close() }
           throw new java.io.IOException(s"HTTP $code from $u")
         }
+        // CONTRACT (ADVICE r6): a 200 page must carry EXACTLY the
+        // requested row count. The planner answers COUNT/MIN/MAX
+        // pushdown and splits partitions from range arithmetic alone, so
+        // an endpoint that caps page sizes or under-delivers would
+        // otherwise silently drop rows while count(*) still reported the
+        // full range. A short (usually truncated-in-transit) page goes
+        // through the same bounded retry as a 5xx, then fails loudly.
+        val rows = body.linesIterator.filter(_.nonEmpty).map(parseLine).toArray
+        if (rows.length != n)
+          throw new java.io.IOException(
+            s"short page from $u: requested $n rows, got ${rows.length} — " +
+              "endpoint violates the exact-count page contract the " +
+              "pushdown arithmetic depends on")
+        return rows.iterator
       } catch {
         case e: java.io.IOException =>
           attempt += 1
@@ -465,7 +478,7 @@ class PostcodeHttpReader(start: Long, end: Long, readSchema: StructType,
           Thread.sleep(25L << attempt) // 50,100,200,400 ms
       }
     }
-    body.linesIterator.filter(_.nonEmpty).map(parseLine)
+    throw new IllegalStateException("unreachable")
   }
 
   private def parseLine(line: String): InternalRow = {

@@ -42,7 +42,11 @@ class ObjectStoreFS extends RawLocalFileSystem {
       new java.io.FilterOutputStream(out) {
         override def write(b: Array[Byte], off: Int, len: Int): Unit =
           out.write(b, off, len)
-        override def close(): Unit = {
+        // Hadoop/Parquet writers routinely double-close streams; a
+        // second close must be a no-op, not a NoSuchFileException on the
+        // already-consumed staging file (ADVICE r6)
+        private var closed = false
+        override def close(): Unit = if (!closed) {
           out.close()
           // the PUT completes: materialize atomically (S3 PUT may
           // overwrite an existing key — last writer wins)
@@ -50,6 +54,7 @@ class ObjectStoreFS extends RawLocalFileSystem {
             pathToFile(staged).toPath, pathToFile(f).toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          closed = true
         }
       }, null)
   }

@@ -140,38 +140,51 @@ def main(sf_dir, out_dir):
 
 
 def tie_audit(sf_dir, out_dir):
-    """Row-order stability tripwire: run every oracle under two engine
-    configurations (threads 1 vs 8) and fail if any returns rows in a
-    different order — an under-specified ORDER BY that happens to pass
-    today flakes under DuckDB's parallel/external sort tomorrow. Heavy
-    oracles that OOM under a tight limit are skipped, not failed."""
+    """Row-order stability tripwire: run every oracle under three engine
+    configurations — (threads=1, 8GB), (threads=8, 8GB), and
+    (threads=8, memory_limit=300MB, forcing external/spilling sorts) —
+    and fail if any returns rows in a different order: an under-specified
+    ORDER BY that happens to pass today flakes under DuckDB's
+    parallel/external sort tomorrow. Heavy oracles that error (e.g. OOM
+    under the tight limit) are skipped in that configuration, not
+    failed."""
     import os
 
-    def connect(threads):
+    def connect(threads, memory_limit):
         con = duckdb.connect()
         con.execute(f"SET threads={threads}")
+        con.execute(f"SET memory_limit='{memory_limit}'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return con
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    c1, c8 = connect(1), connect(8)
+    configs = [("t1", 1, "8GB"), ("t8", 8, "8GB"), ("t8-lowmem", 8, "300MB")]
+    cons = [(name, connect(th, mem)) for name, th, mem in configs]
     unstable, skipped = [], []
     for q in sorted(oracle):
-        try:
-            a = [tuple(canon(v) for v in r) for r in c1.execute(oracle[q]).fetchall()]
-            b = [tuple(canon(v) for v in r) for r in c8.execute(oracle[q]).fetchall()]
-        except Exception as e:
-            skipped.append((q, str(e)[:60]))
+        rows_by_cfg = []
+        for name, con in cons:
+            try:
+                rows_by_cfg.append((name, [
+                    tuple(canon(v) for v in r)
+                    for r in con.execute(oracle[q]).fetchall()]))
+            except Exception as e:
+                skipped.append((q, name, str(e)[:60]))
+        if len(rows_by_cfg) < 2:
             continue
-        if a != b:
-            unstable.append(q)
-            print(f"TIE-AUDIT {q}: row order differs between threads=1 and threads=8")
+        base_name, base = rows_by_cfg[0]
+        for name, rows in rows_by_cfg[1:]:
+            if rows != base:
+                unstable.append(q)
+                print(f"TIE-AUDIT {q}: row order differs "
+                      f"between {base_name} and {name}")
+                break
     print(f"tie_audit: {'FAIL ' + str(unstable) if unstable else 'OK'} "
-          f"({len(oracle)} oracles, {len(skipped)} skipped)")
-    for q, e in skipped:
-        print(f"  skipped {q}: {e}")
+          f"({len(oracle)} oracles, {len(skipped)} config-skips)")
+    for q, name, e in skipped:
+        print(f"  skipped {q} [{name}]: {e}")
     return 1 if unstable else 0
 
 
