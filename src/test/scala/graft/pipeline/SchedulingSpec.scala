@@ -107,6 +107,106 @@ class SchedulingSpec extends AnyFunSuite {
     assert(Scheduler.dueRuns(Seq.empty, catchup = false) === Seq.empty)
   }
 
+  private def daemonFixture(catchup: Boolean,
+      fired: scala.collection.mutable.Buffer[LocalDateTime],
+      clock: () => LocalDateTime,
+      stateDir: String = Files.createTempDirectory("sched").toString,
+      fire: Option[LocalDateTime => Unit] = None): SchedulerDaemon =
+    new SchedulerDaemon(DayOfWeek.SUNDAY, LocalTime.of(13, 30), catchup,
+      stateDir, spark.sparkContext.hadoopConfiguration,
+      fire.getOrElse(t => fired += t), clock, sleep = _ => ())
+
+  test("daemon fires on the clock: boot is silent, a due Sunday fires exactly once") {
+    var now = LocalDateTime.parse("2026-07-24T09:00:00") // Friday
+    val fired = scala.collection.mutable.ArrayBuffer.empty[LocalDateTime]
+    val d = daemonFixture(catchup = false, fired, () => now)
+    assert(d.tick() === Seq.empty) // first boot: watermark set, no storm
+    now = LocalDateTime.parse("2026-07-25T09:00:00") // Saturday: not due
+    assert(d.tick() === Seq.empty)
+    now = LocalDateTime.parse("2026-07-26T13:31:00") // Sunday 13:31: due
+    assert(d.tick().map(_.toString) === Seq("2026-07-26T13:30"))
+    assert(d.tick() === Seq.empty) // same instant again: accounted for
+    assert(fired.map(_.toString) === Seq("2026-07-26T13:30"))
+  }
+
+  test("a missed week under catchup=false fires ONLY the collapsed latest run") {
+    var now = LocalDateTime.parse("2026-07-24T09:00:00")
+    val fired = scala.collection.mutable.ArrayBuffer.empty[LocalDateTime]
+    val d = daemonFixture(catchup = false, fired, () => now)
+    d.tick() // boot
+    // the daemon host was down across TWO Sundays; it wakes Tue Aug 4
+    now = LocalDateTime.parse("2026-08-04T08:00:00")
+    assert(d.tick().map(_.toString) === Seq("2026-08-02T13:30"))
+    assert(fired.map(_.toString) === Seq("2026-08-02T13:30")) // Jul 26 collapsed
+    // the collapsed run is accounted: nothing re-fires later that week
+    now = LocalDateTime.parse("2026-08-08T08:00:00")
+    assert(d.tick() === Seq.empty)
+  }
+
+  test("the same missed week under catchup=true replays every run in order") {
+    var now = LocalDateTime.parse("2026-07-24T09:00:00")
+    val fired = scala.collection.mutable.ArrayBuffer.empty[LocalDateTime]
+    val d = daemonFixture(catchup = true, fired, () => now)
+    d.tick()
+    now = LocalDateTime.parse("2026-08-04T08:00:00")
+    assert(d.tick().map(_.toString) ===
+      Seq("2026-07-26T13:30", "2026-08-02T13:30"))
+    assert(fired.size === 2)
+  }
+
+  test("daemon restart resumes from the persisted watermark — no refires") {
+    val stateDir = Files.createTempDirectory("sched").toString
+    var now = LocalDateTime.parse("2026-07-24T09:00:00")
+    val fired = scala.collection.mutable.ArrayBuffer.empty[LocalDateTime]
+    val d1 = daemonFixture(catchup = false, fired, () => now, stateDir)
+    d1.tick()
+    now = LocalDateTime.parse("2026-07-26T14:00:00")
+    d1.tick()
+    assert(fired.size === 1)
+    // process restart: a NEW daemon over the same state dir
+    val d2 = daemonFixture(catchup = false, fired, () => now, stateDir)
+    assert(d2.tick() === Seq.empty) // watermark survived; run not replayed
+    now = LocalDateTime.parse("2026-08-02T13:30:00")
+    assert(d2.tick().map(_.toString) === Seq("2026-08-02T13:30"))
+  }
+
+  test("a throwing fire leaves the watermark put: the run replays next tick") {
+    var now = LocalDateTime.parse("2026-07-24T09:00:00")
+    val fired = scala.collection.mutable.ArrayBuffer.empty[LocalDateTime]
+    var boom = true
+    val d = daemonFixture(catchup = false, fired, () => now,
+      fire = Some { t =>
+        if (boom) throw new RuntimeException("downstream outage")
+        fired += t
+      })
+    d.tick()
+    now = LocalDateTime.parse("2026-07-26T14:00:00")
+    intercept[RuntimeException] { d.tick() }
+    assert(fired.isEmpty)
+    boom = false
+    assert(d.tick().map(_.toString) === Seq("2026-07-26T13:30")) // at-least-once
+    assert(d.tick() === Seq.empty)
+  }
+
+  test("runLoop polls on the injected sleep until stopped") {
+    var now = LocalDateTime.parse("2026-07-24T09:00:00")
+    val fired = scala.collection.mutable.ArrayBuffer.empty[LocalDateTime]
+    var ticks = 0
+    val loop = new SchedulerDaemon(DayOfWeek.SUNDAY, LocalTime.of(13, 30),
+      false, Files.createTempDirectory("sched").toString,
+      spark.sparkContext.hadoopConfiguration, fired += _, () => now,
+      sleep = _ => {
+        ticks += 1
+        // each poll interval the fake wall clock advances half a week
+        now = now.plusDays(3).plusHours(12)
+        if (ticks >= 4) throw new InterruptedException("test stop")
+      })
+    intercept[InterruptedException] { loop.runLoop() }
+    // 4 sleeps ≈ two weeks of fake time: both Sundays fired on the clock
+    assert(fired.map(_.toString) ===
+      Seq("2026-07-26T13:30", "2026-08-02T13:30"))
+  }
+
   test("JobRunner dispatches on GRAFT_JOB and translates GRAFT_* env to conf") {
     val c = JobRunner.contextFromEnv(spark, Map(
       "GRAFT_JOB" -> "reference_etl",
