@@ -116,11 +116,43 @@ object Manifest {
   def write(df: DataFrame, dir: String, snapshot: String): Unit =
     writeImpl(df, dir, snapshot, () => ())
 
+  /** APPEND-commit: land `df` as a fresh data dir and publish a snapshot
+    * whose file list CARRIES FORWARD the current snapshot's files plus
+    * the new ones — Delta's append-mode commit, and the natural unit for
+    * a streaming micro-batch. Same atomicity/CAS story as [[write]];
+    * time travel to the pre-append snapshot still works. */
+  def append(df: DataFrame, dir: String, snapshot: String): Unit =
+    appendImpl(df, dir, snapshot, () => ())
+
+  private[graft] def appendImpl(df: DataFrame, dir: String, snapshot: String,
+      beforePublish: () => Unit): Unit =
+    writeImpl(df, dir, snapshot, beforePublish, carryForward = true)
+
+  /** Is `snapshot` a retained, committed snapshot of this table? */
+  def isCommitted(spark: SparkSession, dir: String, snapshot: String): Boolean = {
+    val (fsys, base) = fs(spark, dir)
+    retained(fsys, base).exists(_.snapshot == snapshot)
+  }
+
+  /** Delete the landed-but-never-committed `data-<snapshot>` dir of a
+    * crashed attempt so the SAME snapshot id can be retried — the replay
+    * path of an at-least-once writer (a streaming foreachBatch) that
+    * died inside the land→publish window. Refuses to touch a COMMITTED
+    * snapshot's data. Returns true iff an orphan was removed. */
+  def abandonOrphan(spark: SparkSession, dir: String, snapshot: String): Boolean = {
+    val (fsys, base) = fs(spark, dir)
+    if (retained(fsys, base).exists(_.snapshot == snapshot)) false
+    else {
+      val d = new Path(base, s"data-$snapshot")
+      fsys.exists(d) && fsys.delete(d, true)
+    }
+  }
+
   /** Test seam: `beforePublish` runs after the manifest temp file is
     * staged, immediately before the commit rename — the window a
     * concurrent writer would race into. */
-  private[io] def writeImpl(df: DataFrame, dir: String, snapshot: String,
-      beforePublish: () => Unit): Unit = {
+  private[graft] def writeImpl(df: DataFrame, dir: String, snapshot: String,
+      beforePublish: () => Unit, carryForward: Boolean = false): Unit = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val spark = df.sparkSession
     val (fsys, base) = fs(spark, dir)
@@ -133,9 +165,12 @@ object Manifest {
       .filter(s => s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    val seq = (retained(fsys, base).map(_.seq) :+ -1L).max + 1
-    val body = files.map(s =>
-        s"""    "data-$snapshot/${s.getPath.getName}"""").mkString(",\n")
+    val priors = retained(fsys, base)
+    val seq = (priors.map(_.seq) :+ -1L).max + 1
+    val carried = if (carryForward)
+      priors.lastOption.map(_.files).getOrElse(Nil) else Nil
+    val body = (carried.map(f => s"""    "$f"""") ++ files.map(s =>
+        s"""    "data-$snapshot/${s.getPath.getName}"""")).mkString(",\n")
     val json =
       s"""{
          |  "snapshot": "$snapshot",

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.io.Manifest
+
+/** The reference's full cadence as ONE streaming job
+  * ([[LandIngest.drainLandToCurated]]): land JSONL → gate → curate →
+  * manifest-committed curated table, with exactly-once promotion proven
+  * under the worst crash — a kill INSIDE the land→publish window. */
+class StreamingCuratedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  private def writeJsonl(dir: Path, file: String, ids: Range): Unit = {
+    val lines = ids.map(i => s"""{"id":$i,"name":"row$i"}""").mkString("\n")
+    Files.write(dir.resolve(file), lines.getBytes("UTF-8"))
+  }
+
+  private def curate(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("name_uc", upper(col("name")))
+      .withColumn("version", lit("v7"))
+
+  test("two drain cycles: one append snapshot per micro-batch, curate applied, no re-reads") {
+    val base = Files.createTempDirectory("stream_curated")
+    val land = Files.createDirectory(base.resolve("land"))
+    val curated = base.resolve("curated").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    writeJsonl(land, "week1.jsonl", 0 until 150)
+    LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+      ckpt, curate, minRows = 100)
+    assert(Manifest.snapshots(spark, curated) === Seq("batch-0"))
+    val c1 = Manifest.read(spark, curated)
+    assert(c1.count() === 150)
+    assert(c1.filter(col("name_uc") === lit("ROW7") &&
+      col("version") === lit("v7")).count() === 1)
+
+    // cycle with nothing new: no batch, no snapshot, no duplicates
+    LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+      ckpt, curate, minRows = 100)
+    assert(Manifest.snapshots(spark, curated) === Seq("batch-0"))
+
+    // second cadence cycle: only the delta becomes the next snapshot
+    writeJsonl(land, "week2.jsonl", 1000 until 1120)
+    LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+      ckpt, curate, minRows = 100)
+    assert(Manifest.snapshots(spark, curated) === Seq("batch-0", "batch-1"))
+    val c2 = Manifest.read(spark, curated)
+    assert(c2.count() === 270)
+    assert(c2.select("id").distinct().count() === 270)
+    // time travel: the pre-append snapshot still replays exactly
+    assert(Manifest.readAt(spark, curated, "batch-0").count() === 150)
+  }
+
+  test("kill between curate-landing and manifest publish: replay promotes exactly once") {
+    val base = Files.createTempDirectory("stream_curated_kill")
+    val land = Files.createDirectory(base.resolve("land"))
+    val curated = base.resolve("curated").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    writeJsonl(land, "week1.jsonl", 0 until 150)
+    LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+      ckpt, curate, minRows = 100)
+    assert(Manifest.read(spark, curated).count() === 150)
+
+    // week 2 lands; the job is KILLED after the curated data dir landed,
+    // immediately before the manifest rename — the widest failure window
+    writeJsonl(land, "week2.jsonl", 1000 until 1120)
+    var killed = false
+    intercept[Exception] {
+      LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+        ckpt, curate, minRows = 100,
+        beforeCommit = _ => { killed = true; throw new RuntimeException("kill -9") })
+    }
+    assert(killed)
+    // nothing was promoted: the commit point was never reached, readers
+    // still see week 1 only — but the orphan data dir IS on disk
+    assert(Manifest.snapshots(spark, curated) === Seq("batch-0"))
+    assert(Manifest.read(spark, curated).count() === 150)
+    assert(new java.io.File(s"$curated/data-batch-1").exists())
+
+    // restart: foreachBatch replays the SAME batch id (checkpoint never
+    // advanced), the orphan is reclaimed, the commit lands exactly once
+    LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+      ckpt, curate, minRows = 100)
+    assert(Manifest.snapshots(spark, curated) === Seq("batch-0", "batch-1"))
+    val out = Manifest.read(spark, curated)
+    assert(out.count() === 270)               // no loss
+    assert(out.select("id").distinct().count() === 270) // no duplicate
+    // and a further idle cycle changes nothing
+    LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+      ckpt, curate, minRows = 100)
+    assert(Manifest.snapshots(spark, curated) === Seq("batch-0", "batch-1"))
+    assert(Manifest.read(spark, curated).count() === 270)
+  }
+
+  test("the row-count gate fails the batch BEFORE anything lands in the curated table") {
+    val base = Files.createTempDirectory("stream_curated_gate")
+    val land = Files.createDirectory(base.resolve("land"))
+    val curated = base.resolve("curated").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    writeJsonl(land, "thin.jsonl", 0 until 40) // < 100: reference gate
+    intercept[Exception] {
+      LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+        ckpt, curate, minRows = 100)
+    }
+    // gate fired pre-promotion: the table was never created
+    intercept[IllegalArgumentException] { Manifest.read(spark, curated) }
+  }
+}
