@@ -211,6 +211,30 @@ object Manifest {
     spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
+  /** Incremental read: the rows ADDED after retained snapshot `since`,
+    * i.e. the data files in the current snapshot that `since`'s manifest
+    * does not list — the change feed a downstream incremental job
+    * consumes instead of rescanning the table ([[append]]'s carry-forward
+    * makes file sets monotone, so file-list difference IS the row delta).
+    * With overwrite [[write]] commits in the history the file diff still
+    * never re-serves rows `since` already contained, because a file lives
+    * in exactly the snapshots that listed it. At 100 TB this is the
+    * manifest-diff read pattern (Delta CDF's simple case): cost ∝ new
+    * files, zero listing of the data tree. Returns None when `since` IS
+    * the current snapshot (no changes). */
+  def readChangesSince(spark: SparkSession, dir: String,
+      since: String): Option[DataFrame] = {
+    val (fsys, base) = fs(spark, dir)
+    val all = retained(fsys, base)
+    val baseline = all.find(_.snapshot == since).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained snapshot '$since' under $dir"))
+    val current = all.lastOption.get
+    val newFiles = current.files.filterNot(baseline.files.toSet)
+    if (newFiles.isEmpty) None
+    else Some(spark.read.parquet(newFiles.map(f => s"$dir/$f"): _*))
+  }
+
   /** Time travel: read a RETAINED snapshot exactly as committed. */
   def readAt(spark: SparkSession, dir: String, snapshot: String): DataFrame = {
     val (fsys, base) = fs(spark, dir)

@@ -198,6 +198,12 @@ class PostcodeScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long = 250L
   // MAX(index) over the (already filter-narrowed) range are pure
   // arithmetic — a count over a trillion synthetic rows never generates
   // one. Complete pushdown: the scan emits the final single row.
+  // With `url` set this arithmetic answers FOR the remote endpoint, so
+  // the `rows` option is a declared contract, not a hint: every scanned
+  // page is asserted to return exactly its requested count
+  // (PostcodeHttpReader.fetchPage), which is what keeps a pushed
+  // count(*) and an actual row scan mutually consistent against a live
+  // backend that under-delivers.
   private def isIndexRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
     e match {
       case nr: NamedReference => nr.fieldNames.toSeq == Seq("index")

@@ -113,6 +113,33 @@ class ManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("append commits carry files forward; readChangesSince serves exactly the delta") {
+    val dir = tmpDir()
+    Manifest.write((1 to 100).toDF("v"), dir, "base")
+    Manifest.append((101 to 160).toDF("v"), dir, "wk1")
+    Manifest.append((161 to 200).toDF("v"), dir, "wk2")
+    // the append chain accumulates; time travel sees each prefix
+    assert(Manifest.read(spark, dir).count() === 200)
+    assert(Manifest.readAt(spark, dir, "wk1").count() === 160)
+    assert(Manifest.readAt(spark, dir, "base").count() === 100)
+    // incremental consumer: exactly the rows landed after its snapshot
+    val d1 = Manifest.readChangesSince(spark, dir, "base").get
+    assert(d1.agg(min(col("v")), max(col("v"))).head.toSeq === Seq(101, 200))
+    assert(d1.count() === 100)
+    val d2 = Manifest.readChangesSince(spark, dir, "wk1").get
+    assert(d2.count() === 40 && d2.agg(min(col("v"))).head.getInt(0) === 161)
+    // caught-up consumer: no changes, not an empty scan
+    assert(Manifest.readChangesSince(spark, dir, "wk2").isEmpty)
+    intercept[IllegalArgumentException] {
+      Manifest.readChangesSince(spark, dir, "nope")
+    }
+    // an overwrite commit resets the file set: the diff never re-serves
+    // rows the baseline already had
+    Manifest.write((1 to 30).toDF("v"), dir, "rebuilt")
+    val d3 = Manifest.readChangesSince(spark, dir, "wk1").get
+    assert(d3.count() === 30) // only the rebuilt snapshot's files
+  }
+
   test("symlink-manifest export: plain spark.read.parquet over the list is byte-identical") {
     val dir = tmpDir()
     Manifest.write((1 to 300).toDF("v").withColumn("sq", col("v") * col("v"))
