@@ -1414,22 +1414,22 @@ object Extensions {
     * simultaneous islands rewrite with islands keyed per (doc, pair). */
   private def bpeBatchedOracleCtes(rounds: Int, k: Int): String = {
     val steps = (1 to rounds).map { i =>
-      s"""nx$i AS (
+      s"""nx$i AS MATERIALIZED (
          |  SELECT id, p, tok, lead(tok) OVER (PARTITION BY id ORDER BY p) AS nxt
          |  FROM seq${i - 1}),
-         |cand$i AS (
+         |cand$i AS MATERIALIZED (
          |  SELECT tok AS w1, nxt AS w2, CAST(COUNT(*) AS BIGINT) AS cnt,
          |    row_number() OVER (ORDER BY COUNT(*) DESC, tok, nxt) AS r
          |  FROM nx$i WHERE nxt IS NOT NULL
          |  GROUP BY tok, nxt ORDER BY cnt DESC, w1, w2 LIMIT $k),
-         |sel$i AS (
+         |sel$i AS MATERIALIZED (
          |  SELECT a.w1, a.w2, a.cnt, a.r FROM cand$i a
          |  WHERE NOT EXISTS (SELECT 1 FROM cand$i b WHERE b.r < a.r AND
          |    (b.w1 = a.w1 OR b.w1 = a.w2 OR b.w2 = a.w1 OR b.w2 = a.w2))),
-         |marked$i AS (
+         |marked$i AS MATERIALIZED (
          |  SELECT n.id, n.p, n.tok, s.w1, s.w2, s.r
          |  FROM nx$i n LEFT JOIN sel$i s ON n.tok = s.w1 AND n.nxt = s.w2),
-         |kept$i AS (
+         |kept$i AS MATERIALIZED (
          |  SELECT id, p FROM (
          |    SELECT id, p,
          |      row_number() OVER (PARTITION BY id, r, island ORDER BY p) AS rn2
@@ -1437,14 +1437,14 @@ object Extensions {
          |            p - row_number() OVER (PARTITION BY id, r ORDER BY p) AS island
          |          FROM marked$i WHERE r IS NOT NULL))
          |  WHERE (rn2 - 1) % 2 = 0),
-         |rebuilt$i AS (
+         |rebuilt$i AS MATERIALIZED (
          |  SELECT m.id, m.p,
          |    CASE WHEN k.p IS NOT NULL THEN m.w1 || m.w2 ELSE m.tok END AS tok
          |  FROM marked$i m
          |  LEFT JOIN kept$i k ON m.id = k.id AND m.p = k.p
          |  LEFT JOIN kept$i c ON m.id = c.id AND m.p = c.p + 1
          |  WHERE c.p IS NULL),
-         |seq$i AS (
+         |seq$i AS MATERIALIZED (
          |  SELECT id, row_number() OVER (PARTITION BY id ORDER BY p) - 1 AS p, tok
          |  FROM rebuilt$i)""".stripMargin
     }.mkString(",\n")
@@ -1452,7 +1452,7 @@ object Extensions {
        |  SELECT doc_id AS id,
        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
        |  FROM documents WHERE doc_id < 2000),
-       |seq0 AS (
+       |seq0 AS MATERIALIZED (
        |  SELECT id, unnest(generate_series(1, len(ts))) - 1 AS p, unnest(ts) AS tok
        |  FROM toks),
        |$steps""".stripMargin

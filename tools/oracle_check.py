@@ -86,11 +86,23 @@ def type_audit(con, oracle, out_dir):
     return len(bad)
 
 
-def main(sf_dir, out_dir):
-    import os
+def _connect(sf_dir):
+    """Oracle connection with SPILL enabled: an in-memory DuckDB cannot
+    spill without a temp_directory, so a large-SF oracle (sf1 probe) that
+    exceeds RAM dies with OutOfMemory instead of going external. The
+    explicit memory_limit leaves headroom for the pyarrow result
+    buffers."""
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir):
+    import os
+    con = _connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     qdirs = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     n_pass = n_fail = n_rowsonly = 0
@@ -110,6 +122,13 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"{q:24s} ORACLE-SQL-ERROR: {e}")
             n_fail += 1
+            # an OOM poisons the buffer pool of THIS connection — every
+            # later query would fail on KB-sized allocations (observed in
+            # the sf1 probe). Reconnect so one heavy oracle cannot
+            # cascade into false failures for the rest of the suite.
+            if "Out of Memory" in str(e):
+                con.close()
+                con = _connect(sf_dir)
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"{q:24s} COLUMN-MISMATCH spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
@@ -154,6 +173,9 @@ def tie_audit(sf_dir, out_dir):
         con = duckdb.connect()
         con.execute(f"SET threads={threads}")
         con.execute(f"SET memory_limit='{memory_limit}'")
+        # spill dir so the low-memory config actually runs EXTERNAL
+        # sorts (the order-stability hazard) instead of dying in-memory
+        con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
