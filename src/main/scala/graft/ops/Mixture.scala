@@ -96,9 +96,9 @@ object Mixture {
    * window; driver state one long per range.
    */
   def selectByBudget(df: DataFrame, orderCol: String, weightCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, tieCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
-    Packing.packGreedyGlobal(df, orderCol, weightCol, budget)
+    Packing.packGreedyGlobal(df, orderCol, weightCol, budget, tieCols = tieCols)
       .filter(col("seq_id") === 0L)
       .drop("seq_id", "seq_offset")
   }

@@ -65,12 +65,18 @@ object Packing {
    * boundaries keep ranges balanced under arbitrary key skew (relative
    * error 1e-3).
    *
-   * `orderCol` must be numeric, non-null, and unique (rows tied on it
-   * could straddle a range boundary, making their relative order — and
-   * offsets — ambiguous).
+   * `orderCol` must be numeric and non-null, and (`orderCol`,
+   * `tieCols`) must be unique. Ties on `orderCol` CANNOT straddle a
+   * range boundary — the range id is a pure function of the value, so
+   * equal values always share a range — and within the range `tieCols`
+   * complete the sort. (Round 7: the tie columns replaced the packed
+   * single-long order key `doc_id − n_chars·10⁶`, whose encoding
+   * silently collapsed once doc_id reached 10⁶ — found by the sf1
+   * certification probe, where shifted replica ids crossed exactly that
+   * cliff; a real 100 TB corpus crosses it in the first billion docs.)
    */
   def packGreedyGlobal(df: DataFrame, orderCol: String, weightCol: String,
-      budget: Long, numRanges: Int = 0): DataFrame = {
+      budget: Long, numRanges: Int = 0, tieCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val n = if (numRanges > 0) numRanges
       else spark.sessionState.conf.numShufflePartitions
@@ -89,7 +95,8 @@ object Packing {
     }.toSeq
     import spark.implicits._
     val baseDf = bases.toDF("__pid", "__base")
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy((col(orderCol) +: tieCols.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = col("__base") +
       sum(col(weightCol).cast("long")).over(w) - col(weightCol)

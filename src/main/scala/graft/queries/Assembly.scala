@@ -228,10 +228,14 @@ object Assembly {
   private val tokenBudget = Q(
     "q_token_budget",
     (s, dir) =>
+      // order = (n_chars DESC, doc_id): -n_chars is the numeric range
+      // key, doc_id the tie column — NOT a packed single-long key like
+      // doc_id - n_chars*10^6, whose encoding collapses at doc_id ≥ 10^6
+      // (caught by the sf1 probe; see Packing.packGreedyGlobal doc)
       Mixture.selectByBudget(
         t(s, dir, "documents").select("doc_id", "source", "n_chars")
-          .withColumn("__ord", col("doc_id") - col("n_chars") * lit(1000000L)),
-        "__ord", "n_chars", budget = 50000L)
+          .withColumn("__ord", -col("n_chars")),
+        "__ord", "n_chars", budget = 50000L, tieCols = Seq("doc_id"))
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id"),
     Some("""SELECT doc_id, source, n_chars FROM (
