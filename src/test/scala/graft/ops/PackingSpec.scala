@@ -101,6 +101,35 @@ class PackingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("packGreedyGlobal with tie columns: heavy ties match the window form, big ids stay exact") {
+    // the order key is a SMALL-cardinality score (massive ties) and ids
+    // are past the 10^6 cliff that broke the old packed-long key
+    // (doc_id - score*10^6) — ties must sort by the tie column and can
+    // never straddle a range (range id is a function of the score alone)
+    val rng = new scala.util.Random(31)
+    val docs = rng.shuffle((0 until 3000).toList).map { i =>
+      val id = 1000000L * (i % 7 + 1) + i   // ids up to 7e6+
+      (id, (i % 5).toLong, (rng.nextInt(300) + 1).toLong)
+    }.toDF("doc_id", "score", "w").repartition(9)
+    // reference: the single-partition window with the SAME composite
+    // (score, doc_id) order — packGreedy alone orders by score only and
+    // is nondeterministic under these ties
+    val expWin = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val exp = docs.withColumn("start",
+        (sum(col("w")).over(expWin) - col("w")).cast("long"))
+      .select(col("doc_id"), floor(col("start") / lit(4096L)).cast("long").as("seq_id"),
+        (col("start") % lit(4096L)).cast("long").as("seq_offset"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Packing.packGreedyGlobal(docs, "score", "w", 4096L,
+        numRanges = 5, tieCols = Seq("doc_id"))
+      .select("doc_id", "seq_id", "seq_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp)
+  }
+
   test("chunkByBudget covers every token exactly once, chunks capped at budget") {
     val docs = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
       .select(col("doc_id"),
