@@ -944,7 +944,51 @@ object Maintenance {
            |FROM rows_ WHERE index >= 50 AND index < 4500
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // Avro sink+source under oracle: the ENGINE path is
+  // parquet -> AvroIO.writeAvro -> AvroIO.readAvro -> aggregate, the
+  // oracle aggregates the parquet directly — hash equality proves the
+  // Avro round-trip lost nothing in any column class (int32/int64/
+  // double/string/timestamp). Every long SUM is cast on the DuckDB side
+  // (HUGEINT tripwire) and money doubles go through exact decimal sums.
+  private val avroRoundtrip = Q(
+    "q_avro_roundtrip",
+    (s, dir) => {
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val pid = java.lang.ProcessHandle.current().pid()
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_li_${key}_p$pid"
+      graft.io.AvroIO.writeAvro(t(s, dir, "lineitem"), out)
+      graft.io.AvroIO.readAvro(s, out)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_ok"),
+          sum("l_partkey").as("sum_pk"),
+          sum("l_suppkey").as("sum_sk"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum6(col("l_discount")).as("sum_disc"),
+          dsum6(col("l_tax")).as("sum_tax"),
+          min(to_date(col("l_shipdate"))).as("min_ship"),
+          max(to_date(col("l_shipdate"))).as("max_ship"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+            |  CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+            |  CAST(SUM(l_suppkey) AS BIGINT) AS sum_sk,
+            |  CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_ln,
+            |  ${oSum("l_quantity")} AS sum_qty,
+            |  ${oSum("l_extendedprice")} AS sum_price,
+            |  ${oSum6("l_discount")} AS sum_disc,
+            |  ${oSum6("l_tax")} AS sum_tax,
+            |  MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+            |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
+            |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
+    avroRoundtrip,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,
