@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.ext.TextStats
-import graft.ops.{Mixture, Packing, Sampling}
+import graft.ops.{Mixture, Packing, PrefixSum, Sampling}
 import QueryUtil._
 
 /**
@@ -575,7 +575,60 @@ object Assembly {
            |  CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS mean_chars_floor
            |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin))
 
+  // Curriculum ordering (staged introduction): rank the corpus so easy
+  // documents dominate early training and harder strata phase in as the
+  // run progresses. Difficulty = n_chars quartile (exact interpolated
+  // percentiles — the q_median-proven bit-exact pair with quantile_cont),
+  // baked in-plan via a broadcast 1-row frame. Each doc's curriculum key
+  // is its 60-bit content hash DELAYED by stratum·2⁵⁸: stratum s enters
+  // the stream after s/4 of the easier hash space has played, then mixes
+  // freely — exact BIGINT arithmetic on both engines (hash < 2⁶⁰,
+  // max key < 2⁶² — no encoding cliff at any corpus size; cross-stratum
+  // key collisions are broken by the doc_id tie column). The position
+  // itself is a distributed prefix count (PrefixSum.runningSumsBy), NOT
+  // `row_number() OVER (ORDER BY …)` — parallelism stays |ranges|, the
+  // whole corpus never serializes through one sort task.
+  private val curriculumOrder = Q(
+    "q_curriculum_order",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+      val qs = docs.agg(
+        expr("percentile(n_chars, 0.25D)").as("q25"),
+        expr("percentile(n_chars, 0.5D)").as("q50"),
+        expr("percentile(n_chars, 0.75D)").as("q75"))
+      val staged = docs.crossJoin(broadcast(qs))
+        .withColumn("stratum",
+          (col("n_chars") > col("q25")).cast("int")
+            + (col("n_chars") > col("q50")).cast("int")
+            + (col("n_chars") > col("q75")).cast("int"))
+        .withColumn("ckey",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+            + col("stratum").cast("long") * lit(1L << 58))
+        .select(col("doc_id"), col("stratum"), col("ckey"), lit(0).as("__g"), lit(1L).as("__one"))
+      PrefixSum.runningSumsBy(staged, "__g", "ckey", Seq("doc_id"),
+          Seq("__one"), Seq("curriculum_pos"))
+        .select("curriculum_pos", "doc_id", "stratum")
+        .orderBy("curriculum_pos")
+    },
+    Some("""WITH q AS (
+           |  SELECT CAST(quantile_cont(n_chars, 0.25) AS DOUBLE) AS q25,
+           |    CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS q50,
+           |    CAST(quantile_cont(n_chars, 0.75) AS DOUBLE) AS q75
+           |  FROM documents),
+           |staged AS (
+           |  SELECT doc_id,
+           |    (CAST(n_chars > q25 AS INTEGER) + CAST(n_chars > q50 AS INTEGER)
+           |      + CAST(n_chars > q75 AS INTEGER)) AS stratum,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |      + CAST(CAST(n_chars > q25 AS INTEGER) + CAST(n_chars > q50 AS INTEGER)
+           |          + CAST(n_chars > q75 AS INTEGER) AS BIGINT) * 288230376151711744 AS ckey
+           |  FROM documents, q)
+           |SELECT ROW_NUMBER() OVER (ORDER BY ckey, doc_id) AS curriculum_pos,
+           |  doc_id, stratum
+           |FROM staged ORDER BY curriculum_pos""".stripMargin))
+
   val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs,
     packGlobal, chunkDocs, interleaveMix, textToIds, sourceCap, tokenBudget,
-    mixTemperature, upsampleMix, mixtureReweight, mixtureAllocate, qualityMargin, shuffleEpoch, corpusReport)
+    mixTemperature, upsampleMix, mixtureReweight, mixtureAllocate, qualityMargin, shuffleEpoch,
+    curriculumOrder, corpusReport)
 }

@@ -424,4 +424,80 @@ object LandIngest {
       .start()
     q.awaitTermination()
   }
+
+  /**
+   * Continuous corpus dedup at the ingest boundary: content-hash exact
+   * dedup ACROSS micro-batches and restarts, the streaming twin of
+   * `ext/Dedup.exactByKey`. The first arrival of each content hash is
+   * emitted; every later copy — same batch, later batch, or after a
+   * stop/restart — is absorbed by the dedup state store, which lives in
+   * the checkpoint and is recovered on restart. The sink is the
+   * streaming parquet sink, whose `_spark_metadata` commit log makes the
+   * output exactly-once without any foreachBatch idempotence tricks.
+   *
+   * State is one (hash → seen) entry per distinct document — unbounded
+   * retention, the right default for a corpus-wide dedup where a
+   * duplicate may arrive years later. For bounded state at 100 TB use
+   * [[dedupStreamBounded]] (watermark-TTL'd state).
+   */
+  def dedupStream(
+      spark: SparkSession,
+      landDir: String,
+      schema: StructType,
+      contentCols: Seq[String],
+      outDir: String,
+      checkpointDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws, sha2}
+    val q = spark.readStream
+      .schema(schema)
+      .json(landDir)
+      .withColumn("content_hash",
+        sha2(concat_ws("\u0001", contentCols.map(col): _*), 256))
+      .dropDuplicates("content_hash")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+  }
+
+  /**
+   * Watermark-bounded streaming dedup: duplicates arriving within
+   * `horizon` of the original (event time `tsCol`) are dropped; state
+   * for hashes older than the watermark is EVICTED, so state size is
+   * bounded by the duplicate-arrival horizon instead of corpus size —
+   * the production shape when the corpus is unbounded but duplicates
+   * cluster in time (re-crawls, retry storms). Built on
+   * `dropDuplicatesWithinWatermark`; the watermark itself is
+   * checkpointed, so the horizon spans restarts.
+   */
+  def dedupStreamBounded(
+      spark: SparkSession,
+      landDir: String,
+      schema: StructType,
+      contentCols: Seq[String],
+      tsCol: String,
+      horizon: String,
+      outDir: String,
+      checkpointDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws, sha2}
+    val q = spark.readStream
+      .schema(schema)
+      .json(landDir)
+      .withColumn("content_hash",
+        sha2(concat_ws("\u0001", contentCols.map(col): _*), 256))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+  }
 }
