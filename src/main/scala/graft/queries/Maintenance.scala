@@ -957,7 +957,9 @@ object Maintenance {
         scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
       val pid = java.lang.ProcessHandle.current().pid()
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_li_${key}_p$pid"
-      graft.io.AvroIO.writeAvro(t(s, dir, "lineitem"), out)
+      // snappy here (deflate is AvroIOSpec's path): the query measures the
+      // sink+source round-trip, and snappy is the at-scale codec choice
+      graft.io.AvroIO.writeAvro(t(s, dir, "lineitem"), out, codec = "snappy")
       graft.io.AvroIO.readAvro(s, out)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

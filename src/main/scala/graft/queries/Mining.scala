@@ -260,79 +260,95 @@ object Mining {
   // data-proportional work is the covariance aggregate (map-side
   // combined, d(d+1)/2 decimal sums — never raw vectors); the iteration
   // is O(d²) on one row regardless of corpus size.
+  // ---- shared PCA power-iteration builders (q_embed_pca, q_semdedup_pca)
+  private val pcaD = 4
+  private def pcaCN(i: Int, j: Int) = s"c${math.min(i, j)}${math.max(i, j)}"
+  // left-assoc chain "((t0 + t1) + t2) + t3" — identical shape in both engines
+  private def pcaChain(terms: Seq[String]): String =
+    terms.reduceLeft((a, b) => s"($a + $b)")
+
+  /** 1-row frame with n, c_ij, and the iterated unit vector v3_0..v3_3. */
+  private def pcaV3(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = pcaD
+    val e = t(s, dir, "embeddings").select(
+      (0 until d).map(i =>
+        element_at(col("embedding"), i + 1).cast("double").as(s"e$i")): _*)
+    val sums = (0 until d).map(i =>
+      sum(col(s"e$i").cast(DecimalType(28, 6))).as(s"s$i"))
+    val prods = for { i <- 0 until d; j <- i until d } yield
+      sum((col(s"e$i") * col(s"e$j")).cast(DecimalType(28, 12))).as(s"p$i$j")
+    var f = e.agg(count(lit(1)).as("n"), (sums ++ prods): _*)
+    for { i <- 0 until d; j <- i until d }
+      f = f.withColumn(s"c$i$j",
+        col(s"p$i$j").cast("double") / col("n")
+          - (col(s"s$i").cast("double") / col("n"))
+          * (col(s"s$j").cast("double") / col("n")))
+    // v0 = e0: w1 is just C's first column, then two full mat-vec steps
+    var vPrev: Int => String = i => if (i == 0) "1.0D" else "0.0D"
+    for (it <- 1 to 3) {
+      for (i <- 0 until d)
+        f = f.withColumn(s"w${it}_$i",
+          expr(pcaChain((0 until d).map(j => s"${pcaCN(i, j)} * ${vPrev(j)}"))))
+      f = f.withColumn(s"nrm$it",
+        sqrt(expr(pcaChain((0 until d).map(i => s"w${it}_$i * w${it}_$i")))))
+      for (i <- 0 until d)
+        f = f.withColumn(s"v${it}_$i", col(s"w${it}_$i") / col(s"nrm$it"))
+      val itNow = it
+      vPrev = i => s"v${itNow}_$i"
+    }
+    f
+  }
+
+  /** DuckDB CTE chain `a, c, w1..i3` — `i3` exposes n, c_ij, v3_i. */
+  private def pcaSqlCtes: String = {
+    val d = pcaD
+    def ei(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+    val sums = (0 until d).map(i =>
+      s"SUM(CAST(${ei(i)} AS DECIMAL(28,6))) AS s$i").mkString(", ")
+    val prods = (for { i <- 0 until d; j <- i until d } yield
+      s"SUM(CAST(${ei(i)} * ${ei(j)} AS DECIMAL(28,12))) AS p$i$j").mkString(", ")
+    val covs = (for { i <- 0 until d; j <- i until d } yield
+      s"CAST(p$i$j AS DOUBLE) / n - (CAST(s$i AS DOUBLE) / n) * (CAST(s$j AS DOUBLE) / n) AS c$i$j")
+      .mkString(", ")
+    var vPrev: Int => String = i => if (i == 0) "CAST(1.0 AS DOUBLE)" else "CAST(0.0 AS DOUBLE)"
+    val its = (1 to 3).map { it =>
+      val ws = (0 until d).map(i =>
+        s"${pcaChain((0 until d).map(j => s"${pcaCN(i, j)} * ${vPrev(j)}"))} AS w${it}_$i").mkString(", ")
+      val wsCte = s"w$it AS (SELECT *, $ws FROM ${if (it == 1) "c" else s"i${it - 1}"})"
+      val nrm = s"n$it AS (SELECT *, sqrt(${pcaChain((0 until d).map(i => s"w${it}_$i * w${it}_$i"))}) AS nrm$it FROM w$it)"
+      val vs = (0 until d).map(i => s"w${it}_$i / nrm$it AS v${it}_$i").mkString(", ")
+      val vCte = s"i$it AS (SELECT *, $vs FROM n$it)"
+      vPrev = i => s"v${it}_$i"
+      s"$wsCte,\n$nrm,\n$vCte"
+    }.mkString(",\n")
+    s"""a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, $sums, $prods FROM embeddings),
+       |c AS (SELECT *, $covs FROM a),
+       |$its""".stripMargin
+  }
+
   private val embedPca = {
-    val d = 4
-    def cN(i: Int, j: Int) = s"c${math.min(i, j)}${math.max(i, j)}"
-    // left-assoc chain "((t0 + t1) + t2) + t3" — identical shape in both engines
-    def chain(terms: Seq[String]): String = terms.reduceLeft((a, b) => s"($a + $b)")
+    val d = pcaD
     Q(
       "q_embed_pca",
       (s, dir) => {
-        val e = t(s, dir, "embeddings").select(
-          (0 until d).map(i =>
-            element_at(col("embedding"), i + 1).cast("double").as(s"e$i")): _*)
-        val sums = (0 until d).map(i =>
-          sum(col(s"e$i").cast(DecimalType(28, 6))).as(s"s$i"))
-        val prods = for { i <- 0 until d; j <- i until d } yield
-          sum((col(s"e$i") * col(s"e$j")).cast(DecimalType(28, 12))).as(s"p$i$j")
-        var f = e.agg(count(lit(1)).as("n"), (sums ++ prods): _*)
-        for { i <- 0 until d; j <- i until d }
-          f = f.withColumn(s"c$i$j",
-            col(s"p$i$j").cast("double") / col("n")
-              - (col(s"s$i").cast("double") / col("n"))
-              * (col(s"s$j").cast("double") / col("n")))
-        // v0 = e0: w1 is just C's first column, then two full mat-vec steps
-        var vPrev: Int => String = i => if (i == 0) "1.0D" else "0.0D"
-        for (it <- 1 to 3) {
-          for (i <- 0 until d)
-            f = f.withColumn(s"w${it}_$i",
-              expr(chain((0 until d).map(j => s"${cN(i, j)} * ${vPrev(j)}"))))
-          f = f.withColumn(s"nrm$it",
-            sqrt(expr(chain((0 until d).map(i => s"w${it}_$i * w${it}_$i")))))
-          for (i <- 0 until d)
-            f = f.withColumn(s"v${it}_$i", col(s"w${it}_$i") / col(s"nrm$it"))
-          val itNow = it
-          vPrev = i => s"v${itNow}_$i"
-        }
+        var f = pcaV3(s, dir)
         for (i <- 0 until d)
           f = f.withColumn(s"w4_$i",
-            expr(chain((0 until d).map(j => s"${cN(i, j)} * v3_$j"))))
+            expr(pcaChain((0 until d).map(j => s"${pcaCN(i, j)} * v3_$j"))))
         f = f.withColumn("lam",
-          expr(chain((0 until d).map(i => s"v3_$i * w4_$i"))))
+          expr(pcaChain((0 until d).map(i => s"v3_$i * w4_$i"))))
         f.select(
             expr(s"stack($d, ${(0 until d).map(i => s"$i, v3_$i").mkString(", ")}) AS (dim, pc1)"),
             col("lam").as("eigval"))
           .orderBy("dim")
       },
       Some {
-        def ei(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
-        val sums = (0 until d).map(i =>
-          s"SUM(CAST(${ei(i)} AS DECIMAL(28,6))) AS s$i").mkString(", ")
-        val prods = (for { i <- 0 until d; j <- i until d } yield
-          s"SUM(CAST(${ei(i)} * ${ei(j)} AS DECIMAL(28,12))) AS p$i$j").mkString(", ")
-        val covs = (for { i <- 0 until d; j <- i until d } yield
-          s"CAST(p$i$j AS DOUBLE) / n - (CAST(s$i AS DOUBLE) / n) * (CAST(s$j AS DOUBLE) / n) AS c$i$j")
-          .mkString(", ")
-        def chainS(terms: Seq[String]): String = terms.reduceLeft((a, b) => s"($a + $b)")
-        var vPrev: Int => String = i => if (i == 0) "CAST(1.0 AS DOUBLE)" else "CAST(0.0 AS DOUBLE)"
-        val its = (1 to 3).map { it =>
-          val ws = (0 until d).map(i =>
-            s"${chainS((0 until d).map(j => s"${cN(i, j)} * ${vPrev(j)}"))} AS w${it}_$i").mkString(", ")
-          val wsCte = s"w$it AS (SELECT *, $ws FROM ${if (it == 1) "c" else s"i${it - 1}"})"
-          val nrm = s"n$it AS (SELECT *, sqrt(${chainS((0 until d).map(i => s"w${it}_$i * w${it}_$i"))}) AS nrm$it FROM w$it)"
-          val vs = (0 until d).map(i => s"w${it}_$i / nrm$it AS v${it}_$i").mkString(", ")
-          val vCte = s"i$it AS (SELECT *, $vs FROM n$it)"
-          vPrev = i => s"v${it}_$i"
-          s"$wsCte,\n$nrm,\n$vCte"
-        }.mkString(",\n")
         val w4 = (0 until d).map(i =>
-          s"${chainS((0 until d).map(j => s"${cN(i, j)} * v3_$j"))} AS w4_$i").mkString(", ")
-        val lam = chainS((0 until d).map(i => s"v3_$i * w4_$i"))
+          s"${pcaChain((0 until d).map(j => s"${pcaCN(i, j)} * v3_$j"))} AS w4_$i").mkString(", ")
+        val lam = pcaChain((0 until d).map(i => s"v3_$i * w4_$i"))
         val pcCase = s"CASE u.dim ${(0 until d).map(i => s"WHEN $i THEN v3_$i").mkString(" ")} END"
-        s"""WITH a AS (
-           |  SELECT CAST(COUNT(*) AS BIGINT) AS n, $sums, $prods FROM embeddings),
-           |c AS (SELECT *, $covs FROM a),
-           |$its,
+        s"""WITH $pcaSqlCtes,
            |f AS (SELECT *, $w4 FROM i3),
            |g AS (SELECT *, $lam AS lam FROM f)
            |SELECT CAST(u.dim AS INTEGER) AS dim, $pcCase AS pc1, lam AS eigval
@@ -341,6 +357,46 @@ object Mining {
       })
   }
 
+  // Semantic dedup in PCA space — the downstream consumer of q_embed_pca:
+  // every embedding projects onto the top component (a 4-term left-assoc
+  // dot product, bit-identical on both engines because v3 and each
+  // multiply/add are), buckets by ⌊proj/0.05⌋, and each bucket keeps one
+  // canonical member (min vec_id) — the 1-D, exact-arithmetic form of
+  // SemDeDup's cluster-then-prune. Scale shape: covariance agg + broadcast
+  // 1-row v3 + stateless projection + ONE groupBy(bucket) — nothing
+  // pairwise, shuffle ∝ corpus. floor() is safe here because proj is
+  // bit-identical across engines (no independently-recomputed boundary).
+  private val semdedupPca = {
+    val d = pcaD
+    Q(
+      "q_semdedup_pca",
+      (s, dir) => {
+        val v3 = broadcast(pcaV3(s, dir).select((0 until d).map(i => col(s"v3_$i")): _*))
+        val e = t(s, dir, "embeddings").select(
+          col("vec_id") +: (0 until d).map(i =>
+            element_at(col("embedding"), i + 1).cast("double").as(s"e$i")): _*)
+        e.crossJoin(v3)
+          .withColumn("proj",
+            expr(pcaChain((0 until d).map(i => s"e$i * v3_$i"))))
+          .withColumn("bucket", floor(col("proj") / lit(0.05)).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_members"),
+            min("vec_id").as("canonical"),
+            (count(lit(1)) - 1).cast("long").as("n_prunable"))
+          .orderBy("bucket")
+      },
+      Some {
+        val proj = pcaChain((0 until d).map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) * v3_$i"))
+        s"""WITH $pcaSqlCtes,
+           |e AS (SELECT vec_id, $proj AS proj FROM embeddings, i3),
+           |b AS (SELECT CAST(floor(proj / 0.05) AS BIGINT) AS bucket, vec_id FROM e)
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  MIN(vec_id) AS canonical,
+           |  CAST(COUNT(*) - 1 AS BIGINT) AS n_prunable
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+      })
+  }
+
   val all: Seq[Q] = Seq(bloomSemijoin, basketPairs, basketRules, embedCovariance,
-    embedInt8, embedPca)
+    embedInt8, embedPca, semdedupPca)
 }

@@ -171,12 +171,17 @@ object ScaleCheck {
       // full-corpus BATCHED BPE (replaces the old doc_id<2000 exclusion:
       // q_bpe_train's oracle-sized cap made any scale row trivially flat,
       // so the probe drives the trainer directly over the whole dir)
-      "bpe_train_corpus")
+      "bpe_train_corpus",
+      // round-7 additions: curriculum prefix-count, PCA-on-sufficient-stats,
+      // and the Avro sink+source round-trip (write+read scales with corpus)
+      "q_curriculum_order", "q_embed_pca", "q_semdedup_pca", "q_avro_roundtrip")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
+    val only = args.collectFirst { case a if a.startsWith("only=") =>
+      a.stripPrefix("only=").split(",").toSet }
     println(f"${"query"}%-24s ${"1x"}%8s ${"10x"}%8s ${"100x"}%8s ${"100/10"}%7s  rows100x")
-    family.foreach { name =>
+    family.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn: (SparkSession, String) => DataFrame =
         if (name == "bpe_train_corpus")
           (sp, dir) => graft.ext.TextStats.bpeTrainBatched(
