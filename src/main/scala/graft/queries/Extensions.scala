@@ -179,9 +179,11 @@ object Extensions {
   // the approximate search output, not just a rows count.
   /** CTE chain replaying the deterministic IVF build through the final
     * cluster assignment (`a1`) — shared with the SemDeDup oracle in
-    * [[Curate]], which clusters with the identical k-means. */
-  private[queries] val ivfA1Ctes =
-    """emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    * [[Curate]], which clusters with the identical k-means. `where`
+    * restricts the BUILD corpus (the append oracle builds on a base
+    * subset, then assigns the rest to the built centroids). */
+  private[queries] def ivfA1CtesFor(where: String): String =
+    s"""emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings$where),
            |init AS (
            |  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid,
            |         v AS cv
@@ -205,6 +207,8 @@ object Extensions {
            |        list_dot_product(e.v, e.v) - 2.0*list_dot_product(e.v, c.cv)
            |          + list_dot_product(c.cv, c.cv), c.cid) AS rn
            |    FROM emb e CROSS JOIN cent c) WHERE rn = 1)""".stripMargin
+
+  private[queries] val ivfA1Ctes = ivfA1CtesFor("")
 
   private val ivfOracleSql =
     s"""WITH $ivfA1Ctes,
@@ -269,6 +273,64 @@ object Extensions {
         .orderBy("query_id", "rank")
     },
     Some(ivfOracleSql))
+
+  // Incremental index maintenance: build on the base corpus (vec_id%20≠0),
+  // APPEND the new batch (vec_id%20=0) against the persisted centroids —
+  // daily O(batch) ingest instead of a daily O(corpus) Lloyd pass — then
+  // search the combined index. The oracle replays exactly that: k-means
+  // on the base subset only, the append batch assigned to those (stale,
+  // by design) centroids, probes against the same centroid table. Hash
+  // equality proves the appended index IS the deterministic base-build ∪
+  // batch-assignment, not a lucky re-cluster.
+  private val simsearchIvfAppend = Q(
+    "q_simsearch_ivf_append",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val pid = java.lang.ProcessHandle.current().pid()
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_appidx_${key}_p$pid"
+      SimSearch.ensureIvfIndexAppended(
+        emb.filter(col("vec_id") % 20 =!= 0),
+        emb.filter(col("vec_id") % 20 === 0), idx, k = 16)
+      SimSearch.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+        topK = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH ${ivfA1CtesFor(" WHERE vec_id % 20 <> 0")},
+           |mx2 AS (
+           |  SELECT cluster, d, CAST(SUM(CAST(cvec[d] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) ds
+           |  GROUP BY cluster, d),
+           |cent2 AS (SELECT cluster, list(m ORDER BY d) AS ccv FROM mx2 GROUP BY cluster),
+           |newb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 20 = 0),
+           |aN AS (
+           |  SELECT id AS neighbor_id, v AS cvec, cluster FROM (
+           |    SELECT n.id, n.v, c.cluster,
+           |      row_number() OVER (PARTITION BY n.id ORDER BY
+           |        list_dot_product(n.v, n.v) - 2.0*list_dot_product(n.v, c.ccv)
+           |          + list_dot_product(c.ccv, c.ccv), c.cluster) AS rn
+           |    FROM newb n CROSS JOIN cent2 c) WHERE rn = 1),
+           |alla AS (SELECT * FROM a1 UNION ALL SELECT * FROM aN),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id < 10),
+           |probes AS (
+           |  SELECT query_id, qv, cluster FROM (
+           |    SELECT q.query_id, q.qv, c.cluster,
+           |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+           |        list_dot_product(q.qv, q.qv) - 2.0*list_dot_product(q.qv, c.ccv)
+           |          + list_dot_product(c.ccv, c.ccv), c.cluster) AS rn
+           |    FROM q CROSS JOIN cent2 c) WHERE rn <= 4),
+           |cand AS (
+           |  SELECT p.query_id, a.neighbor_id,
+           |    list_dot_product(p.qv, a.cvec) /
+           |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.cvec, a.cvec))) AS sim
+           |  FROM probes p JOIN alla a ON p.cluster = a.cluster AND p.query_id <> a.neighbor_id)
+           |SELECT query_id, rank, neighbor_id, sim FROM (
+           |  SELECT query_id, neighbor_id, sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM cand) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
   private val embedNearDup = Q(
     "q_embed_neardup",
@@ -2005,7 +2067,7 @@ object Extensions {
     splitLeakageSafe,
     textContamination,
     decontaminateApply,
-    simsearchTopK, simsearchLsh, simsearchIvf, simsearchIvfIndex, annRecall,
+    simsearchTopK, simsearchLsh, simsearchIvf, simsearchIvfIndex, simsearchIvfAppend, annRecall,
     embedNearDup, embedIncremental,
     embedCentroids, embedNormalize,
     textTokens, textTfLang, textQuality, qualityModel, textLangId,

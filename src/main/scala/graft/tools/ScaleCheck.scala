@@ -174,7 +174,8 @@ object ScaleCheck {
       "bpe_train_corpus",
       // round-7 additions: curriculum prefix-count, PCA-on-sufficient-stats,
       // and the Avro sink+source round-trip (write+read scales with corpus)
-      "q_curriculum_order", "q_embed_pca", "q_semdedup_pca", "q_avro_roundtrip")
+      "q_curriculum_order", "q_embed_pca", "q_semdedup_pca", "q_avro_roundtrip",
+      "q_simsearch_ivf_append")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
