@@ -80,6 +80,33 @@ class IvfSpec extends AnyFunSuite {
     assert(marker.exists())
   }
 
+  test("ensureIvfIndexAppended: append covers the batch, reuses when fresh, rebuilds on batch change") {
+    val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    assert(SimSearch.ensureIvfIndexAppended(base, batch, idx, k = 8)) // builds + appends
+    // the appended index holds EXACTLY base ∪ batch, each row once
+    val assigned = spark.read.parquet(s"$idx/assigned")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("neighbor_id").distinct().count() == emb.count())
+    // centroids stay the BASE build's (append must not recluster)
+    val centCount = spark.read.parquet(s"$idx/centroids").count()
+    assert(centCount <= 8)
+    // fresh markers: a re-invocation is a no-op
+    assert(!SimSearch.ensureIvfIndexAppended(base, batch, idx, k = 8))
+    // searching the appended index can return batch members as neighbors
+    val out = SimSearch.ivfTopKIndexed(spark, idx,
+      emb.filter(col("vec_id") < 5), topK = 5, nprobe = 4).collect()
+    assert(out.nonEmpty)
+    // a CHANGED batch at the same path forces rebuild+re-append (a dirty
+    // parquet append cannot be rolled back row-by-row)
+    val batch2 = batch.filter(col("vec_id") % 10 === 0)
+    assert(SimSearch.ensureIvfIndexAppended(base, batch2, idx, k = 8))
+    val assigned2 = spark.read.parquet(s"$idx/assigned")
+    assert(assigned2.count() == base.count() + batch2.count())
+  }
+
   test("ivfAssign: every vector gets exactly one cluster in [0, k)") {
     val emb = spark.read.parquet(s"${SparkTestBase.sf0001}/embeddings.parquet")
     val assigned = SimSearch.ivfAssign(emb, k = 8)
