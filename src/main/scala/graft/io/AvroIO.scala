@@ -262,12 +262,17 @@ object AvroIO {
 
   /** Read back an Avro directory (or single file). Schema comes from the
     * embedded Spark schema when present (type-lossless round-trip), else
-    * from the Avro schema. One task per file. */
-  def readAvro(spark: SparkSession, path: String): DataFrame = {
+    * from the Avro schema. One task per file. `columns` prunes at DECODE
+    * time: a projected Avro READER schema makes the datum reader skip
+    * non-selected fields inside each block (Avro schema resolution) —
+    * the column-pruning analogue of a parquet `ReadSchema`, so a
+    * 2-column projection never pays the full-row decode cost. */
+  def readAvro(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = TableIO.listDataFiles(spark, path).filter(_.endsWith(".avro"))
     require(files.nonEmpty, s"AvroIO: no .avro files under $path")
-    val st = {
+    val full = {
       val p = new Path(files.head)
       val in = p.getFileSystem(conf).open(p)
       val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
@@ -277,17 +282,34 @@ object AvroIO {
           .getOrElse(avroSchemaToSpark(stream.getSchema))
       } finally stream.close()
     }
+    val st =
+      if (columns.isEmpty) full
+      else {
+        val missing = columns.filterNot(full.fieldNames.contains)
+        require(missing.isEmpty, s"AvroIO: columns not in schema: ${missing.mkString(", ")}")
+        // keep file field order so the reader schema resolves positionally
+        StructType(full.fields.filter(f => columns.contains(f.name)))
+      }
     val confSnap = confSnapshot(conf)
     val stJson = st.json
+    val fullWidth = full.length
     val rows = spark.sparkContext
       .parallelize(files, files.size)
       .mapPartitions { paths =>
         val taskConf = restoreConf(confSnap)
         val schema = DataType.fromJson(stJson).asInstanceOf[StructType]
+        // only project when pruning: record-name-based schema resolution
+        // would reject a foreign file's record name on a full read
+        val pruning = schema.length < fullWidth
         paths.flatMap { f =>
           val p = new Path(f)
           val in = p.getFileSystem(taskConf).open(p)
-          val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+          // writer schema comes from the file header; a projected reader
+          // schema drives per-field skip during decode
+          val reader =
+            if (pruning) new GenericDatumReader[GenericRecord](null, toAvroSchema(schema))
+            else new GenericDatumReader[GenericRecord]()
+          val stream = new DataFileStream[GenericRecord](in, reader)
           new Iterator[Row] {
             def hasNext: Boolean = { val h = stream.hasNext; if (!h) stream.close(); h }
             def next(): Row = recordToRow(stream.next(), schema)

@@ -78,6 +78,21 @@ class AvroIOSpec extends AnyFunSuite {
     assert(back(1).getTimestamp(1) == java.sql.Timestamp.valueOf("1970-01-01 00:00:00.000001"))
   }
 
+  test("column-pruned read decodes only the projected fields") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = Files.createTempDirectory("graft_avro_prune").toString
+    AvroIO.writeAvro(li, dir)
+    val pruned = AvroIO.readAvro(spark, dir, columns = Seq("l_orderkey", "l_quantity"))
+    assert(pruned.schema.fieldNames.toSeq == Seq("l_orderkey", "l_quantity"))
+    // values identical to a post-read projection of the full frame
+    val full = AvroIO.readAvro(spark, dir).select("l_orderkey", "l_quantity")
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty)
+    // asking for an unknown column fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      AvroIO.readAvro(spark, dir, columns = Seq("nope"))
+    }
+  }
+
   test("foreign files without embedded Spark schema map from the Avro schema") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val dir = Files.createTempDirectory("graft_avro_foreign").toString
