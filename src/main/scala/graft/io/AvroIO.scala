@@ -144,7 +144,7 @@ object AvroIO {
     case (other, t) => throw new IllegalArgumentException(s"AvroIO: cannot encode $other as $t")
   }
 
-  private def recordToRow(rec: GenericRecord, st: StructType): Row = {
+  private[graft] def recordToRow(rec: GenericRecord, st: StructType): Row = {
     val vals = new Array[Any](st.length)
     var i = 0
     while (i < st.length) {
@@ -191,10 +191,10 @@ object AvroIO {
 
   // ---- conf shipping -------------------------------------------------------
 
-  private def confSnapshot(conf: Configuration): Array[(String, String)] =
+  private[graft] def confSnapshot(conf: Configuration): Array[(String, String)] =
     conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
 
-  private def restoreConf(snapshot: Array[(String, String)]): Configuration = {
+  private[graft] def restoreConf(snapshot: Array[(String, String)]): Configuration = {
     val c = new Configuration(false)
     snapshot.foreach { case (k, v) => c.set(k, v) }
     c

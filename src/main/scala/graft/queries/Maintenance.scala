@@ -989,8 +989,31 @@ object Maintenance {
             |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // The DSv2 face of the Avro source under oracle: read back through
+  // spark.read.format(...) (planner-integrated — column pruning pushes a
+  // projected reader schema into the decoder, AvroSourceV2Spec asserts
+  // the shrunken ReadSchema) and aggregate two pruned columns; the
+  // oracle aggregates the parquet directly.
+  private val avroSourceV2Q = Q(
+    "q_avro_source_v2",
+    (s, dir) => {
+      val key = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val pid = java.lang.ProcessHandle.current().pid()
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_v2_${key}_p$pid"
+      graft.io.AvroIO.writeAvro(
+        t(s, dir, "lineitem").select("l_returnflag", "l_quantity", "l_orderkey"),
+        out, codec = "snappy")
+      s.read.format("graft.sources.AvroSourceV2").load(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
-    avroRoundtrip,
+    avroRoundtrip, avroSourceV2Q,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,
