@@ -91,7 +91,7 @@ object AvroIO {
 
   // ---- value conversion ----------------------------------------------------
 
-  private def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
+  private[graft] def rowToRecord(row: Row, st: StructType, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     var i = 0
     while (i < st.length) {

@@ -4,14 +4,15 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.file.DataFileStream
-import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -42,10 +43,13 @@ import graft.io.{AvroIO, TableIO}
 class AvroSourceV2 extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     AvroSourceV2.schemaOf(AvroSourceV2.pathOf(options))
+  // write-side schema comes from the DataFrame (an empty target dir has
+  // nothing to infer from)
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException("AvroSourceV2: .load(path) is required"))
+      throw new IllegalArgumentException("AvroSourceV2: .load(path)/.save(path) is required"))
     new AvroV2Table(path, schema)
   }
 }
@@ -75,13 +79,113 @@ object AvroSourceV2 {
   }
 }
 
-class AvroV2Table(path: String, schema: StructType) extends Table with SupportsRead {
+class AvroV2Table(path: String, schema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_avro($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, schema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(path, info)
+}
+
+/** V2 write face: Spark's own task-commit coordination replaces the
+  * library writer's hand-rolled protocol. Each `DataWriter` streams its
+  * partition into a uniquely-named staged file and reports it in its
+  * commit MESSAGE; the driver's `BatchWrite.commit` promotes exactly the
+  * reported files (the commit coordinator guarantees one committed
+  * attempt per partition), `abort` deletes the staging dir. `TRUNCATE`
+  * capability maps `.mode("overwrite")`: prior output is cleared at
+  * job-commit time, after every task has succeeded — never before. */
+class AvroWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(path, info.schema(), info.queryId(), doTruncate)
+  }
+}
+
+case class AvroFileCommit(partitionId: Int, fileName: String, rows: Long)
+  extends WriterCommitMessage
+
+class AvroBatchWrite(path: String, schema: StructType, queryId: String,
+    truncate: Boolean) extends BatchWrite {
+  private val stagingName = s"_staging_${queryId.replace("-", "")}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    new AvroWriterFactory(
+      AvroIO.confSnapshot(spark.sparkContext.hadoopConfiguration),
+      schema.json, s"${path.stripSuffix("/")}/$stagingName")
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dest) && truncate) {
+      fs.listStatus(dest).foreach { s =>
+        if (s.getPath.getName != stagingName) fs.delete(s.getPath, true)
+      }
+    }
+    if (!fs.exists(dest)) fs.mkdirs(dest)
+    // job-unique committed names: append mode must not collide with files
+    // from earlier writes (rename does not overwrite)
+    val jobTag = stagingName.stripPrefix("_staging_").take(8)
+    messages.map(_.asInstanceOf[AvroFileCommit]).sortBy(_.partitionId).foreach { m =>
+      val from = new Path(s"${path.stripSuffix("/")}/$stagingName/${m.fileName}")
+      val to = new Path(dest, f"part-${m.partitionId}%05d-$jobTag.avro")
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"AvroSourceV2: commit rename failed: $from -> $to")
+    }
+    fs.delete(new Path(s"${path.stripSuffix("/")}/$stagingName"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staging = new Path(s"${path.stripSuffix("/")}/$stagingName")
+    staging.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(staging, true)
+  }
+}
+
+class AvroWriterFactory(confSnap: Array[(String, String)], schemaJson: String,
+    stagingBase: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val avroSchema = AvroIO.toAvroSchema(schema)
+    val conf = AvroIO.restoreConf(confSnap)
+    val fileName = f"part-$partitionId%05d-t$taskId.avro"
+    val p = new Path(s"$stagingBase/$fileName")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+    writer.setCodec(CodecFactory.deflateCodec(6))
+    writer.setMeta(AvroIO.SparkSchemaMetaKey, schemaJson)
+    writer.create(avroSchema, out)
+    val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+    new DataWriter[InternalRow] {
+      private var n = 0L
+      override def write(record: InternalRow): Unit = {
+        writer.append(AvroIO.rowToRecord(
+          toScala(record).asInstanceOf[Row], schema, avroSchema))
+        n += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        AvroFileCommit(partitionId, fileName, n)
+      }
+      override def abort(): Unit = {
+        writer.close()
+        fs.delete(p, false)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class AvroScanBuilder(path: String, full: StructType)

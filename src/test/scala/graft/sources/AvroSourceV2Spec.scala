@@ -41,6 +41,36 @@ class AvroSourceV2Spec extends AnyFunSuite {
       "/root/testdata/sf0.001/lineitem.parquet").count())
   }
 
+  test("v2 write: df.write.format(...) round-trips through the V2 commit protocol") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = Files.createTempDirectory("avro_v2_write").toString + "/t"
+    li.repartition(3).write.format("graft.sources.AvroSourceV2")
+      .mode("append").save(dir)
+    val back = spark.read.format("graft.sources.AvroSourceV2").load(dir)
+    assert(back.schema == li.schema)
+    assert(back.count() == li.count())
+    assert(back.except(li).isEmpty && li.except(back).isEmpty)
+    // one committed file per partition, no staging leftovers
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".avro")) == 3)
+    assert(!files.exists(_.startsWith("_staging")))
+  }
+
+  test("v2 write: overwrite truncates prior output at job commit") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = Files.createTempDirectory("avro_v2_ow").toString + "/t"
+    li.write.format("graft.sources.AvroSourceV2").mode("append").save(dir)
+    val first = spark.read.format("graft.sources.AvroSourceV2").load(dir).count()
+    assert(first == li.count())
+    li.limit(100).coalesce(1).write.format("graft.sources.AvroSourceV2")
+      .mode("overwrite").save(dir)
+    assert(spark.read.format("graft.sources.AvroSourceV2").load(dir).count() == 100)
+    // append mode accumulates instead
+    li.limit(50).coalesce(1).write.format("graft.sources.AvroSourceV2")
+      .mode("append").save(dir)
+    assert(spark.read.format("graft.sources.AvroSourceV2").load(dir).count() == 150)
+  }
+
   test("SQL over the v2 source: aggregate matches parquet truth") {
     val dir = writeFixture()
     spark.read.format("graft.sources.AvroSourceV2").load(dir)
