@@ -89,10 +89,20 @@ class ObjectStoreFS extends RawLocalFileSystem {
     super.rename(src, dst)
   }
 
+  // Objects carry no POSIX permissions (as on S3): return plain statuses
+  // so recursive listings never hit RawLocalFileSystem's lazy
+  // loadPermissionInfo, which chokes on a non-file:// URI scheme.
+  private def plain(s: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(s.getLen, s.isDirectory, 1,
+      s.getBlockSize, s.getModificationTime, s.getPath)
+
   override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
     ObjectStoreFS.lists.add(p.toUri.getPath)
-    super.listStatus(p).filterNot(isStaging)
+    super.listStatus(p).filterNot(isStaging).map(plain)
   }
+
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
+    plain(super.getFileStatus(f))
 }
 
 object ObjectStoreFS {
