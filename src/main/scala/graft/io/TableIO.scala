@@ -101,7 +101,9 @@ object TableIO {
 
   /** Write a snapshot into one explicit Hive-style partition directory,
     * format taken from metadata (reference job.py:67-73; O19). The frame
-    * must already have the partition column dropped (Align.alignToMeta). */
+    * must already have the partition column dropped (Align.alignToMeta).
+    * `avro` in table metadata routes through the engine's own DSv2 face
+    * (no spark-avro module on this classpath). */
   def writeIntoPartition(
       df: DataFrame,
       tableBase: String,
@@ -109,7 +111,8 @@ object TableIO {
       partitionValue: String,
       format: String = "parquet"): Unit = {
     val path = s"${tableBase.stripSuffix("/")}/$partitionCol=$partitionValue"
-    df.write.mode(SaveMode.Overwrite).format(format).save(path)
+    val fmt = if (format == "avro") "graft.sources.AvroSourceV2" else format
+    df.write.mode(SaveMode.Overwrite).format(fmt).save(path)
   }
 
   /** Partition-aware overwrite for incremental rebuilds: only partitions

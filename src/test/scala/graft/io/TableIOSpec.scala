@@ -66,6 +66,19 @@ class TableIOSpec extends AnyFunSuite {
       df.orderBy("id").collect().toSeq)
   }
 
+  test("writeIntoPartition routes metadata format 'avro' through the engine's DSv2 face") {
+    val base = Files.createTempDirectory("graft_avro_meta").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    TableIO.writeIntoPartition(df, s"$base/t", "snap", "2024-01-01", format = "avro")
+    val back = spark.read.format("graft.sources.AvroSourceV2")
+      .load(s"$base/t/snap=2024-01-01")
+    assert(back.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // metadata-declared overwrite semantics hold for the routed format too
+    TableIO.writeIntoPartition(df.limit(1), s"$base/t", "snap", "2024-01-01", format = "avro")
+    assert(spark.read.format("graft.sources.AvroSourceV2")
+      .load(s"$base/t/snap=2024-01-01").count() == 1)
+  }
+
   test("compactDir shrinks a many-tiny-files zone without changing its rows") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
