@@ -406,12 +406,21 @@ object SimSearch {
       }
     val baseMarker = new org.apache.hadoop.fs.Path(s"$indexDir/fingerprint")
     val appMarker = new org.apache.hadoop.fs.Path(s"$indexDir/append_fingerprint")
-    val wantBase = s"${corpusFingerprint(base, idCol, vecCol)}:$k"
+    // the base marker carries an "append-base:" prefix so a later plain
+    // ensureIvfIndex(base, dir) can NEVER see this appended index as a
+    // fresh pure-base index (it holds base ∪ batch) — it will rebuild
+    val wantBase = s"append-base:${corpusFingerprint(base, idCol, vecCol)}:$k"
     val wantApp = s"${corpusFingerprint(newBatch, idCol, vecCol)}:$k"
     if (readMarker(baseMarker).contains(wantBase)
         && readMarker(appMarker).contains(wantApp)) return false
-    // invalidate-then-rebuild, same ordering contract as ensureIvfIndex
-    Seq(baseMarker, appMarker).foreach(p => fs.delete(p, false))
+    // invalidate-then-rebuild, same ordering contract as ensureIvfIndex:
+    // a marker that survives the invalidate would mis-certify the result
+    Seq(baseMarker, appMarker).foreach { p =>
+      if (fs.exists(p) && !fs.delete(p, false))
+        throw new java.io.IOException(
+          s"cannot invalidate stale IVF index marker $p — refusing to " +
+            "rebuild over a marker that would mis-certify the result")
+    }
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/assigned"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/centroids"), true)
     buildIvfIndex(base, indexDir, k, idCol, vecCol)

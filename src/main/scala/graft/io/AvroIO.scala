@@ -165,6 +165,10 @@ object AvroIO {
     case (d: java.lang.Double, DoubleType) => d.doubleValue()
     case (s: Utf8, StringType) => s.toString
     case (s: String, StringType) => s
+    // foreign-file shapes: ENUM symbols surface as StringType, FIXED as
+    // BinaryType (avroSchemaToSpark maps them; our writer never emits them)
+    case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) => e.toString
+    case (f: org.apache.avro.generic.GenericFixed, BinaryType) => f.bytes().clone()
     case (b: ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     case (i: java.lang.Integer, DateType) => java.sql.Date.valueOf(LocalDate.ofEpochDay(i.longValue()))
@@ -272,16 +276,7 @@ object AvroIO {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = TableIO.listDataFiles(spark, path).filter(_.endsWith(".avro"))
     require(files.nonEmpty, s"AvroIO: no .avro files under $path")
-    val full = {
-      val p = new Path(files.head)
-      val in = p.getFileSystem(conf).open(p)
-      val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-      try {
-        Option(stream.getMetaString(SparkSchemaMetaKey))
-          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-          .getOrElse(avroSchemaToSpark(stream.getSchema))
-      } finally stream.close()
-    }
+    val full = schemaOfFile(spark, files.head)
     val st =
       if (columns.isEmpty) full
       else {
@@ -310,6 +305,11 @@ object AvroIO {
             if (pruning) new GenericDatumReader[GenericRecord](null, toAvroSchema(schema))
             else new GenericDatumReader[GenericRecord]()
           val stream = new DataFileStream[GenericRecord](in, reader)
+          // early-terminated scans (limit/take/exception) never drive
+          // hasNext to false — close at task completion, not exhaustion
+          Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+            try stream.close() catch { case _: java.io.IOException => () }
+          })
           new Iterator[Row] {
             def hasNext: Boolean = { val h = stream.hasNext; if (!h) stream.close(); h }
             def next(): Row = recordToRow(stream.next(), schema)
@@ -317,6 +317,20 @@ object AvroIO {
         }
       }
     spark.createDataFrame(rows, st)
+  }
+
+  /** Spark schema of one container file: the embedded exact schema when
+    * present, else the Avro schema mapping. The ONE copy of this logic —
+    * the DSv2 face delegates here. */
+  def schemaOfFile(spark: SparkSession, file: String): StructType = {
+    val p = new Path(file)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+    try {
+      Option(stream.getMetaString(SparkSchemaMetaKey))
+        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(avroSchemaToSpark(stream.getSchema))
+    } finally stream.close()
   }
 
   /** Avro → Spark schema, for files written by other producers (no
@@ -339,7 +353,11 @@ object AvroIO {
       if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) (DateType, false) else (IntegerType, false)
     case Schema.Type.LONG => s.getLogicalType match {
       case _: LogicalTypes.TimestampMicros => (TimestampType, false)
-      case _: LogicalTypes.TimestampMillis => (TimestampType, false)
+      // timestamp-millis maps to raw LONG, not TimestampType: the decode
+      // path interprets TimestampType longs as MICROS, so mapping millis
+      // to TimestampType would silently read values 1000x too small.
+      // Callers convert explicitly with timestamp_millis(col).
+      case _: LogicalTypes.TimestampMillis => (LongType, false)
       case _: LogicalTypes.LocalTimestampMicros => (TimestampNTZType, false)
       case _ => (LongType, false)
     }

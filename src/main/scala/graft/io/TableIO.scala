@@ -65,17 +65,26 @@ object TableIO {
   }
 
   /** Enumerate data files under a table prefix, recursively (reference
-    * test_data.py:25 get_filepaths_from_s3_folder; SURVEY.md §2.1 O6). */
+    * test_data.py:25 get_filepaths_from_s3_folder; SURVEY.md §2.1 O6).
+    * Hidden-ness applies to EVERY path component below the prefix, not
+    * just the leaf: files inside `_staging_*`/`_spark_metadata`/`.tmp`
+    * directories are in-progress or bookkeeping state and must never be
+    * served to readers (a leaf-name-only filter leaked half-written
+    * Avro staging files to concurrent readers). */
   def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
     val (filesystem, p) = fs(spark, path)
     if (!filesystem.exists(p)) Nil
     else {
+      val prefix = filesystem.getFileStatus(p).getPath.toString.stripSuffix("/") + "/"
       val it = filesystem.listFiles(p, true)
       val buf = Seq.newBuilder[String]
       while (it.hasNext) {
         val f = it.next()
-        val name = f.getPath.getName
-        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) buf += f.getPath.toString
+        val full = f.getPath.toString
+        val rel = if (full.startsWith(prefix)) full.stripPrefix(prefix) else f.getPath.getName
+        val hidden = rel.split('/')
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+        if (f.isFile && !hidden) buf += full
       }
       buf.result().sorted
     }

@@ -286,10 +286,7 @@ object Extensions {
     "q_simsearch_ivf_append",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-      val pid = java.lang.ProcessHandle.current().pid()
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_appidx_${key}_p$pid"
+      val idx = QueryUtil.scratchDir(dir, "ivf_appidx")
       SimSearch.ensureIvfIndexAppended(
         emb.filter(col("vec_id") % 20 =!= 0),
         emb.filter(col("vec_id") % 20 === 0), idx, k = 16)

@@ -953,10 +953,7 @@ object Maintenance {
   private val avroRoundtrip = Q(
     "q_avro_roundtrip",
     (s, dir) => {
-      val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-      val pid = java.lang.ProcessHandle.current().pid()
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_li_${key}_p$pid"
+      val out = scratchDir(dir, "avro_li")
       // snappy here (deflate is AvroIOSpec's path): the query measures the
       // sink+source round-trip, and snappy is the at-scale codec choice
       graft.io.AvroIO.writeAvro(t(s, dir, "lineitem"), out, codec = "snappy")
@@ -997,10 +994,7 @@ object Maintenance {
   private val avroSourceV2Q = Q(
     "q_avro_source_v2",
     (s, dir) => {
-      val key = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-      val pid = java.lang.ProcessHandle.current().pid()
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_v2_${key}_p$pid"
+      val out = scratchDir(dir, "avro_v2")
       graft.io.AvroIO.writeAvro(
         t(s, dir, "lineitem").select("l_returnflag", "l_quantity", "l_orderkey"),
         out, codec = "snappy")

@@ -55,6 +55,18 @@ object QueryUtil {
     * IEEE division is deterministic where a double SUM would not be. */
   def davg(c: Column): Column = (dsum(c) / count(c)).cast(DoubleType)
 
+  /** Per-(fixture-dir, process) scratch path for queries that build
+    * on-disk artifacts (indexes, avro round-trips): keyed by a hash of
+    * the dir so different fixtures never share state, and by pid so two
+    * concurrent bench/test processes never race on a non-atomic
+    * rebuild. */
+  def scratchDir(dir: String, name: String): String = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val pid = java.lang.ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${key}_p$pid"
+  }
+
   /** DuckDB-side equivalents, for composing oracle SQL. */
   def oSum(col: String): String = s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
   def oSum6(col: String): String = s"CAST(SUM(CAST($col AS DECIMAL(28,6))) AS DOUBLE)"

@@ -66,17 +66,8 @@ object AvroSourceV2 {
     files
   }
 
-  private[sources] def schemaOf(path: String): StructType = {
-    val spark = SparkSession.active
-    val p = new Path(listFiles(path).head)
-    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
-    val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-    try {
-      Option(stream.getMetaString(AvroIO.SparkSchemaMetaKey))
-        .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-        .getOrElse(AvroIO.avroSchemaToSpark(stream.getSchema))
-    } finally stream.close()
-  }
+  private[sources] def schemaOf(path: String): StructType =
+    AvroIO.schemaOfFile(SparkSession.active, listFiles(path).head)
 }
 
 class AvroV2Table(path: String, schema: StructType)

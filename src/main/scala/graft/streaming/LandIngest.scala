@@ -428,7 +428,7 @@ object LandIngest {
   /**
    * Continuous corpus dedup at the ingest boundary: content-hash exact
    * dedup ACROSS micro-batches and restarts, the streaming twin of
-   * `ext/Dedup.exactByKey`. The first arrival of each content hash is
+   * `ext/Dedup.keepFirstByKey`. The first arrival of each content hash is
    * emitted; every later copy — same batch, later batch, or after a
    * stop/restart — is absorbed by the dedup state store, which lives in
    * the checkpoint and is recovered on restart. The sink is the
@@ -447,12 +447,16 @@ object LandIngest {
       contentCols: Seq[String],
       outDir: String,
       checkpointDir: String): Unit = {
-    import org.apache.spark.sql.functions.{col, concat_ws, sha2}
+    import org.apache.spark.sql.functions.{col, sha2, struct, to_json}
+    // to_json(struct(...)) is an UNAMBIGUOUS encoding: NULL columns are
+    // distinguishable from empty/absent ones and no delimiter-injection
+    // collision exists (concat_ws would hash (a, NULL) and (NULL, a)
+    // identically and let field content forge the separator)
     val q = spark.readStream
       .schema(schema)
       .json(landDir)
       .withColumn("content_hash",
-        sha2(concat_ws("\u0001", contentCols.map(col): _*), 256))
+        sha2(to_json(struct(contentCols.map(col): _*)), 256))
       .dropDuplicates("content_hash")
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -483,12 +487,12 @@ object LandIngest {
       horizon: String,
       outDir: String,
       checkpointDir: String): Unit = {
-    import org.apache.spark.sql.functions.{col, concat_ws, sha2}
+    import org.apache.spark.sql.functions.{col, sha2, struct, to_json}
     val q = spark.readStream
       .schema(schema)
       .json(landDir)
       .withColumn("content_hash",
-        sha2(concat_ws("\u0001", contentCols.map(col): _*), 256))
+        sha2(to_json(struct(contentCols.map(col): _*)), 256))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash")
       .writeStream

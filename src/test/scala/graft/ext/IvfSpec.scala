@@ -105,6 +105,10 @@ class IvfSpec extends AnyFunSuite {
     assert(SimSearch.ensureIvfIndexAppended(base, batch2, idx, k = 8))
     val assigned2 = spark.read.parquet(s"$idx/assigned")
     assert(assigned2.count() == base.count() + batch2.count())
+    // an appended index must NEVER satisfy a plain base-only freshness
+    // check (it holds base ∪ batch): ensureIvfIndex(base) rebuilds
+    assert(SimSearch.ensureIvfIndex(base, idx, k = 8))
+    assert(spark.read.parquet(s"$idx/assigned").count() == base.count())
   }
 
   test("ivfAssign: every vector gets exactly one cluster in [0, k)") {

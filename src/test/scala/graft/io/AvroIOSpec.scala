@@ -93,17 +93,44 @@ class AvroIOSpec extends AnyFunSuite {
     }
   }
 
-  test("foreign files without embedded Spark schema map from the Avro schema") {
-    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+  test("foreign files without embedded Spark schema decode via the Avro mapping (enum/fixed/millis)") {
+    import org.apache.avro.{Schema => ASchema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // a genuinely foreign file: raw Avro API, NO graft.sparkSchema meta,
+    // with types our writer never emits (enum, fixed, timestamp-millis)
+    val aSchema = SchemaBuilder.record("ext_rec").namespace("ext.ns").fields()
+      .requiredLong("id")
+      .name("color").`type`(ASchema.createEnum("Color", null, "ext.ns",
+        java.util.Arrays.asList("RED", "BLUE"))).noDefault()
+      .name("tag").`type`(ASchema.createFixed("Tag4", null, "ext.ns", 4)).noDefault()
+      .name("ev_ms").`type`(org.apache.avro.LogicalTypes.timestampMillis()
+        .addToSchema(ASchema.create(ASchema.Type.LONG))).noDefault()
+      .endRecord()
     val dir = Files.createTempDirectory("graft_avro_foreign").toString
-    AvroIO.writeAvro(df, dir)
-    // simulate a foreign producer: re-write the file without the meta key
-    val avroSchema = AvroIO.toAvroSchema(df.schema)
-    val spark2 = spark
-    val st = AvroIO.avroSchemaToSpark(avroSchema)
-    assert(st == StructType(Seq(
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](aSchema))
+    w.create(aSchema, new java.io.File(s"$dir/ext.avro"))
+    Seq((1L, "RED", Array[Byte](1, 2, 3, 4), 1718452800000L),
+        (2L, "BLUE", Array[Byte](9, 8, 7, 6), 0L)).foreach { case (id, c, t, ms) =>
+      val r = new GenericData.Record(aSchema)
+      r.put("id", id)
+      r.put("color", new GenericData.EnumSymbol(aSchema.getField("color").schema(), c))
+      r.put("tag", new GenericData.Fixed(aSchema.getField("tag").schema(), t))
+      r.put("ev_ms", ms)
+      w.append(r)
+    }
+    w.close()
+    val back = AvroIO.readAvro(spark, dir)
+    // enum -> string, fixed -> binary, timestamp-millis -> RAW LONG (not
+    // TimestampType — the decode path reads timestamp longs as micros)
+    assert(back.schema == StructType(Seq(
       StructField("id", LongType, nullable = false),
-      StructField("v", StringType, nullable = true))))
-    assert(AvroIO.readAvro(spark2, dir).as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "y")))
+      StructField("color", StringType, nullable = false),
+      StructField("tag", BinaryType, nullable = false),
+      StructField("ev_ms", LongType, nullable = false))))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getString(1) == "RED" && rows(1).getString(1) == "BLUE")
+    assert(rows(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(rows(0).getLong(3) == 1718452800000L) // millis preserved verbatim
   }
 }
