@@ -1,0 +1,319 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Delta-protocol transaction-log EXPORT of a [[Manifest]] table — the
+ * interop layer that makes a graft-committed corpus consumable by any
+ * engine that reads Delta Lake (Spark+delta, Trino, DuckDB's delta
+ * extension, delta-rs), per the public Delta Transaction Log Protocol
+ * (delta-io/delta PROTOCOL.md). BASELINE.json's approach line names
+ * "Parquet/Delta I/O"; [[Manifest.exportSymlinkManifest]] covers the
+ * file-list consumers, this covers the table-format consumers.
+ *
+ * Mapping is 1:1 and derived — the Manifest stays the source of truth:
+ *
+ *  - Delta version  = `commit_seq` (already contiguous from 0).
+ *  - `<v padded to 20>.json` per retained manifest, one action per line
+ *    (the protocol's line-delimited JSON framing): the oldest exported
+ *    version carries `protocol` (minReaderVersion 1 — nothing the
+ *    export writes needs reader features beyond the base protocol),
+ *    `metaData` (stable table id, `schemaString` = the parquet
+ *    schema's StructType JSON — the serialization format Delta itself
+ *    uses) and the full `add` set; every later version carries the
+ *    file DIFF vs its predecessor (`remove` + `add`), which is exactly
+ *    an overwrite/append commit's shape.
+ *  - After [[Manifest.vacuum]] the oldest retained seq is > 0, so a
+ *    reader can no longer fold from version 0: the export then writes a
+ *    CHECKPOINT parquet (full protocol/metaData/add state, the
+ *    protocol's checkpoint schema) at the oldest retained version plus
+ *    the `_last_checkpoint` pointer, and drops the now-covered older
+ *    commit JSONs — the protocol's own log-retention move.
+ *
+ * Commit JSONs are immutable once written (re-export only emits
+ *    versions missing from the log — incremental, cost ∝ new commits,
+ *    which is what keeps the export viable at a 100 TB table's commit
+ *    cadence) and land via temp + fresh-key rename, so a concurrent
+ *    reader never sees a torn action file. `_last_checkpoint` is a
+ *    derived pointer (same overwrite discipline as the symlink export:
+ *    worst case a reader sees the previous complete pointer).
+ *
+ * [[activeFiles]]/[[read]]/[[readVersion]] implement the reader side of
+ * the same protocol slice (checkpoint + forward fold), used by specs to
+ * prove reconstruction equals the Manifest's own view — and standing in
+ * for the external engines this container can't install (no egress; the
+ * sandbox DuckDB has no delta extension — documented, not hidden).
+ */
+object DeltaLog {
+
+  private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def logDir(base: Path) = new Path(base, "_delta_log")
+  private def commitPath(ld: Path, v: Long) = new Path(ld, f"$v%020d.json")
+  private def checkpointPath(ld: Path, v: Long) =
+    new Path(ld, f"$v%020d.checkpoint.parquet")
+
+  /** Stable per-table id: derived from the table's qualified root so
+    * every export of the same table agrees (the protocol wants the id
+    * constant across commits; a byte-copied clone is a new table). */
+  private def tableId(fsys: FileSystem, base: Path): String =
+    UUID.nameUUIDFromBytes(
+      ("graft-delta:" + fsys.makeQualified(base).toString)
+        .getBytes(StandardCharsets.UTF_8)).toString
+
+  private def jstr(s: String): String =
+    JsonMethods.compact(JsonMethods.render(JString(s)))
+
+  private def protocolLine: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def metaDataLine(id: String, schemaJson: String, createdAt: Long): String =
+    s"""{"metaData":{"id":"$id","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schemaJson)},"partitionColumns":[],""" +
+      s""""configuration":{},"createdTime":$createdAt}}"""
+
+  private def addLine(path: String, size: Long, modTime: Long): String =
+    s"""{"add":{"path":${jstr(path)},"partitionValues":{},"size":$size,""" +
+      s""""modificationTime":$modTime,"dataChange":true}}"""
+
+  private def removeLine(path: String, ts: Long): String =
+    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":$ts,"dataChange":true}}"""
+
+  private def commitInfoLine(ts: Long, operation: String): String =
+    s"""{"commitInfo":{"timestamp":$ts,"operation":"$operation","operationParameters":{}}}"""
+
+  private def writeLines(fsys: FileSystem, dest: Path, lines: Seq[String]): Unit = {
+    val tmp = new Path(dest.getParent, "." + dest.getName + ".tmp")
+    val out = fsys.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fsys.rename(tmp, dest)) {
+      fsys.delete(tmp, false)
+      // fresh-key rename refused ⇒ a concurrent exporter already wrote
+      // this version. Commits are deterministic functions of the
+      // manifest history, so the existing file is the same content —
+      // losing this race is success, but verify the winner exists.
+      if (!fsys.exists(dest))
+        throw new RuntimeException(s"delta log write failed for $dest")
+    }
+  }
+
+  /** Regenerate `_delta_log` from the retained [[Manifest]] history.
+    * Incremental: versions already exported are left untouched; returns
+    * the versions written by THIS call (commit versions, then the
+    * checkpoint version again if one was (re)written). */
+  def exportLog(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fsys, base) = fs(spark, dir)
+    val ms = Manifest.history(spark, dir)
+    require(ms.nonEmpty, s"no committed snapshot under $dir")
+    val ld = logDir(base)
+    fsys.mkdirs(ld)
+    val now = System.currentTimeMillis()
+    val id = tableId(fsys, base)
+    // schema from the current snapshot's parquet footers; Delta's
+    // schemaString format IS Spark's StructType JSON
+    val schemaJson = spark.read
+      .parquet(ms.last.files.map(f => s"$dir/$f"): _*).schema.json
+
+    def addLinesOf(files: Seq[String]): Seq[String] = files.map { f =>
+      val st = fsys.getFileStatus(new Path(base, f))
+      addLine(f, st.getLen, st.getModificationTime)
+    }
+
+    val written = Seq.newBuilder[Long]
+    ms.zipWithIndex.foreach { case (m, i) =>
+      val dest = commitPath(ld, m.seq)
+      if (!fsys.exists(dest)) {
+        val lines =
+          if (i == 0)
+            // oldest retained version: full state (version 0's shape; a
+            // vacuumed-past-0 table additionally gets a checkpoint below)
+            Seq(commitInfoLine(now, "WRITE"), protocolLine,
+              metaDataLine(id, schemaJson, now)) ++ addLinesOf(m.files)
+          else {
+            val prev = ms(i - 1).files
+            val removed = prev.filterNot(m.files.toSet)
+            val added = m.files.filterNot(prev.toSet)
+            val op = if (removed.isEmpty) "APPEND" else "WRITE"
+            Seq(commitInfoLine(now, op)) ++
+              removed.map(removeLine(_, now)) ++ addLinesOf(added)
+          }
+        writeLines(fsys, dest, lines)
+        written += m.seq
+      }
+    }
+
+    val oldest = ms.head.seq
+    if (oldest > 0 && !fsys.exists(checkpointPath(ld, oldest))) {
+      writeCheckpoint(spark, fsys, ld, oldest, id, schemaJson,
+        addLinesOf(ms.head.files), ms.head.files, base, now)
+      // checkpoint covers everything ≤ oldest: drop expired commit JSONs
+      fsys.listStatus(ld).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.endsWith(".json") && !n.startsWith("_") &&
+            n.stripSuffix(".json").forall(_.isDigit) &&
+            n.stripSuffix(".json").toLong < oldest
+        }
+        .foreach(fsys.delete(_, false))
+      written += oldest
+    }
+    written.result()
+  }
+
+  /** The protocol's checkpoint schema: one row per action, struct
+    * columns `protocol`/`metaData`/`add` (unused action classes omitted
+    * — the schema is allowed to carry only the action types present). */
+  private def writeCheckpoint(spark: SparkSession, fsys: FileSystem, ld: Path,
+      version: Long, id: String, schemaJson: String, addLines: Seq[String],
+      files: Seq[String], base: Path, now: Long): Unit = {
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val formatT = StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", MapType(StringType, StringType))))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", formatT),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val ckptT = StructType(Seq(
+      StructField("protocol", protocolT),
+      StructField("metaData", metaT),
+      StructField("add", addT)))
+    val emptyM = Map.empty[String, String]
+    val rows =
+      Row(Row(1, 2), null, null) ::
+      Row(null, Row(id, Row("parquet", emptyM), schemaJson,
+        Seq.empty[String], emptyM, now), null) ::
+      files.toList.map { f =>
+        val st = fsys.getFileStatus(new Path(base, f))
+        Row(null, null, Row(f, emptyM, st.getLen, st.getModificationTime, true))
+      }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), ckptT)
+    // the checkpoint must be ONE parquet file with the exact protocol
+    // name: write single-part to a temp dir, then rename the part file
+    val tmpDir = new Path(ld, s".ckpt-$version.tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fsys.listStatus(tmpDir).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new RuntimeException(s"no checkpoint part under $tmpDir"))
+    val dest = checkpointPath(ld, version)
+    if (!fsys.rename(part, dest) && !fsys.exists(dest))
+      throw new RuntimeException(s"checkpoint rename failed for $dest")
+    fsys.delete(tmpDir, true)
+    // derived pointer — overwrite discipline, same as the symlink export
+    val lc = new Path(ld, "_last_checkpoint")
+    val tmp = new Path(ld, "._last_checkpoint.tmp")
+    val out = fsys.create(tmp, true)
+    try out.write(s"""{"version":$version,"size":${rows.size}}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fsys.delete(lc, false)
+    if (!fsys.rename(tmp, lc))
+      throw new RuntimeException(s"_last_checkpoint write failed under $ld")
+  }
+
+  // ---------------------------------------------------------------------
+  // Reader side: checkpoint + forward fold, the protocol's state
+  // reconstruction. Proves the export against an independent consumer.
+  // ---------------------------------------------------------------------
+
+  private def readText(fsys: FileSystem, p: Path): String = {
+    val in = fsys.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Commit versions present in the log, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fsys, base) = fs(spark, dir)
+    val ld = logDir(base)
+    if (!fsys.exists(ld)) Nil
+    else fsys.listStatus(ld).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("_") &&
+        n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong).sorted
+  }
+
+  private def lastCheckpointVersion(fsys: FileSystem, ld: Path): Option[Long] = {
+    val lc = new Path(ld, "_last_checkpoint")
+    if (!fsys.exists(lc)) None
+    else JsonMethods.parse(readText(fsys, lc)) \ "version" match {
+      case JInt(v) => Some(v.toLong)
+      case _ => None
+    }
+  }
+
+  /** Active data-file paths (table-root-relative) at `version`
+    * (default: latest), reconstructed per the protocol: start from the
+    * newest checkpoint ≤ version if one exists, fold commit JSONs
+    * forward applying `add`/`remove`. */
+  def activeFiles(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Seq[String] = {
+    val (fsys, base) = fs(spark, dir)
+    val ld = logDir(base)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no _delta_log commits under $dir")
+    val target = version.getOrElse(vs.max)
+    require(vs.contains(target), s"no delta version $target under $dir")
+    val ckpt = lastCheckpointVersion(fsys, ld).filter(_ <= target)
+    val startFiles: Seq[String] = ckpt match {
+      case Some(cv) =>
+        spark.read.parquet(checkpointPath(ld, cv).toString)
+          .select("add.path").where("add IS NOT NULL")
+          .collect().map(_.getString(0)).toSeq.sorted
+      case None =>
+        require(vs.min == 0 || vs.min <= target,
+          s"log under $dir starts at version ${vs.min} with no checkpoint")
+        Nil
+    }
+    val foldFrom = ckpt.getOrElse(-1L)
+    val active = scala.collection.mutable.LinkedHashSet(startFiles: _*)
+    vs.filter(v => v > foldFrom && v <= target).foreach { v =>
+      readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty).foreach { line =>
+        val j = JsonMethods.parse(line)
+        j \ "add" \ "path" match {
+          case JString(p) => active += p
+          case _ =>
+        }
+        j \ "remove" \ "path" match {
+          case JString(p) => active -= p
+          case _ =>
+        }
+      }
+    }
+    active.toSeq
+  }
+
+  /** Read the table THROUGH the exported delta log (latest version). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readVersion(spark, dir, -1L)
+
+  /** Time travel through the log; `version < 0` means latest. */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val files = activeFiles(spark, dir,
+      if (version < 0) None else Some(version))
+    require(files.nonEmpty, s"delta version has no data files under $dir")
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+}

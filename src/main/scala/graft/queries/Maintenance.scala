@@ -986,6 +986,38 @@ object Maintenance {
             |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // Delta-protocol interop under oracle: the ENGINE path lands lineitem
+  // as TWO Manifest commits (overwrite then append over a disjoint
+  // l_linenumber split), exports the `_delta_log`, and reads the table
+  // back THROUGH the log (commit fold → parquet scan); the oracle
+  // aggregates the source parquet directly. Hash equality proves the
+  // log's active-file reconstruction neither loses nor duplicates rows
+  // across commit boundaries. The scratch table is deleted up front so
+  // the query is re-runnable in one JVM (Bench's best-of-two).
+  private val deltaExport = Q(
+    "q_delta_export",
+    (s, dir) => {
+      val out = scratchDir(dir, "delta_li")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = t(s, dir, "lineitem")
+      graft.io.Manifest.write(li.filter(col("l_linenumber") <= 4), out, "base")
+      graft.io.Manifest.append(li.filter(col("l_linenumber") >= 5), out, "tail")
+      graft.io.DeltaLog.exportLog(s, out)
+      graft.io.DeltaLog.read(s, out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_ok"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          max(to_date(col("l_shipdate"))).as("max_ship"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("l_quantity")} AS sum_qty,
+            |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
+            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // The DSv2 face of the Avro source under oracle: read back through
   // spark.read.format(...) (planner-integrated — column pruning pushes a
   // projected reader schema into the decoder, AvroSourceV2Spec asserts
@@ -1007,7 +1039,7 @@ object Maintenance {
             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
-    avroRoundtrip, avroSourceV2Q,
+    avroRoundtrip, avroSourceV2Q, deltaExport,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

@@ -1,0 +1,173 @@
+package graft.io
+
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkTestBase
+
+/**
+ * The Delta-protocol export, proven against an INDEPENDENT parse of the
+ * log (raw json4s here, not [[DeltaLog]]'s own reader) plus the reader
+ * API, across overwrite → append → overwrite → vacuum+checkpoint.
+ */
+class DeltaLogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("deltalog").toString
+
+  private def logFiles(dir: String): Seq[String] = {
+    val ld = new java.io.File(dir, "_delta_log")
+    if (!ld.exists()) Nil else ld.listFiles().map(_.getName).sorted.toSeq
+  }
+
+  private def commitLines(dir: String, v: Long): Seq[JValue] = {
+    val f = new java.io.File(new java.io.File(dir, "_delta_log"), f"$v%020d.json")
+    assert(f.exists(), s"missing commit json for version $v")
+    scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
+      .map(JsonMethods.parse(_)).toSeq
+  }
+
+  private def field(j: JValue, path: String*): JValue =
+    path.foldLeft(j)(_ \ _)
+
+  test("export maps manifest history to protocol-conformant versioned commits") {
+    val dir = tmpDir()
+    Manifest.write((1 to 100).toDF("v"), dir, "s1")
+    Manifest.append((101 to 130).toDF("v"), dir, "s2")
+    Manifest.write((1 to 40).toDF("v"), dir, "s3")
+
+    val written = DeltaLog.exportLog(spark, dir)
+    assert(written == Seq(0L, 1L, 2L))
+    // zero-padded 20-digit names, one per commit_seq
+    assert(logFiles(dir).filter(_.endsWith(".json")) == Seq(
+      "00000000000000000000.json", "00000000000000000001.json",
+      "00000000000000000002.json"))
+
+    // version 0: protocol + metaData + full add set, one action per line
+    val v0 = commitLines(dir, 0)
+    val protos = v0.filter(j => field(j, "protocol") != JNothing)
+    assert(protos.size == 1)
+    assert(field(protos.head, "protocol", "minReaderVersion") == JInt(1))
+    val metas = v0.filter(j => field(j, "metaData") != JNothing)
+    assert(metas.size == 1)
+    val JString(schemaString) = field(metas.head, "metaData", "schemaString")
+    // schemaString is Delta's schema serialization = Spark StructType JSON
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaString)
+      .asInstanceOf[StructType]
+    assert(schema.fieldNames.toSeq == Seq("v"))
+    val JString(fmt) = field(metas.head, "metaData", "format", "provider")
+    assert(fmt == "parquet")
+    val v0adds = v0.flatMap(j => field(j, "add", "path") match {
+      case JString(p) => Some(p); case _ => None })
+    assert(v0adds.nonEmpty && v0adds.forall(_.startsWith("data-s1/")))
+    // add actions carry real size + modificationTime
+    v0.filter(j => field(j, "add") != JNothing).foreach { j =>
+      val JInt(sz) = field(j, "add", "size")
+      assert(sz > 0)
+      assert(field(j, "add", "dataChange") == JBool(true))
+    }
+
+    // version 1 (append): adds only, no removes
+    val v1 = commitLines(dir, 1)
+    assert(v1.forall(j => field(j, "remove") == JNothing))
+    val v1adds = v1.flatMap(j => field(j, "add", "path") match {
+      case JString(p) => Some(p); case _ => None })
+    assert(v1adds.nonEmpty && v1adds.forall(_.startsWith("data-s2/")))
+
+    // version 2 (overwrite): removes every s1+s2 file, adds s3's
+    val v2 = commitLines(dir, 2)
+    val v2removes = v2.flatMap(j => field(j, "remove", "path") match {
+      case JString(p) => Some(p); case _ => None })
+    assert(v2removes.toSet == (v0adds ++ v1adds).toSet)
+    assert(v2.flatMap(j => field(j, "add", "path") match {
+      case JString(p) => Some(p); case _ => None }).forall(_.startsWith("data-s3/")))
+  }
+
+  test("reader reconstruction equals the Manifest view at every version") {
+    val dir = tmpDir()
+    Manifest.write((1 to 100).toDF("v"), dir, "s1")
+    Manifest.append((101 to 130).toDF("v"), dir, "s2")
+    Manifest.write((1 to 40).toDF("v"), dir, "s3")
+    DeltaLog.exportLog(spark, dir)
+
+    assert(DeltaLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+    // active file set per version == the manifest the version came from
+    assert(DeltaLog.activeFiles(spark, dir, Some(0L)).sorted ==
+      Manifest.history(spark, dir).head.files.sorted)
+    assert(DeltaLog.activeFiles(spark, dir, Some(1L)).sorted ==
+      Manifest.history(spark, dir)(1).files.sorted)
+    assert(DeltaLog.activeFiles(spark, dir).sorted ==
+      Manifest.currentFiles(spark, dir).sorted)
+    // row-level equality through the log, latest + time travel
+    assert(DeltaLog.read(spark, dir).as[Int].collect().sorted.toSeq == (1 to 40))
+    assert(DeltaLog.readVersion(spark, dir, 1L).as[Int].collect().sorted.toSeq ==
+      (1 to 130))
+  }
+
+  test("incremental re-export writes only missing versions; commits are immutable") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "s1")
+    assert(DeltaLog.exportLog(spark, dir) == Seq(0L))
+    val before = new java.io.File(
+      new java.io.File(dir, "_delta_log"), "00000000000000000000.json").lastModified()
+    Manifest.append((11 to 15).toDF("v"), dir, "s2")
+    assert(DeltaLog.exportLog(spark, dir) == Seq(1L))
+    val after = new java.io.File(
+      new java.io.File(dir, "_delta_log"), "00000000000000000000.json").lastModified()
+    assert(before == after, "existing commit json must not be rewritten")
+    assert(DeltaLog.exportLog(spark, dir).isEmpty, "nothing new ⇒ no writes")
+  }
+
+  test("vacuumed history exports a checkpoint + _last_checkpoint and prunes covered json") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "s1")
+    Manifest.write((1 to 20).toDF("v"), dir, "s2")
+    Manifest.write((1 to 30).toDF("v"), dir, "s3")
+    DeltaLog.exportLog(spark, dir)
+    assert(DeltaLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+
+    Manifest.vacuum(spark, dir, keepLast = 2)
+    val written = DeltaLog.exportLog(spark, dir)
+    assert(written == Seq(1L), "checkpoint (re)written at oldest retained seq")
+    val lf = logFiles(dir)
+    assert(lf.contains("00000000000000000001.checkpoint.parquet"))
+    assert(lf.contains("_last_checkpoint"))
+    assert(!lf.contains("00000000000000000000.json"), "covered commit pruned")
+    val lc = JsonMethods.parse(scala.io.Source.fromFile(
+      new java.io.File(new java.io.File(dir, "_delta_log"), "_last_checkpoint"),
+      "UTF-8").mkString)
+    assert(field(lc, "version") == JInt(1))
+
+    // checkpoint parquet carries full state: protocol + metaData + adds
+    val ck = spark.read.parquet(
+      s"$dir/_delta_log/00000000000000000001.checkpoint.parquet")
+    assert(ck.where("protocol IS NOT NULL").count() == 1)
+    assert(ck.where("metaData IS NOT NULL").count() == 1)
+    assert(ck.where("add IS NOT NULL").count() ==
+      Manifest.history(spark, dir).head.files.size)
+
+    // reader starts at the checkpoint and folds forward
+    assert(DeltaLog.read(spark, dir).as[Int].collect().sorted.toSeq == (1 to 30))
+    assert(DeltaLog.readVersion(spark, dir, 1L).as[Int].collect().sorted.toSeq ==
+      (1 to 20))
+  }
+
+  test("append-only streaming cadence: each commit exports as an APPEND of new files") {
+    val dir = tmpDir()
+    Manifest.write((1 to 5).toDF("v"), dir, "b0")
+    (1 to 3).foreach(i => Manifest.append(((i * 10) to (i * 10 + 4)).toDF("v"), dir, s"b$i"))
+    DeltaLog.exportLog(spark, dir)
+    (1L to 3L).foreach { v =>
+      val lines = commitLines(dir, v)
+      assert(lines.forall(j => field(j, "remove") == JNothing))
+      val JString(op) = field(
+        lines.find(j => field(j, "commitInfo") != JNothing).get, "commitInfo", "operation")
+      assert(op == "APPEND")
+    }
+    assert(DeltaLog.read(spark, dir).count() == 20)
+  }
+}
