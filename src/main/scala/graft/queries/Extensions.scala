@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Pq, RealMedia, SimSearch, SpanDedup, TextStats}
+import graft.ext.{Dedup, Multimodal, Phash, Pq, RealMedia, SimSearch, SpanDedup, TextStats}
 import QueryUtil._
 
 /**
@@ -834,6 +834,70 @@ object Extensions {
             |      ORDER BY $oracleCosine DESC, neighbor_id) AS INTEGER) AS rank
             |  FROM q JOIN c ON query_id <> neighbor_id)
             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  // Perceptual-hash image near-dup (Phash): the corpus is every synthetic
+  // P6 image PLUS a brightness+16 (saturating) re-encode of each — the
+  // "slightly edited re-upload" — and the operator must find the pairs by
+  // dHash band-LSH + Hamming, never pairwise. The oracle regenerates the
+  // pixels from the md5 chain, replays the NN 9×8 downsample / gradient
+  // bits / band packing in SQL, and runs the same band join — a hash
+  // match proves decode, hash, banding, and distance agree bit-for-bit.
+  private val mediaPhash = Q(
+    "q_media_phash",
+    (s, dir) => {
+      val imgs = RealMedia.synthesize(t(s, dir, "documents"), "doc_id")
+        .filter(col("kind") === "image")
+      val corpus = imgs.unionByName(Phash.brighten(imgs, delta = 16))
+      Phash.nearDupPairs(Phash.dhashBands(corpus), maxDist = 6)
+        .orderBy("id1", "id2")
+    },
+    Some("""WITH img AS (
+           |  SELECT doc_id AS id, 4 + 2*CAST(doc_id % 5 AS INT) AS h
+           |  FROM documents WHERE doc_id % 3 = 0),
+           |px AS (
+           |  SELECT id, y, x, c,
+           |    ('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(si // 16 AS VARCHAR)),
+           |       2*(si % 16) + 1, 2))::INT AS v
+           |  FROM (
+           |    SELECT id, y, x, c, ((y*h // 8)*16 + (x*16 // 9))*3 + c AS si
+           |    FROM img,
+           |      LATERAL (SELECT unnest(range(0, 8)) AS y) ys,
+           |      LATERAL (SELECT unnest(range(0, 9)) AS x) xs,
+           |      LATERAL (SELECT unnest(range(0, 3)) AS c) cs)),
+           |g AS (
+           |  SELECT id, y, x, SUM(v) AS go, SUM(LEAST(v + 16, 255)) AS gv
+           |  FROM px GROUP BY id, y, x),
+           |bits AS (
+           |  SELECT a.id, 8*a.y + a.x AS i,
+           |    CASE WHEN a.go < b.go THEN 1 ELSE 0 END AS bo,
+           |    CASE WHEN a.gv < b.gv THEN 1 ELSE 0 END AS bv
+           |  FROM g a JOIN g b ON a.id = b.id AND a.y = b.y AND b.x = a.x + 1
+           |  WHERE a.x < 8),
+           |hboth AS (
+           |  SELECT CASE side WHEN 0 THEN id ELSE -id-1 END AS media_id,
+           |    CAST(i // 16 AS INT) AS band_idx,
+           |    CAST(SUM((CASE side WHEN 0 THEN bo ELSE bv END) * (1 << (i % 16)))
+           |      AS INTEGER) AS val
+           |  FROM bits, LATERAL (SELECT unnest(range(0, 2)) AS side) sd
+           |  GROUP BY 1, 2),
+           |cand AS (
+           |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+           |  FROM hboth a JOIN hboth b
+           |    ON a.band_idx = b.band_idx AND a.val = b.val AND a.media_id < b.media_id),
+           |hp AS (
+           |  SELECT media_id,
+           |    MAX(CASE WHEN band_idx = 0 THEN val END) AS b0,
+           |    MAX(CASE WHEN band_idx = 1 THEN val END) AS b1,
+           |    MAX(CASE WHEN band_idx = 2 THEN val END) AS b2,
+           |    MAX(CASE WHEN band_idx = 3 THEN val END) AS b3
+           |  FROM hboth GROUP BY 1)
+           |SELECT id1, id2, dist FROM (
+           |  SELECT id1, id2,
+           |    CAST(bit_count(xor(h1.b0, h2.b0)) + bit_count(xor(h1.b1, h2.b1))
+           |       + bit_count(xor(h1.b2, h2.b2)) + bit_count(xor(h1.b3, h2.b3))
+           |      AS INTEGER) AS dist
+           |  FROM cand JOIN hp h1 ON id1 = h1.media_id JOIN hp h2 ON id2 = h2.media_id)
+           |WHERE dist <= 6 ORDER BY id1, id2""".stripMargin))
 
   // ---- dedup clustering + incremental dedup ------------------------------
 
@@ -2072,6 +2136,6 @@ object Extensions {
     textTfidf, textCosine, textFilter, textScrub, textBm25, corpusClean,
     multimodalMeta, multimodalResize, multimodalEmbed, multimodalFrames,
     multimodalChunks, mediaProbe, mediaResize, mediaWav, mediaFrames,
-    mediaEmbed, textNgrams, textLmScore, bpeStep, bpeTrainQ, bpeApplyQ, textHashVec,
+    mediaEmbed, mediaPhash, textNgrams, textLmScore, bpeStep, bpeTrainQ, bpeApplyQ, textHashVec,
     textHeavyHitters, cmsCounts, textNovelty)
 }
