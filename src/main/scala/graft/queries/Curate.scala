@@ -221,6 +221,90 @@ object Curate {
            |    AS clean_fp
            |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // URL canonicalization + registered-domain curation (UrlOps): one
+  // deterministic synthetic URL per doc (scheme/subdomain/port/tracking
+  // -param/fragment variation from the md5 twin), normalized by the
+  // 6-rule chain, registered domain via the two-label-suffix rule,
+  // blocklisted domains anti-joined away, then per-domain URL stats
+  // (count, DISTINCT normalized URLs, lexicographic min). The oracle
+  // replays every regex rule in RE2 — a hash match proves the two
+  // engines' regex semantics agree on the whole chain, not just on
+  // counts. Zero UDFs: the chain is codegen'd string expressions.
+  private val urlCurate = Q(
+    "q_url_curate",
+    (s, dir) => {
+      val id = col("doc_id")
+      val hex = md5(id.cast("string"))
+      val scheme = when(id % 3 === 1, "HTTP://").otherwise("https://")
+      val sub = when(id % 4 === 1, "a.").when(id % 4 === 2, "b.c.")
+        .when(id % 4 === 3, "www.").otherwise("")
+      val base = concat(lit("d"), substring(hex, 1, 2))
+      val tld = when(id % 5 === 0, ".com").when(id % 5 === 1, ".org")
+        .when(id % 5 === 2, ".net").when(id % 5 === 3, ".co.uk")
+        .otherwise(".ac.uk")
+      val port = when(id % 11 === 0, ":443").when(id % 13 === 0, ":8080")
+        .otherwise("")
+      val path = concat(lit("/P/"), substring(hex, 3, 3))
+      val trail = when(id % 6 === 0, "/").otherwise("")
+      val qs = when(id % 7 === 0,
+          concat(lit("?utm_source=feed&x="), substring(hex, 6, 2)))
+        .when(id % 7 === 1,
+          concat(lit("?x="), substring(hex, 6, 2), lit("&utm_campaign=z")))
+        .when(id % 7 === 2, lit("?utm_only=1"))
+        .otherwise("")
+      val frag = when(id % 2 === 0, concat(lit("#s"), substring(hex, 8, 1)))
+        .otherwise("")
+      val urls = t(s, dir, "documents").select(id.as("id"),
+        concat(scheme, sub, base, tld, port, path, trail, qs, frag).as("url"))
+      val withDom = urls
+        .withColumn("norm", graft.ext.UrlOps.normalizeUrl(col("url")))
+        .withColumn("domain", graft.ext.UrlOps.registeredDomainOf(
+          graft.ext.UrlOps.hostOf(col("norm")), Seq("co.uk", "ac.uk")))
+      import s.implicits._
+      val blocklist = Seq("d0a.com", "d1b.org", "d2c.net", "d3d.co.uk",
+        "d4e.ac.uk", "dff.com").toDF("domain")
+      withDom.join(broadcast(blocklist), Seq("domain"), "left_anti")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("norm")).as("n_unique"),
+          min(col("norm")).as("min_url"))
+        .orderBy("domain")
+    },
+    Some("""WITH d AS (SELECT doc_id AS id, md5(CAST(doc_id AS VARCHAR)) AS hex FROM documents),
+           |u AS (SELECT id,
+           |  (CASE WHEN id % 3 = 1 THEN 'HTTP://' ELSE 'https://' END)
+           |  || (CASE id % 4 WHEN 1 THEN 'a.' WHEN 2 THEN 'b.c.' WHEN 3 THEN 'www.' ELSE '' END)
+           |  || 'd' || substr(hex, 1, 2)
+           |  || (CASE id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.org' WHEN 2 THEN '.net'
+           |      WHEN 3 THEN '.co.uk' ELSE '.ac.uk' END)
+           |  || (CASE WHEN id % 11 = 0 THEN ':443' WHEN id % 13 = 0 THEN ':8080' ELSE '' END)
+           |  || '/P/' || substr(hex, 3, 3)
+           |  || (CASE WHEN id % 6 = 0 THEN '/' ELSE '' END)
+           |  || (CASE id % 7 WHEN 0 THEN '?utm_source=feed&x=' || substr(hex, 6, 2)
+           |      WHEN 1 THEN '?x=' || substr(hex, 6, 2) || '&utm_campaign=z'
+           |      WHEN 2 THEN '?utm_only=1' ELSE '' END)
+           |  || (CASE WHEN id % 2 = 0 THEN '#s' || substr(hex, 8, 1) ELSE '' END) AS url
+           | FROM d),
+           |n1 AS (SELECT id, regexp_replace(url, '#.*$', '', 'g') AS v FROM u),
+           |n2 AS (SELECT id, lower(regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+           |  || substr(v, length(regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1)
+           |  AS v FROM n1),
+           |n3 AS (SELECT id, regexp_replace(v, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS v FROM n2),
+           |n4 AS (SELECT id, regexp_replace(v, '^([a-z]+://[^/:?#]+):(?:80|443)([/?#]|$)', '\1\2') AS v FROM n3),
+           |n5 AS (SELECT id, regexp_replace(v, '&utm_[^&#]*', '', 'g') AS v FROM n4),
+           |n6 AS (SELECT id, regexp_replace(regexp_replace(v, '\?utm_[^&#]*&', '?'),
+           |  '\?utm_[^&#]*$', '') AS v FROM n5),
+           |nf AS (SELECT id, regexp_replace(v, '/$', '') AS norm FROM n6),
+           |hd AS (SELECT id, norm, regexp_extract(norm, '^[a-z]+://([^/:?#]+)', 1) AS host FROM nf),
+           |dom AS (SELECT id, norm,
+           |  CASE WHEN host LIKE '%.co.uk' OR host LIKE '%.ac.uk'
+           |       THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+           |       ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain FROM hd)
+           |SELECT domain, COUNT(*) AS n, COUNT(DISTINCT norm) AS n_unique, MIN(norm) AS min_url
+           |FROM dom
+           |WHERE domain NOT IN ('d0a.com','d1b.org','d2c.net','d3d.co.uk','d4e.ac.uk','dff.com')
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(gopherRepetition, boilerplateNgrams, boilerplateScrub,
-    semDedup, dsirWeights, hardNegatives, kAnon, docRepScrub)
+    semDedup, dsirWeights, hardNegatives, kAnon, docRepScrub, urlCurate)
 }
