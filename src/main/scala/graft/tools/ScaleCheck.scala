@@ -175,7 +175,10 @@ object ScaleCheck {
       // round-7 additions: curriculum prefix-count, PCA-on-sufficient-stats,
       // and the Avro sink+source round-trip (write+read scales with corpus)
       "q_curriculum_order", "q_embed_pca", "q_semdedup_pca", "q_avro_roundtrip",
-      "q_simsearch_ivf_append")
+      "q_simsearch_ivf_append",
+      // round-7 additions: Delta-log export (2 commits + log fold ∝ corpus),
+      // dHash band-LSH image near-dup, URL canonicalization chain
+      "q_delta_export", "q_media_phash", "q_url_curate")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
