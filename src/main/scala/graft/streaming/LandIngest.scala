@@ -105,7 +105,8 @@ object LandIngest {
       checkpointDir: String,
       curate: DataFrame => DataFrame,
       minRows: Long = 100L,
-      beforeCommit: Long => Unit = _ => ()): Unit = {
+      beforeCommit: Long => Unit = _ => (),
+      exportDeltaLog: Boolean = false): Unit = {
     import graft.io.Manifest
     val stream = spark.readStream
       .schema(schema)
@@ -126,6 +127,16 @@ object LandIngest {
             Manifest.abandonOrphan(spark, curatedDir, snapshot)
             Manifest.appendImpl(curate(batch), curatedDir, snapshot,
               () => beforeCommit(batchId))
+          }
+          // Lakehouse face of the same cadence: regenerate the Delta
+          // transaction log AFTER the manifest commit, never instead of
+          // it. A crash between commit and export just leaves the
+          // manifest ahead; the next batch's (incremental, idempotent)
+          // export catches the log up — derived state, not a second
+          // commit point.
+          if (exportDeltaLog && Manifest.snapshots(spark, curatedDir).nonEmpty) {
+            graft.io.DeltaLog.exportLog(spark, curatedDir)
+            ()
           }
         } finally batch.unpersist()
       }

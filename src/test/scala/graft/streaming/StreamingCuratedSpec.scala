@@ -102,6 +102,42 @@ class StreamingCuratedSpec extends AnyFunSuite {
     assert(Manifest.read(spark, curated).count() === 270)
   }
 
+  test("exportDeltaLog keeps a Delta version per micro-batch, surviving a mid-commit kill") {
+    import graft.io.DeltaLog
+    val base = Files.createTempDirectory("stream_curated_delta")
+    val land = Files.createDirectory(base.resolve("land"))
+    val curated = base.resolve("curated").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    writeJsonl(land, "week1.jsonl", 0 until 150)
+    LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+      ckpt, curate, minRows = 100, exportDeltaLog = true)
+    assert(DeltaLog.versions(spark, curated) === Seq(0L))
+    assert(DeltaLog.read(spark, curated).count() === 150)
+
+    // kill inside the land→publish window: the manifest did not advance,
+    // so the delta log must not either
+    writeJsonl(land, "week2.jsonl", 1000 until 1120)
+    intercept[Exception] {
+      LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+        ckpt, curate, minRows = 100, exportDeltaLog = true,
+        beforeCommit = _ => throw new RuntimeException("kill -9"))
+    }
+    assert(DeltaLog.versions(spark, curated) === Seq(0L))
+
+    // replay: exactly one new manifest commit AND exactly one new delta
+    // version; the external (log-reading) view equals the manifest view
+    LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+      ckpt, curate, minRows = 100, exportDeltaLog = true)
+    assert(Manifest.snapshots(spark, curated) === Seq("batch-0", "batch-1"))
+    assert(DeltaLog.versions(spark, curated) === Seq(0L, 1L))
+    assert(DeltaLog.activeFiles(spark, curated).sorted ===
+      Manifest.currentFiles(spark, curated).sorted)
+    assert(DeltaLog.read(spark, curated).count() === 270)
+    // time travel through the LOG to the pre-append version
+    assert(DeltaLog.readVersion(spark, curated, 0L).count() === 150)
+  }
+
   test("the row-count gate fails the batch BEFORE anything lands in the curated table") {
     val base = Files.createTempDirectory("stream_curated_gate")
     val land = Files.createDirectory(base.resolve("land"))
