@@ -1,0 +1,388 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Apache Iceberg (format v2) metadata EXPORT of a [[Manifest]] table —
+ * the second table-format face next to [[DeltaLog]], per the public
+ * Iceberg Table Spec (iceberg.apache.org/spec). Together they close the
+ * lakehouse-interop gap from both directions: engines that mount Delta
+ * read the `_delta_log`, engines that mount Iceberg (Trino, Spark's
+ * iceberg runtime, DuckDB iceberg, pyiceberg) read this.
+ *
+ * Mapping, derived from the same source of truth (the Manifest
+ * history), using the HadoopTables filesystem-catalog convention:
+ *
+ *  - snapshot-id = sequence-number = `commit_seq`.
+ *  - `metadata/v<N>.metadata.json` per export generation plus
+ *    `metadata/version-hint.text` (the HadoopTables current pointer);
+ *    the metadata JSON carries format-version 2, a stable table-uuid,
+ *    the schema with per-field `id`s (assigned by a depth-first walk of
+ *    the parquet schema), an unpartitioned default spec, the full
+ *    snapshot list with `manifest-list` pointers, and a `main` branch
+ *    ref — the required v2 field set.
+ *  - One manifest-list Avro (`snap-<seq>.avro`) and one manifest Avro
+ *    (`seq-<seq>-m0.avro`) per snapshot, both written once and never
+ *    rewritten (re-export is incremental, cost ∝ new commits). Avro
+ *    schemas carry the spec's `field-id` attributes (500-series for
+ *    manifest_file, 0/1/3/4/2 + 100-series for manifest_entry) — the
+ *    ids Iceberg readers resolve by.
+ *  - Entry status: a data file is ADDED (1) in the snapshot whose
+ *    commit introduced it and EXISTING (0) in later snapshots that
+ *    carry it forward; `sequence_number`/`file_sequence_number` pin the
+ *    introducing commit. `record_count` comes from the parquet footer
+ *    (metadata-only, no data scan).
+ *
+ * Scope note, disclosed: overwrite commits drop files by simply not
+ * listing them in the new snapshot's manifests — correct for state
+ * reads and time travel (each snapshot's manifest list is complete),
+ * while v2 positional/equality DELETE manifests for incremental
+ * CDC-style consumers are out of scope. No Iceberg reader installs in
+ * this offline sandbox (documented in SURVEY §5.2), so conformance is
+ * proven by an independent raw-Avro/JSON parse in the spec plus the
+ * in-repo reader ([[activeFiles]]/[[read]]).
+ */
+object IcebergExport {
+
+  private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def metaDir(base: Path) = new Path(base, "metadata")
+
+  private def tableUuid(fsys: FileSystem, base: Path): String =
+    UUID.nameUUIDFromBytes(
+      ("graft-iceberg:" + fsys.makeQualified(base).toString)
+        .getBytes(StandardCharsets.UTF_8)).toString
+
+  // ---- Iceberg schema JSON (field-ids by depth-first walk) --------------
+
+  private def icebergType(dt: DataType, nextId: () => Int): JValue = dt match {
+    case LongType => JString("long")
+    case IntegerType => JString("int")
+    case ShortType => JString("int")
+    case DoubleType => JString("double")
+    case FloatType => JString("float")
+    case StringType => JString("string")
+    case BooleanType => JString("boolean")
+    case DateType => JString("date")
+    case TimestampType => JString("timestamptz")
+    case TimestampNTZType => JString("timestamp")
+    case BinaryType => JString("binary")
+    case d: DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
+    case ArrayType(elem, containsNull) =>
+      val elemId = nextId()
+      JObject(
+        "type" -> JString("list"),
+        "element-id" -> JInt(elemId),
+        "element" -> icebergType(elem, nextId),
+        "element-required" -> JBool(!containsNull))
+    case StructType(fields) =>
+      // ids for THIS struct's fields first, nested types after — any
+      // unique assignment is spec-valid; this one is deterministic
+      val withIds = fields.map(f => (f, nextId()))
+      JObject(
+        "type" -> JString("struct"),
+        "fields" -> JArray(withIds.toList.map { case (f, id) =>
+          JObject(
+            "id" -> JInt(id),
+            "name" -> JString(f.name),
+            "required" -> JBool(!f.nullable),
+            "type" -> icebergType(f.dataType, nextId))
+        }))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported Iceberg export type: $other")
+  }
+
+  private def schemaJson(schema: StructType): (JValue, Int) = {
+    var counter = 0
+    val nextId = () => { counter += 1; counter }
+    val JObject(fields) = icebergType(schema, nextId)
+    (JObject(("schema-id" -> JInt(0)) :: fields), counter)
+  }
+
+  // ---- Avro schemas for manifest list / manifest (spec field-ids) -------
+
+  private val manifestFileSchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  private val manifestEntrySchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin)
+
+  private def writeAvroFile(fsys: FileSystem, dest: Path, schema: AvroSchema,
+      meta: Map[String, String], records: Seq[GenericRecord]): Long = {
+    val tmp = new Path(dest.getParent, "." + dest.getName + ".tmp")
+    val out = fsys.create(tmp, true)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    try { w.create(schema, out); records.foreach(w.append) } finally w.close()
+    if (!fsys.rename(tmp, dest)) {
+      fsys.delete(tmp, false)
+      if (!fsys.exists(dest))
+        throw new RuntimeException(s"iceberg metadata write failed for $dest")
+    }
+    fsys.getFileStatus(dest).getLen
+  }
+
+  private def readAvroFile(fsys: FileSystem, p: Path): Seq[GenericRecord] = {
+    val in = fsys.open(p)
+    val r = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toVector finally r.close()
+  }
+
+  private def parquetRecordCount(fsys: FileSystem, p: Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Export/refresh the Iceberg metadata tree from the retained Manifest
+    * history. Returns the metadata generation written (the
+    * `version-hint.text` value). Incremental: per-snapshot Avro files
+    * are immutable; only the metadata JSON generation advances. */
+  def exportTable(spark: SparkSession, dir: String): Int = {
+    val (fsys, base) = fs(spark, dir)
+    val ms = Manifest.history(spark, dir)
+    require(ms.nonEmpty, s"no committed snapshot under $dir")
+    val md = metaDir(base)
+    fsys.mkdirs(md)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val now = System.currentTimeMillis()
+    val qualBase = fsys.makeQualified(base).toString
+
+    // first commit that listed each file — the file's data sequence number
+    val firstSeq = scala.collection.mutable.LinkedHashMap[String, Long]()
+    ms.foreach(m => m.files.foreach(f =>
+      if (!firstSeq.contains(f)) firstSeq(f) = m.seq))
+
+    // ---- per-snapshot manifest + manifest list (immutable) -------------
+    ms.foreach { m =>
+      val manifestPath = new Path(md, s"seq-${m.seq}-m0.avro")
+      val listPath = new Path(md, s"snap-${m.seq}.avro")
+      if (!fsys.exists(listPath)) {
+        val entries = m.files.map { f =>
+          val st = fsys.getFileStatus(new Path(base, f))
+          val fseq = firstSeq(f)
+          val df = new GenericData.Record(
+            manifestEntrySchema.getField("data_file").schema())
+          df.put("content", 0)
+          df.put("file_path", s"$qualBase/$f")
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(
+            df.getSchema.getField("partition").schema()))
+          df.put("record_count",
+            java.lang.Long.valueOf(parquetRecordCount(fsys, st.getPath, conf)))
+          df.put("file_size_in_bytes", java.lang.Long.valueOf(st.getLen))
+          val e = new GenericData.Record(manifestEntrySchema)
+          e.put("status", if (fseq == m.seq) 1 else 0) // ADDED vs EXISTING
+          e.put("snapshot_id", java.lang.Long.valueOf(m.seq))
+          e.put("sequence_number", java.lang.Long.valueOf(fseq))
+          e.put("file_sequence_number", java.lang.Long.valueOf(fseq))
+          e.put("data_file", df)
+          e
+        }
+        val curSchemaJson = JsonMethods.compact(JsonMethods.render(
+          schemaJson(spark.read.parquet(
+            m.files.map(f => s"$dir/$f"): _*).schema)._1))
+        val mlen = writeAvroFile(fsys, manifestPath, manifestEntrySchema,
+          Map("schema" -> curSchemaJson, "partition-spec" -> "[]",
+            "partition-spec-id" -> "0", "format-version" -> "2",
+            "content" -> "data"),
+          entries)
+        val added = entries.filter(_.get("status") == 1)
+        val existing = entries.filter(_.get("status") == 0)
+        def rows(es: Seq[GenericRecord]) = es.map(
+          _.get("data_file").asInstanceOf[GenericRecord]
+            .get("record_count").asInstanceOf[java.lang.Long].longValue()).sum
+        val mf = new GenericData.Record(manifestFileSchema)
+        mf.put("manifest_path", fsys.makeQualified(manifestPath).toString)
+        mf.put("manifest_length", java.lang.Long.valueOf(mlen))
+        mf.put("partition_spec_id", 0)
+        mf.put("content", 0)
+        mf.put("sequence_number", java.lang.Long.valueOf(m.seq))
+        mf.put("min_sequence_number", java.lang.Long.valueOf(
+          if (m.files.isEmpty) m.seq else m.files.map(firstSeq).min))
+        mf.put("added_snapshot_id", java.lang.Long.valueOf(m.seq))
+        mf.put("added_files_count", added.size)
+        mf.put("existing_files_count", existing.size)
+        mf.put("deleted_files_count", 0)
+        mf.put("added_rows_count", java.lang.Long.valueOf(rows(added)))
+        mf.put("existing_rows_count", java.lang.Long.valueOf(rows(existing)))
+        mf.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+        writeAvroFile(fsys, listPath, manifestFileSchema,
+          Map("format-version" -> "2", "snapshot-id" -> m.seq.toString,
+            "sequence-number" -> m.seq.toString),
+          Seq(mf))
+      }
+    }
+
+    // ---- table metadata JSON generation + version hint -----------------
+    val current = ms.last
+    val (schJ, lastColId) = schemaJson(
+      spark.read.parquet(current.files.map(f => s"$dir/$f"): _*).schema)
+    val snapshots = JArray(ms.toList.map { m =>
+      JObject(
+        "snapshot-id" -> JInt(m.seq),
+        "sequence-number" -> JInt(m.seq),
+        "timestamp-ms" -> JInt(BigInt(now)),
+        "manifest-list" -> JString(
+          fsys.makeQualified(new Path(md, s"snap-${m.seq}.avro")).toString),
+        "summary" -> JObject("operation" -> JString(
+          if (ms.headOption.contains(m) || {
+            val prev = ms(ms.indexOf(m) - 1).files.toSet
+            m.files.exists(f => !prev.contains(f)) && prev.subsetOf(m.files.toSet)
+          }) "append" else "overwrite")),
+        "schema-id" -> JInt(0))
+    })
+    val metadata = JObject(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JString(tableUuid(fsys, base)),
+      "location" -> JString(qualBase),
+      "last-sequence-number" -> JInt(current.seq),
+      "last-updated-ms" -> JInt(BigInt(now)),
+      "last-column-id" -> JInt(lastColId),
+      "current-schema-id" -> JInt(0),
+      "schemas" -> JArray(List(schJ)),
+      "default-spec-id" -> JInt(0),
+      "partition-specs" -> JArray(List(JObject(
+        "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "last-partition-id" -> JInt(999),
+      "default-sort-order-id" -> JInt(0),
+      "sort-orders" -> JArray(List(JObject(
+        "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "properties" -> JObject(Nil),
+      "current-snapshot-id" -> JInt(current.seq),
+      "snapshots" -> snapshots,
+      "refs" -> JObject("main" -> JObject(
+        "snapshot-id" -> JInt(current.seq),
+        "type" -> JString("branch"))))
+
+    val gen = currentGeneration(fsys, md) + 1
+    val mj = new Path(md, s"v$gen.metadata.json")
+    val tmp = new Path(md, s".v$gen.metadata.json.tmp")
+    val out = fsys.create(tmp, true)
+    try out.write(JsonMethods.pretty(JsonMethods.render(metadata))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fsys.rename(tmp, mj)) {
+      fsys.delete(tmp, false)
+      if (!fsys.exists(mj))
+        throw new RuntimeException(s"iceberg metadata json write failed for $mj")
+    }
+    val hint = new Path(md, "version-hint.text")
+    val htmp = new Path(md, ".version-hint.text.tmp")
+    val hout = fsys.create(htmp, true)
+    try hout.write(gen.toString.getBytes(StandardCharsets.UTF_8))
+    finally hout.close()
+    fsys.delete(hint, false)
+    if (!fsys.rename(htmp, hint))
+      throw new RuntimeException(s"version-hint write failed under $md")
+    gen
+  }
+
+  private def currentGeneration(fsys: FileSystem, md: Path): Int =
+    if (!fsys.exists(md)) 0
+    else fsys.listStatus(md).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json"))
+      .filter(_.forall(_.isDigit)).map(_.toInt)
+      .foldLeft(0)(math.max)
+
+  // ---- reader side (HadoopTables resolution), for specs + queries ------
+
+  private def readText(fsys: FileSystem, p: Path): String = {
+    val in = fsys.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** The current table metadata JSON, resolved through version-hint. */
+  def currentMetadata(spark: SparkSession, dir: String): JValue = {
+    val (fsys, base) = fs(spark, dir)
+    val md = metaDir(base)
+    val gen = readText(fsys, new Path(md, "version-hint.text")).trim.toInt
+    JsonMethods.parse(readText(fsys, new Path(md, s"v$gen.metadata.json")))
+  }
+
+  /** Data-file URIs of a snapshot (default: current), resolved the way a
+    * reader does: metadata JSON → snapshot's manifest list → manifest
+    * entries. */
+  def activeFiles(spark: SparkSession, dir: String,
+      snapshotId: Option[Long] = None): Seq[String] = {
+    val (fsys, _) = fs(spark, dir)
+    val meta = currentMetadata(spark, dir)
+    val target = snapshotId.getOrElse(meta \ "current-snapshot-id" match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalStateException("no current-snapshot-id")
+    })
+    val snap = (meta \ "snapshots") match {
+      case JArray(ss) => ss.find(s => (s \ "snapshot-id") == JInt(target))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot $target under $dir"))
+      case _ => throw new IllegalStateException("no snapshots array")
+    }
+    val JString(listPath) = snap \ "manifest-list"
+    readAvroFile(fsys, new Path(listPath)).flatMap { mf =>
+      val mp = mf.get("manifest_path").toString
+      readAvroFile(fsys, new Path(mp)).map { e =>
+        e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+      }
+    }
+  }
+
+  /** Read the table THROUGH the Iceberg metadata (current snapshot). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = activeFiles(spark, dir)
+    require(files.nonEmpty, s"iceberg snapshot has no data files under $dir")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Time travel through the metadata tree. */
+  def readSnapshot(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
+    val files = activeFiles(spark, dir, Some(snapshotId))
+    require(files.nonEmpty, s"iceberg snapshot $snapshotId has no data files")
+    spark.read.parquet(files: _*)
+  }
+}

@@ -1018,6 +1018,37 @@ object Maintenance {
             |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // Iceberg-v2 interop under oracle, the q_delta_export twin for the
+  // OTHER table format: orders lands as two Manifest commits (even/odd
+  // orderkey split), the Iceberg metadata tree is exported
+  // (metadata.json + Avro manifest list + manifests with spec
+  // field-ids), and the table is read back THROUGH that tree
+  // (version-hint → metadata → manifest-list → manifest → parquet);
+  // the oracle aggregates the source parquet directly.
+  private val icebergExport = Q(
+    "q_iceberg_export",
+    (s, dir) => {
+      val out = scratchDir(dir, "iceberg_ord")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+      graft.io.Manifest.write(o.filter(col("o_orderkey") % 2 === 0), out, "even")
+      graft.io.Manifest.append(o.filter(col("o_orderkey") % 2 === 1), out, "odd")
+      graft.io.IcebergExport.exportTable(s, out)
+      graft.io.IcebergExport.read(s, out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_custkey").as("sum_ck"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          max(to_date(col("o_orderdate"))).as("max_date"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
+            |  ${oSum("o_totalprice")} AS sum_price,
+            |  MAX(CAST(o_orderdate AS DATE)) AS max_date
+            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // The DSv2 face of the Avro source under oracle: read back through
   // spark.read.format(...) (planner-integrated — column pruning pushes a
   // projected reader schema into the decoder, AvroSourceV2Spec asserts
@@ -1039,7 +1070,7 @@ object Maintenance {
             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
-    avroRoundtrip, avroSourceV2Q, deltaExport,
+    avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

@@ -155,6 +155,8 @@ object ScaleCheck {
         // (orders ×r over the SAME part catalog — corpus growth, not
         // catalog growth, which is how a sales log actually scales)
         replicate("lineitem", "l_orderkey", r, textCol = None)
+        // round-7: orders feeds the Iceberg-export commit loop
+        replicate("orders", "o_orderkey", r, textCol = None)
       }
     }
 
@@ -178,7 +180,7 @@ object ScaleCheck {
       "q_simsearch_ivf_append",
       // round-7 additions: Delta-log export (2 commits + log fold ∝ corpus),
       // dHash band-LSH image near-dup, URL canonicalization chain
-      "q_delta_export", "q_media_phash", "q_url_curate")
+      "q_delta_export", "q_media_phash", "q_url_curate", "q_iceberg_export")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
