@@ -63,7 +63,7 @@ object Manifest {
   private def manifestPath(dir: String, seq: Long) =
     new Path(dir, s"manifest-$seq.json")
 
-  private[io] final case class ManifestData(snapshot: String, seq: Long, files: Seq[String])
+  private[graft] final case class ManifestData(snapshot: String, seq: Long, files: Seq[String])
 
   /** One read per manifest: snapshot id, commit_seq, and the data file
     * list. The file pattern requires the `data-<dir>/` prefix, so the
@@ -97,7 +97,7 @@ object Manifest {
 
   /** Retained commit history, oldest → newest — the [[DeltaLog]]
     * export's input view. */
-  private[io] def history(spark: SparkSession, dir: String): Seq[ManifestData] = {
+  private[graft] def history(spark: SparkSession, dir: String): Seq[ManifestData] = {
     val (fsys, base) = fs(spark, dir)
     retained(fsys, base)
   }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.io.{AvroIO, TableIO}
@@ -180,13 +180,81 @@ class AvroWriterFactory(confSnap: Array[(String, String)], schemaJson: String,
 }
 
 class AvroScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+
   private var required: StructType = full
+  private var countStars = 0
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep file field order so the projected reader schema resolves cleanly
     required = StructType(full.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new AvroScan(path, full, required)
+
+  /** COUNT(*) without grouping is answered from the container BLOCK
+    * HEADERS (every Avro block carries its record count) — no
+    * decompress, no per-record decode. Pushdown is PARTIAL
+    * (`supportCompletePushDown` false): each file contributes one
+    * per-partition count row and Spark's final agg sums them, so the
+    * plan stays correct however many files there are. Anything beyond
+    * CountStar (COUNT(col) needs null inspection, MIN/MAX need values —
+    * Avro files carry no column statistics) declines the pushdown and
+    * takes the decoding scan. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (ok) countStars = aggregation.aggregateExpressions.length
+    ok
+  }
+
+  override def build(): Scan =
+    if (countStars > 0) new AvroCountScan(path, countStars)
+    else new AvroScan(path, full, required)
+}
+
+/** Block-header COUNT(*) scan: one partition per container file, each
+  * emitting a single partial-count row summed by Spark's final agg. */
+class AvroCountScan(path: String, nAggs: Int) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((0 until nAggs).map(i =>
+      StructField(s"agg_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-avro $path count-pushdown(block-headers)"
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroSourceV2.listFiles(path).map(f => AvroFilePartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    new AvroCountReaderFactory(
+      AvroIO.confSnapshot(spark.sparkContext.hadoopConfiguration), nAggs)
+  }
+}
+
+class AvroCountReaderFactory(confSnap: Array[(String, String)], nAggs: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[AvroFilePartition].file
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val p = new Path(file)
+        val in = p.getFileSystem(AvroIO.restoreConf(confSnap)).open(p)
+        val stream = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        // walk block headers only: getBlockCount reads the count varint,
+        // nextBlock skips the payload without decoding records
+        var n = 0L
+        try {
+          while (stream.hasNext) { n += stream.getBlockCount; stream.nextBlock() }
+        } finally stream.close()
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array.fill[Any](nAggs)(n))
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class AvroScan(path: String, full: StructType, required: StructType) extends Scan with Batch {

@@ -106,7 +106,8 @@ object LandIngest {
       curate: DataFrame => DataFrame,
       minRows: Long = 100L,
       beforeCommit: Long => Unit = _ => (),
-      exportDeltaLog: Boolean = false): Unit = {
+      exportDeltaLog: Boolean = false,
+      exportIceberg: Boolean = false): Unit = {
     import graft.io.Manifest
     val stream = spark.readStream
       .schema(schema)
@@ -136,6 +137,10 @@ object LandIngest {
           // commit point.
           if (exportDeltaLog && Manifest.snapshots(spark, curatedDir).nonEmpty) {
             graft.io.DeltaLog.exportLog(spark, curatedDir)
+            ()
+          }
+          if (exportIceberg && Manifest.snapshots(spark, curatedDir).nonEmpty) {
+            graft.io.IcebergExport.exportTable(spark, curatedDir)
             ()
           }
         } finally batch.unpersist()

@@ -106,6 +106,31 @@ class AvroSourceV2Spec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 150)
   }
 
+  test("COUNT(*) is answered from block headers: count-pushdown scan, exact result") {
+    val dir = writeFixture()
+    // append a second job's files so the partial counts genuinely sum
+    // across containers from different writes
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(100)
+      .write.format("graft.sources.AvroSourceV2").mode("append").save(dir)
+    val df = spark.read.format("graft.sources.AvroSourceV2").load(dir)
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("count-pushdown(block-headers)"),
+      s"expected the count-pushdown scan in the plan:\n$plan")
+    val truth = spark.read.parquet(
+      "/root/testdata/sf0.001/lineitem.parquet").count() + 100
+    assert(counted.collect().head.getLong(0) == truth)
+    // spark.sql COUNT(*) takes the same path
+    df.createOrReplaceTempView("li_cnt")
+    assert(spark.sql("SELECT COUNT(*) FROM li_cnt").collect().head.getLong(0) == truth)
+    // grouped / non-CountStar aggregates DECLINE the pushdown and decode
+    val grouped = df.groupBy("l_returnflag").count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("count-pushdown"))
+    assert(grouped.agg(org.apache.spark.sql.functions.sum("count"))
+      .collect().head.getLong(0) == truth)
+  }
+
   test("SQL over the v2 source: aggregate matches parquet truth") {
     val dir = writeFixture()
     spark.read.format("graft.sources.AvroSourceV2").load(dir)

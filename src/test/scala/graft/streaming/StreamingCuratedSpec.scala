@@ -111,9 +111,10 @@ class StreamingCuratedSpec extends AnyFunSuite {
 
     writeJsonl(land, "week1.jsonl", 0 until 150)
     LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
-      ckpt, curate, minRows = 100, exportDeltaLog = true)
+      ckpt, curate, minRows = 100, exportDeltaLog = true, exportIceberg = true)
     assert(DeltaLog.versions(spark, curated) === Seq(0L))
     assert(DeltaLog.read(spark, curated).count() === 150)
+    assert(graft.io.IcebergExport.read(spark, curated).count() === 150)
 
     // kill inside the land→publish window: the manifest did not advance,
     // so the delta log must not either
@@ -128,7 +129,7 @@ class StreamingCuratedSpec extends AnyFunSuite {
     // replay: exactly one new manifest commit AND exactly one new delta
     // version; the external (log-reading) view equals the manifest view
     LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
-      ckpt, curate, minRows = 100, exportDeltaLog = true)
+      ckpt, curate, minRows = 100, exportDeltaLog = true, exportIceberg = true)
     assert(Manifest.snapshots(spark, curated) === Seq("batch-0", "batch-1"))
     assert(DeltaLog.versions(spark, curated) === Seq(0L, 1L))
     assert(DeltaLog.activeFiles(spark, curated).sorted ===
@@ -136,6 +137,9 @@ class StreamingCuratedSpec extends AnyFunSuite {
     assert(DeltaLog.read(spark, curated).count() === 270)
     // time travel through the LOG to the pre-append version
     assert(DeltaLog.readVersion(spark, curated, 0L).count() === 150)
+    // the Iceberg face advanced in lockstep: one snapshot per batch
+    assert(graft.io.IcebergExport.read(spark, curated).count() === 270)
+    assert(graft.io.IcebergExport.readSnapshot(spark, curated, 0L).count() === 150)
   }
 
   test("the row-count gate fails the batch BEFORE anything lands in the curated table") {
