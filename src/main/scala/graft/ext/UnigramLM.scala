@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Unigram-language-model tokenizer training (the SentencePiece unigram
+ * algorithm's EM core, Kudo 2018) — the second tokenizer family next to
+ * [[TextStats.bpeTrainBatched]]:
+ *
+ *  1. candidate vocabulary = every substring of every corpus word up to
+ *     `maxPieceLen` chars with corpus count ≥ `minCount`, plus ALL
+ *     single characters (segmentation coverage guarantee);
+ *  2. EM rounds: the E-step Viterbi-segments each DISTINCT word under
+ *     the current piece log-probabilities and weights the chosen pieces
+ *     by corpus word frequency; the M-step re-estimates `p(piece) =
+ *     count / total` from those counts and drops unused pieces;
+ *  3. output = the `vocabSize` highest-count pieces with their final
+ *     log-probabilities.
+ *
+ * Determinism contract (the whole point of the implementation): piece
+ * log-probs are 9-dp-rounded (`round(ln(n/total), 9)` — the repo's ln
+ * contract) and then carried as DECIMAL(28,9), so Viterbi path scores
+ * are EXACT decimal sums and every DP comparison is exact; ties break
+ * by (fewer pieces, then lexicographic path). Prefix-optimality holds
+ * for that order (scores and piece counts are additive; equal-score
+ * equal-count paths over the same prefix have equal length, so the
+ * lexicographic comparison is decided inside the prefix), which makes
+ * the distributed per-position DP here provably equal to the DuckDB
+ * oracle's exhaustive-enumeration recursive CTE.
+ *
+ * Scale shape: the corpus-proportional work is ONE tokenize+count pass
+ * (`words`); everything after runs on DISTINCT words — candidate
+ * explode, edge join, and a per-position DP loop of `max word length`
+ * rounds (each a word-keyed shuffle, frame checkpointed per round).
+ * Driver sees two bounded scalars (max word length, loop indices),
+ * never data. Words longer than `maxWordLen` are excluded up front
+ * (SentencePiece's max-piece-length pragmatics applied at the word
+ * level) so the DP depth is bounded by a constant, not by the corpus.
+ */
+object UnigramLM {
+
+  private val Dec = DecimalType(28, 9)
+
+  /** (piece, n, lnp DECIMAL(28,9)) with `lnp = round(ln(n/total), 9)`. */
+  private def withLnp(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("n")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("lnp",
+        round(log(col("n").cast("double") / col("__tot").cast("double")), 9)
+          .cast(Dec))
+      .drop("__tot")
+  }
+
+  /** Distinct corpus words with frequencies (the one data-∝ pass). */
+  private def wordCounts(df: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
+    df.select(explode(TextStats.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Viterbi-best segmentation of every word under `vocab` (piece, lnp):
+    * returns (word, path, score, np) — path is the space-joined piece
+    * sequence, the unique DP optimum under (score desc, np asc, path
+    * asc). */
+  private def viterbi(words: DataFrame, vocab: DataFrame, maxPieceLen: Int,
+      maxLen: Int): DataFrame = {
+    val L = maxPieceLen
+    val edges = words.select(col("word"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, length(word)-1), i ->
+             |  transform(sequence(i+1, least(i+$L, length(word))), j ->
+             |    named_struct('i', i, 'j', j))))""".stripMargin)).as("e"))
+      .select(col("word"), col("e.i").as("i"), col("e.j").as("j"),
+        expr("substring(word, e.i + 1, e.j - e.i)").as("piece"))
+      .join(vocab.select("piece", "lnp"), "piece")
+      .localCheckpoint(true)
+    var best = words.select(col("word"), lit(0).as("pos"),
+      lit(java.math.BigDecimal.ZERO).cast(Dec).as("score"),
+      lit(0).as("np"), lit("").as("path"))
+    val wWord = Window.partitionBy("word", "pos")
+      .orderBy(col("score").desc, col("np"), col("path"))
+    for (j <- 1 to maxLen) {
+      val stepEdges = edges.filter(col("j") === j)
+        .select(col("word"), col("i"), col("piece"), col("lnp"))
+      val extended = best.filter(col("pos") >= j - L)
+        .join(stepEdges, Seq("word"))
+        .filter(col("pos") === col("i"))
+        .select(col("word"), lit(j).as("pos"),
+          (col("score") + col("lnp")).cast(Dec).as("score"),
+          (col("np") + 1).as("np"),
+          when(col("path") === "", col("piece"))
+            .otherwise(concat(col("path"), lit(" "), col("piece"))).as("path"))
+        .withColumn("__rk", row_number().over(wWord))
+        .filter(col("__rk") === 1).drop("__rk")
+      best = best.unionByName(extended).localCheckpoint(true)
+    }
+    best.withColumn("__len", length(col("word")))
+      .filter(col("pos") === col("__len"))
+      .select("word", "path", "score", "np")
+  }
+
+  /** Train the unigram LM; returns `(token_id, piece, n, lnp)` — the
+    * `vocabSize` top pieces by (final EM count desc, piece asc), with
+    * `lnp` as the 9-dp-rounded double log-probability. */
+  def train(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      minCount: Long = 2L, emIters: Int = 2, vocabSize: Int = 200,
+      maxWordLen: Int = 24): DataFrame = {
+    require(emIters >= 1 && vocabSize >= 1 && maxPieceLen >= 1)
+    val words = wordCounts(df, textCol, maxWordLen).localCheckpoint(true)
+    // bounded driver scalar: DP depth (≤ maxWordLen by the filter above)
+    val maxLen = words.agg(max(length(col("word")))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toInt)).getOrElse(0)
+    require(maxLen > 0, "empty corpus")
+    val L = maxPieceLen
+
+    // candidate vocab: substring counts weighted by word frequency
+    val cand = words.select(col("freq"),
+      explode(expr(
+        s"""flatten(transform(sequence(0, length(word)-1), i ->
+           |  transform(sequence(1, least($L, length(word)-i)), l ->
+           |    substring(word, i+1, l))))""".stripMargin)).as("piece"))
+    var vocab = withLnp(
+      cand.groupBy("piece").agg(sum(col("freq")).as("n"))
+        .filter(col("n") >= minCount || length(col("piece")) === 1))
+      .localCheckpoint(true)
+
+    var counts: DataFrame = null
+    for (_ <- 1 to emIters) {
+      val seg = viterbi(words, vocab, L, maxLen)
+      counts = seg.join(words.select("word", "freq"), "word")
+        .select(col("freq"), explode(split(col("path"), " ")).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("n"))
+      vocab = withLnp(counts).localCheckpoint(true)
+    }
+
+    val tot = counts.agg(sum(col("n")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("lnp",
+        round(log(col("n").cast("double") / col("__tot").cast("double")), 9))
+      .drop("__tot")
+      .withColumn("token_id", (row_number().over(
+        Window.orderBy(col("n").desc, col("piece"))) - 1).cast("int"))
+      .filter(col("token_id") < vocabSize)
+      .select("token_id", "piece", "n", "lnp")
+  }
+
+  /** Apply side: Viterbi-segment the corpus's distinct words under a
+    * TRAINED vocab (piece, lnp double) — returns (word, freq, path,
+    * n_pieces). The DP score stays internal (exact decimal): emitting it
+    * would force a DECIMAL(28,9)→DOUBLE cast, DuckDB's one
+    * known-incorrectly-rounded conversion (see the verify-skill notes). */
+  def segment(df: DataFrame, textCol: String, vocab: DataFrame,
+      maxPieceLen: Int = 4, maxWordLen: Int = 24): DataFrame = {
+    val words = wordCounts(df, textCol, maxWordLen).localCheckpoint(true)
+    val maxLen = words.agg(max(length(col("word")))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toInt)).getOrElse(0)
+    require(maxLen > 0, "empty corpus")
+    val v = vocab.select(col("piece"), col("lnp").cast(Dec).as("lnp"))
+    viterbi(words, v, maxPieceLen, maxLen)
+      .join(words, "word")
+      .select(col("word"), col("freq"), col("path"), col("np").as("n_pieces"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ext.TextStats
+import graft.ext.{TextStats, UnigramLM}
 import graft.ops.{Mixture, Packing, PrefixSum, Sampling}
 import QueryUtil._
 
@@ -63,6 +63,84 @@ object Assembly {
             |      FROM cnt)
             |SELECT token, n, token_id FROM r WHERE token_id < 1000
             |ORDER BY token_id""".stripMargin))
+
+  // ---- unigram-LM tokenizer (SentencePiece EM core) ----------------------
+  // Shared DuckDB chain: candidate substring vocab → EM rounds, each an
+  // EXHAUSTIVE-path Viterbi (recursive CTE) — provably equal to the
+  // engine's pruned per-position DP because scores are exact
+  // DECIMAL(28,9) sums of 9-dp-rounded lns and the (score DESC, np,
+  // path) order is prefix-optimal (see ext/UnigramLM's scaladoc).
+  private def unigramEm(round: Int, vocabIn: String): String =
+    s"""r$round(word, pos, score, np, path) AS (
+       |  SELECT word, 0, CAST(0 AS DECIMAL(28,9)), 0, '' FROM uwords
+       |  UNION ALL
+       |  SELECT r$round.word, r$round.pos + length(v.piece),
+       |    CAST(r$round.score + v.lnp AS DECIMAL(28,9)), r$round.np + 1,
+       |    CASE WHEN r$round.path = '' THEN v.piece
+       |         ELSE r$round.path || ' ' || v.piece END
+       |  FROM r$round JOIN $vocabIn v
+       |    ON r$round.pos + length(v.piece) <= length(r$round.word)
+       |   AND substr(r$round.word, r$round.pos + 1, length(v.piece)) = v.piece),
+       |seg$round AS (
+       |  SELECT word, path, np FROM (
+       |    SELECT word, path, np, row_number() OVER (PARTITION BY word
+       |      ORDER BY score DESC, np, path) AS rk
+       |    FROM r$round WHERE pos = length(word)) WHERE rk = 1),
+       |pc$round AS (SELECT word, unnest(string_split(path, ' ')) AS piece FROM seg$round),
+       |c$round AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS n
+       |  FROM pc$round JOIN uwords USING (word) GROUP BY piece),
+       |t$round AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c$round),
+       |vocab$round AS (SELECT piece, CAST(round(ln(1.0*n/tot), 9) AS DECIMAL(28,9)) AS lnp
+       |  FROM c$round, t$round)""".stripMargin
+
+  private def unigramCtes: String =
+    s"""utoks AS (SELECT unnest(${oToks("text")}) AS word FROM documents),
+       |uwords AS (SELECT word, COUNT(*) AS freq FROM utoks
+       |           WHERE length(word) <= 24 GROUP BY 1),
+       |ucand AS (
+       |  SELECT substr(word, i+1, l) AS piece, freq
+       |  FROM uwords,
+       |    LATERAL (SELECT unnest(range(0, length(word))) AS i) ii,
+       |    LATERAL (SELECT unnest(range(1, least(4, length(word)-i)+1)) AS l) ll),
+       |c0 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS n FROM ucand GROUP BY 1),
+       |v0n AS (SELECT piece, n FROM c0 WHERE n >= 2 OR length(piece) = 1),
+       |t0 AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM v0n),
+       |vocab0 AS (SELECT piece, CAST(round(ln(1.0*n/tot), 9) AS DECIMAL(28,9)) AS lnp
+       |  FROM v0n, t0),
+       |${unigramEm(1, "vocab0")},
+       |${unigramEm(2, "vocab1")}""".stripMargin
+
+  private val unigramTrain = Q(
+    "q_unigram_train",
+    (s, dir) =>
+      UnigramLM.train(t(s, dir, "documents"), "text",
+        maxPieceLen = 4, minCount = 2L, emIters = 2, vocabSize = 200)
+        .orderBy("token_id"),
+    Some(s"""WITH RECURSIVE $unigramCtes
+            |SELECT token_id, piece, n, lnp FROM (
+            |  SELECT CAST(row_number() OVER (ORDER BY n DESC, piece) - 1 AS INTEGER)
+            |           AS token_id,
+            |         piece, n, round(ln(1.0*n/tot), 9) AS lnp
+            |  FROM c2, t2)
+            |WHERE token_id < 200 ORDER BY token_id""".stripMargin))
+
+  private val unigramSegment = Q(
+    "q_unigram_segment",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // UNtruncated final vocab: truncation would leave rare words
+      // uncoverable; the oracle's vocab2 is likewise untruncated
+      val vocab = UnigramLM.train(docs, "text", maxPieceLen = 4,
+        minCount = 2L, emIters = 2, vocabSize = Int.MaxValue)
+        .select("piece", "lnp")
+      UnigramLM.segment(docs, "text", vocab, maxPieceLen = 4)
+        .orderBy("word")
+    },
+    Some(s"""WITH RECURSIVE $unigramCtes,
+            |${unigramEm(3, "vocab2")}
+            |SELECT s.word AS word, w.freq AS freq, s.path AS path,
+            |  CAST(s.np AS INTEGER) AS n_pieces
+            |FROM seg3 s JOIN uwords w USING (word) ORDER BY word""".stripMargin))
 
   private val splitAssign = Q(
     "q_split_assign",
@@ -627,7 +705,8 @@ object Assembly {
            |  doc_id, stratum
            |FROM staged ORDER BY curriculum_pos""".stripMargin))
 
-  val all: Seq[Q] = Seq(packSequences, vocabBuild, splitAssign, balanceLangs,
+  val all: Seq[Q] = Seq(packSequences, vocabBuild, unigramTrain, unigramSegment,
+    splitAssign, balanceLangs,
     packGlobal, chunkDocs, interleaveMix, textToIds, sourceCap, tokenBudget,
     mixTemperature, upsampleMix, mixtureReweight, mixtureAllocate, qualityMargin, shuffleEpoch,
     curriculumOrder, corpusReport)

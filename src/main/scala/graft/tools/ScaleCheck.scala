@@ -180,7 +180,11 @@ object ScaleCheck {
       "q_simsearch_ivf_append",
       // round-7 additions: Delta-log export (2 commits + log fold ∝ corpus),
       // dHash band-LSH image near-dup, URL canonicalization chain
-      "q_delta_export", "q_media_phash", "q_url_curate", "q_iceberg_export")
+      "q_delta_export", "q_media_phash", "q_url_curate", "q_iceberg_export",
+      // unigram-LM tokenizer: the corpus-∝ pass is the word count; EM/DP
+      // run on DISTINCT words (the replica prefixes multiply the word
+      // alphabet ×r, so the DP side ALSO grows with r here)
+      "q_unigram_train")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
