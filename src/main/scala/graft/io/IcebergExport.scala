@@ -320,6 +320,27 @@ object IcebergExport {
     fsys.delete(hint, false)
     if (!fsys.rename(htmp, hint))
       throw new RuntimeException(s"version-hint write failed under $md")
+
+    // expiration, the protocol's expire-snapshots move: after
+    // Manifest.vacuum truncates history, per-snapshot Avro files for
+    // dropped seqs reference deleted data — remove them, plus metadata
+    // JSON generations older than the previous one (HadoopTables keeps
+    // current + previous; version-hint always points at a complete tree)
+    val live = ms.map(_.seq).toSet
+    fsys.listStatus(md).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      def seqOf(s: String): Option[Long] =
+        if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+      val dropSnap = n.startsWith("snap-") && n.endsWith(".avro") &&
+        seqOf(n.stripPrefix("snap-").stripSuffix(".avro")).exists(!live.contains(_))
+      val dropMan = n.startsWith("seq-") && n.endsWith("-m0.avro") &&
+        seqOf(n.stripPrefix("seq-").stripSuffix("-m0.avro")).exists(!live.contains(_))
+      val dropGen = n.startsWith("v") && n.endsWith(".metadata.json") && {
+        val g = n.stripPrefix("v").stripSuffix(".metadata.json")
+        g.forall(_.isDigit) && g.toInt < gen - 1
+      }
+      if (dropSnap || dropMan || dropGen) fsys.delete(p, false)
+    }
     gen
   }
 

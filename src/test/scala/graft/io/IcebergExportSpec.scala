@@ -142,6 +142,29 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(IcebergExport.read(spark, dir).count() == 15)
   }
 
+  test("vacuum then export expires dropped snapshots' avro and old metadata generations") {
+    val dir = threeCommitTable()
+    IcebergExport.exportTable(spark, dir)
+    Manifest.vacuum(spark, dir, keepLast = 1)
+    assert(IcebergExport.exportTable(spark, dir) == 2)
+    val names = new java.io.File(s"$dir/metadata").listFiles().map(_.getName).toSet
+    // dropped snapshots' per-snapshot avro files are gone, current kept
+    assert(!names.contains("snap-0.avro") && !names.contains("snap-1.avro"))
+    assert(!names.contains("seq-0-m0.avro") && !names.contains("seq-1-m0.avro"))
+    assert(names.contains("snap-2.avro") && names.contains("seq-2-m0.avro"))
+    // HadoopTables retention: current + previous metadata generations
+    assert(names.contains("v1.metadata.json") && names.contains("v2.metadata.json"))
+    import spark.implicits._
+    assert(IcebergExport.read(spark, dir).as[Int].collect().sorted.toSeq == (1 to 40))
+    // one more commit+export: the v1 generation ages out
+    Manifest.append((200 to 205).toDF("v"), dir, "s4")
+    assert(IcebergExport.exportTable(spark, dir) == 3)
+    val names2 = new java.io.File(s"$dir/metadata").listFiles().map(_.getName).toSet
+    assert(!names2.contains("v1.metadata.json"))
+    assert(names2.contains("v2.metadata.json") && names2.contains("v3.metadata.json"))
+    assert(IcebergExport.read(spark, dir).count() == 46)
+  }
+
   test("array columns export as list types with element ids") {
     val dir = tmpDir()
     Manifest.write(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec"), dir, "s1")
