@@ -14,6 +14,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 (the 4.x default) is deprecated AND carries no usable footer
+      // stats - micros keeps timestamp columns data-skippable
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       // engine optimizer rules (e.g. fold-over-zip → native VecDot)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -19,6 +19,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 (the 4.x default) is deprecated AND carries no usable footer
+      // stats - micros keeps timestamp columns data-skippable
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // engine optimizer rules (e.g. fold-over-zip → native VecDot)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -82,9 +82,10 @@ object DeltaLog {
       s""""schemaString":${jstr(schemaJson)},"partitionColumns":[],""" +
       s""""configuration":{},"createdTime":$createdAt}}"""
 
-  private def addLine(path: String, size: Long, modTime: Long): String =
+  private def addLine(path: String, size: Long, modTime: Long,
+      stats: String): String =
     s"""{"add":{"path":${jstr(path)},"partitionValues":{},"size":$size,""" +
-      s""""modificationTime":$modTime,"dataChange":true}}"""
+      s""""modificationTime":$modTime,"dataChange":true,"stats":${jstr(stats)}}}"""
 
   private def removeLine(path: String, ts: Long): String =
     s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":$ts,"dataChange":true}}"""
@@ -125,9 +126,18 @@ object DeltaLog {
     val schemaJson = spark.read
       .parquet(ms.last.files.map(f => s"$dir/$f"): _*).schema.json
 
+    // ONE distributed footer pass over the union of every retained
+    // snapshot's files: size/modTime AND per-column min/max/nullCount
+    // come back together (the protocol's `add.stats` data-skipping
+    // metadata), so the export never loops driver-side over file RPCs —
+    // at a 100 TB table's file count that loop is the export's only
+    // possible bottleneck and it is now files→executors wide
+    val stats = FileStats.collect(spark, base,
+      ms.flatMap(_.files).distinct)
+
     def addLinesOf(files: Seq[String]): Seq[String] = files.map { f =>
-      val st = fsys.getFileStatus(new Path(base, f))
-      addLine(f, st.getLen, st.getModificationTime)
+      val fst = stats(f)
+      addLine(f, fst.size, fst.modTime, FileStats.deltaStatsJson(fst))
     }
 
     val written = Seq.newBuilder[Long]
@@ -156,7 +166,7 @@ object DeltaLog {
     val oldest = ms.head.seq
     if (oldest > 0 && !fsys.exists(checkpointPath(ld, oldest))) {
       writeCheckpoint(spark, fsys, ld, oldest, id, schemaJson,
-        addLinesOf(ms.head.files), ms.head.files, base, now)
+        ms.head.files, stats, base, now)
       // checkpoint covers everything ≤ oldest: drop expired commit JSONs
       fsys.listStatus(ld).toSeq.map(_.getPath)
         .filter { p =>
@@ -175,8 +185,8 @@ object DeltaLog {
     * columns `protocol`/`metaData`/`add` (unused action classes omitted
     * — the schema is allowed to carry only the action types present). */
   private def writeCheckpoint(spark: SparkSession, fsys: FileSystem, ld: Path,
-      version: Long, id: String, schemaJson: String, addLines: Seq[String],
-      files: Seq[String], base: Path, now: Long): Unit = {
+      version: Long, id: String, schemaJson: String, files: Seq[String],
+      stats: Map[String, FileStats.FileStat], base: Path, now: Long): Unit = {
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))
@@ -195,7 +205,8 @@ object DeltaLog {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
     val ckptT = StructType(Seq(
       StructField("protocol", protocolT),
       StructField("metaData", metaT),
@@ -206,8 +217,9 @@ object DeltaLog {
       Row(null, Row(id, Row("parquet", emptyM), schemaJson,
         Seq.empty[String], emptyM, now), null) ::
       files.toList.map { f =>
-        val st = fsys.getFileStatus(new Path(base, f))
-        Row(null, null, Row(f, emptyM, st.getLen, st.getModificationTime, true))
+        val fst = stats(f)
+        Row(null, null, Row(f, emptyM, fst.size, fst.modTime, true,
+          FileStats.deltaStatsJson(fst)))
       }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckptT)
@@ -269,7 +281,14 @@ object DeltaLog {
     * newest checkpoint ≤ version if one exists, fold commit JSONs
     * forward applying `add`/`remove`. */
   def activeFiles(spark: SparkSession, dir: String,
-      version: Option[Long] = None): Seq[String] = {
+      version: Option[Long] = None): Seq[String] =
+    activeFileStats(spark, dir, version).map(_._1)
+
+  /** [[activeFiles]] plus each file's `add.stats` JSON (None when the
+    * log entry carried none — a reader must treat absence as "cannot
+    * prune", never as "no rows"). */
+  def activeFileStats(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Seq[(String, Option[String])] = {
     val (fsys, base) = fs(spark, dir)
     val ld = logDir(base)
     val vs = versions(spark, dir)
@@ -277,23 +296,32 @@ object DeltaLog {
     val target = version.getOrElse(vs.max)
     require(vs.contains(target), s"no delta version $target under $dir")
     val ckpt = lastCheckpointVersion(fsys, ld).filter(_ <= target)
-    val startFiles: Seq[String] = ckpt match {
+    val active = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
+    ckpt match {
       case Some(cv) =>
-        spark.read.parquet(checkpointPath(ld, cv).toString)
-          .select("add.path").where("add IS NOT NULL")
-          .collect().map(_.getString(0)).toSeq.sorted
+        val ck = spark.read.parquet(checkpointPath(ld, cv).toString)
+        val hasStats = ck.schema("add").dataType
+          .asInstanceOf[StructType].fieldNames.contains("stats")
+        val picked =
+          if (hasStats) ck.selectExpr("add.path", "add.stats")
+          else ck.selectExpr("add.path", "CAST(NULL AS STRING)")
+        picked.where("add IS NOT NULL").collect()
+          .map(r => r.getString(0) -> Option(r.getString(1)))
+          .sortBy(_._1).foreach { case (p, s) => active(p) = s }
       case None =>
         require(vs.min == 0 || vs.min <= target,
           s"log under $dir starts at version ${vs.min} with no checkpoint")
-        Nil
     }
     val foldFrom = ckpt.getOrElse(-1L)
-    val active = scala.collection.mutable.LinkedHashSet(startFiles: _*)
     vs.filter(v => v > foldFrom && v <= target).foreach { v =>
       readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty).foreach { line =>
         val j = JsonMethods.parse(line)
         j \ "add" \ "path" match {
-          case JString(p) => active += p
+          case JString(p) =>
+            active(p) = j \ "add" \ "stats" match {
+              case JString(s) => Some(s)
+              case _ => None
+            }
           case _ =>
         }
         j \ "remove" \ "path" match {
@@ -303,6 +331,102 @@ object DeltaLog {
       }
     }
     active.toSeq
+  }
+
+  /** The table schema carried by the log's `metaData` action
+    * (checkpoint or oldest retained commit) — what a pruned read that
+    * skipped EVERY file still needs to answer with. */
+  def tableSchema(spark: SparkSession, dir: String): StructType = {
+    val (fsys, base) = fs(spark, dir)
+    val ld = logDir(base)
+    val schemaStr = lastCheckpointVersion(fsys, ld) match {
+      case Some(cv) =>
+        spark.read.parquet(checkpointPath(ld, cv).toString)
+          .selectExpr("metaData.schemaString").where("metaData IS NOT NULL")
+          .collect().headOption.map(_.getString(0))
+      case None =>
+        versions(spark, dir).view.flatMap { v =>
+          readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty)
+            .flatMap(line => JsonMethods.parse(line) \ "metaData" \ "schemaString" match {
+              case JString(s) => Some(s)
+              case _ => None
+            })
+        }.headOption
+    }
+    DataType.fromJson(schemaStr.getOrElse(
+      throw new IllegalStateException(s"no metaData action under $dir")))
+      .asInstanceOf[StructType]
+  }
+
+  // ---------------------------------------------------------------------
+  // Data skipping: prune files by add.stats min/max before any scan —
+  // the protocol's zone-map move, and the reason the export pays for
+  // footer stats at all. At 100 TB with a range-clustered layout this
+  // turns a point-in-time range query from "open every file" into
+  // "open the handful whose bounds overlap".
+  // ---------------------------------------------------------------------
+
+  /** a <=> b in the stats JSON's own value space: JSON numbers compare
+    * numerically (BigDecimal — exact for long and double renderings),
+    * JSON strings lexicographically (sound for plain text AND for the
+    * fixed-width ISO date/timestamp renderings). None = incomparable —
+    * callers must not prune on it. */
+  private def cmpBound(v: JValue, bound: String): Option[Int] = v match {
+    case JInt(n) => scala.util.Try(BigDecimal(bound)).toOption
+      .map(b => BigDecimal(n).compare(b))
+    case JLong(n) => scala.util.Try(BigDecimal(bound)).toOption
+      .map(b => BigDecimal(n).compare(b))
+    case JDouble(n) => scala.util.Try(BigDecimal(bound)).toOption
+      .map(b => BigDecimal(n).compare(b))
+    case JDecimal(n) => scala.util.Try(BigDecimal(bound)).toOption
+      .map(b => n.compare(b))
+    case JString(s) => Some(s.compareTo(bound))
+    case _ => None
+  }
+
+  /** Can rows of a file with `stats` fall inside `column` ∈ [lo, hi]?
+    * KEEP (true) whenever pruning cannot be PROVEN sound: no stats, no
+    * bounds for the column, incomparable bound types. The one
+    * bounds-free skip is a provably all-null column (nullCount ==
+    * numRecords) — a range predicate never matches NULL. */
+  private[graft] def statsMayMatch(stats: String, column: String,
+      lo: String, hi: String): Boolean = {
+    val j = JsonMethods.parse(stats)
+    (j \ "minValues" \ column, j \ "maxValues" \ column) match {
+      case (JNothing, _) | (_, JNothing) =>
+        (j \ "nullCount" \ column, j \ "numRecords") match {
+          case (JInt(nc), JInt(nr)) => !(nr > 0 && nc == nr)
+          case _ => true
+        }
+      case (mn, mx) =>
+        val below = cmpBound(mx, lo).exists(_ < 0) // max < lo
+        val above = cmpBound(mn, hi).exists(_ > 0) // min > hi
+        !(below || above)
+    }
+  }
+
+  /** Active files that MAY hold rows with `column` ∈ [lo, hi] (stats
+    * bounds compared per [[statsMayMatch]]; date/timestamp bounds take
+    * their fixed-width ISO rendering, e.g. "1995-03-15" /
+    * "1995-03-15T00:00:00.000000Z"). */
+  def prunedFiles(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, version: Option[Long] = None): Seq[String] =
+    activeFileStats(spark, dir, version).collect {
+      case (p, None) => p
+      case (p, Some(st)) if statsMayMatch(st, column, lo, hi) => p
+    }
+
+  /** Read only the files [[prunedFiles]] keeps. Row-level filtering is
+    * still the CALLER's job — bounds only prove which files cannot
+    * match, exactly like any zone-map scan. A fully-pruned read returns
+    * an empty frame with the log's metaData schema. */
+  def readPruned(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    val files = prunedFiles(spark, dir, column, lo, hi)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[Row], tableSchema(spark, dir))
+    else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
   /** Read the table THROUGH the exported delta log (latest version). */

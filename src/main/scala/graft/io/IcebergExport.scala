@@ -9,8 +9,6 @@ import org.apache.avro.{Schema => AvroSchema}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 import org.json4s._
@@ -135,6 +133,12 @@ object IcebergExport {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin)
 
+  // the four per-column stats maps are the spec's data-skipping surface:
+  // map<int,…> keyed by FIELD ID, serialized the way Iceberg writes
+  // non-string-keyed maps in Avro — an array of key/value records with
+  // logicalType "map" — and bounds values carry the spec's single-value
+  // binary serialization (Appendix D: little-endian numerics, UTF-8
+  // strings), decoded back by [[activeFilesPruned]] and the spec
   private val manifestEntrySchema: AvroSchema = new AvroSchema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -147,7 +151,23 @@ object IcebergExport {
       |{"name":"file_format","type":"string","field-id":101},
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
-      |{"name":"file_size_in_bytes","type":"long","field-id":104}
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"value_counts","field-id":109,"default":null,"type":["null",
+      |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[
+      |    {"name":"key","type":"int","field-id":119},
+      |    {"name":"value","type":"long","field-id":120}]}}]},
+      |{"name":"null_value_counts","field-id":110,"default":null,"type":["null",
+      |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
+      |    {"name":"key","type":"int","field-id":121},
+      |    {"name":"value","type":"long","field-id":122}]}}]},
+      |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+      |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+      |    {"name":"key","type":"int","field-id":126},
+      |    {"name":"value","type":"bytes","field-id":127}]}}]},
+      |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+      |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+      |    {"name":"key","type":"int","field-id":129},
+      |    {"name":"value","type":"bytes","field-id":130}]}}]}
       |]}}]}""".stripMargin)
 
   private def writeAvroFile(fsys: FileSystem, dest: Path, schema: AvroSchema,
@@ -173,11 +193,97 @@ object IcebergExport {
     try r.iterator().asScala.toVector finally r.close()
   }
 
-  private def parquetRecordCount(fsys: FileSystem, p: Path,
-      conf: org.apache.hadoop.conf.Configuration): Long = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-    try r.getRecordCount finally r.close()
+  // ---- single-value binary serialization (spec Appendix D) --------------
+  // little-endian numerics, UTF-8 strings — the byte layout every
+  // Iceberg reader decodes lower_bounds/upper_bounds with
+
+  private def leBytes(n: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array
+  private def leBytes(n: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(n).array
+
+  /** Encode one [[FileStats]] bound for the Spark column type it came
+    * from; None = type outside the export's stats coverage (readers
+    * treat a missing bound as "cannot prune" — always sound). */
+  private def encodeBound(dt: DataType, v: Any): Option[Array[Byte]] =
+    (dt, v) match {
+      case (IntegerType | ShortType, n: Long) => Some(leBytes(n.toInt))
+      case (LongType, n: Long) => Some(leBytes(n))
+      case (FloatType, d: Double) => Some(
+        java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(d.toFloat).array)
+      case (DoubleType, d: Double) => Some(
+        java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(d).array)
+      case (StringType, s: String) =>
+        Some(s.getBytes(StandardCharsets.UTF_8))
+      case (BooleanType, b: Boolean) =>
+        Some(Array[Byte](if (b) 1 else 0))
+      case (DateType, days: Long) => Some(leBytes(days.toInt))
+      case (TimestampType | TimestampNTZType, micros: Long) =>
+        Some(leBytes(micros))
+      case _ => None
+    }
+
+  /** Decode a bound per the snapshot schema's Iceberg type name — the
+    * reader half [[activeFilesPruned]] and the conformance spec use. */
+  private[graft] def decodeBound(icebergType: String, bytes: Array[Byte]): Any = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    icebergType match {
+      case "int" | "date" => bb.getInt.toLong
+      case "long" | "timestamp" | "timestamptz" => bb.getLong
+      case "float" => bb.getFloat.toDouble
+      case "double" => bb.getDouble
+      case "string" => new String(bytes, StandardCharsets.UTF_8)
+      case "boolean" => bytes(0) != 0
+      case other =>
+        throw new IllegalArgumentException(s"undecodable bound type: $other")
+    }
   }
+
+  /** Parse a user-facing bound literal into [[decodeBound]]'s value
+    * space: numerics as numbers, `date` as ISO date → epoch-day,
+    * `timestamp[tz]` as ISO date-time (optional fraction / trailing Z)
+    * → epoch-micros, strings verbatim. */
+  private def parseBound(icebergType: String, s: String): Any = icebergType match {
+    case "int" | "long" => s.toLong
+    case "float" | "double" => s.toDouble
+    case "date" => java.time.LocalDate.parse(s).toEpochDay
+    case "timestamp" | "timestamptz" =>
+      val ldt = java.time.LocalDateTime.parse(s.stripSuffix("Z"))
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    case "string" => s
+    case "boolean" => s.toBoolean
+    case other =>
+      throw new IllegalArgumentException(s"unsupported prune type: $other")
+  }
+
+  private def cmpBound(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => throw new IllegalArgumentException(
+      s"incomparable bounds: ${a.getClass} vs ${b.getClass}")
+  }
+
+  /** Top-level column name → Iceberg field id, read back OFF the
+    * generated schema JSON so exporter and readers can never disagree
+    * on the id assignment. */
+  private def topLevelIds(schJ: JValue): Map[String, Int] =
+    schJ \ "fields" match {
+      case JArray(fs) => fs.flatMap { f =>
+        (f \ "name", f \ "id") match {
+          case (JString(n), JInt(i)) => Some(n -> i.toInt)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
 
   /** Export/refresh the Iceberg metadata tree from the retained Manifest
     * history. Returns the metadata generation written (the
@@ -189,7 +295,7 @@ object IcebergExport {
     require(ms.nonEmpty, s"no committed snapshot under $dir")
     val md = metaDir(base)
     fsys.mkdirs(md)
-    val conf = spark.sparkContext.hadoopConfiguration
+
     val now = System.currentTimeMillis()
     val qualBase = fsys.makeQualified(base).toString
 
@@ -198,24 +304,71 @@ object IcebergExport {
     ms.foreach(m => m.files.foreach(f =>
       if (!firstSeq.contains(f)) firstSeq(f) = m.seq))
 
+    // ONE distributed parquet-footer pass over exactly the files the
+    // NEW snapshots reference (already-exported snapshots skip below):
+    // record_count, size, and the per-column stats maps all come from
+    // it — no driver-side per-file footer loop, which at a 100 TB
+    // table's file count is the difference between a one-job export
+    // and hours of serial object-store round-trips
+    val needExport = ms.filter(m =>
+      !fsys.exists(new Path(md, s"snap-${m.seq}.avro")))
+    val fstats = FileStats.collect(spark, base,
+      needExport.flatMap(_.files).distinct)
+
     // ---- per-snapshot manifest + manifest list (immutable) -------------
     ms.foreach { m =>
       val manifestPath = new Path(md, s"seq-${m.seq}-m0.avro")
       val listPath = new Path(md, s"snap-${m.seq}.avro")
       if (!fsys.exists(listPath)) {
+        val snapSchema = spark.read
+          .parquet(m.files.map(f => s"$dir/$f"): _*).schema
+        val schJ = schemaJson(snapSchema)._1
+        val fieldIds = topLevelIds(schJ)
+        val sparkTypeOf = snapSchema.fields.map(f => f.name -> f.dataType).toMap
+        val dfSchema = manifestEntrySchema.getField("data_file").schema()
+        def mapSchema(field: String) =
+          dfSchema.getField(field).schema().getTypes.get(1) // non-null branch
+        def statsMaps(fst: FileStats.FileStat) = {
+          def rec(field: String, id: Int, v: AnyRef): GenericRecord = {
+            val r = new GenericData.Record(mapSchema(field).getElementType)
+            r.put("key", id); r.put("value", v); r
+          }
+          def arr(field: String, rs: Seq[GenericRecord]) = {
+            val a = new GenericData.Array[GenericRecord](
+              rs.size, mapSchema(field))
+            rs.foreach(a.add); a
+          }
+          val vc = fst.columns.flatMap { case (n, _) => fieldIds.get(n)
+            .map(rec("value_counts", _, java.lang.Long.valueOf(fst.numRecords))) }
+          val nc = fst.columns.flatMap { case (n, c) =>
+            for (id <- fieldIds.get(n); nulls <- c.nullCount)
+              yield rec("null_value_counts", id, java.lang.Long.valueOf(nulls)) }
+          def bounds(field: String, pick: FileStats.ColumnStat => Option[Any]) =
+            fst.columns.flatMap { case (n, c) =>
+              for {
+                id <- fieldIds.get(n); v <- pick(c)
+                dt <- sparkTypeOf.get(n); bytes <- encodeBound(dt, v)
+              } yield rec(field, id, java.nio.ByteBuffer.wrap(bytes)) }
+          (arr("value_counts", vc), arr("null_value_counts", nc),
+            arr("lower_bounds", bounds("lower_bounds", _.min)),
+            arr("upper_bounds", bounds("upper_bounds", _.max)))
+        }
         val entries = m.files.map { f =>
-          val st = fsys.getFileStatus(new Path(base, f))
+          val fst = fstats(f)
           val fseq = firstSeq(f)
-          val df = new GenericData.Record(
-            manifestEntrySchema.getField("data_file").schema())
+          val df = new GenericData.Record(dfSchema)
           df.put("content", 0)
           df.put("file_path", s"$qualBase/$f")
           df.put("file_format", "PARQUET")
           df.put("partition", new GenericData.Record(
             df.getSchema.getField("partition").schema()))
-          df.put("record_count",
-            java.lang.Long.valueOf(parquetRecordCount(fsys, st.getPath, conf)))
-          df.put("file_size_in_bytes", java.lang.Long.valueOf(st.getLen))
+          df.put("record_count", java.lang.Long.valueOf(fst.numRecords))
+          df.put("file_size_in_bytes", java.lang.Long.valueOf(fst.size))
+          val (vc, nc, lb, ub) = statsMaps(fst)
+          df.put("value_counts", vc)
+          df.put("null_value_counts", nc)
+          df.put("lower_bounds", lb)
+          df.put("upper_bounds", ub)
           val e = new GenericData.Record(manifestEntrySchema)
           e.put("status", if (fseq == m.seq) 1 else 0) // ADDED vs EXISTING
           e.put("snapshot_id", java.lang.Long.valueOf(m.seq))
@@ -224,9 +377,7 @@ object IcebergExport {
           e.put("data_file", df)
           e
         }
-        val curSchemaJson = JsonMethods.compact(JsonMethods.render(
-          schemaJson(spark.read.parquet(
-            m.files.map(f => s"$dir/$f"): _*).schema)._1))
+        val curSchemaJson = JsonMethods.compact(JsonMethods.render(schJ))
         val mlen = writeAvroFile(fsys, manifestPath, manifestEntrySchema,
           Map("schema" -> curSchemaJson, "partition-spec" -> "[]",
             "partition-spec-id" -> "0", "format-version" -> "2",
@@ -391,6 +542,93 @@ object IcebergExport {
         e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
       }
     }
+  }
+
+  /** Data-skipping scan plan: the current snapshot's data files that MAY
+    * hold rows with `column` ∈ [lo, hi], judged from the manifests'
+    * `lower_bounds`/`upper_bounds` (decoded per the spec's single-value
+    * binary serialization) — exactly the file-prune an Iceberg engine
+    * performs before touching data. Files whose bounds maps lack the
+    * column are KEPT unless `value_counts`/`null_value_counts` prove the
+    * column all-null (a range predicate never matches NULL). Bound
+    * literals parse per the column's Iceberg type ("1995-03-15",
+    * "1995-03-15T00:00:00", plain numerics, strings verbatim). */
+  def activeFilesPruned(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, snapshotId: Option[Long] = None): Seq[String] = {
+    val (fsys, _) = fs(spark, dir)
+    val meta = currentMetadata(spark, dir)
+    val field = (meta \ "schemas")(0) \ "fields" match {
+      case JArray(fs) => fs.find(f => f \ "name" == JString(column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no top-level column '$column' in the Iceberg schema under $dir"))
+      case _ => throw new IllegalStateException("no schema fields array")
+    }
+    val JInt(fid) = field \ "id"
+    val typeName = field \ "type" match {
+      case JString(t) => t
+      case other => throw new IllegalArgumentException(
+        s"cannot prune on non-primitive column '$column': $other")
+    }
+    val (loV, hiV) = (parseBound(typeName, lo), parseBound(typeName, hi))
+
+    def boundOf(df: GenericRecord, mapField: String): Option[Any] =
+      Option(df.get(mapField)).flatMap {
+        case a: java.util.Collection[_] =>
+          a.asScala.collectFirst {
+            case r: GenericRecord if r.get("key") == fid.toInt =>
+              val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+              val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+              decodeBound(typeName, bytes)
+          }
+        case _ => None
+      }
+    def countOf(df: GenericRecord, mapField: String): Option[Long] =
+      Option(df.get(mapField)).flatMap {
+        case a: java.util.Collection[_] =>
+          a.asScala.collectFirst {
+            case r: GenericRecord if r.get("key") == fid.toInt =>
+              r.get("value").asInstanceOf[java.lang.Long].longValue()
+          }
+        case _ => None
+      }
+
+    val target = snapshotId.getOrElse(meta \ "current-snapshot-id" match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalStateException("no current-snapshot-id")
+    })
+    val snap = (meta \ "snapshots") match {
+      case JArray(ss) => ss.find(s => (s \ "snapshot-id") == JInt(target))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot $target under $dir"))
+      case _ => throw new IllegalStateException("no snapshots array")
+    }
+    val JString(listPath) = snap \ "manifest-list"
+    readAvroFile(fsys, new Path(listPath)).flatMap { mf =>
+      readAvroFile(fsys, new Path(mf.get("manifest_path").toString)).flatMap { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val keep = (boundOf(df, "lower_bounds"), boundOf(df, "upper_bounds")) match {
+          case (Some(mn), Some(mx)) =>
+            !(cmpBound(mx, loV) < 0 || cmpBound(mn, hiV) > 0)
+          case _ =>
+            // no bounds: skip only a PROVEN all-null column
+            !(for (vc <- countOf(df, "value_counts");
+                   nc <- countOf(df, "null_value_counts"))
+              yield vc > 0 && vc == nc).getOrElse(false)
+        }
+        if (keep) Some(df.get("file_path").toString) else None
+      }
+    }
+  }
+
+  /** Read only the files [[activeFilesPruned]] keeps; row-level
+    * filtering stays the caller's job (bounds prove non-matches, not
+    * matches). A fully-pruned read returns an empty frame with the
+    * table's schema (footer of one active file — metadata-only). */
+  def readPruned(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    val files = activeFilesPruned(spark, dir, column, lo, hi)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else read(spark, dir).limit(0)
   }
 
   /** Read the table THROUGH the Iceberg metadata (current snapshot). */

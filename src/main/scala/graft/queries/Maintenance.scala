@@ -1049,6 +1049,78 @@ object Maintenance {
             |  MAX(CAST(o_orderdate AS DATE)) AS max_date
             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // Delta data skipping under oracle: lineitem lands RANGE-CLUSTERED on
+  // l_shipdate (repartitionByRange — the zone-map-friendly layout), the
+  // export attaches parquet-footer stats to every add action, and the
+  // read goes through DeltaLog.readPruned, which drops every file whose
+  // [min,max] shipdate window cannot overlap 1996 BEFORE any scan. Hash
+  // equality against the oracle's plain WHERE proves the prune lost no
+  // qualifying row; DeltaLogSpec proves files are actually skipped. At
+  // 100 TB this is the difference between scanning a year and scanning
+  // the table.
+  private val deltaSkipping = Q(
+    "q_delta_skipping",
+    (s, dir) => {
+      val out = scratchDir(dir, "delta_skip")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "lineitem").repartitionByRange(8, col("l_shipdate")),
+        out, "clustered")
+      graft.io.DeltaLog.exportLog(s, out)
+      graft.io.DeltaLog.readPruned(s, out, "l_shipdate",
+          "1996-01-01T00:00:00.000000", "1996-12-31T23:59:59.999999")
+        .where(to_date(col("l_shipdate"))
+          .between(lit("1996-01-01"), lit("1996-12-31")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_ok"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          max(to_date(col("l_shipdate"))).as("max_ship"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("l_quantity")} AS sum_qty,
+            |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
+            |FROM lineitem
+            |WHERE CAST(l_shipdate AS DATE)
+            |  BETWEEN DATE'1996-01-01' AND DATE'1996-12-31'
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // Iceberg data skipping under oracle, the q_delta_skipping twin
+  // through the OTHER format's stats: orders lands range-clustered on
+  // o_custkey, the manifests carry lower_bounds/upper_bounds in the
+  // spec's single-value binary serialization, and readPruned decodes
+  // those bytes to drop non-overlapping files before the scan — so hash
+  // equality ALSO proves the binary round-trip (encode at export,
+  // little-endian decode at plan time) bit-exact.
+  private val icebergStats = Q(
+    "q_iceberg_stats",
+    (s, dir) => {
+      val out = scratchDir(dir, "iceberg_skip")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "orders").repartitionByRange(8, col("o_custkey")),
+        out, "clustered")
+      graft.io.IcebergExport.exportTable(s, out)
+      graft.io.IcebergExport.readPruned(s, out, "o_custkey", "100", "400")
+        .where(col("o_custkey").between(100, 400))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_custkey").as("sum_ck"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          max(to_date(col("o_orderdate"))).as("max_date"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+            |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
+            |  ${oSum("o_totalprice")} AS sum_price,
+            |  MAX(CAST(o_orderdate AS DATE)) AS max_date
+            |FROM orders WHERE o_custkey BETWEEN 100 AND 400
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // The DSv2 face of the Avro source under oracle: read back through
   // spark.read.format(...) (planner-integrated — column pruning pushes a
   // projected reader schema into the decoder, AvroSourceV2Spec asserts
@@ -1071,6 +1143,7 @@ object Maintenance {
 
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
+    deltaSkipping, icebergStats,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

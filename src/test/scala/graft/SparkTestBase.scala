@@ -9,6 +9,9 @@ object SparkTestBase {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // INT96 (the 4.x default) is deprecated AND carries no usable footer
+      // stats - micros keeps timestamp columns data-skippable
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // production entry points (Verify/Bench) install the engine's
       // optimizer extensions; tests run against the same session shape
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

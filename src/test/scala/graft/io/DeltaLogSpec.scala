@@ -156,6 +156,74 @@ class DeltaLogSpec extends AnyFunSuite {
       (1 to 20))
   }
 
+  test("add actions carry footer stats; bounds agree with a full scan") {
+    val dir = tmpDir()
+    // range-clustered land: repartitionByRange gives each part file a
+    // tight disjoint id range — the zone-map-friendly layout
+    Manifest.write(
+      spark.range(0, 1000)
+        .selectExpr("id", "CAST(NULL AS STRING) AS dead",
+          "timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600) AS ts")
+        .repartitionByRange(5, org.apache.spark.sql.functions.col("id")),
+      dir, "s1")
+    DeltaLog.exportLog(spark, dir)
+    val stats = commitLines(dir, 0).flatMap(j =>
+      field(j, "add", "stats") match {
+        case JString(s) => Some(JsonMethods.parse(s)); case _ => None
+      })
+    assert(stats.size == 5, "every add action must carry stats")
+    def longs(path: String*) = stats.map(s =>
+      path.foldLeft(s)(_ \ _) match { case JInt(n) => n.toLong })
+    assert(longs("numRecords").sum == 1000)
+    assert(longs("minValues", "id").min == 0)
+    assert(longs("maxValues", "id").max == 999)
+    // disjoint clustering: per-file ranges must not all span the table
+    assert(longs("maxValues", "id").min < 999)
+    // all-null column: proven by nullCount, absent from bounds
+    stats.foreach { s =>
+      assert(s \ "minValues" \ "dead" == JNothing)
+      assert(s \ "nullCount" \ "dead" == s \ "numRecords")
+    }
+    // timestamp bounds render fixed-width ISO (lexicographically sound)
+    val tsMins = stats.map(s => s \ "minValues" \ "ts" match {
+      case JString(t) => t })
+    assert(tsMins.min.startsWith("2020-01-01T00:00:00"))
+    assert(tsMins.forall(_.length == tsMins.head.length))
+  }
+
+  test("data skipping prunes files by stats and loses no rows") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).toDF("id")
+        .repartitionByRange(5, org.apache.spark.sql.functions.col("id")),
+      dir, "s1")
+    DeltaLog.exportLog(spark, dir)
+    val all = DeltaLog.activeFiles(spark, dir)
+    val kept = DeltaLog.prunedFiles(spark, dir, "id", "100", "299")
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"bounds must prune some of ${all.size} files, kept ${kept.size}")
+    // zone-map contract: pruning + row filter == full scan + row filter
+    assert(DeltaLog.readPruned(spark, dir, "id", "100", "299")
+      .where("id BETWEEN 100 AND 299").count() == 200)
+    // fully-out-of-range: zero files, empty frame, schema intact
+    val none = DeltaLog.readPruned(spark, dir, "id", "5000", "9999")
+    assert(DeltaLog.prunedFiles(spark, dir, "id", "5000", "9999").isEmpty)
+    assert(none.count() == 0 && none.schema.fieldNames.toSeq == Seq("id"))
+    // stats survive the checkpoint: vacuum past v0, prune again
+    Manifest.write(
+      spark.range(1000, 2000).toDF("id")
+        .repartitionByRange(5, org.apache.spark.sql.functions.col("id")),
+      dir, "s2")
+    Manifest.vacuum(spark, dir, keepLast = 1)
+    DeltaLog.exportLog(spark, dir)
+    val keptCk = DeltaLog.prunedFiles(spark, dir, "id", "1000", "1099")
+    assert(keptCk.nonEmpty &&
+      keptCk.size < DeltaLog.activeFiles(spark, dir).size,
+      "checkpoint add.stats must keep pruning effective")
+    assert(DeltaLog.readPruned(spark, dir, "id", "1000", "1099")
+      .where("id < 1100").count() == 100)
+  }
+
   test("append-only streaming cadence: each commit exports as an APPEND of new files") {
     val dir = tmpDir()
     Manifest.write((1 to 5).toDF("v"), dir, "b0")

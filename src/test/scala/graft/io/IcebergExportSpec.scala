@@ -165,6 +165,95 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(IcebergExport.read(spark, dir).count() == 46)
   }
 
+  test("manifests carry value/null counts and spec-encoded bounds") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000)
+        .selectExpr("id", "CAST(id AS DOUBLE)/4 AS x",
+          "md5(CAST(id AS STRING)) AS s", "CAST(NULL AS STRING) AS dead")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      dir, "s1")
+    IcebergExport.exportTable(spark, dir)
+    val meta = IcebergExport.currentMetadata(spark, dir)
+    val JArray(snaps) = meta \ "snapshots"
+    val JString(list0) = snaps.head \ "manifest-list"
+    val entries = rawAvro(rawAvro(list0).head.get("manifest_path").toString)
+    assert(entries.size == 4)
+    // field ids from the schema JSON: id=1, x=2, s=3, dead=4
+    def mapOf(df: GenericRecord, field: String): Map[Int, AnyRef] =
+      Option(df.get(field)).map(_.asInstanceOf[java.util.Collection[GenericRecord]]
+        .asScala.map(r => r.get("key").asInstanceOf[Int] -> r.get("value")).toMap)
+        .getOrElse(Map.empty)
+    def le(buf: AnyRef): java.nio.ByteBuffer =
+      buf.asInstanceOf[java.nio.ByteBuffer].duplicate()
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var total = 0L
+    var globalMin = Long.MaxValue
+    var globalMax = Long.MinValue
+    entries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val n = df.get("record_count").asInstanceOf[java.lang.Long].longValue()
+      val vc = mapOf(df, "value_counts")
+      val nc = mapOf(df, "null_value_counts")
+      val lb = mapOf(df, "lower_bounds")
+      val ub = mapOf(df, "upper_bounds")
+      // value_counts include nulls: every column counts every record
+      assert(vc(1) == java.lang.Long.valueOf(n) && vc(4) == java.lang.Long.valueOf(n))
+      assert(nc(1) == java.lang.Long.valueOf(0L))
+      assert(nc(4) == java.lang.Long.valueOf(n), "all-null column")
+      assert(!lb.contains(4) && !ub.contains(4), "no bounds for all-null")
+      // spec single-value binary: LE long / LE double / UTF-8 string
+      val idLo = le(lb(1)).getLong
+      val idHi = le(ub(1)).getLong
+      assert(idLo <= idHi)
+      total += n
+      globalMin = math.min(globalMin, idLo); globalMax = math.max(globalMax, idHi)
+      assert(le(lb(2)).getDouble == idLo / 4.0)
+      assert(le(ub(2)).getDouble == idHi / 4.0)
+      val sLo = {
+        val bb = lb(3).asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val b = new Array[Byte](bb.remaining()); bb.get(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      assert(sLo.matches("[0-9a-f]{32}"))
+    }
+    assert(total == 1000 && globalMin == 0 && globalMax == 999)
+  }
+
+  test("bounds-driven pruning keeps every matching row and skips files") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).toDF("id")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      dir, "s1")
+    IcebergExport.exportTable(spark, dir)
+    val all = IcebergExport.activeFiles(spark, dir)
+    val kept = IcebergExport.activeFilesPruned(spark, dir, "id", "0", "249")
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"bounds must prune some of ${all.size} files, kept ${kept.size}")
+    assert(IcebergExport.readPruned(spark, dir, "id", "0", "249")
+      .where("id <= 249").count() == 250)
+    assert(IcebergExport.activeFilesPruned(spark, dir, "id", "5000", "9999").isEmpty)
+    val none = IcebergExport.readPruned(spark, dir, "id", "5000", "9999")
+    assert(none.count() == 0 && none.schema.fieldNames.toSeq == Seq("id"))
+    // timestamp bounds prune via the micros value space
+    val dir2 = tmpDir()
+    Manifest.write(
+      spark.range(0, 240)
+        .selectExpr("id",
+          "timestamp_ntz'2022-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0) AS ts")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("ts")),
+      dir2, "s1")
+    IcebergExport.exportTable(spark, dir2)
+    val keptTs = IcebergExport.activeFilesPruned(spark, dir2, "ts",
+      "2022-01-01T00:00:00", "2022-01-02T12:00:00")
+    assert(keptTs.nonEmpty &&
+      keptTs.size < IcebergExport.activeFiles(spark, dir2).size)
+    assert(IcebergExport.readPruned(spark, dir2, "ts",
+      "2022-01-01T00:00:00", "2022-01-02T12:00:00")
+      .where("ts <= timestamp_ntz'2022-01-02 12:00:00'").count() == 37)
+  }
+
   test("array columns export as list types with element ids") {
     val dir = tmpDir()
     Manifest.write(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec"), dir, "s1")
