@@ -235,6 +235,54 @@ object FileStats {
       Some(if (srcMillis) math.multiplyExact(raw, 1000L) else raw)
   }
 
+  // ---- range overlap for stats-driven file pruning ----------------------
+
+  /** Parse a user bound literal into `kind`'s value space (the space
+    * [[ColumnStat]] min/max live in): numerics as Long/Double, `Date` as
+    * ISO date → epoch-day, `Ts` as ISO date-time (optional fraction,
+    * optional trailing Z) → epoch-micros, strings verbatim. None =
+    * unparsable — callers must treat the file as "may match". */
+  def parseBound(kind: Kind, s: String): Option[Any] = kind match {
+    case Kind.I64 => s.toLongOption
+    case Kind.F64 => s.toDoubleOption
+    case Kind.Str => Some(s)
+    case Kind.Bool => s.toBooleanOption
+    case Kind.Date => scala.util.Try(
+      java.time.LocalDate.parse(s).toEpochDay).toOption
+    case Kind.Ts(_, _) => scala.util.Try {
+      val ldt = java.time.LocalDateTime.parse(s.stripSuffix("Z"))
+      ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    }.toOption
+  }
+
+  private def cmpValues(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => throw new IllegalArgumentException(
+      s"incomparable bound classes: ${a.getClass} vs ${b.getClass}")
+  }
+
+  /** Can this file hold rows with `column` ∈ [lo, hi] (literals per
+    * [[parseBound]])? KEEP (true) whenever pruning cannot be PROVEN
+    * sound — column or bounds absent, literal unparsable. The one
+    * bounds-free skip is a provably all-null column (nullCount ==
+    * numRecords): a range predicate never matches NULL. */
+  def mayMatch(fst: FileStat, column: String, lo: String, hi: String): Boolean =
+    fst.columns.toMap.get(column) match {
+      case None => true
+      case Some(c) => (c.min, c.max) match {
+        case (Some(mn), Some(mx)) =>
+          (parseBound(c.kind, lo), parseBound(c.kind, hi)) match {
+            case (Some(loV), Some(hiV)) =>
+              !(cmpValues(mx, loV) < 0 || cmpValues(mn, hiV) > 0)
+            case _ => true
+          }
+        case _ => !(fst.numRecords > 0 && c.nullCount.contains(fst.numRecords))
+      }
+    }
+
   // ---- rendering for Delta stats JSON -----------------------------------
 
   private val dateFmt = DateTimeFormatter.ofPattern("uuuu-MM-dd")

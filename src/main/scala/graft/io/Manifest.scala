@@ -159,7 +159,8 @@ object Manifest {
     * staged, immediately before the commit rename — the window a
     * concurrent writer would race into. */
   private[graft] def writeImpl(df: DataFrame, dir: String, snapshot: String,
-      beforePublish: () => Unit, carryForward: Boolean = false): Unit = {
+      beforePublish: () => Unit, carryForward: Boolean = false,
+      carriedExplicit: Option[Seq[String]] = None): Unit = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val spark = df.sparkSession
     val (fsys, base) = fs(spark, dir)
@@ -174,8 +175,8 @@ object Manifest {
       .sortBy(_.getPath.getName)
     val priors = retained(fsys, base)
     val seq = (priors.map(_.seq) :+ -1L).max + 1
-    val carried = if (carryForward)
-      priors.lastOption.map(_.files).getOrElse(Nil) else Nil
+    val carried = carriedExplicit.getOrElse(
+      if (carryForward) priors.lastOption.map(_.files).getOrElse(Nil) else Nil)
     val body = (carried.map(f => s"""    "$f"""") ++ files.map(s =>
         s"""    "data-$snapshot/${s.getPath.getName}"""")).mkString(",\n")
     val json =
@@ -283,6 +284,59 @@ object Manifest {
     if (!fsys.rename(tmp, dest))
       throw new RuntimeException(s"symlink manifest export failed for $dir")
     abs
+  }
+
+  /** Result of a [[deleteRange]] commit: which files were rewritten vs
+    * carried untouched, and the new snapshot's id (None = the prune
+    * proved NO file could match — the table is untouched, no commit). */
+  final case class CowDelete(rewritten: Seq[String], carried: Seq[String],
+      committed: Option[String])
+
+  /** Copy-on-write DELETE of rows with `column` ∈ [lo, hi] — the
+    * lakehouse DELETE path, stats-driven end to end:
+    *
+    *  1. ONE distributed parquet-footer pass ([[FileStats.collect]])
+    *     over the current snapshot's files — metadata-only, no data read.
+    *  2. Files whose [min,max] bounds CANNOT overlap the range are
+    *     CARRIED FORWARD into the new snapshot by file-list reference —
+    *     never opened, never copied. On a range-clustered 100 TB table a
+    *     one-year delete rewrites the year, not the table.
+    *  3. Only overlapping files are scanned; their surviving rows (NULLs
+    *     survive — NULL never matches a range predicate) land as a fresh
+    *     data dir, committed atomically with the carried files via the
+    *     standard seq-keyed CAS — readers see the pre- or post-delete
+    *     snapshot, never a torn mix, and time travel to the pre-delete
+    *     snapshot keeps working.
+    *
+    * `lo`/`hi` are string literals in the column's natural rendering
+    * (numerics, ISO date "2021-01-02", ISO timestamp
+    * "2021-01-02T03:04:05[.micros]") — the SAME literal space
+    * [[DeltaLog.readPruned]] takes; the row-level predicate is derived
+    * from them by casting to the column's own Spark type, so prune and
+    * predicate can never disagree. */
+  def deleteRange(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, snapshot: String): CowDelete = {
+    val (fsys, base) = fs(spark, dir)
+    val files = currentFiles(spark, dir)
+    require(files.nonEmpty, s"no committed snapshot under $dir")
+    val stats = FileStats.collect(spark, base, files)
+    val (touch, keep) = files.partition(f =>
+      FileStats.mayMatch(stats(f), column, lo, hi))
+    if (touch.isEmpty) return CowDelete(Nil, keep, None)
+    val df = spark.read.parquet(touch.map(f => s"$dir/$f"): _*)
+    val dt = df.schema(column).dataType
+    val c = org.apache.spark.sql.functions.col(column)
+    val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
+      c <= org.apache.spark.sql.functions.lit(hi).cast(dt)
+    // NULLs survive: NOT(null BETWEEN ...) is null, which a bare filter
+    // would drop — exactly the wrong way to "delete"
+    val survivors = df.where(
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.not(inRange),
+        org.apache.spark.sql.functions.lit(true)))
+    writeImpl(survivors, dir, snapshot, () => (),
+      carriedExplicit = Some(keep))
+    CowDelete(touch, keep, Some(snapshot))
   }
 
   /** Compact the current snapshot into ceil(bytes/target) files AS A NEW

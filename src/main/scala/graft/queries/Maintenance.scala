@@ -1088,6 +1088,45 @@ object Maintenance {
             |  BETWEEN DATE'1996-01-01' AND DATE'1996-12-31'
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // Copy-on-write DELETE under oracle: lineitem lands range-clustered
+  // on l_shipdate, Manifest.deleteRange removes 1997 — rewriting ONLY
+  // the files whose footer bounds overlap the year (ManifestSpec proves
+  // the carried files are referenced verbatim, zero copies) — and the
+  // post-delete snapshot is aggregated; the oracle applies the
+  // complementary WHERE to the source parquet. Hash equality proves the
+  // stats-confined rewrite deleted exactly the range: nothing more
+  // (carried rows all present), nothing less (no 1997 row survived in
+  // an untouched file).
+  private val cowDelete = Q(
+    "q_cow_delete",
+    (s, dir) => {
+      val out = scratchDir(dir, "cow_del")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "lineitem").repartitionByRange(8, col("l_shipdate")),
+        out, "base")
+      graft.io.Manifest.deleteRange(s, out, "l_shipdate",
+        "1997-01-01T00:00:00.000000", "1997-12-31T23:59:59.999999", "del97")
+      graft.io.Manifest.read(s, out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_ok"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          min(to_date(col("l_shipdate"))).as("min_ship"),
+          max(to_date(col("l_shipdate"))).as("max_ship"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("l_quantity")} AS sum_qty,
+            |  MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+            |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
+            |FROM lineitem
+            |WHERE CAST(l_shipdate AS DATE)
+            |  NOT BETWEEN DATE'1997-01-01' AND DATE'1997-12-31'
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Iceberg data skipping under oracle, the q_delta_skipping twin
   // through the OTHER format's stats: orders lands range-clustered on
   // o_custkey, the manifests carry lower_bounds/upper_bounds in the
@@ -1143,7 +1182,7 @@ object Maintenance {
 
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
-    deltaSkipping, icebergStats,
+    deltaSkipping, icebergStats, cowDelete,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

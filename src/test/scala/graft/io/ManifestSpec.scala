@@ -140,6 +140,69 @@ class ManifestSpec extends AnyFunSuite {
     assert(d3.count() === 30) // only the rebuilt snapshot's files
   }
 
+  test("deleteRange rewrites only stat-overlapping files; carried files untouched") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).toDF("id").repartitionByRange(5, col("id")),
+      dir, "base")
+    val before = Manifest.currentFiles(spark, dir)
+    val r = Manifest.deleteRange(spark, dir, "id", "300", "499", "del-mid")
+    assert(r.committed.contains("del-mid"))
+    assert(r.rewritten.nonEmpty && r.rewritten.size < before.size,
+      s"stats must confine the rewrite: touched ${r.rewritten.size}/${before.size}")
+    assert((r.rewritten ++ r.carried).sorted == before.sorted)
+    // carried files appear in the NEW manifest verbatim — same bytes,
+    // zero copies; only the touched ranges landed in the new data dir
+    val after = Manifest.currentFiles(spark, dir)
+    assert(r.carried.forall(after.contains))
+    assert(r.rewritten.forall(f => !after.contains(f)))
+    assert(after.exists(_.startsWith("data-del-mid/")))
+    // row-level truth: exactly [300,499] gone
+    assert(Manifest.read(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((0L to 299L) ++ (500L to 999L)))
+    // pre-delete snapshot still replays (provenance survives the delete)
+    assert(Manifest.readAt(spark, dir, "base").count() == 1000)
+  }
+
+  test("deleteRange: proven-no-overlap range is a no-op with no commit") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 100).toDF("id").repartitionByRange(2, col("id")),
+      dir, "base")
+    val r = Manifest.deleteRange(spark, dir, "id", "5000", "6000", "noop")
+    assert(r.committed.isEmpty && r.rewritten.isEmpty)
+    assert(Manifest.snapshots(spark, dir) == Seq("base"))
+    assert(Manifest.read(spark, dir).count() == 100)
+  }
+
+  test("deleteRange keeps NULL rows and handles string and timestamp columns") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.sql(
+        """SELECT * FROM VALUES
+          |  (1L, 'alpha'), (2L, 'beta'), (3L, CAST(NULL AS STRING)),
+          |  (4L, 'gamma'), (5L, 'delta')
+          |AS t(id, name)"""
+        .stripMargin), dir, "base")
+    Manifest.deleteRange(spark, dir, "name", "b", "dz", "del-bd")
+    // 'beta' and 'delta' fall in ["b","dz"]; NULL must SURVIVE a delete
+    assert(Manifest.read(spark, dir).selectExpr("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+
+    val dir2 = tmpDir()
+    Manifest.write(
+      spark.range(0, 48)
+        .selectExpr("id",
+          "timestamp_ntz'2022-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0) AS ts")
+        .repartitionByRange(4, col("ts")),
+      dir2, "base")
+    val r2 = Manifest.deleteRange(spark, dir2, "ts",
+      "2022-01-01T12:00:00", "2022-01-02T05:59:59.999999", "del-window")
+    assert(r2.rewritten.nonEmpty &&
+      r2.rewritten.size < (r2.rewritten.size + r2.carried.size))
+    assert(Manifest.read(spark, dir2).count() == 48 - 18)
+  }
+
   test("symlink-manifest export: plain spark.read.parquet over the list is byte-identical") {
     val dir = tmpDir()
     Manifest.write((1 to 300).toDF("v").withColumn("sq", col("v") * col("v"))
