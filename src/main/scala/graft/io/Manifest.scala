@@ -286,11 +286,38 @@ object Manifest {
     abs
   }
 
-  /** Result of a [[deleteRange]] commit: which files were rewritten vs
-    * carried untouched, and the new snapshot's id (None = the prune
-    * proved NO file could match — the table is untouched, no commit). */
-  final case class CowDelete(rewritten: Seq[String], carried: Seq[String],
+  /** Result of a copy-on-write [[deleteRange]]/[[updateRange]] commit:
+    * which files were rewritten vs carried untouched, and the new
+    * snapshot's id (None = the prune proved NO file could match — the
+    * table is untouched, no commit). */
+  final case class CowRewrite(rewritten: Seq[String], carried: Seq[String],
       committed: Option[String])
+
+  /** The shared copy-on-write core: one distributed footer pass
+    * partitions the current snapshot into files whose [min,max] bounds
+    * MAY overlap `column` ∈ [lo, hi] and files that provably cannot;
+    * only the former are scanned and fed through `rewrite` (with the
+    * derived in-range predicate), the latter ride into the new snapshot
+    * by file-list reference — never opened, never copied. */
+  private def cowRewrite(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, snapshot: String,
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): CowRewrite = {
+    val (fsys, base) = fs(spark, dir)
+    val files = currentFiles(spark, dir)
+    require(files.nonEmpty, s"no committed snapshot under $dir")
+    val stats = FileStats.collect(spark, base, files)
+    val (touch, keep) = files.partition(f =>
+      FileStats.mayMatch(stats(f), column, lo, hi))
+    if (touch.isEmpty) return CowRewrite(Nil, keep, None)
+    val df = spark.read.parquet(touch.map(f => s"$dir/$f"): _*)
+    val dt = df.schema(column).dataType
+    val c = org.apache.spark.sql.functions.col(column)
+    val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
+      c <= org.apache.spark.sql.functions.lit(hi).cast(dt)
+    writeImpl(rewrite(df, inRange), dir, snapshot, () => (),
+      carriedExplicit = Some(keep))
+    CowRewrite(touch, keep, Some(snapshot))
+  }
 
   /** Copy-on-write DELETE of rows with `column` ∈ [lo, hi] — the
     * lakehouse DELETE path, stats-driven end to end:
@@ -315,28 +342,34 @@ object Manifest {
     * from them by casting to the column's own Spark type, so prune and
     * predicate can never disagree. */
   def deleteRange(spark: SparkSession, dir: String, column: String,
-      lo: String, hi: String, snapshot: String): CowDelete = {
-    val (fsys, base) = fs(spark, dir)
-    val files = currentFiles(spark, dir)
-    require(files.nonEmpty, s"no committed snapshot under $dir")
-    val stats = FileStats.collect(spark, base, files)
-    val (touch, keep) = files.partition(f =>
-      FileStats.mayMatch(stats(f), column, lo, hi))
-    if (touch.isEmpty) return CowDelete(Nil, keep, None)
-    val df = spark.read.parquet(touch.map(f => s"$dir/$f"): _*)
-    val dt = df.schema(column).dataType
-    val c = org.apache.spark.sql.functions.col(column)
-    val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
-      c <= org.apache.spark.sql.functions.lit(hi).cast(dt)
-    // NULLs survive: NOT(null BETWEEN ...) is null, which a bare filter
-    // would drop — exactly the wrong way to "delete"
-    val survivors = df.where(
-      org.apache.spark.sql.functions.coalesce(
+      lo: String, hi: String, snapshot: String): CowRewrite =
+    cowRewrite(spark, dir, column, lo, hi, snapshot, (df, inRange) =>
+      // NULLs survive: NOT(null BETWEEN ...) is null, which a bare
+      // filter would drop — exactly the wrong way to "delete"
+      df.where(org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.not(inRange),
-        org.apache.spark.sql.functions.lit(true)))
-    writeImpl(survivors, dir, snapshot, () => (),
-      carriedExplicit = Some(keep))
-    CowDelete(touch, keep, Some(snapshot))
+        org.apache.spark.sql.functions.lit(true))))
+
+  /** Copy-on-write UPDATE of rows with `column` ∈ [lo, hi]: every
+    * `set` entry becomes `WHEN in-range THEN expr ELSE old` on the
+    * rewritten files only — same stats-confined rewrite, carry, and
+    * atomic-commit story as [[deleteRange]] (a one-segment re-flag on a
+    * range-clustered 100 TB table rewrites the segment, not the table).
+    * Set expressions may reference the row's other columns; update of
+    * the prune column itself is refused — rewritten rows could leave
+    * their file's clustering range, silently breaking every later
+    * prune. */
+  def updateRange(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, snapshot: String,
+      set: Map[String, org.apache.spark.sql.Column]): CowRewrite = {
+    require(!set.contains(column),
+      s"updateRange must not rewrite its own prune column '$column'")
+    cowRewrite(spark, dir, column, lo, hi, snapshot, (df, inRange) =>
+      set.foldLeft(df) { case (d, (name, expr)) =>
+        d.withColumn(name,
+          org.apache.spark.sql.functions.when(inRange, expr)
+            .otherwise(org.apache.spark.sql.functions.col(name)))
+      })
   }
 
   /** Compact the current snapshot into ceil(bytes/target) files AS A NEW

@@ -1127,6 +1127,42 @@ object Maintenance {
             |  NOT BETWEEN DATE'1997-01-01' AND DATE'1997-12-31'
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // Copy-on-write UPDATE under oracle, deleteRange's DML twin: orders
+  // lands range-clustered on o_orderdate, updateRange re-prioritizes
+  // every 1997 order (set expressions see the row's other columns),
+  // rewriting only the files whose footer bounds overlap the year; the
+  // oracle applies the same CASE WHEN to the source parquet. Hash
+  // equality proves the confined rewrite updated exactly the range and
+  // left carried rows bit-identical.
+  private val cowUpdate = Q(
+    "q_cow_update",
+    (s, dir) => {
+      val out = scratchDir(dir, "cow_upd")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "orders").repartitionByRange(8, col("o_orderdate")),
+        out, "base")
+      graft.io.Manifest.updateRange(s, out, "o_orderdate",
+        "1997-01-01T00:00:00.000000", "1997-12-31T23:59:59.999999", "reprio97",
+        Map("o_orderpriority" ->
+          concat(lit("0-REVIEWED-"), substring(col("o_orderpriority"), 1, 1))))
+      graft.io.Manifest.read(s, out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT CASE WHEN CAST(o_orderdate AS DATE)
+            |    BETWEEN DATE'1997-01-01' AND DATE'1997-12-31'
+            |  THEN '0-REVIEWED-' || substr(o_orderpriority, 1, 1)
+            |  ELSE o_orderpriority END AS o_orderpriority,
+            |  COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Iceberg data skipping under oracle, the q_delta_skipping twin
   // through the OTHER format's stats: orders lands range-clustered on
   // o_custkey, the manifests carry lower_bounds/upper_bounds in the
@@ -1182,7 +1218,7 @@ object Maintenance {
 
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
-    deltaSkipping, icebergStats, cowDelete,
+    deltaSkipping, icebergStats, cowDelete, cowUpdate,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

@@ -203,6 +203,34 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.read(spark, dir2).count() == 48 - 18)
   }
 
+  test("updateRange rewrites in-range rows only, confined to overlapping files") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).selectExpr("id", "'ok' AS flag")
+        .repartitionByRange(5, col("id")),
+      dir, "base")
+    val before = Manifest.currentFiles(spark, dir)
+    val r = Manifest.updateRange(spark, dir, "id", "250", "349", "flag-mid",
+      Map("flag" -> concat(lit("hot-"), col("id"))))
+    assert(r.committed.contains("flag-mid"))
+    assert(r.rewritten.nonEmpty && r.rewritten.size < before.size)
+    val rows = Manifest.read(spark, dir)
+      .selectExpr("id", "flag").as[(Long, String)].collect().toMap
+    assert(rows.size == 1000, "update must not change the row count")
+    (0L to 999L).foreach { i =>
+      if (i >= 250 && i <= 349) assert(rows(i) == s"hot-$i")
+      else assert(rows(i) == "ok")
+    }
+    // refusing to update the prune column itself (would break clustering)
+    intercept[IllegalArgumentException] {
+      Manifest.updateRange(spark, dir, "id", "0", "10", "bad",
+        Map("id" -> lit(0L)))
+    }
+    // no-overlap update: no commit
+    assert(Manifest.updateRange(spark, dir, "id", "5000", "6000", "noop",
+      Map("flag" -> lit("x"))).committed.isEmpty)
+  }
+
   test("symlink-manifest export: plain spark.read.parquet over the list is byte-identical") {
     val dir = tmpDir()
     Manifest.write((1 to 300).toDF("v").withColumn("sq", col("v") * col("v"))
