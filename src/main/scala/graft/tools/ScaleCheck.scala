@@ -187,7 +187,12 @@ object ScaleCheck {
       // unigram-LM tokenizer: the corpus-∝ pass is the word count; EM/DP
       // run on DISTINCT words (the replica prefixes multiply the word
       // alphabet ×r, so the DP side ALSO grows with r here)
-      "q_unigram_train")
+      "q_unigram_train",
+      // round-7 second wave: stats-driven data skipping (land + export +
+      // footer pass + pruned scan, all ∝ corpus; the PRUNED fraction is
+      // what stays flat) and the copy-on-write DML pair (rewrite ∝
+      // overlapping files only, carry ∝ file count)
+      "q_delta_skipping", "q_iceberg_stats", "q_cow_delete", "q_cow_update")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
