@@ -77,14 +77,25 @@ object DeltaLog {
   private def protocolLine: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-  private def metaDataLine(id: String, schemaJson: String, createdAt: Long): String =
+  private def metaDataLine(id: String, schemaJson: String, createdAt: Long,
+      partitionCols: Seq[String]): String = {
+    val pc = partitionCols.map(jstr).mkString("[", ",", "]")
     s"""{"metaData":{"id":"$id","format":{"provider":"parquet","options":{}},""" +
-      s""""schemaString":${jstr(schemaJson)},"partitionColumns":[],""" +
+      s""""schemaString":${jstr(schemaJson)},"partitionColumns":$pc,""" +
       s""""configuration":{},"createdTime":$createdAt}}"""
+  }
+
+  /** `add.partitionValues` from the file's own hive path segments — a
+    * partitioned Manifest snapshot's layout IS the value source. */
+  private def partitionValuesJson(path: String): String =
+    Manifest.partitionValuesOf(path)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
 
   private def addLine(path: String, size: Long, modTime: Long,
       stats: String): String =
-    s"""{"add":{"path":${jstr(path)},"partitionValues":{},"size":$size,""" +
+    s"""{"add":{"path":${jstr(path)},""" +
+      s""""partitionValues":${partitionValuesJson(path)},"size":$size,""" +
       s""""modificationTime":$modTime,"dataChange":true,"stats":${jstr(stats)}}}"""
 
   private def removeLine(path: String, ts: Long): String =
@@ -121,10 +132,12 @@ object DeltaLog {
     fsys.mkdirs(ld)
     val now = System.currentTimeMillis()
     val id = tableId(fsys, base)
-    // schema from the current snapshot's parquet footers; Delta's
-    // schemaString format IS Spark's StructType JSON
-    val schemaJson = spark.read
-      .parquet(ms.last.files.map(f => s"$dir/$f"): _*).schema.json
+    // schema from the current snapshot's parquet footers (basePath read
+    // so hive partition columns join the schema, as Delta requires);
+    // Delta's schemaString format IS Spark's StructType JSON
+    val schemaJson = Manifest.readFiles(spark, dir, ms.last.files).schema.json
+    val partitionCols = ms.last.files.headOption
+      .map(Manifest.partitionValuesOf(_).map(_._1)).getOrElse(Nil)
 
     // ONE distributed footer pass over the union of every retained
     // snapshot's files: size/modTime AND per-column min/max/nullCount
@@ -149,7 +162,8 @@ object DeltaLog {
             // oldest retained version: full state (version 0's shape; a
             // vacuumed-past-0 table additionally gets a checkpoint below)
             Seq(commitInfoLine(now, "WRITE"), protocolLine,
-              metaDataLine(id, schemaJson, now)) ++ addLinesOf(m.files)
+              metaDataLine(id, schemaJson, now, partitionCols)) ++
+              addLinesOf(m.files)
           else {
             val prev = ms(i - 1).files
             val removed = prev.filterNot(m.files.toSet)
@@ -166,7 +180,7 @@ object DeltaLog {
     val oldest = ms.head.seq
     if (oldest > 0 && !fsys.exists(checkpointPath(ld, oldest))) {
       writeCheckpoint(spark, fsys, ld, oldest, id, schemaJson,
-        ms.head.files, stats, base, now)
+        partitionCols, ms.head.files, stats, base, now)
       // checkpoint covers everything ≤ oldest: drop expired commit JSONs
       fsys.listStatus(ld).toSeq.map(_.getPath)
         .filter { p =>
@@ -185,7 +199,8 @@ object DeltaLog {
     * columns `protocol`/`metaData`/`add` (unused action classes omitted
     * — the schema is allowed to carry only the action types present). */
   private def writeCheckpoint(spark: SparkSession, fsys: FileSystem, ld: Path,
-      version: Long, id: String, schemaJson: String, files: Seq[String],
+      version: Long, id: String, schemaJson: String,
+      partitionCols: Seq[String], files: Seq[String],
       stats: Map[String, FileStats.FileStat], base: Path, now: Long): Unit = {
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
@@ -215,11 +230,11 @@ object DeltaLog {
     val rows =
       Row(Row(1, 2), null, null) ::
       Row(null, Row(id, Row("parquet", emptyM), schemaJson,
-        Seq.empty[String], emptyM, now), null) ::
+        partitionCols, emptyM, now), null) ::
       files.toList.map { f =>
         val fst = stats(f)
-        Row(null, null, Row(f, emptyM, fst.size, fst.modTime, true,
-          FileStats.deltaStatsJson(fst)))
+        Row(null, null, Row(f, Manifest.partitionValuesOf(f).toMap,
+          fst.size, fst.modTime, true, FileStats.deltaStatsJson(fst)))
       }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckptT)
@@ -333,6 +348,69 @@ object DeltaLog {
     active.toSeq
   }
 
+  /** [[activeFiles]] plus each file's `add.partitionValues` (empty map
+    * on an unpartitioned table). */
+  def activeFilePartitions(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Seq[(String, Map[String, String])] = {
+    val (fsys, base) = fs(spark, dir)
+    val ld = logDir(base)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no _delta_log commits under $dir")
+    val target = version.getOrElse(vs.max)
+    require(vs.contains(target), s"no delta version $target under $dir")
+    val ckpt = lastCheckpointVersion(fsys, ld).filter(_ <= target)
+    val active = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    ckpt.foreach { cv =>
+      spark.read.parquet(checkpointPath(ld, cv).toString)
+        .selectExpr("add.path", "add.partitionValues")
+        .where("add IS NOT NULL").collect()
+        .map(r => r.getString(0) ->
+          Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))
+        .sortBy(_._1).foreach { case (p, m) => active(p) = m }
+    }
+    val foldFrom = ckpt.getOrElse(-1L)
+    vs.filter(v => v > foldFrom && v <= target).foreach { v =>
+      readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty).foreach { line =>
+        val j = JsonMethods.parse(line)
+        j \ "add" \ "path" match {
+          case JString(p) =>
+            active(p) = j \ "add" \ "partitionValues" match {
+              case JObject(kvs) => kvs.collect {
+                case (k, JString(value)) => k -> value }.toMap
+              case _ => Map.empty
+            }
+          case _ =>
+        }
+        j \ "remove" \ "path" match {
+          case JString(p) => active -= p
+          case _ =>
+        }
+      }
+    }
+    active.toSeq
+  }
+
+  /** Partition prune straight off the log: active files whose
+    * `partitionValues` match every `equalTo` entry — EXACT (path-value
+    * equality), unlike the bounds reasoning in [[prunedFiles]]. */
+  def partitionPrunedFiles(spark: SparkSession, dir: String,
+      equalTo: Map[String, String]): Seq[String] =
+    activeFilePartitions(spark, dir).collect {
+      case (p, pv) if equalTo.forall { case (k, v) => pv.get(k).contains(v) } => p
+    }
+
+  /** Read only the partitions [[partitionPrunedFiles]] keeps (basePath
+    * read — the hive columns come back as real columns). Zero matching
+    * partitions → empty frame with the log's metaData schema. */
+  def readPartitionPruned(spark: SparkSession, dir: String,
+      equalTo: Map[String, String]): DataFrame = {
+    val files = partitionPrunedFiles(spark, dir, equalTo)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[Row], tableSchema(spark, dir))
+    else Manifest.readFiles(spark, dir, files)
+  }
+
   /** The table schema carried by the log's `metaData` action
     * (checkpoint or oldest retained commit) — what a pruned read that
     * skipped EVERY file still needs to answer with. */
@@ -426,7 +504,7 @@ object DeltaLog {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[Row], tableSchema(spark, dir))
-    else spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    else Manifest.readFiles(spark, dir, files)
   }
 
   /** Read the table THROUGH the exported delta log (latest version). */
@@ -438,6 +516,6 @@ object DeltaLog {
     val files = activeFiles(spark, dir,
       if (version < 0) None else Some(version))
     require(files.nonEmpty, s"delta version has no data files under $dir")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    Manifest.readFiles(spark, dir, files)
   }
 }

@@ -139,7 +139,23 @@ object IcebergExport {
   // logicalType "map" — and bounds values carry the spec's single-value
   // binary serialization (Appendix D: little-endian numerics, UTF-8
   // strings), decoded back by [[activeFilesPruned]] and the spec
-  private val manifestEntrySchema: AvroSchema = new AvroSchema.Parser().parse(
+  /** Manifest-entry Avro schema. The `partition` record (field-id 102)
+    * is built PER TABLE: one typed field per identity-partition column
+    * (ids 1000+, matching the partition spec), empty for an
+    * unpartitioned table — the layout every Iceberg reader resolves
+    * partition tuples from. */
+  private def manifestEntrySchemaFor(
+      partFields: Seq[(String, String, Int)]): AvroSchema = {
+    val pf = partFields.map { case (n, t, id) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"partition column '$n' is not an exportable Avro field name")
+      s"""{"name":"$n","type":["null","$t"],"default":null,"field-id":$id}"""
+    }.mkString(",")
+    new AvroSchema.Parser().parse(
+      manifestEntryTemplate.replace("__PARTITION_FIELDS__", pf))
+  }
+
+  private val manifestEntryTemplate: String =
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -149,7 +165,7 @@ object IcebergExport {
       |{"name":"content","type":"int","field-id":134},
       |{"name":"file_path","type":"string","field-id":100},
       |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[__PARTITION_FIELDS__]}},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
       |{"name":"value_counts","field-id":109,"default":null,"type":["null",
@@ -168,7 +184,40 @@ object IcebergExport {
       |  {"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
       |    {"name":"key","type":"int","field-id":129},
       |    {"name":"value","type":"bytes","field-id":130}]}}]}
-      |]}}]}""".stripMargin)
+      |]}}]}""".stripMargin
+
+  /** The partition spec's `fields` array as JSON: identity transforms,
+    * `source-id` = the column's schema field id, `field-id` = the
+    * 1000-series partition field id — shared by the metadata JSON and
+    * every manifest's `partition-spec` meta so they cannot drift. */
+  private def partSpecFieldsJson(partFields: Seq[(String, String, Int)],
+      fieldIds: Map[String, Int]): String =
+    partFields.map { case (n, _, pid) =>
+      s"""{"name":"$n","transform":"identity",""" +
+        s""""source-id":${fieldIds.getOrElse(n, -1)},"field-id":$pid}"""
+    }.mkString("[", ",", "]")
+
+  /** Identity-partition descriptors of the CURRENT layout: (column,
+    * avro type, partition-field id 1000+i), derived from the hive path
+    * segments + the basePath-read schema. Only string/long/int columns
+    * are exportable partition sources (the types the testdata and the
+    * reference pipeline partition by); anything else fails loudly. */
+  private def partitionFieldsOf(files: Seq[String],
+      schema: StructType): Seq[(String, String, Int)] =
+    files.headOption.map(Manifest.partitionValuesOf(_).map(_._1))
+      .getOrElse(Nil).zipWithIndex.map { case (n, i) =>
+        val t = schema.find(_.name == n).map(_.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column '$n' missing from recovered schema"))
+        val avroT = t match {
+          case StringType => "string"
+          case LongType => "long"
+          case IntegerType | ShortType => "int"
+          case other => throw new IllegalArgumentException(
+            s"unsupported Iceberg partition source type for '$n': $other")
+        }
+        (n, avroT, 1000 + i)
+      }
 
   private def writeAvroFile(fsys: FileSystem, dest: Path, schema: AvroSchema,
       meta: Map[String, String], records: Seq[GenericRecord]): Long = {
@@ -320,12 +369,15 @@ object IcebergExport {
       val manifestPath = new Path(md, s"seq-${m.seq}-m0.avro")
       val listPath = new Path(md, s"snap-${m.seq}.avro")
       if (!fsys.exists(listPath)) {
-        val snapSchema = spark.read
-          .parquet(m.files.map(f => s"$dir/$f"): _*).schema
+        // basePath read: hive partition columns JOIN the schema — Iceberg
+        // treats partition sources as table columns
+        val snapSchema = Manifest.readFiles(spark, dir, m.files).schema
         val schJ = schemaJson(snapSchema)._1
         val fieldIds = topLevelIds(schJ)
         val sparkTypeOf = snapSchema.fields.map(f => f.name -> f.dataType).toMap
-        val dfSchema = manifestEntrySchema.getField("data_file").schema()
+        val partFields = partitionFieldsOf(m.files, snapSchema)
+        val entrySchema = manifestEntrySchemaFor(partFields)
+        val dfSchema = entrySchema.getField("data_file").schema()
         def mapSchema(field: String) =
           dfSchema.getField(field).schema().getTypes.get(1) // non-null branch
         def statsMaps(fst: FileStats.FileStat) = {
@@ -360,8 +412,19 @@ object IcebergExport {
           df.put("content", 0)
           df.put("file_path", s"$qualBase/$f")
           df.put("file_format", "PARQUET")
-          df.put("partition", new GenericData.Record(
-            df.getSchema.getField("partition").schema()))
+          val part = new GenericData.Record(
+            df.getSchema.getField("partition").schema())
+          val pv = Manifest.partitionValuesOf(f).toMap
+          partFields.foreach { case (n, t, _) =>
+            pv.get(n).foreach { v =>
+              part.put(n, t match {
+                case "long" => java.lang.Long.valueOf(v.toLong)
+                case "int" => java.lang.Integer.valueOf(v.toInt)
+                case _ => v
+              })
+            }
+          }
+          df.put("partition", part)
           df.put("record_count", java.lang.Long.valueOf(fst.numRecords))
           df.put("file_size_in_bytes", java.lang.Long.valueOf(fst.size))
           val (vc, nc, lb, ub) = statsMaps(fst)
@@ -369,7 +432,7 @@ object IcebergExport {
           df.put("null_value_counts", nc)
           df.put("lower_bounds", lb)
           df.put("upper_bounds", ub)
-          val e = new GenericData.Record(manifestEntrySchema)
+          val e = new GenericData.Record(entrySchema)
           e.put("status", if (fseq == m.seq) 1 else 0) // ADDED vs EXISTING
           e.put("snapshot_id", java.lang.Long.valueOf(m.seq))
           e.put("sequence_number", java.lang.Long.valueOf(fseq))
@@ -378,8 +441,9 @@ object IcebergExport {
           e
         }
         val curSchemaJson = JsonMethods.compact(JsonMethods.render(schJ))
-        val mlen = writeAvroFile(fsys, manifestPath, manifestEntrySchema,
-          Map("schema" -> curSchemaJson, "partition-spec" -> "[]",
+        val specFieldsJson = partSpecFieldsJson(partFields, fieldIds)
+        val mlen = writeAvroFile(fsys, manifestPath, entrySchema,
+          Map("schema" -> curSchemaJson, "partition-spec" -> specFieldsJson,
             "partition-spec-id" -> "0", "format-version" -> "2",
             "content" -> "data"),
           entries)
@@ -412,8 +476,9 @@ object IcebergExport {
 
     // ---- table metadata JSON generation + version hint -----------------
     val current = ms.last
-    val (schJ, lastColId) = schemaJson(
-      spark.read.parquet(current.files.map(f => s"$dir/$f"): _*).schema)
+    val curSchema = Manifest.readFiles(spark, dir, current.files).schema
+    val (schJ, lastColId) = schemaJson(curSchema)
+    val curPartFields = partitionFieldsOf(current.files, curSchema)
     val snapshots = JArray(ms.toList.map { m =>
       JObject(
         "snapshot-id" -> JInt(m.seq),
@@ -439,8 +504,10 @@ object IcebergExport {
       "schemas" -> JArray(List(schJ)),
       "default-spec-id" -> JInt(0),
       "partition-specs" -> JArray(List(JObject(
-        "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),
-      "last-partition-id" -> JInt(999),
+        "spec-id" -> JInt(0),
+        "fields" -> JsonMethods.parse(
+          partSpecFieldsJson(curPartFields, topLevelIds(schJ)))))),
+      "last-partition-id" -> JInt(999 + curPartFields.size),
       "default-sort-order-id" -> JInt(0),
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
@@ -602,19 +669,48 @@ object IcebergExport {
           s"no snapshot $target under $dir"))
       case _ => throw new IllegalStateException("no snapshots array")
     }
+    // identity-PARTITION source? then each entry's partition record
+    // holds the column's exact value — an equality-grade prune, tighter
+    // than any bounds reasoning
+    val isPartitionSource =
+      meta \ "partition-specs" match {
+        case JArray(specs) => specs.headOption.exists(sp =>
+          sp \ "fields" match {
+            case JArray(pfs) => pfs.exists(pf =>
+              pf \ "name" == JString(column) &&
+                pf \ "transform" == JString("identity"))
+            case _ => false
+          })
+        case _ => false
+      }
+    def partitionValueOf(df: GenericRecord): Option[Any] = {
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      if (part.getSchema.getField(column) == null) None
+      else Option(part.get(column)).map {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case other => other.toString
+      }
+    }
+
     val JString(listPath) = snap \ "manifest-list"
     readAvroFile(fsys, new Path(listPath)).flatMap { mf =>
       readAvroFile(fsys, new Path(mf.get("manifest_path").toString)).flatMap { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
-        val keep = (boundOf(df, "lower_bounds"), boundOf(df, "upper_bounds")) match {
-          case (Some(mn), Some(mx)) =>
-            !(cmpBound(mx, loV) < 0 || cmpBound(mn, hiV) > 0)
-          case _ =>
-            // no bounds: skip only a PROVEN all-null column
-            !(for (vc <- countOf(df, "value_counts");
-                   nc <- countOf(df, "null_value_counts"))
-              yield vc > 0 && vc == nc).getOrElse(false)
-        }
+        val partKeep =
+          if (!isPartitionSource) None
+          else partitionValueOf(df).map(v =>
+            cmpBound(v, loV) >= 0 && cmpBound(v, hiV) <= 0)
+        val keep = partKeep.getOrElse(
+          (boundOf(df, "lower_bounds"), boundOf(df, "upper_bounds")) match {
+            case (Some(mn), Some(mx)) =>
+              !(cmpBound(mx, loV) < 0 || cmpBound(mn, hiV) > 0)
+            case _ =>
+              // no bounds: skip only a PROVEN all-null column
+              !(for (vc <- countOf(df, "value_counts");
+                     nc <- countOf(df, "null_value_counts"))
+                yield vc > 0 && vc == nc).getOrElse(false)
+          })
         if (keep) Some(df.get("file_path").toString) else None
       }
     }
@@ -627,7 +723,7 @@ object IcebergExport {
   def readPruned(spark: SparkSession, dir: String, column: String,
       lo: String, hi: String): DataFrame = {
     val files = activeFilesPruned(spark, dir, column, lo, hi)
-    if (files.nonEmpty) spark.read.parquet(files: _*)
+    if (files.nonEmpty) readUris(spark, dir, files)
     else read(spark, dir).limit(0)
   }
 
@@ -635,13 +731,22 @@ object IcebergExport {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val files = activeFiles(spark, dir)
     require(files.nonEmpty, s"iceberg snapshot has no data files under $dir")
-    spark.read.parquet(files: _*)
+    readUris(spark, dir, files)
+  }
+
+  /** Absolute-URI file-list read with hive partition-column recovery
+    * (`basePath` = the qualified table root). */
+  private def readUris(spark: SparkSession, dir: String,
+      files: Seq[String]): DataFrame = {
+    val (fsys, base) = fs(spark, dir)
+    spark.read.option("basePath", fsys.makeQualified(base).toString)
+      .parquet(files: _*)
   }
 
   /** Time travel through the metadata tree. */
   def readSnapshot(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
     val files = activeFiles(spark, dir, Some(snapshotId))
     require(files.nonEmpty, s"iceberg snapshot $snapshotId has no data files")
-    spark.read.parquet(files: _*)
+    readUris(spark, dir, files)
   }
 }

@@ -78,7 +78,9 @@ object Manifest {
       .findFirstMatchIn(text).map(_.group(1)).getOrElse(return None)
     val seq = "\"commit_seq\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(return None)
-    val files = "\"(data-[^\"/]+/part-[^\"/]*\\.parquet)\"".r
+    // optional hive-style `k=v/` segments between the data dir and the
+    // part file — a PARTITIONED snapshot's layout
+    val files = "\"(data-[^\"/]+/(?:[^\"/=]+=[^\"/]*/)*part-[^\"/]*\\.parquet)\"".r
       .findAllMatchIn(text).map(_.group(1)).toSeq
     Some(ManifestData(snap, seq, files))
   }
@@ -123,6 +125,74 @@ object Manifest {
   def write(df: DataFrame, dir: String, snapshot: String): Unit =
     writeImpl(df, dir, snapshot, () => ())
 
+  /** Overwrite-commit with HIVE-STYLE PARTITIONING: the snapshot's data
+    * dir carries `col=value/` subdirectories (`df.write.partitionBy`),
+    * the manifest lists the nested part files, and readers recover the
+    * partition columns via `basePath`. At 100 TB this is the layout
+    * that makes the dominant access pattern (one language, one source,
+    * one day) a PATH-EXACT file prune — [[readWherePartitions]] selects
+    * by `k=v` string match on the manifest's own file list, touching
+    * neither the data tree nor any footer. Same commit/CAS/time-travel
+    * contract as [[write]]. */
+  def writePartitioned(df: DataFrame, dir: String, snapshot: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
+    writeImpl(df, dir, snapshot, () => (), partitionCols = partitionCols)
+  }
+
+  /** Hive `k=v` pairs on a manifest-relative file path (empty for a
+    * flat snapshot's files), hive %XX-unescaped. */
+  def partitionValuesOf(relPath: String): Seq[(String, String)] =
+    relPath.split('/').toSeq.dropRight(1).drop(1).flatMap { seg =>
+      seg.indexOf('=') match {
+        case i if i > 0 =>
+          Some(unescapePath(seg.substring(0, i)) ->
+            unescapePath(seg.substring(i + 1)))
+        case _ => None
+      }
+    }
+
+  /** Invert hive path escaping (%XX for chars unsafe in dir names —
+    * the encoding Spark/Hive writers apply inside `k=v` segments). */
+  private def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The current snapshot restricted to partitions where every
+    * `equalTo` entry matches the file's `k=v` path values — an EXACT
+    * manifest-level prune (no footer reads, no data-tree listing, no
+    * bounds reasoning). Zero matching partitions → empty frame with the
+    * table schema. */
+  def readWherePartitions(spark: SparkSession, dir: String,
+      equalTo: Map[String, String]): DataFrame = {
+    val files = currentFiles(spark, dir)
+    require(files.nonEmpty, s"no committed snapshot under $dir")
+    val kept = files.filter { f =>
+      val pv = partitionValuesOf(f).toMap
+      equalTo.forall { case (k, v) => pv.get(k).contains(v) }
+    }
+    if (kept.isEmpty) readFiles(spark, dir, files).limit(0)
+    else readFiles(spark, dir, kept)
+  }
+
+  /** File-list read with partition-column recovery: `basePath` makes
+    * Spark parse the `k=v` segments between the table root and each
+    * file back into columns (a no-op for flat snapshots). */
+  private[io] def readFiles(spark: SparkSession, dir: String,
+      files: Seq[String]): DataFrame =
+    spark.read.option("basePath", dir)
+      .parquet(files.map(f => s"$dir/$f"): _*)
+
   /** APPEND-commit: land `df` as a fresh data dir and publish a snapshot
     * whose file list CARRIES FORWARD the current snapshot's files plus
     * the new ones — Delta's append-mode commit, and the natural unit for
@@ -160,7 +230,8 @@ object Manifest {
     * concurrent writer would race into. */
   private[graft] def writeImpl(df: DataFrame, dir: String, snapshot: String,
       beforePublish: () => Unit, carryForward: Boolean = false,
-      carriedExplicit: Option[Seq[String]] = None): Unit = {
+      carriedExplicit: Option[Seq[String]] = None,
+      partitionCols: Seq[String] = Nil): Unit = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val spark = df.sparkSession
     val (fsys, base) = fs(spark, dir)
@@ -168,17 +239,26 @@ object Manifest {
     require(!fsys.exists(dataDir), s"snapshot $snapshot already landed under $dir")
     require(retained(fsys, base).forall(_.snapshot != snapshot),
       s"snapshot $snapshot already committed under $dir")
-    df.write.parquet(dataDir.toString)
-    val files = fsys.listStatus(dataDir).toSeq
-      .filter(s => s.getPath.getName.startsWith("part-") &&
-        s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+    if (partitionCols.isEmpty) df.write.parquet(dataDir.toString)
+    else df.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+    // list the landed part files: flat for an unpartitioned snapshot,
+    // descending through `k=v/` dirs for a partitioned one — rel paths
+    // keep the partition segments so the manifest IS the partition index
+    def walk(p: Path, rel: String): Seq[String] =
+      fsys.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("=")) walk(st.getPath, s"$rel$n/")
+        else if (!st.isDirectory && n.startsWith("part-") &&
+          n.endsWith(".parquet")) Seq(s"$rel$n")
+        else Nil
+      }
+    val files = walk(dataDir, "")
     val priors = retained(fsys, base)
     val seq = (priors.map(_.seq) :+ -1L).max + 1
     val carried = carriedExplicit.getOrElse(
       if (carryForward) priors.lastOption.map(_.files).getOrElse(Nil) else Nil)
-    val body = (carried.map(f => s"""    "$f"""") ++ files.map(s =>
-        s"""    "data-$snapshot/${s.getPath.getName}"""")).mkString(",\n")
+    val body = (carried.map(f => s"""    "$f"""") ++ files.map(f =>
+        s"""    "data-$snapshot/$f"""")).mkString(",\n")
     val json =
       s"""{
          |  "snapshot": "$snapshot",
@@ -216,7 +296,7 @@ object Manifest {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val files = currentFiles(spark, dir)
     require(files.nonEmpty, s"no committed snapshot under $dir")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    readFiles(spark, dir, files)
   }
 
   /** Incremental read: the rows ADDED after retained snapshot `since`,
@@ -240,7 +320,7 @@ object Manifest {
     val current = all.lastOption.get
     val newFiles = current.files.filterNot(baseline.files.toSet)
     if (newFiles.isEmpty) None
-    else Some(spark.read.parquet(newFiles.map(f => s"$dir/$f"): _*))
+    else Some(readFiles(spark, dir, newFiles))
   }
 
   /** Time travel: read a RETAINED snapshot exactly as committed. */
@@ -249,7 +329,7 @@ object Manifest {
     val files = retained(fsys, base)
       .find(_.snapshot == snapshot).map(_.files).getOrElse(Nil)
     require(files.nonEmpty, s"no retained snapshot '$snapshot' under $dir")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    readFiles(spark, dir, files)
   }
 
   /** Export the CURRENT snapshot in the SYMLINK-MANIFEST layout external

@@ -1127,6 +1127,65 @@ object Maintenance {
             |  NOT BETWEEN DATE'1997-01-01' AND DATE'1997-12-31'
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // Hive-partitioned Manifest table under oracle: documents lands
+  // partitioned BY LANGUAGE (writePartitioned → data-<snap>/lang=xx/
+  // layout listed in the manifest), the read selects ONE language by
+  // exact k=v match on the manifest's own file list (no footer reads,
+  // no data-tree listing — the dominant 100 TB access pattern), and the
+  // recovered partition column plus the data columns aggregate per
+  // source; the oracle applies WHERE lang='de' to the source parquet.
+  // Hash equality proves partition routing at write time lost no row to
+  // a wrong directory AND the prune lost no qualifying row.
+  private val partitionedRead = Q(
+    "q_partitioned_read",
+    (s, dir) => {
+      val out = scratchDir(dir, "part_docs")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.writePartitioned(
+        t(s, dir, "documents"), out, "bylang", Seq("lang"))
+      graft.io.Manifest.readWherePartitions(s, out, Map("lang" -> "de"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+           |FROM documents WHERE lang = 'de'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // Partition pruning THROUGH the Delta log: the partitioned table's
+  // export carries partitionColumns + per-file partitionValues, and the
+  // read resolves matching files straight off the log (exact path-value
+  // equality, tighter than bounds) before any scan; oracle = plain
+  // WHERE. q_partitioned_read proves the manifest-level prune, this
+  // proves the table-format face of the same layout.
+  private val deltaPartitionPrune = Q(
+    "q_delta_partition_prune",
+    (s, dir) => {
+      val out = scratchDir(dir, "part_delta")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.writePartitioned(
+        t(s, dir, "documents"), out, "bylang", Seq("lang"))
+      graft.io.DeltaLog.exportLog(s, out)
+      graft.io.DeltaLog.readPartitionPruned(s, out, Map("lang" -> "en"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"),
+          max("doc_id").as("max_doc"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  MAX(doc_id) AS max_doc
+           |FROM documents WHERE lang = 'en'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Copy-on-write UPDATE under oracle, deleteRange's DML twin: orders
   // lands range-clustered on o_orderdate, updateRange re-prioritizes
   // every 1997 order (set expressions see the row's other columns),
@@ -1219,6 +1278,7 @@ object Maintenance {
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
     deltaSkipping, icebergStats, cowDelete, cowUpdate,
+    partitionedRead, deltaPartitionPrune,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

@@ -224,6 +224,46 @@ class DeltaLogSpec extends AnyFunSuite {
       .where("id < 1100").count() == 100)
   }
 
+  test("partitioned tables: partitionColumns + partitionValues in the log, exact prune") {
+    val dir = tmpDir()
+    val df = spark.sql(
+      """SELECT id, CASE CAST(id % 3 AS INT) WHEN 0 THEN 'de'
+        |  WHEN 1 THEN 'en' ELSE 'fr' END AS lang
+        |FROM range(0, 300)""".stripMargin)
+    Manifest.writePartitioned(df, dir, "p1", Seq("lang"))
+    DeltaLog.exportLog(spark, dir)
+    // metaData: partitionColumns carries the hive column, and the
+    // schemaString INCLUDES it (Delta's contract — partition columns
+    // are table columns even though the data files don't store them)
+    val v0 = commitLines(dir, 0)
+    val meta = v0.find(j => field(j, "metaData") != JNothing).get
+    assert(field(meta, "metaData", "partitionColumns") ==
+      JArray(List(JString("lang"))))
+    val JString(schemaStr) = field(meta, "metaData", "schemaString")
+    assert(org.apache.spark.sql.types.DataType.fromJson(schemaStr)
+      .asInstanceOf[StructType].fieldNames.toSet == Set("id", "lang"))
+    // every add action carries its file's partitionValues
+    v0.filter(j => field(j, "add") != JNothing).foreach { j =>
+      val JString(p) = field(j, "add", "path")
+      val JString(l) = field(j, "add", "partitionValues", "lang")
+      assert(p.contains(s"lang=$l"))
+    }
+    // reader: partition prune straight off the log, then basePath read
+    val en = DeltaLog.readPartitionPruned(spark, dir, Map("lang" -> "en"))
+    assert(en.count() == 100)
+    assert(en.inputFiles.forall(_.contains("lang=en")))
+    assert(DeltaLog.partitionPrunedFiles(spark, dir, Map("lang" -> "en")).size <
+      DeltaLog.activeFiles(spark, dir).size)
+    assert(DeltaLog.readPartitionPruned(spark, dir, Map("lang" -> "zz")).count() == 0)
+    // partitionValues survive the checkpoint after vacuum
+    Manifest.writePartitioned(df.where("id < 150"), dir, "p2", Seq("lang"))
+    Manifest.vacuum(spark, dir, keepLast = 1)
+    DeltaLog.exportLog(spark, dir)
+    val en2 = DeltaLog.readPartitionPruned(spark, dir, Map("lang" -> "en"))
+    assert(en2.count() == 50)
+    assert(en2.inputFiles.forall(_.contains("lang=en")))
+  }
+
   test("append-only streaming cadence: each commit exports as an APPEND of new files") {
     val dir = tmpDir()
     Manifest.write((1 to 5).toDF("v"), dir, "b0")

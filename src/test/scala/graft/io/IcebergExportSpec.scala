@@ -254,6 +254,52 @@ class IcebergExportSpec extends AnyFunSuite {
       .where("ts <= timestamp_ntz'2022-01-02 12:00:00'").count() == 37)
   }
 
+  test("partitioned tables: identity spec, typed partition records, exact prune") {
+    val dir = tmpDir()
+    Manifest.writePartitioned(
+      spark.sql(
+        """SELECT id, CASE CAST(id % 3 AS INT) WHEN 0 THEN 'de'
+          |  WHEN 1 THEN 'en' ELSE 'fr' END AS lang
+          |FROM range(0, 300)""".stripMargin),
+      dir, "p1", Seq("lang"))
+    IcebergExport.exportTable(spark, dir)
+    val meta = IcebergExport.currentMetadata(spark, dir)
+    // spec: one identity field on lang, source-id = lang's schema id,
+    // 1000-series partition field id; last-partition-id advanced
+    val JArray(specs) = meta \ "partition-specs"
+    val JArray(pfs) = specs.head \ "fields"
+    assert(pfs.size == 1)
+    assert(pfs.head \ "name" == JString("lang"))
+    assert(pfs.head \ "transform" == JString("identity"))
+    assert(pfs.head \ "field-id" == JInt(1000))
+    val JArray(schemas) = meta \ "schemas"
+    val JArray(fields) = schemas.head \ "fields"
+    val langId = fields.find(f => f \ "name" == JString("lang")).get \ "id"
+    assert(pfs.head \ "source-id" == langId)
+    assert(meta \ "last-partition-id" == JInt(1000))
+    // raw Avro: every entry's partition record carries the typed value,
+    // consistent with its file path
+    val JString(list0) = (meta \ "snapshots")(0) \ "manifest-list"
+    val entries = rawAvro(rawAvro(list0).head.get("manifest_path").toString)
+    assert(entries.nonEmpty)
+    entries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      assert(part.getSchema.getField("lang").getObjectProp("field-id") == 1000)
+      val v = part.get("lang").toString
+      assert(Set("de", "en", "fr")(v))
+      assert(df.get("file_path").toString.contains(s"lang=$v"))
+    }
+    // reader: partition-record prune + basePath partition recovery
+    val en = IcebergExport.readPruned(spark, dir, "lang", "en", "en")
+    assert(en.count() == 100)
+    assert(en.schema.fieldNames.toSet == Set("id", "lang"))
+    assert(en.inputFiles.forall(_.contains("lang=en")))
+    assert(IcebergExport.activeFilesPruned(spark, dir, "lang", "en", "en").size <
+      IcebergExport.activeFiles(spark, dir).size)
+    assert(IcebergExport.read(spark, dir).count() == 300)
+  }
+
   test("array columns export as list types with element ids") {
     val dir = tmpDir()
     Manifest.write(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec"), dir, "s1")

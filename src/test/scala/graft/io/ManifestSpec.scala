@@ -231,6 +231,40 @@ class ManifestSpec extends AnyFunSuite {
       Map("flag" -> lit("x"))).committed.isEmpty)
   }
 
+  test("partitioned snapshots: hive layout in the manifest, recovery, exact pruning") {
+    val dir = tmpDir()
+    val df = spark.sql(
+      """SELECT id, CASE CAST(id % 3 AS INT) WHEN 0 THEN 'de'
+        |  WHEN 1 THEN 'en' ELSE 'fr' END AS lang,
+        |  id * 10 AS chars
+        |FROM range(0, 300)""".stripMargin)
+    Manifest.writePartitioned(df, dir, "p1", Seq("lang"))
+    val files = Manifest.currentFiles(spark, dir)
+    assert(files.nonEmpty && files.forall(_.matches(
+      "data-p1/lang=(de|en|fr)/part-[^/]*\\.parquet")),
+      s"manifest must list hive-nested part files, got ${files.take(3)}")
+    assert(Manifest.partitionValuesOf(files.head).toMap.keySet == Set("lang"))
+    // basePath read recovers the partition column
+    val back = Manifest.read(spark, dir)
+    assert(back.schema.fieldNames.toSet == Set("id", "lang", "chars"))
+    assert(back.count() == 300)
+    assert(back.where("lang = 'en'").count() == 100)
+    // EXACT manifest-level prune: only en files feed the scan
+    val en = Manifest.readWherePartitions(spark, dir, Map("lang" -> "en"))
+    assert(en.count() == 100)
+    assert(en.select("id").as[Long].collect().forall(_ % 3 == 1))
+    assert(en.inputFiles.length < back.inputFiles.length)
+    assert(en.inputFiles.forall(_.contains("lang=en")))
+    // zero-match prune: empty, schema intact
+    val none = Manifest.readWherePartitions(spark, dir, Map("lang" -> "zz"))
+    assert(none.count() == 0 &&
+      none.schema.fieldNames.toSet == Set("id", "lang", "chars"))
+    // overwrite back to flat: the table stays readable either way
+    Manifest.write(df.select("id", "chars"), dir, "p2-flat")
+    assert(Manifest.read(spark, dir).count() == 300)
+    assert(Manifest.readAt(spark, dir, "p1").where("lang='fr'").count() == 100)
+  }
+
   test("symlink-manifest export: plain spark.read.parquet over the list is byte-identical") {
     val dir = tmpDir()
     Manifest.write((1 to 300).toDF("v").withColumn("sq", col("v") * col("v"))
