@@ -734,13 +734,22 @@ object IcebergExport {
     readUris(spark, dir, files)
   }
 
-  /** Absolute-URI file-list read with hive partition-column recovery
-    * (`basePath` = the qualified table root). */
+  /** Absolute-URI file-list read with hive partition-column recovery:
+    * same per-data-dir grouping as [[Manifest.readFiles]] (one basePath
+    * cannot span several `data-<snapshot>` roots). */
   private def readUris(spark: SparkSession, dir: String,
       files: Seq[String]): DataFrame = {
     val (fsys, base) = fs(spark, dir)
-    spark.read.option("basePath", fsys.makeQualified(base).toString)
-      .parquet(files: _*)
+    val qualBase = fsys.makeQualified(base).toString
+    val rels = files.map(_.stripPrefix(qualBase + "/"))
+    if (rels.forall(Manifest.partitionValuesOf(_).isEmpty))
+      spark.read.parquet(files: _*)
+    else rels.groupBy(_.split('/').head).toSeq.sortBy(_._1)
+      .map { case (dataDir, fs2) =>
+        spark.read.option("basePath", s"$qualBase/$dataDir")
+          .parquet(fs2.map(f => s"$qualBase/$f"): _*)
+      }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** Time travel through the metadata tree. */

@@ -140,6 +140,18 @@ object Manifest {
     writeImpl(df, dir, snapshot, () => (), partitionCols = partitionCols)
   }
 
+  /** APPEND-commit in the hive-partitioned layout — the streaming
+    * micro-batch unit for a partitioned table: the new batch lands under
+    * its own `data-<snapshot>/col=value/` tree, the current file list is
+    * carried forward, and partition-exact reads keep working across the
+    * whole history. */
+  def appendPartitioned(df: DataFrame, dir: String, snapshot: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "appendPartitioned needs partition columns")
+    writeImpl(df, dir, snapshot, () => (), carryForward = true,
+      partitionCols = partitionCols)
+  }
+
   /** Hive `k=v` pairs on a manifest-relative file path (empty for a
     * flat snapshot's files), hive %XX-unescaped. */
   def partitionValuesOf(relPath: String): Seq[(String, String)] =
@@ -185,13 +197,22 @@ object Manifest {
     else readFiles(spark, dir, kept)
   }
 
-  /** File-list read with partition-column recovery: `basePath` makes
-    * Spark parse the `k=v` segments between the table root and each
-    * file back into columns (a no-op for flat snapshots). */
+  /** File-list read with partition-column recovery. A flat list stays
+    * ONE scan relation; a partitioned list reads per `data-<snapshot>`
+    * group with that group's dir as `basePath` (Spark's partition
+    * discovery refuses one basePath spanning several data roots) and
+    * unions by name — missing partition columns null-fill, so a table
+    * whose history mixes flat and partitioned snapshots still reads. */
   private[io] def readFiles(spark: SparkSession, dir: String,
       files: Seq[String]): DataFrame =
-    spark.read.option("basePath", dir)
-      .parquet(files.map(f => s"$dir/$f"): _*)
+    if (files.forall(partitionValuesOf(_).isEmpty))
+      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    else files.groupBy(_.split('/').head).toSeq.sortBy(_._1)
+      .map { case (dataDir, fs) =>
+        spark.read.option("basePath", s"$dir/$dataDir")
+          .parquet(fs.map(f => s"$dir/$f"): _*)
+      }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
   /** APPEND-commit: land `df` as a fresh data dir and publish a snapshot
     * whose file list CARRIES FORWARD the current snapshot's files plus
@@ -379,23 +400,46 @@ object Manifest {
     * only the former are scanned and fed through `rewrite` (with the
     * derived in-range predicate), the latter ride into the new snapshot
     * by file-list reference — never opened, never copied. */
+  /** Does a file's PARTITION VALUE for `column` fall inside [lo, hi]?
+    * None = the path carries no value for the column (unpartitioned, or
+    * partitioned by something else) — the caller falls back to footer
+    * bounds. Values compare numerically when value AND both literals
+    * parse as longs ("10" must beat "9"), lexicographically otherwise. */
+  private def partitionMayMatch(relPath: String, column: String,
+      lo: String, hi: String): Option[Boolean] =
+    partitionValuesOf(relPath).toMap.get(column).map { v =>
+      (v.toLongOption, lo.toLongOption, hi.toLongOption) match {
+        case (Some(n), Some(l), Some(h)) => n >= l && n <= h
+        case _ => v >= lo && v <= hi
+      }
+    }
+
   private def cowRewrite(spark: SparkSession, dir: String, column: String,
       lo: String, hi: String, snapshot: String,
       rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): CowRewrite = {
     val (fsys, base) = fs(spark, dir)
     val files = currentFiles(spark, dir)
     require(files.nonEmpty, s"no committed snapshot under $dir")
-    val stats = FileStats.collect(spark, base, files)
-    val (touch, keep) = files.partition(f =>
-      FileStats.mayMatch(stats(f), column, lo, hi))
+    // partition values prune EXACTLY and for free (path strings); only
+    // files without a path-level verdict pay for the footer pass
+    val byPartition = files.map(f =>
+      f -> partitionMayMatch(f, column, lo, hi)).toMap
+    val undecided = files.filter(f => byPartition(f).isEmpty)
+    val stats = FileStats.collect(spark, base, undecided)
+    val (touch, keep) = files.partition(f => byPartition(f).getOrElse(
+      FileStats.mayMatch(stats(f), column, lo, hi)))
     if (touch.isEmpty) return CowRewrite(Nil, keep, None)
-    val df = spark.read.parquet(touch.map(f => s"$dir/$f"): _*)
+    // basePath read: a partitioned file's hive columns come back as real
+    // columns, and partitionBy on the rewrite puts them back into paths
+    // — the snapshot's layout survives the DML
+    val partCols = partitionValuesOf(touch.head).map(_._1)
+    val df = readFiles(spark, dir, touch)
     val dt = df.schema(column).dataType
     val c = org.apache.spark.sql.functions.col(column)
     val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
       c <= org.apache.spark.sql.functions.lit(hi).cast(dt)
     writeImpl(rewrite(df, inRange), dir, snapshot, () => (),
-      carriedExplicit = Some(keep))
+      carriedExplicit = Some(keep), partitionCols = partCols)
     CowRewrite(touch, keep, Some(snapshot))
   }
 

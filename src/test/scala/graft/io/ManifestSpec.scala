@@ -265,6 +265,50 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.readAt(spark, dir, "p1").where("lang='fr'").count() == 100)
   }
 
+  test("partition-aware copy-on-write: one-partition DML touches one partition") {
+    val dir = tmpDir()
+    val df = spark.sql(
+      """SELECT id, CASE CAST(id % 3 AS INT) WHEN 0 THEN 'de'
+        |  WHEN 1 THEN 'en' ELSE 'fr' END AS lang, 'ok' AS flag
+        |FROM range(0, 300)""".stripMargin)
+    Manifest.writePartitioned(df, dir, "base", Seq("lang"))
+    // delete one LANGUAGE: the partition values decide from the path
+    // alone — only lang=en files rewritten, layout preserved
+    val r = Manifest.deleteRange(spark, dir, "lang", "en", "en", "drop-en")
+    assert(r.rewritten.nonEmpty && r.rewritten.forall(_.contains("lang=en")))
+    assert(r.carried.forall(f => !f.contains("lang=en")))
+    val after = Manifest.read(spark, dir)
+    assert(after.count() == 200)
+    assert(after.where("lang = 'en'").count() == 0)
+    assert(Manifest.currentFiles(spark, dir)
+      .forall(f => f.matches(".*lang=(de|fr)/.*") || !f.contains("lang=")))
+    // update one language in the remaining table: layout survives
+    val r2 = Manifest.updateRange(spark, dir, "lang", "fr", "fr", "flag-fr",
+      Map("flag" -> concat(lit("fr-"), col("id"))))
+    assert(r2.rewritten.forall(_.contains("lang=fr")))
+    val flags = Manifest.read(spark, dir)
+      .selectExpr("lang", "flag").distinct().as[(String, String)].collect()
+    assert(flags.filter(_._1 == "de").forall(_._2 == "ok"))
+    assert(flags.filter(_._1 == "fr").forall(_._2.startsWith("fr-")))
+    assert(Manifest.currentFiles(spark, dir).exists(_.contains("lang=fr")))
+  }
+
+  test("appendPartitioned: micro-batches accumulate partitions with carry-forward") {
+    val dir = tmpDir()
+    def batch(lo: Int, hi: Int) = spark.sql(
+      s"""SELECT id, CASE CAST(id % 2 AS INT) WHEN 0 THEN 'de' ELSE 'en' END AS lang
+         |FROM range($lo, $hi)""".stripMargin)
+    Manifest.writePartitioned(batch(0, 100), dir, "b0", Seq("lang"))
+    Manifest.appendPartitioned(batch(100, 150), dir, "b1", Seq("lang"))
+    assert(Manifest.read(spark, dir).count() == 150)
+    val en = Manifest.readWherePartitions(spark, dir, Map("lang" -> "en"))
+    assert(en.count() == 75)
+    // both batches' en dirs feed the pruned read
+    assert(en.inputFiles.exists(_.contains("data-b0")) &&
+      en.inputFiles.exists(_.contains("data-b1")))
+    assert(Manifest.readAt(spark, dir, "b0").count() == 100)
+  }
+
   test("symlink-manifest export: plain spark.read.parquet over the list is byte-identical") {
     val dir = tmpDir()
     Manifest.write((1 to 300).toDF("v").withColumn("sq", col("v") * col("v"))
