@@ -192,7 +192,11 @@ object ScaleCheck {
       // footer pass + pruned scan, all ∝ corpus; the PRUNED fraction is
       // what stays flat) and the copy-on-write DML pair (rewrite ∝
       // overlapping files only, carry ∝ file count)
-      "q_delta_skipping", "q_iceberg_stats", "q_cow_delete", "q_cow_update")
+      "q_delta_skipping", "q_iceberg_stats", "q_cow_delete", "q_cow_update",
+      // round-7 third wave: hive-partitioned land + exact k=v prune (the
+      // pruned fraction is fixed, land ∝ corpus), and the same prune
+      // resolved through the Delta log's partitionValues
+      "q_partitioned_read", "q_delta_partition_prune")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
