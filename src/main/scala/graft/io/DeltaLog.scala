@@ -132,12 +132,19 @@ object DeltaLog {
     fsys.mkdirs(ld)
     val now = System.currentTimeMillis()
     val id = tableId(fsys, base)
-    // schema from the current snapshot's parquet footers (basePath read
-    // so hive partition columns join the schema, as Delta requires);
-    // Delta's schemaString format IS Spark's StructType JSON
-    val schemaJson = Manifest.readFiles(spark, dir, ms.last.files).schema.json
-    val partitionCols = ms.last.files.headOption
-      .map(Manifest.partitionValuesOf(_).map(_._1)).getOrElse(Nil)
+    // per-SNAPSHOT schema from the parquet footers (basePath read so
+    // hive partition columns join the schema, as Delta requires);
+    // Delta's schemaString format IS Spark's StructType JSON. Schemas
+    // are resolved per version because the protocol models SCHEMA
+    // EVOLUTION as a fresh metaData action in the commit that changed
+    // it — an overwrite with new columns exports exactly that way.
+    val schemaCache = scala.collection.mutable.Map[Long, String]()
+    def schemaOf(m: Manifest.ManifestData): String =
+      schemaCache.getOrElseUpdate(m.seq,
+        Manifest.readFiles(spark, dir, m.files).schema.json)
+    def partColsOf(m: Manifest.ManifestData): Seq[String] =
+      m.files.headOption
+        .map(Manifest.partitionValuesOf(_).map(_._1)).getOrElse(Nil)
 
     // ONE distributed footer pass over the union of every retained
     // snapshot's files: size/modTime AND per-column min/max/nullCount
@@ -162,14 +169,21 @@ object DeltaLog {
             // oldest retained version: full state (version 0's shape; a
             // vacuumed-past-0 table additionally gets a checkpoint below)
             Seq(commitInfoLine(now, "WRITE"), protocolLine,
-              metaDataLine(id, schemaJson, now, partitionCols)) ++
+              metaDataLine(id, schemaOf(m), now, partColsOf(m))) ++
               addLinesOf(m.files)
           else {
-            val prev = ms(i - 1).files
+            val prevM = ms(i - 1)
+            val prev = prevM.files
             val removed = prev.filterNot(m.files.toSet)
             val added = m.files.filterNot(prev.toSet)
             val op = if (removed.isEmpty) "APPEND" else "WRITE"
-            Seq(commitInfoLine(now, op)) ++
+            // schema evolution: the commit that changed the snapshot
+            // schema carries a fresh metaData action (the protocol's
+            // ALTER TABLE shape); unchanged schemas stay silent
+            val metaChange =
+              if (schemaOf(m) == schemaOf(prevM)) Nil
+              else Seq(metaDataLine(id, schemaOf(m), now, partColsOf(m)))
+            Seq(commitInfoLine(now, op)) ++ metaChange ++
               removed.map(removeLine(_, now)) ++ addLinesOf(added)
           }
         writeLines(fsys, dest, lines)
@@ -179,8 +193,8 @@ object DeltaLog {
 
     val oldest = ms.head.seq
     if (oldest > 0 && !fsys.exists(checkpointPath(ld, oldest))) {
-      writeCheckpoint(spark, fsys, ld, oldest, id, schemaJson,
-        partitionCols, ms.head.files, stats, base, now)
+      writeCheckpoint(spark, fsys, ld, oldest, id, schemaOf(ms.head),
+        partColsOf(ms.head), ms.head.files, stats, base, now)
       // checkpoint covers everything ≤ oldest: drop expired commit JSONs
       fsys.listStatus(ld).toSeq.map(_.getPath)
         .filter { p =>
@@ -411,25 +425,32 @@ object DeltaLog {
     else Manifest.readFiles(spark, dir, files)
   }
 
-  /** The table schema carried by the log's `metaData` action
-    * (checkpoint or oldest retained commit) — what a pruned read that
-    * skipped EVERY file still needs to answer with. */
-  def tableSchema(spark: SparkSession, dir: String): StructType = {
+  /** The table schema at `version` (default: latest) per the protocol's
+    * state reconstruction: the LAST `metaData` action at or before the
+    * version (checkpoint state, then forward fold) — so schema
+    * evolution reads back exactly as committed, and a pruned read that
+    * skipped EVERY file still answers with the right columns. */
+  def tableSchema(spark: SparkSession, dir: String,
+      version: Option[Long] = None): StructType = {
     val (fsys, base) = fs(spark, dir)
     val ld = logDir(base)
-    val schemaStr = lastCheckpointVersion(fsys, ld) match {
-      case Some(cv) =>
-        spark.read.parquet(checkpointPath(ld, cv).toString)
-          .selectExpr("metaData.schemaString").where("metaData IS NOT NULL")
-          .collect().headOption.map(_.getString(0))
-      case None =>
-        versions(spark, dir).view.flatMap { v =>
-          readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty)
-            .flatMap(line => JsonMethods.parse(line) \ "metaData" \ "schemaString" match {
-              case JString(s) => Some(s)
-              case _ => None
-            })
-        }.headOption
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no _delta_log commits under $dir")
+    val target = version.getOrElse(vs.max)
+    val ckpt = lastCheckpointVersion(fsys, ld).filter(_ <= target)
+    var schemaStr: Option[String] = ckpt.flatMap { cv =>
+      spark.read.parquet(checkpointPath(ld, cv).toString)
+        .selectExpr("metaData.schemaString").where("metaData IS NOT NULL")
+        .collect().headOption.map(_.getString(0))
+    }
+    val foldFrom = ckpt.getOrElse(-1L)
+    vs.filter(v => v > foldFrom && v <= target).foreach { v =>
+      readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty)
+        .foreach(line =>
+          JsonMethods.parse(line) \ "metaData" \ "schemaString" match {
+            case JString(s) => schemaStr = Some(s) // last metaData wins
+            case _ =>
+          })
     }
     DataType.fromJson(schemaStr.getOrElse(
       throw new IllegalStateException(s"no metaData action under $dir")))

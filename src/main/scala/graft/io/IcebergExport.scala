@@ -107,11 +107,79 @@ object IcebergExport {
       throw new IllegalArgumentException(s"unsupported Iceberg export type: $other")
   }
 
-  private def schemaJson(schema: StructType): (JValue, Int) = {
-    var counter = 0
-    val nextId = () => { counter += 1; counter }
-    val JObject(fields) = icebergType(schema, nextId)
-    (JObject(("schema-id" -> JInt(0)) :: fields), counter)
+  // ---- STABLE field ids across schema evolution --------------------------
+  // Iceberg's core evolution rule: a column keeps its id for the table's
+  // lifetime, new columns get fresh ids, ids are never reused. The
+  // allocator keys on the field PATH ("a", "a.element", "s.x"), seeds
+  // itself from every schema in the PREVIOUS metadata generation (so
+  // re-exports of an already-published table cannot re-number), and
+  // hands out ids above the historical maximum for unseen paths.
+
+  private final class IdAlloc(seed: Map[String, Int]) {
+    private val ids = scala.collection.mutable.Map[String, Int](seed.toSeq: _*)
+    private var max = (ids.values.toSeq :+ 0).max
+    def apply(path: String): Int = ids.getOrElseUpdate(path,
+      { max += 1; max })
+    def lastId: Int = max
+  }
+
+  private def icebergTypeStable(dt: DataType, prefix: String,
+      alloc: IdAlloc): JValue = dt match {
+    case ArrayType(elem, containsNull) =>
+      val elemId = alloc(s"$prefix.element")
+      JObject(
+        "type" -> JString("list"),
+        "element-id" -> JInt(elemId),
+        "element" -> icebergTypeStable(elem, s"$prefix.element", alloc),
+        "element-required" -> JBool(!containsNull))
+    case StructType(fields) =>
+      val withIds = fields.map(f =>
+        (f, alloc(if (prefix.isEmpty) f.name else s"$prefix.${f.name}")))
+      JObject(
+        "type" -> JString("struct"),
+        "fields" -> JArray(withIds.toList.map { case (f, id) =>
+          JObject(
+            "id" -> JInt(id),
+            "name" -> JString(f.name),
+            "required" -> JBool(!f.nullable),
+            "type" -> icebergTypeStable(f.dataType,
+              if (prefix.isEmpty) f.name else s"$prefix.${f.name}", alloc))
+        }))
+    case leaf => icebergType(leaf, () => 0) // primitives carry no ids
+  }
+
+  /** Seed the allocator from every schema the previous metadata
+    * generation declared: path → id over top-level fields, struct
+    * members, and list elements. */
+  private def seedFromMetadata(meta: JValue): Map[String, Int] = {
+    val out = scala.collection.mutable.Map[String, Int]()
+    def walkType(t: JValue, prefix: String): Unit = t match {
+      case JObject(_) if t \ "type" == JString("struct") =>
+        t \ "fields" match {
+          case JArray(fs) => fs.foreach { f =>
+            (f \ "name", f \ "id") match {
+              case (JString(n), JInt(i)) =>
+                val p = if (prefix.isEmpty) n else s"$prefix.$n"
+                out(p) = i.toInt
+                walkType(f \ "type", p)
+              case _ =>
+            }
+          }
+          case _ =>
+        }
+      case JObject(_) if t \ "type" == JString("list") =>
+        (t \ "element-id") match {
+          case JInt(i) => out(s"$prefix.element") = i.toInt
+          case _ =>
+        }
+        walkType(t \ "element", s"$prefix.element")
+      case _ =>
+    }
+    meta \ "schemas" match {
+      case JArray(ss) => ss.foreach(walkType(_, ""))
+      case _ =>
+    }
+    out.toMap
   }
 
   // ---- Avro schemas for manifest list / manifest (spec field-ids) -------
@@ -364,6 +432,32 @@ object IcebergExport {
     val fstats = FileStats.collect(spark, base,
       needExport.flatMap(_.files).distinct)
 
+    // ---- stable schema lineage across the retained history -------------
+    // ids seed from the PREVIOUS metadata generation (a re-export can
+    // never re-number a published column), new paths allocate above the
+    // historical max; per-snapshot schemas dedupe in commit order into
+    // the metadata's `schemas` list with schema-ids 0..k. Cost: one
+    // footer-schema read per retained snapshot (retention-bounded).
+    val alloc = new IdAlloc(
+      if (fsys.exists(new Path(md, "version-hint.text")))
+        seedFromMetadata(currentMetadata(spark, dir))
+      else Map.empty)
+    val schemaBodies =
+      scala.collection.mutable.LinkedHashMap[String, (JObject, Int)]()
+    val snapStruct = scala.collection.mutable.Map[Long, StructType]()
+    val snapSchemaId = scala.collection.mutable.Map[Long, Int]()
+    val snapSchemaJ = scala.collection.mutable.Map[Long, JValue]()
+    ms.foreach { m =>
+      val st = Manifest.readFiles(spark, dir, m.files).schema
+      val JObject(bf) = icebergTypeStable(st, "", alloc)
+      val key = JsonMethods.compact(JsonMethods.render(JObject(bf)))
+      val (_, sid) = schemaBodies.getOrElseUpdate(key,
+        (JObject(bf), schemaBodies.size))
+      snapStruct(m.seq) = st
+      snapSchemaId(m.seq) = sid
+      snapSchemaJ(m.seq) = JObject(("schema-id" -> JInt(sid)) :: bf)
+    }
+
     // ---- per-snapshot manifest + manifest list (immutable) -------------
     ms.foreach { m =>
       val manifestPath = new Path(md, s"seq-${m.seq}-m0.avro")
@@ -371,8 +465,8 @@ object IcebergExport {
       if (!fsys.exists(listPath)) {
         // basePath read: hive partition columns JOIN the schema — Iceberg
         // treats partition sources as table columns
-        val snapSchema = Manifest.readFiles(spark, dir, m.files).schema
-        val schJ = schemaJson(snapSchema)._1
+        val snapSchema = snapStruct(m.seq)
+        val schJ = snapSchemaJ(m.seq)
         val fieldIds = topLevelIds(schJ)
         val sparkTypeOf = snapSchema.fields.map(f => f.name -> f.dataType).toMap
         val partFields = partitionFieldsOf(m.files, snapSchema)
@@ -476,9 +570,9 @@ object IcebergExport {
 
     // ---- table metadata JSON generation + version hint -----------------
     val current = ms.last
-    val curSchema = Manifest.readFiles(spark, dir, current.files).schema
-    val (schJ, lastColId) = schemaJson(curSchema)
-    val curPartFields = partitionFieldsOf(current.files, curSchema)
+    val schJ = snapSchemaJ(current.seq)
+    val lastColId = alloc.lastId
+    val curPartFields = partitionFieldsOf(current.files, snapStruct(current.seq))
     val snapshots = JArray(ms.toList.map { m =>
       JObject(
         "snapshot-id" -> JInt(m.seq),
@@ -491,7 +585,7 @@ object IcebergExport {
             val prev = ms(ms.indexOf(m) - 1).files.toSet
             m.files.exists(f => !prev.contains(f)) && prev.subsetOf(m.files.toSet)
           }) "append" else "overwrite")),
-        "schema-id" -> JInt(0))
+        "schema-id" -> JInt(snapSchemaId(m.seq)))
     })
     val metadata = JObject(
       "format-version" -> JInt(2),
@@ -500,8 +594,9 @@ object IcebergExport {
       "last-sequence-number" -> JInt(current.seq),
       "last-updated-ms" -> JInt(BigInt(now)),
       "last-column-id" -> JInt(lastColId),
-      "current-schema-id" -> JInt(0),
-      "schemas" -> JArray(List(schJ)),
+      "current-schema-id" -> JInt(snapSchemaId(current.seq)),
+      "schemas" -> JArray(schemaBodies.values.toList.map { case (body, sid) =>
+        JObject(("schema-id" -> JInt(sid)) :: body.obj) }),
       "default-spec-id" -> JInt(0),
       "partition-specs" -> JArray(List(JObject(
         "spec-id" -> JInt(0),

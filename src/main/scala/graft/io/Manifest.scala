@@ -512,6 +512,29 @@ object Manifest {
     n
   }
 
+  /** OPTIMIZE with clustering: compact the current snapshot into
+    * ceil(bytes/target) files RANGE-CLUSTERED on `clusterCols` — the
+    * `OPTIMIZE ... ZORDER BY`-shaped maintenance move. Plain [[compact]]
+    * fixes the small-file problem; this one ALSO makes every file's
+    * min/max bounds tight on the cluster columns, which is what turns
+    * the exports' data-skipping stats ([[DeltaLog.readPruned]],
+    * [[IcebergExport.readPruned]], [[deleteRange]]'s prune) from
+    * "keeps everything" into "opens the handful of overlapping files".
+    * Same new-snapshot/no-reader-race contract as [[compact]]. */
+  def compactClustered(spark: SparkSession, dir: String, snapshot: String,
+      targetFileBytes: Long, clusterCols: Seq[String]): Long = {
+    require(clusterCols.nonEmpty, "compactClustered needs cluster columns")
+    val (fsys, base) = fs(spark, dir)
+    val files = currentFiles(spark, dir)
+    require(files.nonEmpty, s"no committed snapshot under $dir")
+    val bytes = files.map(f => fsys.getFileStatus(new Path(base, f)).getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val df = readFiles(spark, dir, files).repartitionByRange(
+      n.toInt, clusterCols.map(org.apache.spark.sql.functions.col): _*)
+    write(df, dir, snapshot)
+    n
+  }
+
   /** Retention: keep the `keepLast` newest retained manifests (the
     * current snapshot is the newest, so it always survives) plus every
     * data dir any of them references. Data dirs referenced only by

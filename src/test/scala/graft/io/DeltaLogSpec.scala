@@ -264,6 +264,57 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(en2.inputFiles.forall(_.contains("lang=en")))
   }
 
+  test("schema evolution: the changing commit carries a fresh metaData action") {
+    val dir = tmpDir()
+    Manifest.write((1 to 50).toDF("v"), dir, "s1")
+    Manifest.write((1 to 60).toDF("v")
+      .withColumn("tag", org.apache.spark.sql.functions.concat(org.apache.spark.sql.functions.lit("t"), org.apache.spark.sql.functions.col("v"))), dir, "s2")
+    Manifest.write((1 to 20).toDF("v")
+      .withColumn("tag", org.apache.spark.sql.functions.concat(org.apache.spark.sql.functions.lit("u"), org.apache.spark.sql.functions.col("v"))), dir, "s3")
+    DeltaLog.exportLog(spark, dir)
+    def metasOf(v: Long) = commitLines(dir, v)
+      .filter(j => field(j, "metaData") != JNothing)
+    assert(metasOf(0).size == 1, "v0 always carries metaData")
+    assert(metasOf(1).size == 1, "the schema-changing commit re-declares metaData")
+    assert(metasOf(2).isEmpty, "unchanged schema stays silent")
+    def schemaFields(j: JValue): Set[String] = {
+      val JString(s) = field(j, "metaData", "schemaString")
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[StructType].fieldNames.toSet
+    }
+    assert(schemaFields(metasOf(0).head) == Set("v"))
+    assert(schemaFields(metasOf(1).head) == Set("v", "tag"))
+    // reader: last-metaData-wins per version
+    assert(DeltaLog.tableSchema(spark, dir, Some(0L)).fieldNames.toSeq == Seq("v"))
+    assert(DeltaLog.tableSchema(spark, dir).fieldNames.toSet == Set("v", "tag"))
+    assert(DeltaLog.readVersion(spark, dir, 0L).columns.toSeq == Seq("v"))
+    assert(DeltaLog.read(spark, dir).columns.toSet == Set("v", "tag"))
+  }
+
+  test("clustered compaction tightens bounds: post-OPTIMIZE prune keeps fewer files") {
+    val dir = tmpDir()
+    // land SHUFFLED: every file spans ~the whole id range, so stats
+    // cannot prune anything
+    Manifest.write(
+      spark.range(0, 2000).toDF("id")
+        .repartition(6, org.apache.spark.sql.functions.col("id")),
+      dir, "messy")
+    DeltaLog.exportLog(spark, dir)
+    val before = DeltaLog.prunedFiles(spark, dir, "id", "0", "99")
+    assert(before.size == DeltaLog.activeFiles(spark, dir).size,
+      "hash-shuffled files all overlap [0,99] - nothing prunable")
+    val bytes = Manifest.currentFiles(spark, dir).map(f =>
+      new java.io.File(s"$dir/$f").length).sum
+    Manifest.compactClustered(spark, dir, "optimized", bytes / 5, Seq("id"))
+    DeltaLog.exportLog(spark, dir)
+    val after = DeltaLog.prunedFiles(spark, dir, "id", "0", "99")
+    assert(after.nonEmpty &&
+      after.size < DeltaLog.activeFiles(spark, dir).size,
+      s"clustered layout must make the range prunable, kept ${after.size}")
+    assert(DeltaLog.readPruned(spark, dir, "id", "0", "99")
+      .where("id < 100").count() == 100)
+  }
+
   test("append-only streaming cadence: each commit exports as an APPEND of new files") {
     val dir = tmpDir()
     Manifest.write((1 to 5).toDF("v"), dir, "b0")

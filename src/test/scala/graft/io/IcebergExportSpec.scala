@@ -300,6 +300,45 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(IcebergExport.read(spark, dir).count() == 300)
   }
 
+  test("schema evolution: stable field ids, schemas list, per-snapshot schema-id") {
+    val dir = tmpDir()
+    Manifest.write((1 to 50).toDF("v"), dir, "s1")
+    assert(IcebergExport.exportTable(spark, dir) == 1)
+    // evolve: overwrite with an added column — across a SEPARATE export
+    // so the id allocator must seed from the published metadata
+    Manifest.write((1 to 30).toDF("v")
+      .withColumn("tag", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("t"),
+        org.apache.spark.sql.functions.col("v"))), dir, "s2")
+    assert(IcebergExport.exportTable(spark, dir) == 2)
+    val meta = IcebergExport.currentMetadata(spark, dir)
+    val JArray(schemas) = meta \ "schemas"
+    assert(schemas.size == 2, "one schema per distinct shape, in commit order")
+    def ids(s: JValue): Map[String, BigInt] = {
+      val JArray(fs) = s \ "fields"
+      fs.map(f => { val JString(n) = f \ "name"; val JInt(i) = f \ "id"; n -> i }).toMap
+    }
+    val s0 = ids(schemas.head); val s1 = ids(schemas(1))
+    assert(s0.keySet == Set("v") && s1.keySet == Set("v", "tag"))
+    assert(s0("v") == s1("v"), "a column keeps its id across evolution")
+    assert(s1("tag") > s0("v"), "new columns allocate above the historical max")
+    assert(meta \ "last-column-id" == JInt(s1("tag")))
+    // snapshots reference their own schema generation
+    val JArray(snaps) = meta \ "snapshots"
+    assert(snaps.map(s => s \ "schema-id") == List(JInt(0), JInt(1)))
+    assert(meta \ "current-snapshot-id" == JInt(1))
+    assert((meta \ "current-schema-id") == JInt(1))
+    // a third export with no schema change re-numbers NOTHING
+    Manifest.write((1 to 9).toDF("v")
+      .withColumn("tag", org.apache.spark.sql.functions.lit("x")), dir, "s3")
+    assert(IcebergExport.exportTable(spark, dir) == 3)
+    val meta3 = IcebergExport.currentMetadata(spark, dir)
+    val JArray(schemas3) = meta3 \ "schemas"
+    assert(schemas3.size == 2 && ids(schemas3(1)) == s1)
+    assert(IcebergExport.read(spark, dir).count() == 9)
+    assert(IcebergExport.readSnapshot(spark, dir, 0L).columns.toSeq == Seq("v"))
+  }
+
   test("array columns export as list types with element ids") {
     val dir = tmpDir()
     Manifest.write(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec"), dir, "s1")
