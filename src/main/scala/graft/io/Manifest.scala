@@ -63,11 +63,14 @@ object Manifest {
   private def manifestPath(dir: String, seq: Long) =
     new Path(dir, s"manifest-$seq.json")
 
-  private[graft] final case class ManifestData(snapshot: String, seq: Long, files: Seq[String])
+  private[graft] final case class ManifestData(snapshot: String, seq: Long,
+      files: Seq[String], deleteFiles: Seq[String] = Nil)
 
-  /** One read per manifest: snapshot id, commit_seq, and the data file
-    * list. The file pattern requires the `data-<dir>/` prefix, so the
-    * quoted `snapshot` field can never parse as a phantom file. */
+  /** One read per manifest: snapshot id, commit_seq, the data file
+    * list, and any POSITION-DELETE file list (`deletes-<snap>/…`, the
+    * merge-on-read state). The file patterns require the `data-`/
+    * `deletes-` dir prefixes, so the quoted `snapshot` field can never
+    * parse as a phantom file. */
   private def parse(fsys: FileSystem, mp: Path): Option[ManifestData] = {
     if (!fsys.exists(mp)) return None
     val in = fsys.open(mp)
@@ -82,7 +85,9 @@ object Manifest {
     // part file — a PARTITIONED snapshot's layout
     val files = "\"(data-[^\"/]+/(?:[^\"/=]+=[^\"/]*/)*part-[^\"/]*\\.parquet)\"".r
       .findAllMatchIn(text).map(_.group(1)).toSeq
-    Some(ManifestData(snap, seq, files))
+    val deletes = "\"(deletes-[^\"/]+/part-[^\"/]*\\.parquet)\"".r
+      .findAllMatchIn(text).map(_.group(1)).toSeq
+    Some(ManifestData(snap, seq, files, deletes))
   }
 
   /** All retained manifests, oldest → newest commit order. */
@@ -187,14 +192,16 @@ object Manifest {
     * table schema. */
   def readWherePartitions(spark: SparkSession, dir: String,
       equalTo: Map[String, String]): DataFrame = {
-    val files = currentFiles(spark, dir)
-    require(files.nonEmpty, s"no committed snapshot under $dir")
-    val kept = files.filter { f =>
+    val (fsys, base) = fs(spark, dir)
+    val m = retained(fsys, base).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    require(m.files.nonEmpty, s"no committed snapshot under $dir")
+    val kept = m.files.filter { f =>
       val pv = partitionValuesOf(f).toMap
       equalTo.forall { case (k, v) => pv.get(k).contains(v) }
     }
-    if (kept.isEmpty) readFiles(spark, dir, files).limit(0)
-    else readFiles(spark, dir, kept)
+    if (kept.isEmpty) readFiles(spark, dir, m.files).limit(0)
+    else readFilesApplyingDeletes(spark, dir, kept, m.deleteFiles)
   }
 
   /** File-list read with partition-column recovery. A flat list stays
@@ -213,6 +220,130 @@ object Manifest {
           .parquet(fs.map(f => s"$dir/$f"): _*)
       }
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+  // ---- merge-on-read position deletes -----------------------------------
+
+  /** Manifest-relative path of the file each row came from, extracted
+    * from `_metadata.file_path` by anchoring on the `data-…/part-…`
+    * tail — robust to however the filesystem renders the URI prefix
+    * (which an equality join on absolute paths would NOT be). */
+  private def relPathCol = org.apache.spark.sql.functions.regexp_extract(
+    org.apache.spark.sql.functions.col("_graft_file"),
+    "(data-[^/]+/(?:[^/=]+=[^/]*/)*part-[^/]*\\.parquet)$", 1)
+
+  /** [[readFiles]] plus the two hidden columns a position delete keys
+    * on: `_graft_file` (absolute scan path) and `_graft_pos` (the
+    * parquet row index — stable physical position within the file). */
+  private def readFilesMeta(spark: SparkSession, dir: String,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def withMeta(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        col("_metadata.file_path").as("_graft_file"),
+        col("_metadata.row_index").as("_graft_pos"))
+    if (files.forall(partitionValuesOf(_).isEmpty))
+      withMeta(spark.read.parquet(files.map(f => s"$dir/$f"): _*))
+    else files.groupBy(_.split('/').head).toSeq.sortBy(_._1)
+      .map { case (dataDir, fs) =>
+        withMeta(spark.read.option("basePath", s"$dir/$dataDir")
+          .parquet(fs.map(f => s"$dir/$f"): _*))
+      }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Read `files` with the snapshot's position deletes applied: a
+    * broadcast anti-join on (relative file path, row index) — the
+    * merge-on-read contract, correct as long as delete sets stay small
+    * relative to the data (their reason to exist; [[compact]] purges
+    * them back to zero). */
+  private def readFilesApplyingDeletes(spark: SparkSession, dir: String,
+      files: Seq[String], deleteFiles: Seq[String]): DataFrame = {
+    if (deleteFiles.isEmpty) return readFiles(spark, dir, files)
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dels = spark.read.parquet(deleteFiles.map(f => s"$dir/$f"): _*)
+      .select(col("file_path").as("_graft_del_file"),
+        col("pos").as("_graft_del_pos"))
+    val dataCols = readFiles(spark, dir, files).columns // pre-meta schema
+    readFilesMeta(spark, dir, files)
+      .withColumn("_graft_rel", relPathCol)
+      // the "" guard: an unextractable path must KEEP its rows (fail
+      // open), never match an equally-unextractable delete entry —
+      // "" == "" once deleted every row of the table in development
+      .join(broadcast(dels),
+        col("_graft_rel") =!= "" &&
+          col("_graft_rel") === col("_graft_del_file") &&
+          col("_graft_pos") === col("_graft_del_pos"),
+        "left_anti")
+      .select(dataCols.map(col): _*)
+  }
+
+  /** Result of a [[deleteRangeMOR]] commit: the data files the delete
+    * targets (NONE of them rewritten — that is the point), the count of
+    * position-delete rows written, and the new snapshot id (None = the
+    * prune proved no file could match — no commit). */
+  final case class MorDelete(targeted: Seq[String], deletedRows: Long,
+      committed: Option[String])
+
+  /** MERGE-ON-READ DELETE of rows with `column` ∈ [lo, hi] — the
+    * Iceberg-v2 position-delete shape, for when COPYING is the cost
+    * problem: instead of rewriting every overlapping file
+    * ([[deleteRange]]), the matching rows' (file, row-index) pairs land
+    * as a small `deletes-<snapshot>/` parquet and the commit carries
+    * the SAME data files plus the delete list. Readers anti-join the
+    * delete set (broadcast — it is small by design); [[compact]] /
+    * [[compactClustered]] purge deletes back into a clean snapshot.
+    * Deleting a few thousand rows from a 100 TB table writes KILOBYTES,
+    * not a rewrite of every touched file. Prune, literal space, and
+    * NULL semantics are exactly [[deleteRange]]'s; time travel to the
+    * pre-delete snapshot still works. */
+  def deleteRangeMOR(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, snapshot: String): MorDelete = {
+    require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
+    val (fsys, base) = fs(spark, dir)
+    val priors = retained(fsys, base)
+    val cur = priors.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    require(priors.forall(_.snapshot != snapshot),
+      s"snapshot $snapshot already committed under $dir")
+    val delDir = new Path(base, s"deletes-$snapshot")
+    require(!fsys.exists(delDir), s"deletes-$snapshot already landed under $dir")
+    // same exact-partition-first / footer-bounds-second prune as the COW path
+    val byPartition = cur.files.map(f =>
+      f -> partitionMayMatch(f, column, lo, hi)).toMap
+    val undecided = cur.files.filter(f => byPartition(f).isEmpty)
+    val stats = FileStats.collect(spark, base, undecided)
+    val touch = cur.files.filter(f => byPartition(f).getOrElse(
+      FileStats.mayMatch(stats(f), column, lo, hi)))
+    if (touch.isEmpty) return MorDelete(Nil, 0L, None)
+    import org.apache.spark.sql.functions.col
+    val metaDf = readFilesMeta(spark, dir, touch)
+    val dt = metaDf.schema(column).dataType
+    val c = col(column)
+    val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
+      c <= org.apache.spark.sql.functions.lit(hi).cast(dt)
+    // rows TO DELETE: NULL never matches a range predicate, and
+    // where(inRange) drops null-valued rows from the delete set — the
+    // right way round for a delete
+    val dels = metaDf.where(inRange)
+      .select(relPathCol.as("file_path"), col("_graft_pos").as("pos"))
+      // the spec's required sort order for position deletes; also keeps
+      // the tiny file deterministic
+      .orderBy("file_path", "pos")
+    dels.coalesce(1).write.parquet(delDir.toString)
+    val delFiles = fsys.listStatus(delDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted.map(n => s"deletes-$snapshot/$n")
+    val landed = spark.read.parquet(delFiles.map(f => s"$dir/$f"): _*)
+    // fail LOUDLY if any delete row lost its file path — such a row
+    // would silently never apply (readers fail open on "")
+    require(landed.where("file_path = '' OR file_path IS NULL").count() == 0,
+      s"position-delete rows with unextractable file paths under $delDir")
+    val n = landed.count()
+    publishManifest(fsys, base, dir, snapshot, priors, cur.files,
+      cur.deleteFiles ++ delFiles)
+    MorDelete(touch, n, Some(snapshot))
+  }
 
   /** APPEND-commit: land `df` as a fresh data dir and publish a snapshot
     * whose file list CARRIES FORWARD the current snapshot's files plus
@@ -242,7 +373,10 @@ object Manifest {
     if (retained(fsys, base).exists(_.snapshot == snapshot)) false
     else {
       val d = new Path(base, s"data-$snapshot")
-      fsys.exists(d) && fsys.delete(d, true)
+      val dd = new Path(base, s"deletes-$snapshot")
+      val gotData = fsys.exists(d) && fsys.delete(d, true)
+      val gotDels = fsys.exists(dd) && fsys.delete(dd, true)
+      gotData || gotDels
     }
   }
 
@@ -252,7 +386,8 @@ object Manifest {
   private[graft] def writeImpl(df: DataFrame, dir: String, snapshot: String,
       beforePublish: () => Unit, carryForward: Boolean = false,
       carriedExplicit: Option[Seq[String]] = None,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      deletesExplicit: Option[Seq[String]] = None): Unit = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val spark = df.sparkSession
     val (fsys, base) = fs(spark, dir)
@@ -275,11 +410,30 @@ object Manifest {
       }
     val files = walk(dataDir, "")
     val priors = retained(fsys, base)
-    val seq = (priors.map(_.seq) :+ -1L).max + 1
     val carried = carriedExplicit.getOrElse(
       if (carryForward) priors.lastOption.map(_.files).getOrElse(Nil) else Nil)
-    val body = (carried.map(f => s"""    "$f"""") ++ files.map(f =>
-        s"""    "data-$snapshot/$f"""")).mkString(",\n")
+    // delete files: a rewrite (COW DML, compact, overwrite) resets MOR
+    // state for the files it replaces; append carries it forward —
+    // appended files can't be targeted by pre-existing deletes and the
+    // carried data files keep theirs
+    val deletes = deletesExplicit.getOrElse(
+      if (carryForward) priors.lastOption.map(_.deleteFiles).getOrElse(Nil)
+      else Nil)
+    publishManifest(fsys, base, dir, snapshot, priors,
+      carried ++ files.map(f => s"data-$snapshot/$f"), deletes, beforePublish)
+  }
+
+  /** The shared commit tail: stage the manifest JSON, run the test
+    * seam, publish with the one seq-keyed CAS rename. */
+  private def publishManifest(fsys: FileSystem, base: Path, dir: String,
+      snapshot: String, priors: Seq[ManifestData], allFiles: Seq[String],
+      deleteFiles: Seq[String], beforePublish: () => Unit = () => ()): Unit = {
+    val seq = (priors.map(_.seq) :+ -1L).max + 1
+    val body = allFiles.map(f => s"""    "$f"""").mkString(",\n")
+    val delBlock =
+      if (deleteFiles.isEmpty) ""
+      else deleteFiles.map(f => s"""    "$f"""")
+        .mkString(",\n  \"delete_files\": [\n", ",\n", "\n  ]")
     val json =
       s"""{
          |  "snapshot": "$snapshot",
@@ -287,7 +441,7 @@ object Manifest {
          |  "committed_at": ${System.currentTimeMillis()},
          |  "files": [
          |$body
-         |  ]
+         |  ]$delBlock
          |}
          |""".stripMargin
     val tmp = new Path(base, s".manifest-$snapshot.tmp")
@@ -315,9 +469,11 @@ object Manifest {
     * from a data-directory listing. A table that never committed reads
     * as absent (error), not as empty. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = currentFiles(spark, dir)
-    require(files.nonEmpty, s"no committed snapshot under $dir")
-    readFiles(spark, dir, files)
+    val (fsys, base) = fs(spark, dir)
+    val m = retained(fsys, base).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    require(m.files.nonEmpty, s"no committed snapshot under $dir")
+    readFilesApplyingDeletes(spark, dir, m.files, m.deleteFiles)
   }
 
   /** Incremental read: the rows ADDED after retained snapshot `since`,
@@ -347,10 +503,11 @@ object Manifest {
   /** Time travel: read a RETAINED snapshot exactly as committed. */
   def readAt(spark: SparkSession, dir: String, snapshot: String): DataFrame = {
     val (fsys, base) = fs(spark, dir)
-    val files = retained(fsys, base)
-      .find(_.snapshot == snapshot).map(_.files).getOrElse(Nil)
-    require(files.nonEmpty, s"no retained snapshot '$snapshot' under $dir")
-    readFiles(spark, dir, files)
+    val m = retained(fsys, base).find(_.snapshot == snapshot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained snapshot '$snapshot' under $dir"))
+    require(m.files.nonEmpty, s"no retained snapshot '$snapshot' under $dir")
+    readFilesApplyingDeletes(spark, dir, m.files, m.deleteFiles)
   }
 
   /** Export the CURRENT snapshot in the SYMLINK-MANIFEST layout external
@@ -418,7 +575,9 @@ object Manifest {
       lo: String, hi: String, snapshot: String,
       rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): CowRewrite = {
     val (fsys, base) = fs(spark, dir)
-    val files = currentFiles(spark, dir)
+    val cur = retained(fsys, base).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    val files = cur.files
     require(files.nonEmpty, s"no committed snapshot under $dir")
     // partition values prune EXACTLY and for free (path strings); only
     // files without a path-level verdict pay for the footer pass
@@ -431,15 +590,20 @@ object Manifest {
     if (touch.isEmpty) return CowRewrite(Nil, keep, None)
     // basePath read: a partitioned file's hive columns come back as real
     // columns, and partitionBy on the rewrite puts them back into paths
-    // — the snapshot's layout survives the DML
+    // — the snapshot's layout survives the DML. Existing POSITION
+    // DELETES are applied to the touched files here (a plain rewrite
+    // would resurrect MOR-deleted rows) and the delete list rides into
+    // the new snapshot for the carried files (entries that referenced a
+    // rewritten file match nothing — harmless).
     val partCols = partitionValuesOf(touch.head).map(_._1)
-    val df = readFiles(spark, dir, touch)
+    val df = readFilesApplyingDeletes(spark, dir, touch, cur.deleteFiles)
     val dt = df.schema(column).dataType
     val c = org.apache.spark.sql.functions.col(column)
     val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
       c <= org.apache.spark.sql.functions.lit(hi).cast(dt)
     writeImpl(rewrite(df, inRange), dir, snapshot, () => (),
-      carriedExplicit = Some(keep), partitionCols = partCols)
+      carriedExplicit = Some(keep), partitionCols = partCols,
+      deletesExplicit = Some(cur.deleteFiles))
     CowRewrite(touch, keep, Some(snapshot))
   }
 
@@ -507,7 +671,9 @@ object Manifest {
     require(files.nonEmpty, s"no committed snapshot under $dir")
     val bytes = files.map(f => fsys.getFileStatus(new Path(base, f)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val df = spark.read.parquet(files.map(f => s"$dir/$f"): _*).repartition(n.toInt)
+    // read() applies any position deletes, so compaction doubles as the
+    // MOR purge: the new snapshot carries zero delete files
+    val df = read(spark, dir).repartition(n.toInt)
     write(df, dir, snapshot)
     n
   }
@@ -529,7 +695,8 @@ object Manifest {
     require(files.nonEmpty, s"no committed snapshot under $dir")
     val bytes = files.map(f => fsys.getFileStatus(new Path(base, f)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    val df = readFiles(spark, dir, files).repartitionByRange(
+    // read() applies any position deletes - compaction purges MOR state
+    val df = read(spark, dir).repartitionByRange(
       n.toInt, clusterCols.map(org.apache.spark.sql.functions.col): _*)
     write(df, dir, snapshot)
     n
@@ -548,13 +715,16 @@ object Manifest {
     val (fsys, base) = fs(spark, dir)
     val all = retained(fsys, base)
     val (dropped, kept) = all.splitAt(math.max(0, all.size - keepLast))
+    // position-delete dirs retire under the same rule as data dirs
     def dirsOf(ms: Seq[ManifestData]) =
-      ms.flatMap(_.files).map(_.split('/').head).toSet
+      (ms.flatMap(_.files) ++ ms.flatMap(_.deleteFiles))
+        .map(_.split('/').head).toSet
     val live = dirsOf(kept)
     val superseded = dirsOf(dropped) -- live
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val goneDirs = fsys.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-"))
+      .filter(s => s.isDirectory && (s.getPath.getName.startsWith("data-") ||
+        s.getPath.getName.startsWith("deletes-")))
       .filterNot(s => live.contains(s.getPath.getName))
       .filter { s =>
         superseded.contains(s.getPath.getName) || s.getModificationTime < cutoff

@@ -1186,6 +1186,44 @@ object Maintenance {
            |FROM documents WHERE lang = 'en'
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // MERGE-ON-READ DELETE under oracle: same clustered lineitem land,
+  // but deleting 1998 writes a kilobyte position-delete file instead of
+  // rewriting the overlapping files (ManifestSpec proves the data files
+  // stay byte-identical); the read applies the delete set as a
+  // broadcast anti-join on (file, row-index). Hash equality against the
+  // oracle's complementary WHERE proves the position capture and the
+  // anti-join drop EXACTLY the range - the Iceberg-v2 delete-file
+  // semantics, end to end in-engine.
+  private val morDelete = Q(
+    "q_mor_delete",
+    (s, dir) => {
+      val out = scratchDir(dir, "mor_del")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "lineitem").repartitionByRange(8, col("l_shipdate")),
+        out, "base")
+      graft.io.Manifest.deleteRangeMOR(s, out, "l_shipdate",
+        "1998-01-01T00:00:00.000000", "1998-12-31T23:59:59.999999", "del98")
+      graft.io.Manifest.read(s, out)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_ok"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          min(to_date(col("l_shipdate"))).as("min_ship"),
+          max(to_date(col("l_shipdate"))).as("max_ship"))
+        .orderBy("l_linestatus")
+    },
+    Some(s"""SELECT l_linestatus, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("l_quantity")} AS sum_qty,
+            |  MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+            |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
+            |FROM lineitem
+            |WHERE CAST(l_shipdate AS DATE)
+            |  NOT BETWEEN DATE'1998-01-01' AND DATE'1998-12-31'
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Copy-on-write UPDATE under oracle, deleteRange's DML twin: orders
   // lands range-clustered on o_orderdate, updateRange re-prioritizes
   // every 1997 order (set expressions see the row's other columns),
@@ -1277,7 +1315,7 @@ object Maintenance {
 
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
-    deltaSkipping, icebergStats, cowDelete, cowUpdate,
+    deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete,
     partitionedRead, deltaPartitionPrune,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,

@@ -309,6 +309,82 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.readAt(spark, dir, "b0").count() == 100)
   }
 
+  test("merge-on-read delete: no data file rewritten, readers apply position deletes") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).toDF("id").repartitionByRange(5, col("id")),
+      dir, "base")
+    val dataBefore = Manifest.currentFiles(spark, dir)
+    val mtimes = dataBefore.map(f => f -> new java.io.File(s"$dir/$f").lastModified).toMap
+    val r = Manifest.deleteRangeMOR(spark, dir, "id", "300", "499", "mor1")
+    assert(r.committed.contains("mor1") && r.deletedRows == 200)
+    assert(r.targeted.nonEmpty && r.targeted.size < dataBefore.size,
+      "stats must confine the targeted set")
+    // THE point of MOR: the data files are untouched, byte for byte
+    assert(Manifest.currentFiles(spark, dir).sorted == dataBefore.sorted)
+    dataBefore.foreach(f =>
+      assert(new java.io.File(s"$dir/$f").lastModified == mtimes(f)))
+    // readers see the delete
+    assert(Manifest.read(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((0L to 299L) ++ (500L to 999L)))
+    assert(Manifest.readAt(spark, dir, "base").count() == 1000,
+      "pre-delete snapshot must still time-travel")
+    // the delete file itself is the Iceberg position-delete shape
+    val hist = Manifest.history(spark, dir)
+    val delFiles = hist.last.deleteFiles
+    assert(delFiles.nonEmpty && delFiles.forall(_.startsWith("deletes-mor1/")))
+    val delDf = spark.read.parquet(delFiles.map(f => s"$dir/$f"): _*)
+    assert(delDf.columns.toSeq == Seq("file_path", "pos"))
+    assert(delDf.count() == 200)
+    assert(delDf.selectExpr("min(file_path)").first().getString(0)
+      .startsWith("data-base/"))
+    // a second MOR delete ACCUMULATES
+    val r2 = Manifest.deleteRangeMOR(spark, dir, "id", "0", "49", "mor2")
+    assert(r2.deletedRows == 50)
+    assert(Manifest.read(spark, dir).count() == 750)
+    assert(Manifest.history(spark, dir).last.deleteFiles.size == delFiles.size + 1)
+    // no-overlap MOR delete: no commit
+    assert(Manifest.deleteRangeMOR(spark, dir, "id", "5000", "6000", "noop")
+      .committed.isEmpty)
+    // COW delete on the MOR table must NOT resurrect MOR-deleted rows
+    val r3 = Manifest.deleteRange(spark, dir, "id", "600", "699", "cow-on-mor")
+    assert(Manifest.read(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((50L to 299L) ++ (500L to 599L) ++ (700L to 999L)))
+    assert(r3.rewritten.nonEmpty)
+    // compaction PURGES the delete state: clean snapshot, same rows
+    Manifest.compact(spark, dir, "purged", Long.MaxValue)
+    val purged = Manifest.history(spark, dir).last
+    assert(purged.deleteFiles.isEmpty)
+    assert(Manifest.read(spark, dir).count() == 650)
+    // vacuum retires the superseded deletes-* dirs with the data dirs
+    Manifest.vacuum(spark, dir, keepLast = 1)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.exists(_.startsWith("deletes-")),
+      s"vacuum must retire delete dirs, left: ${names.filter(_.startsWith("deletes-"))}")
+    assert(Manifest.read(spark, dir).count() == 650)
+  }
+
+  test("merge-on-read delete respects partitions and NULLs") {
+    val dir = tmpDir()
+    Manifest.writePartitioned(
+      spark.sql(
+        """SELECT id, CASE CAST(id % 3 AS INT) WHEN 0 THEN 'de'
+          |  WHEN 1 THEN 'en' ELSE 'fr' END AS lang,
+          |  CASE WHEN id % 10 = 0 THEN CAST(NULL AS LONG) ELSE id END AS score
+          |FROM range(0, 300)""".stripMargin),
+      dir, "base", Seq("lang"))
+    // partition-exact MOR: only lang=en files targeted, zero footer reads
+    val r = Manifest.deleteRangeMOR(spark, dir, "lang", "en", "en", "mor-en")
+    assert(r.targeted.forall(_.contains("lang=en")))
+    assert(Manifest.read(spark, dir).where("lang = 'en'").count() == 0)
+    assert(Manifest.read(spark, dir).count() == 200)
+    // NULL rows survive a range MOR delete on a nullable column
+    val r2 = Manifest.deleteRangeMOR(spark, dir, "score", "0", "1000", "mor-score")
+    val left = Manifest.read(spark, dir)
+    assert(left.count() == left.where("score IS NULL").count(),
+      "every non-null score in range is deleted; NULLs survive")
+  }
+
   test("symlink-manifest export: plain spark.read.parquet over the list is byte-identical") {
     val dir = tmpDir()
     Manifest.write((1 to 300).toDF("v").withColumn("sq", col("v") * col("v"))
