@@ -45,14 +45,18 @@ import org.json4s.jackson.JsonMethods
  *    introducing commit. `record_count` comes from the parquet footer
  *    (metadata-only, no data scan).
  *
- * Scope note, disclosed: overwrite commits drop files by simply not
- * listing them in the new snapshot's manifests — correct for state
- * reads and time travel (each snapshot's manifest list is complete),
- * while v2 positional/equality DELETE manifests for incremental
- * CDC-style consumers are out of scope. No Iceberg reader installs in
- * this offline sandbox (documented in SURVEY §5.2), so conformance is
- * proven by an independent raw-Avro/JSON parse in the spec plus the
- * in-repo reader ([[activeFiles]]/[[read]]).
+ * Merge-on-read state exports as real v2 POSITION-DELETE manifests:
+ * each snapshot carrying [[Manifest.deleteRangeMOR]] delete files gets
+ * a content=1 manifest whose entries point at converted delete
+ * parquets (`_iceberg_deletes/…`, full-URI `file_path` per the spec's
+ * delete-file schema), listed next to the data manifest in the
+ * snapshot's manifest list; [[activeDeleteFiles]]/[[read]] apply them
+ * the way a v2 reader must. Equality deletes remain out of scope (the
+ * engine never produces them). Overwrite commits drop files by simply
+ * not listing them — correct for state reads and time travel. No
+ * Iceberg reader installs in this offline sandbox (documented in
+ * SURVEY §5.2), so conformance is proven by an independent
+ * raw-Avro/JSON parse in the spec plus the in-repo reader.
  */
 object IcebergExport {
 
@@ -420,6 +424,33 @@ object IcebergExport {
     val firstSeq = scala.collection.mutable.LinkedHashMap[String, Long]()
     ms.foreach(m => m.files.foreach(f =>
       if (!firstSeq.contains(f)) firstSeq(f) = m.seq))
+    val firstDelSeq = scala.collection.mutable.LinkedHashMap[String, Long]()
+    ms.foreach(m => m.deleteFiles.foreach(f =>
+      if (!firstDelSeq.contains(f)) firstDelSeq(f) = m.seq))
+
+    // ---- POSITION-DELETE conversion (merge-on-read state) --------------
+    // the engine's delete parquets key on manifest-RELATIVE paths; the
+    // Iceberg spec requires the delete row's `file_path` to equal the
+    // data file's full URI, so each deletes-<snap> dir converts ONCE
+    // (immutable, incremental) into `_iceberg_deletes/<snap-dir>/` with
+    // qualified URIs — KBs of rewrite, never data
+    def ensureConvertedDeletes(delDirName: String,
+        srcRels: Seq[String]): (Seq[String], Long) = {
+      val outDir = new Path(base, s"_iceberg_deletes/$delDirName")
+      if (!fsys.exists(outDir)) {
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        spark.read.parquet(srcRels.map(f => s"$dir/$f"): _*)
+          .select(concat(lit(qualBase + "/"), col("file_path")).as("file_path"),
+            col("pos"))
+          .orderBy("file_path", "pos")
+          .coalesce(1).write.parquet(outDir.toString)
+      }
+      val outs = fsys.listStatus(outDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .sorted.map(n => s"_iceberg_deletes/$delDirName/$n")
+      val rows = spark.read.parquet(outs.map(f => s"$dir/$f"): _*).count()
+      (outs, rows)
+    }
 
     // ONE distributed parquet-footer pass over exactly the files the
     // NEW snapshots reference (already-exported snapshots skip below):
@@ -561,10 +592,61 @@ object IcebergExport {
         mf.put("added_rows_count", java.lang.Long.valueOf(rows(added)))
         mf.put("existing_rows_count", java.lang.Long.valueOf(rows(existing)))
         mf.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+        // MERGE-ON-READ state: one POSITION-DELETE manifest (content=1)
+        // per snapshot that carries delete files, per the v2 spec
+        val delMfs = if (m.deleteFiles.isEmpty) Nil else {
+          val delManifestPath = new Path(md, s"seq-${m.seq}-m1-deletes.avro")
+          val byDir = m.deleteFiles.groupBy(_.split('/').head).toSeq.sortBy(_._1)
+          val delEntries = byDir.flatMap { case (dn, srcs) =>
+            val fseq = firstDelSeq(srcs.head)
+            val (outs, rows) = ensureConvertedDeletes(dn, srcs)
+            outs.map { rel =>
+              val st = fsys.getFileStatus(new Path(base, rel))
+              val ddf = new GenericData.Record(dfSchema)
+              ddf.put("content", 1) // POSITION_DELETES
+              ddf.put("file_path", s"$qualBase/$rel")
+              ddf.put("file_format", "PARQUET")
+              ddf.put("partition", new GenericData.Record(
+                ddf.getSchema.getField("partition").schema()))
+              ddf.put("record_count", java.lang.Long.valueOf(rows))
+              ddf.put("file_size_in_bytes", java.lang.Long.valueOf(st.getLen))
+              val e = new GenericData.Record(entrySchema)
+              e.put("status", if (fseq == m.seq) 1 else 0)
+              e.put("snapshot_id", java.lang.Long.valueOf(m.seq))
+              e.put("sequence_number", java.lang.Long.valueOf(fseq))
+              e.put("file_sequence_number", java.lang.Long.valueOf(fseq))
+              e.put("data_file", ddf)
+              e
+            }
+          }
+          val dlen = writeAvroFile(fsys, delManifestPath, entrySchema,
+            Map("schema" -> curSchemaJson, "partition-spec" -> specFieldsJson,
+              "partition-spec-id" -> "0", "format-version" -> "2",
+              "content" -> "deletes"),
+            delEntries)
+          val dAdded = delEntries.filter(_.get("status") == 1)
+          val dExisting = delEntries.filter(_.get("status") == 0)
+          val dmf = new GenericData.Record(manifestFileSchema)
+          dmf.put("manifest_path", fsys.makeQualified(delManifestPath).toString)
+          dmf.put("manifest_length", java.lang.Long.valueOf(dlen))
+          dmf.put("partition_spec_id", 0)
+          dmf.put("content", 1) // DELETES manifest
+          dmf.put("sequence_number", java.lang.Long.valueOf(m.seq))
+          dmf.put("min_sequence_number", java.lang.Long.valueOf(
+            m.deleteFiles.map(firstDelSeq).min))
+          dmf.put("added_snapshot_id", java.lang.Long.valueOf(m.seq))
+          dmf.put("added_files_count", dAdded.size)
+          dmf.put("existing_files_count", dExisting.size)
+          dmf.put("deleted_files_count", 0)
+          dmf.put("added_rows_count", java.lang.Long.valueOf(rows(dAdded)))
+          dmf.put("existing_rows_count", java.lang.Long.valueOf(rows(dExisting)))
+          dmf.put("deleted_rows_count", java.lang.Long.valueOf(0L))
+          Seq(dmf)
+        }
         writeAvroFile(fsys, listPath, manifestFileSchema,
           Map("format-version" -> "2", "snapshot-id" -> m.seq.toString,
             "sequence-number" -> m.seq.toString),
-          Seq(mf))
+          Seq(mf) ++ delMfs)
       }
     }
 
@@ -648,12 +730,22 @@ object IcebergExport {
         seqOf(n.stripPrefix("snap-").stripSuffix(".avro")).exists(!live.contains(_))
       val dropMan = n.startsWith("seq-") && n.endsWith("-m0.avro") &&
         seqOf(n.stripPrefix("seq-").stripSuffix("-m0.avro")).exists(!live.contains(_))
+      val dropDelMan = n.startsWith("seq-") && n.endsWith("-m1-deletes.avro") &&
+        seqOf(n.stripPrefix("seq-").stripSuffix("-m1-deletes.avro"))
+          .exists(!live.contains(_))
       val dropGen = n.startsWith("v") && n.endsWith(".metadata.json") && {
         val g = n.stripPrefix("v").stripSuffix(".metadata.json")
         g.forall(_.isDigit) && g.toInt < gen - 1
       }
-      if (dropSnap || dropMan || dropGen) fsys.delete(p, false)
+      if (dropSnap || dropMan || dropDelMan || dropGen) fsys.delete(p, false)
     }
+    // converted position-delete dirs whose source snapshot is gone
+    val liveDelDirs = ms.flatMap(_.deleteFiles).map(_.split('/').head).toSet
+    val convRoot = new Path(base, "_iceberg_deletes")
+    if (fsys.exists(convRoot))
+      fsys.listStatus(convRoot).toSeq.map(_.getPath)
+        .filterNot(p => liveDelDirs.contains(p.getName))
+        .foreach(fsys.delete(_, true))
     gen
   }
 
@@ -698,12 +790,39 @@ object IcebergExport {
       case _ => throw new IllegalStateException("no snapshots array")
     }
     val JString(listPath) = snap \ "manifest-list"
-    readAvroFile(fsys, new Path(listPath)).flatMap { mf =>
-      val mp = mf.get("manifest_path").toString
-      readAvroFile(fsys, new Path(mp)).map { e =>
-        e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+    readAvroFile(fsys, new Path(listPath))
+      .filter(_.get("content") == 0) // data manifests only
+      .flatMap { mf =>
+        val mp = mf.get("manifest_path").toString
+        readAvroFile(fsys, new Path(mp)).map { e =>
+          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
+        }
       }
+  }
+
+  /** POSITION-DELETE file URIs of a snapshot (content=1 manifests) —
+    * the merge-on-read state a v2 reader must apply to the data scan. */
+  def activeDeleteFiles(spark: SparkSession, dir: String,
+      snapshotId: Option[Long] = None): Seq[String] = {
+    val (fsys, _) = fs(spark, dir)
+    val meta = currentMetadata(spark, dir)
+    val target = snapshotId.getOrElse(meta \ "current-snapshot-id" match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalStateException("no current-snapshot-id")
+    })
+    val snap = (meta \ "snapshots") match {
+      case JArray(ss) => ss.find(sn => (sn \ "snapshot-id") == JInt(target))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot $target under $dir"))
+      case _ => throw new IllegalStateException("no snapshots array")
     }
+    val JString(listPath) = snap \ "manifest-list"
+    readAvroFile(fsys, new Path(listPath))
+      .filter(_.get("content") == 1)
+      .flatMap { mf =>
+        readAvroFile(fsys, new Path(mf.get("manifest_path").toString)).map(e =>
+          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+      }
   }
 
   /** Data-skipping scan plan: the current snapshot's data files that MAY
@@ -789,7 +908,9 @@ object IcebergExport {
     }
 
     val JString(listPath) = snap \ "manifest-list"
-    readAvroFile(fsys, new Path(listPath)).flatMap { mf =>
+    readAvroFile(fsys, new Path(listPath))
+      .filter(_.get("content") == 0)
+      .flatMap { mf =>
       readAvroFile(fsys, new Path(mf.get("manifest_path").toString)).flatMap { e =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val partKeep =
@@ -818,7 +939,8 @@ object IcebergExport {
   def readPruned(spark: SparkSession, dir: String, column: String,
       lo: String, hi: String): DataFrame = {
     val files = activeFilesPruned(spark, dir, column, lo, hi)
-    if (files.nonEmpty) readUris(spark, dir, files)
+    if (files.nonEmpty)
+      readUrisApplyingDeletes(spark, dir, files, activeDeleteFiles(spark, dir))
     else read(spark, dir).limit(0)
   }
 
@@ -826,7 +948,7 @@ object IcebergExport {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val files = activeFiles(spark, dir)
     require(files.nonEmpty, s"iceberg snapshot has no data files under $dir")
-    readUris(spark, dir, files)
+    readUrisApplyingDeletes(spark, dir, files, activeDeleteFiles(spark, dir))
   }
 
   /** Absolute-URI file-list read with hive partition-column recovery:
@@ -847,10 +969,49 @@ object IcebergExport {
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  private val pathTailRe = "(data-[^/]+/(?:[^/=]+=[^/]*/)*part-[^/]*\\.parquet)$"
+
+  /** [[readUris]] with the snapshot's POSITION DELETES applied: both the
+    * delete rows' `file_path` URIs and the scan's `_metadata.file_path`
+    * reduce to their `data-…/part-…` tail, then a broadcast anti-join on
+    * (tail, row index) — v2's merge-on-read, robust to URI-prefix
+    * rendering differences (fail-open on an unextractable tail). */
+  private def readUrisApplyingDeletes(spark: SparkSession, dir: String,
+      files: Seq[String], deleteFiles: Seq[String]): DataFrame = {
+    if (deleteFiles.isEmpty) return readUris(spark, dir, files)
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
+    val (fsys, base) = fs(spark, dir)
+    val qualBase = fsys.makeQualified(base).toString
+    val rels = files.map(_.stripPrefix(qualBase + "/"))
+    def withMeta(df: DataFrame): DataFrame =
+      df.select(col("*"), col("_metadata.file_path").as("_g_file"),
+        col("_metadata.row_index").as("_g_pos"))
+    val metaDf =
+      if (rels.forall(Manifest.partitionValuesOf(_).isEmpty))
+        withMeta(spark.read.parquet(files: _*))
+      else rels.groupBy(_.split('/').head).toSeq.sortBy(_._1)
+        .map { case (dataDir, fs2) =>
+          withMeta(spark.read.option("basePath", s"$qualBase/$dataDir")
+            .parquet(fs2.map(f => s"$qualBase/$f"): _*))
+        }
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val dels = spark.read.parquet(deleteFiles: _*)
+      .select(regexp_extract(col("file_path"), pathTailRe, 1).as("_g_dfile"),
+        col("pos").as("_g_dpos"))
+    val dataCols = readUris(spark, dir, files).columns
+    metaDf.withColumn("_g_rel", regexp_extract(col("_g_file"), pathTailRe, 1))
+      .join(broadcast(dels),
+        col("_g_rel") =!= "" && col("_g_rel") === col("_g_dfile") &&
+          col("_g_pos") === col("_g_dpos"),
+        "left_anti")
+      .select(dataCols.map(col): _*)
+  }
+
   /** Time travel through the metadata tree. */
   def readSnapshot(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
     val files = activeFiles(spark, dir, Some(snapshotId))
     require(files.nonEmpty, s"iceberg snapshot $snapshotId has no data files")
-    readUris(spark, dir, files)
+    readUrisApplyingDeletes(spark, dir, files,
+      activeDeleteFiles(spark, dir, Some(snapshotId)))
   }
 }

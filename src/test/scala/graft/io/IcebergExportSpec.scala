@@ -339,6 +339,52 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(IcebergExport.readSnapshot(spark, dir, 0L).columns.toSeq == Seq("v"))
   }
 
+  test("merge-on-read deletes export as content=1 position-delete manifests") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).toDF("id")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      dir, "base")
+    Manifest.deleteRangeMOR(spark, dir, "id", "250", "499", "mor1")
+    IcebergExport.exportTable(spark, dir)
+    val meta = IcebergExport.currentMetadata(spark, dir)
+    val JArray(snaps) = meta \ "snapshots"
+    // snapshot 0 (pre-delete): data manifest only; snapshot 1: + deletes
+    val JString(list0) = snaps.head \ "manifest-list"
+    assert(rawAvro(list0).map(_.get("content")) == Seq(0))
+    val JString(list1) = snaps(1) \ "manifest-list"
+    val mfs1 = rawAvro(list1)
+    assert(mfs1.map(_.get("content")).sortBy(_.toString) == Seq(0, 1))
+    val delMf = mfs1.find(_.get("content") == 1).get
+    assert(delMf.get("sequence_number").toString.toLong == 1)
+    // the delete manifest's entries: content=1 data_file records whose
+    // file_path is a FULL URI and whose rows carry full-URI + pos per
+    // the spec's position-delete schema
+    val delEntries = rawAvro(delMf.get("manifest_path").toString)
+    assert(delEntries.nonEmpty)
+    val ddf = delEntries.head.get("data_file").asInstanceOf[GenericRecord]
+    assert(ddf.get("content") == 1)
+    val delUri = ddf.get("file_path").toString
+    assert(delUri.contains("_iceberg_deletes/deletes-mor1/"))
+    assert(ddf.get("record_count").toString.toLong == 250)
+    val rows = spark.read.parquet(delUri)
+    assert(rows.columns.toSeq == Seq("file_path", "pos"))
+    assert(rows.count() == 250)
+    val fp = rows.selectExpr("min(file_path)").first().getString(0)
+    assert(fp.contains("/data-base/") && !fp.startsWith("data-base/"),
+      s"spec requires the FULL data-file URI, got $fp")
+    // the reader applies the deletes; time travel to snapshot 0 does not
+    import spark.implicits._
+    assert(IcebergExport.activeDeleteFiles(spark, dir).size == 1)
+    assert(IcebergExport.read(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((0L to 249L) ++ (500L to 999L)))
+    assert(IcebergExport.readSnapshot(spark, dir, 0L).count() == 1000)
+    // bounds pruning composes with MOR: prune to the low range, deletes
+    // still applied inside it
+    assert(IcebergExport.readPruned(spark, dir, "id", "0", "499")
+      .where("id < 500").count() == 250)
+  }
+
   test("array columns export as list types with element ids") {
     val dir = tmpDir()
     Manifest.write(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec"), dir, "s1")
