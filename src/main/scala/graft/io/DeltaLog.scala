@@ -128,6 +128,19 @@ object DeltaLog {
     val (fsys, base) = fs(spark, dir)
     val ms = Manifest.history(spark, dir)
     require(ms.nonEmpty, s"no committed snapshot under $dir")
+    // the Delta protocol's merge-on-read encoding is deletion VECTORS
+    // (RoaringBitmap), which this export does not emit — a log whose
+    // current version lists a MOR snapshot's full data files would
+    // serve DELETED rows to every Delta consumer. Refuse loudly;
+    // compaction purges the delete state and re-enables the export.
+    // (Older RETAINED MOR snapshots are tolerated: current-state reads
+    // are correct, and time travel through the Delta log to those
+    // versions is documented as ignoring position deletes.)
+    require(ms.last.deleteFiles.isEmpty,
+      s"current snapshot '${ms.last.snapshot}' carries merge-on-read " +
+        "position deletes, which the Delta protocol encodes as deletion " +
+        "vectors this export does not emit - run Manifest.compact (purges " +
+        "deletes) before exporting the Delta log")
     val ld = logDir(base)
     fsys.mkdirs(ld)
     val now = System.currentTimeMillis()

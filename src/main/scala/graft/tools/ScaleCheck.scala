@@ -196,7 +196,10 @@ object ScaleCheck {
       // round-7 third wave: hive-partitioned land + exact k=v prune (the
       // pruned fraction is fixed, land ∝ corpus), and the same prune
       // resolved through the Delta log's partitionValues
-      "q_partitioned_read", "q_delta_partition_prune")
+      "q_partitioned_read", "q_delta_partition_prune",
+      // round-7 fourth wave: merge-on-read delete (position capture ∝
+      // matching rows, anti-join ∝ delete-set size, data files untouched)
+      "q_mor_delete")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }

@@ -315,6 +315,23 @@ class DeltaLogSpec extends AnyFunSuite {
       .where("id < 100").count() == 100)
   }
 
+  test("MOR snapshots refuse Delta export until compaction purges the deletes") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 100).toDF("id")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
+      dir, "base")
+    Manifest.deleteRangeMOR(spark, dir, "id", "10", "19", "mor")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.exportLog(spark, dir)
+    }
+    assert(e.getMessage.contains("deletion"))
+    // compaction purges the MOR state and the export proceeds correctly
+    Manifest.compact(spark, dir, "purged", Long.MaxValue)
+    DeltaLog.exportLog(spark, dir)
+    assert(DeltaLog.read(spark, dir).count() == 90)
+  }
+
   test("append-only streaming cadence: each commit exports as an APPEND of new files") {
     val dir = tmpDir()
     Manifest.write((1 to 5).toDF("v"), dir, "b0")
