@@ -354,8 +354,9 @@ object Manifest {
     appendImpl(df, dir, snapshot, () => ())
 
   private[graft] def appendImpl(df: DataFrame, dir: String, snapshot: String,
-      beforePublish: () => Unit): Unit =
-    writeImpl(df, dir, snapshot, beforePublish, carryForward = true)
+      beforePublish: () => Unit, partitionCols: Seq[String] = Nil): Unit =
+    writeImpl(df, dir, snapshot, beforePublish, carryForward = true,
+      partitionCols = partitionCols)
 
   /** Is `snapshot` a retained, committed snapshot of this table? */
   def isCommitted(spark: SparkSession, dir: String, snapshot: String): Boolean = {

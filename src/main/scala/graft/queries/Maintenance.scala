@@ -1224,6 +1224,35 @@ object Maintenance {
             |  NOT BETWEEN DATE'1998-01-01' AND DATE'1998-12-31'
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // The Iceberg MOR READ path under oracle: after a position delete,
+  // the table is exported (content=1 delete manifest + converted
+  // full-URI delete parquets) and read back THROUGH the metadata tree —
+  // manifest-list walk, content routing, delete-set anti-join — so the
+  // v2 merge-on-read reader itself is hash-proven, not just spec-proven.
+  private val icebergMorRead = Q(
+    "q_iceberg_mor_read",
+    (s, dir) => {
+      val out = scratchDir(dir, "iceberg_mor")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "orders").repartitionByRange(8, col("o_orderkey")),
+        out, "base")
+      graft.io.Manifest.deleteRangeMOR(s, out, "o_orderkey", "1000", "4999", "mor")
+      graft.io.IcebergExport.exportTable(s, out)
+      graft.io.IcebergExport.read(s, out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 4999
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Copy-on-write UPDATE under oracle, deleteRange's DML twin: orders
   // lands range-clustered on o_orderdate, updateRange re-prioritizes
   // every 1997 order (set expressions see the row's other columns),
@@ -1315,7 +1344,7 @@ object Maintenance {
 
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
-    deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete,
+    deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     partitionedRead, deltaPartitionPrune,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,

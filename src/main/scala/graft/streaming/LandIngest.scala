@@ -107,7 +107,8 @@ object LandIngest {
       minRows: Long = 100L,
       beforeCommit: Long => Unit = _ => (),
       exportDeltaLog: Boolean = false,
-      exportIceberg: Boolean = false): Unit = {
+      exportIceberg: Boolean = false,
+      partitionCols: Seq[String] = Nil): Unit = {
     import graft.io.Manifest
     val stream = spark.readStream
       .schema(schema)
@@ -126,8 +127,11 @@ object LandIngest {
           val snapshot = s"batch-$batchId"
           if (n > 0 && !Manifest.isCommitted(spark, curatedDir, snapshot)) {
             Manifest.abandonOrphan(spark, curatedDir, snapshot)
+            // partitioned cadence: each micro-batch appends its own
+            // `col=value/` tree, so the curated table stays
+            // partition-prunable across the whole streaming history
             Manifest.appendImpl(curate(batch), curatedDir, snapshot,
-              () => beforeCommit(batchId))
+              () => beforeCommit(batchId), partitionCols = partitionCols)
           }
           // Lakehouse face of the same cadence: regenerate the Delta
           // transaction log AFTER the manifest commit, never instead of

@@ -60,6 +60,34 @@ class StreamingCuratedSpec extends AnyFunSuite {
     assert(Manifest.readAt(spark, curated, "batch-0").count() === 150)
   }
 
+  test("partitioned cadence: each micro-batch appends a hive tree, prunes stay exact") {
+    val base = Files.createTempDirectory("stream_part")
+    val land = Files.createDirectory(base.resolve("land"))
+    val curated = base.resolve("curated").toString
+    val ckpt = base.resolve("ckpt").toString
+    def curateLang(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("lang",
+        when(col("id") % 2 === 0, lit("de")).otherwise(lit("en")))
+
+    writeJsonl(land, "week1.jsonl", 0 until 150)
+    LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+      ckpt, curateLang, minRows = 100, partitionCols = Seq("lang"))
+    writeJsonl(land, "week2.jsonl", 1000 until 1120)
+    LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+      ckpt, curateLang, minRows = 100, partitionCols = Seq("lang"))
+
+    assert(Manifest.snapshots(spark, curated) === Seq("batch-0", "batch-1"))
+    assert(Manifest.currentFiles(spark, curated)
+      .forall(_.matches("data-batch-[01]/lang=(de|en)/part-.*\\.parquet")))
+    assert(Manifest.read(spark, curated).count() === 270)
+    // the partition prune spans BOTH micro-batches' trees
+    val de = Manifest.readWherePartitions(spark, curated, Map("lang" -> "de"))
+    assert(de.count() === 135)
+    assert(de.inputFiles.forall(_.contains("lang=de")))
+    assert(de.inputFiles.exists(_.contains("data-batch-0")) &&
+      de.inputFiles.exists(_.contains("data-batch-1")))
+  }
+
   test("kill between curate-landing and manifest publish: replay promotes exactly once") {
     val base = Files.createTempDirectory("stream_curated_kill")
     val land = Files.createDirectory(base.resolve("land"))
