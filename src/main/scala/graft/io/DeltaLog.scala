@@ -158,6 +158,10 @@ object DeltaLog {
     def partColsOf(m: Manifest.ManifestData): Seq[String] =
       m.files.headOption
         .map(Manifest.partitionValuesOf(_).map(_._1)).getOrElse(Nil)
+    // commitInfo carries the MANIFEST's commit instant, not the export
+    // instant — that is what timestamp time travel resolves on
+    def tsOf(m: Manifest.ManifestData): Long =
+      if (m.committedAt > 0) m.committedAt else now
 
     // ONE distributed footer pass over the union of every retained
     // snapshot's files: size/modTime AND per-column min/max/nullCount
@@ -181,7 +185,7 @@ object DeltaLog {
           if (i == 0)
             // oldest retained version: full state (version 0's shape; a
             // vacuumed-past-0 table additionally gets a checkpoint below)
-            Seq(commitInfoLine(now, "WRITE"), protocolLine,
+            Seq(commitInfoLine(tsOf(m), "WRITE"), protocolLine,
               metaDataLine(id, schemaOf(m), now, partColsOf(m))) ++
               addLinesOf(m.files)
           else {
@@ -196,7 +200,7 @@ object DeltaLog {
             val metaChange =
               if (schemaOf(m) == schemaOf(prevM)) Nil
               else Seq(metaDataLine(id, schemaOf(m), now, partColsOf(m)))
-            Seq(commitInfoLine(now, op)) ++ metaChange ++
+            Seq(commitInfoLine(tsOf(m), op)) ++ metaChange ++
               removed.map(removeLine(_, now)) ++ addLinesOf(added)
           }
         writeLines(fsys, dest, lines)
@@ -544,6 +548,36 @@ object DeltaLog {
   /** Read the table THROUGH the exported delta log (latest version). */
   def read(spark: SparkSession, dir: String): DataFrame =
     readVersion(spark, dir, -1L)
+
+  /** commitInfo timestamp per retained commit version, ascending.
+    * Versions folded into a checkpoint no longer carry commitInfo —
+    * timestamp travel resolves over the retained commit JSONs, exactly
+    * the window Delta itself can serve after log cleanup. */
+  def versionTimestamps(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    val (fsys, base) = fs(spark, dir)
+    val ld = logDir(base)
+    versions(spark, dir).flatMap { v =>
+      readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty)
+        .flatMap(line =>
+          JsonMethods.parse(line) \ "commitInfo" \ "timestamp" match {
+            case JInt(ts) => Some(v -> ts.toLong)
+            case _ => None
+          }).headOption
+    }
+  }
+
+  /** `TIMESTAMP AS OF` through the log: the newest version whose commit
+    * instant is ≤ `tsMillis` (the manifests' own `committed_at`, which
+    * the export stamps into commitInfo). */
+  def readVersionAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): DataFrame = {
+    val vts = versionTimestamps(spark, dir)
+    val v = vts.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no delta version committed at or before $tsMillis under $dir " +
+          s"(earliest retained: ${vts.headOption.map(_._2)})"))
+    readVersion(spark, dir, v)
+  }
 
   /** Time travel through the log; `version < 0` means latest. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {

@@ -655,11 +655,15 @@ object IcebergExport {
     val schJ = snapSchemaJ(current.seq)
     val lastColId = alloc.lastId
     val curPartFields = partitionFieldsOf(current.files, snapStruct(current.seq))
+    // real commit instants from the manifests themselves — time travel
+    // by timestamp needs the COMMIT time, not the export time
+    def tsOf(m: Manifest.ManifestData): Long =
+      if (m.committedAt > 0) m.committedAt else now
     val snapshots = JArray(ms.toList.map { m =>
       JObject(
         "snapshot-id" -> JInt(m.seq),
         "sequence-number" -> JInt(m.seq),
-        "timestamp-ms" -> JInt(BigInt(now)),
+        "timestamp-ms" -> JInt(BigInt(tsOf(m))),
         "manifest-list" -> JString(
           fsys.makeQualified(new Path(md, s"snap-${m.seq}.avro")).toString),
         "summary" -> JObject("operation" -> JString(
@@ -693,7 +697,11 @@ object IcebergExport {
       "snapshots" -> snapshots,
       "refs" -> JObject("main" -> JObject(
         "snapshot-id" -> JInt(current.seq),
-        "type" -> JString("branch"))))
+        "type" -> JString("branch"))),
+      // the spec's timestamp→snapshot lineage, what AS OF <ts> resolves on
+      "snapshot-log" -> JArray(ms.toList.map(m => JObject(
+        "timestamp-ms" -> JInt(BigInt(tsOf(m))),
+        "snapshot-id" -> JInt(m.seq)))))
 
     val gen = currentGeneration(fsys, md) + 1
     val mj = new Path(md, s"v$gen.metadata.json")
@@ -1006,6 +1014,27 @@ object IcebergExport {
         "left_anti")
       .select(dataCols.map(col): _*)
   }
+
+  /** `TIMESTAMP AS OF` per the spec: resolve `tsMillis` through the
+    * metadata's `snapshot-log` (commit instants from the manifests'
+    * own `committed_at`) to the newest snapshot at or before it. */
+  def snapshotIdAsOf(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val meta = currentMetadata(spark, dir)
+    val entries = meta \ "snapshot-log" match {
+      case JArray(es) => es.flatMap(e =>
+        (e \ "timestamp-ms", e \ "snapshot-id") match {
+          case (JInt(ts), JInt(id)) => Some(ts.toLong -> id.toLong)
+          case _ => None
+        })
+      case _ => Nil
+    }
+    entries.filter(_._1 <= tsMillis).map(_._2).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no iceberg snapshot committed at or before $tsMillis under $dir"))
+  }
+
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readSnapshot(spark, dir, snapshotIdAsOf(spark, dir, tsMillis))
 
   /** Time travel through the metadata tree. */
   def readSnapshot(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {

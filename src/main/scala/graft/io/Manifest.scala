@@ -64,7 +64,8 @@ object Manifest {
     new Path(dir, s"manifest-$seq.json")
 
   private[graft] final case class ManifestData(snapshot: String, seq: Long,
-      files: Seq[String], deleteFiles: Seq[String] = Nil)
+      files: Seq[String], deleteFiles: Seq[String] = Nil,
+      committedAt: Long = 0L)
 
   /** One read per manifest: snapshot id, commit_seq, the data file
     * list, and any POSITION-DELETE file list (`deletes-<snap>/…`, the
@@ -87,7 +88,9 @@ object Manifest {
       .findAllMatchIn(text).map(_.group(1)).toSeq
     val deletes = "\"(deletes-[^\"/]+/part-[^\"/]*\\.parquet)\"".r
       .findAllMatchIn(text).map(_.group(1)).toSeq
-    Some(ManifestData(snap, seq, files, deletes))
+    val at = "\"committed_at\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
+    Some(ManifestData(snap, seq, files, deletes, at))
   }
 
   /** All retained manifests, oldest → newest commit order. */

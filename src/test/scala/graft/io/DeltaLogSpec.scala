@@ -332,6 +332,27 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLog.read(spark, dir).count() == 90)
   }
 
+  test("timestamp time travel resolves through the manifests' own commit instants") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "s1")
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    Manifest.write((1 to 25).toDF("v"), dir, "s2")
+    DeltaLog.exportLog(spark, dir)
+    val vts = DeltaLog.versionTimestamps(spark, dir)
+    assert(vts.map(_._1) == Seq(0L, 1L))
+    assert(vts(0)._2 < vts(1)._2, "commitInfo must carry COMMIT instants")
+    assert(DeltaLog.readVersionAsOf(spark, dir, mid).count() == 10)
+    assert(DeltaLog.readVersionAsOf(spark, dir,
+      System.currentTimeMillis()).count() == 25)
+    intercept[IllegalArgumentException] {
+      DeltaLog.readVersionAsOf(spark, dir, vts(0)._2 - 1000)
+    }
+    // a LATE export still reports the original commit times, not its own
+    assert(vts(1)._2 < System.currentTimeMillis() + 1)
+  }
+
   test("append-only streaming cadence: each commit exports as an APPEND of new files") {
     val dir = tmpDir()
     Manifest.write((1 to 5).toDF("v"), dir, "b0")

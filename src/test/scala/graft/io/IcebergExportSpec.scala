@@ -385,6 +385,32 @@ class IcebergExportSpec extends AnyFunSuite {
       .where("id < 500").count() == 250)
   }
 
+  test("snapshot-log carries commit instants; timestamp travel resolves on them") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "s1")
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    Manifest.write((1 to 25).toDF("v"), dir, "s2")
+    IcebergExport.exportTable(spark, dir)
+    val meta = IcebergExport.currentMetadata(spark, dir)
+    val JArray(log) = meta \ "snapshot-log"
+    assert(log.map(e => e \ "snapshot-id") == List(JInt(0), JInt(1)))
+    val times = log.map(e => { val JInt(t) = e \ "timestamp-ms"; t.toLong })
+    assert(times(0) < mid && mid < times(1),
+      "snapshot-log must carry the manifests' commit instants")
+    // snapshots' own timestamp-ms agree with the log
+    val JArray(snaps) = meta \ "snapshots"
+    assert(snaps.map(s => s \ "timestamp-ms") == log.map(e => e \ "timestamp-ms"))
+    assert(IcebergExport.snapshotIdAsOf(spark, dir, mid) == 0L)
+    assert(IcebergExport.readAsOf(spark, dir, mid).count() == 10)
+    assert(IcebergExport.readAsOf(spark, dir,
+      System.currentTimeMillis()).count() == 25)
+    intercept[IllegalArgumentException] {
+      IcebergExport.snapshotIdAsOf(spark, dir, times(0) - 1000)
+    }
+  }
+
   test("array columns export as list types with element ids") {
     val dir = tmpDir()
     Manifest.write(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec"), dir, "s1")
