@@ -437,6 +437,13 @@ object IcebergExport {
     def ensureConvertedDeletes(delDirName: String,
         srcRels: Seq[String]): (Seq[String], Long) = {
       val outDir = new Path(base, s"_iceberg_deletes/$delDirName")
+      // idempotence keys on COMPLETION, not bare existence: a conversion
+      // job that crashed mid-commit leaves the dir without Spark's
+      // _SUCCESS marker — reusing it would publish content=1 manifests
+      // referencing a partial delete set and silently resurrect
+      // MOR-deleted rows for every external reader. Delete and redo.
+      if (fsys.exists(outDir) && !fsys.exists(new Path(outDir, "_SUCCESS")))
+        fsys.delete(outDir, true)
       if (!fsys.exists(outDir)) {
         import org.apache.spark.sql.functions.{col, concat, lit}
         spark.read.parquet(srcRels.map(f => s"$dir/$f"): _*)
@@ -656,9 +663,22 @@ object IcebergExport {
     val lastColId = alloc.lastId
     val curPartFields = partitionFieldsOf(current.files, snapStruct(current.seq))
     // real commit instants from the manifests themselves — time travel
-    // by timestamp needs the COMMIT time, not the export time
-    def tsOf(m: Manifest.ManifestData): Long =
-      if (m.committedAt > 0) m.committedAt else now
+    // by timestamp needs the COMMIT time, not the export time. The
+    // lineage is forced MONOTONE in commit order: a manifest without
+    // committed_at (pre-stamping provenance) inherits the previous
+    // entry's instant instead of the export time — a `now` fallback
+    // would stamp an OLD snapshot after newer ones' real instants and
+    // break every timestamp-ordered resolution over the mixed history
+    // (clock-skewed real instants clamp the same way).
+    val tsBySeq: Map[Long, Long] = {
+      var prev = 0L
+      ms.map { m =>
+        val t = if (m.committedAt > 0) math.max(m.committedAt, prev) else prev
+        prev = t
+        m.seq -> t
+      }.toMap
+    }
+    def tsOf(m: Manifest.ManifestData): Long = tsBySeq(m.seq)
     val snapshots = JArray(ms.toList.map { m =>
       JObject(
         "snapshot-id" -> JInt(m.seq),
@@ -846,10 +866,39 @@ object IcebergExport {
       lo: String, hi: String, snapshotId: Option[Long] = None): Seq[String] = {
     val (fsys, _) = fs(spark, dir)
     val meta = currentMetadata(spark, dir)
-    val field = (meta \ "schemas")(0) \ "fields" match {
+    val target = snapshotId.getOrElse(meta \ "current-snapshot-id" match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalStateException("no current-snapshot-id")
+    })
+    val snap = (meta \ "snapshots") match {
+      case JArray(ss) => ss.find(s => (s \ "snapshot-id") == JInt(target))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot $target under $dir"))
+      case _ => throw new IllegalStateException("no snapshots array")
+    }
+    // the column's id/type must resolve against the schema the TARGET
+    // snapshot was committed with (its `schema-id`; fall back to
+    // current-schema-id) — `schemas[0]` is merely the OLDEST schema in
+    // the dedup list: after evolution it can lack an added column
+    // entirely, or (worse) carry a different type whose decodeBound
+    // byte width would silently mis-prune
+    val wantSchemaId: Option[BigInt] =
+      (snap \ "schema-id" match { case JInt(i) => Some(i); case _ => None })
+        .orElse(meta \ "current-schema-id" match {
+          case JInt(i) => Some(i); case _ => None })
+    val schemas = meta \ "schemas" match {
+      case JArray(ss) => ss
+      case _ => throw new IllegalStateException("no schemas array")
+    }
+    val schemaJ = wantSchemaId
+      .flatMap(id => schemas.find(s => (s \ "schema-id") == JInt(id)))
+      .orElse(schemas.headOption)
+      .getOrElse(throw new IllegalStateException("empty schemas array"))
+    val field = schemaJ \ "fields" match {
       case JArray(fs) => fs.find(f => f \ "name" == JString(column))
         .getOrElse(throw new IllegalArgumentException(
-          s"no top-level column '$column' in the Iceberg schema under $dir"))
+          s"no top-level column '$column' in the Iceberg schema " +
+            s"(schema-id ${wantSchemaId.getOrElse(0)}) under $dir"))
       case _ => throw new IllegalStateException("no schema fields array")
     }
     val JInt(fid) = field \ "id"
@@ -881,16 +930,6 @@ object IcebergExport {
         case _ => None
       }
 
-    val target = snapshotId.getOrElse(meta \ "current-snapshot-id" match {
-      case JInt(v) => v.toLong
-      case _ => throw new IllegalStateException("no current-snapshot-id")
-    })
-    val snap = (meta \ "snapshots") match {
-      case JArray(ss) => ss.find(s => (s \ "snapshot-id") == JInt(target))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no snapshot $target under $dir"))
-      case _ => throw new IllegalStateException("no snapshots array")
-    }
     // identity-PARTITION source? then each entry's partition record
     // holds the column's exact value — an equality-grade prune, tighter
     // than any bounds reasoning
@@ -1028,9 +1067,13 @@ object IcebergExport {
         })
       case _ => Nil
     }
-    entries.filter(_._1 <= tsMillis).map(_._2).lastOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"no iceberg snapshot committed at or before $tsMillis under $dir"))
+    // resolve by MAX timestamp (snapshot-id breaks ties), not by list
+    // position — correct even over a snapshot-log an older exporter
+    // wrote non-monotone
+    entries.filter(_._1 <= tsMillis)
+      .maxByOption(e => (e._1, e._2)).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"no iceberg snapshot committed at or before $tsMillis under $dir"))
   }
 
   def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =

@@ -65,7 +65,7 @@ object Manifest {
 
   private[graft] final case class ManifestData(snapshot: String, seq: Long,
       files: Seq[String], deleteFiles: Seq[String] = Nil,
-      committedAt: Long = 0L)
+      committedAt: Long = 0L, rewrite: Boolean = false)
 
   /** One read per manifest: snapshot id, commit_seq, the data file
     * list, and any POSITION-DELETE file list (`deletes-<snap>/…`, the
@@ -90,7 +90,8 @@ object Manifest {
       .findAllMatchIn(text).map(_.group(1)).toSeq
     val at = "\"committed_at\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
-    Some(ManifestData(snap, seq, files, deletes, at))
+    val rewrite = "\"rewrite\"\\s*:\\s*true".r.findFirstIn(text).isDefined
+    Some(ManifestData(snap, seq, files, deletes, at, rewrite))
   }
 
   /** All retained manifests, oldest → newest commit order. */
@@ -171,6 +172,20 @@ object Manifest {
         case _ => None
       }
     }
+
+  /** Recovered Spark type of `column` over the FULL file list —
+    * metadata-only (footer schema + partition-value inference across
+    * every path, the same inference a whole-table read performs), so
+    * path-level pruning and the row-level predicate judge a partition
+    * column with the SAME type a reader of the table sees. A subset
+    * read must NOT be used for this: partition-type inference over a
+    * subset can differ (e.g. {"9"} infers long while the full set
+    * {"9","x"} infers string). */
+  private def recoveredType(spark: SparkSession, dir: String,
+      files: Seq[String], column: String): org.apache.spark.sql.types.DataType =
+    readFiles(spark, dir, files).schema.find(_.name == column)
+      .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+        s"no column '$column' in the table under $dir"))
 
   /** Invert hive path escaping (%XX for chars unsafe in dir names —
     * the encoding Spark/Hive writers apply inside `k=v` segments). */
@@ -310,9 +325,17 @@ object Manifest {
       s"snapshot $snapshot already committed under $dir")
     val delDir = new Path(base, s"deletes-$snapshot")
     require(!fsys.exists(delDir), s"deletes-$snapshot already landed under $dir")
-    // same exact-partition-first / footer-bounds-second prune as the COW path
-    val byPartition = cur.files.map(f =>
-      f -> partitionMayMatch(f, column, lo, hi)).toMap
+    // same exact-partition-first / footer-bounds-second prune as the COW
+    // path; the partition comparison uses the FULL file list's recovered
+    // type — the type the row predicate casts to (a touched-subset read
+    // can infer a different partition type and disagree)
+    val partHasCol =
+      cur.files.exists(f => partitionValuesOf(f).exists(_._1 == column))
+    val authDt: Option[org.apache.spark.sql.types.DataType] =
+      if (partHasCol) Some(recoveredType(spark, dir, cur.files, column))
+      else None
+    val byPartition = cur.files.map(f => f -> authDt.flatMap(
+      partitionMayMatch(f, column, lo, hi, _))).toMap
     val undecided = cur.files.filter(f => byPartition(f).isEmpty)
     val stats = FileStats.collect(spark, base, undecided)
     val touch = cur.files.filter(f => byPartition(f).getOrElse(
@@ -320,8 +343,8 @@ object Manifest {
     if (touch.isEmpty) return MorDelete(Nil, 0L, None)
     import org.apache.spark.sql.functions.col
     val metaDf = readFilesMeta(spark, dir, touch)
-    val dt = metaDf.schema(column).dataType
-    val c = col(column)
+    val dt = authDt.getOrElse(metaDf.schema(column).dataType)
+    val c = col(column).cast(dt)
     val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
       c <= org.apache.spark.sql.functions.lit(hi).cast(dt)
     // rows TO DELETE: NULL never matches a range predicate, and
@@ -391,7 +414,8 @@ object Manifest {
       beforePublish: () => Unit, carryForward: Boolean = false,
       carriedExplicit: Option[Seq[String]] = None,
       partitionCols: Seq[String] = Nil,
-      deletesExplicit: Option[Seq[String]] = None): Unit = {
+      deletesExplicit: Option[Seq[String]] = None,
+      rewrite: Boolean = false): Unit = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val spark = df.sparkSession
     val (fsys, base) = fs(spark, dir)
@@ -424,20 +448,27 @@ object Manifest {
       if (carryForward) priors.lastOption.map(_.deleteFiles).getOrElse(Nil)
       else Nil)
     publishManifest(fsys, base, dir, snapshot, priors,
-      carried ++ files.map(f => s"data-$snapshot/$f"), deletes, beforePublish)
+      carried ++ files.map(f => s"data-$snapshot/$f"), deletes, beforePublish,
+      rewrite)
   }
 
   /** The shared commit tail: stage the manifest JSON, run the test
     * seam, publish with the one seq-keyed CAS rename. */
   private def publishManifest(fsys: FileSystem, base: Path, dir: String,
       snapshot: String, priors: Seq[ManifestData], allFiles: Seq[String],
-      deleteFiles: Seq[String], beforePublish: () => Unit = () => ()): Unit = {
+      deleteFiles: Seq[String], beforePublish: () => Unit = () => (),
+      rewrite: Boolean = false): Unit = {
     val seq = (priors.map(_.seq) :+ -1L).max + 1
     val body = allFiles.map(f => s"""    "$f"""").mkString(",\n")
     val delBlock =
       if (deleteFiles.isEmpty) ""
       else deleteFiles.map(f => s"""    "$f"""")
         .mkString(",\n  \"delete_files\": [\n", ",\n", "\n  ]")
+    // `rewrite: true` marks commits whose NEW files re-serve rows older
+    // snapshots already contained (compaction, COW DML) — the analogue
+    // of Delta's dataChange=false, which [[readChangesSince]] refuses to
+    // diff across instead of re-serving old rows as changes
+    val rewriteBlock = if (rewrite) ",\n  \"rewrite\": true" else ""
     val json =
       s"""{
          |  "snapshot": "$snapshot",
@@ -445,7 +476,7 @@ object Manifest {
          |  "committed_at": ${System.currentTimeMillis()},
          |  "files": [
          |$body
-         |  ]$delBlock
+         |  ]$delBlock$rewriteBlock
          |}
          |""".stripMargin
     val tmp = new Path(base, s".manifest-$snapshot.tmp")
@@ -490,7 +521,15 @@ object Manifest {
     * in exactly the snapshots that listed it. At 100 TB this is the
     * manifest-diff read pattern (Delta CDF's simple case): cost ∝ new
     * files, zero listing of the data tree. Returns None when `since` IS
-    * the current snapshot (no changes). */
+    * the current snapshot (no changes).
+    *
+    * The guarantee holds across write/append commits only: a REWRITE
+    * commit (compaction, COW DELETE/UPDATE — flagged `rewrite: true` in
+    * its manifest, the analogue of Delta's dataChange=false) re-packs
+    * rows the baseline already contained into new files, so a file diff
+    * across one would re-serve old rows as changes. Such a span FAILS
+    * LOUDLY instead — the consumer must re-baseline on a snapshot at or
+    * after the rewrite. */
   def readChangesSince(spark: SparkSession, dir: String,
       since: String): Option[DataFrame] = {
     val (fsys, base) = fs(spark, dir)
@@ -499,6 +538,12 @@ object Manifest {
       throw new IllegalArgumentException(
         s"no retained snapshot '$since' under $dir"))
     val current = all.lastOption.get
+    all.filter(m => m.seq > baseline.seq && m.rewrite).foreach(m =>
+      throw new IllegalStateException(
+        s"cannot serve changes since '$since' under $dir: commit " +
+          s"'${m.snapshot}' (seq ${m.seq}) is a rewrite (compaction/COW " +
+          "DML) whose files re-pack pre-existing rows - re-baseline on a " +
+          "snapshot at or after it"))
     val newFiles = current.files.filterNot(baseline.files.toSet)
     if (newFiles.isEmpty) None
     else Some(readFiles(spark, dir, newFiles))
@@ -564,16 +609,36 @@ object Manifest {
   /** Does a file's PARTITION VALUE for `column` fall inside [lo, hi]?
     * None = the path carries no value for the column (unpartitioned, or
     * partitioned by something else) — the caller falls back to footer
-    * bounds. Values compare numerically when value AND both literals
-    * parse as longs ("10" must beat "9"), lexicographically otherwise. */
+    * bounds. The comparison is derived from the column's RECOVERED
+    * Spark type (`dt`, from [[recoveredType]] over the full file list)
+    * — the SAME type the row-level predicate casts to — never from an
+    * independent parse heuristic: a string-typed partition column
+    * holding mixed values ('9' with lo='10') must prune
+    * LEXICOGRAPHICALLY, exactly as the row predicate matches, or the
+    * prune silently carries files whose rows the predicate selects.
+    * Fail-open (keep) whenever the comparison cannot be proven. */
   private def partitionMayMatch(relPath: String, column: String,
-      lo: String, hi: String): Option[Boolean] =
+      lo: String, hi: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Boolean] = {
+    import org.apache.spark.sql.types._
     partitionValuesOf(relPath).toMap.get(column).map { v =>
-      (v.toLongOption, lo.toLongOption, hi.toLongOption) match {
-        case (Some(n), Some(l), Some(h)) => n >= l && n <= h
-        case _ => v >= lo && v <= hi
+      dt match {
+        case _: NumericType =>
+          (scala.util.Try(BigDecimal(v)).toOption,
+            scala.util.Try(BigDecimal(lo)).toOption,
+            scala.util.Try(BigDecimal(hi)).toOption) match {
+            case (Some(n), Some(l), Some(h)) => n >= l && n <= h
+            case _ => true // unprovable — keep
+          }
+        // ISO date paths render "2021-01-02": lexicographic ==
+        // chronological; strings compare as the row predicate does.
+        // Timestamp paths render with ' ' where literals use 'T' —
+        // no sound lexicographic compare, so fail open.
+        case StringType | DateType => v >= lo && v <= hi
+        case _ => true // keep: no sound path-level comparison
       }
     }
+  }
 
   private def cowRewrite(spark: SparkSession, dir: String, column: String,
       lo: String, hi: String, snapshot: String,
@@ -584,9 +649,16 @@ object Manifest {
     val files = cur.files
     require(files.nonEmpty, s"no committed snapshot under $dir")
     // partition values prune EXACTLY and for free (path strings); only
-    // files without a path-level verdict pay for the footer pass
-    val byPartition = files.map(f =>
-      f -> partitionMayMatch(f, column, lo, hi)).toMap
+    // files without a path-level verdict pay for the footer pass. The
+    // comparison type comes from the FULL file list (see
+    // [[recoveredType]]) so prune and row predicate cannot disagree.
+    val partHasCol =
+      files.exists(f => partitionValuesOf(f).exists(_._1 == column))
+    val authDt: Option[org.apache.spark.sql.types.DataType] =
+      if (partHasCol) Some(recoveredType(spark, dir, files, column))
+      else None
+    val byPartition = files.map(f => f -> authDt.flatMap(
+      partitionMayMatch(f, column, lo, hi, _))).toMap
     val undecided = files.filter(f => byPartition(f).isEmpty)
     val stats = FileStats.collect(spark, base, undecided)
     val (touch, keep) = files.partition(f => byPartition(f).getOrElse(
@@ -601,13 +673,13 @@ object Manifest {
     // rewritten file match nothing — harmless).
     val partCols = partitionValuesOf(touch.head).map(_._1)
     val df = readFilesApplyingDeletes(spark, dir, touch, cur.deleteFiles)
-    val dt = df.schema(column).dataType
-    val c = org.apache.spark.sql.functions.col(column)
+    val dt = authDt.getOrElse(df.schema(column).dataType)
+    val c = org.apache.spark.sql.functions.col(column).cast(dt)
     val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
       c <= org.apache.spark.sql.functions.lit(hi).cast(dt)
     writeImpl(rewrite(df, inRange), dir, snapshot, () => (),
       carriedExplicit = Some(keep), partitionCols = partCols,
-      deletesExplicit = Some(cur.deleteFiles))
+      deletesExplicit = Some(cur.deleteFiles), rewrite = true)
     CowRewrite(touch, keep, Some(snapshot))
   }
 
@@ -678,7 +750,7 @@ object Manifest {
     // read() applies any position deletes, so compaction doubles as the
     // MOR purge: the new snapshot carries zero delete files
     val df = read(spark, dir).repartition(n.toInt)
-    write(df, dir, snapshot)
+    writeImpl(df, dir, snapshot, () => (), rewrite = true)
     n
   }
 
@@ -702,7 +774,7 @@ object Manifest {
     // read() applies any position deletes - compaction purges MOR state
     val df = read(spark, dir).repartitionByRange(
       n.toInt, clusterCols.map(org.apache.spark.sql.functions.col): _*)
-    write(df, dir, snapshot)
+    writeImpl(df, dir, snapshot, () => (), rewrite = true)
     n
   }
 

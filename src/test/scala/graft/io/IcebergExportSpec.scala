@@ -426,4 +426,95 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(ids.collect { case JInt(i) => i }.distinct.size == ids.size,
       "field ids must be unique")
   }
+
+  test("pruning resolves the TARGET snapshot's schema, not the oldest") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    Manifest.write(spark.range(0, 100).toDF("id"), dir, "s1")
+    IcebergExport.exportTable(spark, dir)
+    // evolution: an ADDED column, range-clustered so files carry tight
+    // disjoint bounds on it — absent from schemas[0], present in the
+    // current schema (the ADVICE r7 case)
+    Manifest.write(
+      spark.range(0, 1000).toDF("id").withColumn("v", col("id") * 2)
+        .repartitionByRange(4, col("v")), dir, "s2")
+    IcebergExport.exportTable(spark, dir)
+    val all = IcebergExport.activeFiles(spark, dir)
+    val kept = IcebergExport.activeFilesPruned(spark, dir, "v", "0", "400")
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"evolution-added column must prune: kept ${kept.size}/${all.size}")
+    assert(IcebergExport.readPruned(spark, dir, "v", "0", "400")
+      .where("v BETWEEN 0 AND 400").count() == 201)
+    // time-travel prune resolves the OLD snapshot's OWN schema: it has
+    // no 'v' — loud error, not a mis-decoded byte width
+    val ex = intercept[IllegalArgumentException] {
+      IcebergExport.activeFilesPruned(spark, dir, "v", "0", "400", Some(0L))
+    }
+    assert(ex.getMessage.contains("'v'"))
+    assert(IcebergExport
+      .activeFilesPruned(spark, dir, "id", "0", "99", Some(0L)).nonEmpty)
+  }
+
+  test("a crashed position-delete conversion is redone, never reused") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = tmpDir()
+    Manifest.write(spark.range(0, 1000).toDF("id")
+      .repartitionByRange(4, col("id")), dir, "base")
+    Manifest.deleteRangeMOR(spark, dir, "id", "250", "499", "mor1")
+    // simulate a conversion job that died mid-commit: the output dir
+    // exists with an EMPTY part set and no _SUCCESS marker — bare
+    // dir-existence idempotence would reuse it and resurrect every
+    // MOR-deleted row for external readers
+    val outDir = s"$dir/_iceberg_deletes/deletes-mor1"
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("file_path", StringType),
+        StructField("pos", LongType))))
+      .coalesce(1).write.parquet(outDir)
+    assert(new java.io.File(s"$outDir/_SUCCESS").delete())
+    IcebergExport.exportTable(spark, dir)
+    import spark.implicits._
+    assert(IcebergExport.read(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((0L to 249L) ++ (500L to 999L)),
+      "the partial conversion must be thrown away and redone")
+    assert(new java.io.File(s"$outDir/_SUCCESS").exists(),
+      "the redone conversion commits with its completion marker")
+    val delFiles = IcebergExport.activeDeleteFiles(spark, dir)
+    assert(delFiles.size == 1 &&
+      spark.read.parquet(delFiles.head).count() == 250)
+  }
+
+  test("manifests without committed_at get a monotone fallback instant") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "s1")
+    Thread.sleep(15)
+    Manifest.append((11 to 20).toDF("v"), dir, "s2")
+    Thread.sleep(15)
+    Manifest.append((21 to 30).toDF("v"), dir, "s3")
+    // strip committed_at from the MIDDLE commit — pre-stamping
+    // provenance. An export-time `now` fallback would stamp it AFTER
+    // s3's real instant and break timestamp-ordered resolution.
+    val mf = new java.io.File(s"$dir/manifest-1.json")
+    val txt = scala.io.Source.fromFile(mf).mkString
+    val stripped = txt.replaceAll("\"committed_at\"\\s*:\\s*\\d+,\\s*", "")
+    assert(stripped != txt)
+    val w = new java.io.PrintWriter(mf)
+    try w.write(stripped) finally w.close()
+    // the raw edit invalidates Hadoop LocalFS's sidecar checksum
+    new java.io.File(s"$dir/.manifest-1.json.crc").delete()
+    IcebergExport.exportTable(spark, dir)
+    val meta = IcebergExport.currentMetadata(spark, dir)
+    val JArray(log) = meta \ "snapshot-log"
+    val times = log.map(e => { val JInt(t) = e \ "timestamp-ms"; t.toLong })
+    assert(times == times.sorted, s"snapshot-log must be monotone: $times")
+    // the unknown-instant snapshot INHERITS its predecessor's instant
+    // (its true instant is >= it), never the export time
+    assert(times(1) == times(0) && times(2) > times(1))
+    // resolution is by MAX timestamp <= t: the newest real instant
+    // resolves s3; just before it, the inherited-instant s2
+    assert(IcebergExport.snapshotIdAsOf(spark, dir, times(2)) == 2L)
+    assert(IcebergExport.snapshotIdAsOf(spark, dir, times(2) - 1) == 1L)
+    assert(IcebergExport.readAsOf(spark, dir, times(2) - 1).count() == 20)
+  }
 }

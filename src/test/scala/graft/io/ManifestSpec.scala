@@ -423,4 +423,51 @@ class ManifestSpec extends AnyFunSuite {
       Manifest.exportSymlinkManifest(spark, tmpDir())
     }
   }
+
+  test("string-typed partition pruning matches the row predicate's collation") {
+    val dir = tmpDir()
+    // mixed values force STRING partition inference; '9' IS inside
+    // ['10','95'] lexicographically, so a numeric prune heuristic would
+    // carry the k=9 file untouched while the row predicate matches its
+    // rows — the silent skip ADVICE r7 flagged
+    val df = Seq("9", "10", "95", "x")
+      .flatMap(k => (1 to 10).map(i => (k, i))).toDF("k", "i")
+    Manifest.writePartitioned(df, dir, "base", Seq("k"))
+    assert(Manifest.read(spark, dir).schema("k").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val r = Manifest.deleteRange(spark, dir, "k", "10", "95", "del")
+    assert(r.committed.contains("del"))
+    // '9', '10', '95' all match lexicographically; only 'x' survives
+    val left = Manifest.read(spark, dir)
+    assert(left.count() == 10)
+    assert(left.select("k").distinct().as[String].collect().toSeq == Seq("x"))
+    // the prune touched exactly the three matching partitions
+    assert(r.rewritten.toSet.map((f: String) =>
+      Manifest.partitionValuesOf(f).toMap.apply("k")) == Set("9", "10", "95"))
+    assert(r.carried.forall(f =>
+      Manifest.partitionValuesOf(f).toMap.apply("k") == "x"))
+  }
+
+  test("readChangesSince refuses to span a rewrite commit") {
+    val dir = tmpDir()
+    Manifest.write((1 to 100).toDF("v"), dir, "base")
+    Manifest.append((101 to 140).toDF("v"), dir, "wk1")
+    // compaction re-packs pre-existing rows into new files: a file diff
+    // across it would re-serve all 140 rows as "changes"
+    Manifest.compact(spark, dir, "squashed", targetFileBytes = 1L << 30)
+    val ex = intercept[IllegalStateException] {
+      Manifest.readChangesSince(spark, dir, "base")
+    }
+    assert(ex.getMessage.contains("squashed"))
+    // re-baselined at the rewrite: the clean incremental contract resumes
+    assert(Manifest.readChangesSince(spark, dir, "squashed").isEmpty)
+    Manifest.append((141 to 150).toDF("v"), dir, "wk2")
+    assert(Manifest.readChangesSince(spark, dir, "squashed").get.count() == 10)
+    // COW DML is a rewrite too (survivors of touched files re-land)
+    val cow = Manifest.deleteRange(spark, dir, "v", "1", "10", "purge")
+    assert(cow.committed.contains("purge"))
+    intercept[IllegalStateException] {
+      Manifest.readChangesSince(spark, dir, "wk2")
+    }
+  }
 }
