@@ -4,7 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -322,113 +323,261 @@ object DeltaLog {
     }
   }
 
+  /** DISTRIBUTED state reconstruction — the protocol's checkpoint +
+    * forward fold, as ONE Spark job instead of a driver-side
+    * `LinkedHashMap` fold: the checkpoint parquet and the commit JSONs
+    * (line-framed actions; the commit VERSION recovered from each
+    * file's 20-digit name via `_metadata.file_path`) scan as frames,
+    * union, and resolve last-wins per path with a window (adds outrank
+    * removes within one version — a re-add). Nothing data-proportional
+    * ever lands on the driver: callers filter/join on the returned
+    * frame and collect only the FINAL (pruned) file list, bounded by
+    * the query's selectivity. At a 100 TB table with millions of log
+    * entries (small files, long MOR chains) this is the difference
+    * between a bounded driver and GBs of driver heap — the same reason
+    * Delta itself reconstructs state distributedly.
+    *
+    * Columns: `path, partitionValues, size, modTime, stats, dvStorage`
+    * (the last non-null iff the winning add carries a foreign
+    * `deletionVector` — see [[requireNoDv]]). */
+  private def activeAddsDF(spark: SparkSession, dir: String,
+      version: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (fsys, base) = fs(spark, dir)
+    val ld = logDir(base)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no _delta_log commits under $dir")
+    val target = version.getOrElse(vs.max)
+    require(vs.contains(target), s"no delta version $target under $dir")
+    val ckpt = lastCheckpointVersion(fsys, ld).filter(_ <= target)
+    if (ckpt.isEmpty)
+      require(vs.min == 0 || vs.min <= target,
+        s"log under $dir starts at version ${vs.min} with no checkpoint")
+    readGuards(spark, dir, ld, vs, target, ckpt)
+
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType))))))
+    val actionT = StructType(Seq(
+      StructField("add", addT),
+      StructField("remove", StructType(Seq(StructField("path", StringType))))))
+
+    val commitVs = vs.filter(v => v > ckpt.getOrElse(-1L) && v <= target)
+    val commitDf: Option[DataFrame] =
+      if (commitVs.isEmpty) None
+      else Some(
+        spark.read.text(commitVs.map(v => commitPath(ld, v).toString): _*)
+          .select(
+            F.from_json(F.col("value"), actionT).as("a"),
+            F.regexp_extract(F.col("_metadata.file_path"), "(\\d{20})\\.json$", 1)
+              .cast("long").as("version"))
+          .where(F.col("a.add.path").isNotNull || F.col("a.remove.path").isNotNull)
+          .select(
+            F.coalesce(F.col("a.add.path"), F.col("a.remove.path")).as("path"),
+            F.col("a.add.path").isNotNull.as("isAdd"),
+            F.col("a.add.partitionValues").as("partitionValues"),
+            F.col("a.add.size").as("size"),
+            F.col("a.add.modificationTime").as("modTime"),
+            F.col("a.add.stats").as("stats"),
+            F.col("a.add.deletionVector.storageType").as("dvStorage"),
+            F.col("version")))
+    val ckptDf: Option[DataFrame] = ckpt.map { cv =>
+      val ck = spark.read.parquet(checkpointPath(ld, cv).toString)
+      // a FOREIGN checkpoint may omit optional add fields — null-fill
+      val addStruct = ck.schema("add").dataType.asInstanceOf[StructType]
+      val addFields = addStruct.fieldNames.toSet
+      def f(n: String, dt: DataType): Column =
+        if (addFields.contains(n)) F.col(s"add.`$n`") else F.lit(null).cast(dt)
+      val dv: Column =
+        if (addFields.contains("deletionVector") &&
+          addStruct("deletionVector").dataType.isInstanceOf[StructType] &&
+          addStruct("deletionVector").dataType.asInstanceOf[StructType]
+            .fieldNames.contains("storageType"))
+          F.col("add.deletionVector.storageType")
+        else F.lit(null).cast(StringType)
+      ck.where(F.col("add").isNotNull).select(
+        F.col("add.path").as("path"),
+        F.lit(true).as("isAdd"),
+        f("partitionValues", MapType(StringType, StringType)).as("partitionValues"),
+        f("size", LongType).as("size"),
+        f("modificationTime", LongType).as("modTime"),
+        f("stats", StringType).as("stats"),
+        dv.as("dvStorage"),
+        F.lit(cv).as("version"))
+    }
+    val all = (ckptDf.toSeq ++ commitDf.toSeq).reduce(_.unionByName(_))
+    val w = Window.partitionBy("path")
+      .orderBy(F.col("version").desc, F.col("isAdd").desc)
+    all.withColumn("_rn", F.row_number().over(w))
+      .where(F.col("_rn") === 1 && F.col("isAdd"))
+      .select("path", "partitionValues", "size", "modTime", "stats", "dvStorage")
+  }
+
+  /** READ GUARDS for foreign logs — the protocol's "check before you
+    * read" rules, so a table written by another engine with features
+    * this reader lacks FAILS LOUDLY naming the feature instead of
+    * silently mis-reading:
+    *
+    *  - `protocol.minReaderVersion > 1` (reader features such as
+    *    deletionVectors, columnMapping, v2Checkpoint, timestampNtz) —
+    *    this reader implements only the base protocol.
+    *  - `metaData.configuration["delta.columnMapping.mode"]` other
+    *    than "none" — physical parquet column names would differ from
+    *    the logical schema and every projection would misresolve.
+    *
+    * The scan prefilters on a textual protocol/metaData marker, so its
+    * cost is ∝ the (rare) protocol/metaData lines, not the add lines.
+    * The latest action at or before the target version wins, exactly
+    * like state reconstruction. Percent-encoded foreign `add.path`s
+    * (rare outside exotic column values) remain out of scope —
+    * disclosed here rather than guessed at. */
+  private def readGuards(spark: SparkSession, dir: String, ld: Path,
+      vs: Seq[Long], target: Long, ckpt: Option[Long]): Unit = {
+    val guardT = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("configuration", MapType(StringType, StringType)))))))
+    val commitVs = vs.filter(v => v > ckpt.getOrElse(-1L) && v <= target)
+    // (version, minReader, readerFeatures, columnMappingMode)
+    var proto: Option[(Long, Int, Seq[String])] = None
+    var cmMode: Option[(Long, String)] = None
+    ckpt.foreach { cv =>
+      val ck = spark.read.parquet(checkpointPath(ld, cv).toString)
+      if (ck.columns.contains("protocol")) {
+        val pT = ck.schema("protocol").dataType.asInstanceOf[StructType]
+        val feats =
+          if (pT.fieldNames.contains("readerFeatures"))
+            F.col("protocol.readerFeatures")
+          else F.lit(null).cast(ArrayType(StringType))
+        ck.where(F.col("protocol").isNotNull)
+          .select(F.col("protocol.minReaderVersion"), feats)
+          .collect().headOption.foreach { r =>
+            proto = Some((cv, r.getInt(0),
+              if (r.isNullAt(1)) Nil else r.getSeq[String](1)))
+          }
+      }
+      if (ck.columns.contains("metaData")) {
+        val mT = ck.schema("metaData").dataType.asInstanceOf[StructType]
+        if (mT.fieldNames.contains("configuration"))
+          ck.where(F.col("metaData").isNotNull)
+            .select(F.col("metaData.configuration")).collect().headOption
+            .foreach { r =>
+              val m = Option(r.getMap[String, String](0))
+                .map(_.toMap).getOrElse(Map.empty)
+              cmMode = Some((cv, m.getOrElse("delta.columnMapping.mode", "none")))
+            }
+      }
+    }
+    if (commitVs.nonEmpty) {
+      spark.read.text(commitVs.map(v => commitPath(ld, v).toString): _*)
+        .where(F.col("value").contains("\"protocol\"") ||
+          F.col("value").contains("\"metaData\""))
+        .select(
+          F.from_json(F.col("value"), guardT).as("a"),
+          F.regexp_extract(F.col("_metadata.file_path"), "(\\d{20})\\.json$", 1)
+            .cast("long").as("version"))
+        .where(F.col("a.protocol").isNotNull || F.col("a.metaData").isNotNull)
+        .collect().foreach { r =>
+          val v = r.getLong(1)
+          val a = r.getStruct(0)
+          val p = if (a.isNullAt(0)) None else Some(a.getStruct(0))
+          p.filter(s => !s.isNullAt(0)).foreach { s =>
+            if (proto.forall(_._1 <= v))
+              proto = Some((v, s.getInt(0),
+                if (s.isNullAt(1)) Nil else s.getSeq[String](1)))
+          }
+          val m = if (a.isNullAt(1)) None else Some(a.getStruct(1))
+          m.foreach { s =>
+            val conf =
+              if (s.isNullAt(0)) Map.empty[String, String]
+              else s.getMap[String, String](0).toMap
+            if (cmMode.forall(_._1 <= v))
+              cmMode = Some((v, conf.getOrElse("delta.columnMapping.mode", "none")))
+          }
+        }
+    }
+    proto.foreach { case (_, mrv, feats) =>
+      if (mrv > 1)
+        throw new UnsupportedOperationException(
+          s"delta table under $dir requires minReaderVersion=$mrv" +
+            (if (feats.nonEmpty) s" with reader features ${feats.mkString("[", ", ", "]")}"
+            else "") +
+            "; this reader supports only the base protocol (minReaderVersion=1)")
+    }
+    cmMode.foreach { case (_, mode) =>
+      if (mode != "none")
+        throw new UnsupportedOperationException(
+          s"delta column mapping mode '$mode' under $dir is not supported: " +
+            "physical parquet column names would be misread")
+    }
+  }
+
+  /** Throw iff any collected active add carries a `deletionVector` —
+    * reading such a file would silently RESURRECT deleted rows, the
+    * exact failure a loud guard exists to prevent. `dvIdx` is the
+    * collected rows' dvStorage ordinal. */
+  private def requireNoDv(rows: Array[Row], dvIdx: Int, dir: String): Array[Row] = {
+    if (rows.exists(r => !r.isNullAt(dvIdx)))
+      throw new UnsupportedOperationException(
+        s"delta table under $dir has active add actions carrying " +
+          "deletionVector (merge-on-read deletion vectors): reading would " +
+          "silently include deleted rows; feature not supported")
+    rows
+  }
+
   /** Active data-file paths (table-root-relative) at `version`
-    * (default: latest), reconstructed per the protocol: start from the
-    * newest checkpoint ≤ version if one exists, fold commit JSONs
-    * forward applying `add`/`remove`. */
+    * (default: latest), reconstructed per the protocol by
+    * [[activeAddsDF]]'s distributed replay (path-sorted for
+    * determinism). The unpruned list is inherently ∝ active files —
+    * it IS the scan plan; pruned readers go through [[prunedFiles]] /
+    * [[partitionPrunedFiles]], which filter BEFORE collecting. */
   def activeFiles(spark: SparkSession, dir: String,
       version: Option[Long] = None): Seq[String] =
-    activeFileStats(spark, dir, version).map(_._1)
+    requireNoDv(activeAddsDF(spark, dir, version)
+      .select("path", "dvStorage").orderBy("path").collect(), 1, dir)
+      .map(_.getString(0)).toSeq
 
   /** [[activeFiles]] plus each file's `add.stats` JSON (None when the
     * log entry carried none — a reader must treat absence as "cannot
     * prune", never as "no rows"). */
   def activeFileStats(spark: SparkSession, dir: String,
-      version: Option[Long] = None): Seq[(String, Option[String])] = {
-    val (fsys, base) = fs(spark, dir)
-    val ld = logDir(base)
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"no _delta_log commits under $dir")
-    val target = version.getOrElse(vs.max)
-    require(vs.contains(target), s"no delta version $target under $dir")
-    val ckpt = lastCheckpointVersion(fsys, ld).filter(_ <= target)
-    val active = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
-    ckpt match {
-      case Some(cv) =>
-        val ck = spark.read.parquet(checkpointPath(ld, cv).toString)
-        val hasStats = ck.schema("add").dataType
-          .asInstanceOf[StructType].fieldNames.contains("stats")
-        val picked =
-          if (hasStats) ck.selectExpr("add.path", "add.stats")
-          else ck.selectExpr("add.path", "CAST(NULL AS STRING)")
-        picked.where("add IS NOT NULL").collect()
-          .map(r => r.getString(0) -> Option(r.getString(1)))
-          .sortBy(_._1).foreach { case (p, s) => active(p) = s }
-      case None =>
-        require(vs.min == 0 || vs.min <= target,
-          s"log under $dir starts at version ${vs.min} with no checkpoint")
-    }
-    val foldFrom = ckpt.getOrElse(-1L)
-    vs.filter(v => v > foldFrom && v <= target).foreach { v =>
-      readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty).foreach { line =>
-        val j = JsonMethods.parse(line)
-        j \ "add" \ "path" match {
-          case JString(p) =>
-            active(p) = j \ "add" \ "stats" match {
-              case JString(s) => Some(s)
-              case _ => None
-            }
-          case _ =>
-        }
-        j \ "remove" \ "path" match {
-          case JString(p) => active -= p
-          case _ =>
-        }
-      }
-    }
-    active.toSeq
-  }
+      version: Option[Long] = None): Seq[(String, Option[String])] =
+    requireNoDv(activeAddsDF(spark, dir, version)
+      .select("path", "stats", "dvStorage").orderBy("path").collect(), 2, dir)
+      .map(r => r.getString(0) -> Option(r.getString(1))).toSeq
 
   /** [[activeFiles]] plus each file's `add.partitionValues` (empty map
     * on an unpartitioned table). */
   def activeFilePartitions(spark: SparkSession, dir: String,
-      version: Option[Long] = None): Seq[(String, Map[String, String])] = {
-    val (fsys, base) = fs(spark, dir)
-    val ld = logDir(base)
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"no _delta_log commits under $dir")
-    val target = version.getOrElse(vs.max)
-    require(vs.contains(target), s"no delta version $target under $dir")
-    val ckpt = lastCheckpointVersion(fsys, ld).filter(_ <= target)
-    val active = scala.collection.mutable.LinkedHashMap[String, Map[String, String]]()
-    ckpt.foreach { cv =>
-      spark.read.parquet(checkpointPath(ld, cv).toString)
-        .selectExpr("add.path", "add.partitionValues")
-        .where("add IS NOT NULL").collect()
-        .map(r => r.getString(0) ->
-          Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))
-        .sortBy(_._1).foreach { case (p, m) => active(p) = m }
-    }
-    val foldFrom = ckpt.getOrElse(-1L)
-    vs.filter(v => v > foldFrom && v <= target).foreach { v =>
-      readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty).foreach { line =>
-        val j = JsonMethods.parse(line)
-        j \ "add" \ "path" match {
-          case JString(p) =>
-            active(p) = j \ "add" \ "partitionValues" match {
-              case JObject(kvs) => kvs.collect {
-                case (k, JString(value)) => k -> value }.toMap
-              case _ => Map.empty
-            }
-          case _ =>
-        }
-        j \ "remove" \ "path" match {
-          case JString(p) => active -= p
-          case _ =>
-        }
-      }
-    }
-    active.toSeq
-  }
+      version: Option[Long] = None): Seq[(String, Map[String, String])] =
+    requireNoDv(activeAddsDF(spark, dir, version)
+      .select("path", "partitionValues", "dvStorage")
+      .orderBy("path").collect(), 2, dir)
+      .map(r => r.getString(0) ->
+        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))
+      .toSeq
 
   /** Partition prune straight off the log: active files whose
     * `partitionValues` match every `equalTo` entry — EXACT (path-value
-    * equality), unlike the bounds reasoning in [[prunedFiles]]. */
+    * equality), unlike the bounds reasoning in [[prunedFiles]]. The
+    * match runs INSIDE the replay frame; only matching paths are ever
+    * collected. */
   def partitionPrunedFiles(spark: SparkSession, dir: String,
-      equalTo: Map[String, String]): Seq[String] =
-    activeFilePartitions(spark, dir).collect {
-      case (p, pv) if equalTo.forall { case (k, v) => pv.get(k).contains(v) } => p
+      equalTo: Map[String, String]): Seq[String] = {
+    val cond = equalTo.foldLeft(F.lit(true)) { case (acc, (k, v)) =>
+      acc && (F.element_at(F.col("partitionValues"), k) === F.lit(v))
     }
+    requireNoDv(activeAddsDF(spark, dir, None).where(cond)
+      .select("path", "dvStorage").orderBy("path").collect(), 1, dir)
+      .map(_.getString(0)).toSeq
+  }
 
   /** Read only the partitions [[partitionPrunedFiles]] keeps (basePath
     * read — the hive columns come back as real columns). Zero matching
@@ -455,21 +604,30 @@ object DeltaLog {
     require(vs.nonEmpty, s"no _delta_log commits under $dir")
     val target = version.getOrElse(vs.max)
     val ckpt = lastCheckpointVersion(fsys, ld).filter(_ <= target)
-    var schemaStr: Option[String] = ckpt.flatMap { cv =>
+    val fromCkpt: Option[String] = ckpt.flatMap { cv =>
       spark.read.parquet(checkpointPath(ld, cv).toString)
         .selectExpr("metaData.schemaString").where("metaData IS NOT NULL")
         .collect().headOption.map(_.getString(0))
     }
+    // last metaData action wins — resolved as ONE scan over the commit
+    // JSONs (metaData lines are rare: creation + schema changes), never
+    // a driver-side read of every commit's full body
     val foldFrom = ckpt.getOrElse(-1L)
-    vs.filter(v => v > foldFrom && v <= target).foreach { v =>
-      readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty)
-        .foreach(line =>
-          JsonMethods.parse(line) \ "metaData" \ "schemaString" match {
-            case JString(s) => schemaStr = Some(s) // last metaData wins
-            case _ =>
-          })
-    }
-    DataType.fromJson(schemaStr.getOrElse(
+    val commitVs = vs.filter(v => v > foldFrom && v <= target)
+    val metaT = StructType(Seq(StructField("metaData",
+      StructType(Seq(StructField("schemaString", StringType))))))
+    val fromCommits: Option[String] =
+      if (commitVs.isEmpty) None
+      else spark.read.text(commitVs.map(v => commitPath(ld, v).toString): _*)
+        .select(
+          F.from_json(F.col("value"), metaT).getField("metaData")
+            .getField("schemaString").as("s"),
+          F.regexp_extract(F.col("_metadata.file_path"), "(\\d{20})\\.json$", 1)
+            .cast("long").as("version"))
+        .where(F.col("s").isNotNull)
+        .orderBy(F.col("version").desc).limit(1)
+        .collect().headOption.map(_.getString(0))
+    DataType.fromJson(fromCommits.orElse(fromCkpt).getOrElse(
       throw new IllegalStateException(s"no metaData action under $dir")))
       .asInstanceOf[StructType]
   }
@@ -522,15 +680,54 @@ object DeltaLog {
   }
 
   /** Active files that MAY hold rows with `column` ∈ [lo, hi] (stats
-    * bounds compared per [[statsMayMatch]]; date/timestamp bounds take
-    * their fixed-width ISO rendering, e.g. "1995-03-15" /
-    * "1995-03-15T00:00:00.000000Z"). */
+    * bounds compared per [[statsMayMatch]]'s semantics; date/timestamp
+    * bounds take their fixed-width ISO rendering, e.g. "1995-03-15" /
+    * "1995-03-15T00:00:00.000000Z").
+    *
+    * The prune predicate runs INSIDE [[activeAddsDF]]'s replay frame
+    * (`get_json_object` over `add.stats`), so only the files that
+    * survive it are ever collected — driver state ∝ the query's
+    * selectivity, not the table's file count. Comparison mode comes
+    * from the table schema: numeric columns compare after a cast to
+    * double (monotone, hence SOUND: it can only keep extra files at
+    * >2^53 magnitudes, never skip a matching one — [[statsMayMatch]]'s
+    * exact BigDecimal compare remains the per-file reference
+    * semantics); everything else compares as rendered strings, which
+    * the fixed-width ISO renderings make order-correct. Every
+    * unprovable case (no stats, missing bounds, unparsable literal,
+    * unknown column) fails OPEN via coalesce — keep the file. */
   def prunedFiles(spark: SparkSession, dir: String, column: String,
-      lo: String, hi: String, version: Option[Long] = None): Seq[String] =
-    activeFileStats(spark, dir, version).collect {
-      case (p, None) => p
-      case (p, Some(st)) if statsMayMatch(st, column, lo, hi) => p
+      lo: String, hi: String, version: Option[Long] = None): Seq[String] = {
+    val cn = column
+    val active = activeAddsDF(spark, dir, version)
+    val dtOpt = tableSchema(spark, dir, version)
+      .find(_.name == cn).map(_.dataType)
+    val keep: Column = dtOpt match {
+      case None => F.lit(true) // not a table column: nothing to prune on
+      case Some(dt) =>
+        require(cn.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"unprunable column name for a JSON-path lookup: '$cn'")
+        val minS = F.get_json_object(F.col("stats"), s"$$.minValues.$cn")
+        val maxS = F.get_json_object(F.col("stats"), s"$$.maxValues.$cn")
+        val nc = F.get_json_object(F.col("stats"), s"$$.nullCount.$cn")
+          .cast("long")
+        val nr = F.get_json_object(F.col("stats"), "$.numRecords").cast("long")
+        def cv(c: Column): Column = dt match {
+          case _: NumericType => c.cast("double")
+          case _ => c
+        }
+        val below = cv(maxS) < cv(F.lit(lo)) // max < lo ⇒ cannot match
+        val above = cv(minS) > cv(F.lit(hi)) // min > hi ⇒ cannot match
+        val boundsKeep = F.coalesce(F.not(below || above), F.lit(true))
+        // no bounds: skip only a PROVEN all-null column (a range
+        // predicate never matches NULL)
+        val nullsKeep = F.coalesce(F.not(nr > 0 && nc === nr), F.lit(true))
+        F.when(minS.isNull || maxS.isNull, nullsKeep).otherwise(boundsKeep)
     }
+    requireNoDv(active.where(F.col("stats").isNull || keep)
+      .select("path", "dvStorage").orderBy("path").collect(), 1, dir)
+      .map(_.getString(0)).toSeq
+  }
 
   /** Read only the files [[prunedFiles]] keeps. Row-level filtering is
     * still the CALLER's job — bounds only prove which files cannot
@@ -556,14 +753,22 @@ object DeltaLog {
   def versionTimestamps(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
     val (fsys, base) = fs(spark, dir)
     val ld = logDir(base)
-    versions(spark, dir).flatMap { v =>
-      readText(fsys, commitPath(ld, v)).split('\n').filter(_.nonEmpty)
-        .flatMap(line =>
-          JsonMethods.parse(line) \ "commitInfo" \ "timestamp" match {
-            case JInt(ts) => Some(v -> ts.toLong)
-            case _ => None
-          }).headOption
-    }
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return Nil
+    // one scan over the commit JSONs (each carries exactly one
+    // commitInfo line); result ∝ retained versions, not log bytes
+    val ciT = StructType(Seq(StructField("commitInfo",
+      StructType(Seq(StructField("timestamp", LongType))))))
+    spark.read.text(vs.map(v => commitPath(ld, v).toString): _*)
+      .select(
+        F.from_json(F.col("value"), ciT).getField("commitInfo")
+          .getField("timestamp").as("ts"),
+        F.regexp_extract(F.col("_metadata.file_path"), "(\\d{20})\\.json$", 1)
+          .cast("long").as("version"))
+      .where(F.col("ts").isNotNull)
+      .groupBy("version").agg(F.min("ts").as("ts"))
+      .orderBy("version")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
   }
 
   /** `TIMESTAMP AS OF` through the log: the newest version whose commit

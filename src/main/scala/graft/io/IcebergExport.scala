@@ -9,7 +9,8 @@ import org.apache.avro.{Schema => AvroSchema}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -787,6 +788,41 @@ object IcebergExport {
 
   // ---- reader side (HadoopTables resolution), for specs + queries ------
 
+  /** Manifest entries of one snapshot as a DataFrame: the KB-sized
+    * manifest LIST resolves driver-side, but the entry manifests
+    * themselves (∝ file count) decode EXECUTOR-side through
+    * [[AvroIO.readAvro]] (one task per manifest file) — so readers
+    * filter and prune inside the frame and collect only the final scan
+    * list, keeping driver state bounded by the query's selectivity
+    * rather than the table's file count. */
+  private def entriesDF(spark: SparkSession, fsys: FileSystem,
+      listPath: String, content: Int): Option[DataFrame] = {
+    val mfs = readAvroFile(fsys, new Path(listPath))
+      .filter(_.get("content") == content)
+      .map(_.get("manifest_path").toString)
+    if (mfs.isEmpty) None
+    else Some(mfs.map(p => AvroIO.readAvro(spark, p))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** Little-endian two's-complement bytes → signed long, in pure SQL:
+    * hex-render, reorder to big-endian, sign-extend to 64 bits, signed
+    * base-16→10 `conv` — the executor-side face of [[decodeBound]] for
+    * the integral kinds (int/long/date/timestamp/boolean). */
+  private def leSigned(value: Column, width: Int): Column = {
+    val h = F.hex(value) // uppercase, two chars per byte
+    val be =
+      if (width == 1) h
+      else F.concat((width to 1 by -1).map(i =>
+        F.substring(h, (i - 1) * 2 + 1, 2)): _*)
+    val ext =
+      if (width == 8) be
+      else F.when(
+        F.substring(be, 1, 1).isin("8", "9", "A", "B", "C", "D", "E", "F"),
+        F.concat(F.lit("F" * ((8 - width) * 2)), be)).otherwise(be)
+    F.conv(ext, 16, -10).cast("long")
+  }
+
   private def readText(fsys: FileSystem, p: Path): String = {
     val in = fsys.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -818,14 +854,11 @@ object IcebergExport {
       case _ => throw new IllegalStateException("no snapshots array")
     }
     val JString(listPath) = snap \ "manifest-list"
-    readAvroFile(fsys, new Path(listPath))
-      .filter(_.get("content") == 0) // data manifests only
-      .flatMap { mf =>
-        val mp = mf.get("manifest_path").toString
-        readAvroFile(fsys, new Path(mp)).map { e =>
-          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString
-        }
-      }
+    // executor-side decode; collect = the scan's file list (inherent
+    // for an unpruned read — it IS the plan; pruned reads go through
+    // [[activeFilesPruned]], which filters before collecting)
+    entriesDF(spark, fsys, listPath, 0).toSeq.flatMap(
+      _.select(F.col("data_file.file_path")).collect().map(_.getString(0)))
   }
 
   /** POSITION-DELETE file URIs of a snapshot (content=1 manifests) —
@@ -845,12 +878,21 @@ object IcebergExport {
       case _ => throw new IllegalStateException("no snapshots array")
     }
     val JString(listPath) = snap \ "manifest-list"
-    readAvroFile(fsys, new Path(listPath))
-      .filter(_.get("content") == 1)
-      .flatMap { mf =>
-        readAvroFile(fsys, new Path(mf.get("manifest_path").toString)).map(e =>
-          e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+    entriesDF(spark, fsys, listPath, 1).toSeq.flatMap { e =>
+      val rows = e.select(F.col("data_file.file_path"),
+        F.col("data_file.content")).collect()
+      // v2 delete files are content=1 (position) or content=2
+      // (EQUALITY); this engine never writes equality deletes and a
+      // reader that ignored them would resurrect deleted rows — guard
+      // loudly for foreign tables
+      rows.find(_.getInt(1) == 2).foreach { r =>
+        throw new UnsupportedOperationException(
+          s"iceberg snapshot under $dir carries EQUALITY delete files " +
+            s"(content=2, e.g. ${r.getString(0)}): applying them is not " +
+            "supported; reading would silently include deleted rows")
       }
+      rows.map(_.getString(0))
+    }
   }
 
   /** Data-skipping scan plan: the current snapshot's data files that MAY
@@ -955,27 +997,92 @@ object IcebergExport {
     }
 
     val JString(listPath) = snap \ "manifest-list"
-    readAvroFile(fsys, new Path(listPath))
-      .filter(_.get("content") == 0)
-      .flatMap { mf =>
-      readAvroFile(fsys, new Path(mf.get("manifest_path").toString)).flatMap { e =>
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        val partKeep =
-          if (!isPartitionSource) None
-          else partitionValueOf(df).map(v =>
-            cmpBound(v, loV) >= 0 && cmpBound(v, hiV) <= 0)
-        val keep = partKeep.getOrElse(
-          (boundOf(df, "lower_bounds"), boundOf(df, "upper_bounds")) match {
-            case (Some(mn), Some(mx)) =>
-              !(cmpBound(mx, loV) < 0 || cmpBound(mn, hiV) > 0)
-            case _ =>
-              // no bounds: skip only a PROVEN all-null column
-              !(for (vc <- countOf(df, "value_counts");
-                     nc <- countOf(df, "null_value_counts"))
-                yield vc > 0 && vc == nc).getOrElse(false)
-          })
-        if (keep) Some(df.get("file_path").toString) else None
-      }
+    typeName match {
+      case "float" | "double" =>
+        // IEEE bound bytes have no sound pure-SQL decode — the ONE kind
+        // that still judges driver-side (state ∝ files for the duration
+        // of the prune; disclosed)
+        readAvroFile(fsys, new Path(listPath))
+          .filter(_.get("content") == 0)
+          .flatMap { mf =>
+            readAvroFile(fsys, new Path(mf.get("manifest_path").toString))
+              .flatMap { e =>
+                val df = e.get("data_file").asInstanceOf[GenericRecord]
+                val partKeep =
+                  if (!isPartitionSource) None
+                  else partitionValueOf(df).map(v =>
+                    cmpBound(v, loV) >= 0 && cmpBound(v, hiV) <= 0)
+                val keep = partKeep.getOrElse(
+                  (boundOf(df, "lower_bounds"), boundOf(df, "upper_bounds")) match {
+                    case (Some(mn), Some(mx)) =>
+                      !(cmpBound(mx, loV) < 0 || cmpBound(mn, hiV) > 0)
+                    case _ =>
+                      !(for (vc <- countOf(df, "value_counts");
+                             nc <- countOf(df, "null_value_counts"))
+                        yield vc > 0 && vc == nc).getOrElse(false)
+                  })
+                if (keep) Some(df.get("file_path").toString) else None
+              }
+          }
+      case _ =>
+        // DISTRIBUTED prune: bounds decode + range test run inside the
+        // entries frame; only surviving file paths are collected
+        val entries = entriesDF(spark, fsys, listPath, 0) match {
+          case Some(e) => e
+          case None => return Nil
+        }
+        val dfc = F.col("data_file")
+        def mapVal(field: String): Column =
+          F.element_at(F.filter(dfc.getField(field),
+            x => x.getField("key") === F.lit(fid.toInt)), 1).getField("value")
+        def dec(c: Column): Column = typeName match {
+          case "int" | "date" => leSigned(c, 4)
+          case "long" | "timestamp" | "timestamptz" => leSigned(c, 8)
+          case "boolean" => leSigned(c, 1)
+          case "string" => c.cast("string")
+          case other => throw new IllegalArgumentException(
+            s"undecodable bound type: $other")
+        }
+        val (loC, hiC) = typeName match {
+          case "string" => (F.lit(lo), F.lit(hi))
+          case "boolean" =>
+            (F.lit(if (lo.toBoolean) 1L else 0L),
+              F.lit(if (hi.toBoolean) 1L else 0L))
+          case _ =>
+            (F.lit(parseBound(typeName, lo).asInstanceOf[Long]),
+              F.lit(parseBound(typeName, hi).asInstanceOf[Long]))
+        }
+        val loB = dec(mapVal("lower_bounds"))
+        val hiB = dec(mapVal("upper_bounds"))
+        val vc = mapVal("value_counts")
+        val nc = mapVal("null_value_counts")
+        // bounds verdict when provable; else the all-null skip; every
+        // null/unprovable branch falls OPEN to keep
+        val boundsKeep = F.coalesce(
+          F.not(hiB < loC || loB > hiC),
+          F.coalesce(F.not(vc > F.lit(0L) && vc === nc), F.lit(true)))
+        val keep =
+          if (!isPartitionSource) boundsKeep
+          else {
+            val partT = entries.schema("data_file").dataType
+              .asInstanceOf[StructType].apply("partition").dataType
+              .asInstanceOf[StructType]
+            if (!partT.fieldNames.contains(column)) boundsKeep
+            else {
+              // identity-partition value: an equality-grade prune,
+              // tighter than any bounds reasoning
+              val pv0 = dfc.getField("partition").getField(column)
+              val (pv, pl, ph) = typeName match {
+                case "string" => (pv0, F.lit(lo), F.lit(hi))
+                case _ => (pv0.cast("long"),
+                  F.lit(parseBound(typeName, lo).asInstanceOf[Long]),
+                  F.lit(parseBound(typeName, hi).asInstanceOf[Long]))
+              }
+              F.when(pv.isNotNull, pv >= pl && pv <= ph).otherwise(boundsKeep)
+            }
+          }
+        entries.where(keep).select(F.col("data_file.file_path"))
+          .collect().map(_.getString(0)).toSeq
     }
   }
 

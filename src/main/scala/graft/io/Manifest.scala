@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
 
 /**
  * Manifest-committed table directory: the minimal snapshot-isolation
@@ -203,23 +204,72 @@ object Manifest {
     sb.toString
   }
 
+  /** Seqs of retained manifests recovered from the KEY NAMES alone (the
+    * commit protocol keys every manifest by its seq) — zero content
+    * reads, so resolving "which manifest is current" costs one LIST of
+    * KB-sized keys however many files the table has. */
+  private def manifestSeqs(fsys: FileSystem, base: Path): Seq[Long] =
+    if (!fsys.exists(base)) Nil
+    else fsys.listStatus(base).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("manifest-") && n.endsWith(".json"))
+      .map(_.stripPrefix("manifest-").stripSuffix(".json"))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).sorted
+
+  /** The current manifest's body as a DataFrame — the DISTRIBUTED face
+    * of the state for everything data-proportional: the manifest JSON
+    * (∝ active file count) is parsed executor-side (multiLine JSON
+    * scan), the manifest to read is chosen from the listing alone
+    * ([[manifestSeqs]]), and callers filter BEFORE collecting, so a
+    * pruned read's driver state is bounded by its selectivity — never
+    * by the table's file count. Columns: `file` (one row per data
+    * file) plus the scalar `snapshot`/`commit_seq`. */
+  private[graft] def currentFilesDF(spark: SparkSession, dir: String): DataFrame = {
+    val (fsys, base) = fs(spark, dir)
+    val seqs = manifestSeqs(fsys, base)
+    require(seqs.nonEmpty, s"no committed snapshot under $dir")
+    spark.read.option("multiLine", "true")
+      .json(manifestPath(dir, seqs.max).toString)
+      .select(F.col("snapshot"), F.col("commit_seq"),
+        F.explode(F.col("files")).as("file"))
+  }
+
   /** The current snapshot restricted to partitions where every
     * `equalTo` entry matches the file's `k=v` path values — an EXACT
     * manifest-level prune (no footer reads, no data-tree listing, no
-    * bounds reasoning). Zero matching partitions → empty frame with the
-    * table schema. */
+    * bounds reasoning), evaluated INSIDE [[currentFilesDF]]'s frame so
+    * only matching paths are ever collected. Values compare in their
+    * hive-ESCAPED path rendering (escaped with the same escaper Spark's
+    * partitioned writer used), which sidesteps any unescape ambiguity.
+    * Zero matching partitions → empty frame with the table schema. */
   def readWherePartitions(spark: SparkSession, dir: String,
       equalTo: Map[String, String]): DataFrame = {
     val (fsys, base) = fs(spark, dir)
-    val m = retained(fsys, base).lastOption.getOrElse(
-      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
-    require(m.files.nonEmpty, s"no committed snapshot under $dir")
-    val kept = m.files.filter { f =>
-      val pv = partitionValuesOf(f).toMap
-      equalTo.forall { case (k, v) => pv.get(k).contains(v) }
+    val seqs = manifestSeqs(fsys, base)
+    require(seqs.nonEmpty, s"no committed snapshot under $dir")
+    val raw = spark.read.option("multiLine", "true")
+      .json(manifestPath(dir, seqs.max).toString)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val cond = equalTo.foldLeft(F.lit(true)) { case (acc, (k, v)) =>
+      // every partition segment sits between '/'s (the data dir leads,
+      // the part file trails); '/' inside values is always escaped
+      acc && F.col("file").contains(s"/${escapePathName(k)}=${escapePathName(v)}/")
     }
-    if (kept.isEmpty) readFiles(spark, dir, m.files).limit(0)
-    else readFilesApplyingDeletes(spark, dir, kept, m.deleteFiles)
+    val kept = raw.select(F.explode(F.col("files")).as("file")).where(cond)
+      .orderBy("file").collect().map(_.getString(0)).toSeq
+    // the merge-on-read delete list is small by design — collect it whole
+    val delFiles =
+      if (!raw.columns.contains("delete_files")) Nil
+      else raw.select(F.explode(F.col("delete_files")).as("d"))
+        .orderBy("d").collect().map(_.getString(0)).toSeq
+    if (kept.nonEmpty) readFilesApplyingDeletes(spark, dir, kept, delFiles)
+    else {
+      // rare path: zero matches — the full list is needed once, for the
+      // table's schema
+      val all = raw.select(F.explode(F.col("files")).as("file"))
+        .orderBy("file").collect().map(_.getString(0)).toSeq
+      require(all.nonEmpty, s"no committed snapshot under $dir")
+      readFiles(spark, dir, all).limit(0)
+    }
   }
 
   /** File-list read with partition-column recovery. A flat list stays
@@ -776,6 +826,24 @@ object Manifest {
       n.toInt, clusterCols.map(org.apache.spark.sql.functions.col): _*)
     writeImpl(df, dir, snapshot, () => (), rewrite = true)
     n
+  }
+
+  /** Compaction for a HIVE-PARTITIONED table: same new-snapshot /
+    * no-reader-race / MOR-purge contract as [[compact]], but the
+    * rewrite KEEPS the `col=value/` layout — a flat compact would
+    * silently break every partition-exact read
+    * ([[readWherePartitions]]) on the table. The shuffle hashes on the
+    * partition columns, so each partition value lands in exactly one
+    * task and writes exactly one file per partition tree — the
+    * small-file purge for the streaming append cadence. Returns the
+    * new snapshot's file count. */
+  def compactPartitioned(spark: SparkSession, dir: String, snapshot: String,
+      partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "compactPartitioned needs partition columns")
+    val df = read(spark, dir).repartition(partitionCols.map(F.col): _*)
+    writeImpl(df, dir, snapshot, () => (), partitionCols = partitionCols,
+      rewrite = true)
+    currentFiles(spark, dir).size.toLong
   }
 
   /** Retention: keep the `keepLast` newest retained manifests (the

@@ -145,6 +145,31 @@ object PrefixSum {
     withOuts.drop("__g", "__pid", "__bases")
   }
 
+  /** Global `row_number()` in (`orderCol` DESC, `tieCols` ASC) order
+    * WITHOUT an unpartitioned window — the ranking face of the same
+    * two-pass idiom: range-bucket on `orderCol` (equal values always
+    * share a bucket — the id is a pure function of the value — so a
+    * string tiebreak never crosses buckets), rank locally per bucket,
+    * add per-bucket base offsets (an exclusive scan over |ranges|
+    * driver values, bounded by cluster width, never data). Bit-identical
+    * to `row_number().over(Window.orderBy(desc(orderCol), ties…))`. */
+  def rankDesc(df: DataFrame, orderCol: String, tieCols: Seq[String],
+      outCol: String, numRanges: Int = 0): DataFrame = {
+    val (pidded, pid) = rangeId(df, orderCol, numRanges)
+    val cnts = pidded.groupBy(pid).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = cnts.keys.toSeq.sorted
+    // descending rank: a bucket's base = total rows in HIGHER buckets
+    val baseMap = pids.map(p => p -> pids.filter(_ > p).map(cnts).sum).toMap
+    val baseCol = baseMap.foldLeft(lit(0L)) { case (acc, (p, b)) =>
+      when(pid === lit(p), lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(pid)
+      .orderBy(col(orderCol).desc +: tieCols.map(col): _*)
+    pidded.withColumn(outCol,
+      (baseCol + row_number().over(w)).cast("long")).drop("__pid")
+  }
+
   /** The 2-D skyline staircase, distributed: running MAX of `valueCol`
     * over rows with a strictly-smaller (`ltCol`) and smaller-or-equal
     * (`leCol`) `orderCol`. `ltCol` is null on the global minimum (no

@@ -305,6 +305,87 @@ object Curate {
            |WHERE domain NOT IN ('d0a.com','d1b.org','d2c.net','d3d.co.uk','d4e.ac.uk','dff.com')
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // HTML → text extraction (ext/HtmlText — VERDICT r7 item 5): one
+  // deterministic synthetic page per doc (head+style+title, a nav bar
+  // of links, an h1, the doc text as the article body, a script block
+  // on every 3rd doc whose body contains a BARE `<`, an HTML comment,
+  // an entity-laden appendix paragraph, a footer) — regenerable from
+  // the same md5 twin in DuckDB. Extraction: drop script/style/title/
+  // comment subtrees, split at block tags, strip inline tags, decode
+  // entities, collapse whitespace, and gate boilerplate by the integer
+  // text-to-markup density rule (nav/footer/h1 die, article+appendix
+  // survive). fp = md5 of the full extracted text, so a hash match
+  // proves the two engines agree on every BYTE of the extraction, not
+  // just on counts.
+  private val htmlExtract = Q(
+    "q_html_extract",
+    (s, dir) => {
+      val id = col("doc_id")
+      val hex = md5(id.cast("string"))
+      val title = concat(lit("Doc "), id.cast("string"))
+      val html = concat(
+        lit("<html><head><title>"), title,
+        lit("</title><style>p{margin:0} .x{color:red}</style></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> | " +
+          "<a href=\"/about\">About</a> | <a href=\"/login\">Login</a></div>"),
+        lit("<h1>"), title, lit("</h1>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        when(id % 3 === 0, lit("<script type=\"text/javascript\">var x=1; " +
+          "if (x<2) { x = x+1; } track(\"page\");</script>")).otherwise(lit("")),
+        lit("<!-- render "), substring(hex, 1, 4), lit(" -->"),
+        lit("<p>Appendix "), substring(hex, 1, 16),
+        lit(" &amp; checksum "), substring(hex, 17, 8),
+        lit(" &lt;verified&gt; &#39;ok&#39; &quot;final&quot;</p>"),
+        lit("<div class=\"footer\">&copy; 2020 corp &middot; terms</div>"),
+        lit("</body></html>"))
+      t(s, dir, "documents").select(id.as("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          size(graft.ext.HtmlText.nonEmptyBlocks(col("html")))
+            .cast("long").as("n_blocks"),
+          size(graft.ext.HtmlText.keptBlocks(col("html")))
+            .cast("long").as("n_kept"),
+          graft.ext.HtmlText.extract(col("html")).as("extracted"))
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          length(col("extracted")).cast("long").as("n_chars"),
+          md5(col("extracted")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           |  || '</title><style>p{margin:0} .x{color:red}</style></head><body>'
+           |  || '<div class="nav"><a href="/">Home</a> | <a href="/about">About</a> | <a href="/login">Login</a></div>'
+           |  || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+           |  || '<p>' || text || '</p>'
+           |  || (CASE WHEN doc_id % 3 = 0 THEN '<script type="text/javascript">var x=1; if (x<2) { x = x+1; } track("page");</script>' ELSE '' END)
+           |  || '<!-- render ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) || ' -->'
+           |  || '<p>Appendix ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+           |  || ' &amp; checksum ' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8)
+           |  || ' &lt;verified&gt; &#39;ok&#39; &quot;final&quot;</p>'
+           |  || '<div class="footer">&copy; 2020 corp &middot; terms</div></body></html>' AS html
+           |  FROM documents),
+           |c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+           |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+           |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+           |    '(?is)<title\b[^>]*>.*?</title>', ' ', 'g'),
+           |    '(?s)<!--.*?-->', ' ', 'g') AS s FROM h),
+           |b AS (SELECT doc_id, list_transform(
+           |    string_split_regex(s, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|article|section|header|footer|html|head|body|blockquote|pre|nav|aside|figure)\b[^>]*>'),
+           |    x -> struct_pack(raw := length(x), t := trim(regexp_replace(
+           |      replace(replace(replace(replace(replace(replace(
+           |        regexp_replace(x, '<[^>]+>', ' ', 'g'),
+           |        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),'&nbsp;',' '),'&amp;','&'),
+           |      '\s+', ' ', 'g')))) AS sc FROM c),
+           |k AS (SELECT doc_id,
+           |    len(list_filter(sc, s -> s.t <> '')) AS n_blocks,
+           |    list_filter(sc, s -> length(s.t) >= 30 AND length(s.t)*100 >= s.raw*60) AS kept
+           |  FROM b),
+           |e AS (SELECT doc_id, n_blocks, len(kept) AS n_kept,
+           |    array_to_string(list_transform(kept, s -> s.t), chr(10)) AS extracted FROM k)
+           |SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+           |  CAST(n_kept AS BIGINT) AS n_kept,
+           |  CAST(length(extracted) AS BIGINT) AS n_chars, md5(extracted) AS fp
+           |FROM e ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(gopherRepetition, boilerplateNgrams, boilerplateScrub,
-    semDedup, dsirWeights, hardNegatives, kAnon, docRepScrub, urlCurate)
+    semDedup, dsirWeights, hardNegatives, kAnon, docRepScrub, urlCurate,
+    htmlExtract)
 }

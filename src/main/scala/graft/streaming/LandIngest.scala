@@ -97,6 +97,29 @@ object LandIngest {
    * after the curated data dir has landed, immediately before the
    * manifest publish — where StreamingCuratedSpec kills the job.
    */
+  /** Auto-maintenance policy for the streaming cadence: after each
+    * committed micro-batch the drain inspects the CURRENT snapshot and,
+    * when it holds more than `maxFiles` files total or more than
+    * `maxSmallFiles` under `smallFileBytes`, runs ONE compaction commit
+    * (`maint-<batchId>`) before the lakehouse faces re-export — so a
+    * minutes-cadence table cannot accrete thousands of small files and
+    * manifests unbounded (the reference's own file-size-hygiene
+    * warning, README.md:655-657). The compaction is an ordinary
+    * manifest commit: readers resolve the pre- or post-compaction
+    * snapshot, never a half state, and the SAME exactly-once guards as
+    * the batch commits (isCommitted dedupe + orphan abandon) make a
+    * replayed maintenance batch idempotent. Partitioned tables compact
+    * through [[graft.io.Manifest.compactPartitioned]] (the hive layout
+    * survives); flat tables range-cluster on `clusterCols` when given
+    * (tight bounds → the exports' data skipping keeps working), else
+    * plain [[graft.io.Manifest.compact]]. */
+  final case class MaintenancePolicy(
+      maxFiles: Int = 64,
+      smallFileBytes: Long = 8L << 20,
+      maxSmallFiles: Int = 16,
+      targetFileBytes: Long = 128L << 20,
+      clusterCols: Seq[String] = Nil)
+
   def drainLandToCurated(
       spark: SparkSession,
       landDir: String,
@@ -108,7 +131,8 @@ object LandIngest {
       beforeCommit: Long => Unit = _ => (),
       exportDeltaLog: Boolean = false,
       exportIceberg: Boolean = false,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      maintenance: Option[MaintenancePolicy] = None): Unit = {
     import graft.io.Manifest
     val stream = spark.readStream
       .schema(schema)
@@ -132,6 +156,33 @@ object LandIngest {
             // partition-prunable across the whole streaming history
             Manifest.appendImpl(curate(batch), curatedDir, snapshot,
               () => beforeCommit(batchId), partitionCols = partitionCols)
+          }
+          // post-commit maintenance check (see [[MaintenancePolicy]]):
+          // runs BEFORE the exports so both faces reflect the compacted
+          // snapshot in the same drain
+          maintenance.foreach { p =>
+            val files = Manifest.currentFiles(spark, curatedDir)
+            if (files.nonEmpty) {
+              val hfs = new org.apache.hadoop.fs.Path(curatedDir)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              val sizes = files.map(f => hfs.getFileStatus(
+                new org.apache.hadoop.fs.Path(s"$curatedDir/$f")).getLen)
+              val small = sizes.count(_ < p.smallFileBytes)
+              if (files.size > p.maxFiles || small > p.maxSmallFiles) {
+                val snap = s"maint-$batchId"
+                if (!Manifest.isCommitted(spark, curatedDir, snap)) {
+                  Manifest.abandonOrphan(spark, curatedDir, snap)
+                  if (partitionCols.nonEmpty)
+                    Manifest.compactPartitioned(spark, curatedDir, snap,
+                      partitionCols)
+                  else if (p.clusterCols.nonEmpty)
+                    Manifest.compactClustered(spark, curatedDir, snap,
+                      p.targetFileBytes, p.clusterCols)
+                  else
+                    Manifest.compact(spark, curatedDir, snap, p.targetFileBytes)
+                }
+              }
+            }
           }
           // Lakehouse face of the same cadence: regenerate the Delta
           // transaction log AFTER the manifest commit, never instead of

@@ -367,4 +367,63 @@ class DeltaLogSpec extends AnyFunSuite {
     }
     assert(DeltaLog.read(spark, dir).count() == 20)
   }
+
+  test("10k-file log resolves as Spark jobs; collects only what survives the prune") {
+    val dir = tmpDir()
+    val ld = new java.io.File(dir, "_delta_log"); ld.mkdirs()
+    // hand-authored log at file-count scale (no data files needed):
+    // v0 adds 6000 files, v1 removes the first 1000 and adds 5000 more
+    // — 10000 active, each with id bounds [i*100, i*100+99] and a
+    // partition value b = i % 7
+    def statsJ(i: Long) =
+      s"""{\\"numRecords\\":100,\\"minValues\\":{\\"id\\":${i * 100}},""" +
+        s"""\\"maxValues\\":{\\"id\\":${i * 100 + 99}},\\"nullCount\\":{\\"id\\":0}}"""
+    def addLine(i: Long) =
+      s"""{"add":{"path":"f-$i.parquet","partitionValues":{"b":"${i % 7}"},""" +
+        s""""size":10,"modificationTime":1,"dataChange":true,"stats":"${statsJ(i)}"}}"""
+    def removeLine(i: Long) =
+      s"""{"remove":{"path":"f-$i.parquet","deletionTimestamp":2,"dataChange":true}}"""
+    val schemaStr = JsonMethods.compact(JsonMethods.render(JString(
+      new StructType().add("id", "long").json)))
+    val metaLine =
+      s"""{"metaData":{"id":"t0","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":$schemaStr,"partitionColumns":["b"],""" +
+        s""""configuration":{},"createdTime":1}}"""
+    def writeCommit(v: Long, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(ld, f"$v%020d.json"))
+      try lines.foreach(w.println) finally w.close()
+    }
+    writeCommit(0L,
+      Seq("""{"commitInfo":{"timestamp":1000,"operation":"WRITE","operationParameters":{}}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaLine) ++ (0L until 6000L).map(addLine))
+    writeCommit(1L,
+      Seq("""{"commitInfo":{"timestamp":2000,"operation":"WRITE","operationParameters":{}}}""") ++
+        (0L until 1000L).map(removeLine) ++ (6000L until 11000L).map(addLine))
+
+    // the replay must run as SPARK JOBS (executor-side fold), not a
+    // driver loop over 11k JSON lines
+    spark.sparkContext.setJobGroup("graft-replay", "synthetic log replay", false)
+    val files = try DeltaLog.activeFiles(spark, dir)
+      finally spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("graft-replay").nonEmpty,
+      "active-file resolution must run as Spark jobs")
+    assert(files.size == 10000)
+    assert(!files.contains("f-0.parquet") && !files.contains("f-999.parquet"))
+    assert(files.contains("f-1000.parquet") && files.contains("f-10999.parquet"))
+    // bounds prune filters INSIDE the frame: only the 10 overlapping
+    // files are collected
+    assert(DeltaLog.prunedFiles(spark, dir, "id", "500000", "500999").sorted ==
+      (5000 to 5009).map(i => s"f-$i.parquet").sorted)
+    // partition prune likewise collects only the matching slice
+    val pp = DeltaLog.partitionPrunedFiles(spark, dir, Map("b" -> "3"))
+    assert(pp.toSet == (1000L until 11000L).filter(_ % 7 == 3)
+      .map(i => s"f-$i.parquet").toSet)
+    // time travel to v0 sees the pre-remove state; timestamps resolve
+    assert(DeltaLog.activeFiles(spark, dir, Some(0L)).size == 6000)
+    assert(DeltaLog.versionTimestamps(spark, dir) ==
+      Seq(0L -> 1000L, 1L -> 2000L))
+    assert(DeltaLog.tableSchema(spark, dir).fieldNames.toSeq == Seq("id"))
+  }
 }

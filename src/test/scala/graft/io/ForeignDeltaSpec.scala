@@ -1,0 +1,189 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/**
+ * FOREIGN-table import: logs hand-authored the way OTHER Delta writers
+ * produce them — shuffled action-field orderings, optional fields
+ * omitted (stats, commitInfo), unknown fields present (tags,
+ * extendedFileMetadata) — must read byte-identical; logs using reader
+ * features this engine lacks (minReaderVersion > 1, deletionVector on
+ * an add, column mapping) must FAIL LOUDLY naming the feature, never
+ * silently mis-read (a reader that ignored a deletionVector would
+ * resurrect deleted rows). Iceberg's equivalent guard (equality
+ * deletes, content=2) is covered here too.
+ */
+class ForeignDeltaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("foreigndelta").toString
+
+  /** Land a one-part parquet under `dir` with an exact foreign-chosen
+    * file name. */
+  private def landParquet(df: DataFrame, dir: String, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("fdpart").toString + "/out"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail(s"no part file under $tmp"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, name))
+  }
+
+  private def writeCommit(dir: String, v: Long, lines: Seq[String]): Unit = {
+    val ld = new java.io.File(dir, "_delta_log"); ld.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(ld, f"$v%020d.json"))
+    try lines.foreach(w.println) finally w.close()
+  }
+
+  private def schemaJson(st: StructType): String =
+    JsonMethods.compact(JsonMethods.render(JString(st.json)))
+
+  private val intSchema = schemaJson(new StructType().add("v", "integer"))
+
+  test("conformant foreign log reads byte-identical despite orderings and unknown fields") {
+    val dir = tmpDir()
+    landParquet((1 to 10).toDF("v"), dir, "a.parquet")
+    landParquet((11 to 20).toDF("v"), dir, "b.parquet")
+    landParquet((21 to 25).toDF("v"), dir, "c.parquet")
+    // v0: fields in non-canonical order, an unknown tags field, NO
+    // stats, NO commitInfo (it is optional)
+    writeCommit(dir, 0L, Seq(
+      s"""{"metaData":{"partitionColumns":[],"id":"foreign-1","schemaString":$intSchema,"format":{"provider":"parquet","options":{}},"configuration":{},"createdTime":5}}""",
+      """{"protocol":{"minWriterVersion":2,"minReaderVersion":1}}""",
+      """{"add":{"dataChange":true,"size":100,"path":"a.parquet","modificationTime":3,"partitionValues":{},"tags":{"writer":"other-engine"}}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":100,"modificationTime":3,"dataChange":true}}"""))
+    // v1: a DELETE-shaped commit with unknown optional remove fields
+    writeCommit(dir, 1L, Seq(
+      """{"commitInfo":{"timestamp":123,"operation":"DELETE","operationParameters":{}}}""",
+      """{"remove":{"path":"a.parquet","deletionTimestamp":5,"dataChange":true,"extendedFileMetadata":true}}""",
+      """{"add":{"path":"c.parquet","partitionValues":{},"size":50,"modificationTime":9,"dataChange":true}}"""))
+
+    assert(DeltaLog.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      (11 to 25))
+    assert(DeltaLog.readVersion(spark, dir, 0L).count() == 20)
+    // stats-free adds surface as None (keep-on-prune), never as "0 rows"
+    assert(DeltaLog.activeFileStats(spark, dir) ==
+      Seq("b.parquet" -> None, "c.parquet" -> None))
+    assert(DeltaLog.prunedFiles(spark, dir, "v", "0", "1").sorted ==
+      Seq("b.parquet", "c.parquet"))
+    // v0 has no commitInfo: timestamp travel serves only v1
+    assert(DeltaLog.versionTimestamps(spark, dir) == Seq(1L -> 123L))
+    assert(DeltaLog.tableSchema(spark, dir).fieldNames.toSeq == Seq("v"))
+  }
+
+  test("minReaderVersion > 1 fails loudly naming the reader features") {
+    val dir = tmpDir()
+    landParquet((1 to 5).toDF("v"), dir, "a.parquet")
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"foreign-2","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{},"createdTime":5}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    val ex = intercept[UnsupportedOperationException] {
+      DeltaLog.read(spark, dir)
+    }
+    assert(ex.getMessage.contains("minReaderVersion=3"))
+    assert(ex.getMessage.contains("deletionVectors"))
+  }
+
+  test("a protocol upgrade gates newer versions but not time travel below it") {
+    val dir = tmpDir()
+    landParquet((1 to 5).toDF("v"), dir, "a.parquet")
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"foreign-3","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{},"createdTime":5}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    writeCommit(dir, 1L, Seq(
+      """{"commitInfo":{"timestamp":9,"operation":"UPGRADE PROTOCOL","operationParameters":{}}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
+    intercept[UnsupportedOperationException] { DeltaLog.read(spark, dir) }
+    // the pre-upgrade version still reads (guards resolve AT the target)
+    assert(DeltaLog.readVersion(spark, dir, 0L).count() == 5)
+  }
+
+  test("an add carrying deletionVector fails loudly instead of resurrecting rows") {
+    val dir = tmpDir()
+    landParquet((1 to 5).toDF("v"), dir, "a.parquet")
+    landParquet((6 to 9).toDF("v"), dir, "b.parquet")
+    // a foreign writer that (wrongly) kept minReaderVersion=1 while
+    // writing DVs — the per-action guard must still catch it
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"foreign-4","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{},"createdTime":5}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-qK","offset":1,"sizeInBytes":36,"cardinality":2}}}"""))
+    val ex = intercept[UnsupportedOperationException] {
+      DeltaLog.read(spark, dir)
+    }
+    assert(ex.getMessage.contains("deletionVector"))
+    // stats/partition views refuse equally — no API silently mis-reads
+    intercept[UnsupportedOperationException] {
+      DeltaLog.activeFileStats(spark, dir)
+    }
+    intercept[UnsupportedOperationException] {
+      DeltaLog.prunedFiles(spark, dir, "v", "0", "100")
+    }
+  }
+
+  test("column mapping modes fail loudly") {
+    val dir = tmpDir()
+    landParquet((1 to 5).toDF("v"), dir, "a.parquet")
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"foreign-5","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":5}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    val ex = intercept[UnsupportedOperationException] {
+      DeltaLog.read(spark, dir)
+    }
+    assert(ex.getMessage.contains("column mapping mode 'name'"))
+  }
+
+  test("iceberg equality deletes (content=2) fail loudly") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.file.{DataFileStream, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    Manifest.write(spark.range(0, 100).toDF("id")
+      .repartitionByRange(2, col("id")), dir, "base")
+    Manifest.deleteRangeMOR(spark, dir, "id", "10", "19", "mor1")
+    IcebergExport.exportTable(spark, dir)
+    // the exported table carries POSITION deletes (content=1): reads work
+    assert(IcebergExport.read(spark, dir).count() == 90)
+    // simulate a FOREIGN writer: rewrite the delete manifest's entries
+    // with content=2 (EQUALITY deletes) in place
+    val delManifest = new java.io.File(s"$dir/metadata")
+      .listFiles.find(_.getName.endsWith("-m1-deletes.avro"))
+      .getOrElse(fail("no delete manifest exported"))
+    val in = new java.io.FileInputStream(delManifest)
+    val rd = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    val (schema, metaKeys, recs) =
+      try {
+        val ks = rd.getMetaKeys.asScala.toSeq
+          .map(k => k -> rd.getMetaString(k))
+        (rd.getSchema, ks, rd.iterator().asScala.toVector)
+      } finally rd.close()
+    recs.foreach(_.get("data_file").asInstanceOf[GenericRecord].put("content", 2))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    metaKeys.foreach { case (k, v) =>
+      if (!k.startsWith("avro.")) w.setMeta(k, v) }
+    w.create(schema, delManifest)
+    recs.foreach(w.append); w.close()
+    new java.io.File(s"$dir/metadata/.${delManifest.getName}.crc").delete()
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergExport.read(spark, dir)
+    }
+    assert(ex.getMessage.contains("EQUALITY") &&
+      ex.getMessage.contains("content=2"))
+  }
+}

@@ -485,6 +485,34 @@ class IcebergExportSpec extends AnyFunSuite {
       spark.read.parquet(delFiles.head).count() == 250)
   }
 
+  test("prune runs as Spark jobs; LE sign extension decodes negative bounds") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(-5000, 5000).toDF("id")
+        .withColumn("i32", col("id").cast("int"))
+        .repartitionByRange(8, col("id")), dir, "s1")
+    IcebergExport.exportTable(spark, dir)
+    // the bounds decode + range filter must execute EXECUTOR-side (the
+    // avro manifests scan as a frame), with only survivors collected
+    spark.sparkContext.setJobGroup("iceberg-prune", "distributed prune", false)
+    val kept = try IcebergExport
+      .activeFilesPruned(spark, dir, "id", "-5000", "-4800")
+      finally spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker
+      .getJobIdsForGroup("iceberg-prune").nonEmpty,
+      "iceberg pruning must run as Spark jobs")
+    assert(kept.size == 1, s"one 1250-wide range file overlaps: $kept")
+    assert(IcebergExport.readPruned(spark, dir, "id", "-5000", "-4800")
+      .where("id BETWEEN -5000 AND -4800").count() == 201)
+    // 4-byte kind: the sign-extended int32 decode agrees
+    assert(IcebergExport.readPruned(spark, dir, "i32", "-100", "100")
+      .where("i32 BETWEEN -100 AND 100").count() == 201)
+    // straddling zero exercises both sign branches in one range test
+    val keptMid = IcebergExport.activeFilesPruned(spark, dir, "id", "-1", "1")
+    assert(keptMid.size <= 2 && keptMid.nonEmpty)
+  }
+
   test("manifests without committed_at get a monotone fallback instant") {
     val dir = tmpDir()
     Manifest.write((1 to 10).toDF("v"), dir, "s1")

@@ -270,6 +270,20 @@ class QueriesPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_unigram_train's vocab ranking plans NO unpartitioned window") {
+    // the final token-id ranking goes through PrefixSum.rankDesc
+    // (range-bucketed rank + driver-side base offsets), so the repo's
+    // "no unpartitioned window" invariant holds by plan inspection even
+    // though the frame is vocab-bounded (VERDICT r7 item 6)
+    val unpartitioned = SparkEntry.queries("q_unigram_train")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+    assert(unpartitioned.isEmpty,
+      s"q_unigram_train plans ${unpartitioned.size} unpartitioned window(s)")
+  }
+
   test("q_mixture_allocate's domain cumsum is range-bucketed, not one task per domain") {
     // The greedy fill must run through PrefixSum.runningSumsBy: every
     // window partitioned by (lang, __pid), never by lang alone — a bare

@@ -88,6 +88,82 @@ class StreamingCuratedSpec extends AnyFunSuite {
       de.inputFiles.exists(_.contains("data-batch-1")))
   }
 
+  test("maintenance: tiny micro-batches trigger exactly ONE compaction; faces stay consistent") {
+    val base = Files.createTempDirectory("stream_maint")
+    val land = Files.createDirectory(base.resolve("land"))
+    val curated = base.resolve("curated").toString
+    val ckpt = base.resolve("ckpt").toString
+    // every streamed part file is tiny, so `maxSmallFiles = 3` is the
+    // binding constraint: the 4th accreted file must trigger one purge
+    val policy = Some(LandIngest.MaintenancePolicy(
+      maxFiles = 100, smallFileBytes = 1L << 20,
+      maxSmallFiles = 3, targetFileBytes = 1L << 30))
+    def drain(): Unit =
+      LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+        ckpt, curate, minRows = 100, exportDeltaLog = true,
+        exportIceberg = true, maintenance = policy)
+
+    (0 until 5).foreach { i =>
+      writeJsonl(land, s"week$i.jsonl", (i * 1000) until (i * 1000 + 150))
+      drain()
+    }
+    val snaps = Manifest.snapshots(spark, curated)
+    // batches 0..2 accrete 1..3 small files (under threshold); batch 3
+    // pushes to 4 → exactly one maintenance commit; batch 4 then lands
+    // on the compacted base (2 files) without re-triggering
+    assert(snaps.count(_.startsWith("maint-")) === 1,
+      s"exactly one compaction expected, got $snaps")
+    assert(snaps === Seq("batch-0", "batch-1", "batch-2", "batch-3",
+      "maint-3", "batch-4"))
+    assert(Manifest.currentFiles(spark, curated).size === 2)
+    // no rows lost or duplicated across the purge
+    val cur = Manifest.read(spark, curated)
+    assert(cur.count() === 750 && cur.select("id").distinct().count() === 750)
+    // both lakehouse faces re-exported AFTER the compaction: they read
+    // the SAME state as the manifest, through their own metadata
+    assert(graft.io.DeltaLog.read(spark, curated).count() === 750)
+    assert(graft.io.IcebergExport.read(spark, curated).count() === 750)
+    assert(graft.io.DeltaLog.versions(spark, curated).size === 6)
+    // time travel across the purge still replays the retained history
+    assert(Manifest.readAt(spark, curated, "batch-2").count() === 450)
+    // a rewrite commit refuses the change feed (re-baseline contract)
+    intercept[IllegalStateException] {
+      Manifest.readChangesSince(spark, curated, "batch-1")
+    }
+    assert(Manifest.readChangesSince(spark, curated, "maint-3")
+      .get.count() === 150)
+  }
+
+  test("maintenance on a partitioned cadence keeps the hive layout prunable") {
+    val base = Files.createTempDirectory("stream_maint_part")
+    val land = Files.createDirectory(base.resolve("land"))
+    val curated = base.resolve("curated").toString
+    val ckpt = base.resolve("ckpt").toString
+    def curateLang(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("lang",
+        when(col("id") % 2 === 0, lit("de")).otherwise(lit("en")))
+    val policy = Some(LandIngest.MaintenancePolicy(
+      maxFiles = 100, smallFileBytes = 1L << 20, maxSmallFiles = 3))
+    def drain(): Unit =
+      LandIngest.drainLandToCurated(spark, land.toString, schema, curated,
+        ckpt, curateLang, minRows = 100, partitionCols = Seq("lang"),
+        maintenance = policy)
+    (0 until 2).foreach { i => // 2 part files per batch (de + en)
+      writeJsonl(land, s"week$i.jsonl", (i * 1000) until (i * 1000 + 150))
+      drain()
+    }
+    val snaps = Manifest.snapshots(spark, curated)
+    assert(snaps.count(_.startsWith("maint-")) === 1, s"got $snaps")
+    // the compacted snapshot kept the hive tree: one file per partition
+    val files = Manifest.currentFiles(spark, curated)
+    assert(files.forall(_.matches("data-maint-1/lang=(de|en)/part-.*\\.parquet")),
+      s"compaction must preserve the partition layout: $files")
+    assert(files.size === 2)
+    val de = Manifest.readWherePartitions(spark, curated, Map("lang" -> "de"))
+    assert(de.count() === 150 && de.inputFiles.forall(_.contains("lang=de")))
+    assert(Manifest.read(spark, curated).count() === 300)
+  }
+
   test("kill between curate-landing and manifest publish: replay promotes exactly once") {
     val base = Files.createTempDirectory("stream_curated_kill")
     val land = Files.createDirectory(base.resolve("land"))
