@@ -362,7 +362,11 @@ object DeltaLog {
       StructField("modificationTime", LongType),
       StructField("stats", StringType),
       StructField("deletionVector", StructType(Seq(
-        StructField("storageType", StringType))))))
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))
     val actionT = StructType(Seq(
       StructField("add", addT),
       StructField("remove", StructType(Seq(StructField("path", StringType))))))
@@ -385,6 +389,7 @@ object DeltaLog {
             F.col("a.add.modificationTime").as("modTime"),
             F.col("a.add.stats").as("stats"),
             F.col("a.add.deletionVector.storageType").as("dvStorage"),
+            F.col("a.add.deletionVector").as("dv"),
             F.col("version")))
     val ckptDf: Option[DataFrame] = ckpt.map { cv =>
       val ck = spark.read.parquet(checkpointPath(ld, cv).toString)
@@ -393,13 +398,23 @@ object DeltaLog {
       val addFields = addStruct.fieldNames.toSet
       def f(n: String, dt: DataType): Column =
         if (addFields.contains(n)) F.col(s"add.`$n`") else F.lit(null).cast(dt)
-      val dv: Column =
+      val dvT = addT("deletionVector").dataType.asInstanceOf[StructType]
+      val (dvStorage: Column, dvFull: Column) =
         if (addFields.contains("deletionVector") &&
-          addStruct("deletionVector").dataType.isInstanceOf[StructType] &&
-          addStruct("deletionVector").dataType.asInstanceOf[StructType]
-            .fieldNames.contains("storageType"))
-          F.col("add.deletionVector.storageType")
-        else F.lit(null).cast(StringType)
+          addStruct("deletionVector").dataType.isInstanceOf[StructType]) {
+          val dvS = addStruct("deletionVector").dataType.asInstanceOf[StructType]
+          def g(n: String, dt: DataType): Column =
+            if (dvS.fieldNames.contains(n))
+              F.col(s"add.deletionVector.`$n`").cast(dt)
+            else F.lit(null).cast(dt)
+          (g("storageType", StringType),
+            F.when(F.col("add.deletionVector").isNotNull, F.struct(
+              g("storageType", StringType).as("storageType"),
+              g("pathOrInlineDv", StringType).as("pathOrInlineDv"),
+              g("offset", IntegerType).as("offset"),
+              g("sizeInBytes", IntegerType).as("sizeInBytes"),
+              g("cardinality", LongType).as("cardinality"))))
+        } else (F.lit(null).cast(StringType), F.lit(null).cast(dvT))
       ck.where(F.col("add").isNotNull).select(
         F.col("add.path").as("path"),
         F.lit(true).as("isAdd"),
@@ -407,7 +422,8 @@ object DeltaLog {
         f("size", LongType).as("size"),
         f("modificationTime", LongType).as("modTime"),
         f("stats", StringType).as("stats"),
-        dv.as("dvStorage"),
+        dvStorage.as("dvStorage"),
+        dvFull.as("dv"),
         F.lit(cv).as("version"))
     }
     val all = (ckptDf.toSeq ++ commitDf.toSeq).reduce(_.unionByName(_))
@@ -415,7 +431,8 @@ object DeltaLog {
       .orderBy(F.col("version").desc, F.col("isAdd").desc)
     all.withColumn("_rn", F.row_number().over(w))
       .where(F.col("_rn") === 1 && F.col("isAdd"))
-      .select("path", "partitionValues", "size", "modTime", "stats", "dvStorage")
+      .select("path", "partitionValues", "size", "modTime", "stats",
+        "dvStorage", "dv")
   }
 
   /** READ GUARDS for foreign logs — the protocol's "check before you
@@ -436,6 +453,11 @@ object DeltaLog {
     * like state reconstruction. Percent-encoded foreign `add.path`s
     * (rare outside exotic column values) remain out of scope —
     * disclosed here rather than guessed at. */
+  /** Reader features this engine implements: deletion vectors decode
+    * on the full-table read path ([[readVersion]]/[[read]]); the
+    * stats/partition collectors still refuse DV adds per-action. */
+  private val SupportedReaderFeatures = Set("deletionVectors")
+
   private def readGuards(spark: SparkSession, dir: String, ld: Path,
       vs: Seq[Long], target: Long, ckpt: Option[Long]): Unit = {
     val guardT = StructType(Seq(
@@ -504,12 +526,23 @@ object DeltaLog {
         }
     }
     proto.foreach { case (_, mrv, feats) =>
-      if (mrv > 1)
+      // mrv 3 = table features: readable iff every readerFeature is
+      // one we implement (deletionVectors — decoded by the read path).
+      // mrv 2 = legacy column mapping: not implemented. Anything else
+      // above 1: unknown — refuse naming it.
+      val unsupported = feats.filterNot(SupportedReaderFeatures)
+      if (mrv == 3 && unsupported.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"delta table under $dir requires reader features " +
+            s"${unsupported.mkString("[", ", ", "]")} this reader does not " +
+            s"implement (supported: ${SupportedReaderFeatures.mkString(", ")})")
+      else if (mrv != 3 && mrv > 1)
         throw new UnsupportedOperationException(
           s"delta table under $dir requires minReaderVersion=$mrv" +
             (if (feats.nonEmpty) s" with reader features ${feats.mkString("[", ", ", "]")}"
             else "") +
-            "; this reader supports only the base protocol (minReaderVersion=1)")
+            "; this reader supports minReaderVersion 1 and 3 with " +
+            s"features ${SupportedReaderFeatures.mkString(", ")}")
     }
     cmMode.foreach { case (_, mode) =>
       if (mode != "none")
@@ -784,11 +817,62 @@ object DeltaLog {
     readVersion(spark, dir, v)
   }
 
-  /** Time travel through the log; `version < 0` means latest. */
+  /** Time travel through the log; `version < 0` means latest.
+    *
+    * This is the one reader that APPLIES foreign deletion vectors
+    * instead of refusing them: each active add's DV descriptor decodes
+    * through [[DeletionVector]] (z85 / portable RoaringBitmapArray /
+    * CRC-verified file slices) and the deleted (file, row-index) pairs
+    * anti-join the scan — the same merge-on-read shape as the engine's
+    * own position deletes. The stats/partition collectors keep the loud
+    * guard: their file lists would misrepresent a DV table. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val files = activeFiles(spark, dir,
+    val adds = activeAddsDF(spark, dir,
       if (version < 0) None else Some(version))
+      .select("path", "dv").orderBy("path").collect()
+    val files = adds.map(_.getString(0)).toSeq
     require(files.nonEmpty, s"delta version has no data files under $dir")
-    Manifest.readFiles(spark, dir, files)
+    val dels: Seq[(String, Long)] = adds.toSeq.flatMap { r =>
+      if (r.isNullAt(1)) Nil
+      else {
+        val d = r.getStruct(1)
+        DeletionVector.positions(spark, dir,
+          d.getString(0), d.getString(1),
+          if (d.isNullAt(2)) None else Some(d.getInt(2)),
+          d.getInt(3)).map(p => r.getString(0) -> p)
+      }
+    }
+    if (dels.isEmpty) Manifest.readFiles(spark, dir, files)
+    else applyPositionDeletes(spark, dir, files, dels)
+  }
+
+  /** Anti-join decoded DV positions against the scan: rows are keyed by
+    * (`_metadata.file_path` ending in "/" + the add's relative path,
+    * `_metadata.row_index`) — suffix-anchored so the match cannot
+    * depend on how the filesystem renders the URI prefix. The DV side
+    * is broadcast (KBs per file by design). */
+  private def applyPositionDeletes(spark: SparkSession, dir: String,
+      files: Seq[String], dels: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    val delDf = dels.toDF("_dv_file", "_dv_pos")
+    def withMeta(df: DataFrame): DataFrame =
+      df.select(F.col("*"),
+        F.col("_metadata.file_path").as("_g_file"),
+        F.col("_metadata.row_index").as("_g_pos"))
+    val metaDf =
+      if (files.forall(Manifest.partitionValuesOf(_).isEmpty))
+        withMeta(spark.read.parquet(files.map(f => s"$dir/$f"): _*))
+      else files.groupBy(_.split('/').head).toSeq.sortBy(_._1)
+        .map { case (dataDir, fs2) =>
+          withMeta(spark.read.option("basePath", s"$dir/$dataDir")
+            .parquet(fs2.map(f => s"$dir/$f"): _*))
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    val dataCols = Manifest.readFiles(spark, dir, files).columns
+    metaDf.join(F.broadcast(delDf),
+      F.col("_g_file").endsWith(F.concat(F.lit("/"), F.col("_dv_file"))) &&
+        F.col("_g_pos") === F.col("_dv_pos"),
+      "left_anti")
+      .select(dataCols.map(F.col): _*)
   }
 }

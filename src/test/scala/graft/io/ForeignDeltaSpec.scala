@@ -80,18 +80,26 @@ class ForeignDeltaSpec extends AnyFunSuite {
     assert(DeltaLog.tableSchema(spark, dir).fieldNames.toSeq == Seq("v"))
   }
 
-  test("minReaderVersion > 1 fails loudly naming the reader features") {
+  test("unimplemented reader features fail loudly naming the feature") {
     val dir = tmpDir()
     landParquet((1 to 5).toDF("v"), dir, "a.parquet")
     writeCommit(dir, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":["deletionVectors","v2Checkpoint"]}}""",
       s"""{"metaData":{"id":"foreign-2","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{},"createdTime":5}}""",
       """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
     val ex = intercept[UnsupportedOperationException] {
       DeltaLog.read(spark, dir)
     }
-    assert(ex.getMessage.contains("minReaderVersion=3"))
-    assert(ex.getMessage.contains("deletionVectors"))
+    assert(ex.getMessage.contains("v2Checkpoint"))
+    // deletionVectors alone is IMPLEMENTED: a features table declaring
+    // only it reads fine
+    val dir2 = tmpDir()
+    landParquet((1 to 5).toDF("v"), dir2, "a.parquet")
+    writeCommit(dir2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"foreign-2b","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{},"createdTime":5}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaLog.read(spark, dir2).count() == 5)
   }
 
   test("a protocol upgrade gates newer versions but not time travel below it") {
@@ -109,28 +117,106 @@ class ForeignDeltaSpec extends AnyFunSuite {
     assert(DeltaLog.readVersion(spark, dir, 0L).count() == 5)
   }
 
-  test("an add carrying deletionVector fails loudly instead of resurrecting rows") {
+  // ---- hand-authored deletion vectors, byte-by-byte per the PUBLIC
+  // formats (delta PROTOCOL.md + RoaringFormatSpec) -------------------
+
+  private val z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+
+  private def z85Encode(bytes: Array[Byte]): String = {
+    val padded = bytes ++ Array.fill((4 - bytes.length % 4) % 4)(0.toByte)
+    padded.grouped(4).map { g =>
+      var v = 0L
+      g.foreach(b => v = (v << 8) | (b & 0xFF))
+      (0 until 5).map(i =>
+        z85Alphabet(((v / math.pow(85, 4 - i).toLong) % 85).toInt)).mkString
+    }.mkString
+  }
+
+  /** Portable RoaringBitmapArray blob holding the given positions
+    * (< 2^16, one bitmap, one array container) — authored raw. */
+  private def bitmapArrayBytes(positions: Seq[Int]): Array[Byte] = {
+    val n = positions.size
+    val bb = java.nio.ByteBuffer
+      .allocate(4 + 8 + 4 + 4 + 4 + 4 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377) // magic
+    bb.putLong(1L) // one 32-bit bitmap
+    bb.putInt(12346) // cookie: no run containers
+    bb.putInt(1) // container count
+    bb.putShort(0) // key
+    bb.putShort((n - 1).toShort) // cardinality - 1
+    bb.putInt(4 + 4 + 4 + 4) // offset header → container start
+    positions.sorted.foreach(p => bb.putShort(p.toShort))
+    bb.array()
+  }
+
+  /** Write a DV FILE (version byte, then at offset 1: big-endian
+    * length, data, big-endian CRC-32) and return (z85 uuid, offset,
+    * sizeInBytes). */
+  private def writeDvFile(dir: String, positions: Seq[Int]): (String, Int, Int) = {
+    val data = bitmapArrayBytes(positions)
+    val uuid = java.util.UUID.randomUUID()
+    val crc = new java.util.zip.CRC32; crc.update(data)
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + data.length + 4)
+    bb.put(1.toByte) // file format version
+    bb.putInt(data.length) // big-endian length prefix
+    bb.put(data)
+    bb.putInt(crc.getValue.toInt) // big-endian CRC-32
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"deletion_vector_$uuid.bin"), bb.array())
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits).array()
+    (z85Encode(uuidBytes), 1, data.length)
+  }
+
+  test("hand-authored deletion vectors decode and apply on the read path") {
     val dir = tmpDir()
     landParquet((1 to 5).toDF("v"), dir, "a.parquet")
     landParquet((6 to 9).toDF("v"), dir, "b.parquet")
-    // a foreign writer that (wrongly) kept minReaderVersion=1 while
-    // writing DVs — the per-action guard must still catch it
+    // file b: positions {0, 2} deleted via a DV FILE (storageType u)
+    val (uuidZ85, off, size) = writeDvFile(dir, Seq(0, 2))
+    // file a: position {1} deleted via an INLINE DV (storageType i)
+    val inlineData = bitmapArrayBytes(Seq(1))
+    val inline = z85Encode(inlineData)
     writeCommit(dir, 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       s"""{"metaData":{"id":"foreign-4","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{},"createdTime":5}}""",
-      """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}""",
-      """{"add":{"path":"b.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-qK","offset":1,"sizeInBytes":36,"cardinality":2}}}"""))
-    val ex = intercept[UnsupportedOperationException] {
-      DeltaLog.read(spark, dir)
-    }
-    assert(ex.getMessage.contains("deletionVector"))
-    // stats/partition views refuse equally — no API silently mis-reads
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${inlineData.length},"cardinality":1}}}""",
+      s"""{"add":{"path":"b.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85","offset":$off,"sizeInBytes":$size,"cardinality":2}}}"""))
+    // a loses row-index 1 (value 2), b loses 0 and 2 (values 6, 8)
+    assert(DeltaLog.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      Seq(1, 3, 4, 5, 7, 9))
+    assert(DeltaLog.readVersion(spark, dir, 0L).count() == 6)
+    // the stats/partition collectors still refuse: their file lists
+    // would silently misrepresent a DV table
     intercept[UnsupportedOperationException] {
       DeltaLog.activeFileStats(spark, dir)
     }
     intercept[UnsupportedOperationException] {
       DeltaLog.prunedFiles(spark, dir, "v", "0", "100")
     }
+  }
+
+  test("a corrupt deletion vector fails loudly, never drops rows silently") {
+    val dir = tmpDir()
+    landParquet((1 to 5).toDF("v"), dir, "a.parquet")
+    val (uuidZ85, off, size) = writeDvFile(dir, Seq(0))
+    // flip one data byte INSIDE the stored blob → CRC must catch it
+    val f = new java.io.File(dir).listFiles
+      .find(_.getName.startsWith("deletion_vector_")).get
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(7) = (bytes(7) ^ 0x01).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"foreign-4c","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{},"createdTime":5}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$uuidZ85","offset":$off,"sizeInBytes":$size,"cardinality":1}}}"""))
+    val ex = intercept[Exception] { DeltaLog.read(spark, dir).count() }
+    assert(ex.getMessage.contains("checksum") || ex.getMessage.contains("magic"),
+      s"corruption must surface loudly: ${ex.getMessage}")
   }
 
   test("column mapping modes fail loudly") {
