@@ -199,7 +199,13 @@ object ScaleCheck {
       "q_partitioned_read", "q_delta_partition_prune",
       // round-7 fourth wave: merge-on-read delete (position capture ∝
       // matching rows, anti-join ∝ delete-set size, data files untouched)
-      "q_mor_delete")
+      "q_mor_delete",
+      // round-8 fifth wave (VERDICT r7 item 7): the MOR state read back
+      // THROUGH the exported Iceberg metadata (delete capture + export +
+      // manifest walk + anti-join — land ∝ corpus, delete set KBs), and
+      // the partitioned streaming cadence (land→curated micro-batch +
+      // auto-compaction + k=v-pruned read)
+      "q_iceberg_mor_read", "stream_cadence_partitioned")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -212,6 +218,8 @@ object ScaleCheck {
           (sp, dir) => graft.ext.TextStats.bpeTrainBatched(
             sp.read.parquet(s"$dir/documents.parquet"),
             "doc_id", "text", rounds = 4, batchK = 8)._1
+        else if (name == "stream_cadence_partitioned")
+          (sp, dir) => streamCadencePartitioned(sp, dir)
         else SparkEntry.queries(name)
       def measure(dir: String): (Double, Long) = {
         graft.ops.BoundedCache.clear()
@@ -225,5 +233,35 @@ object ScaleCheck {
       val (t100, rows) = measure(bigDir(100))
       println(f"$name%-24s $t1%8.2f $t10%8.2f $t100%8.2f ${t100 / t10}%7.1f  $rows")
     }
+  }
+
+  /** Round-8 cadence probe: the corpus lands as JSONL, drains through
+    * the PARTITIONED streaming path with the auto-maintenance policy
+    * armed (the tiny part files force exactly the compaction the policy
+    * exists for), then the partition-exact read serves ONE language —
+    * land ∝ corpus, compaction ∝ current snapshot, pruned read ∝ one
+    * partition's bytes. */
+  private def streamCadencePartitioned(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // scratch lives under /tmp (the fixture dirs are read-only),
+    // keyed per source dir so the three scale points never collide
+    val root = graft.queries.QueryUtil.scratchDir(dir, "stream_cadence")
+    val base = new org.apache.hadoop.fs.Path(root)
+    val fsys = base.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    fsys.delete(base, true)
+    val land = s"$root/land"
+    val curated = s"$root/curated"
+    val ckpt = s"$root/ckpt"
+    sp.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang").write.json(land)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    graft.streaming.LandIngest.drainLandToCurated(sp, land, schema, curated,
+      ckpt, df => df.withColumn("n_chars", length(col("text"))),
+      minRows = 1,
+      partitionCols = Seq("lang"),
+      maintenance = Some(graft.streaming.LandIngest.MaintenancePolicy(
+        maxFiles = 1 << 20, smallFileBytes = 64L << 20, maxSmallFiles = 8)))
+    graft.io.Manifest.readWherePartitions(sp, curated, Map("lang" -> "en"))
   }
 }

@@ -315,21 +315,77 @@ class DeltaLogSpec extends AnyFunSuite {
       .where("id < 100").count() == 100)
   }
 
-  test("MOR snapshots refuse Delta export until compaction purges the deletes") {
+  test("MOR snapshots export as DELETION VECTORS; reads and time travel apply them") {
     val dir = tmpDir()
     Manifest.write(
       spark.range(0, 100).toDF("id")
         .repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
       dir, "base")
     Manifest.deleteRangeMOR(spark, dir, "id", "10", "19", "mor")
-    val e = intercept[IllegalArgumentException] {
-      DeltaLog.exportLog(spark, dir)
+    // round 8: the export EMITS the protocol's own MOR encoding instead
+    // of refusing — DV files + descriptors on re-added actions, with the
+    // protocol upgraded to reader-v3/deletionVectors in the DV commit
+    DeltaLog.exportLog(spark, dir)
+    val v1 = commitLines(dir, 1L)
+    assert(v1.exists(j => j \ "protocol" \ "minReaderVersion" == JInt(3)),
+      "the DV-carrying commit must upgrade the protocol")
+    assert(v1.exists(j =>
+      (j \ "add" \ "deletionVector" \ "storageType") == JString("u")),
+      "the delete-targeted file must re-add with a DV descriptor")
+    // the read path decodes + applies; time travel BELOW the DV commit
+    // reads the pre-delete state (and is now delete-correct everywhere)
+    assert(DeltaLog.read(spark, dir).count() == 90)
+    assert(DeltaLog.readVersion(spark, dir, 0L).count() == 100)
+    // collectors whose file lists would misrepresent a DV table refuse
+    intercept[UnsupportedOperationException] {
+      DeltaLog.activeFileStats(spark, dir)
     }
-    assert(e.getMessage.contains("deletion"))
-    // compaction purges the MOR state and the export proceeds correctly
+    // compaction purges the MOR state; the incremental export resumes
+    // plain adds and every collector works again
     Manifest.compact(spark, dir, "purged", Long.MaxValue)
     DeltaLog.exportLog(spark, dir)
     assert(DeltaLog.read(spark, dir).count() == 90)
+    assert(DeltaLog.activeFileStats(spark, dir).nonEmpty)
+  }
+
+  test("multi-part checkpoints (foreign writers) reconstruct exactly") {
+    val dir = tmpDir()
+    (1 to 3).foreach(i =>
+      if (i == 1) Manifest.write((1 to 40).toDF("v"), dir, s"s$i")
+      else Manifest.append(((i * 100) to (i * 100 + 9)).toDF("v"), dir, s"s$i"))
+    Manifest.vacuum(spark, dir, keepLast = 2)
+    DeltaLog.exportLog(spark, dir) // writes the single-file checkpoint
+    val ld = new java.io.File(dir, "_delta_log")
+    val single = ld.listFiles
+      .find(_.getName.endsWith(".checkpoint.parquet")).get
+    val v = single.getName.stripSuffix(".checkpoint.parquet").toLong
+    // split the checkpoint into TWO part files the way a foreign writer
+    // names them, drop the single file, point _last_checkpoint at parts
+    val rows = spark.read.parquet(single.toString).collect().toSeq
+    val schema = spark.read.parquet(single.toString).schema
+    def writePart(part: Int, slice: Seq[org.apache.spark.sql.Row]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ckptpart").toString + "/out"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(slice, 1), schema)
+        .coalesce(1).write.parquet(tmp)
+      val p = new java.io.File(tmp).listFiles
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(p.toPath, new java.io.File(ld,
+        f"$v%020d.checkpoint.$part%010d.${2}%010d.parquet").toPath)
+    }
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    writePart(1, h1); writePart(2, h2)
+    assert(single.delete())
+    new java.io.File(ld, s".${single.getName}.crc").delete()
+    val lc = new java.io.File(ld, "_last_checkpoint")
+    val w = new java.io.PrintWriter(lc)
+    try w.write(s"""{"version":$v,"size":${rows.size},"parts":2}""")
+    finally w.close()
+    new java.io.File(ld, "._last_checkpoint.crc").delete()
+    // reconstruction reads BOTH parts: counts and schema exact
+    assert(DeltaLog.read(spark, dir).count() == 50 + 10)
+    assert(DeltaLog.activeFiles(spark, dir).nonEmpty)
+    assert(DeltaLog.tableSchema(spark, dir).fieldNames.toSeq == Seq("v"))
   }
 
   test("timestamp time travel resolves through the manifests' own commit instants") {
