@@ -7,13 +7,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /**
- * Delta Lake DELETION VECTOR decode — read path only (VERDICT r7
- * item 8): the merge-on-read encoding foreign Delta writers use for
- * DELETE/UPDATE, per the PUBLIC spec (delta-io/delta PROTOCOL.md,
- * "Deletion Vectors" + the RoaringBitmap interchange format,
- * RoaringBitmap/RoaringFormatSpec). This is the single most common
- * foreign-Delta feature the read guards trip on; with this decoder the
- * full-table read path applies DVs instead of refusing.
+ * Delta Lake DELETION VECTOR codec (VERDICT r7 item 8): the
+ * merge-on-read encoding Delta writers use for DELETE/UPDATE, per the
+ * PUBLIC spec (delta-io/delta PROTOCOL.md, "Deletion Vectors" + the
+ * RoaringBitmap interchange format, RoaringBitmap/RoaringFormatSpec).
+ * The READ side lets the full-table read path apply foreign DVs
+ * instead of refusing (the single most common foreign-Delta feature
+ * the read guards trip on); the WRITE side lets [[DeltaLog.exportLog]]
+ * emit a merge-on-read Manifest snapshot's delete state as real DV
+ * files + descriptors — full MOR interop on the Delta face.
  *
  * Layout decoded here:
  *
@@ -216,5 +218,128 @@ object DeletionVector {
         throw new UnsupportedOperationException(
           s"unknown deletionVector storageType '$other'")
     }
+  }
+
+  // ---- WRITER side (round 8 wave 2): encode + store ---------------------
+  // the export face needs to EMIT deletion vectors, not just read them:
+  // a merge-on-read Manifest snapshot exports its delete state as real
+  // DV files + descriptors instead of refusing the Delta face.
+
+  /** Z85 encode (input padded to a 4-byte multiple; callers carry the
+    * true length separately, exactly like the descriptor's
+    * `sizeInBytes`). */
+  def encodeZ85(bytes: Array[Byte]): String = {
+    val padded = bytes ++ Array.fill((4 - bytes.length % 4) % 4)(0.toByte)
+    val sb = new StringBuilder(padded.length / 4 * 5)
+    var i = 0
+    while (i < padded.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = (v << 8) | (padded(i + j) & 0xFF); j += 1 }
+      var div = 85L * 85 * 85 * 85
+      while (div > 0) {
+        sb.append(Z85Alphabet(((v / div) % 85).toInt))
+        div /= 85
+      }
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Serialize sorted 64-bit positions as a portable RoaringBitmapArray
+    * blob (array containers ≤4096 values, bitmap containers above —
+    * runs never emitted; cookie 12346). Inverse of
+    * [[decodeBitmapArray]], round-trip-proven in spec. */
+  def encodeBitmapArray(positions: Seq[Long]): Array[Byte] = {
+    require(positions.nonEmpty, "empty deletion vector")
+    val sorted = positions.distinct.sorted
+    val byBitmap = sorted.groupBy(_ >>> 32).toSeq.sortBy(_._1)
+    require(byBitmap.last._1 < Int.MaxValue, "position out of range")
+    val bitmapCount = byBitmap.last._1 + 1 // dense index order
+    val out = new java.io.ByteArrayOutputStream()
+    def putLE(n: Int): Unit = {
+      out.write(n & 0xFF); out.write((n >>> 8) & 0xFF)
+      out.write((n >>> 16) & 0xFF); out.write((n >>> 24) & 0xFF)
+    }
+    def putLE16(n: Int): Unit = { out.write(n & 0xFF); out.write((n >>> 8) & 0xFF) }
+    putLE(MagicNumber)
+    putLE(bitmapCount.toInt); putLE((bitmapCount >>> 32).toInt) // LE int64
+    val byIdx = byBitmap.toMap
+    (0L until bitmapCount).foreach { idx =>
+      val vals = byIdx.getOrElse(idx, Nil).map(v => (v & 0xFFFFFFFFL).toInt)
+      val containers = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      putLE(12346) // cookie: no run containers
+      putLE(containers.size)
+      containers.foreach { case (key, vs) =>
+        putLE16(key); putLE16(vs.size - 1)
+      }
+      // offset header: byte offsets of each container from the start of
+      // THIS bitmap's serialization
+      var off = 4 + 4 + 4 * containers.size + 4 * containers.size
+      containers.foreach { case (_, vs) =>
+        putLE(off)
+        off += (if (vs.size > 4096) 8192 else 2 * vs.size)
+      }
+      containers.foreach { case (_, vs) =>
+        if (vs.size > 4096) {
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val low = v & 0xFFFF
+            words(low / 64) |= (1L << (low % 64))
+          }
+          words.foreach { w =>
+            var k = 0
+            while (k < 8) { out.write(((w >>> (8 * k)) & 0xFF).toInt); k += 1 }
+          }
+        } else vs.sorted.foreach(v => putLE16(v & 0xFFFF))
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Result of [[writeDvFile]]: the descriptor fields an `add` action
+    * carries. */
+  final case class DvDescriptor(pathOrInlineDv: String, offset: Int,
+      sizeInBytes: Int, cardinality: Long) {
+    def json: String =
+      s"""{"storageType":"u","pathOrInlineDv":"$pathOrInlineDv",""" +
+        s""""offset":$offset,"sizeInBytes":$sizeInBytes,""" +
+        s""""cardinality":$cardinality}"""
+  }
+
+  /** Write (idempotently) a DV FILE for `positions` under the table
+    * root, per the spec's framing (version byte, big-endian length,
+    * data, big-endian CRC-32). The file name's UUID derives from the
+    * CONTENT, so a re-export writes the same bytes to the same key —
+    * immutable, incremental, and shareable between files with equal
+    * delete sets. */
+  def writeDvFile(spark: SparkSession, tableDir: String,
+      positions: Seq[Long]): DvDescriptor = {
+    val data = encodeBitmapArray(positions)
+    val uuid = UUID.nameUUIDFromBytes("graft-dv:".getBytes("UTF-8") ++ data)
+    val base = new Path(tableDir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(base, s"deletion_vector_$uuid.bin")
+    if (!fsys.exists(dest)) {
+      val crc = new java.util.zip.CRC32; crc.update(data)
+      val bb = ByteBuffer.allocate(1 + 4 + data.length + 4)
+      bb.put(1.toByte)
+      bb.putInt(data.length) // big-endian
+      bb.put(data)
+      bb.putInt(crc.getValue.toInt) // big-endian
+      val tmp = new Path(base, s".deletion_vector_$uuid.bin.tmp")
+      val out = fsys.create(tmp, true)
+      try out.write(bb.array()) finally out.close()
+      if (!fsys.rename(tmp, dest)) {
+        fsys.delete(tmp, false)
+        if (!fsys.exists(dest))
+          throw new RuntimeException(s"DV write failed for $dest")
+      }
+    }
+    val uuidBytes = ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits).array()
+    DvDescriptor(encodeZ85(uuidBytes), 1, data.length,
+      positions.distinct.size.toLong)
   }
 }

@@ -94,10 +94,19 @@ object DeltaLog {
       .mkString("{", ",", "}")
 
   private def addLine(path: String, size: Long, modTime: Long,
-      stats: String): String =
+      stats: String, dv: Option[String] = None): String =
     s"""{"add":{"path":${jstr(path)},""" +
       s""""partitionValues":${partitionValuesJson(path)},"size":$size,""" +
-      s""""modificationTime":$modTime,"dataChange":true,"stats":${jstr(stats)}}}"""
+      s""""modificationTime":$modTime,"dataChange":true,"stats":${jstr(stats)}""" +
+      dv.map(d => s""","deletionVector":$d""").getOrElse("") + "}}"
+
+  /** Protocol action for a log that carries deletion vectors: table
+    * features (reader 3 / writer 7) declaring exactly the one feature
+    * the DV export uses — the upgrade the spec requires in (or before)
+    * the first DV-carrying commit. */
+  private def dvProtocolLine: String =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
 
   private def removeLine(path: String, ts: Long): String =
     s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":$ts,"dataChange":true}}"""
@@ -129,19 +138,6 @@ object DeltaLog {
     val (fsys, base) = fs(spark, dir)
     val ms = Manifest.history(spark, dir)
     require(ms.nonEmpty, s"no committed snapshot under $dir")
-    // the Delta protocol's merge-on-read encoding is deletion VECTORS
-    // (RoaringBitmap), which this export does not emit — a log whose
-    // current version lists a MOR snapshot's full data files would
-    // serve DELETED rows to every Delta consumer. Refuse loudly;
-    // compaction purges the delete state and re-enables the export.
-    // (Older RETAINED MOR snapshots are tolerated: current-state reads
-    // are correct, and time travel through the Delta log to those
-    // versions is documented as ignoring position deletes.)
-    require(ms.last.deleteFiles.isEmpty,
-      s"current snapshot '${ms.last.snapshot}' carries merge-on-read " +
-        "position deletes, which the Delta protocol encodes as deletion " +
-        "vectors this export does not emit - run Manifest.compact (purges " +
-        "deletes) before exporting the Delta log")
     val ld = logDir(base)
     fsys.mkdirs(ld)
     val now = System.currentTimeMillis()
@@ -173,36 +169,87 @@ object DeltaLog {
     val stats = FileStats.collect(spark, base,
       ms.flatMap(_.files).distinct)
 
-    def addLinesOf(files: Seq[String]): Seq[String] = files.map { f =>
-      val fst = stats(f)
-      addLine(f, fst.size, fst.modTime, FileStats.deltaStatsJson(fst))
-    }
+    // MERGE-ON-READ state exports as the protocol's own encoding —
+    // DELETION VECTORS (round 8): each snapshot's per-file delete
+    // positions encode as content-addressed DV files (portable
+    // RoaringBitmapArray, CRC-framed) with descriptors on the affected
+    // add actions; the protocol upgrades to reader-v3/deletionVectors
+    // in the DV-carrying commits. Delete sets are KBs by design, so a
+    // driver-side collect per delete dir is metadata-scale; descriptors
+    // are deterministic functions of the positions, keeping the
+    // incremental export idempotent. (Spec caveat disclosed: add.stats
+    // stay the PHYSICAL file's footer stats — sound for min/max
+    // pruning, but numRecords counts DV-deleted rows, i.e. Delta's
+    // tightBounds=false shape.)
+    val delByDir: Map[String, Map[String, Seq[Long]]] =
+      ms.flatMap(_.deleteFiles).distinct.groupBy(_.split('/').head).map {
+        case (dn, rels) =>
+          dn -> spark.read.parquet(rels.map(f => s"$dir/$f"): _*)
+            .select("file_path", "pos").collect()
+            .groupBy(_.getString(0))
+            .map { case (f, rows) =>
+              f -> rows.map(_.getLong(1)).toSeq.sorted }
+            .toMap
+      }
+    val dvCache =
+      scala.collection.mutable.Map[Seq[Long], DeletionVector.DvDescriptor]()
+    def dvStateOf(m: Manifest.ManifestData)
+        : Map[String, DeletionVector.DvDescriptor] =
+      if (m.deleteFiles.isEmpty) Map.empty
+      else m.deleteFiles.map(_.split('/').head).distinct
+        .flatMap(dn => delByDir.getOrElse(dn, Map.empty).toSeq)
+        .groupBy(_._1)
+        .map { case (f, entries) =>
+          val pos = entries.flatMap(_._2).distinct.sorted
+          f -> dvCache.getOrElseUpdate(pos,
+            DeletionVector.writeDvFile(spark, dir, pos))
+        }
+
+    def addLinesOf(files: Seq[String],
+        dv: Map[String, DeletionVector.DvDescriptor]): Seq[String] =
+      files.map { f =>
+        val fst = stats(f)
+        addLine(f, fst.size, fst.modTime, FileStats.deltaStatsJson(fst),
+          dv.get(f).map(_.json))
+      }
 
     val written = Seq.newBuilder[Long]
     ms.zipWithIndex.foreach { case (m, i) =>
       val dest = commitPath(ld, m.seq)
       if (!fsys.exists(dest)) {
+        val dv = dvStateOf(m)
         val lines =
           if (i == 0)
             // oldest retained version: full state (version 0's shape; a
             // vacuumed-past-0 table additionally gets a checkpoint below)
-            Seq(commitInfoLine(tsOf(m), "WRITE"), protocolLine,
+            Seq(commitInfoLine(tsOf(m), "WRITE"),
+              if (dv.isEmpty) protocolLine else dvProtocolLine,
               metaDataLine(id, schemaOf(m), now, partColsOf(m))) ++
-              addLinesOf(m.files)
+              addLinesOf(m.files, dv)
           else {
             val prevM = ms(i - 1)
+            val prevDv = dvStateOf(prevM)
             val prev = prevM.files
             val removed = prev.filterNot(m.files.toSet)
             val added = m.files.filterNot(prev.toSet)
-            val op = if (removed.isEmpty) "APPEND" else "WRITE"
+            // a carried file whose DELETE STATE changed re-commits as
+            // remove + add with the new descriptor (the protocol's own
+            // DV-update shape; the reader's last-wins window keeps the
+            // re-add)
+            val redv = m.files.filter(f => prev.contains(f) &&
+              dv.get(f) != prevDv.get(f))
+            val op = if (removed.isEmpty && redv.isEmpty) "APPEND" else "WRITE"
             // schema evolution: the commit that changed the snapshot
             // schema carries a fresh metaData action (the protocol's
             // ALTER TABLE shape); unchanged schemas stay silent
             val metaChange =
               if (schemaOf(m) == schemaOf(prevM)) Nil
               else Seq(metaDataLine(id, schemaOf(m), now, partColsOf(m)))
-            Seq(commitInfoLine(tsOf(m), op)) ++ metaChange ++
-              removed.map(removeLine(_, now)) ++ addLinesOf(added)
+            Seq(commitInfoLine(tsOf(m), op)) ++
+              (if (dv.isEmpty) Nil else Seq(dvProtocolLine)) ++
+              metaChange ++
+              (removed ++ redv).map(removeLine(_, now)) ++
+              addLinesOf(added ++ redv, dv)
           }
         writeLines(fsys, dest, lines)
         written += m.seq
@@ -212,7 +259,8 @@ object DeltaLog {
     val oldest = ms.head.seq
     if (oldest > 0 && !fsys.exists(checkpointPath(ld, oldest))) {
       writeCheckpoint(spark, fsys, ld, oldest, id, schemaOf(ms.head),
-        partColsOf(ms.head), ms.head.files, stats, base, now)
+        partColsOf(ms.head), ms.head.files, stats, base, now,
+        dvStateOf(ms.head))
       // checkpoint covers everything ≤ oldest: drop expired commit JSONs
       fsys.listStatus(ld).toSeq.map(_.getPath)
         .filter { p =>
@@ -233,10 +281,13 @@ object DeltaLog {
   private def writeCheckpoint(spark: SparkSession, fsys: FileSystem, ld: Path,
       version: Long, id: String, schemaJson: String,
       partitionCols: Seq[String], files: Seq[String],
-      stats: Map[String, FileStats.FileStat], base: Path, now: Long): Unit = {
+      stats: Map[String, FileStats.FileStat], base: Path, now: Long,
+      dv: Map[String, DeletionVector.DvDescriptor] = Map.empty): Unit = {
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val formatT = StructType(Seq(
       StructField("provider", StringType),
       StructField("options", MapType(StringType, StringType))))
@@ -247,26 +298,39 @@ object DeltaLog {
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      StructField("deletionVector", dvT)))
     val ckptT = StructType(Seq(
       StructField("protocol", protocolT),
       StructField("metaData", metaT),
       StructField("add", addT)))
     val emptyM = Map.empty[String, String]
+    val protoRow =
+      if (dv.isEmpty) Row(1, 2, null, null)
+      else Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
     val rows =
-      Row(Row(1, 2), null, null) ::
+      Row(protoRow, null, null) ::
       Row(null, Row(id, Row("parquet", emptyM), schemaJson,
         partitionCols, emptyM, now), null) ::
       files.toList.map { f =>
         val fst = stats(f)
+        val dvRow = dv.get(f).map(d =>
+          Row("u", d.pathOrInlineDv, d.offset, d.sizeInBytes,
+            d.cardinality)).orNull
         Row(null, null, Row(f, Manifest.partitionValuesOf(f).toMap,
-          fst.size, fst.modTime, true, FileStats.deltaStatsJson(fst)))
+          fst.size, fst.modTime, true, FileStats.deltaStatsJson(fst), dvRow))
       }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), ckptT)
@@ -323,6 +387,30 @@ object DeltaLog {
     }
   }
 
+  /** Data files of checkpoint `v`: our own single-file name, or the
+    * MULTI-PART `%020d.checkpoint.%010d.%010d.parquet` family a foreign
+    * writer may have produced. Resolved from the listing; when
+    * `_last_checkpoint` declares `parts`, the count must match — a
+    * missing part is a LOUD error, never a silent half-state. */
+  private def checkpointFiles(fsys: FileSystem, ld: Path, v: Long): Seq[String] = {
+    val prefix = f"$v%020d.checkpoint"
+    val files = fsys.listStatus(ld).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith(prefix) && n.endsWith(".parquet")
+      }
+      .sortBy(_.getName).map(_.toString)
+    require(files.nonEmpty, s"no checkpoint parquet for version $v under $ld")
+    val declaredParts = JsonMethods.parse(
+      readText(fsys, new Path(ld, "_last_checkpoint"))) \ "parts" match {
+      case JInt(n) => Some(n.toInt)
+      case _ => None
+    }
+    declaredParts.foreach(n => require(files.size == n,
+      s"checkpoint $v declares $n parts but ${files.size} are present under $ld"))
+    files
+  }
+
   /** DISTRIBUTED state reconstruction — the protocol's checkpoint +
     * forward fold, as ONE Spark job instead of a driver-side
     * `LinkedHashMap` fold: the checkpoint parquet and the commit JSONs
@@ -341,7 +429,7 @@ object DeltaLog {
     * (the last non-null iff the winning add carries a foreign
     * `deletionVector` — see [[requireNoDv]]). */
   private def activeAddsDF(spark: SparkSession, dir: String,
-      version: Option[Long]): DataFrame = {
+      version: Option[Long], allowCm: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (fsys, base) = fs(spark, dir)
     val ld = logDir(base)
@@ -353,7 +441,7 @@ object DeltaLog {
     if (ckpt.isEmpty)
       require(vs.min == 0 || vs.min <= target,
         s"log under $dir starts at version ${vs.min} with no checkpoint")
-    readGuards(spark, dir, ld, vs, target, ckpt)
+    readGuards(spark, dir, ld, vs, target, ckpt, allowCm)
 
     val addT = StructType(Seq(
       StructField("path", StringType),
@@ -392,7 +480,7 @@ object DeltaLog {
             F.col("a.add.deletionVector").as("dv"),
             F.col("version")))
     val ckptDf: Option[DataFrame] = ckpt.map { cv =>
-      val ck = spark.read.parquet(checkpointPath(ld, cv).toString)
+      val ck = spark.read.parquet(checkpointFiles(fsys, ld, cv): _*)
       // a FOREIGN checkpoint may omit optional add fields — null-fill
       val addStruct = ck.schema("add").dataType.asInstanceOf[StructType]
       val addFields = addStruct.fieldNames.toSet
@@ -454,12 +542,16 @@ object DeltaLog {
     * (rare outside exotic column values) remain out of scope —
     * disclosed here rather than guessed at. */
   /** Reader features this engine implements: deletion vectors decode
-    * on the full-table read path ([[readVersion]]/[[read]]); the
-    * stats/partition collectors still refuse DV adds per-action. */
-  private val SupportedReaderFeatures = Set("deletionVectors")
+    * and column mapping resolves on the full-table read path
+    * ([[readVersion]]/[[read]]); the stats/partition collectors still
+    * refuse both per-action/per-table — their physical file lists and
+    * stats keys would misrepresent such a table. */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
 
   private def readGuards(spark: SparkSession, dir: String, ld: Path,
-      vs: Seq[Long], target: Long, ckpt: Option[Long]): Unit = {
+      vs: Seq[Long], target: Long, ckpt: Option[Long],
+      allowCm: Boolean): Unit = {
+    val fsys = ld.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val guardT = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -471,7 +563,7 @@ object DeltaLog {
     var proto: Option[(Long, Int, Seq[String])] = None
     var cmMode: Option[(Long, String)] = None
     ckpt.foreach { cv =>
-      val ck = spark.read.parquet(checkpointPath(ld, cv).toString)
+      val ck = spark.read.parquet(checkpointFiles(fsys, ld, cv): _*)
       if (ck.columns.contains("protocol")) {
         val pT = ck.schema("protocol").dataType.asInstanceOf[StructType]
         val feats =
@@ -526,29 +618,34 @@ object DeltaLog {
         }
     }
     proto.foreach { case (_, mrv, feats) =>
-      // mrv 3 = table features: readable iff every readerFeature is
-      // one we implement (deletionVectors — decoded by the read path).
-      // mrv 2 = legacy column mapping: not implemented. Anything else
-      // above 1: unknown — refuse naming it.
+      // mrv 3 = table features: readable iff every readerFeature is one
+      // we implement (deletionVectors, columnMapping — both resolved on
+      // the read path). mrv 2 = legacy column mapping (read path only).
+      // Anything else above 1: unknown — refuse naming it.
       val unsupported = feats.filterNot(SupportedReaderFeatures)
       if (mrv == 3 && unsupported.nonEmpty)
         throw new UnsupportedOperationException(
           s"delta table under $dir requires reader features " +
             s"${unsupported.mkString("[", ", ", "]")} this reader does not " +
             s"implement (supported: ${SupportedReaderFeatures.mkString(", ")})")
-      else if (mrv != 3 && mrv > 1)
+      else if (mrv != 3 && mrv != 2 && mrv > 1)
         throw new UnsupportedOperationException(
           s"delta table under $dir requires minReaderVersion=$mrv" +
             (if (feats.nonEmpty) s" with reader features ${feats.mkString("[", ", ", "]")}"
             else "") +
-            "; this reader supports minReaderVersion 1 and 3 with " +
+            "; this reader supports minReaderVersion 1-3 with " +
             s"features ${SupportedReaderFeatures.mkString(", ")}")
     }
     cmMode.foreach { case (_, mode) =>
-      if (mode != "none")
+      // the full-table read path (allowCm) maps physical → logical via
+      // the schemaString field metadata; every OTHER surface refuses:
+      // its file lists / stats keys / partitionValues carry PHYSICAL
+      // names and would silently misresolve logical lookups
+      if (mode != "none" && !allowCm)
         throw new UnsupportedOperationException(
-          s"delta column mapping mode '$mode' under $dir is not supported: " +
-            "physical parquet column names would be misread")
+          s"delta column mapping mode '$mode' under $dir is supported " +
+            "only on the full-table read path (read/readVersion); this " +
+            "API would misresolve physical parquet column names")
     }
   }
 
@@ -638,7 +735,7 @@ object DeltaLog {
     val target = version.getOrElse(vs.max)
     val ckpt = lastCheckpointVersion(fsys, ld).filter(_ <= target)
     val fromCkpt: Option[String] = ckpt.flatMap { cv =>
-      spark.read.parquet(checkpointPath(ld, cv).toString)
+      spark.read.parquet(checkpointFiles(fsys, ld, cv): _*)
         .selectExpr("metaData.schemaString").where("metaData IS NOT NULL")
         .collect().headOption.map(_.getString(0))
     }
@@ -827,8 +924,8 @@ object DeltaLog {
     * own position deletes. The stats/partition collectors keep the loud
     * guard: their file lists would misrepresent a DV table. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val adds = activeAddsDF(spark, dir,
-      if (version < 0) None else Some(version))
+    val vOpt = if (version < 0) None else Some(version)
+    val adds = activeAddsDF(spark, dir, vOpt, allowCm = true)
       .select("path", "dv").orderBy("path").collect()
     val files = adds.map(_.getString(0)).toSeq
     require(files.nonEmpty, s"delta version has no data files under $dir")
@@ -842,8 +939,24 @@ object DeltaLog {
           d.getInt(3)).map(p => r.getString(0) -> p)
       }
     }
-    if (dels.isEmpty) Manifest.readFiles(spark, dir, files)
-    else applyPositionDeletes(spark, dir, files, dels)
+    val raw =
+      if (dels.isEmpty) Manifest.readFiles(spark, dir, files)
+      else applyPositionDeletes(spark, dir, files, dels)
+    // COLUMN MAPPING (foreign tables, mode name/id): the parquet files
+    // carry PHYSICAL column names; the logical names live in the
+    // schemaString field metadata — resolve here, the one place a
+    // whole-row read makes the mapping total
+    val schema = tableSchema(spark, dir, vOpt)
+    val mapped = schema.fields.filter(
+      _.metadata.contains("delta.columnMapping.physicalName"))
+    if (mapped.isEmpty) raw
+    else raw.select(schema.fields.map { f =>
+      val phys =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      F.col(s"`$phys`").as(f.name)
+    }: _*)
   }
 
   /** Anti-join decoded DV positions against the scan: rows are keyed by

@@ -1253,6 +1253,37 @@ object Maintenance {
             |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 4999
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // The Delta face of the same MOR state (round 8): the export now
+  // EMITS deletion vectors (content-addressed DV files per the public
+  // portable-RoaringBitmapArray format, descriptors on re-added
+  // actions, protocol upgraded to reader-v3/deletionVectors) and the
+  // read path decodes + anti-joins them — so the ENTIRE DV write→log→
+  // guard→decode→apply cycle is hash-proven against DuckDB, not just
+  // spec-proven against hand-authored bytes.
+  private val deltaDvRead = Q(
+    "q_delta_dv_read",
+    (s, dir) => {
+      val out = scratchDir(dir, "delta_dv")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "orders").repartitionByRange(8, col("o_orderkey")),
+        out, "base")
+      graft.io.Manifest.deleteRangeMOR(s, out, "o_orderkey", "1000", "4999", "mor")
+      graft.io.DeltaLog.exportLog(s, out)
+      graft.io.DeltaLog.read(s, out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 4999
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Copy-on-write UPDATE under oracle, deleteRange's DML twin: orders
   // lands range-clustered on o_orderdate, updateRange re-prioritizes
   // every 1997 order (set expressions see the row's other columns),
@@ -1345,6 +1376,7 @@ object Maintenance {
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
+    deltaDvRead,
     partitionedRead, deltaPartitionPrune,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,

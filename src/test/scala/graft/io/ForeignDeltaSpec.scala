@@ -111,7 +111,7 @@ class ForeignDeltaSpec extends AnyFunSuite {
       """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
     writeCommit(dir, 1L, Seq(
       """{"commitInfo":{"timestamp":9,"operation":"UPGRADE PROTOCOL","operationParameters":{}}}""",
-      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""))
     intercept[UnsupportedOperationException] { DeltaLog.read(spark, dir) }
     // the pre-upgrade version still reads (guards resolve AT the target)
     assert(DeltaLog.readVersion(spark, dir, 0L).count() == 5)
@@ -219,17 +219,39 @@ class ForeignDeltaSpec extends AnyFunSuite {
       s"corruption must surface loudly: ${ex.getMessage}")
   }
 
-  test("column mapping modes fail loudly") {
+  test("column-mapped tables read through physical names; other APIs refuse") {
+    import org.apache.spark.sql.types.{IntegerType, MetadataBuilder, StructField, StructType}
     val dir = tmpDir()
-    landParquet((1 to 5).toDF("v"), dir, "a.parquet")
+    // the parquet file carries the PHYSICAL column name, as a
+    // mode=name writer produces
+    landParquet((1 to 5).toDF("col_9f8ab"), dir, "a.parquet")
+    val mb = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", 1L)
+      .putString("delta.columnMapping.physicalName", "col_9f8ab").build()
+    val cmSchema = schemaJson(StructType(Seq(
+      StructField("v", IntegerType, nullable = true, mb))))
     writeCommit(dir, 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":"foreign-5","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":5}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"foreign-5","format":{"provider":"parquet","options":{}},"schemaString":$cmSchema,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":5}}""",
       """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    // the full-table read path maps physical → LOGICAL names
+    import spark.implicits._
+    val df = DeltaLog.read(spark, dir)
+    assert(df.columns.toSeq == Seq("v"))
+    assert(df.as[Int].collect().sorted.toSeq == (1 to 5))
+    // every other surface refuses loudly: its stats keys / file lists /
+    // partitionValues carry physical names and would silently
+    // misresolve a logical lookup
     val ex = intercept[UnsupportedOperationException] {
-      DeltaLog.read(spark, dir)
+      DeltaLog.prunedFiles(spark, dir, "v", "0", "3")
     }
-    assert(ex.getMessage.contains("column mapping mode 'name'"))
+    assert(ex.getMessage.contains("column mapping"))
+    intercept[UnsupportedOperationException] {
+      DeltaLog.activeFileStats(spark, dir)
+    }
+    intercept[UnsupportedOperationException] {
+      DeltaLog.partitionPrunedFiles(spark, dir, Map("v" -> "1"))
+    }
   }
 
   test("iceberg equality deletes (content=2) fail loudly") {
