@@ -272,8 +272,42 @@ object DeltaLog {
         .foreach(fsys.delete(_, false))
       written += oldest
     }
+
+    // DV hygiene: a deletion_vector file referenced by NO retained
+    // version is unreachable by every reader (commits below the
+    // checkpoint are pruned; time travel spans only retained seqs) —
+    // after compaction purges the MOR state and vacuum truncates
+    // history, old DV files would otherwise accrete forever. Deleted
+    // only once older than the same grace window [[Manifest.vacuum]]
+    // gives in-flight writes, so a concurrent export that has landed a
+    // DV but not yet its commit JSON cannot be shot down.
+    val referenced = ms.flatMap(m =>
+      dvStateOf(m).values.map(_.pathOrInlineDv)).toSet
+    val dvCutoff = System.currentTimeMillis() - DvOrphanGraceMs
+    fsys.listStatus(base).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+          st.getModificationTime < dvCutoff
+      }
+      .filterNot { st =>
+        val uuidStr = st.getPath.getName
+          .stripPrefix("deletion_vector_").stripSuffix(".bin")
+        scala.util.Try {
+          val u = UUID.fromString(uuidStr)
+          val bb = java.nio.ByteBuffer.allocate(16)
+            .putLong(u.getMostSignificantBits)
+            .putLong(u.getLeastSignificantBits)
+          DeletionVector.encodeZ85(bb.array())
+        }.toOption.exists(referenced.contains)
+      }
+      .foreach(st => fsys.delete(st.getPath, false))
     written.result()
   }
+
+  /** Grace before an unreferenced DV file is reclaimed (see exportLog's
+    * hygiene pass). */
+  private[io] val DvOrphanGraceMs: Long = 3600000L
 
   /** The protocol's checkpoint schema: one row per action, struct
     * columns `protocol`/`metaData`/`add` (unused action classes omitted

@@ -828,12 +828,25 @@ object IcebergExport {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
-  /** The current table metadata JSON, resolved through version-hint. */
+  /** The current table metadata JSON, resolved through version-hint.
+    * FOREIGN-table guard: only format-version 2 reads — a v1 tree's
+    * manifest Avro schemas lack the `content`/sequence-number fields
+    * this reader routes on (a silent empty read), and v3 adds features
+    * (deletion vectors, row lineage) it does not implement — both fail
+    * LOUDLY naming the version instead. */
   def currentMetadata(spark: SparkSession, dir: String): JValue = {
     val (fsys, base) = fs(spark, dir)
     val md = metaDir(base)
     val gen = readText(fsys, new Path(md, "version-hint.text")).trim.toInt
-    JsonMethods.parse(readText(fsys, new Path(md, s"v$gen.metadata.json")))
+    val meta = JsonMethods.parse(
+      readText(fsys, new Path(md, s"v$gen.metadata.json")))
+    meta \ "format-version" match {
+      case JInt(v) if v == 2 =>
+      case other => throw new UnsupportedOperationException(
+        s"iceberg table under $dir declares format-version $other; this " +
+          "reader implements the v2 table spec only")
+    }
+    meta
   }
 
   /** Data-file URIs of a snapshot (default: current), resolved the way a

@@ -348,6 +348,31 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLog.activeFileStats(spark, dir).nonEmpty)
   }
 
+  test("unreferenced deletion-vector files reclaim after the grace window") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 100).toDF("id")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
+      dir, "base")
+    Manifest.deleteRangeMOR(spark, dir, "id", "10", "19", "mor")
+    DeltaLog.exportLog(spark, dir)
+    def dvFiles = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("deletion_vector_")).toSeq
+    assert(dvFiles.size == 1)
+    // purge the MOR state and drop its version from retained history
+    Manifest.compact(spark, dir, "purged", Long.MaxValue)
+    Manifest.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L)
+    DeltaLog.exportLog(spark, dir)
+    // unreferenced but YOUNG: the grace window protects a concurrent
+    // exporter's in-flight DV
+    assert(dvFiles.size == 1)
+    val past = System.currentTimeMillis() - 2 * 3600000L
+    dvFiles.foreach(f => assert(f.setLastModified(past)))
+    DeltaLog.exportLog(spark, dir)
+    assert(dvFiles.isEmpty, "aged unreferenced DV must be reclaimed")
+    assert(DeltaLog.read(spark, dir).count() == 90)
+  }
+
   test("multi-part checkpoints (foreign writers) reconstruct exactly") {
     val dir = tmpDir()
     (1 to 3).foreach(i =>

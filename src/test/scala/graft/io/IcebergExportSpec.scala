@@ -513,6 +513,26 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(keptMid.size <= 2 && keptMid.nonEmpty)
   }
 
+  test("foreign format-version 1/3 metadata fails loudly") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "s1")
+    IcebergExport.exportTable(spark, dir)
+    val mj = new java.io.File(s"$dir/metadata/v1.metadata.json")
+    val txt = scala.io.Source.fromFile(mj).mkString
+    val w = new java.io.PrintWriter(mj)
+    try w.write(txt.replaceAll(
+      "\"format-version\"\\s*:\\s*2", "\"format-version\" : 3"))
+    finally w.close()
+    new java.io.File(s"$dir/metadata/.v1.metadata.json.crc").delete()
+    // a v3 tree (or v1 — whose manifest avro lacks the content and
+    // sequence-number fields this reader routes on) must refuse loudly,
+    // never read silently wrong
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergExport.read(spark, dir)
+    }
+    assert(ex.getMessage.contains("format-version"))
+  }
+
   test("manifests without committed_at get a monotone fallback instant") {
     val dir = tmpDir()
     Manifest.write((1 to 10).toDF("v"), dir, "s1")
