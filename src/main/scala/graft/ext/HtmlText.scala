@@ -91,9 +91,13 @@ object HtmlText {
       densityPct: Int = 60): Column = {
     val scored = transform(blocksOf(html),
       b => struct(blockText(b).as("t"), length(b).as("raw")))
+    // the density product runs in 64-bit: a >21M-char block would
+    // overflow a 32-bit `length*100` silently (non-ANSI Spark) and flip
+    // the verdict away from the oracle's 64-bit arithmetic
     filter(scored, s =>
       length(s.getField("t")) >= minTextLen &&
-        length(s.getField("t")) * 100 >= s.getField("raw") * densityPct)
+        length(s.getField("t")).cast("long") * 100 >=
+          s.getField("raw").cast("long") * densityPct)
   }
 
   /** Blocks with any (non-whitespace) text at all — the denominator a

@@ -172,6 +172,19 @@ object DeletionVector {
     * `tableDir` is the Delta table root (for `u` storage). */
   def positions(spark: SparkSession, tableDir: String, storageType: String,
       pathOrInlineDv: String, offset: Option[Int],
+      sizeInBytes: Int): Seq[Long] =
+    positionsConf(spark.sparkContext.hadoopConfiguration, tableDir,
+      storageType, pathOrInlineDv, offset, sizeInBytes)
+
+  /** [[positions]] against a plain Hadoop Configuration — the form an
+    * EXECUTOR-side decode task calls (no SparkSession on executors):
+    * [[DeltaLog.readVersion]] ships the descriptors as a frame and
+    * decodes each DV inside a task, so a DV-heavy foreign table
+    * (hundreds of millions of deleted rows) never expands into
+    * driver-side position tuples. */
+  def positionsConf(conf: org.apache.hadoop.conf.Configuration,
+      tableDir: String, storageType: String,
+      pathOrInlineDv: String, offset: Option[Int],
       sizeInBytes: Int): Seq[Long] = {
     storageType match {
       case "i" =>
@@ -191,8 +204,7 @@ object DeletionVector {
             val dirPart = if (prefix.isEmpty) "" else s"$prefix/"
             new Path(tableDir, s"${dirPart}deletion_vector_$uuid.bin")
           }
-        val fsys: FileSystem =
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fsys: FileSystem = p.getFileSystem(conf)
         val in = fsys.open(p)
         try {
           val off = offset.getOrElse(throw new IllegalArgumentException(
@@ -314,11 +326,21 @@ object DeletionVector {
     * immutable, incremental, and shareable between files with equal
     * delete sets. */
   def writeDvFile(spark: SparkSession, tableDir: String,
-      positions: Seq[Long]): DvDescriptor = {
+      positions: Seq[Long]): DvDescriptor =
+    writeDvFileConf(spark.sparkContext.hadoopConfiguration, tableDir, positions)
+
+  /** [[writeDvFile]] against a plain Hadoop Configuration — callable
+    * from an executor task, so the export encodes each file's delete
+    * set where its positions already live instead of hauling every
+    * deleted row index to the driver. Idempotency is unchanged: the
+    * content-addressed name makes concurrent/repeated writes converge
+    * on identical bytes at the same key. */
+  def writeDvFileConf(conf: org.apache.hadoop.conf.Configuration,
+      tableDir: String, positions: Seq[Long]): DvDescriptor = {
     val data = encodeBitmapArray(positions)
     val uuid = UUID.nameUUIDFromBytes("graft-dv:".getBytes("UTF-8") ++ data)
     val base = new Path(tableDir)
-    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fsys = base.getFileSystem(conf)
     val dest = new Path(base, s"deletion_vector_$uuid.bin")
     if (!fsys.exists(dest)) {
       val crc = new java.util.zip.CRC32; crc.update(data)

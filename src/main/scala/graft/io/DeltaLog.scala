@@ -108,8 +108,16 @@ object DeltaLog {
     """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
       """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
 
-  private def removeLine(path: String, ts: Long): String =
-    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":$ts,"dataChange":true}}"""
+  /** `remove` must INVALIDATE the exact add it cancels: Delta state
+    * reconstruction keys active files by (path, DV unique id), so a
+    * remove of a file whose prior add carried a deletionVector repeats
+    * that descriptor — a bare remove would only cancel (path, null) and
+    * a foreign replay would keep the old (path, dv) add live, silently
+    * double-reading the file. */
+  private def removeLine(path: String, ts: Long,
+      dv: Option[String] = None): String =
+    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":$ts,"dataChange":true""" +
+      dv.map(d => s""","deletionVector":$d""").getOrElse("") + "}}"
 
   private def commitInfoLine(ts: Long, operation: String): String =
     s"""{"commitInfo":{"timestamp":$ts,"operation":"$operation","operationParameters":{}}}"""
@@ -174,36 +182,43 @@ object DeltaLog {
     // positions encode as content-addressed DV files (portable
     // RoaringBitmapArray, CRC-framed) with descriptors on the affected
     // add actions; the protocol upgrades to reader-v3/deletionVectors
-    // in the DV-carrying commits. Delete sets are KBs by design, so a
-    // driver-side collect per delete dir is metadata-scale; descriptors
-    // are deterministic functions of the positions, keeping the
-    // incremental export idempotent. (Spec caveat disclosed: add.stats
-    // stay the PHYSICAL file's footer stats — sound for min/max
-    // pruning, but numRecords counts DV-deleted rows, i.e. Delta's
-    // tightBounds=false shape.)
-    val delByDir: Map[String, Map[String, Seq[Long]]] =
-      ms.flatMap(_.deleteFiles).distinct.groupBy(_.split('/').head).map {
-        case (dn, rels) =>
-          dn -> spark.read.parquet(rels.map(f => s"$dir/$f"): _*)
-            .select("file_path", "pos").collect()
-            .groupBy(_.getString(0))
-            .map { case (f, rows) =>
-              f -> rows.map(_.getLong(1)).toSeq.sorted }
-            .toMap
-      }
-    val dvCache =
-      scala.collection.mutable.Map[Seq[Long], DeletionVector.DvDescriptor]()
+    // in the DV-carrying commits. The whole conversion runs as ONE
+    // Spark job per distinct delete state (round 9): the delete
+    // parquets group by target file IN-FRAME and each task encodes +
+    // writes its files' DVs where the positions already live — the
+    // driver sees only the (file → descriptor) map, ∝ delete-carrying
+    // files, never a per-deleted-row tuple. Descriptors stay
+    // deterministic functions of the positions (content-addressed
+    // names), keeping the incremental export idempotent. (Spec caveat
+    // disclosed: add.stats stay the PHYSICAL file's footer stats —
+    // sound for min/max pruning, but numRecords counts DV-deleted
+    // rows, i.e. Delta's tightBounds=false shape.)
+    val serConf =
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration)
+    val qualDir = fsys.makeQualified(base).toString
+    val dvStateCache = scala.collection.mutable
+      .Map[Seq[String], Map[String, DeletionVector.DvDescriptor]]()
     def dvStateOf(m: Manifest.ManifestData)
         : Map[String, DeletionVector.DvDescriptor] =
       if (m.deleteFiles.isEmpty) Map.empty
-      else m.deleteFiles.map(_.split('/').head).distinct
-        .flatMap(dn => delByDir.getOrElse(dn, Map.empty).toSeq)
-        .groupBy(_._1)
-        .map { case (f, entries) =>
-          val pos = entries.flatMap(_._2).distinct.sorted
-          f -> dvCache.getOrElseUpdate(pos,
-            DeletionVector.writeDvFile(spark, dir, pos))
-        }
+      else dvStateCache.getOrElseUpdate(m.deleteFiles.sorted, {
+        import spark.implicits._
+        val conf = serConf
+        val root = qualDir
+        spark.read.parquet(m.deleteFiles.sorted.map(f => s"$dir/$f"): _*)
+          .groupBy("file_path")
+          .agg(F.array_sort(F.collect_set(F.col("pos"))).as("positions"))
+          .as[(String, Seq[Long])]
+          .map { case (f, pos) =>
+            val d = DeletionVector.writeDvFileConf(conf.value, root, pos)
+            (f, d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)
+          }
+          .collect()
+          .map { case (f, pi, off, sz, card) =>
+            f -> DeletionVector.DvDescriptor(pi, off, sz, card) }
+          .toMap
+      })
 
     def addLinesOf(files: Seq[String],
         dv: Map[String, DeletionVector.DvDescriptor]): Seq[String] =
@@ -248,7 +263,8 @@ object DeltaLog {
             Seq(commitInfoLine(tsOf(m), op)) ++
               (if (dv.isEmpty) Nil else Seq(dvProtocolLine)) ++
               metaChange ++
-              (removed ++ redv).map(removeLine(_, now)) ++
+              (removed ++ redv).map(f =>
+                removeLine(f, now, prevDv.get(f).map(_.json))) ++
               addLinesOf(added ++ redv, dv)
           }
         writeLines(fsys, dest, lines)
@@ -963,19 +979,23 @@ object DeltaLog {
       .select("path", "dv").orderBy("path").collect()
     val files = adds.map(_.getString(0)).toSeq
     require(files.nonEmpty, s"delta version has no data files under $dir")
-    val dels: Seq[(String, Long)] = adds.toSeq.flatMap { r =>
+    // only the DESCRIPTORS come to the driver (∝ DV-carrying files,
+    // same scale as the file list itself); the positions they encode
+    // decode executor-side inside [[applyPositionDeletes]] — a foreign
+    // table with 100M deleted rows stays a few MB of driver state
+    // instead of gigabytes of (file, pos) tuples
+    val descs: Seq[DvRef] = adds.toSeq.flatMap { r =>
       if (r.isNullAt(1)) Nil
       else {
         val d = r.getStruct(1)
-        DeletionVector.positions(spark, dir,
-          d.getString(0), d.getString(1),
-          if (d.isNullAt(2)) None else Some(d.getInt(2)),
-          d.getInt(3)).map(p => r.getString(0) -> p)
+        Some(DvRef(r.getString(0), d.getString(0), d.getString(1),
+          if (d.isNullAt(2)) None else Some(d.getInt(2)), d.getInt(3),
+          if (d.isNullAt(4)) -1L else d.getLong(4)))
       }
     }
     val raw =
-      if (dels.isEmpty) Manifest.readFiles(spark, dir, files)
-      else applyPositionDeletes(spark, dir, files, dels)
+      if (descs.isEmpty) Manifest.readFiles(spark, dir, files)
+      else applyPositionDeletes(spark, dir, files, descs)
     // COLUMN MAPPING (foreign tables, mode name/id): the parquet files
     // carry PHYSICAL column names; the logical names live in the
     // schemaString field metadata — resolve here, the one place a
@@ -993,15 +1013,67 @@ object DeltaLog {
     }: _*)
   }
 
-  /** Anti-join decoded DV positions against the scan: rows are keyed by
+  /** One add action's deletion-vector descriptor, with the file it
+    * deletes from — the DRIVER-side unit of MOR state (positions stay
+    * distributed). `cardinality < 0` means the descriptor carried
+    * none (legal in foreign logs). */
+  private[io] final case class DvRef(file: String, storageType: String,
+      pathOrInlineDv: String, offset: Option[Int], sizeInBytes: Int,
+      cardinality: Long)
+
+  /** Broadcast the decoded delete side only while its total position
+    * count stays comfortably under the default broadcast budget
+    * (~70 bytes per (path, pos) row); bigger delete states shuffle —
+    * a sort-merge anti-join on (file-name tail, pos). */
+  private[io] val MaxBroadcastDvPositions = 1000000L
+
+  /** Anti-join DV positions against the scan. The descriptors ship as a
+    * tiny Dataset and each DECODES INSIDE A TASK
+    * ([[DeletionVector.positionsConf]] — CRC-verified slice reads), so
+    * the deleted-row tuples are born distributed; broadcast vs shuffle
+    * is chosen from the descriptors' summed cardinality. Rows key by
     * (`_metadata.file_path` ending in "/" + the add's relative path,
-    * `_metadata.row_index`) — suffix-anchored so the match cannot
-    * depend on how the filesystem renders the URI prefix. The DV side
-    * is broadcast (KBs per file by design). */
+    * `_metadata.row_index`): the file-name TAIL is the hash key (an
+    * equi-join Spark can plan), the full suffix match stays as the
+    * residual, and suffix UNIQUENESS across active paths is asserted
+    * loudly up front — without it a path that suffixes another (e.g.
+    * `x/part-0.parquet` vs `y/x/part-0.parquet`) would delete rows
+    * from the wrong file. */
   private def applyPositionDeletes(spark: SparkSession, dir: String,
-      files: Seq[String], dels: Seq[(String, Long)]): DataFrame = {
+      files: Seq[String], descs: Seq[DvRef]): DataFrame = {
     import spark.implicits._
-    val delDf = dels.toDF("_dv_file", "_dv_pos")
+    // suffix-collision guard: sorted by reversed path, a collision is
+    // an adjacent reversed-prefix pair — O(n log n) over the file list
+    // the scan already holds
+    val revSorted = files.map(f => ("/" + f).reverse).sorted
+    revSorted.sliding(2).foreach {
+      case scala.collection.Seq(a, b) if b.startsWith(a) =>
+        throw new IllegalStateException(
+          s"active add paths under $dir are not suffix-unique " +
+            s"('${a.reverse}' suffixes '${b.reverse}'): suffix-keyed " +
+            "deletion-vector matching would hit the wrong file")
+      case _ =>
+    }
+    val (fsys, base) = fs(spark, dir)
+    val qualDir = fsys.makeQualified(base).toString
+    val serConf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val conf = serConf
+    val root = qualDir
+    val delDf = descs.toDS()
+      .repartition(math.min(descs.size, spark.sparkContext.defaultParallelism))
+      .flatMap { d =>
+        DeletionVector.positionsConf(conf.value, root, d.storageType,
+          d.pathOrInlineDv, d.offset, d.sizeInBytes)
+          .map(p => (d.file, p))
+      }
+      .toDF("_dv_file", "_dv_pos")
+    val knownCard = descs.forall(_.cardinality >= 0)
+    val totalCard = descs.map(_.cardinality).sum
+    val delSide =
+      if (knownCard && totalCard <= MaxBroadcastDvPositions)
+        F.broadcast(delDf)
+      else delDf
     def withMeta(df: DataFrame): DataFrame =
       df.select(F.col("*"),
         F.col("_metadata.file_path").as("_g_file"),
@@ -1016,10 +1088,15 @@ object DeltaLog {
         }
         .reduce(_.unionByName(_, allowMissingColumns = true))
     val dataCols = Manifest.readFiles(spark, dir, files).columns
-    metaDf.join(F.broadcast(delDf),
-      F.col("_g_file").endsWith(F.concat(F.lit("/"), F.col("_dv_file"))) &&
-        F.col("_g_pos") === F.col("_dv_pos"),
-      "left_anti")
+    metaDf
+      .withColumn("_g_tail", F.element_at(F.split(F.col("_g_file"), "/"), -1))
+      .join(
+        delSide.withColumn("_dv_tail",
+          F.element_at(F.split(F.col("_dv_file"), "/"), -1)),
+        F.col("_g_tail") === F.col("_dv_tail") &&
+          F.col("_g_pos") === F.col("_dv_pos") &&
+          F.col("_g_file").endsWith(F.concat(F.lit("/"), F.col("_dv_file"))),
+        "left_anti")
       .select(dataCols.map(F.col): _*)
   }
 }

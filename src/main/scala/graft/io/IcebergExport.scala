@@ -802,7 +802,14 @@ object IcebergExport {
       .map(_.get("manifest_path").toString)
     if (mfs.isEmpty) None
     else Some(mfs.map(p => AvroIO.readAvro(spark, p))
-      .reduce(_.unionByName(_, allowMissingColumns = true)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      // the spec's entry status: 2 = DELETED. A foreign writer's
+      // rewritten manifest legitimately KEEPS deleted entries (they
+      // record the removal for incremental readers); including them in
+      // a state read would resurrect deleted data files. Our own export
+      // never writes status=2, so this is a pure foreign-table guard —
+      // filtered in-frame, null-safe (a missing status keeps the entry).
+      .where(F.col("status").isNull || F.col("status") =!= 2))
   }
 
   /** Little-endian two's-complement bytes → signed long, in pure SQL:
@@ -1019,6 +1026,9 @@ object IcebergExport {
           .filter(_.get("content") == 0)
           .flatMap { mf =>
             readAvroFile(fsys, new Path(mf.get("manifest_path").toString))
+              // same DELETED-entry (status=2) guard as [[entriesDF]] —
+              // this branch bypasses the frame, so it filters here
+              .filter(e => e.get("status") == null || e.get("status") != 2)
               .flatMap { e =>
                 val df = e.get("data_file").asInstanceOf[GenericRecord]
                 val partKeep =

@@ -348,6 +348,64 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLog.activeFileStats(spark, dir).nonEmpty)
   }
 
+  test("removes repeat the cancelled add's DV descriptor; (path, dvId)-keyed replay is exact") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 100).toDF("id")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
+      dir, "base")
+    // two successive MOR deletes hit the SAME file (ids 0-49 cluster in
+    // one range file), so its DV descriptor CHANGES between v1 and v2;
+    // the compaction at v3 then removes a DV-carrying file outright —
+    // the two shapes Delta state reconstruction keys by (path, dvId)
+    Manifest.deleteRangeMOR(spark, dir, "id", "10", "19", "mor1")
+    Manifest.deleteRangeMOR(spark, dir, "id", "30", "34", "mor2")
+    Manifest.compact(spark, dir, "compacted", Long.MaxValue)
+    DeltaLog.exportLog(spark, dir)
+
+    def dvId(j: JValue, action: String): Option[String] =
+      field(j, action, "deletionVector", "pathOrInlineDv") match {
+        case JString(s) => Some(s); case _ => None
+      }
+    // v1: the file had NO prior DV — its remove must carry none
+    val v1 = commitLines(dir, 1)
+    assert(v1.exists(j => field(j, "remove") != JNothing))
+    assert(v1.forall(j => dvId(j, "remove").isEmpty))
+    val v1add = v1.flatMap(dvId(_, "add"))
+    assert(v1add.size == 1, "v1 re-adds the file with its first DV")
+    // v2 (second MOR delete, DV changes): the remove must repeat the
+    // OLD descriptor — a bare remove would only cancel (path, null) and
+    // a (path, dvId)-keyed replay would keep BOTH adds live
+    val v2 = commitLines(dir, 2)
+    val v2rm = v2.flatMap(dvId(_, "remove"))
+    assert(v2rm == v1add, "remove must carry the descriptor it cancels")
+    val v2add = v2.flatMap(dvId(_, "add"))
+    assert(v2add.size == 1 && v2add != v1add, "the re-add carries the NEW DV")
+    // v3 (compaction removes the DV-carrying file): descriptor repeated
+    val v3 = commitLines(dir, 3)
+    assert(v3.flatMap(dvId(_, "remove")) == v2add)
+
+    // independent (path, dvUniqueId)-keyed state reconstruction — the
+    // keying delta-spark's InMemoryLogReplay uses
+    val state = scala.collection.mutable.Set[(String, Option[String])]()
+    (0L to 3L).foreach { v =>
+      commitLines(dir, v).foreach { j =>
+        field(j, "remove", "path") match {
+          case JString(p) => state -= (p -> dvId(j, "remove"))
+          case _ =>
+        }
+        field(j, "add", "path") match {
+          case JString(p) => state += (p -> dvId(j, "add"))
+          case _ =>
+        }
+      }
+    }
+    assert(state.map(_._1) == DeltaLog.activeFiles(spark, dir).toSet,
+      "keyed replay must agree with the reader — no resurrected (path, dv) pairs")
+    assert(state.forall(_._2.isEmpty), "compaction purged every DV")
+    assert(DeltaLog.read(spark, dir).count() == 85)
+  }
+
   test("unreferenced deletion-vector files reclaim after the grace window") {
     val dir = tmpDir()
     Manifest.write(
