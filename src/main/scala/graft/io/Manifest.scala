@@ -278,7 +278,7 @@ object Manifest {
     * discovery refuses one basePath spanning several data roots) and
     * unions by name — missing partition columns null-fill, so a table
     * whose history mixes flat and partitioned snapshots still reads. */
-  private[io] def readFiles(spark: SparkSession, dir: String,
+  private[graft] def readFiles(spark: SparkSession, dir: String,
       files: Seq[String]): DataFrame =
     if (files.forall(partitionValuesOf(_).isEmpty))
       spark.read.parquet(files.map(f => s"$dir/$f"): _*)

@@ -1373,11 +1373,75 @@ object Maintenance {
     Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // The engine's OWN table format as a first-class Spark data source
+  // (round 9): orders lands as a hive-partitioned Manifest commit and
+  // reads back through `spark.read.format("graft")` — the planner's
+  // pushed partition filter prunes to the `o_orderpriority=1-URGENT`
+  // directories inside GraftFileIndex, the scan is Spark's native
+  // vectorized parquet path, and the oracle replays the same predicate
+  // over the source parquet. Hash equality proves the source's manifest
+  // resolution + partition prune lose and duplicate nothing.
+  private val graftSourceQ = Q(
+    "q_graft_source",
+    (s, dir) => {
+      val out = scratchDir(dir, "graft_src")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.writePartitioned(
+        t(s, dir, "orders"), out, "base", Seq("o_orderpriority"))
+      s.read.format("graft").load(out)
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_custkey") >= 100)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          max(to_date(col("o_orderdate"))).as("max_date"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price,
+            |  MAX(CAST(o_orderdate AS DATE)) AS max_date
+            |FROM orders
+            |WHERE o_orderpriority = '1-URGENT' AND o_custkey >= 100
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // Time travel through the source's options: two commits land a
+  // disjoint l_linenumber split, `versionAsOf 0` reads the FIRST
+  // commit's state through the public API, and the oracle replays the
+  // v0 subset — the "what did the model train on" provenance read,
+  // exercised through spark.read instead of a library call.
+  private val graftAsof = Q(
+    "q_graft_asof",
+    (s, dir) => {
+      val out = scratchDir(dir, "graft_asof")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = t(s, dir, "lineitem")
+      graft.io.Manifest.write(li.filter(col("l_linenumber") <= 3), out, "v0")
+      graft.io.Manifest.append(li.filter(col("l_linenumber") >= 4), out, "v1")
+      s.read.format("graft").option("versionAsOf", "0").load(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_ok"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          max(to_date(col("l_shipdate"))).as("max_ship"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("l_quantity")} AS sum_qty,
+            |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
+            |FROM lineitem WHERE l_linenumber <= 3
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
+    graftSourceQ, graftAsof,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

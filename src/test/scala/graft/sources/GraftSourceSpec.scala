@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.io.Manifest
+
+/**
+ * The `spark.read.format("graft")` face: reads resolve through the
+ * manifest (never a directory listing), time travel via options,
+ * partition + stats pruning driven by the PLANNER's pushed filters
+ * (asserted on the executed scan's own metrics), merge-on-read deletes
+ * applied, SQL via temp view, and an accurate sizeInBytes that lets a
+ * small snapshot auto-broadcast under a join.
+ */
+class GraftSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graftsrc").toString
+
+  /** Execute and return the (post-AQE) file scan's numFiles metric. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in the executed plan — " +
+      "the graft relation did not plan as a native file scan"))
+    scan.metrics("numFiles").value
+  }
+
+  test("reads the current snapshot through the manifest; orphan data dirs invisible") {
+    val dir = tmpDir()
+    Manifest.write((1 to 100).toDF("v"), dir, "s1")
+    Manifest.write((1 to 40).toDF("v"), dir, "s2")
+    // an orphan data dir (crashed pre-commit write) must stay invisible
+    val orphan = new java.io.File(dir, "data-orphan"); orphan.mkdirs()
+    (900 to 950).toDF("v").write.parquet(s"$dir/data-orphan/junk")
+    val df = spark.read.format("graft").load(dir)
+    assert(df.as[Int].collect().sorted.toSeq == (1 to 40))
+    // the plan is Spark's native vectorized parquet scan
+    assert(scannedFiles(df) > 0)
+  }
+
+  test("time travel: versionAsOf, snapshotAsOf, timestampAsOf") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "first")
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    Manifest.write((1 to 25).toDF("v"), dir, "second")
+    assert(spark.read.format("graft")
+      .option("versionAsOf", "0").load(dir).count() == 10)
+    assert(spark.read.format("graft")
+      .option("snapshotAsOf", "second").load(dir).count() == 25)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", mid.toString).load(dir).count() == 10)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "99").load(dir)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "0")
+        .option("snapshotAsOf", "first").load(dir)
+    }
+  }
+
+  test("partition filters prune to the matching hive directories only") {
+    val dir = tmpDir()
+    val df = spark.sql(
+      """SELECT id, CASE CAST(id % 3 AS INT) WHEN 0 THEN 'de'
+        |  WHEN 1 THEN 'en' ELSE 'fr' END AS lang
+        |FROM range(0, 300)""".stripMargin)
+    Manifest.writePartitioned(df, dir, "p1", Seq("lang"))
+    val g = spark.read.format("graft").load(dir)
+    assert(g.columns.toSet == Set("id", "lang"))
+    val all = scannedFiles(g)
+    val en = g.where("lang = 'en'")
+    assert(en.count() == 100)
+    assert(scannedFiles(en) < all,
+      "a partition-exact filter must scan fewer files")
+    assert(en.select("id").as[Long].collect().forall(_ % 3 == 1))
+    assert(g.where("lang = 'zz'").count() == 0)
+  }
+
+  test("data filters prune files by footer bounds on a clustered layout") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).toDF("id").repartitionByRange(5, col("id")),
+      dir, "clustered")
+    val g = spark.read.format("graft").load(dir)
+    val all = scannedFiles(g)
+    assert(all == 5)
+    val slice = g.where("id >= 100 AND id <= 299")
+    assert(slice.count() == 200)
+    assert(scannedFiles(slice) < all,
+      "range bounds must prune files the window cannot touch")
+    // fail-open contract: an unprunable predicate scans everything and
+    // still answers correctly
+    assert(g.where("id % 7 = 0").count() == 143)
+  }
+
+  test("merge-on-read snapshots apply position deletes through the source") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 100).toDF("id").repartitionByRange(2, col("id")),
+      dir, "base")
+    Manifest.deleteRangeMOR(spark, dir, "id", "10", "19", "mor")
+    val g = spark.read.format("graft").load(dir)
+    assert(g.count() == 90)
+    assert(g.where("id >= 10 AND id <= 19").count() == 0)
+    // column pruning still pushes on the MOR path
+    assert(g.select("id").columns.toSeq == Seq("id"))
+    // time travel below the delete sees the pre-delete state (and rides
+    // the fast vectorized path again)
+    assert(spark.read.format("graft")
+      .option("versionAsOf", "0").load(dir).count() == 100)
+    // compaction purges the delete state; the fast path resumes
+    Manifest.compact(spark, dir, "purged", Long.MaxValue)
+    assert(spark.read.format("graft").load(dir).count() == 90)
+  }
+
+  test("SQL path: temp view over the source answers like the library read") {
+    val dir = tmpDir()
+    Manifest.write((1 to 200).toDF("v"), dir, "s1")
+    spark.read.format("graft").load(dir).createOrReplaceTempView("graft_sql_t")
+    val viaSql = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(v) AS s FROM graft_sql_t WHERE v % 2 = 0")
+      .as[(Long, Long)].head()
+    assert(viaSql == ((100L, 10100L)))
+    spark.catalog.dropTempView("graft_sql_t")
+  }
+
+  test("accurate sizeInBytes lets a small graft snapshot broadcast under a join") {
+    val dir = tmpDir()
+    Manifest.write((1 to 50).toDF("k"), dir, "dim")
+    val big = spark.range(0, 100000).selectExpr("CAST(id % 50 + 1 AS INT) AS k", "id")
+    val joined = big.join(spark.read.format("graft").load(dir), "k")
+    assert(joined.count() == 100000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a KB-sized graft table must broadcast, got:\n$plan")
+  }
+}
