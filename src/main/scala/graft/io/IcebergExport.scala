@@ -799,17 +799,34 @@ object IcebergExport {
       listPath: String, content: Int): Option[DataFrame] = {
     val mfs = readAvroFile(fsys, new Path(listPath))
       .filter(_.get("content") == content)
-      .map(_.get("manifest_path").toString)
+      .map(r => (r.get("manifest_path").toString,
+        Option(r.get("sequence_number"))
+          .map(_.asInstanceOf[java.lang.Long].longValue()).getOrElse(0L)))
     if (mfs.isEmpty) None
-    else Some(mfs.map(p => AvroIO.readAvro(spark, p))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // several manifest files per manifest-list is the NORMAL foreign
+      // shape (Iceberg appends a new manifest per commit and merges
+      // lazily) — union by name so field-order/optional-field drift
+      // between manifests cannot misalign columns
+      val unioned = mfs.map { case (p, mseq) =>
+        AvroIO.readAvro(spark, p).withColumn("_g_mf_seq", F.lit(mseq))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      // SEQUENCE-NUMBER INHERITANCE (spec): an entry written with a null
+      // sequence_number inherits its manifest's — the shape every
+      // foreign writer produces for ADDED entries
+      val withSeq =
+        if (unioned.columns.contains("sequence_number"))
+          unioned.withColumn("_g_entry_seq",
+            F.coalesce(F.col("sequence_number"), F.col("_g_mf_seq")))
+        else unioned.withColumn("_g_entry_seq", F.col("_g_mf_seq"))
       // the spec's entry status: 2 = DELETED. A foreign writer's
       // rewritten manifest legitimately KEEPS deleted entries (they
       // record the removal for incremental readers); including them in
       // a state read would resurrect deleted data files. Our own export
       // never writes status=2, so this is a pure foreign-table guard —
       // filtered in-frame, null-safe (a missing status keeps the entry).
-      .where(F.col("status").isNull || F.col("status") =!= 2))
+      Some(withSeq.where(F.col("status").isNull || F.col("status") =!= 2))
+    }
   }
 
   /** Little-endian two's-complement bytes → signed long, in pure SQL:
@@ -856,64 +873,94 @@ object IcebergExport {
     meta
   }
 
-  /** Data-file URIs of a snapshot (default: current), resolved the way a
-    * reader does: metadata JSON → snapshot's manifest list → manifest
-    * entries. */
-  def activeFiles(spark: SparkSession, dir: String,
-      snapshotId: Option[Long] = None): Seq[String] = {
-    val (fsys, _) = fs(spark, dir)
-    val meta = currentMetadata(spark, dir)
+  /** Resolve the target snapshot's JSON node (default: current). */
+  private def snapJ(meta: JValue, dir: String,
+      snapshotId: Option[Long]): JValue = {
     val target = snapshotId.getOrElse(meta \ "current-snapshot-id" match {
       case JInt(v) => v.toLong
       case _ => throw new IllegalStateException("no current-snapshot-id")
     })
-    val snap = (meta \ "snapshots") match {
+    (meta \ "snapshots") match {
       case JArray(ss) => ss.find(s => (s \ "snapshot-id") == JInt(target))
         .getOrElse(throw new IllegalArgumentException(
           s"no snapshot $target under $dir"))
       case _ => throw new IllegalStateException("no snapshots array")
     }
-    val JString(listPath) = snap \ "manifest-list"
+  }
+
+  /** Data-file URIs of a snapshot (default: current), resolved the way a
+    * reader does: metadata JSON → snapshot's manifest list → manifest
+    * entries. */
+  def activeFiles(spark: SparkSession, dir: String,
+      snapshotId: Option[Long] = None): Seq[String] =
+    activeFilesWithSeq(spark, dir, snapshotId).map(_._1)
+
+  /** [[activeFiles]] plus each file's DATA SEQUENCE NUMBER (explicit or
+    * inherited from its manifest) — the ordinal the spec scopes delete
+    * application by. */
+  private def activeFilesWithSeq(spark: SparkSession, dir: String,
+      snapshotId: Option[Long]): Seq[(String, Long)] = {
+    val (fsys, _) = fs(spark, dir)
+    val meta = currentMetadata(spark, dir)
+    val JString(listPath) = snapJ(meta, dir, snapshotId) \ "manifest-list"
     // executor-side decode; collect = the scan's file list (inherent
     // for an unpruned read — it IS the plan; pruned reads go through
     // [[activeFilesPruned]], which filters before collecting)
     entriesDF(spark, fsys, listPath, 0).toSeq.flatMap(
-      _.select(F.col("data_file.file_path")).collect().map(_.getString(0)))
+      _.select(F.col("data_file.file_path"), F.col("_g_entry_seq"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)))
+  }
+
+  /** One snapshot's merge-on-read DELETE STATE: position-delete file
+    * URIs, plus equality-delete groups as (apply-sequence, equality
+    * field ids, file URIs). Both lists are metadata-scale. */
+  private[graft] final case class DeleteState(posFiles: Seq[String],
+      eqGroups: Seq[(Long, Seq[Int], Seq[String])])
+
+  private def deleteState(spark: SparkSession, dir: String,
+      snapshotId: Option[Long]): DeleteState = {
+    val (fsys, _) = fs(spark, dir)
+    val meta = currentMetadata(spark, dir)
+    val JString(listPath) = snapJ(meta, dir, snapshotId) \ "manifest-list"
+    entriesDF(spark, fsys, listPath, 1) match {
+      case None => DeleteState(Nil, Nil)
+      case Some(e) =>
+        val dfT = e.schema("data_file").dataType.asInstanceOf[StructType]
+        val eqIds: Column =
+          if (dfT.fieldNames.contains("equality_ids"))
+            F.col("data_file.equality_ids")
+          else F.lit(null).cast(ArrayType(IntegerType))
+        val rows = e.select(F.col("data_file.file_path"),
+          F.col("data_file.content"), F.col("_g_entry_seq"),
+          eqIds.as("_g_eq_ids")).collect()
+        val pos = rows.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq
+        val eq = rows.filter(_.getInt(1) == 2).map { r =>
+          val ids =
+            if (r.isNullAt(3)) Nil
+            else r.getSeq[Any](3).map(_.asInstanceOf[Number].intValue()).toSeq
+          // content=2 names EQUALITY deletes; one without equality_ids
+          // is unreadable — refusing loudly beats resurrecting rows
+          if (ids.isEmpty) throw new UnsupportedOperationException(
+            s"iceberg snapshot under $dir carries an EQUALITY delete file " +
+              s"(content=2, ${r.getString(0)}) with no equality_ids: " +
+              "cannot apply it; reading would silently include deleted rows")
+          (r.getString(0), r.getLong(2), ids)
+        }.toSeq
+        val groups = eq.groupBy(x => (x._2, x._3)).toSeq
+          .sortBy(_._1._1)
+          .map { case ((seq, ids), xs) => (seq, ids, xs.map(_._1).sorted) }
+        DeleteState(pos, groups)
+    }
   }
 
   /** POSITION-DELETE file URIs of a snapshot (content=1 manifests) —
-    * the merge-on-read state a v2 reader must apply to the data scan. */
+    * the merge-on-read state a v2 reader must apply to the data scan.
+    * NOTE: equality deletes (content=2) are NOT in this list — only the
+    * full read paths ([[read]]/[[readSnapshot]]/[[readPruned]]) apply
+    * the complete delete state. */
   def activeDeleteFiles(spark: SparkSession, dir: String,
-      snapshotId: Option[Long] = None): Seq[String] = {
-    val (fsys, _) = fs(spark, dir)
-    val meta = currentMetadata(spark, dir)
-    val target = snapshotId.getOrElse(meta \ "current-snapshot-id" match {
-      case JInt(v) => v.toLong
-      case _ => throw new IllegalStateException("no current-snapshot-id")
-    })
-    val snap = (meta \ "snapshots") match {
-      case JArray(ss) => ss.find(sn => (sn \ "snapshot-id") == JInt(target))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no snapshot $target under $dir"))
-      case _ => throw new IllegalStateException("no snapshots array")
-    }
-    val JString(listPath) = snap \ "manifest-list"
-    entriesDF(spark, fsys, listPath, 1).toSeq.flatMap { e =>
-      val rows = e.select(F.col("data_file.file_path"),
-        F.col("data_file.content")).collect()
-      // v2 delete files are content=1 (position) or content=2
-      // (EQUALITY); this engine never writes equality deletes and a
-      // reader that ignored them would resurrect deleted rows — guard
-      // loudly for foreign tables
-      rows.find(_.getInt(1) == 2).foreach { r =>
-        throw new UnsupportedOperationException(
-          s"iceberg snapshot under $dir carries EQUALITY delete files " +
-            s"(content=2, e.g. ${r.getString(0)}): applying them is not " +
-            "supported; reading would silently include deleted rows")
-      }
-      rows.map(_.getString(0))
-    }
-  }
+      snapshotId: Option[Long] = None): Seq[String] =
+    deleteState(spark, dir, snapshotId).posFiles
 
   /** Data-skipping scan plan: the current snapshot's data files that MAY
     * hold rows with `column` ∈ [lo, hi], judged from the manifests'
@@ -1055,8 +1102,13 @@ object IcebergExport {
           case None => return Nil
         }
         val dfc = F.col("data_file")
+        val dfT = entries.schema("data_file").dataType.asInstanceOf[StructType]
+        // a FOREIGN manifest may omit the optional stats maps entirely —
+        // a missing field reads as null, which every branch below treats
+        // as "cannot prove", i.e. keep the file
         def mapVal(field: String): Column =
-          F.element_at(F.filter(dfc.getField(field),
+          if (!dfT.fieldNames.contains(field)) F.lit(null)
+          else F.element_at(F.filter(dfc.getField(field),
             x => x.getField("key") === F.lit(fid.toInt)), 1).getField("value")
         def dec(c: Column): Column = typeName match {
           case "int" | "date" => leSigned(c, 4)
@@ -1085,11 +1137,10 @@ object IcebergExport {
           F.not(hiB < loC || loB > hiC),
           F.coalesce(F.not(vc > F.lit(0L) && vc === nc), F.lit(true)))
         val keep =
-          if (!isPartitionSource) boundsKeep
+          if (!isPartitionSource || !dfT.fieldNames.contains("partition") ||
+            !dfT("partition").dataType.isInstanceOf[StructType]) boundsKeep
           else {
-            val partT = entries.schema("data_file").dataType
-              .asInstanceOf[StructType].apply("partition").dataType
-              .asInstanceOf[StructType]
+            val partT = dfT("partition").dataType.asInstanceOf[StructType]
             if (!partT.fieldNames.contains(column)) boundsKeep
             else {
               // identity-partition value: an equality-grade prune,
@@ -1117,15 +1168,20 @@ object IcebergExport {
       lo: String, hi: String): DataFrame = {
     val files = activeFilesPruned(spark, dir, column, lo, hi)
     if (files.nonEmpty)
-      readUrisApplyingDeletes(spark, dir, files, activeDeleteFiles(spark, dir))
+      readUrisApplyingDeletes(spark, dir, files,
+        activeFilesWithSeq(spark, dir, None).toMap,
+        deleteState(spark, dir, None),
+        ids => eqColumnNames(spark, dir, None, ids))
     else read(spark, dir).limit(0)
   }
 
   /** Read the table THROUGH the Iceberg metadata (current snapshot). */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = activeFiles(spark, dir)
-    require(files.nonEmpty, s"iceberg snapshot has no data files under $dir")
-    readUrisApplyingDeletes(spark, dir, files, activeDeleteFiles(spark, dir))
+    val fseq = activeFilesWithSeq(spark, dir, None)
+    require(fseq.nonEmpty, s"iceberg snapshot has no data files under $dir")
+    readUrisApplyingDeletes(spark, dir, fseq.map(_._1), fseq.toMap,
+      deleteState(spark, dir, None),
+      ids => eqColumnNames(spark, dir, None, ids))
   }
 
   /** Absolute-URI file-list read with hive partition-column recovery:
@@ -1148,14 +1204,60 @@ object IcebergExport {
 
   private val pathTailRe = "(data-[^/]+/(?:[^/=]+=[^/]*/)*part-[^/]*\\.parquet)$"
 
-  /** [[readUris]] with the snapshot's POSITION DELETES applied: both the
-    * delete rows' `file_path` URIs and the scan's `_metadata.file_path`
-    * reduce to their `data-…/part-…` tail, then a broadcast anti-join on
-    * (tail, row index) — v2's merge-on-read, robust to URI-prefix
-    * rendering differences (fail-open on an unextractable tail). */
+  /** Top-level field-id → name for the snapshot's schema — what
+    * `equality_ids` resolve through. Nested or unknown ids refuse
+    * loudly: guessing a column would delete the wrong rows. */
+  private def eqColumnNames(spark: SparkSession, dir: String,
+      snapshotId: Option[Long], ids: Seq[Int]): Seq[String] = {
+    val meta = currentMetadata(spark, dir)
+    val snap = snapJ(meta, dir, snapshotId)
+    val wantSchemaId: Option[BigInt] =
+      (snap \ "schema-id" match { case JInt(i) => Some(i); case _ => None })
+        .orElse(meta \ "current-schema-id" match {
+          case JInt(i) => Some(i); case _ => None })
+    val schemas = meta \ "schemas" match {
+      case JArray(ss) => ss
+      case _ => throw new IllegalStateException("no schemas array")
+    }
+    val schemaJ = wantSchemaId
+      .flatMap(id => schemas.find(s => (s \ "schema-id") == JInt(id)))
+      .orElse(schemas.headOption)
+      .getOrElse(throw new IllegalStateException("empty schemas array"))
+    val byId: Map[Int, String] = schemaJ \ "fields" match {
+      case JArray(fs) => fs.flatMap { f =>
+        (f \ "id", f \ "name") match {
+          case (JInt(i), JString(n)) => Some(i.toInt -> n)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+    ids.map(id => byId.getOrElse(id, throw new UnsupportedOperationException(
+      s"iceberg equality delete under $dir names field id $id, which is " +
+        "not a top-level schema column; cannot apply it safely")))
+  }
+
+  /** [[readUris]] with the snapshot's full merge-on-read DELETE STATE
+    * applied, per the v2 spec's sequence-number scoping:
+    *
+    *  - POSITION deletes: the delete rows' `file_path` URIs and the
+    *    scan's `_metadata.file_path` reduce to their `data-…/part-…`
+    *    tail, then a broadcast anti-join on (tail, row index) — robust
+    *    to URI-prefix rendering differences (fail-open on an
+    *    unextractable tail).
+    *  - EQUALITY deletes (content=2 — what Flink CDC writers produce):
+    *    each (sequence, equality_ids) group anti-joins the named
+    *    columns NULL-SAFELY (`<=>`: the spec matches null to null)
+    *    against rows whose data file has a STRICTLY SMALLER data
+    *    sequence number; rows from files at or above the delete's
+    *    sequence are exempt — they were written with or after it. File
+    *    sequence numbers attach to rows via a broadcast map keyed on
+    *    the file-name tail (uniqueness asserted loudly). */
   private def readUrisApplyingDeletes(spark: SparkSession, dir: String,
-      files: Seq[String], deleteFiles: Seq[String]): DataFrame = {
-    if (deleteFiles.isEmpty) return readUris(spark, dir, files)
+      files: Seq[String], fileSeq: Map[String, Long], ds: DeleteState,
+      eqNamesOf: Seq[Int] => Seq[String]): DataFrame = {
+    if (ds.posFiles.isEmpty && ds.eqGroups.isEmpty)
+      return readUris(spark, dir, files)
     import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
     val (fsys, base) = fs(spark, dir)
     val qualBase = fsys.makeQualified(base).toString
@@ -1172,16 +1274,57 @@ object IcebergExport {
             .parquet(fs2.map(f => s"$qualBase/$f"): _*))
         }
         .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    val dels = spark.read.parquet(deleteFiles: _*)
-      .select(regexp_extract(col("file_path"), pathTailRe, 1).as("_g_dfile"),
-        col("pos").as("_g_dpos"))
     val dataCols = readUris(spark, dir, files).columns
-    metaDf.withColumn("_g_rel", regexp_extract(col("_g_file"), pathTailRe, 1))
-      .join(broadcast(dels),
-        col("_g_rel") =!= "" && col("_g_rel") === col("_g_dfile") &&
-          col("_g_pos") === col("_g_dpos"),
-        "left_anti")
-      .select(dataCols.map(col): _*)
+    var cur = metaDf
+    if (ds.posFiles.nonEmpty) {
+      // reduce both sides to a matchable tail: the graft layout's
+      // `data-…/part-…` suffix when present, else the FILE NAME (a
+      // foreign table's layout owes us nothing) — with name uniqueness
+      // asserted, a silent fail-open here would RESURRECT deleted rows
+      val tailRe = new scala.util.matching.Regex(pathTailRe)
+      if (!rels.forall(r => tailRe.findFirstIn(r).isDefined)) {
+        val names = files.map(_.split('/').last)
+        require(names.distinct.size == names.size,
+          s"iceberg data-file names under $dir are not unique across " +
+            "directories: cannot key position deletes by file name")
+      }
+      def tailOf(c: Column): Column = {
+        val g = regexp_extract(c, pathTailRe, 1)
+        F.when(g =!= "", g).otherwise(F.element_at(F.split(c, "/"), -1))
+      }
+      val dels = spark.read.parquet(ds.posFiles: _*)
+        .select(tailOf(col("file_path")).as("_g_dfile"),
+          col("pos").as("_g_dpos"))
+      cur = cur.withColumn("_g_rel", tailOf(col("_g_file")))
+        .join(broadcast(dels),
+          col("_g_rel") =!= "" && col("_g_rel") === col("_g_dfile") &&
+            col("_g_pos") === col("_g_dpos"),
+          "left_anti")
+        .drop("_g_rel")
+    }
+    if (ds.eqGroups.nonEmpty) {
+      import spark.implicits._
+      val tails = files.map(u => u.split('/').last -> fileSeq.getOrElse(u, 0L))
+      require(tails.map(_._1).distinct.size == tails.size,
+        s"iceberg data-file names under $dir are not unique across " +
+          "directories: cannot scope equality deletes by file sequence")
+      val tailDf = tails.toDF("_g_ftail", "_g_fseq")
+      cur = cur
+        .withColumn("_g_tail0", F.element_at(F.split(col("_g_file"), "/"), -1))
+        .join(broadcast(tailDf), col("_g_tail0") === col("_g_ftail"), "left")
+        .drop("_g_tail0", "_g_ftail")
+      ds.eqGroups.foreach { case (s, ids, uris) =>
+        val names = eqNamesOf(ids)
+        val del = spark.read.parquet(uris: _*)
+          .select(names.map(n => col(n).as(s"_ed_$n")): _*).distinct()
+        val cond = names.map(n => col(n) <=> col(s"_ed_$n")).reduce(_ && _)
+        val affected = cur.where(col("_g_fseq") < F.lit(s))
+        val exempt = cur.where(col("_g_fseq").isNull || col("_g_fseq") >= F.lit(s))
+        cur = affected.join(broadcast(del), cond, "left_anti")
+          .unionByName(exempt)
+      }
+    }
+    cur.select(dataCols.map(col): _*)
   }
 
   /** `TIMESTAMP AS OF` per the spec: resolve `tsMillis` through the
@@ -1211,9 +1354,10 @@ object IcebergExport {
 
   /** Time travel through the metadata tree. */
   def readSnapshot(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
-    val files = activeFiles(spark, dir, Some(snapshotId))
-    require(files.nonEmpty, s"iceberg snapshot $snapshotId has no data files")
-    readUrisApplyingDeletes(spark, dir, files,
-      activeDeleteFiles(spark, dir, Some(snapshotId)))
+    val fseq = activeFilesWithSeq(spark, dir, Some(snapshotId))
+    require(fseq.nonEmpty, s"iceberg snapshot $snapshotId has no data files")
+    readUrisApplyingDeletes(spark, dir, fseq.map(_._1), fseq.toMap,
+      deleteState(spark, dir, Some(snapshotId)),
+      ids => eqColumnNames(spark, dir, Some(snapshotId), ids))
   }
 }

@@ -1,0 +1,277 @@
+package graft.io
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/**
+ * FOREIGN-Iceberg import: metadata trees hand-authored the way OTHER
+ * v2 writers (Spark-Iceberg, Flink, pyiceberg) produce them — shuffled
+ * manifest-entry Avro fields, unknown extra fields, several manifest
+ * files per manifest-list, ADDED entries with NULL (inherited)
+ * sequence numbers, DELETED (status=2) entries kept in rewritten
+ * manifests, NO optional stats maps, arbitrary (non-graft) data
+ * layouts — must read byte-identical or fail loudly naming the
+ * feature. Equality deletes (content=2, the Flink CDC shape) APPLY
+ * with the spec's sequence scoping and null-safe matching.
+ */
+class ForeignIcebergSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("foreigniceberg").toString
+
+  /** Land a one-part parquet with an exact foreign-chosen file name. */
+  private def landParquet(df: DataFrame, dir: String, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("fipart").toString + "/out"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail(s"no part file under $tmp"))
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+  }
+
+  private def writeAvro(path: String, schema: AvroSchema,
+      recs: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(path))
+    recs.foreach(w.append)
+    w.close()
+  }
+
+  /** A foreign writer's manifest-entry schema: fields SHUFFLED
+    * (data_file first), an unknown `custom_tag`, NO
+    * file_sequence_number, NO stats maps; data_file itself shuffled and
+    * carrying an unknown `spec_id` plus optional equality_ids. */
+  private val foreignEntrySchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"content","type":"int"},
+      |  {"name":"spec_id","type":["null","int"],"default":null},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+      |]}},
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"custom_tag","type":["null","string"],"default":null}
+      |]}""".stripMargin)
+
+  private val foreignListSchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"writer_build","type":["null","string"],"default":null}
+      |]}""".stripMargin)
+
+  private def entry(status: Int, seq: Option[Long], path: String,
+      content: Int, records: Long,
+      eqIds: Seq[Int] = Nil): GenericRecord = {
+    val df = new GenericData.Record(
+      foreignEntrySchema.getField("data_file").schema())
+    df.put("file_format", "PARQUET")
+    df.put("record_count", java.lang.Long.valueOf(records))
+    df.put("file_path", path)
+    df.put("content", content)
+    df.put("spec_id", 0)
+    df.put("file_size_in_bytes", java.lang.Long.valueOf(10L))
+    if (eqIds.nonEmpty)
+      df.put("equality_ids", new GenericData.Array[Integer](
+        AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.INT)),
+        eqIds.map(Integer.valueOf).asJava))
+    val e = new GenericData.Record(foreignEntrySchema)
+    e.put("data_file", df)
+    e.put("status", status)
+    e.put("snapshot_id", java.lang.Long.valueOf(7L))
+    seq.foreach(s => e.put("sequence_number", java.lang.Long.valueOf(s)))
+    e.put("custom_tag", "other-engine")
+    e
+  }
+
+  private def listEntry(path: String, content: Int, seq: Long): GenericRecord = {
+    val mf = new GenericData.Record(foreignListSchema)
+    mf.put("manifest_path", path)
+    mf.put("manifest_length", java.lang.Long.valueOf(
+      new java.io.File(path.stripPrefix("file:")).length()))
+    mf.put("partition_spec_id", 0)
+    mf.put("content", content)
+    mf.put("sequence_number", java.lang.Long.valueOf(seq))
+    mf.put("min_sequence_number", java.lang.Long.valueOf(1L))
+    mf.put("added_snapshot_id", java.lang.Long.valueOf(seq))
+    mf.put("writer_build", "flink-1.19")
+    mf
+  }
+
+  /** Minimal v2 metadata JSON + version-hint for a one-snapshot tree. */
+  private def writeMetadata(dir: String, snapshotId: Long,
+      listPath: String): Unit = {
+    val md = new java.io.File(dir, "metadata"); md.mkdirs()
+    val json =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "11111111-2222-3333-4444-555555555555",
+         |  "location": "$dir",
+         |  "last-sequence-number": $snapshotId,
+         |  "last-updated-ms": 1700000000000,
+         |  "last-column-id": 1,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "v", "required": false, "type": "int"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "last-partition-id": 999,
+         |  "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "current-snapshot-id": $snapshotId,
+         |  "snapshots": [{"snapshot-id": $snapshotId,
+         |    "sequence-number": $snapshotId, "timestamp-ms": 1700000000000,
+         |    "manifest-list": "$listPath",
+         |    "summary": {"operation": "append"}, "schema-id": 0}],
+         |  "snapshot-log": [{"timestamp-ms": 1700000000000,
+         |    "snapshot-id": $snapshotId}]
+         |}""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+      json.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+  }
+
+  test("foreign tree: shuffled/extra fields, two manifests per list, inherited " +
+      "sequence numbers, status=2 exclusion, no stats maps") {
+    val dir = tmpDir()
+    landParquet((1 to 10).toDF("v"), dir, "a.parquet")
+    landParquet((11 to 20).toDF("v"), dir, "b.parquet")
+    landParquet((900 to 950).toDF("v"), dir, "c.parquet") // DELETED entry
+    val qual = s"file:$dir"
+    // manifest 1: a ADDED with NULL sequence_number (inherits 1)
+    writeAvro(s"$dir/m1.avro", foreignEntrySchema,
+      Seq(entry(1, None, s"$qual/a.parquet", 0, 10)))
+    // manifest 2 (a rewrite): b EXISTING with explicit seq, c DELETED —
+    // a state read must include b and EXCLUDE c
+    writeAvro(s"$dir/m2.avro", foreignEntrySchema, Seq(
+      entry(0, Some(2L), s"$qual/b.parquet", 0, 10),
+      entry(2, Some(2L), s"$qual/c.parquet", 0, 51)))
+    new java.io.File(dir, "metadata").mkdirs()
+    writeAvro(s"$dir/metadata/snap-7.avro", foreignListSchema, Seq(
+      listEntry(s"$qual/m1.avro", 0, 1L),
+      listEntry(s"$qual/m2.avro", 0, 2L)))
+    writeMetadata(dir, 7L, s"$qual/metadata/snap-7.avro")
+
+    assert(IcebergExport.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      (1 to 20), "byte-identical read; DELETED entry excluded")
+    assert(IcebergExport.activeFiles(spark, dir).toSet ==
+      Set(s"$qual/a.parquet", s"$qual/b.parquet"))
+    // no stats maps anywhere: pruning keeps every file (fail-open) and
+    // loses no rows
+    assert(IcebergExport.activeFilesPruned(spark, dir, "v", "15", "16").size == 2)
+    assert(IcebergExport.readPruned(spark, dir, "v", "15", "16")
+      .where("v BETWEEN 15 AND 16").count() == 2)
+  }
+
+  test("equality deletes apply with sequence scoping, null-safe matching, " +
+      "and compose with position deletes on a foreign layout") {
+    val dir = tmpDir()
+    val qual = s"file:$dir"
+    // file a (seq 1): 1..10 then two NULLs — row order fixed by coalesce(1)
+    val aRows = ((1 to 10).map(i => Row(Integer.valueOf(i))) ++
+      Seq(Row(null), Row(null)))
+    landParquet(spark.createDataFrame(
+      spark.sparkContext.parallelize(aRows, 1),
+      StructType(Seq(StructField("v", IntegerType, nullable = true)))),
+      dir, "a.parquet")
+    // file b (seq 2, SAME commit as the equality delete): exempt
+    landParquet(Seq(3, 100).toDF("v"), dir, "b.parquet")
+    // equality delete (seq 2, equality_ids=[1] → column v): values 3, 5,
+    // and NULL — null must match a's null rows (the spec's semantics)
+    landParquet(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(Integer.valueOf(3)), Row(Integer.valueOf(5)), Row(null)), 1),
+      StructType(Seq(StructField("v", IntegerType, nullable = true)))),
+      dir, "eqdel.parquet")
+    // position delete (seq 2) killing a.parquet row 0 (v=1) — the
+    // foreign flat layout must still key correctly (file-name tail)
+    landParquet(Seq((s"$qual/a.parquet", 0L)).toDF("file_path", "pos"),
+      dir, "posdel.parquet")
+
+    writeAvro(s"$dir/m-data.avro", foreignEntrySchema, Seq(
+      entry(1, Some(1L), s"$qual/a.parquet", 0, 12),
+      entry(1, Some(2L), s"$qual/b.parquet", 0, 2)))
+    writeAvro(s"$dir/m-del.avro", foreignEntrySchema, Seq(
+      entry(1, Some(2L), s"$qual/eqdel.parquet", 2, 3, eqIds = Seq(1)),
+      entry(1, Some(2L), s"$qual/posdel.parquet", 1, 1)))
+    new java.io.File(dir, "metadata").mkdirs()
+    writeAvro(s"$dir/metadata/snap-9.avro", foreignListSchema, Seq(
+      listEntry(s"$qual/m-data.avro", 0, 2L),
+      listEntry(s"$qual/m-del.avro", 1, 2L)))
+    writeMetadata(dir, 9L, s"$qual/metadata/snap-9.avro")
+
+    val got = IcebergExport.read(spark, dir).collect()
+      .map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).sorted.toSeq
+    // a loses: v=1 (position delete), v=3, v=5 (equality), both NULLs
+    // (null-safe equality); b keeps BOTH rows — its sequence (2) is not
+    // strictly below the delete's (2)
+    assert(got == Seq(2, 3, 4, 6, 7, 8, 9, 10, 100))
+    // the position-delete list surfaces; equality files are read-path-only
+    assert(IcebergExport.activeDeleteFiles(spark, dir) ==
+      Seq(s"$qual/posdel.parquet"))
+  }
+
+  test("equality delete naming an unknown or missing field id fails loudly") {
+    val dir = tmpDir()
+    val qual = s"file:$dir"
+    landParquet((1 to 5).toDF("v"), dir, "a.parquet")
+    landParquet(Seq(1).toDF("v"), dir, "eqdel.parquet")
+    writeAvro(s"$dir/m-data.avro", foreignEntrySchema,
+      Seq(entry(1, Some(1L), s"$qual/a.parquet", 0, 5)))
+    // equality_ids = [42]: no such field in the schema
+    writeAvro(s"$dir/m-del.avro", foreignEntrySchema,
+      Seq(entry(1, Some(2L), s"$qual/eqdel.parquet", 2, 1, eqIds = Seq(42))))
+    new java.io.File(dir, "metadata").mkdirs()
+    writeAvro(s"$dir/metadata/snap-3.avro", foreignListSchema, Seq(
+      listEntry(s"$qual/m-data.avro", 0, 1L),
+      listEntry(s"$qual/m-del.avro", 1, 2L)))
+    writeMetadata(dir, 3L, s"$qual/metadata/snap-3.avro")
+    val ex = intercept[UnsupportedOperationException] {
+      IcebergExport.read(spark, dir).count()
+    }
+    assert(ex.getMessage.contains("field id 42"))
+    // and content=2 WITHOUT equality_ids refuses naming the file
+    val dir2 = tmpDir()
+    val qual2 = s"file:$dir2"
+    landParquet((1 to 5).toDF("v"), dir2, "a.parquet")
+    landParquet(Seq(1).toDF("v"), dir2, "eqdel.parquet")
+    writeAvro(s"$dir2/m-data.avro", foreignEntrySchema,
+      Seq(entry(1, Some(1L), s"$qual2/a.parquet", 0, 5)))
+    writeAvro(s"$dir2/m-del.avro", foreignEntrySchema,
+      Seq(entry(1, Some(2L), s"$qual2/eqdel.parquet", 2, 1)))
+    new java.io.File(dir2, "metadata").mkdirs()
+    writeAvro(s"$dir2/metadata/snap-3.avro", foreignListSchema, Seq(
+      listEntry(s"$qual2/m-data.avro", 0, 1L),
+      listEntry(s"$qual2/m-del.avro", 1, 2L)))
+    writeMetadata(dir2, 3L, s"$qual2/metadata/snap-3.avro")
+    val ex2 = intercept[UnsupportedOperationException] {
+      IcebergExport.read(spark, dir2).count()
+    }
+    assert(ex2.getMessage.contains("equality_ids") &&
+      ex2.getMessage.contains("content=2"))
+  }
+}
