@@ -437,11 +437,12 @@ object DeltaLog {
     }
   }
 
-  /** Data files of checkpoint `v`: our own single-file name, or the
-    * MULTI-PART `%020d.checkpoint.%010d.%010d.parquet` family a foreign
-    * writer may have produced. Resolved from the listing; when
-    * `_last_checkpoint` declares `parts`, the count must match — a
-    * missing part is a LOUD error, never a silent half-state. */
+  /** Data files of checkpoint `v`: our own single-file name, the
+    * MULTI-PART `%020d.checkpoint.%010d.%010d.parquet` family, or a
+    * V2 UUID-named manifest a foreign writer may have produced.
+    * Resolved from the listing; when `_last_checkpoint` declares
+    * `parts`, the count must match — a missing part is a LOUD error,
+    * never a silent half-state. */
   private def checkpointFiles(fsys: FileSystem, ld: Path, v: Long): Seq[String] = {
     val prefix = f"$v%020d.checkpoint"
     val files = fsys.listStatus(ld).toSeq.map(_.getPath)
@@ -459,6 +460,41 @@ object DeltaLog {
     declaredParts.foreach(n => require(files.size == n,
       s"checkpoint $v declares $n parts but ${files.size} are present under $ld"))
     files
+  }
+
+  /** The complete action set of checkpoint `v` as ONE frame — classic
+    * (single or multi-part) checkpoints read directly; a V2 CHECKPOINT
+    * (the modern delta-spark default: a UUID-named manifest carrying
+    * `checkpointMetadata` + `sidecar` pointer actions, with the
+    * add/remove actions in parquet files under `_delta_log/_sidecars`)
+    * expands
+    * its sidecars and unions them in by name. Sidecar `path` entries
+    * resolve per the protocol: absolute URIs as-is, bare names against
+    * `_sidecars/`. The sidecar list is metadata-scale (∝ checkpoint
+    * parts); the file ACTIONS stay executor-side. */
+  private def readCheckpoint(spark: SparkSession, fsys: FileSystem,
+      ld: Path, v: Long): DataFrame = {
+    val base = spark.read.parquet(checkpointFiles(fsys, ld, v): _*)
+    if (!base.columns.contains("sidecar")) base
+    else {
+      val sidecarT = base.schema("sidecar").dataType
+      require(sidecarT.isInstanceOf[StructType] &&
+        sidecarT.asInstanceOf[StructType].fieldNames.contains("path"),
+        s"v2 checkpoint $v under $ld has an unreadable sidecar action shape")
+      val sidecars = base.where(F.col("sidecar.path").isNotNull)
+        .select("sidecar.path").collect().map(_.getString(0)).toSeq
+      val resolved = sidecars.map { p =>
+        if (p.contains("://") || p.startsWith("/")) p
+        else new Path(ld, s"_sidecars/$p").toString
+      }
+      resolved.foreach(p => require(fsys.exists(new Path(p)),
+        s"v2 checkpoint $v under $ld references missing sidecar $p"))
+      val sideDf =
+        if (resolved.isEmpty) None
+        else Some(spark.read.parquet(resolved: _*))
+      (Seq(base) ++ sideDf.toSeq)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** DISTRIBUTED state reconstruction — the protocol's checkpoint +
@@ -530,7 +566,13 @@ object DeltaLog {
             F.col("a.add.deletionVector").as("dv"),
             F.col("version")))
     val ckptDf: Option[DataFrame] = ckpt.map { cv =>
-      val ck = spark.read.parquet(checkpointFiles(fsys, ld, cv): _*)
+      val ck0 = readCheckpoint(spark, fsys, ld, cv)
+      // a v2 manifest whose adds all live in sidecars may lack the add
+      // column until the sidecar union supplies it — and a degenerate
+      // empty checkpoint lacks it entirely
+      val ck =
+        if (ck0.columns.contains("add")) ck0
+        else ck0.withColumn("add", F.lit(null).cast(addT))
       // a FOREIGN checkpoint may omit optional add fields — null-fill
       val addStruct = ck.schema("add").dataType.asInstanceOf[StructType]
       val addFields = addStruct.fieldNames.toSet
@@ -593,10 +635,15 @@ object DeltaLog {
     * disclosed here rather than guessed at. */
   /** Reader features this engine implements: deletion vectors decode
     * and column mapping resolves on the full-table read path
-    * ([[readVersion]]/[[read]]); the stats/partition collectors still
-    * refuse both per-action/per-table — their physical file lists and
-    * stats keys would misrepresent such a table. */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+    * ([[readVersion]]/[[read]]); v2 checkpoints (UUID-named manifest +
+    * sidecars — the modern delta-spark writer default) reconstruct
+    * through [[readCheckpoint]] on every path. The stats/partition
+    * collectors still refuse DV/column-mapped tables per-action/
+    * per-table — their physical file lists and stats keys would
+    * misrepresent such a table. `timestampNtz` remains refused by
+    * name: its values would silently shift by the session zone. */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   private def readGuards(spark: SparkSession, dir: String, ld: Path,
       vs: Seq[Long], target: Long, ckpt: Option[Long],
@@ -613,7 +660,7 @@ object DeltaLog {
     var proto: Option[(Long, Int, Seq[String])] = None
     var cmMode: Option[(Long, String)] = None
     ckpt.foreach { cv =>
-      val ck = spark.read.parquet(checkpointFiles(fsys, ld, cv): _*)
+      val ck = readCheckpoint(spark, fsys, ld, cv)
       if (ck.columns.contains("protocol")) {
         val pT = ck.schema("protocol").dataType.asInstanceOf[StructType]
         val feats =
@@ -785,8 +832,9 @@ object DeltaLog {
     val target = version.getOrElse(vs.max)
     val ckpt = lastCheckpointVersion(fsys, ld).filter(_ <= target)
     val fromCkpt: Option[String] = ckpt.flatMap { cv =>
-      spark.read.parquet(checkpointFiles(fsys, ld, cv): _*)
-        .selectExpr("metaData.schemaString").where("metaData IS NOT NULL")
+      val ck = readCheckpoint(spark, fsys, ld, cv)
+      if (!ck.columns.contains("metaData")) None
+      else ck.selectExpr("metaData.schemaString").where("metaData IS NOT NULL")
         .collect().headOption.map(_.getString(0))
     }
     // last metaData action wins — resolved as ONE scan over the commit

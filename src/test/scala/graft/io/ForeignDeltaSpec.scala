@@ -84,13 +84,13 @@ class ForeignDeltaSpec extends AnyFunSuite {
     val dir = tmpDir()
     landParquet((1 to 5).toDF("v"), dir, "a.parquet")
     writeCommit(dir, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"],"writerFeatures":["deletionVectors","v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"],"writerFeatures":["deletionVectors","timestampNtz"]}}""",
       s"""{"metaData":{"id":"foreign-2","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{},"createdTime":5}}""",
       """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
     val ex = intercept[UnsupportedOperationException] {
       DeltaLog.read(spark, dir)
     }
-    assert(ex.getMessage.contains("v2Checkpoint"))
+    assert(ex.getMessage.contains("timestampNtz"))
     // deletionVectors alone is IMPLEMENTED: a features table declaring
     // only it reads fine
     val dir2 = tmpDir()
@@ -111,7 +111,7 @@ class ForeignDeltaSpec extends AnyFunSuite {
       """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
     writeCommit(dir, 1L, Seq(
       """{"commitInfo":{"timestamp":9,"operation":"UPGRADE PROTOCOL","operationParameters":{}}}""",
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}"""))
     intercept[UnsupportedOperationException] { DeltaLog.read(spark, dir) }
     // the pre-upgrade version still reads (guards resolve AT the target)
     assert(DeltaLog.readVersion(spark, dir, 0L).count() == 5)
@@ -284,6 +284,139 @@ class ForeignDeltaSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] {
       DeltaLog.partitionPrunedFiles(spark, dir, Map("v" -> "1"))
     }
+  }
+
+  // ---- hand-authored V2 CHECKPOINTS (the modern delta-spark writer
+  // default: UUID-named manifest + _sidecars/*.parquet) ---------------
+
+  private def v2ManifestSchema(withAdd: Boolean): StructType = {
+    import org.apache.spark.sql.types._
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val ckptMetaT = StructType(Seq(StructField("version", LongType)))
+    val sidecarT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val base = StructType(Seq(
+      StructField("protocol", protocolT),
+      StructField("metaData", metaT),
+      StructField("checkpointMetadata", ckptMetaT),
+      StructField("sidecar", sidecarT)))
+    if (withAdd) StructType(base.fields :+ StructField("add", addActionT))
+    else base
+  }
+
+  private val addActionT: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", org.apache.spark.sql.types.BooleanType),
+      StructField("stats", StringType)))
+  }
+
+  private def addRow(path: String): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(path, Map.empty[String, String], 10L, 1L, true, null)
+
+  private def metaRow(id: String): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(id, org.apache.spark.sql.Row("parquet",
+      Map.empty[String, String]),
+      new StructType().add("v", "integer").json,
+      Seq.empty[String], Map.empty[String, String], 5L)
+
+  private def protoRow: org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint"))
+
+  /** Write rows as ONE parquet file at the exact foreign-chosen name. */
+  private def writeOneParquet(rows: Seq[org.apache.spark.sql.Row],
+      schema: StructType, dest: java.io.File): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("v2ck").toString + "/out"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail(s"no part under $tmp"))
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+  }
+
+  test("v2 checkpoint with sidecars reconstructs; later commits fold forward") {
+    val dir = tmpDir()
+    landParquet((1 to 10).toDF("v"), dir, "a.parquet")
+    landParquet((11 to 20).toDF("v"), dir, "b.parquet")
+    landParquet((21 to 25).toDF("v"), dir, "c.parquet")
+    val ld = new java.io.File(dir, "_delta_log"); ld.mkdirs()
+    // two sidecars, one add each (the split shape delta-spark writes)
+    val sideSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("add", addActionT)))
+    writeOneParquet(Seq(org.apache.spark.sql.Row(addRow("a.parquet"))),
+      sideSchema, new java.io.File(ld, "_sidecars/s-aaaa.parquet"))
+    writeOneParquet(Seq(org.apache.spark.sql.Row(addRow("b.parquet"))),
+      sideSchema, new java.io.File(ld, "_sidecars/s-bbbb.parquet"))
+    def sz(n: String) = new java.io.File(ld, s"_sidecars/$n").length()
+    // UUID-named manifest: protocol + metaData + checkpointMetadata +
+    // sidecar pointers, NO add column at all
+    val mSchema = v2ManifestSchema(withAdd = false)
+    writeOneParquet(Seq(
+      org.apache.spark.sql.Row(protoRow, null, null, null),
+      org.apache.spark.sql.Row(null, metaRow("foreign-v2ck"), null, null),
+      org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(1L), null),
+      org.apache.spark.sql.Row(null, null, null,
+        org.apache.spark.sql.Row("s-aaaa.parquet", sz("s-aaaa.parquet"), 1L)),
+      org.apache.spark.sql.Row(null, null, null,
+        org.apache.spark.sql.Row("s-bbbb.parquet", sz("s-bbbb.parquet"), 1L))),
+      mSchema, new java.io.File(ld,
+        "00000000000000000001.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"))
+    val lcw = new java.io.PrintWriter(new java.io.File(ld, "_last_checkpoint"))
+    try lcw.write("""{"version":1,"size":5}""") finally lcw.close()
+    // a later commit folds forward over the reconstructed state
+    writeCommit(dir, 2L, Seq(
+      """{"commitInfo":{"timestamp":123,"operation":"WRITE","operationParameters":{}}}""",
+      """{"add":{"path":"c.parquet","partitionValues":{},"size":10,"modificationTime":9,"dataChange":true}}"""))
+
+    assert(DeltaLog.read(spark, dir).as[Int].collect().sorted.toSeq == (1 to 25))
+    assert(DeltaLog.activeFiles(spark, dir).sorted ==
+      Seq("a.parquet", "b.parquet", "c.parquet"))
+    assert(DeltaLog.tableSchema(spark, dir).fieldNames.toSeq == Seq("v"))
+    // a missing sidecar is a LOUD error, never a silent half-state
+    assert(new java.io.File(ld, "_sidecars/s-bbbb.parquet").delete())
+    new java.io.File(ld, "_sidecars/.s-bbbb.parquet.crc").delete()
+    val ex = intercept[IllegalArgumentException] { DeltaLog.read(spark, dir) }
+    assert(ex.getMessage.contains("sidecar"))
+  }
+
+  test("v2 checkpoint with inline adds (sidecar column present, no sidecar files)") {
+    val dir = tmpDir()
+    landParquet((1 to 10).toDF("v"), dir, "a.parquet")
+    val ld = new java.io.File(dir, "_delta_log"); ld.mkdirs()
+    val mSchema = v2ManifestSchema(withAdd = true)
+    writeOneParquet(Seq(
+      org.apache.spark.sql.Row(protoRow, null, null, null, null),
+      org.apache.spark.sql.Row(null, metaRow("foreign-v2ck-inline"), null, null, null),
+      org.apache.spark.sql.Row(null, null, org.apache.spark.sql.Row(3L), null, null),
+      org.apache.spark.sql.Row(null, null, null, null, addRow("a.parquet"))),
+      mSchema, new java.io.File(ld,
+        "00000000000000000003.checkpoint.1b7e95f1-4d3f-44e7-b3e9-0c6c9f62a001.parquet"))
+    val lcw = new java.io.PrintWriter(new java.io.File(ld, "_last_checkpoint"))
+    try lcw.write("""{"version":3,"size":4}""") finally lcw.close()
+    writeCommit(dir, 4L, Seq(
+      """{"commitInfo":{"timestamp":5,"operation":"WRITE","operationParameters":{}}}"""))
+    assert(DeltaLog.read(spark, dir).as[Int].collect().sorted.toSeq == (1 to 10))
   }
 
   test("iceberg equality deletes (content=2) fail loudly") {
