@@ -487,20 +487,54 @@ object Manifest {
         else Nil
       }
     val files = walk(dataDir, "")
-    val priors = retained(fsys, base)
-    val carried = carriedExplicit.getOrElse(
-      if (carryForward) priors.lastOption.map(_.files).getOrElse(Nil) else Nil)
-    // delete files: a rewrite (COW DML, compact, overwrite) resets MOR
-    // state for the files it replaces; append carries it forward —
-    // appended files can't be targeted by pre-existing deletes and the
-    // carried data files keep theirs
-    val deletes = deletesExplicit.getOrElse(
-      if (carryForward) priors.lastOption.map(_.deleteFiles).getOrElse(Nil)
-      else Nil)
-    publishManifest(fsys, base, dir, snapshot, priors,
-      carried ++ files.map(f => s"data-$snapshot/$f"), deletes, beforePublish,
-      rewrite)
+    def attempt(): Unit = {
+      val priors = retained(fsys, base)
+      require(priors.forall(_.snapshot != snapshot),
+        s"snapshot $snapshot already committed under $dir")
+      val carried = carriedExplicit.getOrElse(
+        if (carryForward) priors.lastOption.map(_.files).getOrElse(Nil) else Nil)
+      // delete files: a rewrite (COW DML, compact, overwrite) resets MOR
+      // state for the files it replaces; append carries it forward —
+      // appended files can't be targeted by pre-existing deletes and the
+      // carried data files keep theirs
+      val deletes = deletesExplicit.getOrElse(
+        if (carryForward) priors.lastOption.map(_.deleteFiles).getOrElse(Nil)
+        else Nil)
+      publishManifest(fsys, base, dir, snapshot, priors,
+        carried ++ files.map(f => s"data-$snapshot/$f"), deletes, beforePublish,
+        rewrite)
+    }
+    // COMMIT REBASE for plain appends (Delta's OptimisticTransaction
+    // shape): an append's new files live in its own data-<snapshot> dir,
+    // DISJOINT from any concurrent commit by construction, so a lost
+    // CAS is not a conflict — re-read the head, recompute the
+    // carry-forward (the winner's files AND delete state), and retry at
+    // the next seq. Everything that rebases onto named base state —
+    // overwrite, COW DML, MOR delete, compaction — still throws on a
+    // lost race: its inputs may no longer be the table's state, and
+    // silently committing it could drop or resurrect rows. At a
+    // minutes-cadence streaming table plus nightly maintenance, this is
+    // the difference between routine concurrency and operational noise.
+    val plainAppend = carryForward && carriedExplicit.isEmpty &&
+      deletesExplicit.isEmpty && !rewrite
+    if (!plainAppend) attempt()
+    else {
+      var tries = 0
+      var committed = false
+      while (!committed) {
+        try { attempt(); committed = true }
+        catch {
+          case _: java.util.ConcurrentModificationException
+              if tries < MaxAppendCommitRetries =>
+            tries += 1 // head moved: rebase and retry at the new seq
+        }
+      }
+    }
   }
+
+  /** Bounded retries for the append-commit rebase — a pathological
+    * commit storm must eventually surface instead of spinning. */
+  private[graft] val MaxAppendCommitRetries = 5
 
   /** The shared commit tail: stage the manifest JSON, run the test
     * seam, publish with the one seq-keyed CAS rename. */

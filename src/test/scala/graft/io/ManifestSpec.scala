@@ -102,6 +102,53 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.read(spark, dir).count() == 50)
   }
 
+  test("two racing APPENDS both commit: the loser rebases onto the winner's head") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "base") // seq 0
+    // Writer B stages its append for seq 1; INSIDE its commit window
+    // writer A lands and publishes its own append at seq 1. B's CAS
+    // rename refuses — but an append's files are disjoint by
+    // construction, so B re-reads the head (now including A), rebases
+    // its carry-forward, and commits at seq 2. BOTH file sets live.
+    var raced = false
+    Manifest.appendImpl((21 to 30).toDF("v"), dir, "b-rebased", () => {
+      if (!raced) { raced = true; Manifest.append((11 to 20).toDF("v"), dir, "a-winner") }
+    })
+    assert(Manifest.snapshots(spark, dir) == Seq("base", "a-winner", "b-rebased"))
+    assert(Manifest.read(spark, dir).as[Int].collect().sorted.toSeq == (1 to 30))
+    // time travel: the intermediate head holds base + a-winner only
+    assert(Manifest.readAt(spark, dir, "a-winner").count() == 20)
+    // a rebased append must also carry the winner's MOR delete state:
+    // race an append against a winner that MOR-deletes
+    val dir2 = tmpDir()
+    Manifest.write((1 to 100).toDF("id")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
+      dir2, "base")
+    var raced2 = false
+    Manifest.appendImpl((1000 to 1009).toDF("id"), dir2, "b2", () => {
+      if (!raced2) {
+        raced2 = true
+        Manifest.deleteRangeMOR(spark, dir2, "id", "10", "19", "mor-winner")
+      }
+    })
+    assert(Manifest.read(spark, dir2).count() == 100L - 10 + 10,
+      "the rebased append must keep the winner's deletes applied")
+    assert(Manifest.snapshots(spark, dir2) == Seq("base", "mor-winner", "b2"))
+  }
+
+  test("a true conflict still throws: overwrite and MOR delete do not rebase") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "s1")
+    // overwrite racing an append: the overwrite loses and throws (its
+    // semantics replace a head that no longer exists)
+    intercept[java.util.ConcurrentModificationException] {
+      Manifest.writeImpl((11 to 30).toDF("v"), dir, "ow-loser",
+        beforePublish = () => Manifest.append((31 to 40).toDF("v"), dir, "ap-winner"))
+    }
+    assert(Manifest.snapshots(spark, dir) == Seq("s1", "ap-winner"))
+    assert(Manifest.read(spark, dir).count() == 20)
+  }
+
   test("duplicate snapshot ids and never-committed reads are refused") {
     val dir = tmpDir()
     Manifest.write((1 to 5).toDF("v"), dir, "s1")
