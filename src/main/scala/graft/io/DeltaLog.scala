@@ -79,11 +79,13 @@ object DeltaLog {
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   private def metaDataLine(id: String, schemaJson: String, createdAt: Long,
-      partitionCols: Seq[String]): String = {
+      partitionCols: Seq[String], cdf: Boolean = false): String = {
     val pc = partitionCols.map(jstr).mkString("[", ",", "]")
+    val cfg =
+      if (cdf) """{"delta.enableChangeDataFeed":"true"}""" else "{}"
     s"""{"metaData":{"id":"$id","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${jstr(schemaJson)},"partitionColumns":$pc,""" +
-      s""""configuration":{},"createdTime":$createdAt}}"""
+      s""""configuration":$cfg,"createdTime":$createdAt}}"""
   }
 
   /** `add.partitionValues` from the file's own hive path segments — a
@@ -122,6 +124,14 @@ object DeltaLog {
   private def commitInfoLine(ts: Long, operation: String): String =
     s"""{"commitInfo":{"timestamp":$ts,"operation":"$operation","operationParameters":{}}}"""
 
+  /** The protocol's CHANGE-DATA action: a commit that carries `cdc`
+    * actions tells CDF readers to take its row-level changes from the
+    * referenced `_change_data` files INSTEAD of deriving them from
+    * add/remove — which is what makes changes readable across rewrite
+    * commits (compaction, COW DML) where the file diff re-packs rows. */
+  private def cdcLine(path: String, size: Long): String =
+    s"""{"cdc":{"path":${jstr(path)},"partitionValues":{},"size":$size,"dataChange":false}}"""
+
   private def writeLines(fsys: FileSystem, dest: Path, lines: Seq[String]): Unit = {
     val tmp = new Path(dest.getParent, "." + dest.getName + ".tmp")
     val out = fsys.create(tmp, true)
@@ -141,8 +151,25 @@ object DeltaLog {
   /** Regenerate `_delta_log` from the retained [[Manifest]] history.
     * Incremental: versions already exported are left untouched; returns
     * the versions written by THIS call (commit versions, then the
-    * checkpoint version again if one was (re)written). */
-  def exportLog(spark: SparkSession, dir: String): Seq[Long] = {
+    * checkpoint version again if one was (re)written).
+    *
+    * With `changeData = true` the export ALSO materializes the
+    * protocol's CHANGE DATA FEED: every newly-exported commit beyond
+    * the oldest that removes files or changes merge-on-read delete
+    * state gets `_change_data/<version>/` parquet(s) holding its
+    * row-level changes (table columns + `_change_type` ∈
+    * insert/delete — the keyless engine's honest changelog; an UPDATE
+    * surfaces as its delete+insert pair) and `cdc` actions in the
+    * commit JSON, so [[readChanges]] and external CDF readers get
+    * changes ACROSS rewrite commits instead of
+    * [[Manifest.readChangesSince]]'s re-baseline error. Append-only
+    * commits carry no cdc actions — the protocol derives their inserts
+    * from the add actions, costing nothing extra. Change rows for a
+    * commit are computed as snapshot bag-differences (`exceptAll` both
+    * ways — distributed, shuffle ∝ the two snapshots), except
+    * append-only commits which read just the new files. */
+  def exportLog(spark: SparkSession, dir: String,
+      changeData: Boolean = false): Seq[Long] = {
     val (fsys, base) = fs(spark, dir)
     val ms = Manifest.history(spark, dir)
     require(ms.nonEmpty, s"no committed snapshot under $dir")
@@ -239,7 +266,7 @@ object DeltaLog {
             // vacuumed-past-0 table additionally gets a checkpoint below)
             Seq(commitInfoLine(tsOf(m), "WRITE"),
               if (dv.isEmpty) protocolLine else dvProtocolLine,
-              metaDataLine(id, schemaOf(m), now, partColsOf(m))) ++
+              metaDataLine(id, schemaOf(m), now, partColsOf(m), changeData)) ++
               addLinesOf(m.files, dv)
           else {
             val prevM = ms(i - 1)
@@ -259,10 +286,25 @@ object DeltaLog {
             // ALTER TABLE shape); unchanged schemas stay silent
             val metaChange =
               if (schemaOf(m) == schemaOf(prevM)) Nil
-              else Seq(metaDataLine(id, schemaOf(m), now, partColsOf(m)))
+              else Seq(metaDataLine(id, schemaOf(m), now, partColsOf(m),
+                changeData))
+            // CHANGE DATA FEED: append-only commits need no cdc (their
+            // adds ARE the inserts); anything that removed files or
+            // touched MOR state materializes its row-level changes
+            val cdc: Seq[String] =
+              if (!changeData) Nil
+              else {
+                val delChanged =
+                  m.deleteFiles.sorted != prevM.deleteFiles.sorted
+                if (removed.isEmpty && !delChanged) Nil
+                else writeChangeData(spark, fsys, base, m.seq,
+                  Manifest.readAt(spark, dir, m.snapshot),
+                  Manifest.readAt(spark, dir, prevM.snapshot))
+                  .map { case (p, sz) => cdcLine(p, sz) }
+              }
             Seq(commitInfoLine(tsOf(m), op)) ++
               (if (dv.isEmpty) Nil else Seq(dvProtocolLine)) ++
-              metaChange ++
+              metaChange ++ cdc ++
               (removed ++ redv).map(f =>
                 removeLine(f, now, prevDv.get(f).map(_.json))) ++
               addLinesOf(added ++ redv, dv)
@@ -324,6 +366,107 @@ object DeltaLog {
   /** Grace before an unreferenced DV file is reclaimed (see exportLog's
     * hygiene pass). */
   private[io] val DvOrphanGraceMs: Long = 3600000L
+
+  /** Materialize one commit's row-level changes under
+    * `_change_data/<version>/`: the bag-difference of the two snapshots
+    * (distributed `exceptAll` both ways; schemas aligned across
+    * evolution), typed by `_change_type`. Idempotent — a complete dir
+    * (Spark's `_SUCCESS`) is reused, a crashed write is redone. A
+    * ZERO-change rewrite (pure compaction) still lands one empty-schema
+    * part so its cdc action exists and readers know "no row changed"
+    * without deriving from the re-packed add/remove actions. Returns
+    * (relative path, size) per change file. */
+  private def writeChangeData(spark: SparkSession, fsys: FileSystem,
+      base: Path, v: Long, cur: DataFrame, prev: DataFrame): Seq[(String, Long)] = {
+    val outDir = new Path(base, s"_change_data/$v")
+    if (fsys.exists(outDir) && !fsys.exists(new Path(outDir, "_SUCCESS")))
+      fsys.delete(outDir, true)
+    if (!fsys.exists(outDir)) {
+      val cols = (cur.columns ++ prev.columns.filterNot(
+        cur.columns.contains(_))).toSeq
+      def pad(df: DataFrame, other: DataFrame): DataFrame =
+        df.select(cols.map(c =>
+          if (df.columns.contains(c)) F.col(c)
+          else F.lit(null).cast(other.schema(c).dataType).as(c)): _*)
+      val c2 = pad(cur, prev)
+      val p2 = pad(prev, cur)
+      val changes =
+        c2.exceptAll(p2).withColumn("_change_type", F.lit("insert"))
+          .unionByName(
+            p2.exceptAll(c2).withColumn("_change_type", F.lit("delete")))
+      changes.write.parquet(outDir.toString)
+      val landed = fsys.listStatus(outDir).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }
+      if (!landed) {
+        fsys.delete(outDir, true)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq.empty[Row], 1), changes.schema)
+          .write.parquet(outDir.toString)
+      }
+    }
+    fsys.listStatus(outDir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }
+      .sortBy(_.getPath.getName)
+      .map(st => s"_change_data/$v/${st.getPath.getName}" -> st.getLen)
+  }
+
+  /** CHANGE DATA FEED read: every version in (`sinceVersion`, latest]
+    * contributes its row-level changes — table columns plus
+    * `_change_type` and `_commit_version`. Versions carrying `cdc`
+    * actions serve those files (the protocol's rule: cdc supersedes
+    * add/remove); append-only versions derive inserts from their add
+    * actions at zero extra cost; a version that removed files WITHOUT
+    * cdc actions fails loudly — re-export with
+    * `exportLog(changeData = true)`. Driver state ∝ the window's
+    * changed-file count (the CDF plan itself), never row count. */
+  def readChanges(spark: SparkSession, dir: String,
+      sinceVersion: Long): DataFrame = {
+    val (_, base) = fs(spark, dir)
+    val ld = logDir(base)
+    val vs = versions(spark, dir).filter(_ > sinceVersion)
+    require(vs.nonEmpty, s"no delta versions after $sinceVersion under $dir")
+    val actionT = StructType(Seq(
+      StructField("cdc", StructType(Seq(StructField("path", StringType)))),
+      StructField("add", StructType(Seq(StructField("path", StringType)))),
+      StructField("remove", StructType(Seq(StructField("path", StringType))))))
+    val acts = spark.read.text(vs.map(v => commitPath(ld, v).toString): _*)
+      .select(F.from_json(F.col("value"), actionT).as("a"),
+        F.regexp_extract(F.col("_metadata.file_path"), "(\\d{20})\\.json$", 1)
+          .cast("long").as("version"))
+      .select(F.col("a.cdc.path").as("cdc"), F.col("a.add.path").as("add"),
+        F.col("a.remove.path").as("remove"), F.col("version"))
+      .where(F.col("cdc").isNotNull || F.col("add").isNotNull ||
+        F.col("remove").isNotNull)
+      .collect()
+    val byV = acts.groupBy(_.getLong(3))
+    val frames: Seq[DataFrame] = vs.flatMap { v =>
+      val rows = byV.getOrElse(v, Array.empty[Row])
+      val cdcPaths = rows.flatMap(r =>
+        if (r.isNullAt(0)) None else Some(r.getString(0))).toSeq
+      if (cdcPaths.nonEmpty)
+        Some(spark.read.parquet(cdcPaths.sorted.map(p => s"$dir/$p"): _*)
+          .withColumn("_commit_version", F.lit(v)))
+      else if (rows.exists(r => !r.isNullAt(2)))
+        throw new UnsupportedOperationException(
+          s"delta version $v under $dir removed files but carries no cdc " +
+            "actions: changes across a rewrite need exportLog(changeData = true)")
+      else {
+        val adds = rows.flatMap(r =>
+          if (r.isNullAt(1)) None else Some(r.getString(1))).toSeq
+        if (adds.isEmpty) None
+        else Some(Manifest.readFiles(spark, dir, adds.sorted)
+          .withColumn("_change_type", F.lit("insert"))
+          .withColumn("_commit_version", F.lit(v)))
+      }
+    }
+    require(frames.nonEmpty, s"no changes after version $sinceVersion under $dir")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** The protocol's checkpoint schema: one row per action, struct
     * columns `protocol`/`metaData`/`add` (unused action classes omitted

@@ -1373,6 +1373,46 @@ object Maintenance {
     Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // CHANGE DATA FEED under oracle (round 9): orders lands, a COW
+  // deleteRange rewrites (the commit class the file-diff change reader
+  // refuses to span), then a subset re-appends; the export materializes
+  // _change_data + cdc actions and readChanges serves the row-level
+  // changes ACROSS the rewrite. The oracle replays both change sets
+  // from the source parquet — hash equality proves the bag-difference
+  // derivation emits exactly the deleted and inserted rows, nothing
+  // re-packed.
+  private val deltaCdf = Q(
+    "q_delta_cdf",
+    (s, dir) => {
+      val out = scratchDir(dir, "delta_cdf")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+      graft.io.Manifest.write(o.repartitionByRange(8, col("o_orderkey")),
+        out, "base")
+      graft.io.Manifest.deleteRange(s, out, "o_orderkey", "1000", "4999", "cut")
+      graft.io.Manifest.append(
+        o.filter(col("o_orderkey").between(2000, 2999)), out, "back")
+      graft.io.DeltaLog.exportLog(s, out, changeData = true)
+      graft.io.DeltaLog.readChanges(s, out, 0L)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("_change_type")
+    },
+    Some(s"""SELECT * FROM (
+            |  SELECT 'delete' AS _change_type, COUNT(*) AS n,
+            |    CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |    ${oSum("o_totalprice")} AS sum_price
+            |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 4999
+            |  UNION ALL
+            |  SELECT 'insert', COUNT(*),
+            |    CAST(SUM(o_orderkey) AS BIGINT),
+            |    ${oSum("o_totalprice")}
+            |  FROM orders WHERE o_orderkey BETWEEN 2000 AND 2999
+            |) ORDER BY _change_type""".stripMargin))
+
   // The engine's OWN table format as a first-class Spark data source
   // (round 9): orders lands as a hive-partitioned Manifest commit and
   // reads back through `spark.read.format("graft")` — the planner's
@@ -1441,7 +1481,7 @@ object Maintenance {
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
-    graftSourceQ, graftAsof,
+    graftSourceQ, graftAsof, deltaCdf,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

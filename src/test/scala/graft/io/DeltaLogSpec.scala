@@ -406,6 +406,65 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLog.read(spark, dir).count() == 85)
   }
 
+  test("change data feed: cdc actions serve row-level changes across rewrite commits") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 100).toDF("id")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
+      dir, "base")
+    Manifest.deleteRange(spark, dir, "id", "10", "19", "cut") // COW rewrite
+    Manifest.append((1000L to 1009L).toDF("id"), dir, "more")
+    DeltaLog.exportLog(spark, dir, changeData = true)
+    // the file-diff reader REFUSES to span the rewrite — that fencing is
+    // exactly what the CDF export exists to relieve
+    intercept[IllegalStateException] {
+      Manifest.readChangesSince(spark, dir, "base")
+    }
+    val ch = DeltaLog.readChanges(spark, dir, 0L)
+    assert(ch.where("_change_type = 'delete'")
+      .select("id").as[Long].collect().sorted.toSeq == (10L to 19L))
+    assert(ch.where("_change_type = 'insert'")
+      .select("id").as[Long].collect().sorted.toSeq == (1000L to 1009L))
+    // per-version attribution: v1 = the COW delete, v2 = the append
+    // (derived from adds — no cdc actions on an append-only commit)
+    assert(ch.where("_commit_version = 1 AND _change_type = 'delete'").count() == 10)
+    assert(ch.where("_commit_version = 2").count() == 10)
+    assert(commitLines(dir, 2).forall(j => field(j, "cdc") == JNothing))
+    // EXTERNAL-style read: raw cdc actions + direct parquet must match
+    // the keyed changelog of the same two snapshots
+    val v1cdc = commitLines(dir, 1).flatMap(j => field(j, "cdc", "path") match {
+      case JString(p) => Some(p); case _ => None
+    })
+    assert(v1cdc.nonEmpty, "the rewrite commit must carry cdc actions")
+    val external = spark.read.parquet(v1cdc.map(p => s"$dir/$p"): _*)
+    val diff = graft.ops.Merge.diffSnapshots(
+      Manifest.readAt(spark, dir, "base"), Manifest.readAt(spark, dir, "cut"), "id")
+    assert(external.where("_change_type = 'delete'").select("id")
+      .as[Long].collect().sorted.toSeq ==
+      diff.where("op = 'D'").select("id").as[Long].collect().sorted.toSeq)
+    assert(external.count() == 10, "the rewrite's carried rows must NOT reappear")
+    // pure compaction: zero row changes — the cdc action still exists
+    // (an empty change file), so readers never derive bogus inserts
+    // from the re-packed adds
+    Manifest.compact(spark, dir, "packed", Long.MaxValue)
+    DeltaLog.exportLog(spark, dir, changeData = true)
+    val v3cdc = commitLines(dir, 3).flatMap(j => field(j, "cdc", "path") match {
+      case JString(p) => Some(p); case _ => None
+    })
+    assert(v3cdc.nonEmpty)
+    assert(spark.read.parquet(v3cdc.map(p => s"$dir/$p"): _*).count() == 0)
+    assert(DeltaLog.readChanges(spark, dir, 2L).count() == 0)
+    // a rewrite exported WITHOUT changeData still fails loudly
+    val dir2 = tmpDir()
+    Manifest.write((1 to 50).toDF("v"), dir2, "b")
+    Manifest.write((1 to 20).toDF("v"), dir2, "ow")
+    DeltaLog.exportLog(spark, dir2)
+    val ex = intercept[UnsupportedOperationException] {
+      DeltaLog.readChanges(spark, dir2, 0L)
+    }
+    assert(ex.getMessage.contains("changeData"))
+  }
+
   test("unreferenced deletion-vector files reclaim after the grace window") {
     val dir = tmpDir()
     Manifest.write(
