@@ -205,7 +205,22 @@ object ScaleCheck {
       // manifest walk + anti-join — land ∝ corpus, delete set KBs), and
       // the partitioned streaming cadence (land→curated micro-batch +
       // auto-compaction + k=v-pruned read)
-      "q_iceberg_mor_read", "stream_cadence_partitioned")
+      "q_iceberg_mor_read", "stream_cadence_partitioned",
+      // round-9 sixth wave (VERDICT r8 item 8): the deletion-vector
+      // read path, both axes — q_delta_dv_read scales the TABLE with a
+      // fixed delete range (the replica key-shift keeps the range in
+      // replica 0, so the DV stays constant while the scan grows);
+      // dv_read_scaled scales the DELETE COUNT 1×/10×/100× over a
+      // FIXED table (encode + executor-side decode + anti-join are the
+      // only things growing). Expect ~flat-to-linear on both.
+      "q_delta_dv_read", "dv_read_scaled",
+      // round-9: change-data-feed export + read (bag-difference ∝ the
+      // two snapshots, cdc read ∝ changed rows)
+      "q_delta_cdf",
+      // round-9: the DSv2-facing graft source (manifest resolve +
+      // footer pass + partition-pruned vectorized scan ∝ corpus; the
+      // pruned fraction is what should stay proportionate)
+      "q_graft_source")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -220,6 +235,8 @@ object ScaleCheck {
             "doc_id", "text", rounds = 4, batchK = 8)._1
         else if (name == "stream_cadence_partitioned")
           (sp, dir) => streamCadencePartitioned(sp, dir)
+        else if (name == "dv_read_scaled")
+          (sp, dir) => dvReadScaled(sp, dir)
         else SparkEntry.queries(name)
       def measure(dir: String): (Double, Long) = {
         graft.ops.BoundedCache.clear()
@@ -233,6 +250,29 @@ object ScaleCheck {
       val (t100, rows) = measure(bigDir(100))
       println(f"$name%-24s $t1%8.2f $t10%8.2f $t100%8.2f ${t100 / t10}%7.1f  $rows")
     }
+  }
+
+  /** Round-9 DELETE-COUNT curve for the deletion-vector path: the base
+    * table is FIXED (sf0.01 orders) at every scale point; only the
+    * MOR-deleted key range widens 1×/10×/100×, so the measured growth
+    * isolates exactly what the DV machinery pays per deleted row —
+    * position capture, content-addressed encode (now inside a task),
+    * executor-side decode, and the anti-join. Linear-in-deletes is the
+    * pass bar; growth with TABLE size would mean the decode leaked back
+    * onto a data-proportional path. */
+  private def dvReadScaled(sp: SparkSession, dir: String): DataFrame = {
+    val mult =
+      if (dir.endsWith("_100")) 100L else if (dir.endsWith("_10")) 10L else 1L
+    val root = graft.queries.QueryUtil.scratchDir(dir, "dv_scale")
+    val base = new org.apache.hadoop.fs.Path(root)
+    base.getFileSystem(sp.sparkContext.hadoopConfiguration).delete(base, true)
+    val o = sp.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    graft.io.Manifest.write(o.repartitionByRange(8, col("o_orderkey")),
+      root, "base")
+    graft.io.Manifest.deleteRangeMOR(sp, root, "o_orderkey",
+      "1", (600L * mult).toString, "mor")
+    graft.io.DeltaLog.exportLog(sp, root)
+    graft.io.DeltaLog.read(sp, root)
   }
 
   /** Round-8 cadence probe: the corpus lands as JSONL, drains through
