@@ -1391,8 +1391,11 @@ object Maintenance {
       graft.io.Manifest.write(o.repartitionByRange(8, col("o_orderkey")),
         out, "base")
       graft.io.Manifest.deleteRange(s, out, "o_orderkey", "1000", "4999", "cut")
+      // modulo predicate: nonempty at EVERY fixture scale (a contiguous
+      // key range can fall entirely between sf0.001's sparse orderkeys,
+      // emptying the insert leg and dropping its group)
       graft.io.Manifest.append(
-        o.filter(col("o_orderkey").between(2000, 2999)), out, "back")
+        o.filter(col("o_orderkey") % 10 === 3), out, "back")
       graft.io.DeltaLog.exportLog(s, out, changeData = true)
       graft.io.DeltaLog.readChanges(s, out, 0L)
         .groupBy("_change_type")
@@ -1410,7 +1413,7 @@ object Maintenance {
             |  SELECT 'insert', COUNT(*),
             |    CAST(SUM(o_orderkey) AS BIGINT),
             |    ${oSum("o_totalprice")}
-            |  FROM orders WHERE o_orderkey BETWEEN 2000 AND 2999
+            |  FROM orders WHERE o_orderkey % 10 = 3
             |) ORDER BY _change_type""".stripMargin))
 
   // The engine's OWN table format as a first-class Spark data source
