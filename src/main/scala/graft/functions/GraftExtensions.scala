@@ -76,5 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => VecDotRewriteRule)
     // whole-operator native plans (SURVEY §1.5 ladder rung (c))
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL INSERT over a graft relation must land as a MANIFEST COMMIT,
+    // never as Spark's direct file write into the table dir (which
+    // bypasses the manifest — rows invisible, overwrite destructive);
+    // the rule runs in the main resolution batch, ahead of the built-in
+    // post-hoc DataSourceAnalysis that would plan the file write
+    e.injectResolutionRule(_ => graft.sources.GraftInsertRule)
   }
 }

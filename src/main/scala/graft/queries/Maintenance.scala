@@ -1450,6 +1450,37 @@ object Maintenance {
             |WHERE o_orderpriority = '1-URGENT' AND o_custkey >= 100
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // The WRITE face under oracle (round 9): lineitem lands through
+  // `df.write.format("graft")` — an overwrite commit then an append
+  // commit over a disjoint l_linenumber split — and reads back through
+  // the source; the oracle aggregates the source parquet. Hash equality
+  // proves the Spark-API write path (save-mode mapping → Manifest
+  // commits) loses and duplicates nothing across the two commit kinds.
+  private val graftSink = Q(
+    "q_graft_sink",
+    (s, dir) => {
+      val out = scratchDir(dir, "graft_sink")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_linenumber") <= 4)
+        .write.format("graft").mode("overwrite").save(out)
+      li.filter(col("l_linenumber") >= 5)
+        .write.format("graft").mode("append").save(out)
+      s.read.format("graft").load(out)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_ok"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          max(to_date(col("l_shipdate"))).as("max_ship"))
+        .orderBy("l_linestatus")
+    },
+    Some(s"""SELECT l_linestatus, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("l_quantity")} AS sum_qty,
+            |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
+            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Time travel through the source's options: two commits land a
   // disjoint l_linenumber split, `versionAsOf 0` reads the FIRST
   // commit's state through the public API, and the oracle replays the
@@ -1484,7 +1515,7 @@ object Maintenance {
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
-    graftSourceQ, graftAsof, deltaCdf,
+    graftSourceQ, graftAsof, graftSink, deltaCdf,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualTo, Expression, GenericInternalRow, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider}
+import org.apache.spark.sql.{SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, PrunedScan, RelationProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -62,8 +63,62 @@ import graft.io.{FileStats, Manifest}
  * at a row-boundary cost that lasts only until the table's own
  * compaction purges the delete state.
  */
-class GraftSource extends RelationProvider with DataSourceRegister {
+class GraftSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  /** The WRITE face: `df.write.format("graft").mode(…)` — every save
+    * mode maps to the Manifest's own commit semantics, so writes
+    * through the Spark API get the same snapshot isolation, CAS
+    * commit, append rebase, and time travel as library calls:
+    *
+    *  - Overwrite → [[Manifest.write]] (a fresh snapshot replacing the
+    *    head; partitioned via option `partitionBy=col1,col2`)
+    *  - Append    → [[Manifest.append]] (carry-forward commit; rebases
+    *    on a lost race like any append)
+    *  - ErrorIfExists → commit only a FIRST snapshot, else throw
+    *  - Ignore    → no-op when the table already has a commit
+    *
+    * Snapshot ids default to a fresh `w<millis>-<uuid8>`; pass option
+    * `snapshot` for an explicit id (the streaming/replay dedupe key).
+    * This is also the path SQL DDL takes: `CREATE TABLE … USING graft`
+    * with a query body lands through here, and `INSERT INTO` resolves
+    * through [[InsertableRelation]] on the read relations. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
+    val dir = opts.getOrElse("path", throw new IllegalArgumentException(
+      "graft: .save(<manifest table dir>) is required"))
+    val spark = sqlContext.sparkSession
+    val exists = Manifest.history(spark, dir).nonEmpty
+    def snap(): String = opts.getOrElse("snapshot",
+      s"w${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}")
+    val partCols = opts.get("partitionby").map(_.split(",").map(_.trim).toSeq
+      .filter(_.nonEmpty)).getOrElse(Nil)
+    mode match {
+      case SaveMode.Overwrite =>
+        if (partCols.isEmpty) Manifest.write(data, dir, snap())
+        else Manifest.writePartitioned(data, dir, snap(), partCols)
+      case SaveMode.Append =>
+        if (!exists) {
+          if (partCols.isEmpty) Manifest.write(data, dir, snap())
+          else Manifest.writePartitioned(data, dir, snap(), partCols)
+        } else if (partCols.isEmpty) Manifest.append(data, dir, snap())
+        else Manifest.appendPartitioned(data, dir, snap(), partCols)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft table under $dir already has committed snapshots " +
+            "(mode=ErrorIfExists)")
+        else if (partCols.isEmpty) Manifest.write(data, dir, snap())
+        else Manifest.writePartitioned(data, dir, snap(), partCols)
+      case SaveMode.Ignore =>
+        if (!exists) {
+          if (partCols.isEmpty) Manifest.write(data, dir, snap())
+          else Manifest.writePartitioned(data, dir, snap(), partCols)
+        }
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -165,6 +220,9 @@ class GraftFileIndex(spark: SparkSession, dir: String,
   private val fsys =
     basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val qualBase = fsys.makeQualified(basePath).toString
+
+  /** The manifest table root — what the SQL INSERT rewrite commits to. */
+  private[graft] def tableDir: String = dir
 
   /** ONE distributed footer pass serves three masters: exact file
     * lengths for split planning, min/max bounds for data-filter
@@ -325,10 +383,12 @@ class GraftFileIndex(spark: SparkSession, dir: String,
  * Column pruning still pushes ([[PrunedScan]]); filters re-evaluate
  * above, which is always sound. The row-boundary cost is transient by
  * design — compaction purges delete state on the engine's own
- * maintenance cadence.
+ * maintenance cadence. SQL `INSERT INTO`/`INSERT OVERWRITE` resolve
+ * through [[InsertableRelation]] straight onto Manifest commits.
  */
 class GraftMorRelation(spark: SparkSession, dir: String,
-    m: Manifest.ManifestData) extends BaseRelation with PrunedScan {
+    m: Manifest.ManifestData) extends BaseRelation with PrunedScan
+    with InsertableRelation {
   override def sqlContext: SQLContext = spark.sqlContext
   private lazy val frame: DataFrame = Manifest.readAt(spark, dir, m.snapshot)
   override lazy val schema: StructType = frame.schema
@@ -337,5 +397,96 @@ class GraftMorRelation(spark: SparkSession, dir: String,
       if (requiredColumns.isEmpty) frame.select()
       else frame.select(requiredColumns.toSeq.map(frame.col): _*)
     pruned.rdd
+  }
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    GraftInsert.commit(spark, dir, Nil, data, overwrite)
+}
+
+/** SQL write plumbing shared by the analyzer rule and the relations. */
+private[graft] object GraftInsert {
+  /** Positional rename + cast to the table schema, then a Manifest
+    * commit under an auto snapshot id. */
+  def commit(spark: SparkSession, dir: String, partitionCols: Seq[String],
+      data: DataFrame, overwrite: Boolean): Unit = {
+    val snap =
+      s"w${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
+    if (overwrite) {
+      if (partitionCols.isEmpty) Manifest.write(data, dir, snap)
+      else Manifest.writePartitioned(data, dir, snap, partitionCols)
+    } else {
+      if (partitionCols.isEmpty) Manifest.append(data, dir, snap)
+      else Manifest.appendPartitioned(data, dir, snap, partitionCols)
+    }
+  }
+}
+
+/**
+ * The SQL WRITE face for the FAST-path relation: Spark's own analysis
+ * would plan `INSERT INTO` over a `HadoopFsRelation` as a DIRECT file
+ * write into the table directory — bypassing the manifest entirely
+ * (rows silently invisible to every reader; `INSERT OVERWRITE` would
+ * even clear the directory). This resolution rule intercepts the
+ * statement while it is still an `InsertIntoStatement` (our rule runs
+ * in the main resolution batch, BEFORE the built-in post-hoc
+ * `DataSourceAnalysis` that plans the file write) and rewrites it to a
+ * command that lands the rows as a proper Manifest commit — exactly
+ * the interception architecture delta-spark uses for the same reason.
+ * Registered via [[graft.functions.GraftExtensions]].
+ */
+object GraftInsertRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case i: InsertIntoStatement if i.query.resolved =>
+        i.table match {
+          case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] &&
+              l.relation.asInstanceOf[HadoopFsRelation]
+                .location.isInstanceOf[GraftFileIndex] =>
+            val idx = l.relation.asInstanceOf[HadoopFsRelation]
+              .location.asInstanceOf[GraftFileIndex]
+            require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+              "graft: partition-spec INSERT is not supported — the " +
+                "manifest commit owns the layout; write the partition " +
+                "columns as ordinary columns")
+            require(i.userSpecifiedCols.isEmpty && !i.byName,
+              "graft: INSERT with an explicit column list is not " +
+                "supported; supply every table column positionally")
+            require(i.query.output.size == l.output.size,
+              s"graft: INSERT arity ${i.query.output.size} != table " +
+                s"arity ${l.output.size}")
+            GraftInsertCommand(idx.tableDir,
+              idx.partitionSchema.fieldNames.toSeq,
+              StructType(l.output.map(a =>
+                StructField(a.name, a.dataType, a.nullable))),
+              i.query, i.overwrite)
+          case _ => i
+        }
+    }
+}
+
+/** The rewritten INSERT: align the query output to the table schema by
+  * POSITION (names renamed, types cast — SQL INSERT semantics), then
+  * one Manifest commit (append rebases on a lost race; overwrite is a
+  * fresh snapshot — time travel keeps the pre-INSERT state). */
+case class GraftInsertCommand(dir: String, partitionCols: Seq[String],
+    tableSchema: StructType,
+    query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    overwrite: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df0 = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, query)
+    // positional rename first (robust to duplicate query-output names),
+    // then per-column cast to the table types
+    val renamed = df0.toDF(tableSchema.fieldNames.toSeq: _*)
+    val aligned = renamed.select(tableSchema.fields.map(f =>
+      renamed.col(s"`${f.name}`").cast(f.dataType).as(f.name)).toSeq: _*)
+    GraftInsert.commit(spark, dir, partitionCols, aligned, overwrite)
+    Seq.empty
   }
 }

@@ -139,6 +139,80 @@ class GraftSourceSpec extends AnyFunSuite {
     spark.catalog.dropTempView("graft_sql_t")
   }
 
+  test("write face: every save mode maps to the Manifest's commit semantics") {
+    val dir = tmpDir()
+    (1 to 10).toDF("v").write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 10)
+    (11 to 15).toDF("v").write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir)
+      .as[Int].collect().sorted.toSeq == (1 to 15))
+    // append is a real commit: time travel sees the pre-append state
+    assert(spark.read.format("graft")
+      .option("versionAsOf", "0").load(dir).count() == 10)
+    intercept[IllegalStateException] {
+      (1 to 3).toDF("v").write.format("graft").mode("errorifexists").save(dir)
+    }
+    (99 to 99).toDF("v").write.format("graft").mode("ignore").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 15, "ignore = no-op")
+    (1 to 20).toDF("v").write.format("graft").mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 20)
+    // explicit snapshot id option (the replay-dedupe key)
+    val dir2 = tmpDir()
+    (1 to 5).toDF("v").write.format("graft")
+      .option("snapshot", "s-batch-7").save(dir2)
+    assert(graft.io.Manifest.snapshots(spark, dir2) == Seq("s-batch-7"))
+  }
+
+  test("write face: hive-partitioned land via the partitionBy option") {
+    val dir = tmpDir()
+    val df = spark.sql(
+      """SELECT id, CASE CAST(id % 2 AS INT) WHEN 0 THEN 'en' ELSE 'fr' END AS lang
+        |FROM range(0, 100)""".stripMargin)
+    df.write.format("graft").option("partitionBy", "lang")
+      .mode("overwrite").save(dir)
+    val g = spark.read.format("graft").load(dir)
+    val en = g.where("lang = 'en'")
+    assert(en.count() == 50)
+    assert(scannedFiles(en) < scannedFiles(g),
+      "the written layout must be partition-prunable")
+  }
+
+  test("SQL INSERT INTO lands as a manifest commit, never a raw file write") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "base")
+    spark.read.format("graft").load(dir).createOrReplaceTempView("graft_ins_t")
+    spark.sql("INSERT INTO graft_ins_t SELECT id FROM range(100, 105)")
+    // the rows are VISIBLE through the manifest (a bypassing file write
+    // would leave them invisible) and the commit is time-travelable
+    assert(spark.read.format("graft").load(dir).count() == 15)
+    assert(Manifest.snapshots(spark, dir).size == 2)
+    assert(spark.read.format("graft")
+      .option("versionAsOf", "0").load(dir).count() == 10)
+    // INSERT casts by position (long range -> int column)
+    assert(spark.read.format("graft").load(dir).schema("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // INSERT OVERWRITE = a fresh snapshot, prior state retained
+    spark.read.format("graft").load(dir).createOrReplaceTempView("graft_ins_t")
+    spark.sql("INSERT OVERWRITE graft_ins_t SELECT id FROM range(0, 3)")
+    assert(spark.read.format("graft").load(dir).count() == 3)
+    assert(spark.read.format("graft")
+      .option("versionAsOf", "1").load(dir).count() == 15)
+    // arity mismatch fails loudly at analysis, not at commit
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_ins_t SELECT 1, 2")
+    }
+    spark.catalog.dropTempView("graft_ins_t")
+    // the MOR relation takes the InsertableRelation path
+    val dir3 = tmpDir()
+    Manifest.write(spark.range(0, 100).toDF("id")
+      .repartitionByRange(2, col("id")), dir3, "b")
+    Manifest.deleteRangeMOR(spark, dir3, "id", "10", "19", "m")
+    spark.read.format("graft").load(dir3).createOrReplaceTempView("graft_mor_t")
+    spark.sql("INSERT INTO graft_mor_t SELECT id FROM range(1000, 1005)")
+    assert(spark.read.format("graft").load(dir3).count() == 95)
+    spark.catalog.dropTempView("graft_mor_t")
+  }
+
   test("accurate sizeInBytes lets a small graft snapshot broadcast under a join") {
     val dir = tmpDir()
     Manifest.write((1 to 50).toDF("k"), dir, "dim")
