@@ -11,4 +11,16 @@ object Bridge {
   /** Analyze + wrap a logical plan as a DataFrame on this session. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap an InternalRow RDD as a frame with an explicit isStreaming
+    * flag — what a V1 streaming Source must return from `getBatch`
+    * (isStreaming = true), and what a V1 Sink needs to RE-wrap the
+    * incremental batch it receives before running its own write action
+    * on it (isStreaming = false; `ForeachBatchSink` does exactly this). */
+  def internalFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      isStreaming: Boolean): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming)
 }

@@ -64,8 +64,51 @@ import graft.io.{FileStats, Manifest}
  * compaction purges the delete state.
  */
 class GraftSource extends RelationProvider with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  // ---- STRUCTURED STREAMING faces (see sources/GraftStreaming.scala) ----
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
+      .getOrElse("path", throw new IllegalArgumentException(
+        "graft: .load(<manifest table dir>) / .option(\"path\", …) is required"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val dir = pathOf(parameters)
+    (shortName(), schema.getOrElse(
+      Manifest.read(sqlContext.sparkSession, dir).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val dir = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    new GraftStreamSource(spark, dir,
+      schema.getOrElse(Manifest.read(spark, dir).schema))
+  }
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
+    val dir = opts.getOrElse("path", throw new IllegalArgumentException(
+      "graft sink: .option(\"path\", <manifest table dir>) is required"))
+    // partition columns from writeStream.partitionBy, or the batch
+    // writer's option for symmetry
+    val partCols =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else opts.get("partitionby").map(_.split(",").map(_.trim).toSeq
+        .filter(_.nonEmpty)).getOrElse(Nil)
+    new GraftSink(sqlContext.sparkSession, dir, partCols, outputMode)
+  }
 
   /** The WRITE face: `df.write.format("graft").mode(…)` — every save
     * mode maps to the Manifest's own commit semantics, so writes

@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.io.Manifest
+
+/**
+ * STRUCTURED STREAMING faces for graft tables — with these, a pipeline
+ * can run end-to-end on the engine's own table format
+ * (`readStream.format("graft")` → transforms → `writeStream
+ * .format("graft")`), the way Delta tables serve as both stream source
+ * and sink:
+ *
+ *  - **Source** ([[GraftStreamSource]]): the stream's OFFSET is the
+ *    manifest `commit_seq` — each micro-batch is exactly the data
+ *    files the commits in `(start, end]` ADDED, resolved from the two
+ *    manifests' file lists (no directory listing, no per-file state in
+ *    the checkpoint; the offset is ONE number however many files a
+ *    commit lands). The initial batch is the full snapshot at the
+ *    first offset (merge-on-read deletes applied — it is simply "the
+ *    state where the stream starts"). The append-only contract is
+ *    ENFORCED per window: a rewrite commit (compaction, COW DML), a
+ *    file removal, or a merge-on-read delete inside the window fails
+ *    LOUDLY telling the operator to re-baseline — silently re-serving
+ *    re-packed rows (or skipping deletions) is how streams corrupt
+ *    downstream state.
+ *  - **Sink** ([[GraftSink]]): each micro-batch lands as ONE manifest
+ *    commit named `stream-b<batchId>` — `isCommitted` dedupe plus
+ *    orphan-abandon turn the engine's at-least-once batch delivery
+ *    into EXACTLY-ONCE table state (the same protocol
+ *    `streaming/LandIngest` proves), and the append-commit rebase
+ *    means a concurrent maintenance job cannot abort the stream.
+ *    Append mode appends; Complete mode lands each result as a fresh
+ *    overwrite commit (time travel keeps every trigger's state);
+ *    Update is refused (a keyless table cannot apply upserts).
+ *
+ * Both faces ride the V1 streaming provider API — the stable hook
+ * `spark.readStream.format(...)` resolves, and the same one
+ * `DataSourceRegister` alias ("graft") serves batch and streaming.
+ */
+final case class GraftSourceOffset(seq: Long) extends V1Offset {
+  override def json: String = seq.toString
+}
+
+class GraftStreamSource(spark: SparkSession, dir: String,
+    override val schema: StructType) extends Source {
+
+  /** Works for live [[GraftSourceOffset]]s AND the `SerializedOffset`
+    * the checkpoint replays on restart. */
+  private def seqOf(o: V1Offset): Long = o.json.trim.toLong
+
+  override def getOffset: Option[V1Offset] =
+    Manifest.history(spark, dir).lastOption.map(m => GraftSourceOffset(m.seq))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val e = seqOf(end)
+    val hist = Manifest.history(spark, dir)
+    val endM = hist.find(_.seq == e).getOrElse(
+      throw new IllegalStateException(
+        s"graft stream: offset $e is no longer retained under $dir " +
+          "(vacuum outran the stream checkpoint) - re-baseline the stream"))
+    val batch: DataFrame = start match {
+      case None =>
+        // initial load: the full snapshot state at the first offset
+        Manifest.readAt(spark, dir, endM.snapshot)
+      case Some(s0) =>
+        val s = seqOf(s0)
+        val startM = hist.find(_.seq == s).getOrElse(
+          throw new IllegalStateException(
+            s"graft stream: checkpointed offset $s is no longer retained " +
+              s"under $dir (vacuum outran the stream checkpoint) - " +
+              "re-baseline the stream"))
+        // append-only contract over the window, enforced loudly
+        hist.filter(m => m.seq > s && m.seq <= e).foreach { m =>
+          if (m.rewrite) throw new UnsupportedOperationException(
+            s"graft stream: commit '${m.snapshot}' (seq ${m.seq}) under " +
+              s"$dir is a rewrite (compaction/COW DML) - its files re-pack " +
+              "rows the stream already served; re-baseline the stream")
+        }
+        if (!startM.files.forall(endM.files.toSet))
+          throw new UnsupportedOperationException(
+            s"graft stream: commits ($s, $e] under $dir removed data " +
+              "files - an append-only stream cannot represent removals; " +
+              "re-baseline the stream")
+        if (endM.deleteFiles.sorted != startM.deleteFiles.sorted)
+          throw new UnsupportedOperationException(
+            s"graft stream: commits ($s, $e] under $dir changed " +
+              "merge-on-read delete state - an append-only stream cannot " +
+              "represent row deletions; re-baseline the stream")
+        val newFiles = endM.files.filterNot(startM.files.toSet)
+        if (newFiles.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else Manifest.readFiles(spark, dir, newFiles)
+    }
+    // pin the stream's declared schema (a later schema-evolution commit
+    // must not widen the frame mid-flight), then mark the plan
+    // streaming — the V1 Source contract
+    val aligned = batch.select(schema.fieldNames.map(n =>
+      org.apache.spark.sql.functions.col(s"`$n`")).toSeq: _*)
+    Bridge.internalFrame(spark, aligned.queryExecution.toRdd, schema,
+      isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+}
+
+class GraftSink(spark: SparkSession, dir: String,
+    partitionCols: Seq[String], mode: OutputMode) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val snap = s"stream-b$batchId"
+    // exactly-once out of at-least-once delivery: a replayed batch that
+    // already committed is a no-op; a crashed attempt's orphan data dir
+    // is removed so the same snapshot id can land again
+    if (Manifest.isCommitted(spark, dir, snap)) return
+    Manifest.abandonOrphan(spark, dir, snap)
+    // re-wrap the incremental batch as a PLAIN frame before running our
+    // own write action on it (ForeachBatchSink's own move)
+    val batch = Bridge.internalFrame(data.sparkSession,
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    val exists = Manifest.history(spark, dir).nonEmpty
+    mode match {
+      case m if m == OutputMode.Append() =>
+        if (!exists) {
+          if (partitionCols.isEmpty) Manifest.write(batch, dir, snap)
+          else Manifest.writePartitioned(batch, dir, snap, partitionCols)
+        } else if (partitionCols.isEmpty) Manifest.append(batch, dir, snap)
+        else Manifest.appendPartitioned(batch, dir, snap, partitionCols)
+      case m if m == OutputMode.Complete() =>
+        // each trigger's full result is a fresh OVERWRITE commit — time
+        // travel retains every trigger's state until vacuum
+        if (partitionCols.isEmpty) Manifest.write(batch, dir, snap)
+        else Manifest.writePartitioned(batch, dir, snap, partitionCols)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft sink: output mode $other is not supported (a keyless " +
+            "table cannot apply upserts); use append or complete")
+    }
+  }
+
+  override def toString: String = s"GraftSink[$dir]"
+}

@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.io.Manifest
+
+/**
+ * Graft tables as Structured Streaming SOURCE and SINK: offsets are
+ * manifest commit seqs (one number per checkpoint entry, never a file
+ * list), micro-batches are exactly the files new commits added,
+ * exactly-once sink state out of at-least-once batch delivery, and
+ * the append-only contract enforced loudly across rewrites.
+ */
+class GraftStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graftstream").toString
+
+  private val jsonSchema = StructType(Seq(
+    StructField("id", LongType), StructField("tag", StringType)))
+
+  private def writeJsonl(dir: String, file: String, ids: Range): Unit = {
+    val lines = ids.map(i => s"""{"id":$i,"tag":"t$i"}""").mkString("\n")
+    Files.write(java.nio.file.Paths.get(dir, file), lines.getBytes("UTF-8"))
+  }
+
+  test("sink: micro-batches land as exactly-once manifest commits") {
+    val land = tmpDir()
+    val table = tmpDir() + "/t"
+    val ckpt = tmpDir() + "/ckpt"
+    writeJsonl(land, "a.jsonl", 0 until 100)
+    def drain(): Unit =
+      spark.readStream.schema(jsonSchema).json(land)
+        .withColumn("tag_uc", upper(col("tag")))
+        .writeStream.format("graft").option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    assert(Manifest.snapshots(spark, table) == Seq("stream-b0"))
+    assert(Manifest.read(spark, table).count() == 100)
+    // nothing new: no batch, no commit
+    drain()
+    assert(Manifest.snapshots(spark, table) == Seq("stream-b0"))
+    // the delta lands as the NEXT append commit; prior state time-travels
+    writeJsonl(land, "b.jsonl", 1000 until 1050)
+    drain()
+    assert(Manifest.snapshots(spark, table) == Seq("stream-b0", "stream-b1"))
+    assert(Manifest.read(spark, table).count() == 150)
+    assert(Manifest.readAt(spark, table, "stream-b0").count() == 100)
+    // the curate column flowed through the streaming plan
+    assert(Manifest.read(spark, table)
+      .where("tag_uc = 'T7'").count() == 1)
+  }
+
+  test("sink: at-least-once replay of a committed batch is a no-op") {
+    val table = tmpDir() + "/t"
+    Manifest.write((1 to 10).toDF("id"), table, "stream-b5")
+    val sink = new GraftSink(spark, table, Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    // a replayed batchId that already committed must not duplicate
+    sink.addBatch(5L, (100 to 200).toDF("id"))
+    assert(Manifest.read(spark, table).count() == 10)
+    assert(Manifest.snapshots(spark, table) == Seq("stream-b5"))
+  }
+
+  test("source: offsets are commit seqs; each batch is the new files only") {
+    val table = tmpDir() + "/t"
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    Manifest.write((1 to 100).toDF("v"), table, "s0")
+    def drain(): Unit =
+      spark.readStream.format("graft").load(table)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    // initial batch = the full starting snapshot
+    drain()
+    assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq == (1 to 100))
+    // append two commits; the restarted stream serves ONLY the new rows
+    Manifest.append((101 to 130).toDF("v"), table, "s1")
+    Manifest.append((131 to 140).toDF("v"), table, "s2")
+    drain()
+    assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq == (1 to 140))
+    // no new commits: no batch, no sink commit
+    val nBefore = Manifest.snapshots(spark, out).size
+    drain()
+    assert(Manifest.snapshots(spark, out).size == nBefore)
+  }
+
+  test("source: a rewrite inside the window fails loudly, never re-serves rows") {
+    val table = tmpDir() + "/t"
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    Manifest.write((1 to 50).toDF("v"), table, "s0")
+    def drain(): Unit =
+      spark.readStream.format("graft").load(table)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    assert(Manifest.read(spark, out).count() == 50)
+    // a compaction re-packs rows the stream already served
+    Manifest.compact(spark, table, "packed", Long.MaxValue)
+    val ex = intercept[Exception] { drain() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("rewrite") || m.contains("re-baseline")),
+      s"must name the rewrite: ${msgs(ex)}")
+    // the sink was not polluted by the failed window
+    assert(Manifest.read(spark, out).count() == 50)
+  }
+
+  test("source: initial load applies merge-on-read deletes; later MOR fails the window") {
+    val table = tmpDir() + "/t"
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    Manifest.write(spark.range(0, 100).toDF("id")
+      .repartitionByRange(2, col("id")), table, "s0")
+    Manifest.deleteRangeMOR(spark, table, "id", "10", "19", "mor0")
+    def drain(): Unit =
+      spark.readStream.format("graft").load(table)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    // the stream starts AT the MOR snapshot: deletes applied in the
+    // initial state
+    drain()
+    assert(Manifest.read(spark, out).count() == 90)
+    // a further MOR delete cannot be represented in an append stream
+    Manifest.deleteRangeMOR(spark, table, "id", "30", "34", "mor1")
+    val ex = intercept[Exception] { drain() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("merge-on-read")), s"${msgs(ex)}")
+  }
+
+  test("sink: partitioned streaming land via partitionBy") {
+    val land = tmpDir()
+    val table = tmpDir() + "/t"
+    val ckpt = tmpDir() + "/ckpt"
+    writeJsonl(land, "a.jsonl", 0 until 60)
+    spark.readStream.schema(jsonSchema).json(land)
+      .withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("fr"))
+      .writeStream.format("graft").option("path", table)
+      .partitionBy("lang")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(Manifest.readWherePartitions(spark, table,
+      Map("lang" -> "en")).count() == 30)
+    assert(Manifest.currentFiles(spark, table).forall(_.contains("lang=")))
+  }
+}
