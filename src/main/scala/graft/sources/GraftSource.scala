@@ -505,7 +505,8 @@ object GraftInsertRule
               idx.partitionSchema.fieldNames.toSeq,
               StructType(l.output.map(a =>
                 StructField(a.name, a.dataType, a.nullable))),
-              i.query, i.overwrite)
+              i.query, i.overwrite,
+              l.catalogTable.map(_.identifier.quotedString))
           case _ => i
         }
     }
@@ -518,7 +519,7 @@ object GraftInsertRule
 case class GraftInsertCommand(dir: String, partitionCols: Seq[String],
     tableSchema: StructType,
     query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-    overwrite: Boolean)
+    overwrite: Boolean, catalogName: Option[String] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
     Seq(query)
@@ -530,6 +531,11 @@ case class GraftInsertCommand(dir: String, partitionCols: Seq[String],
     val aligned = renamed.select(tableSchema.fields.map(f =>
       renamed.col(s"`${f.name}`").cast(f.dataType).as(f.name)).toSeq: _*)
     GraftInsert.commit(spark, dir, partitionCols, aligned, overwrite)
+    // the resolved relation is snapshot-pinned by design — invalidate
+    // the caches so the NEXT query resolves the new head (the same
+    // post-insert refresh Spark's own file-write command performs)
+    spark.catalog.refreshByPath(dir)
+    catalogName.foreach(spark.catalog.refreshTable)
     Seq.empty
   }
 }

@@ -213,6 +213,33 @@ class GraftSourceSpec extends AnyFunSuite {
     spark.catalog.dropTempView("graft_mor_t")
   }
 
+  test("catalog DDL: CREATE TABLE USING graft, INSERT, CTAS, DROP") {
+    val dir = tmpDir() + "/t"
+    Manifest.write((1 to 10).toDF("v"), dir, "s0")
+    // register-then-query — the reference's analyst model, now over the
+    // engine's own format through the session catalog
+    spark.sql(s"CREATE TABLE graft_cat_t USING graft LOCATION '$dir'")
+    try {
+      assert(spark.sql("SELECT COUNT(*) FROM graft_cat_t").head.getLong(0) == 10)
+      // INSERT through the catalog table takes the manifest-commit path
+      spark.sql("INSERT INTO graft_cat_t SELECT id FROM range(100, 105)")
+      assert(Manifest.snapshots(spark, dir).size == 2)
+      assert(spark.sql("SELECT COUNT(*) FROM graft_cat_t").head.getLong(0) == 15)
+      // CTAS lands through the write face
+      val dir2 = tmpDir() + "/t2"
+      spark.sql(
+        s"CREATE TABLE graft_cat_t2 USING graft LOCATION '$dir2' " +
+          "AS SELECT id AS v FROM range(0, 7)")
+      try {
+        assert(spark.sql("SELECT COUNT(*) FROM graft_cat_t2").head.getLong(0) == 7)
+        assert(Manifest.snapshots(spark, dir2).nonEmpty)
+      } finally spark.sql("DROP TABLE graft_cat_t2")
+    } finally spark.sql("DROP TABLE graft_cat_t")
+    // dropping the catalog entry must not delete the table data
+    // (EXTERNAL location semantics): the manifest still reads
+    assert(Manifest.read(spark, dir).count() == 15)
+  }
+
   test("accurate sizeInBytes lets a small graft snapshot broadcast under a join") {
     val dir = tmpDir()
     Manifest.write((1 to 50).toDF("k"), dir, "dim")
