@@ -1481,6 +1481,46 @@ object Maintenance {
             |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // The STREAMING faces under oracle (round 9): lineitem lands as a
+  // two-commit graft table, a Structured Streaming job relays it
+  // graft→graft (readStream offsets = commit seqs; writeStream lands
+  // exactly-once stream-b<id> commits), and the RELAYED table is what
+  // aggregates against the oracle's plain scan of the source parquet.
+  // Hash equality proves the stream served every committed row exactly
+  // once across the offset windows — the end-to-end streaming
+  // pipeline shape, not a unit property.
+  private val graftStream = Q(
+    "q_graft_stream",
+    (s, dir) => {
+      val src = scratchDir(dir, "graft_stream_src")
+      val out = scratchDir(dir, "graft_stream_out")
+      val ckpt = scratchDir(dir, "graft_stream_ckpt")
+      Seq(src, out, ckpt).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val li = t(s, dir, "lineitem")
+      graft.io.Manifest.write(li.filter(col("l_linenumber") <= 3), src, "v0")
+      graft.io.Manifest.append(li.filter(col("l_linenumber") >= 4), src, "v1")
+      s.readStream.format("graft").load(src)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.format("graft").load(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_orderkey").as("sum_ok"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          max(to_date(col("l_shipdate"))).as("max_ship"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+            |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("l_quantity")} AS sum_qty,
+            |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
+            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Time travel through the source's options: two commits land a
   // disjoint l_linenumber split, `versionAsOf 0` reads the FIRST
   // commit's state through the public API, and the oracle replays the
@@ -1515,7 +1555,7 @@ object Maintenance {
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
-    graftSourceQ, graftAsof, graftSink, deltaCdf,
+    graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,
