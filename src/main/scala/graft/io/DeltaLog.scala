@@ -75,8 +75,12 @@ object DeltaLog {
   private def jstr(s: String): String =
     JsonMethods.compact(JsonMethods.render(JString(s)))
 
-  private def protocolLine: String =
-    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+  /** A CDF-carrying log declares the capability in the protocol —
+    * legacy writer version 4 includes changeDataFeed, which is what
+    * foreign `table_changes` readers check before serving the feed. */
+  private def protocolLine(cdf: Boolean = false): String =
+    if (cdf) """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+    else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   private def metaDataLine(id: String, schemaJson: String, createdAt: Long,
       partitionCols: Seq[String], cdf: Boolean = false): String = {
@@ -106,9 +110,13 @@ object DeltaLog {
     * features (reader 3 / writer 7) declaring exactly the one feature
     * the DV export uses — the upgrade the spec requires in (or before)
     * the first DV-carrying commit. */
-  private def dvProtocolLine: String =
+  private def dvProtocolLine(cdf: Boolean = false): String = {
+    val wf =
+      if (cdf) """["deletionVectors","changeDataFeed"]"""
+      else """["deletionVectors"]"""
     """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+      s""""readerFeatures":["deletionVectors"],"writerFeatures":$wf}}"""
+  }
 
   /** `remove` must INVALIDATE the exact add it cancels: Delta state
     * reconstruction keys active files by (path, DV unique id), so a
@@ -255,6 +263,37 @@ object DeltaLog {
           dv.get(f).map(_.json))
       }
 
+    // INCREMENTAL CDF UPGRADE (ADVICE r9): commit JSONs are immutable,
+    // so a table whose oldest version was exported WITHOUT changeData
+    // keeps `configuration {}` in effect forever — _change_data files
+    // and cdc actions would exist while foreign CDF readers
+    // (table_changes) refuse the feed. Detect the mismatch from the
+    // EXISTING log (one text scan filtered to the rare metaData lines)
+    // and ride a fresh CDF-flagged metaData action + protocol upgrade
+    // in the FIRST newly exported version; with nothing new to export,
+    // fail loudly below instead of silently leaving the feature
+    // undeclared.
+    var cdfMetaNeeded = changeData &&
+      fsys.exists(commitPath(ld, ms.head.seq)) && {
+        val existingVs = ms.map(_.seq)
+          .filter(v => fsys.exists(commitPath(ld, v)))
+        val cfgT = StructType(Seq(StructField("metaData", StructType(Seq(
+          StructField("configuration", MapType(StringType, StringType)))))))
+        val lastCfg = spark.read
+          .text(existingVs.map(v => commitPath(ld, v).toString): _*)
+          .where(F.col("value").contains("\"metaData\""))
+          .select(
+            F.from_json(F.col("value"), cfgT)
+              .getField("metaData").getField("configuration").as("cfg"),
+            F.regexp_extract(F.col("_metadata.file_path"),
+              "(\\d{20})\\.json$", 1).cast("long").as("version"))
+          .where(F.col("cfg").isNotNull)
+          .orderBy(F.col("version").desc).limit(1)
+          .collect().headOption
+          .map(_.getMap[String, String](0).toMap)
+        !lastCfg.exists(_.get("delta.enableChangeDataFeed").contains("true"))
+      }
+
     val written = Seq.newBuilder[Long]
     ms.zipWithIndex.foreach { case (m, i) =>
       val dest = commitPath(ld, m.seq)
@@ -265,7 +304,8 @@ object DeltaLog {
             // oldest retained version: full state (version 0's shape; a
             // vacuumed-past-0 table additionally gets a checkpoint below)
             Seq(commitInfoLine(tsOf(m), "WRITE"),
-              if (dv.isEmpty) protocolLine else dvProtocolLine,
+              if (dv.isEmpty) protocolLine(changeData)
+              else dvProtocolLine(changeData),
               metaDataLine(id, schemaOf(m), now, partColsOf(m), changeData)) ++
               addLinesOf(m.files, dv)
           else {
@@ -283,9 +323,11 @@ object DeltaLog {
             val op = if (removed.isEmpty && redv.isEmpty) "APPEND" else "WRITE"
             // schema evolution: the commit that changed the snapshot
             // schema carries a fresh metaData action (the protocol's
-            // ALTER TABLE shape); unchanged schemas stay silent
+            // ALTER TABLE shape); unchanged schemas stay silent — and
+            // the first commit after an incremental CDF upgrade carries
+            // one to land the enableChangeDataFeed configuration
             val metaChange =
-              if (schemaOf(m) == schemaOf(prevM)) Nil
+              if (schemaOf(m) == schemaOf(prevM) && !cdfMetaNeeded) Nil
               else Seq(metaDataLine(id, schemaOf(m), now, partColsOf(m),
                 changeData))
             // CHANGE DATA FEED: append-only commits need no cdc (their
@@ -303,7 +345,9 @@ object DeltaLog {
                   .map { case (p, sz) => cdcLine(p, sz) }
               }
             Seq(commitInfoLine(tsOf(m), op)) ++
-              (if (dv.isEmpty) Nil else Seq(dvProtocolLine)) ++
+              (if (dv.nonEmpty) Seq(dvProtocolLine(changeData))
+              else if (cdfMetaNeeded) Seq(protocolLine(cdf = true))
+              else Nil) ++
               metaChange ++ cdc ++
               (removed ++ redv).map(f =>
                 removeLine(f, now, prevDv.get(f).map(_.json))) ++
@@ -311,8 +355,14 @@ object DeltaLog {
           }
         writeLines(fsys, dest, lines)
         written += m.seq
+        cdfMetaNeeded = false // the upgrade rode in this version
       }
     }
+    require(!cdfMetaNeeded,
+      s"the log under $dir was exported without changeData and has no new " +
+        "commits to carry the delta.enableChangeDataFeed upgrade: old " +
+        "commit JSONs are immutable - delete _delta_log and re-export " +
+        "from scratch with changeData = true")
 
     val oldest = ms.head.seq
     if (oldest > 0 && !fsys.exists(checkpointPath(ld, oldest))) {
@@ -430,16 +480,24 @@ object DeltaLog {
     val ld = logDir(base)
     val vs = versions(spark, dir).filter(_ > sinceVersion)
     require(vs.nonEmpty, s"no delta versions after $sinceVersion under $dir")
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val actionT = StructType(Seq(
       StructField("cdc", StructType(Seq(StructField("path", StringType)))),
-      StructField("add", StructType(Seq(StructField("path", StringType)))),
+      StructField("add", StructType(Seq(StructField("path", StringType),
+        StructField("deletionVector", dvT)))),
       StructField("remove", StructType(Seq(StructField("path", StringType))))))
     val acts = spark.read.text(vs.map(v => commitPath(ld, v).toString): _*)
       .select(F.from_json(F.col("value"), actionT).as("a"),
         F.regexp_extract(F.col("_metadata.file_path"), "(\\d{20})\\.json$", 1)
           .cast("long").as("version"))
       .select(F.col("a.cdc.path").as("cdc"), F.col("a.add.path").as("add"),
-        F.col("a.remove.path").as("remove"), F.col("version"))
+        F.col("a.remove.path").as("remove"), F.col("version"),
+        F.col("a.add.deletionVector").as("dv"))
       .where(F.col("cdc").isNotNull || F.col("add").isNotNull ||
         F.col("remove").isNotNull)
       .collect()
@@ -459,9 +517,27 @@ object DeltaLog {
         val adds = rows.flatMap(r =>
           if (r.isNullAt(1)) None else Some(r.getString(1))).toSeq
         if (adds.isEmpty) None
-        else Some(Manifest.readFiles(spark, dir, adds.sorted)
-          .withColumn("_change_type", F.lit("insert"))
-          .withColumn("_commit_version", F.lit(v)))
+        else {
+          // an add may carry a DELETION VECTOR (e.g. version 0 of a
+          // table exported with standing MOR state, or a foreign log):
+          // reading the file raw would report DV-deleted rows as
+          // inserts — apply the descriptors exactly like the full read
+          val descs: Seq[DvRef] = rows.toSeq.flatMap { r =>
+            if (r.isNullAt(1) || r.isNullAt(4)) Nil
+            else {
+              val d = r.getStruct(4)
+              Some(DvRef(r.getString(1), d.getString(0), d.getString(1),
+                if (d.isNullAt(2)) None else Some(d.getInt(2)), d.getInt(3),
+                if (d.isNullAt(4)) -1L else d.getLong(4)))
+            }
+          }
+          val frame =
+            if (descs.isEmpty) Manifest.readFiles(spark, dir, adds.sorted)
+            else applyPositionDeletes(spark, dir, adds.sorted, descs)
+          Some(frame
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(v)))
+        }
       }
     }
     require(frames.nonEmpty, s"no changes after version $sinceVersion under $dir")
@@ -588,13 +664,18 @@ object DeltaLog {
     * never a silent half-state. */
   private def checkpointFiles(fsys: FileSystem, ld: Path, v: Long): Seq[String] = {
     val prefix = f"$v%020d.checkpoint"
+    // classic single-file / multi-part parquet names, plus the V2
+    // manifest family: `<v>.checkpoint.<uuid>.parquet` OR — allowed by
+    // the v2-checkpoint spec and delta-spark's json manifest config —
+    // `<v>.checkpoint.<uuid>.json` (line-framed actions)
     val files = fsys.listStatus(ld).toSeq.map(_.getPath)
       .filter { p =>
         val n = p.getName
-        n.startsWith(prefix) && n.endsWith(".parquet")
+        n.startsWith(prefix) && (n.endsWith(".parquet") || n.endsWith(".json"))
       }
       .sortBy(_.getName).map(_.toString)
-    require(files.nonEmpty, s"no checkpoint parquet for version $v under $ld")
+    require(files.nonEmpty,
+      s"no checkpoint parquet/json manifest for version $v under $ld")
     val declaredParts = JsonMethods.parse(
       readText(fsys, new Path(ld, "_last_checkpoint"))) \ "parts" match {
       case JInt(n) => Some(n.toInt)
@@ -615,9 +696,54 @@ object DeltaLog {
     * resolve per the protocol: absolute URIs as-is, bare names against
     * `_sidecars/`. The sidecar list is metadata-scale (∝ checkpoint
     * parts); the file ACTIONS stay executor-side. */
+  /** Explicit action schema for a JSON-framed v2 checkpoint manifest —
+    * inference would type `partitionValues` as a struct and `stats`
+    * per-file, breaking the union with parquet parts and the replay
+    * frame's map/string expectations. */
+  private lazy val jsonManifestActionT: StructType = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
+    StructField("remove", StructType(Seq(StructField("path", StringType)))),
+    StructField("sidecar", StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType)))),
+    StructField("checkpointMetadata", StructType(Seq(
+      StructField("version", LongType))))))
+
   private def readCheckpoint(spark: SparkSession, fsys: FileSystem,
       ld: Path, v: Long): DataFrame = {
-    val base = spark.read.parquet(checkpointFiles(fsys, ld, v): _*)
+    val (jsonManifests, parquetParts) =
+      checkpointFiles(fsys, ld, v).partition(_.endsWith(".json"))
+    val frames =
+      parquetParts.headOption.map(_ => spark.read.parquet(parquetParts: _*)).toSeq ++
+        jsonManifests.headOption.map(_ =>
+          spark.read.schema(jsonManifestActionT).json(jsonManifests: _*)).toSeq
+    val base = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     if (!base.columns.contains("sidecar")) base
     else {
       val sidecarT = base.schema("sidecar").dataType

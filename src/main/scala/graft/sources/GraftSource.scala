@@ -441,8 +441,15 @@ class GraftMorRelation(spark: SparkSession, dir: String,
       else frame.select(requiredColumns.toSeq.map(frame.col): _*)
     pruned.rdd
   }
+  /** SQL INSERT keeps the snapshot's own hive layout (ADVICE r9: a
+    * Nil here landed FLAT files into a partitioned MOR table,
+    * permanently demoting it to mixed-layout reads and killing
+    * partition pruning); a genuinely mixed history has no single
+    * layout to preserve — those keep appending flat. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
-    GraftInsert.commit(spark, dir, Nil, data, overwrite)
+    GraftInsert.commit(spark, dir,
+      GraftSource.uniformPartitionCols(m.files).getOrElse(Nil),
+      data, overwrite)
 }
 
 /** SQL write plumbing shared by the analyzer rule and the relations. */

@@ -29,11 +29,17 @@ import graft.io.Manifest
  *    re-packed rows (or skipping deletions) is how streams corrupt
  *    downstream state.
  *  - **Sink** ([[GraftSink]]): each micro-batch lands as ONE manifest
- *    commit named `stream-b<batchId>` — `isCommitted` dedupe plus
- *    orphan-abandon turn the engine's at-least-once batch delivery
- *    into EXACTLY-ONCE table state (the same protocol
+ *    commit named `stream-q<queryId8>-b<batchId>` — `isCommitted`
+ *    dedupe plus orphan-abandon turn the engine's at-least-once batch
+ *    delivery into EXACTLY-ONCE table state (the same protocol
  *    `streaming/LandIngest` proves), and the append-commit rebase
  *    means a concurrent maintenance job cannot abort the stream.
+ *    The dedupe key is scoped PER QUERY (the streaming query id, which
+ *    is stable across restarts of the same checkpoint but fresh for a
+ *    re-baselined or second query) — Delta's sink keys its transaction
+ *    by (appId, batchVersion) for the same reason: a table-scoped
+ *    `stream-b<id>` key would silently skip batch N of a NEW query
+ *    because an OLD query once committed its own batch N.
  *    Append mode appends; Complete mode lands each result as a fresh
  *    overwrite commit (time travel keeps every trigger's state);
  *    Update is refused (a keyless table cannot apply upserts).
@@ -112,8 +118,24 @@ class GraftStreamSource(spark: SparkSession, dir: String,
 class GraftSink(spark: SparkSession, dir: String,
     partitionCols: Seq[String], mode: OutputMode) extends Sink {
 
+  /** The micro-batch's snapshot id, scoped to THIS streaming query:
+    * the query id (from the execution thread's local property — stable
+    * across restarts of one checkpoint, fresh for a new checkpoint or
+    * a second query on the same table) keys the replay dedupe, so
+    * "batch 3 already committed" can only ever mean THIS query's batch
+    * 3. Direct library calls without a running query (no property set)
+    * fall back to the table-scoped key — single-writer semantics the
+    * caller already owns. */
+  private def snapshotId(batchId: Long): String = {
+    val qid = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime
+        .StreamExecution.QUERY_ID_KEY))
+    qid.map(q => s"stream-q${q.replace("-", "").take(8)}-b$batchId")
+      .getOrElse(s"stream-b$batchId")
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val snap = s"stream-b$batchId"
+    val snap = snapshotId(batchId)
     // exactly-once out of at-least-once delivery: a replayed batch that
     // already committed is a no-op; a crashed attempt's orphan data dir
     // is removed so the same snapshot id can land again

@@ -465,6 +465,52 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("changeData"))
   }
 
+  test("readChanges applies DV descriptors on adds-only windows (no deleted rows as inserts)") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 100).toDF("id")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
+      dir, "base")
+    Manifest.deleteRangeMOR(spark, dir, "id", "10", "19", "mor")
+    // keep only the MOR snapshot: its export is ONE adds-only version
+    // whose adds carry deletionVector descriptors (the ADVICE r9
+    // scenario — also the shape of a foreign log's DV-carrying appends)
+    Manifest.vacuum(spark, dir, keepLast = 1)
+    DeltaLog.exportLog(spark, dir)
+    val ch = DeltaLog.readChanges(spark, dir, 0L)
+    assert(ch.where("_change_type = 'insert'").select("id")
+      .as[Long].collect().sorted.toSeq ==
+      ((0L to 9L) ++ (20L to 99L)),
+      "DV-deleted rows must not be reported as inserts")
+  }
+
+  test("incremental CDF upgrade: fresh metaData + protocol ride the first new commit") {
+    val dir = tmpDir()
+    Manifest.write((1 to 50).toDF("v"), dir, "b")
+    DeltaLog.exportLog(spark, dir) // exported WITHOUT changeData
+    // nothing new to carry the configuration upgrade: loud, never a
+    // feed foreign readers refuse while _change_data silently exists
+    val ex = intercept[IllegalArgumentException] {
+      DeltaLog.exportLog(spark, dir, changeData = true)
+    }
+    assert(ex.getMessage.contains("re-export"))
+    Manifest.append((51 to 60).toDF("v"), dir, "more")
+    DeltaLog.exportLog(spark, dir, changeData = true)
+    val v1 = commitLines(dir, 1)
+    assert(v1.exists(j =>
+      field(j, "metaData", "configuration", "delta.enableChangeDataFeed") ==
+        JString("true")),
+      "the first newly exported version must carry the CDF configuration")
+    assert(v1.exists(j => field(j, "protocol", "minWriterVersion") == JInt(4)),
+      "the protocol must declare the changeDataFeed-capable writer version")
+    // once declared, later incremental exports stay silent
+    Manifest.append((61 to 65).toDF("v"), dir, "more2")
+    DeltaLog.exportLog(spark, dir, changeData = true)
+    assert(commitLines(dir, 2).forall(j => field(j, "metaData") == JNothing))
+    assert(DeltaLog.readChanges(spark, dir, 0L)
+      .where("_change_type = 'insert'").count() == 15)
+  }
+
   test("unreferenced deletion-vector files reclaim after the grace window") {
     val dir = tmpDir()
     Manifest.write(

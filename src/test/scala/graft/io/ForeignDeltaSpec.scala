@@ -419,6 +419,41 @@ class ForeignDeltaSpec extends AnyFunSuite {
     assert(DeltaLog.read(spark, dir).as[Int].collect().sorted.toSeq == (1 to 10))
   }
 
+  test("v2 checkpoint with a JSON manifest (line-framed actions) reconstructs") {
+    val dir = tmpDir()
+    landParquet((1 to 10).toDF("v"), dir, "a.parquet")
+    landParquet((11 to 20).toDF("v"), dir, "b.parquet")
+    val ld = new java.io.File(dir, "_delta_log"); ld.mkdirs()
+    // one sidecar holding both adds
+    val sideSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("add", addActionT)))
+    writeOneParquet(Seq(
+      org.apache.spark.sql.Row(addRow("a.parquet")),
+      org.apache.spark.sql.Row(addRow("b.parquet"))),
+      sideSchema, new java.io.File(ld, "_sidecars/s-json.parquet"))
+    // the spec-legal JSON manifest shape delta-spark's json-manifest
+    // config writes: `<v>.checkpoint.<uuid>.json`, line-framed actions
+    val mw = new java.io.PrintWriter(new java.io.File(ld,
+      "00000000000000000001.checkpoint.55aa0e0e-1111-4e79-81be-64bd76c43a22.json"))
+    try {
+      mw.println("""{"checkpointMetadata":{"version":1}}""")
+      mw.println("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""")
+      mw.println(s"""{"metaData":{"id":"foreign-v2ck-json","format":{"provider":"parquet","options":{}},"schemaString":${JsonMethods.compact(JsonMethods.render(JString(new StructType().add("v", "integer").json)))},"partitionColumns":[],"configuration":{},"createdTime":5}}""")
+      mw.println(s"""{"sidecar":{"path":"s-json.parquet","sizeInBytes":${new java.io.File(ld, "_sidecars/s-json.parquet").length()},"modificationTime":1}}""")
+    } finally mw.close()
+    val lcw = new java.io.PrintWriter(new java.io.File(ld, "_last_checkpoint"))
+    try lcw.write("""{"version":1,"size":4}""") finally lcw.close()
+    // a later plain commit folds forward over the JSON-manifest state
+    landParquet((21 to 25).toDF("v"), dir, "c.parquet")
+    writeCommit(dir, 2L, Seq(
+      """{"commitInfo":{"timestamp":123,"operation":"WRITE","operationParameters":{}}}""",
+      """{"add":{"path":"c.parquet","partitionValues":{},"size":10,"modificationTime":9,"dataChange":true}}"""))
+    assert(DeltaLog.read(spark, dir).as[Int].collect().sorted.toSeq == (1 to 25))
+    assert(DeltaLog.activeFiles(spark, dir).sorted ==
+      Seq("a.parquet", "b.parquet", "c.parquet"))
+    assert(DeltaLog.tableSchema(spark, dir).fieldNames.toSeq == Seq("v"))
+  }
+
   test("iceberg equality deletes (content=2) fail loudly") {
     import scala.jdk.CollectionConverters._
     import org.apache.avro.file.{DataFileStream, DataFileWriter}

@@ -45,20 +45,50 @@ class GraftStreamingSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow())
         .start().awaitTermination()
     drain()
-    assert(Manifest.snapshots(spark, table) == Seq("stream-b0"))
+    // the snapshot id is scoped per QUERY: stream-q<qid8>-b<batchId>,
+    // stable across restarts of the same checkpoint
+    val batch0 = "stream-q[0-9a-f]{8}-b0"
+    assert(Manifest.snapshots(spark, table).map(_.matches(batch0)) == Seq(true))
+    val b0Name = Manifest.snapshots(spark, table).head
     assert(Manifest.read(spark, table).count() == 100)
-    // nothing new: no batch, no commit
+    // nothing new: no batch, no commit — and the restarted query reuses
+    // the SAME query id (from the checkpoint), so the key is identical
     drain()
-    assert(Manifest.snapshots(spark, table) == Seq("stream-b0"))
+    assert(Manifest.snapshots(spark, table) == Seq(b0Name))
     // the delta lands as the NEXT append commit; prior state time-travels
     writeJsonl(land, "b.jsonl", 1000 until 1050)
     drain()
-    assert(Manifest.snapshots(spark, table) == Seq("stream-b0", "stream-b1"))
+    assert(Manifest.snapshots(spark, table) ==
+      Seq(b0Name, b0Name.stripSuffix("b0") + "b1"))
     assert(Manifest.read(spark, table).count() == 150)
-    assert(Manifest.readAt(spark, table, "stream-b0").count() == 100)
+    assert(Manifest.readAt(spark, table, b0Name).count() == 100)
     // the curate column flowed through the streaming plan
     assert(Manifest.read(spark, table)
       .where("tag_uc = 'T7'").count() == 1)
+  }
+
+  test("sink: a re-baselined query (new checkpoint) is NOT deduped against the old query's batches") {
+    val land = tmpDir()
+    val table = tmpDir() + "/t"
+    writeJsonl(land, "a.jsonl", 0 until 40)
+    def drain(ckpt: String): Unit =
+      spark.readStream.schema(jsonSchema).json(land)
+        .writeStream.format("graft").option("path", table)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain(tmpDir() + "/ckpt1")
+    assert(Manifest.read(spark, table).count() == 40)
+    // a NEW checkpoint restarts batchIds at 0 under a FRESH query id:
+    // its batch 0 must COMMIT (at-least-once re-serve), never be
+    // silently skipped as "already committed" by the old query's b0 —
+    // the table-scoped-key data-loss mode the per-query key closes
+    drain(tmpDir() + "/ckpt2")
+    assert(Manifest.read(spark, table).count() == 80)
+    val snaps = Manifest.snapshots(spark, table)
+    assert(snaps.size == 2 && snaps.distinct.size == 2,
+      s"two distinct per-query batch-0 commits expected: $snaps")
+    assert(snaps.forall(_.matches("stream-q[0-9a-f]{8}-b0")), s"$snaps")
   }
 
   test("sink: at-least-once replay of a committed batch is a no-op") {
