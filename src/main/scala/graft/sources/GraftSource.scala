@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Bound
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.{SaveMode}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, PrunedScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, PrunedFilteredScan, RelationProvider, Filter => SourceFilter}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -420,25 +420,46 @@ class GraftFileIndex(spark: SparkSession, dir: String,
 }
 
 /**
- * The correctness-first relation for snapshots the vectorized path
+ * The correctness-first relation for snapshots the vectorized relation
  * cannot serve directly: merge-on-read position deletes (the anti-join
  * must apply inside the scan) and mixed flat/partitioned histories.
- * Column pruning still pushes ([[PrunedScan]]); filters re-evaluate
- * above, which is always sound. The row-boundary cost is transient by
- * design — compaction purges delete state on the engine's own
- * maintenance cadence. SQL `INSERT INTO`/`INSERT OVERWRITE` resolve
- * through [[InsertableRelation]] straight onto Manifest commits.
+ * Column pruning pushes, and — [[PrunedFilteredScan]] — the planner's
+ * filter conjunction is translated back to `Column` predicates and
+ * planted INSIDE the library frame, under the delete anti-join, so
+ * Catalyst pushes it all the way into the inner parquet scans: hive
+ * partition directories prune at file-listing time and row groups skip
+ * on footer bounds, exactly as on the fast path. (Filtering the DATA
+ * side before the anti-join is sound: `_metadata.row_index` is the
+ * row's physical position from the scan itself, unchanged by any
+ * filter above it, and dropping data rows can only shrink the
+ * anti-join's left side.) Every filter is also declared unhandled, so
+ * Spark re-verifies row-level above the returned RDD — belt and
+ * braces; the translation can therefore drop any untranslatable
+ * sub-predicate without a correctness risk. The remaining
+ * InternalRow→Row boundary is a linear conversion tax that lasts only
+ * until the table's own compaction purges the delete state.
+ * SQL `INSERT INTO`/`INSERT OVERWRITE` resolve through
+ * [[InsertableRelation]] straight onto Manifest commits.
  */
 class GraftMorRelation(spark: SparkSession, dir: String,
-    m: Manifest.ManifestData) extends BaseRelation with PrunedScan
+    m: Manifest.ManifestData) extends BaseRelation with PrunedFilteredScan
     with InsertableRelation {
   override def sqlContext: SQLContext = spark.sqlContext
   private lazy val frame: DataFrame = Manifest.readAt(spark, dir, m.snapshot)
   override lazy val schema: StructType = frame.schema
-  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+  // every filter re-evaluates above the scan (sound by construction);
+  // pushing a translated copy into the frame is a pure pruning win
+  override def unhandledFilters(filters: Array[SourceFilter]): Array[SourceFilter] =
+    filters
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[SourceFilter]): RDD[Row] = {
+    val filtered = GraftFilterTranslate.conjunction(filters) match {
+      case Some(cond) => frame.where(cond)
+      case None => frame
+    }
     val pruned =
-      if (requiredColumns.isEmpty) frame.select()
-      else frame.select(requiredColumns.toSeq.map(frame.col): _*)
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.toSeq.map(frame.col): _*)
     pruned.rdd
   }
   /** SQL INSERT keeps the snapshot's own hive layout (ADVICE r9: a
@@ -450,6 +471,50 @@ class GraftMorRelation(spark: SparkSession, dir: String,
     GraftInsert.commit(spark, dir,
       GraftSource.uniformPartitionCols(m.files).getOrElse(Nil),
       data, overwrite)
+}
+
+/**
+ * `sources.Filter` → `Column` translation for the MOR relation's
+ * in-frame pushdown. Partial by design: an untranslatable node makes
+ * its whole conjunct drop out (returns None up the tree), which is
+ * always sound here because the caller declares EVERY filter unhandled
+ * — Spark re-evaluates the full predicate row-level above the scan.
+ * Inside And, a half-translatable pair keeps the translatable half
+ * (still a superset of the true predicate — prunes less, never wrong);
+ * inside Or/Not, partial translation would be UNSOUND (a dropped Or
+ * branch or a Not over a weakened child filters too much), so those
+ * translate all-or-nothing.
+ */
+private[sources] object GraftFilterTranslate {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.{functions => F}
+  import org.apache.spark.sql.{sources => sf}
+
+  def conjunction(filters: Array[SourceFilter]): Option[Column] =
+    filters.flatMap(translate).reduceOption(_ && _)
+
+  def translate(f: SourceFilter): Option[Column] = f match {
+    case sf.EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case sf.EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
+    case sf.GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case sf.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case sf.LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case sf.LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case sf.In(a, vs) => Some(F.col(a).isin(vs.toSeq: _*))
+    case sf.IsNull(a) => Some(F.col(a).isNull)
+    case sf.IsNotNull(a) => Some(F.col(a).isNotNull)
+    case sf.StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case sf.StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
+    case sf.StringContains(a, v) => Some(F.col(a).contains(v))
+    case sf.And(l, r) => (translate(l), translate(r)) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (one, other) => one.orElse(other) // the translatable half
+    }
+    case sf.Or(l, r) =>
+      for (a <- translate(l); b <- translate(r)) yield a || b
+    case sf.Not(c) => translate(c).map(!_)
+    case _ => None
+  }
 }
 
 /** SQL write plumbing shared by the analyzer rule and the relations. */
