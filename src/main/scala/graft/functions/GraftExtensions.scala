@@ -82,5 +82,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the rule runs in the main resolution batch, ahead of the built-in
     // post-hoc DataSourceAnalysis that would plan the file write
     e.injectResolutionRule(_ => graft.sources.GraftInsertRule)
+    // SQL row-level DML (DELETE/UPDATE/MERGE) over graft relations:
+    // Spark resolves the statements but has no V1 execution for them —
+    // the rule rewrites them onto COW Manifest commits
+    e.injectResolutionRule(_ => graft.sources.GraftDmlRule)
   }
 }

@@ -324,7 +324,7 @@ object Manifest {
     * merge-on-read contract, correct as long as delete sets stay small
     * relative to the data (their reason to exist; [[compact]] purges
     * them back to zero). */
-  private def readFilesApplyingDeletes(spark: SparkSession, dir: String,
+  private[graft] def readFilesApplyingDeletes(spark: SparkSession, dir: String,
       files: Seq[String], deleteFiles: Seq[String]): DataFrame = {
     if (deleteFiles.isEmpty) return readFiles(spark, dir, files)
     import org.apache.spark.sql.functions.{broadcast, col}

@@ -12,6 +12,18 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Wrap an already-RESOLVED catalyst expression as a [[Column]] —
+    * attribute references keep their expression ids, so the column
+    * binds by ID against frames built from the same plans (the DML
+    * commands' technique for reusing the analyzer's own resolution of
+    * MERGE/UPDATE expressions instead of re-resolving by name, which
+    * would be ambiguous the moment target and source share column
+    * names). Unresolved nodes are fine too: the frame's own analysis
+    * pass resolves them against its child. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    new org.apache.spark.sql.Column(classic.ExpressionColumnNode(e))
+
   /** Wrap an InternalRow RDD as a frame with an explicit isStreaming
     * flag — what a V1 streaming Source must return from `getBatch`
     * (isStreaming = true), and what a V1 Sink needs to RE-wrap the

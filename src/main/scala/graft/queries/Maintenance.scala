@@ -1550,12 +1550,104 @@ object Maintenance {
             |FROM lineitem WHERE l_linenumber <= 3
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // SQL ROW-LEVEL DML over the engine's own table format (round 10):
+  // orders lands range-clustered as a graft table, an analyst-shaped
+  // `DELETE FROM` statement (two-predicate condition) runs through
+  // plain spark.sql over a temp view, and the POST-DELETE table is what
+  // aggregates against the oracle's complementary WHERE over the source
+  // parquet. Hash equality proves the COW rewrite (overlapping files
+  // rewritten under SQL NULL semantics, the rest carried by reference)
+  // deletes exactly the condition's rows — nothing more, nothing less.
+  private val graftSqlDelete = Q(
+    "q_graft_sql_delete",
+    (s, dir) => {
+      val out = scratchDir(dir, "graft_sql_del")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "orders").repartitionByRange(8, col("o_orderkey")),
+        out, "base")
+      s.read.format("graft").load(out)
+        .createOrReplaceTempView("graft_dml_orders")
+      s.sql("DELETE FROM graft_dml_orders WHERE " +
+        "o_orderkey BETWEEN 1000 AND 4999 AND o_orderstatus = 'O'")
+      s.read.format("graft").load(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders
+            |WHERE NOT (o_orderkey BETWEEN 1000 AND 4999 AND o_orderstatus = 'O')
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // SQL MERGE INTO under oracle (round 10): customer lands as a graft
+  // table, one MERGE statement applies a deterministic change batch
+  // with all four action classes (conditional DELETE, UPDATE, INSERT
+  // under collision-proof negated keys, untouched pass-through), and
+  // the merged table is compared row-for-row against the oracle's
+  // NOT-EXISTS + LEFT-JOIN + UNION replay. The delete set excludes the
+  // update keys so no target row matches two source rows (the
+  // statement's own cardinality guard would refuse it).
+  private val graftMerge = Q(
+    "q_graft_merge",
+    (s, dir) => {
+      val out = scratchDir(dir, "graft_merge")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(custBase(s, dir), out, "base")
+      s.read.format("graft").load(out)
+        .createOrReplaceTempView("graft_merge_t")
+      val cust = custBase(s, dir)
+      cust.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey"), lit("UPDATED").as("seg"), lit("U").as("op"))
+        .unionByName(cust
+          .filter(col("c_custkey") % 170 === 0 && col("c_custkey") % 100 =!= 0)
+          .select(col("c_custkey"), lit(null).cast("string").as("seg"),
+            lit("D").as("op")))
+        .unionByName(cust.filter(col("c_custkey") % 250 === 0)
+          .select((-col("c_custkey") - 1).as("c_custkey"),
+            lit("FRESH").as("seg"), lit("I").as("op")))
+        .createOrReplaceTempView("graft_merge_s")
+      s.sql(
+        """MERGE INTO graft_merge_t t USING graft_merge_s s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET c_mktsegment = s.seg
+          |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_mktsegment)
+          |  VALUES (s.c_custkey, CONCAT('NEW-', CAST(s.c_custkey AS STRING)),
+          |          s.seg)""".stripMargin)
+      s.read.format("graft").load(out).orderBy("c_custkey")
+    },
+    Some(s"""WITH base AS ($baseSql),
+            |mods AS (SELECT c_custkey FROM base WHERE c_custkey % 100 = 0),
+            |dels AS (SELECT c_custkey FROM base
+            |         WHERE c_custkey % 170 = 0 AND c_custkey % 100 <> 0),
+            |news AS (SELECT -c_custkey - 1 AS c_custkey FROM base
+            |         WHERE c_custkey % 250 = 0)
+            |SELECT * FROM (
+            |  SELECT b.c_custkey, b.c_name,
+            |    CASE WHEN m.c_custkey IS NOT NULL THEN 'UPDATED'
+            |         ELSE b.c_mktsegment END AS c_mktsegment
+            |  FROM base b LEFT JOIN mods m USING (c_custkey)
+            |  WHERE NOT EXISTS (SELECT 1 FROM dels d
+            |                    WHERE d.c_custkey = b.c_custkey)
+            |  UNION ALL
+            |  SELECT c_custkey, 'NEW-' || CAST(c_custkey AS VARCHAR), 'FRESH'
+            |  FROM news
+            |) ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
     graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
+    graftSqlDelete, graftMerge,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

@@ -1,0 +1,417 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, Expression, IsNull, Literal, Not, Or, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.{FileStats, Manifest}
+
+/**
+ * SQL ROW-LEVEL DML over graft tables: `DELETE FROM` / `UPDATE` /
+ * `MERGE INTO` — the other half of the analyst-facing SQL story
+ * (round 9 taught the catalog `CREATE TABLE`/`INSERT`; the reference's
+ * analysts live entirely in deploy-then-query SQL, reference
+ * README.md:424-436, create_database_schema.py:4-8 — an analyst who
+ * can INSERT will type DELETE the next day). Spark's own analysis
+ * RESOLVES these statements over a V1 relation but has no execution
+ * for them (row-level ops are a DSv2-only contract), so without this
+ * rule every statement dies at planning with an unsupported-operation
+ * error. The rule intercepts the resolved statement — the same
+ * main-resolution-batch interception [[GraftInsertRule]] uses — and
+ * rewrites it onto the Manifest's own commit machinery:
+ *
+ *  - **DELETE / UPDATE** take a COPY-ON-WRITE file-pruned path: one
+ *    pass over the pinned snapshot's partition values (exact, free —
+ *    path strings) and parquet footer bounds ([[GraftStatsPrune]],
+ *    fail-open) splits the file list into files that MAY contain a
+ *    matching row (rewritten) and files that provably cannot (carried
+ *    into the new snapshot by reference — never opened, never copied).
+ *    On a range-clustered 100 TB table a one-segment DELETE rewrites
+ *    the segment, not the table — the same cost profile as the library
+ *    `Manifest.deleteRange`, generalized to arbitrary predicates.
+ *  - **MERGE** is a full-snapshot rewrite (a merge's matches are
+ *    data-driven; file bounds cannot scope them without the join): one
+ *    full-outer join target⟗source, per-row first-applicable action,
+ *    SQL-standard cardinality enforcement (a target row matching
+ *    multiple source rows fails loudly — silently picking one is how
+ *    merges corrupt dimensions), then one overwrite commit.
+ *
+ * Every path commits through the standard seq-keyed CAS — readers see
+ * the pre- or post-DML snapshot, never a torn mix; time travel to the
+ * pre-DML snapshot keeps working; and the statement re-verifies at
+ * execution that the table head is still the snapshot it resolved
+ * against (a concurrent commit fails the statement loudly instead of
+ * silently basing a rewrite on stale state).
+ *
+ * Scope guards (all loud): DELETE/UPDATE conditions must not carry
+ * subqueries (their rewrite re-binds by name onto the touched-file
+ * frame — the same restriction delta-spark historically shipped);
+ * UPDATE assigns only top-level columns; MERGE schema evolution is
+ * refused; a statement that would empty the table entirely is refused
+ * (an empty snapshot is not representable — overwrite or drop instead).
+ */
+object GraftDmlRule extends Rule[LogicalPlan] {
+
+  /** Unwrap alias/view layers to a graft-backed relation: the table
+    * dir plus the snapshot the statement resolved against. Anything
+    * else (a projection, a join, a non-graft relation) is left for
+    * Spark's own (refusing) machinery. */
+  private[sources] object GraftTableDir {
+    def unapply(plan: LogicalPlan): Option[(String, String)] = plan match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case v: View => unapply(v.child)
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case idx: GraftFileIndex => Some((idx.tableDir, idx.snapshotId))
+          case _ => None
+        }
+        case g: GraftMorRelation => Some((g.tableDir, g.snapshotId))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def refuseSubqueries(e: Expression, stmt: String): Unit =
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"graft $stmt: subqueries in the condition/assignments are not " +
+        "supported; materialize the subquery into a column or use MERGE")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d @ DeleteFromTable(GraftTableDir(dir, snap), cond)
+        if d.table.resolved && cond.resolved =>
+      refuseSubqueries(cond, "DELETE")
+      GraftDeleteCommand(dir, snap, d.table, cond)
+
+    case u @ UpdateTable(GraftTableDir(dir, snap), assignments, cond)
+        if u.resolved =>
+      cond.foreach(refuseSubqueries(_, "UPDATE"))
+      assignments.foreach { a =>
+        refuseSubqueries(a.value, "UPDATE")
+        require(a.key.isInstanceOf[AttributeReference],
+          s"graft UPDATE: only top-level columns can be assigned " +
+            s"(got ${a.key.sql})")
+      }
+      GraftUpdateCommand(dir, snap, u.table, assignments, cond)
+
+    case m @ MergeIntoTable(GraftTableDir(dir, snap), _, _, _, _, _, _)
+        if m.resolved =>
+      require(!m.schemaEvolutionEnabled,
+        "graft MERGE: WITH SCHEMA EVOLUTION is not supported - align the " +
+          "source to the table schema explicitly")
+      (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
+        case _: UpdateAction | _: DeleteAction => ()
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE: unsupported matched-side action $other")
+      }
+      m.notMatchedActions.foreach {
+        case _: InsertAction => ()
+        case other => throw new UnsupportedOperationException(
+          s"graft MERGE: unsupported not-matched action $other")
+      }
+      GraftMergeCommand(dir, snap, m.targetTable, m.sourceTable,
+        m.mergeCondition, m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions)
+  }
+}
+
+/** Shared plumbing for the three DML commands. */
+private[sources] object GraftDmlExec {
+
+  /** Current head, asserted to still be the snapshot the statement
+    * resolved against. */
+  def headOrFail(spark: SparkSession, dir: String,
+      pinned: String): Manifest.ManifestData = {
+    val cur = Manifest.history(spark, dir).lastOption.getOrElse(
+      throw new IllegalStateException(s"graft DML: no committed snapshot under $dir"))
+    require(cur.snapshot == pinned,
+      s"graft DML: table under $dir moved since the statement was " +
+        s"analyzed (head '${cur.snapshot}', resolved against '$pinned') - " +
+        "re-run the statement")
+    cur
+  }
+
+  /** COW file split for a condition: (touch, keep) where keep-files
+    * provably contain no matching row. Two prune classes, both
+    * fail-open: exact hive partition-value evaluation (a partition
+    * column is constant per file, so a conjunct over partition columns
+    * that evaluates FALSE on the file's values excludes the whole
+    * file), then footer min/max bounds via [[GraftStatsPrune]]. */
+  def splitFiles(spark: SparkSession, dir: String, files: Seq[String],
+      cond: Expression, types: Map[String, org.apache.spark.sql.types.DataType])
+      : (Seq[String], Seq[String]) = {
+    val conjuncts = splitAnd(cond).filter(_.deterministic)
+
+    def castPart(raw: String, dt: org.apache.spark.sql.types.DataType): Any =
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else Cast(Literal(UTF8String.fromString(raw),
+        org.apache.spark.sql.types.StringType), dt, Some("UTC")).eval(null)
+
+    def partitionMay(file: String): Boolean = {
+      val vals = Manifest.partitionValuesOf(file).toMap
+      if (vals.isEmpty) return true
+      conjuncts.forall { c =>
+        val refs = c.references.toSeq
+        if (refs.isEmpty || !refs.forall(r => vals.contains(r.name) &&
+            types.contains(r.name))) true
+        else {
+          val folded = c.transform { case a: AttributeReference =>
+            Literal.create(castPart(vals(a.name), types(a.name)), a.dataType)
+          }
+          scala.util.Try(folded.eval(null)).toOption match {
+            // the partition value is CONSTANT per file, so a conjunct
+            // evaluating FALSE — or NULL (never TRUE) — on it excludes
+            // every row of the file
+            case Some(false) | Some(null) => false
+            case _ => true // true or unevaluable: keep
+          }
+        }
+      }
+    }
+
+    val partKept = files.filter(partitionMay)
+    val partPruned = files.filterNot(partKept.toSet)
+    val stats = FileStats.collect(spark,
+      new org.apache.hadoop.fs.Path(dir), partKept)
+    val (touch, keepByStats) = partKept.partition(f =>
+      GraftStatsPrune.mayMatch(stats(f), cond))
+    (touch, keepByStats ++ partPruned)
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Re-bind a resolved expression by NAME for evaluation over a fresh
+    * frame (the touched-file read has fresh attribute ids). Sound here
+    * because DELETE/UPDATE have a single scope — the target table —
+    * so names are unambiguous by construction. */
+  def remapByName(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  /** Read the touched files (position deletes applied) and cast-align
+    * to the TABLE schema: a touched SUBSET can recover a different
+    * partition-column type than the full file list (e.g. {"9"} infers
+    * long where {"9","x"} inferred string), and the rewritten rows
+    * must re-land in the table's own type space. */
+  def readTouched(spark: SparkSession, dir: String,
+      touch: Seq[String], deleteFiles: Seq[String],
+      tableAttrs: Seq[AttributeReference]): DataFrame = {
+    val df = Manifest.readFilesApplyingDeletes(spark, dir, touch, deleteFiles)
+    df.select(tableAttrs.map(a =>
+      df.col(s"`${a.name}`").cast(a.dataType).as(a.name)): _*)
+  }
+
+  /** Commit the rewritten rows + carried files as one rewrite-flagged
+    * snapshot, preserving the touched files' hive layout. */
+  def commitRewrite(spark: SparkSession, dir: String, rewritten: DataFrame,
+      touch: Seq[String], keep: Seq[String],
+      deleteFiles: Seq[String]): Unit = {
+    val snap = s"dml${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val partCols = GraftSource.uniformPartitionCols(touch)
+      .getOrElse(Nil).toSeq
+    Manifest.writeImpl(rewritten, dir, snap, () => (),
+      carriedExplicit = Some(keep), partitionCols = partCols,
+      deletesExplicit = Some(deleteFiles), rewrite = true)
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** An empty post-DML table is unrepresentable (a snapshot must list
+    * at least one file) — refuse loudly BEFORE committing. Only runs
+    * when zero files are carried, so the extra `limit 1` job is paid
+    * exactly on the full-rewrite shapes that could empty the table. */
+  def refuseEmptyResult(rewritten: DataFrame, keep: Seq[String],
+      stmt: String): Unit =
+    if (keep.isEmpty) require(!rewritten.isEmpty,
+      s"graft $stmt would remove every row of the table; an empty " +
+        "snapshot is not representable - drop or overwrite the table instead")
+}
+
+/** `DELETE FROM t WHERE c`: keep-predicate rewrite of the touched
+  * files (`NOT c` with SQL null semantics — a NULL condition KEEPS the
+  * row, matching "delete only where c is TRUE"), untouched files
+  * carried by reference. */
+case class GraftDeleteCommand(dir: String, pinned: String,
+    target: LogicalPlan, cond: Expression) extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(target)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cur = GraftDmlExec.headOrFail(spark, dir, pinned)
+    val types = target.output.map(a => a.name -> a.dataType).toMap
+    val (touch, keep) =
+      GraftDmlExec.splitFiles(spark, dir, cur.files, cond, types)
+    if (touch.nonEmpty) {
+      val attrs = target.output.collect { case a: AttributeReference => a }
+      val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles, attrs)
+      val keepPred = GraftDmlExec.remapByName(Or(Not(cond), IsNull(cond)))
+      val kept = df.where(Bridge.columnOf(keepPred))
+      GraftDmlExec.refuseEmptyResult(kept, keep, "DELETE")
+      GraftDmlExec.commitRewrite(spark, dir, kept, touch, keep, cur.deleteFiles)
+    }
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET a = e, … [WHERE c]`: per-column CASE WHEN rewrite of
+  * the touched files; no rows are added or dropped, so no emptiness
+  * guard. Unconditioned UPDATE rewrites every file. */
+case class GraftUpdateCommand(dir: String, pinned: String,
+    target: LogicalPlan, assignments: Seq[Assignment],
+    cond: Option[Expression]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(target)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cur = GraftDmlExec.headOrFail(spark, dir, pinned)
+    val types = target.output.map(a => a.name -> a.dataType).toMap
+    val (touch, keep) = cond match {
+      case Some(c) => GraftDmlExec.splitFiles(spark, dir, cur.files, c, types)
+      case None => (cur.files, Nil)
+    }
+    if (touch.nonEmpty) {
+      val attrs = target.output.collect { case a: AttributeReference => a }
+      val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles, attrs)
+      val condCol = cond.map(c =>
+        Bridge.columnOf(GraftDmlExec.remapByName(c))).getOrElse(F.lit(true))
+      val byName = assignments.map(a =>
+        a.key.asInstanceOf[AttributeReference].name -> a.value).toMap
+      val updated = df.select(attrs.map { a =>
+        byName.get(a.name) match {
+          case Some(v) =>
+            F.when(condCol, Bridge.columnOf(GraftDmlExec.remapByName(v))
+              .cast(a.dataType)).otherwise(df.col(s"`${a.name}`")).as(a.name)
+          case None => df.col(s"`${a.name}`")
+        }
+      }: _*)
+      GraftDmlExec.commitRewrite(spark, dir, updated, touch, keep, cur.deleteFiles)
+    }
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO t USING s ON cond WHEN …`: one full-outer join, per-row
+  * first-applicable action, cardinality enforcement, one overwrite
+  * commit. The pinned target/source PLANS execute as resolved — every
+  * action expression keeps its attribute ids, so target/source name
+  * collisions (the norm in a merge: `ON t.k = s.k`) bind correctly
+  * with zero re-resolution. */
+case class GraftMergeCommand(dir: String, pinned: String,
+    target: LogicalPlan, source: LogicalPlan, mergeCond: Expression,
+    matchedActions: Seq[MergeAction], notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(target, source)
+
+  private def condCol(c: Option[Expression]) =
+    c.map(Bridge.columnOf).getOrElse(F.lit(true))
+
+  /** 1-based index of the first action whose condition holds; 0 = none. */
+  private def actionIdx(actions: Seq[MergeAction]) =
+    actions.zipWithIndex.foldRight(F.lit(0)) { case ((a, i), acc) =>
+      F.when(condCol(a.condition), F.lit(i + 1)).otherwise(acc)
+    }
+
+  private def keyMatches(a: AttributeReference)(asg: Assignment): Boolean =
+    asg.key match {
+      case k: AttributeReference =>
+        k.exprId == a.exprId || k.name.equalsIgnoreCase(a.name)
+      case _ => false
+    }
+
+  /** Target-side branch (matched / not-matched-by-source): apply the
+    * first applicable UPDATE's assignments, drop rows whose first
+    * applicable action is DELETE, pass rows with no applicable action
+    * through unchanged. */
+  private def transformTargetRows(df: DataFrame,
+      attrs: Seq[AttributeReference], actions: Seq[MergeAction]): DataFrame = {
+    val out = attrs.map(a => Bridge.columnOf(a).as(a.name))
+    if (actions.isEmpty) return df.select(out: _*)
+    val withIdx = df.withColumn("__graft_act", actionIdx(actions))
+    val deleteIdxs = actions.zipWithIndex.collect {
+      case (_: DeleteAction, i) => i + 1
+    }
+    val kept =
+      if (deleteIdxs.isEmpty) withIdx
+      else withIdx.where(!F.col("__graft_act")
+        .isin(deleteIdxs.map(Integer.valueOf): _*))
+    val projected = attrs.map { a =>
+      actions.zipWithIndex.foldLeft(Bridge.columnOf(a)) {
+        case (acc, (u: UpdateAction, i)) =>
+          u.assignments.find(keyMatches(a)).map(asg =>
+            F.when(F.col("__graft_act") === (i + 1),
+              Bridge.columnOf(asg.value).cast(a.dataType)).otherwise(acc))
+            .getOrElse(acc)
+        case (acc, _) => acc
+      }.as(a.name)
+    }
+    kept.select(projected: _*)
+  }
+
+  /** Source-side branch: rows matching no target row insert through the
+    * first applicable INSERT action (unassigned columns NULL-fill);
+    * rows with no applicable action are dropped. */
+  private def insertRows(df: DataFrame,
+      attrs: Seq[AttributeReference], actions: Seq[MergeAction]): DataFrame = {
+    if (actions.isEmpty)
+      return df.select(attrs.map(a =>
+        F.lit(null).cast(a.dataType).as(a.name)): _*).limit(0)
+    val withIdx = df.withColumn("__graft_act", actionIdx(actions))
+      .where(F.col("__graft_act") > 0)
+    val projected = attrs.map { a =>
+      actions.zipWithIndex.foldLeft(F.lit(null).cast(a.dataType)) {
+        case (acc, (ins: InsertAction, i)) =>
+          ins.assignments.find(keyMatches(a)).map(asg =>
+            F.when(F.col("__graft_act") === (i + 1),
+              Bridge.columnOf(asg.value).cast(a.dataType)).otherwise(acc))
+            .getOrElse(acc)
+        case (acc, _) => acc
+      }.as(a.name)
+    }
+    withIdx.select(projected: _*)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cur = GraftDmlExec.headOrFail(spark, dir, pinned)
+    val attrs = target.output.collect { case a: AttributeReference => a }
+    val tgt = Bridge.ofRows(spark, target)
+      .withColumn("__graft_tid", F.monotonically_increasing_id())
+      .withColumn("__graft_tm", F.lit(true))
+    val src = Bridge.ofRows(spark, source)
+      .withColumn("__graft_sm", F.lit(true))
+    val joined = tgt.join(src, Bridge.columnOf(mergeCond), "full_outer")
+    joined.persist()
+    try {
+      val matched = joined.where(
+        F.col("__graft_tm").isNotNull && F.col("__graft_sm").isNotNull)
+      // SQL-standard cardinality rule: a target row matching more than
+      // one source row makes the UPDATE/DELETE ambiguous - fail loudly
+      // (silently applying "one of them" is how dimensions corrupt)
+      if (matchedActions.nonEmpty &&
+          matched.groupBy("__graft_tid").count()
+            .where(F.col("count") > 1).limit(1).count() > 0)
+        throw new IllegalStateException(
+          "graft MERGE: a target row matched multiple source rows; " +
+            "deduplicate the source on the merge key first")
+      val noSrc = joined.where(F.col("__graft_sm").isNull)
+      val noTgt = joined.where(F.col("__graft_tm").isNull)
+      val result =
+        transformTargetRows(matched, attrs, matchedActions)
+          .unionByName(transformTargetRows(noSrc, attrs, notMatchedBySourceActions))
+          .unionByName(insertRows(noTgt, attrs, notMatchedActions))
+      GraftDmlExec.refuseEmptyResult(result, Nil, "MERGE")
+      GraftDmlExec.commitRewrite(spark, dir, result,
+        cur.files, Nil, Nil)
+    } finally joined.unpersist()
+    Seq.empty
+  }
+}

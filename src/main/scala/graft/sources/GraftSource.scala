@@ -326,6 +326,22 @@ class GraftFileIndex(spark: SparkSession, dir: String,
       new Path(s"$qualBase/$rel"))
   }
 
+  private def mayMatch(fst: FileStats.FileStat, e: Expression): Boolean =
+    GraftStatsPrune.mayMatch(fst, e)
+
+  /** The pinned snapshot's id — the DML commands verify the head has
+    * not moved between analysis and execution. */
+  private[graft] def snapshotId: String = m.snapshot
+}
+
+/**
+ * Zone-map reasoning over collected parquet footer bounds, shared by
+ * the planner-driven scan prune ([[GraftFileIndex.listFiles]]) and the
+ * SQL DML commands' copy-on-write file split (fail-OPEN semantics —
+ * keep the file whenever pruning cannot be PROVEN sound).
+ */
+private[sources] object GraftStatsPrune {
+
   // ---- stats-bounds pruning (zone-map semantics, fail-OPEN) -------------
 
   /** Catalyst literal → the [[FileStats.ColumnStat]] value space; None
@@ -358,7 +374,7 @@ class GraftFileIndex(spark: SparkSession, dir: String,
     * pruning cannot be PROVEN sound. Bounds are over non-null values,
     * so a provably all-null column fails every value predicate (and
     * satisfies IS NULL). */
-  private def mayMatch(fst: FileStats.FileStat, e: Expression): Boolean = {
+  def mayMatch(fst: FileStats.FileStat, e: Expression): Boolean = {
     def colStat(name: String): Option[FileStats.ColumnStat] =
       fst.columns.find(_._1 == name).map(_._2)
     def allNull(c: FileStats.ColumnStat): Boolean =
@@ -447,6 +463,10 @@ class GraftMorRelation(spark: SparkSession, dir: String,
   override def sqlContext: SQLContext = spark.sqlContext
   private lazy val frame: DataFrame = Manifest.readAt(spark, dir, m.snapshot)
   override lazy val schema: StructType = frame.schema
+  /** The manifest table root / pinned snapshot — the SQL DML rewrite's
+    * coordinates (same contract as [[GraftFileIndex]]). */
+  private[graft] def tableDir: String = dir
+  private[graft] def snapshotId: String = m.snapshot
   // every filter re-evaluates above the scan (sound by construction);
   // pushing a translated copy into the frame is a pure pruning win
   override def unhandledFilters(filters: Array[SourceFilter]): Array[SourceFilter] =

@@ -1,0 +1,202 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.io.Manifest
+
+/**
+ * SQL row-level DML over graft tables: DELETE FROM / UPDATE / MERGE
+ * INTO through plain `spark.sql` on a temp view over the source — the
+ * analyst-facing path (the reference's README.md:424-436 deploy-then-
+ * query model). Covers: COW file pruning (untouched files carried by
+ * reference, proven on the new snapshot's file list), SQL NULL
+ * semantics, partition-layout preservation, MOR interplay, time
+ * travel across DML, the cardinality guard, and the loud refusals.
+ */
+class GraftDmlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.session
+  import spark.implicits._
+
+  private def tmpDir() =
+    java.nio.file.Files.createTempDirectory("graftdml").toString
+
+  private def view(dir: String, name: String): DataFrame = {
+    val df = spark.read.format("graft").load(dir)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  test("DELETE FROM rewrites only overlapping files; the rest carry by reference") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).toDF("id").repartitionByRange(10, $"id"),
+      dir, "base")
+    val baseFiles = Manifest.currentFiles(spark, dir)
+    assert(baseFiles.size == 10)
+    view(dir, "dml_del_t")
+    spark.sql("DELETE FROM dml_del_t WHERE id >= 100 AND id < 200")
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 900)
+    assert(after.where("id >= 100 AND id < 200").count() == 0)
+    // COW prune: the ~1 overlapping range file was rewritten, the other
+    // 9 carried by reference (same relative paths as the base snapshot)
+    val newFiles = Manifest.currentFiles(spark, dir)
+    val carried = newFiles.toSet.intersect(baseFiles.toSet)
+    assert(carried.size >= 8,
+      s"expected >=8 carried files, got ${carried.size} of ${baseFiles.size}")
+    // time travel below the DELETE still serves the full state
+    assert(Manifest.readAt(spark, dir, "base").count() == 1000)
+  }
+
+  test("DELETE keeps NULL-condition rows (SQL semantics) and prunes by partition value") {
+    val dir = tmpDir()
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("k", org.apache.spark.sql.functions.expr(
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' END"))
+      .withColumn("v", org.apache.spark.sql.functions.expr(
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id END"))
+    Manifest.writePartitioned(df, dir, "base", Seq("k"))
+    val baseFiles = Manifest.currentFiles(spark, dir)
+    view(dir, "dml_null_t")
+    // v > 0 is NULL for the NULL-v rows: those rows must SURVIVE
+    spark.sql("DELETE FROM dml_null_t WHERE k = 'a' AND v > 0")
+    val after = spark.read.format("graft").load(dir)
+    // k='a': ids 0,3,…,297 (100 rows); survivors are the NULL-v ones
+    // (ids 0,30,60,…,270 → 10 rows); other partitions untouched
+    assert(after.count() == 300 - 100 + 10)
+    assert(after.where("k = 'a'").count() == 10)
+    assert(after.where("k = 'a' AND v IS NOT NULL").count() == 0)
+    // partition prune: only k=a files rewritten; k=b and the
+    // null-partition files carried by reference
+    val carried = Manifest.currentFiles(spark, dir).toSet
+      .intersect(baseFiles.toSet)
+    val untouchedBase = baseFiles.filterNot(_.contains("/k=a/"))
+    assert(untouchedBase.forall(carried.contains),
+      "files of unmatched partitions must carry by reference")
+    assert(baseFiles.filter(_.contains("/k=a/")).forall(f => !carried.contains(f)))
+  }
+
+  test("UPDATE rewrites in place, preserves layout, and respects WHERE") {
+    val dir = tmpDir()
+    Manifest.writePartitioned(
+      spark.range(0, 400).toDF("id")
+        .withColumn("seg", org.apache.spark.sql.functions.expr(
+          "CASE WHEN id < 200 THEN 'x' ELSE 'y' END"))
+        .withColumn("price", $"id".cast("double")),
+      dir, "base", Seq("seg"))
+    val baseFiles = Manifest.currentFiles(spark, dir)
+    view(dir, "dml_upd_t")
+    spark.sql(
+      "UPDATE dml_upd_t SET price = price * 2, id = id + 10000 " +
+        "WHERE seg = 'x' AND id >= 50")
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 400)
+    assert(after.where("id >= 10050 AND price = (id - 10000) * 2").count() == 150)
+    assert(after.where("seg = 'y' AND id >= 10000").count() == 0)
+    // seg=y files untouched (partition prune), layout preserved
+    val newFiles = Manifest.currentFiles(spark, dir)
+    assert(baseFiles.filter(_.contains("/seg=y/"))
+      .forall(newFiles.contains), "seg=y files must carry by reference")
+    assert(newFiles.exists(_.contains("/seg=x/")),
+      "the rewrite must keep the hive layout")
+    // the rewritten snapshot reads back through the partition-pruned path
+    assert(spark.read.format("graft").load(dir)
+      .where("seg = 'x'").count() == 200)
+  }
+
+  test("UPDATE without WHERE rewrites everything; DML on MOR state applies standing deletes") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 100).toDF("id").repartitionByRange(2, $"id"), dir, "base")
+    Manifest.deleteRangeMOR(spark, dir, "id", "10", "19", "mor")
+    view(dir, "dml_mor_t")
+    spark.sql("UPDATE dml_mor_t SET id = id + 1000")
+    val after = spark.read.format("graft").load(dir)
+    // the rewrite must not resurrect the 10 MOR-deleted rows
+    assert(after.count() == 90)
+    assert(after.where("id BETWEEN 1010 AND 1019").count() == 0)
+    assert(after.where("id >= 1000").count() == 90)
+  }
+
+  test("MERGE INTO: update, delete, insert and not-matched-by-source in one statement") {
+    val dir = tmpDir()
+    Manifest.write(
+      Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0))
+        .toDF("k", "name", "v"),
+      dir, "base")
+    view(dir, "dml_merge_t")
+    Seq((2, "B2", 200.0), (3, "C3", -1.0), (9, "I9", 900.0))
+      .toDF("k", "nm", "nv").createOrReplaceTempView("dml_merge_s")
+    spark.sql(
+      """MERGE INTO dml_merge_t t USING dml_merge_s s ON t.k = s.k
+        |WHEN MATCHED AND s.nv < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET name = s.nm, v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, name, v) VALUES (s.k, s.nm, s.nv)
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 4 THEN UPDATE SET v = t.v + 0.5
+        |""".stripMargin)
+    val rows = spark.read.format("graft").load(dir)
+      .orderBy("k").collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(
+      (1, "a", 10.0),     // untouched (no source match, no applicable action)
+      (2, "B2", 200.0),   // matched update
+      // 3 deleted (matched, nv < 0 wins as the FIRST applicable action)
+      (4, "d", 40.5),     // not matched by source update
+      (9, "I9", 900.0)))  // not matched insert
+    // time travel below the merge still serves the original
+    assert(Manifest.readAt(spark, dir, "base").count() == 4)
+  }
+
+  test("MERGE refuses a target row matching multiple source rows") {
+    val dir = tmpDir()
+    Manifest.write(Seq((1, 10.0), (2, 20.0)).toDF("k", "v"), dir, "base")
+    view(dir, "dml_card_t")
+    Seq((1, 1.0), (1, 2.0)).toDF("k", "nv")
+      .createOrReplaceTempView("dml_card_s")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_card_t t USING dml_card_s s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    assert(e.getMessage.contains("matched multiple source rows"))
+    // the table is untouched after the refused statement
+    assert(spark.read.format("graft").load(dir).count() == 2)
+    assert(Manifest.snapshots(spark, dir) == Seq("base"))
+  }
+
+  test("loud refusals: emptying DELETE, subquery condition, nested assignment") {
+    val dir = tmpDir()
+    Manifest.write((1 to 50).toDF("v"), dir, "base")
+    view(dir, "dml_refuse_t")
+    val e1 = intercept[Exception] {
+      spark.sql("DELETE FROM dml_refuse_t WHERE v IS NOT NULL")
+    }
+    assert(e1.getMessage.contains("empty snapshot is not representable"))
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM dml_refuse_t WHERE v IN (SELECT 1)")
+    }
+    assert(e2.getMessage.contains("subqueries"))
+    // both refusals left the table intact
+    assert(spark.read.format("graft").load(dir).count() == 50)
+    assert(Manifest.snapshots(spark, dir) == Seq("base"))
+  }
+
+  test("DML through SQL coexists with concurrent-head verification") {
+    val dir = tmpDir()
+    Manifest.write((1 to 100).toDF("v"), dir, "base")
+    // resolve a DML statement, then move the head before executing it:
+    // the command must fail loudly, not commit against stale state
+    view(dir, "dml_race_t")
+    val plan = spark.sessionState.sqlParser.parsePlan(
+      "DELETE FROM dml_race_t WHERE v <= 10")
+    val analyzed = spark.sessionState.executePlan(plan).analyzed
+    Manifest.append((101 to 110).toDF("v"), dir, "moved")
+    val e = intercept[Exception] {
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, analyzed).collect()
+    }
+    assert(e.getMessage.contains("moved since the statement was analyzed"))
+    assert(spark.read.format("graft").load(dir).count() == 110)
+  }
+}
