@@ -365,7 +365,8 @@ object Manifest {
     * NULL semantics are exactly [[deleteRange]]'s; time travel to the
     * pre-delete snapshot still works. */
   def deleteRangeMOR(spark: SparkSession, dir: String, column: String,
-      lo: String, hi: String, snapshot: String): MorDelete = {
+      lo: String, hi: String, snapshot: String,
+      beforePublish: () => Unit = () => ()): MorDelete = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val (fsys, base) = fs(spark, dir)
     val priors = retained(fsys, base)
@@ -416,8 +417,37 @@ object Manifest {
     require(landed.where("file_path = '' OR file_path IS NULL").count() == 0,
       s"position-delete rows with unextractable file paths under $delDir")
     val n = landed.count()
-    publishManifest(fsys, base, dir, snapshot, priors, cur.files,
-      cur.deleteFiles ++ delFiles)
+    // MOR-delete commit with REBASE: position deletes are an ADDITIVE
+    // set keyed by (file, row-index), so a lost CAS rebases onto the
+    // winner's head — carrying the winner's files AND delete state,
+    // appending this commit's delete files — as long as every data file
+    // of the BASE snapshot is still present (this commit's delete rows
+    // target base files by position; a winner that rewrote or removed
+    // one invalidates those positions — a TRUE conflict, thrown). A
+    // concurrent append's new rows are not re-judged by the predicate
+    // (WriteSerializable, Delta's default).
+    var tries = 0
+    var committed = false
+    while (!committed) {
+      val priors2 = if (tries == 0) priors else retained(fsys, base)
+      val head = priors2.last
+      if (tries > 0) {
+        val gone = cur.files.filterNot(head.files.toSet)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"MOR delete '$snapshot' for $dir lost its race to a commit " +
+              s"that rewrote or removed targeted base file(s) " +
+              s"(${gone.take(3).mkString(", ")}) - re-run the delete")
+      }
+      try {
+        publishManifest(fsys, base, dir, snapshot, priors2,
+          head.files, head.deleteFiles ++ delFiles, beforePublish)
+        committed = true
+      } catch {
+        case _: java.util.ConcurrentModificationException
+            if tries < MaxAppendCommitRetries => tries += 1
+      }
+    }
     MorDelete(touch, n, Some(snapshot))
   }
 
@@ -465,7 +495,8 @@ object Manifest {
       carriedExplicit: Option[Seq[String]] = None,
       partitionCols: Seq[String] = Nil,
       deletesExplicit: Option[Seq[String]] = None,
-      rewrite: Boolean = false): Unit = {
+      rewrite: Boolean = false,
+      cowBase: Option[ManifestData] = None): Unit = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val spark = df.sparkSession
     val (fsys, base) = fs(spark, dir)
@@ -487,11 +518,12 @@ object Manifest {
         else Nil
       }
     val files = walk(dataDir, "")
+    var carriedOverride: Option[Seq[String]] = carriedExplicit
     def attempt(): Unit = {
       val priors = retained(fsys, base)
       require(priors.forall(_.snapshot != snapshot),
         s"snapshot $snapshot already committed under $dir")
-      val carried = carriedExplicit.getOrElse(
+      val carried = carriedOverride.getOrElse(
         if (carryForward) priors.lastOption.map(_.files).getOrElse(Nil) else Nil)
       // delete files: a rewrite (COW DML, compact, overwrite) resets MOR
       // state for the files it replaces; append carries it forward —
@@ -504,29 +536,59 @@ object Manifest {
         carried ++ files.map(f => s"data-$snapshot/$f"), deletes, beforePublish,
         rewrite)
     }
-    // COMMIT REBASE for plain appends (Delta's OptimisticTransaction
-    // shape): an append's new files live in its own data-<snapshot> dir,
-    // DISJOINT from any concurrent commit by construction, so a lost
-    // CAS is not a conflict — re-read the head, recompute the
-    // carry-forward (the winner's files AND delete state), and retry at
-    // the next seq. Everything that rebases onto named base state —
-    // overwrite, COW DML, MOR delete, compaction — still throws on a
-    // lost race: its inputs may no longer be the table's state, and
-    // silently committing it could drop or resurrect rows. At a
-    // minutes-cadence streaming table plus nightly maintenance, this is
-    // the difference between routine concurrency and operational noise.
+    // COMMIT REBASE (Delta's OptimisticTransaction shape), two tiers:
+    //
+    //  - PLAIN APPENDS: new files live in their own data-<snapshot> dir,
+    //    DISJOINT from any concurrent commit by construction, so a lost
+    //    CAS is never a conflict — re-read the head, recompute the
+    //    carry-forward (the winner's files AND delete state), retry.
+    //  - COW REWRITES with a declared base (`cowBase`: predicate-scoped
+    //    DELETE/UPDATE): a lost CAS triggers Delta's FILE-LEVEL conflict
+    //    check against the new head. The commit rebases iff the winner
+    //    left every file this rewrite TOUCHED in place and did not
+    //    change merge-on-read delete state — then the rebased carry is
+    //    simply "the winner's head minus the touched files", which
+    //    keeps the winner's appends and the winner's own rewrites of
+    //    files this commit never read. A winner that rewrote or removed
+    //    a touched file, or changed delete state, is a TRUE conflict:
+    //    throw loudly. (WriteSerializable semantics, as Delta defaults:
+    //    a concurrent append's rows are not re-judged by this commit's
+    //    predicate.)
+    //
+    // Whole-table rebases (overwrite, MERGE, compaction) declare no
+    // cowBase and still throw on any lost race: they READ the entire
+    // table, so every concurrent commit is a conflict.
     val plainAppend = carryForward && carriedExplicit.isEmpty &&
       deletesExplicit.isEmpty && !rewrite
-    if (!plainAppend) attempt()
+    val cowRebase = rewrite && cowBase.isDefined && carriedExplicit.isDefined
+    if (!plainAppend && !cowRebase) attempt()
     else {
       var tries = 0
       var committed = false
       while (!committed) {
         try { attempt(); committed = true }
         catch {
-          case _: java.util.ConcurrentModificationException
+          case cme: java.util.ConcurrentModificationException
               if tries < MaxAppendCommitRetries =>
-            tries += 1 // head moved: rebase and retry at the new seq
+            tries += 1 // head moved: rebase and retry at the next seq
+            if (cowRebase) {
+              val head = retained(fsys, base).lastOption.getOrElse(throw cme)
+              val bse = cowBase.get
+              val touched = bse.files.toSet -- carriedExplicit.get
+              if (head.deleteFiles.sorted != bse.deleteFiles.sorted)
+                throw new java.util.ConcurrentModificationException(
+                  s"commit '$snapshot' for $dir lost its race to a commit " +
+                    "that changed merge-on-read delete state; the rewrite " +
+                    "was computed without it - re-run the operation")
+              val gone = touched.filterNot(head.files.toSet)
+              if (gone.nonEmpty)
+                throw new java.util.ConcurrentModificationException(
+                  s"commit '$snapshot' for $dir lost its race to a commit " +
+                    s"that rewrote or removed file(s) this rewrite also " +
+                    s"touched (${gone.take(3).mkString(", ")}) - re-run " +
+                    "the operation")
+              carriedOverride = Some(head.files.filterNot(touched))
+            }
         }
       }
     }
@@ -726,7 +788,8 @@ object Manifest {
 
   private def cowRewrite(spark: SparkSession, dir: String, column: String,
       lo: String, hi: String, snapshot: String,
-      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): CowRewrite = {
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame,
+      beforePublish: () => Unit = () => ()): CowRewrite = {
     val (fsys, base) = fs(spark, dir)
     val cur = retained(fsys, base).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $dir"))
@@ -761,9 +824,10 @@ object Manifest {
     val c = org.apache.spark.sql.functions.col(column).cast(dt)
     val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
       c <= org.apache.spark.sql.functions.lit(hi).cast(dt)
-    writeImpl(rewrite(df, inRange), dir, snapshot, () => (),
+    writeImpl(rewrite(df, inRange), dir, snapshot, beforePublish,
       carriedExplicit = Some(keep), partitionCols = partCols,
-      deletesExplicit = Some(cur.deleteFiles), rewrite = true)
+      deletesExplicit = Some(cur.deleteFiles), rewrite = true,
+      cowBase = Some(cur))
     CowRewrite(touch, keep, Some(snapshot))
   }
 
@@ -791,12 +855,20 @@ object Manifest {
     * predicate can never disagree. */
   def deleteRange(spark: SparkSession, dir: String, column: String,
       lo: String, hi: String, snapshot: String): CowRewrite =
+    deleteRangeImpl(spark, dir, column, lo, hi, snapshot, () => ())
+
+  /** Test seam variant of [[deleteRange]] — `beforePublish` opens the
+    * commit race window (see [[writeImpl]]'s COW rebase tier). */
+  private[graft] def deleteRangeImpl(spark: SparkSession, dir: String,
+      column: String, lo: String, hi: String, snapshot: String,
+      beforePublish: () => Unit): CowRewrite =
     cowRewrite(spark, dir, column, lo, hi, snapshot, (df, inRange) =>
       // NULLs survive: NOT(null BETWEEN ...) is null, which a bare
       // filter would drop — exactly the wrong way to "delete"
       df.where(org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.not(inRange),
-        org.apache.spark.sql.functions.lit(true))))
+        org.apache.spark.sql.functions.lit(true))),
+      beforePublish)
 
   /** Copy-on-write UPDATE of rows with `column` ∈ [lo, hi]: every
     * `set` entry becomes `WHEN in-range THEN expr ELSE old` on the

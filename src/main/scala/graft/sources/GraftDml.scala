@@ -64,9 +64,23 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     * else (a projection, a join, a non-graft relation) is left for
     * Spark's own (refusing) machinery. */
   private[sources] object GraftTableDir {
+    /** A projection that only renames/reorders/casts base columns —
+      * the shape [[graft.catalog.GraftCatalogReadRule]] wraps catalog
+      * reads in. Row identity is untouched, so DML through it stays
+      * DML on the underlying table. */
+    private def passThrough(e: Expression): Boolean = e match {
+      case _: AttributeReference => true
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        passThrough(a.child)
+      case c: Cast => passThrough(c.child)
+      case _ => false
+    }
+
     def unapply(plan: LogicalPlan): Option[(String, String)] = plan match {
       case SubqueryAlias(_, child) => unapply(child)
       case v: View => unapply(v.child)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if p.projectList.forall(passThrough) => unapply(p.child)
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => h.location match {
           case idx: GraftFileIndex => Some((idx.tableDir, idx.snapshotId))
@@ -212,17 +226,23 @@ private[sources] object GraftDmlExec {
   }
 
   /** Commit the rewritten rows + carried files as one rewrite-flagged
-    * snapshot, preserving the touched files' hive layout. */
+    * snapshot, preserving the touched files' hive layout. A
+    * predicate-scoped statement (DELETE/UPDATE) passes its pinned
+    * `base`, arming [[Manifest.writeImpl]]'s file-level conflict
+    * rebase: a concurrent commit that left the touched files alone
+    * does not fail the statement. MERGE passes None — it read the
+    * whole table, so every concurrent commit is a true conflict. */
   def commitRewrite(spark: SparkSession, dir: String, rewritten: DataFrame,
-      touch: Seq[String], keep: Seq[String],
-      deleteFiles: Seq[String]): Unit = {
+      touch: Seq[String], keep: Seq[String], deleteFiles: Seq[String],
+      base: Option[Manifest.ManifestData] = None): Unit = {
     val snap = s"dml${System.currentTimeMillis()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     val partCols = GraftSource.uniformPartitionCols(touch)
       .getOrElse(Nil).toSeq
     Manifest.writeImpl(rewritten, dir, snap, () => (),
       carriedExplicit = Some(keep), partitionCols = partCols,
-      deletesExplicit = Some(deleteFiles), rewrite = true)
+      deletesExplicit = Some(deleteFiles), rewrite = true,
+      cowBase = base)
     spark.catalog.refreshByPath(dir)
   }
 
@@ -256,7 +276,8 @@ case class GraftDeleteCommand(dir: String, pinned: String,
       val keepPred = GraftDmlExec.remapByName(Or(Not(cond), IsNull(cond)))
       val kept = df.where(Bridge.columnOf(keepPred))
       GraftDmlExec.refuseEmptyResult(kept, keep, "DELETE")
-      GraftDmlExec.commitRewrite(spark, dir, kept, touch, keep, cur.deleteFiles)
+      GraftDmlExec.commitRewrite(spark, dir, kept, touch, keep,
+        cur.deleteFiles, base = Some(cur))
     }
     Seq.empty
   }
@@ -292,7 +313,8 @@ case class GraftUpdateCommand(dir: String, pinned: String,
           case None => df.col(s"`${a.name}`")
         }
       }: _*)
-      GraftDmlExec.commitRewrite(spark, dir, updated, touch, keep, cur.deleteFiles)
+      GraftDmlExec.commitRewrite(spark, dir, updated, touch, keep,
+        cur.deleteFiles, base = Some(cur))
     }
     Seq.empty
   }

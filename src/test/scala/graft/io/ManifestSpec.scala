@@ -136,7 +136,128 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.snapshots(spark, dir2) == Seq("base", "mor-winner", "b2"))
   }
 
-  test("a true conflict still throws: overwrite and MOR delete do not rebase") {
+  test("two racing COW deletes on DISJOINT files both commit: the loser " +
+      "rebases file-level (Delta's conflict check)") {
+    val dir = tmpDir()
+    Manifest.write(spark.range(0, 1000).toDF("id")
+      .repartitionByRange(10, col("id")), dir, "base")
+    // loser deletes [100,199]; inside its commit window the winner
+    // deletes [800,899] — different files on a range-clustered table,
+    // so the loser rebases onto the winner's head and BOTH apply
+    var raced = false
+    Manifest.deleteRangeImpl(spark, dir, "id", "100", "199", "cow-loser",
+      () => {
+        if (!raced) {
+          raced = true
+          Manifest.deleteRange(spark, dir, "id", "800", "899", "cow-winner")
+        }
+      })
+    assert(Manifest.snapshots(spark, dir) ==
+      Seq("base", "cow-winner", "cow-loser"))
+    assert(Manifest.read(spark, dir).count() == 800)
+    assert(Manifest.read(spark, dir)
+      .where("id BETWEEN 100 AND 199 OR id BETWEEN 800 AND 899")
+      .count() == 0)
+    // and a COW delete racing a plain APPEND rebases too, carrying the
+    // winner's files — appended rows are NOT re-judged by the delete's
+    // predicate (WriteSerializable, Delta's default)
+    val dir2 = tmpDir()
+    Manifest.write(spark.range(0, 100).toDF("id")
+      .repartitionByRange(2, col("id")), dir2, "base")
+    var raced2 = false
+    Manifest.deleteRangeImpl(spark, dir2, "id", "0", "49", "cow2",
+      () => {
+        if (!raced2) {
+          raced2 = true
+          Manifest.append(Seq(25L).toDF("id"), dir2, "ap-winner")
+        }
+      })
+    assert(Manifest.read(spark, dir2).as[Long].collect().sorted.toSeq ==
+      ((50L to 99L) :+ 25L).sorted)
+  }
+
+  test("two racing COW deletes on OVERLAPPING files: the loser still throws") {
+    val dir = tmpDir()
+    Manifest.write(spark.range(0, 1000).toDF("id")
+      .repartitionByRange(10, col("id")), dir, "base")
+    var raced = false
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Manifest.deleteRangeImpl(spark, dir, "id", "100", "199", "cow-loser",
+        () => {
+          if (!raced) {
+            raced = true
+            Manifest.deleteRange(spark, dir, "id", "150", "250", "cow-winner")
+          }
+        })
+    }
+    assert(ex.getMessage.contains("rewrote or removed"))
+    // only the winner's delete stands; the loser's range survives intact
+    assert(Manifest.snapshots(spark, dir) == Seq("base", "cow-winner"))
+    assert(Manifest.read(spark, dir).where("id BETWEEN 100 AND 149").count() == 50)
+    // a COW delete racing a MOR delete (delete state changed under it)
+    // is also a true conflict
+    val dir2 = tmpDir()
+    Manifest.write(spark.range(0, 1000).toDF("id")
+      .repartitionByRange(10, col("id")), dir2, "base")
+    var raced2 = false
+    val ex2 = intercept[java.util.ConcurrentModificationException] {
+      Manifest.deleteRangeImpl(spark, dir2, "id", "100", "199", "cow2",
+        () => {
+          if (!raced2) {
+            raced2 = true
+            Manifest.deleteRangeMOR(spark, dir2, "id", "900", "910", "mor-winner")
+          }
+        })
+    }
+    assert(ex2.getMessage.contains("merge-on-read delete state"))
+  }
+
+  test("a racing MOR delete rebases onto appends; throws if its targets were rewritten") {
+    val dir = tmpDir()
+    Manifest.write(spark.range(0, 100).toDF("id")
+      .repartitionByRange(2, col("id")), dir, "base")
+    // MOR delete racing an append: position deletes are additive — rebase
+    var raced = false
+    val res = Manifest.deleteRangeMOR(spark, dir, "id", "10", "19", "mor1",
+      () => {
+        if (!raced) {
+          raced = true
+          Manifest.append((1000L to 1009L).toDF("id"), dir, "ap-winner")
+        }
+      })
+    assert(res.committed.contains("mor1"))
+    assert(Manifest.snapshots(spark, dir) == Seq("base", "ap-winner", "mor1"))
+    assert(Manifest.read(spark, dir).count() == 100 - 10 + 10)
+    // two concurrent MOR deletes COMPOSE (both delete sets apply)
+    var raced2 = false
+    Manifest.deleteRangeMOR(spark, dir, "id", "20", "24", "mor2",
+      () => {
+        if (!raced2) {
+          raced2 = true
+          Manifest.deleteRangeMOR(spark, dir, "id", "30", "34", "mor3")
+        }
+      })
+    assert(Manifest.read(spark, dir).count() == 100 - 10 - 5 - 5 + 10)
+    // MOR delete racing a COMPACTION of its targets: positions would be
+    // invalid against the re-packed files — a true conflict
+    val dir2 = tmpDir()
+    Manifest.write(spark.range(0, 100).toDF("id")
+      .repartitionByRange(2, col("id")), dir2, "base")
+    var raced3 = false
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Manifest.deleteRangeMOR(spark, dir2, "id", "10", "19", "mor-bad",
+        () => {
+          if (!raced3) {
+            raced3 = true
+            Manifest.compact(spark, dir2, "packed", Long.MaxValue)
+          }
+        })
+    }
+    assert(ex.getMessage.contains("rewrote or removed"))
+    assert(Manifest.read(spark, dir2).count() == 100)
+  }
+
+  test("a true conflict still throws: overwrite does not rebase") {
     val dir = tmpDir()
     Manifest.write((1 to 10).toDF("v"), dir, "s1")
     // overwrite racing an append: the overwrite loses and throws (its
