@@ -88,10 +88,20 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
     val dir = pathOf(parameters)
     val spark = sqlContext.sparkSession
+    val maxCommits = opts.get("maxcommitspertrigger").map { v =>
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft stream: maxCommitsPerTrigger must be a positive int, got '$v'"))
+      require(n > 0,
+        s"graft stream: maxCommitsPerTrigger must be positive, got $n")
+      n
+    }
     new GraftStreamSource(spark, dir,
-      schema.getOrElse(Manifest.read(spark, dir).schema))
+      schema.getOrElse(Manifest.read(spark, dir).schema),
+      skipChangeCommits = opts.get("skipchangecommits").exists(_.toBoolean),
+      maxCommitsPerTrigger = maxCommits)
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -168,7 +178,18 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val opts = parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
     val dir = opts.getOrElse("path", throw new IllegalArgumentException(
       "graft: .load(<manifest table dir>) is required"))
-    val spark = sqlContext.sparkSession
+    GraftSource.buildRelation(sqlContext.sparkSession, dir, opts)
+  }
+}
+
+object GraftSource {
+
+  /** The read relation for a table dir + (lowercased) option map —
+    * shared by the format face above and the V2 catalog
+    * ([[graft.catalog.GraftCatalogReadRule]]), so a named table and a
+    * path read resolve through ONE code path. */
+  private[graft] def buildRelation(spark: SparkSession, dir: String,
+      opts: Map[String, String]): BaseRelation = {
     val m = GraftSource.resolveSnapshot(spark, dir, opts)
     GraftSource.uniformPartitionCols(m.files) match {
       case Some(partNames) if m.deleteFiles.isEmpty =>
@@ -189,9 +210,6 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         new GraftMorRelation(spark, dir, m)
     }
   }
-}
-
-object GraftSource {
 
   /** Resolve the snapshot the options select (default: current). */
   private[sources] def resolveSnapshot(spark: SparkSession, dir: String,
@@ -245,6 +263,14 @@ object GraftSource {
     val layouts = files.map(f => Manifest.partitionValuesOf(f).map(_._1)).distinct
     if (layouts.size == 1) Some(layouts.head) else None
   }
+
+  /** The CURRENT snapshot's uniform hive layout (Nil when flat, mixed,
+    * or uncommitted) — what a catalog write preserves when the DDL
+    * declared no partitioning. */
+  private[graft] def uniformPartitionColsOf(spark: SparkSession,
+      dir: String): Seq[String] =
+    Manifest.history(spark, dir).lastOption.map(_.files)
+      .flatMap(uniformPartitionCols).getOrElse(Nil)
 }
 
 /**

@@ -52,18 +52,56 @@ final case class GraftSourceOffset(seq: Long) extends V1Offset {
   override def json: String = seq.toString
 }
 
+/**
+  * @param skipChangeCommits when set (Delta's option of the same name),
+  *   a CHANGE commit inside the window — a rewrite, a file removal, or
+  *   a merge-on-read delete-state change — is SKIPPED instead of
+  *   failing the stream: none of its files are served (they re-pack or
+  *   modify rows the stream already emitted), pure-append commits keep
+  *   streaming, and maintenance (compaction, DML) no longer kills
+  *   long-running streams. The stream then represents INSERTS ONLY —
+  *   the caller opted out of seeing deletions, which is exactly the
+  *   contract the option name declares.
+  * @param maxCommitsPerTrigger admission control: cap each micro-batch
+  *   at this many commits past the last served offset, so one huge
+  *   backfill (a thousand commits while the stream was down) drains as
+  *   bounded batches instead of one giant one. The INITIAL batch is
+  *   one snapshot read however it is sliced, so it stays uncapped.
+  */
 class GraftStreamSource(spark: SparkSession, dir: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    skipChangeCommits: Boolean = false,
+    maxCommitsPerTrigger: Option[Int] = None) extends Source {
 
   /** Works for live [[GraftSourceOffset]]s AND the `SerializedOffset`
     * the checkpoint replays on restart. */
   private def seqOf(o: V1Offset): Long = o.json.trim.toLong
 
-  override def getOffset: Option[V1Offset] =
-    Manifest.history(spark, dir).lastOption.map(m => GraftSourceOffset(m.seq))
+  /** The furthest offset this source has SERVED (getBatch end) — the
+    * admission cap's base. Restart-safe: the engine re-plays the last
+    * committed window through getBatch before asking for new offsets,
+    * which re-seeds this. Volatile state never reaches the checkpoint
+    * — offsets in the log are always real commit seqs. */
+  @volatile private var lastEnd: Option[Long] = None
+
+  override def getOffset: Option[V1Offset] = {
+    val hist = Manifest.history(spark, dir)
+    if (hist.isEmpty) return None
+    val latest = hist.last.seq
+    val capped = (maxCommitsPerTrigger, lastEnd) match {
+      case (Some(n), Some(base)) =>
+        // largest RETAINED seq within the admission window (seq gaps
+        // from vacuum must not stall the stream below the cap)
+        hist.filter(_.seq <= base + n).lastOption.map(_.seq).getOrElse(latest)
+      case _ => latest // no cap, or initial batch (one snapshot read)
+    }
+    if (lastEnd.exists(capped <= _)) lastEnd.map(GraftSourceOffset)
+    else Some(GraftSourceOffset(capped))
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val e = seqOf(end)
+    lastEnd = Some(lastEnd.fold(e)(math.max(_, e)))
     val hist = Manifest.history(spark, dir)
     val endM = hist.find(_.seq == e).getOrElse(
       throw new IllegalStateException(
@@ -80,28 +118,44 @@ class GraftStreamSource(spark: SparkSession, dir: String,
             s"graft stream: checkpointed offset $s is no longer retained " +
               s"under $dir (vacuum outran the stream checkpoint) - " +
               "re-baseline the stream"))
-        // append-only contract over the window, enforced loudly
+        // walk the window COMMIT BY COMMIT: each step either serves the
+        // commit's added files, skips a change commit (option set), or
+        // fails loudly naming the offending commit
+        var prev = startM
+        var served = Vector.empty[String]
         hist.filter(m => m.seq > s && m.seq <= e).foreach { m =>
-          if (m.rewrite) throw new UnsupportedOperationException(
-            s"graft stream: commit '${m.snapshot}' (seq ${m.seq}) under " +
-              s"$dir is a rewrite (compaction/COW DML) - its files re-pack " +
-              "rows the stream already served; re-baseline the stream")
+          val removed = !prev.files.forall(m.files.toSet)
+          val morChanged = m.deleteFiles.sorted != prev.deleteFiles.sorted
+          if (m.rewrite || removed || morChanged) {
+            if (!skipChangeCommits) {
+              if (m.rewrite) throw new UnsupportedOperationException(
+                s"graft stream: commit '${m.snapshot}' (seq ${m.seq}) under " +
+                  s"$dir is a rewrite (compaction/COW DML) - its files " +
+                  "re-pack rows the stream already served; re-baseline the " +
+                  "stream, or set skipChangeCommits=true to stream on " +
+                  "through maintenance")
+              else if (removed) throw new UnsupportedOperationException(
+                s"graft stream: commit '${m.snapshot}' (seq ${m.seq}) under " +
+                  s"$dir removed data files - an append-only stream cannot " +
+                  "represent removals; re-baseline the stream, or set " +
+                  "skipChangeCommits=true to skip change commits")
+              else throw new UnsupportedOperationException(
+                s"graft stream: commit '${m.snapshot}' (seq ${m.seq}) under " +
+                  s"$dir changed merge-on-read delete state - an append-only " +
+                  "stream cannot represent row deletions; re-baseline the " +
+                  "stream, or set skipChangeCommits=true to skip change " +
+                  "commits")
+            }
+            // skipChangeCommits: serve NOTHING from a change commit
+          } else {
+            served ++= m.files.filterNot(prev.files.toSet)
+          }
+          prev = m
         }
-        if (!startM.files.forall(endM.files.toSet))
-          throw new UnsupportedOperationException(
-            s"graft stream: commits ($s, $e] under $dir removed data " +
-              "files - an append-only stream cannot represent removals; " +
-              "re-baseline the stream")
-        if (endM.deleteFiles.sorted != startM.deleteFiles.sorted)
-          throw new UnsupportedOperationException(
-            s"graft stream: commits ($s, $e] under $dir changed " +
-              "merge-on-read delete state - an append-only stream cannot " +
-              "represent row deletions; re-baseline the stream")
-        val newFiles = endM.files.filterNot(startM.files.toSet)
-        if (newFiles.isEmpty)
+        if (served.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else Manifest.readFiles(spark, dir, newFiles)
+        else Manifest.readFiles(spark, dir, served)
     }
     // pin the stream's declared schema (a later schema-evolution commit
     // must not widen the frame mid-flight), then mark the plan

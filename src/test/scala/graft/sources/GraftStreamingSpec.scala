@@ -192,4 +192,65 @@ class GraftStreamingSpec extends AnyFunSuite {
       Map("lang" -> "en")).count() == 30)
     assert(Manifest.currentFiles(spark, table).forall(_.contains("lang=")))
   }
+
+  test("source: skipChangeCommits streams on through compaction and MOR " +
+      "deletes with no duplicate rows") {
+    val table = tmpDir() + "/t"
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    Manifest.write((1 to 50).toDF("v"), table, "s0")
+    def drain(): Unit =
+      spark.readStream.format("graft")
+        .option("skipChangeCommits", "true").load(table)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    assert(Manifest.read(spark, out).count() == 50)
+    // maintenance mid-stream: a compaction re-packs every row, then a
+    // fresh append lands — the stream must skip the re-pack and serve
+    // ONLY the appended rows (the option's insert-only contract)
+    Manifest.compact(spark, table, "packed", Long.MaxValue)
+    Manifest.append((51 to 70).toDF("v"), table, "s1")
+    drain()
+    assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq ==
+      (1 to 70), "appends served once; compaction repack never re-served")
+    // a MOR delete is likewise skipped (insert-only: the sink keeps the
+    // deleted rows), and later appends keep flowing
+    Manifest.deleteRangeMOR(spark, table, "v", "1", "10", "mor0")
+    Manifest.append((71 to 80).toDF("v"), table, "s2")
+    drain()
+    assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq ==
+      (1 to 80))
+  }
+
+  test("source: maxCommitsPerTrigger drains a commit backlog in bounded batches") {
+    val table = tmpDir() + "/t"
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    Manifest.write(Seq(0).toDF("v"), table, "s0")
+    def drain(): Unit =
+      spark.readStream.format("graft")
+        .option("maxCommitsPerTrigger", "3").load(table)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain() // initial snapshot (uncapped by design: one snapshot read)
+    assert(Manifest.read(spark, out).count() == 1)
+    // a 9-commit backlog lands while the stream is down
+    (1 to 9).foreach(i =>
+      Manifest.append(Seq(i).toDF("v"), table, s"b$i"))
+    // each restart serves AT MOST 3 commits per batch: the backlog
+    // needs three more passes, and every pass lands exactly one bounded
+    // sink commit
+    val counts = (1 to 3).map { _ =>
+      drain(); Manifest.read(spark, out).count()
+    }
+    assert(counts == Seq(4L, 7L, 10L),
+      s"expected 3-commit admission steps, got $counts")
+    assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq ==
+      (0 to 9))
+  }
 }
