@@ -1,0 +1,411 @@
+package graft.catalog
+
+import java.util.Locale
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.io.Manifest
+
+/**
+ * A V2 `TableCatalog` over graft (Manifest) tables — the
+ * deploy-then-query model the reference ships (its schema stage
+ * registers every table in a catalog and analysts only ever touch the
+ * NAMES, reference create_database_schema.py:4-8, README.md:424-436),
+ * at engine-native fidelity:
+ *
+ * {{{
+ *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+ *   spark.sql.catalog.graft.warehouse = s3://bucket/warehouse
+ *
+ *   CREATE NAMESPACE graft.db;
+ *   CREATE TABLE graft.db.t USING graft PARTITIONED BY (k) AS SELECT …;
+ *   INSERT INTO graft.db.t SELECT …;
+ *   DELETE FROM graft.db.t WHERE …;
+ *   SELECT * FROM graft.db.t VERSION AS OF 1;   -- commit_seq
+ *   SELECT * FROM graft.db.t TIMESTAMP AS OF '2026-01-01 00:00:00';
+ * }}}
+ *
+ * Layout: a table named `db.t` lives at `<warehouse>/db/t` — a plain
+ * Manifest table dir (the catalog adds NOTHING to the data path; any
+ * catalog table is also readable by path and vice versa). A
+ * `.graft-table.json` sidecar written by DDL carries what a manifest
+ * cannot: the declared schema of a still-empty table (a manifest
+ * snapshot must list at least one file, so CREATE-then-INSERT needs
+ * the schema parked somewhere), the declared partition columns, a
+ * `location` redirect for `CREATE TABLE … LOCATION` over an existing
+ * path table, and table properties. Identifiers are restricted to
+ * `[A-Za-z0-9_.-]` so a name can never escape the warehouse root.
+ *
+ * Execution stays on the V1 fast path: reads resolve through
+ * [[GraftCatalogReadRule]], which swaps the `DataSourceV2Relation`
+ * for the SAME snapshot-pinned `HadoopFsRelation` the path-based
+ * `spark.read.format("graft")` face builds (vectorized parquet,
+ * manifest partition pruning, footer-bounds skipping, accurate
+ * `sizeInBytes` broadcasts) — and, downstream of that swap, SQL
+ * INSERT/DELETE/UPDATE/MERGE hit the existing interception rules, so
+ * the catalog gets the full DML surface for free. Writes go through
+ * the V2 `V1Write` fallback onto the same Manifest commits (append
+ * rebases on lost CAS races; INSERT OVERWRITE = a truncate write = a
+ * fresh snapshot, time travel keeps the history). Time travel
+ * (`VERSION AS OF` = commit_seq or snapshot id, `TIMESTAMP AS OF`)
+ * resolves through the catalog's `loadTable` overloads onto the same
+ * selectors the path face exposes as options.
+ *
+ * At 100 TB nothing here is data-proportional: every catalog
+ * operation is a LIST/read of KB-sized metadata keys; the listing
+ * cost Spark pays to resolve a name is one directory LIST — the
+ * manifest protocol's own resolution cost.
+ */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fsys: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name': set spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  // ---- path mapping ------------------------------------------------------
+
+  private def validPart(s: String): String = {
+    require(s.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+      s"graft catalog: unsafe identifier part '$s' " +
+        "(allowed: [A-Za-z0-9_][A-Za-z0-9_.-]*)")
+    s
+  }
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.map(validPart).foldLeft(new Path(warehouse))(new Path(_, _))
+
+  private def identPath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), validPart(ident.name))
+
+  /** A dir is a TABLE when DDL left a sidecar or a writer committed a
+    * manifest; it is a NAMESPACE when it exists and is neither. */
+  private def isTable(p: Path): Boolean =
+    fsys.exists(new Path(p, GraftTableMeta.SidecarName)) ||
+      (fsys.exists(p) && fsys.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("manifest-") && n.endsWith(".json")
+      })
+
+  // ---- tables ------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fsys.exists(p) || isTable(p))
+      throw new NoSuchNamespaceException(namespace)
+    fsys.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath).filter(isTable)
+      .map(tp => Identifier.of(namespace, tp.getName))
+      .sortBy(_.name).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    scala.util.Try(isTable(identPath(ident))).getOrElse(false)
+
+  override def loadTable(ident: Identifier): Table =
+    loadTable(ident, Map.empty[String, String])
+
+  /** SQL `VERSION AS OF v` — a commit_seq, or a snapshot id (the two
+    * name spaces cannot collide: seqs are numeric, ids are free text
+    * and resolving a numeric string tries the seq first). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTable(ident,
+      if (version.forall(_.isDigit)) Map("versionasof" -> version)
+      else Map("snapshotasof" -> version))
+
+  /** SQL `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTable(ident, Map("timestampasof" -> (timestamp / 1000L).toString))
+
+  private def loadTable(ident: Identifier, timeTravel: Map[String, String]): Table = {
+    val p = identPath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val meta = GraftTableMeta.read(fsys, p)
+    val dir = meta.flatMap(_.location).getOrElse(p.toString)
+    new GraftCatalogTable(
+      (ident.namespace :+ ident.name).mkString(s"$catalogName.", ".", ""),
+      dir, meta, timeTravel)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : Table = {
+    val ns = nsPath(ident.namespace)
+    if (!fsys.exists(ns) || isTable(ns))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val p = identPath(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only identity PARTITIONED BY columns are " +
+          s"supported, got $other")
+    }
+    partCols.foreach(c => require(schema.isEmpty || schema.fieldNames.contains(c),
+      s"graft catalog: partition column '$c' is not in the table schema"))
+    val props = properties.asScala.toMap
+    val location = props.get(TableCatalog.PROP_LOCATION)
+    location.foreach { loc =>
+      require(Manifest.history(spark, loc).nonEmpty,
+        s"graft catalog: LOCATION '$loc' has no committed graft " +
+          "snapshot - write one first (the catalog registers existing " +
+          "manifest tables; it does not create empty external ones)")
+    }
+    require(schema.nonEmpty || location.nonEmpty,
+      "graft catalog: CREATE TABLE needs a column list or a LOCATION " +
+        "pointing at an existing graft table")
+    val keepProps = props -- Seq(TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER)
+    val meta = GraftTableMeta(
+      // an external registration defers the schema to the target's
+      // manifest — the sidecar must not freeze a schema it doesn't own
+      schema = if (location.isDefined) None else Some(schema),
+      partitionCols = partCols, location = location, properties = keepProps)
+    fsys.mkdirs(p)
+    GraftTableMeta.write(fsys, p, meta)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported - graft table " +
+        "schemas are defined by their committed snapshots")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = identPath(ident)
+    if (!isTable(p)) return false
+    fsys.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, rawNewIdent: Identifier): Unit = {
+    // `RENAME TO a.b.c` hands the target name verbatim — when the user
+    // re-qualified it with this catalog's name, strip that first part
+    // (the same normalization delta's catalog performs)
+    val newIdent =
+      if (rawNewIdent.namespace.headOption.contains(catalogName))
+        Identifier.of(rawNewIdent.namespace.tail, rawNewIdent.name)
+      else rawNewIdent
+    val from = identPath(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val toNs = nsPath(newIdent.namespace)
+    if (!fsys.exists(toNs) || isTable(toNs))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    val to = identPath(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    require(fsys.rename(from, to),
+      s"graft catalog: rename $from -> $to failed")
+  }
+
+  // ---- namespaces --------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fsys.exists(root)) return Array.empty
+    fsys.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable).map(p => Array(p.getName)).sortBy(_.head).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val p = nsPath(namespace)
+    if (!fsys.exists(p) || isTable(p))
+      throw new NoSuchNamespaceException(namespace)
+    fsys.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable).map(c => namespace :+ c.getName)
+      .sortBy(_.mkString(".")).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      scala.util.Try {
+        val p = nsPath(namespace); fsys.exists(p) && !isTable(p)
+      }.getOrElse(false)
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(namespace).toString)
+      .asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fsys.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && fsys.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"graft catalog: namespace ${namespace.mkString(".")} is not " +
+          "empty - use DROP NAMESPACE ... CASCADE")
+    fsys.delete(p, true)
+  }
+}
+
+/** The `.graft-table.json` DDL sidecar (see [[GraftCatalog]] scaladoc
+  * for what it carries and why a manifest alone cannot). */
+private[graft] final case class GraftTableMeta(schema: Option[StructType],
+    partitionCols: Seq[String], location: Option[String],
+    properties: Map[String, String])
+
+private[graft] object GraftTableMeta {
+  val SidecarName = ".graft-table.json"
+
+  def write(fsys: FileSystem, tableDir: Path, meta: GraftTableMeta): Unit = {
+    val j = JObject(List(
+      "version" -> JInt(1),
+      "schemaJson" -> meta.schema.map(s => JString(s.json)).getOrElse(JNothing),
+      "partitionCols" -> JArray(meta.partitionCols.map(JString(_)).toList),
+      "location" -> meta.location.map(JString(_)).getOrElse(JNothing),
+      "properties" -> JObject(meta.properties.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) })))
+    val out = fsys.create(new Path(tableDir, SidecarName), true)
+    try out.write(JsonMethods.pretty(JsonMethods.render(j))
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def read(fsys: FileSystem, tableDir: Path): Option[GraftTableMeta] = {
+    val p = new Path(tableDir, SidecarName)
+    if (!fsys.exists(p)) return None
+    val in = fsys.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val j = JsonMethods.parse(text)
+    def str(f: String): Option[String] = j \ f match {
+      case JString(s) => Some(s); case _ => None
+    }
+    Some(GraftTableMeta(
+      schema = str("schemaJson")
+        .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[StructType]),
+      partitionCols = j \ "partitionCols" match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => Nil
+      },
+      location = str("location"),
+      properties = j \ "properties" match {
+        case JObject(fields) =>
+          fields.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }))
+  }
+}
+
+/**
+ * The catalog's `Table`: name + schema + partitioning for the
+ * analyzer/DESCRIBE, a snapshot-pinned V1 relation for
+ * [[GraftCatalogReadRule]] to swap in, and the `V1Write` fallback for
+ * AppendData/Overwrite (INSERT, CTAS). Capabilities deliberately omit
+ * BATCH_READ: reads are served by the swap rule's `HadoopFsRelation`,
+ * and a session without the graft extensions fails LOUDLY at planning
+ * instead of silently taking a slower scan path.
+ */
+private[graft] class GraftCatalogTable(ident: String, val dir: String,
+    meta: Option[GraftTableMeta], timeTravel: Map[String, String])
+    extends Table with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The pinned V1 relation (None while the table has no commits —
+    * a declared-only table reads as empty). Resolved ONCE per loaded
+    * table: the statement's analysis and execution see one snapshot. */
+  lazy val relation: Option[BaseRelation] =
+    if (Manifest.history(spark, dir).isEmpty) {
+      require(timeTravel.isEmpty,
+        s"graft catalog: $ident has no committed snapshot to time-travel to")
+      None
+    } else Some(graft.sources.GraftSource.buildRelation(spark, dir, timeTravel))
+
+  override def name(): String = ident
+
+  override lazy val schema: StructType =
+    meta.flatMap(_.schema).orElse(relation.map(_.schema)).getOrElse(
+      throw new IllegalStateException(
+        s"graft catalog: $ident has neither a declared schema nor a " +
+          "committed snapshot"))
+
+  override def partitioning(): Array[Transform] = {
+    val declared = meta.map(_.partitionCols).getOrElse(Nil)
+    val cols =
+      if (declared.nonEmpty) declared
+      else graft.sources.GraftSource.uniformPartitionColsOf(spark, dir)
+    cols.map(Expressions.identity).toArray
+  }
+
+  override def properties(): java.util.Map[String, String] =
+    (meta.map(_.properties).getOrElse(Map.empty) +
+      (TableCatalog.PROP_LOCATION -> dir) +
+      (TableCatalog.PROP_PROVIDER -> "graft")).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir,
+      meta.map(_.partitionCols).getOrElse(Nil))
+}
+
+/** `V1Write` fallback: INSERT INTO → Manifest append (rebases on lost
+  * CAS races), INSERT OVERWRITE / CTAS-replace → truncate() → a fresh
+  * overwriting snapshot (time travel keeps the pre-write state). The
+  * declared partition columns drive the hive layout; a table without
+  * declared partitioning keeps its current snapshot's layout. */
+private[graft] class GraftWriteBuilder(dir: String, declaredPartCols: Seq[String])
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            ignored: Boolean): Unit = {
+          val spark = data.sparkSession
+          val partCols =
+            if (declaredPartCols.nonEmpty) declaredPartCols
+            else graft.sources.GraftSource.uniformPartitionColsOf(spark, dir)
+          graft.sources.GraftInsert.commit(spark, dir, partCols, data, overwrite)
+          spark.catalog.refreshByPath(dir)
+        }
+      }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.catalog
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/**
+ * Routes catalog-table READS onto the V1 fast path: every
+ * `DataSourceV2Relation` over a [[GraftCatalogTable]] is swapped for
+ * the table's snapshot-pinned V1 relation — the SAME
+ * `HadoopFsRelation` + manifest `FileIndex` the path-based
+ * `spark.read.format("graft")` face builds, so a catalog name costs
+ * nothing over a path: vectorized parquet scan, manifest partition
+ * pruning, footer-bounds skipping, broadcast-accurate `sizeInBytes`.
+ * A DSv2 `PartitionReader` re-implementing parquet materialization
+ * would be strictly slower; the swap keeps Catalyst's whole physical
+ * arsenal pointed at the manifest's file list.
+ *
+ * The swap preserves the relation's resolved OUTPUT (same attribute
+ * ids, via a pass-through Project aliased onto the V1 attributes), so
+ * everything already resolved against the V2 relation — column
+ * references, DML assignments, merge actions — keeps binding. That
+ * also means SQL DML lands for free: a swapped `DeleteFromTable` /
+ * `UpdateTable` / `MergeIntoTable` target is exactly the V1 shape
+ * [[graft.sources.GraftDmlRule]] intercepts, and a swapped
+ * `InsertIntoStatement`… is never produced, deliberately:
+ *
+ * INSERT targets are EXCLUDED from the swap (identity check on the
+ * statement's table child). `InsertIntoStatement.table` is a plan
+ * CHILD, so the swap could fire while the statement's query side is
+ * still resolving — stranding the insert between the V2 write path
+ * (which wants the V2 relation for `AppendData`) and the V1 rules
+ * (which don't handle a projected target). Left alone, the built-in
+ * `ResolveInsertInto` converts the statement to `AppendData`, whose
+ * `table` is a non-child FIELD the transform never touches, and the
+ * write executes through the table's `V1Write` onto a Manifest commit.
+ *
+ * A declared-but-never-written table (DDL sidecar, zero commits) reads
+ * as an EMPTY relation with the declared schema — `CREATE TABLE` then
+ * `SELECT` behaves like every other catalog instead of erroring.
+ */
+object GraftCatalogReadRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val insertTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case i: InsertIntoStatement =>
+        insertTargets.add(i.table)
+        insertTargets.add(EliminateSubqueryAliases(i.table))
+      case _ => ()
+    }
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftCatalogTable]
+          && !insertTargets.contains(r) =>
+        swap(r)
+    }
+  }
+
+  private def swap(r: DataSourceV2Relation): LogicalPlan = {
+    val t = r.table.asInstanceOf[GraftCatalogTable]
+    t.relation match {
+      case None => LocalRelation(r.output, Nil)
+      case Some(rel) =>
+        val attrs = rel.schema.fields.toSeq.map(f =>
+          AttributeReference(f.name, f.dataType, f.nullable)())
+        val lr = LogicalRelation(rel, attrs, None, false, None)
+        val byName = attrs.map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
+        // pass-through project: reorders the V1 schema (HadoopFsRelation
+        // moves partition columns last) back to the DECLARED column order
+        // under the V2 relation's own expression ids
+        val projectList: Seq[NamedExpression] = r.output.map { o =>
+          val src = byName.getOrElse(o.name.toLowerCase(Locale.ROOT),
+            throw new IllegalStateException(
+              s"graft catalog: declared column '${o.name}' of ${t.name()} " +
+                s"is missing from the committed data (data columns: " +
+                s"${attrs.map(_.name).mkString(", ")})"))
+          val e = if (src.dataType == o.dataType) src
+            else Cast(src, o.dataType, Some(conf.sessionLocalTimeZone))
+          Alias(e, o.name)(exprId = o.exprId)
+        }
+        Project(projectList, lr)
+    }
+  }
+}

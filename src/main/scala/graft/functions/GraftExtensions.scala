@@ -86,5 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Spark resolves the statements but has no V1 execution for them —
     // the rule rewrites them onto COW Manifest commits
     e.injectResolutionRule(_ => graft.sources.GraftDmlRule)
+    // V2-catalog reads swap onto the V1 vectorized relation (same
+    // snapshot pin, same pruning) — and thereby onto the two rules
+    // above for SQL INSERT/DML on named tables
+    e.injectResolutionRule(_ => graft.catalog.GraftCatalogReadRule)
   }
 }

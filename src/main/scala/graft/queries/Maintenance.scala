@@ -1641,13 +1641,73 @@ object Maintenance {
             |  FROM news
             |) ORDER BY c_custkey""".stripMargin))
 
+  // V2 TABLE CATALOG under oracle (round 10): the reference's
+  // deploy-then-query model (create_database_schema.py registers
+  // tables; analysts only ever touch NAMES) driven END-TO-END through
+  // catalog SQL — CREATE NAMESPACE, partitioned CTAS, INSERT INTO,
+  // DELETE FROM, and SQL `VERSION AS OF` time travel — with zero path
+  // literals in any query. The final frame joins the post-DML state
+  // against the CTAS-version (commit_seq 0) state, so the hash proves
+  // the catalog's name resolution, its write path, its DML rewrite,
+  // AND its time-travel pinning in one row set; DuckDB replays the
+  // mutation history relationally.
+  private val graftCatalogQ = Q(
+    "q_graft_catalog",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_cat_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gql", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gql.warehouse", wh)
+      s.sql("CREATE NAMESPACE gql.db")
+      t(s, dir, "orders").createOrReplaceTempView("gcat_orders_src")
+      s.sql(
+        """CREATE TABLE gql.db.ord USING graft PARTITIONED BY (o_orderpriority)
+          |AS SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+          |   FROM gcat_orders_src""".stripMargin)
+      s.sql(
+        """INSERT INTO gql.db.ord
+          |SELECT -o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+          |FROM gcat_orders_src WHERE o_orderkey % 50 = 0""".stripMargin)
+      s.sql("DELETE FROM gql.db.ord " +
+        "WHERE o_orderkey > 0 AND o_orderkey % 10 = 3")
+      s.sql(
+        """SELECT cur.o_orderpriority, cur.n_cur, cur.sum_price, v0.n_v0
+          |FROM (SELECT o_orderpriority, COUNT(*) AS n_cur,
+          |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |          AS sum_price
+          |      FROM gql.db.ord GROUP BY 1) cur
+          |JOIN (SELECT o_orderpriority, COUNT(*) AS n_v0
+          |      FROM gql.db.ord VERSION AS OF 0 GROUP BY 1) v0
+          |  ON cur.o_orderpriority = v0.o_orderpriority
+          |ORDER BY 1""".stripMargin)
+    },
+    Some(s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+            |                     o_orderpriority FROM orders),
+            |cur AS (
+            |  SELECT * FROM (
+            |    SELECT * FROM base
+            |    UNION ALL
+            |    SELECT -o_orderkey, o_orderstatus, o_totalprice,
+            |           o_orderpriority
+            |    FROM base WHERE o_orderkey % 50 = 0)
+            |  WHERE NOT (o_orderkey > 0 AND o_orderkey % 10 = 3))
+            |SELECT c.o_orderpriority, c.n_cur, c.sum_price, v.n_v0
+            |FROM (SELECT o_orderpriority, COUNT(*) AS n_cur,
+            |        ${oSum("o_totalprice")} AS sum_price
+            |      FROM cur GROUP BY 1) c
+            |JOIN (SELECT o_orderpriority, COUNT(*) AS n_v0
+            |      FROM base GROUP BY 1) v
+            |  ON c.o_orderpriority = v.o_orderpriority
+            |ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
     graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
-    graftSqlDelete, graftMerge,
+    graftSqlDelete, graftMerge, graftCatalogQ,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

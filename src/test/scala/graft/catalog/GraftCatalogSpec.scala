@@ -1,0 +1,167 @@
+package graft.catalog
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.io.Manifest
+
+/**
+ * The V2 TableCatalog face: named graft tables under a warehouse root,
+ * driven end-to-end through plain SQL — namespace CRUD, CREATE/CTAS/
+ * DROP/SHOW/DESCRIBE, INSERT (append/overwrite/column list), SQL time
+ * travel (`VERSION AS OF` / `TIMESTAMP AS OF`), row-level DML, LOCATION
+ * registration of an existing path table, and the loud refusals. Also
+ * asserts the performance contract: a catalog read executes as the
+ * same vectorized `FileSourceScanExec` over the manifest FileIndex the
+ * path face uses, partition-pruned.
+ */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestBase.session
+    val wh = java.nio.file.Files.createTempDirectory("graftwh").toString
+    s.conf.set("spark.sql.catalog.gcat", "graft.catalog.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    s
+  }
+  import spark.implicits._
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("namespace CRUD and SHOW NAMESPACES") {
+    sql("CREATE NAMESPACE gcat.nsa")
+    sql("CREATE NAMESPACE gcat.nsb")
+    assert(sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0)).toSet
+      .contains("nsa"))
+    intercept[Exception](sql("CREATE NAMESPACE gcat.nsa"))
+    sql("CREATE TABLE gcat.nsb.keep (x INT) USING graft")
+    intercept[Exception](sql("DROP NAMESPACE gcat.nsb")) // non-empty
+    sql("DROP NAMESPACE gcat.nsb CASCADE")
+    assert(!sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).contains("nsb"))
+  }
+
+  test("CREATE TABLE, empty read, INSERT append/overwrite, column-list INSERT") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.t1 (id BIGINT, name STRING, v DOUBLE) USING graft")
+    // declared-but-empty table reads as zero rows WITH the schema
+    val empty = sql("SELECT * FROM gcat.db.t1")
+    assert(empty.columns.toSeq == Seq("id", "name", "v"))
+    assert(empty.count() == 0)
+    sql("INSERT INTO gcat.db.t1 VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    sql("INSERT INTO gcat.db.t1 (name, id, v) VALUES ('c', 3, 3.5)") // by list
+    assert(sql("SELECT * FROM gcat.db.t1").count() == 3)
+    assert(sql("SELECT name FROM gcat.db.t1 WHERE id = 3").collect()
+      .head.getString(0) == "c")
+    sql("INSERT OVERWRITE gcat.db.t1 VALUES (9, 'z', 0.0)")
+    assert(sql("SELECT * FROM gcat.db.t1").count() == 1)
+    // the pre-overwrite state is still one commit back (seqs start at 0)
+    assert(sql("SELECT * FROM gcat.db.t1 VERSION AS OF 1").count() == 3)
+  }
+
+  test("CTAS partitioned: SHOW TABLES, DESCRIBE, pruned vectorized scan") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.range(0, 400).toDF("id")
+      .withColumn("seg", org.apache.spark.sql.functions.expr(
+        "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END"))
+      .createOrReplaceTempView("ctas_src")
+    sql("CREATE TABLE gcat.db.parted USING graft PARTITIONED BY (seg) " +
+      "AS SELECT id, seg FROM ctas_src")
+    assert(sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("parted"))
+    // declared column order survives the hive layout's reordering
+    assert(sql("SELECT * FROM gcat.db.parted").columns.toSeq == Seq("id", "seg"))
+    assert(sql("DESCRIBE TABLE gcat.db.parted").collect()
+      .map(_.getString(0)).contains("# Partition Information"))
+    val q = sql("SELECT id FROM gcat.db.parted WHERE seg = 'e'")
+    assert(q.count() == 200)
+    // the catalog read IS the vectorized path-face scan, partition-pruned
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "catalog read must plan as FileSourceScanExec")
+    assert(scans.head.relation.location.isInstanceOf[graft.sources.GraftFileIndex])
+    val files = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .flatMap(_.files)
+    assert(files.forall(_.getPath.toString.contains("seg=e")),
+      "partition filter must prune at the manifest file list")
+  }
+
+  test("SQL time travel: VERSION AS OF seq + snapshot id, TIMESTAMP AS OF") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    Seq(1, 2, 3).toDF("v").createOrReplaceTempView("tt_src")
+    sql("CREATE TABLE gcat.db.tt USING graft AS SELECT v FROM tt_src")
+    sql("INSERT INTO gcat.db.tt VALUES (4), (5)")
+    assert(sql("SELECT count(*) AS n FROM gcat.db.tt").collect().head.getLong(0) == 5)
+    assert(sql("SELECT count(*) FROM gcat.db.tt VERSION AS OF 0")
+      .collect().head.getLong(0) == 3)
+    // snapshot-id form of VERSION AS OF
+    val whDir = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    val snaps = Manifest.snapshots(spark, s"$whDir/db/tt")
+    assert(sql(s"SELECT count(*) FROM gcat.db.tt VERSION AS OF '${snaps.head}'")
+      .collect().head.getLong(0) == 3)
+    assert(sql("SELECT count(*) FROM gcat.db.tt TIMESTAMP AS OF '2099-01-01'")
+      .collect().head.getLong(0) == 5)
+    intercept[Exception](
+      sql("SELECT * FROM gcat.db.tt VERSION AS OF 999").collect())
+  }
+
+  test("row-level DML through catalog names: DELETE, UPDATE, MERGE") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.range(0, 100).toDF("id")
+      .withColumn("v", $"id".cast("double"))
+      .createOrReplaceTempView("dml_src")
+    sql("CREATE TABLE gcat.db.dml USING graft AS SELECT id, v FROM dml_src")
+    sql("DELETE FROM gcat.db.dml WHERE id >= 90")
+    assert(sql("SELECT count(*) FROM gcat.db.dml").collect().head.getLong(0) == 90)
+    sql("UPDATE gcat.db.dml SET v = v * 2 WHERE id < 10")
+    assert(sql("SELECT sum(v) FROM gcat.db.dml WHERE id < 10")
+      .collect().head.getDouble(0) == 90.0)
+    Seq((1L, 100.0), (200L, 1.0)).toDF("id", "nv")
+      .createOrReplaceTempView("dml_merge_src")
+    sql("""MERGE INTO gcat.db.dml t USING dml_merge_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)
+          |""".stripMargin)
+    assert(sql("SELECT v FROM gcat.db.dml WHERE id = 1")
+      .collect().head.getDouble(0) == 100.0)
+    assert(sql("SELECT count(*) FROM gcat.db.dml").collect().head.getLong(0) == 91)
+  }
+
+  test("LOCATION registers an existing path table; both faces see the same data") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val ext = java.nio.file.Files.createTempDirectory("graftext").toString
+    Manifest.write(Seq((1, "x"), (2, "y")).toDF("k", "s"), ext, "base")
+    sql(s"CREATE TABLE gcat.db.linked USING graft LOCATION '$ext'")
+    assert(sql("SELECT * FROM gcat.db.linked").count() == 2)
+    // a path-face write is immediately visible under the name
+    Manifest.append(Seq((3, "z")).toDF("k", "s"), ext, "more")
+    assert(sql("SELECT * FROM gcat.db.linked").count() == 3)
+    // registering a location with no committed table refuses loudly
+    val hollow = java.nio.file.Files.createTempDirectory("graftnone").toString
+    val e = intercept[Exception](
+      sql(s"CREATE TABLE gcat.db.hollow USING graft LOCATION '$hollow'"))
+    assert(e.getMessage.contains("no committed graft snapshot"))
+  }
+
+  test("DROP TABLE, rename, and the loud refusals") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.victim (x INT) USING graft")
+    assert(spark.catalog.tableExists("gcat.db.victim"))
+    sql("ALTER TABLE gcat.db.victim RENAME TO gcat.db.renamed")
+    assert(!spark.catalog.tableExists("gcat.db.victim"))
+    sql("DROP TABLE gcat.db.renamed")
+    assert(!spark.catalog.tableExists("gcat.db.renamed"))
+    intercept[Exception](sql("SELECT * FROM gcat.db.renamed"))
+    sql("CREATE TABLE gcat.db.alt (x INT) USING graft")
+    intercept[UnsupportedOperationException](
+      sql("ALTER TABLE gcat.db.alt ADD COLUMN y INT"))
+    // non-identity partition transform refused
+    intercept[Exception](sql(
+      "CREATE TABLE gcat.db.bucketed (x INT, b INT) USING graft " +
+        "PARTITIONED BY (bucket(4, b))"))
+    // path-escaping identifier refused
+    intercept[Exception](sql("CREATE NAMESPACE gcat.`..`"))
+  }
+}
