@@ -795,13 +795,52 @@ object IcebergExport {
     * filter and prune inside the frame and collect only the final scan
     * list, keeping driver state bounded by the query's selectivity
     * rather than the table's file count. */
+  /** A snapshot's manifest references as (path, content, sequence):
+    * the manifest-list when the snapshot has one — a missing `content`
+    * field reads as a DATA manifest and a missing `sequence_number` as
+    * 0, which is exactly the v1-upgrade rule the spec prescribes — else
+    * the LEGACY v1 inline `manifests` array (all data manifests, seq
+    * 0). */
+  private def manifestRefs(fsys: FileSystem, snap: JValue,
+      dir: String): Seq[(String, Int, Long)] =
+    snap \ "manifest-list" match {
+      case JString(listPath) =>
+        // a v1 list schema has neither field; GenericRecord.get throws
+        // on unknown names, so presence routes through the Avro schema
+        def opt(r: GenericRecord, f: String): Option[AnyRef] =
+          if (r.getSchema.getField(f) == null) None else Option(r.get(f))
+        readAvroFile(fsys, new Path(listPath)).map { r =>
+          (r.get("manifest_path").toString,
+            opt(r, "content")
+              .map(_.asInstanceOf[Number].intValue()).getOrElse(0),
+            opt(r, "sequence_number")
+              .map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
+        }
+      case _ => snap \ "manifests" match {
+        case JArray(ms) => ms.collect { case JString(p) => (p, 0, 0L) }
+        case _ => throw new IllegalStateException(
+          s"iceberg snapshot under $dir has neither a manifest-list " +
+            "nor a legacy manifests array")
+      }
+    }
+
+  /** The metadata's schema list — `schemas` (v2, and late-v1 writers)
+    * or the LEGACY single `schema` object (early v1). */
+  private def schemasOf(meta: JValue, dir: String): List[JValue] =
+    meta \ "schemas" match {
+      case JArray(ss) => ss
+      case _ => meta \ "schema" match {
+        case s: JObject => List(s)
+        case _ => throw new IllegalStateException(
+          s"iceberg metadata under $dir carries neither a schemas " +
+            "array nor a legacy schema object")
+      }
+    }
+
   private def entriesDF(spark: SparkSession, fsys: FileSystem,
-      listPath: String, content: Int): Option[DataFrame] = {
-    val mfs = readAvroFile(fsys, new Path(listPath))
-      .filter(_.get("content") == content)
-      .map(r => (r.get("manifest_path").toString,
-        Option(r.get("sequence_number"))
-          .map(_.asInstanceOf[java.lang.Long].longValue()).getOrElse(0L)))
+      snap: JValue, dir: String, content: Int): Option[DataFrame] = {
+    val mfs = manifestRefs(fsys, snap, dir)
+      .filter(_._2 == content).map { case (p, _, s) => (p, s) }
     if (mfs.isEmpty) None
     else {
       // several manifest files per manifest-list is the NORMAL foreign
@@ -853,11 +892,14 @@ object IcebergExport {
   }
 
   /** The current table metadata JSON, resolved through version-hint.
-    * FOREIGN-table guard: only format-version 2 reads — a v1 tree's
-    * manifest Avro schemas lack the `content`/sequence-number fields
-    * this reader routes on (a silent empty read), and v3 adds features
-    * (deletion vectors, row lineage) it does not implement — both fail
-    * LOUDLY naming the version instead. */
+    * FOREIGN-table guard: format-version 1 and 2 read — v1 per the
+    * spec's upgrade rule (no sequence numbers: every manifest and entry
+    * reads at sequence 0; no delete content: every manifest is a data
+    * manifest; the shapes this reader routes on all tolerate the
+    * missing Avro fields, verified by ForeignIcebergSpec's
+    * hand-authored v1 tree). v3 adds features (deletion vectors, row
+    * lineage) it does not implement — fails LOUDLY naming the
+    * version. */
   def currentMetadata(spark: SparkSession, dir: String): JValue = {
     val (fsys, base) = fs(spark, dir)
     val md = metaDir(base)
@@ -865,10 +907,10 @@ object IcebergExport {
     val meta = JsonMethods.parse(
       readText(fsys, new Path(md, s"v$gen.metadata.json")))
     meta \ "format-version" match {
-      case JInt(v) if v == 2 =>
+      case JInt(v) if v == 1 || v == 2 =>
       case other => throw new UnsupportedOperationException(
         s"iceberg table under $dir declares format-version $other; this " +
-          "reader implements the v2 table spec only")
+          "reader implements the v1/v2 table specs only")
     }
     meta
   }
@@ -902,11 +944,10 @@ object IcebergExport {
       snapshotId: Option[Long]): Seq[(String, Long)] = {
     val (fsys, _) = fs(spark, dir)
     val meta = currentMetadata(spark, dir)
-    val JString(listPath) = snapJ(meta, dir, snapshotId) \ "manifest-list"
     // executor-side decode; collect = the scan's file list (inherent
     // for an unpruned read — it IS the plan; pruned reads go through
     // [[activeFilesPruned]], which filters before collecting)
-    entriesDF(spark, fsys, listPath, 0).toSeq.flatMap(
+    entriesDF(spark, fsys, snapJ(meta, dir, snapshotId), dir, 0).toSeq.flatMap(
       _.select(F.col("data_file.file_path"), F.col("_g_entry_seq"))
         .collect().map(r => r.getString(0) -> r.getLong(1)))
   }
@@ -921,8 +962,7 @@ object IcebergExport {
       snapshotId: Option[Long]): DeleteState = {
     val (fsys, _) = fs(spark, dir)
     val meta = currentMetadata(spark, dir)
-    val JString(listPath) = snapJ(meta, dir, snapshotId) \ "manifest-list"
-    entriesDF(spark, fsys, listPath, 1) match {
+    entriesDF(spark, fsys, snapJ(meta, dir, snapshotId), dir, 1) match {
       case None => DeleteState(Nil, Nil)
       case Some(e) =>
         val dfT = e.schema("data_file").dataType.asInstanceOf[StructType]
@@ -995,10 +1035,7 @@ object IcebergExport {
       (snap \ "schema-id" match { case JInt(i) => Some(i); case _ => None })
         .orElse(meta \ "current-schema-id" match {
           case JInt(i) => Some(i); case _ => None })
-    val schemas = meta \ "schemas" match {
-      case JArray(ss) => ss
-      case _ => throw new IllegalStateException("no schemas array")
-    }
+    val schemas = schemasOf(meta, dir)
     val schemaJ = wantSchemaId
       .flatMap(id => schemas.find(s => (s \ "schema-id") == JInt(id)))
       .orElse(schemas.headOption)
@@ -1018,8 +1055,12 @@ object IcebergExport {
     }
     val (loV, hiV) = (parseBound(typeName, lo), parseBound(typeName, hi))
 
+    // a foreign entry schema may OMIT the optional stats maps entirely;
+    // GenericRecord.get throws on unknown fields, so probe the schema
+    def optField(df: GenericRecord, f: String): Option[AnyRef] =
+      if (df.getSchema.getField(f) == null) None else Option(df.get(f))
     def boundOf(df: GenericRecord, mapField: String): Option[Any] =
-      Option(df.get(mapField)).flatMap {
+      optField(df, mapField).flatMap {
         case a: java.util.Collection[_] =>
           a.asScala.collectFirst {
             case r: GenericRecord if r.get("key") == fid.toInt =>
@@ -1030,7 +1071,7 @@ object IcebergExport {
         case _ => None
       }
     def countOf(df: GenericRecord, mapField: String): Option[Long] =
-      Option(df.get(mapField)).flatMap {
+      optField(df, mapField).flatMap {
         case a: java.util.Collection[_] =>
           a.asScala.collectFirst {
             case r: GenericRecord if r.get("key") == fid.toInt =>
@@ -1042,17 +1083,20 @@ object IcebergExport {
     // identity-PARTITION source? then each entry's partition record
     // holds the column's exact value — an equality-grade prune, tighter
     // than any bounds reasoning
-    val isPartitionSource =
+    val specFields: Option[List[JValue]] =
       meta \ "partition-specs" match {
-        case JArray(specs) => specs.headOption.exists(sp =>
+        case JArray(specs) => specs.headOption.flatMap(sp =>
           sp \ "fields" match {
-            case JArray(pfs) => pfs.exists(pf =>
-              pf \ "name" == JString(column) &&
-                pf \ "transform" == JString("identity"))
-            case _ => false
+            case JArray(pfs) => Some(pfs); case _ => None
           })
-        case _ => false
+        // legacy v1 shape: `partition-spec` is the field array directly
+        case _ => meta \ "partition-spec" match {
+          case JArray(pfs) => Some(pfs); case _ => None
+        }
       }
+    val isPartitionSource = specFields.exists(_.exists(pf =>
+      pf \ "name" == JString(column) &&
+        pf \ "transform" == JString("identity")))
     def partitionValueOf(df: GenericRecord): Option[Any] = {
       val part = df.get("partition").asInstanceOf[GenericRecord]
       if (part.getSchema.getField(column) == null) None
@@ -1063,16 +1107,15 @@ object IcebergExport {
       }
     }
 
-    val JString(listPath) = snap \ "manifest-list"
     typeName match {
       case "float" | "double" =>
         // IEEE bound bytes have no sound pure-SQL decode — the ONE kind
         // that still judges driver-side (state ∝ files for the duration
         // of the prune; disclosed)
-        readAvroFile(fsys, new Path(listPath))
-          .filter(_.get("content") == 0)
-          .flatMap { mf =>
-            readAvroFile(fsys, new Path(mf.get("manifest_path").toString))
+        manifestRefs(fsys, snap, dir)
+          .filter(_._2 == 0)
+          .flatMap { case (mfPath, _, _) =>
+            readAvroFile(fsys, new Path(mfPath))
               // same DELETED-entry (status=2) guard as [[entriesDF]] —
               // this branch bypasses the frame, so it filters here
               .filter(e => e.get("status") == null || e.get("status") != 2)
@@ -1097,7 +1140,7 @@ object IcebergExport {
       case _ =>
         // DISTRIBUTED prune: bounds decode + range test run inside the
         // entries frame; only surviving file paths are collected
-        val entries = entriesDF(spark, fsys, listPath, 0) match {
+        val entries = entriesDF(spark, fsys, snap, dir, 0) match {
           case Some(e) => e
           case None => return Nil
         }
@@ -1215,10 +1258,7 @@ object IcebergExport {
       (snap \ "schema-id" match { case JInt(i) => Some(i); case _ => None })
         .orElse(meta \ "current-schema-id" match {
           case JInt(i) => Some(i); case _ => None })
-    val schemas = meta \ "schemas" match {
-      case JArray(ss) => ss
-      case _ => throw new IllegalStateException("no schemas array")
-    }
+    val schemas = schemasOf(meta, dir)
     val schemaJ = wantSchemaId
       .flatMap(id => schemas.find(s => (s \ "schema-id") == JInt(id)))
       .orElse(schemas.headOption)

@@ -235,6 +235,148 @@ class ForeignIcebergSpec extends AnyFunSuite {
       Seq(s"$qual/posdel.parquet"))
   }
 
+  // ---- FORMAT-VERSION 1 (the long tail of real deployments) -------------
+
+  /** v1 manifest-entry schema: NO sequence_number, data_file carries
+    * the v1-required block_size_in_bytes and NO content field. */
+  private val v1EntrySchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":"long"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"block_size_in_bytes","type":"long"}
+      |]}}
+      |]}""".stripMargin)
+
+  /** v1 manifest-list schema: NO content, NO sequence numbers. */
+  private val v1ListSchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null}
+      |]}""".stripMargin)
+
+  private def v1Entry(status: Int, path: String, records: Long): GenericRecord = {
+    val df = new GenericData.Record(v1EntrySchema.getField("data_file").schema())
+    df.put("file_path", path)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", java.lang.Long.valueOf(records))
+    df.put("file_size_in_bytes", java.lang.Long.valueOf(10L))
+    df.put("block_size_in_bytes", java.lang.Long.valueOf(67108864L))
+    val e = new GenericData.Record(v1EntrySchema)
+    e.put("status", status)
+    e.put("snapshot_id", java.lang.Long.valueOf(3L))
+    e.put("data_file", df)
+    e
+  }
+
+  /** v1 metadata: format-version 1, LEGACY singular `schema` and
+    * `partition-spec`, no sequence numbers anywhere; the snapshot
+    * either points at a manifest-list or inlines a legacy `manifests`
+    * array. */
+  private def writeV1Metadata(dir: String, snapshotId: Long,
+      manifestsRef: String): Unit = {
+    val md = new java.io.File(dir, "metadata"); md.mkdirs()
+    val json =
+      s"""{
+         |  "format-version": 1,
+         |  "table-uuid": "99999999-8888-7777-6666-555555555555",
+         |  "location": "$dir",
+         |  "last-updated-ms": 1600000000000,
+         |  "last-column-id": 1,
+         |  "schema": {"type": "struct", "fields": [
+         |    {"id": 1, "name": "v", "required": false, "type": "int"}]},
+         |  "partition-spec": [],
+         |  "properties": {"write.format.default": "parquet"},
+         |  "current-snapshot-id": $snapshotId,
+         |  "snapshots": [{"snapshot-id": $snapshotId,
+         |    "timestamp-ms": 1600000000000,
+         |    $manifestsRef,
+         |    "summary": {"operation": "append"}}]
+         |}""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+      json.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+  }
+
+  test("format-version 1: manifest-list without content/sequence fields reads " +
+      "byte-identical; status=2 still excluded; stats prune fails open") {
+    val dir = tmpDir()
+    val qual = s"file:$dir"
+    landParquet((1 to 10).toDF("v"), dir, "a.parquet")
+    landParquet((11 to 20).toDF("v"), dir, "b.parquet")
+    landParquet((500 to 550).toDF("v"), dir, "gone.parquet")
+    writeAvro(s"$dir/m1.avro", v1EntrySchema, Seq(
+      v1Entry(1, s"$qual/a.parquet", 10)))
+    writeAvro(s"$dir/m2.avro", v1EntrySchema, Seq(
+      v1Entry(0, s"$qual/b.parquet", 10),
+      v1Entry(2, s"$qual/gone.parquet", 51)))
+    new java.io.File(dir, "metadata").mkdirs()
+    writeAvro(s"$dir/metadata/snap-3.avro", v1ListSchema, Seq({
+      val mf = new GenericData.Record(v1ListSchema)
+      mf.put("manifest_path", s"$qual/m1.avro")
+      mf.put("manifest_length", java.lang.Long.valueOf(
+        new java.io.File(s"$dir/m1.avro").length()))
+      mf.put("partition_spec_id", 0)
+      mf.put("added_snapshot_id", java.lang.Long.valueOf(3L))
+      mf
+    }, {
+      val mf = new GenericData.Record(v1ListSchema)
+      mf.put("manifest_path", s"$qual/m2.avro")
+      mf.put("manifest_length", java.lang.Long.valueOf(
+        new java.io.File(s"$dir/m2.avro").length()))
+      mf.put("partition_spec_id", 0)
+      mf.put("added_snapshot_id", java.lang.Long.valueOf(3L))
+      mf
+    }))
+    writeV1Metadata(dir, 3L,
+      s""""manifest-list": "$qual/metadata/snap-3.avro"""")
+
+    assert(IcebergExport.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      (1 to 20), "v1 read: byte-identical, DELETED entry excluded")
+    assert(IcebergExport.activeFiles(spark, dir).toSet ==
+      Set(s"$qual/a.parquet", s"$qual/b.parquet"))
+    assert(IcebergExport.activeDeleteFiles(spark, dir).isEmpty)
+    // no stats maps in the v1 entry schema: prune keeps both files
+    assert(IcebergExport.activeFilesPruned(spark, dir, "v", "15", "16").size == 2)
+    assert(IcebergExport.readPruned(spark, dir, "v", "15", "16")
+      .where("v BETWEEN 15 AND 16").count() == 2)
+  }
+
+  test("format-version 1: legacy inline `manifests` array (no manifest-list)") {
+    val dir = tmpDir()
+    val qual = s"file:$dir"
+    landParquet((1 to 7).toDF("v"), dir, "only.parquet")
+    writeAvro(s"$dir/m1.avro", v1EntrySchema, Seq(
+      v1Entry(1, s"$qual/only.parquet", 7)))
+    writeV1Metadata(dir, 5L, s""""manifests": ["$qual/m1.avro"]""")
+    assert(IcebergExport.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      (1 to 7))
+  }
+
+  test("format-version 3 still refuses loudly by name") {
+    val dir = tmpDir()
+    val md = new java.io.File(dir, "metadata"); md.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+      """{"format-version": 3, "table-uuid": "x"}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException](
+      IcebergExport.read(spark, dir))
+    assert(e.getMessage.contains("format-version") &&
+      e.getMessage.contains("3"))
+  }
+
   test("equality delete naming an unknown or missing field id fails loudly") {
     val dir = tmpDir()
     val qual = s"file:$dir"
