@@ -1067,10 +1067,14 @@ object DeltaLog {
     * collected. */
   def partitionPrunedFiles(spark: SparkSession, dir: String,
       equalTo: Map[String, String]): Seq[String] = {
+    // logical → PHYSICAL key translation: a column-mapped table's
+    // partitionValues are keyed by physical names
+    val schema = tableSchema(spark, dir, None)
     val cond = equalTo.foldLeft(F.lit(true)) { case (acc, (k, v)) =>
-      acc && (F.element_at(F.col("partitionValues"), k) === F.lit(v))
+      val phys = schema.find(_.name == k).map(physicalNameOf).getOrElse(k)
+      acc && (F.element_at(F.col("partitionValues"), phys) === F.lit(v))
     }
-    requireNoDv(activeAddsDF(spark, dir, None).where(cond)
+    requireNoDv(activeAddsDF(spark, dir, None, allowCm = true).where(cond)
       .select("path", "dvStorage").orderBy("path").collect(), 1, dir)
       .map(_.getString(0)).toSeq
   }
@@ -1081,10 +1085,10 @@ object DeltaLog {
   def readPartitionPruned(spark: SparkSession, dir: String,
       equalTo: Map[String, String]): DataFrame = {
     val files = partitionPrunedFiles(spark, dir, equalTo)
+    val schema = tableSchema(spark, dir)
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext
-        .emptyRDD[Row], tableSchema(spark, dir))
-    else Manifest.readFiles(spark, dir, files)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else mapToLogical(Manifest.readFiles(spark, dir, files), schema)
   }
 
   /** The table schema at `version` (default: latest) per the protocol's
@@ -1195,18 +1199,22 @@ object DeltaLog {
     * unknown column) fails OPEN via coalesce — keep the file. */
   def prunedFiles(spark: SparkSession, dir: String, column: String,
       lo: String, hi: String, version: Option[Long] = None): Seq[String] = {
-    val cn = column
-    val active = activeAddsDF(spark, dir, version)
-    val dtOpt = tableSchema(spark, dir, version)
-      .find(_.name == cn).map(_.dataType)
-    val keep: Column = dtOpt match {
+    val active = activeAddsDF(spark, dir, version, allowCm = true)
+    val fieldOpt = tableSchema(spark, dir, version).find(_.name == column)
+    val keep: Column = fieldOpt match {
       case None => F.lit(true) // not a table column: nothing to prune on
-      case Some(dt) =>
-        require(cn.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      case Some(field) =>
+        val dt = field.dataType
+        // a column-mapped table's stats keys are PHYSICAL names —
+        // translate the logical lookup (identity when unmapped)
+        val cn = physicalNameOf(field)
+        require(cn.matches("[A-Za-z_][A-Za-z0-9_-]*"),
           s"unprunable column name for a JSON-path lookup: '$cn'")
-        val minS = F.get_json_object(F.col("stats"), s"$$.minValues.$cn")
-        val maxS = F.get_json_object(F.col("stats"), s"$$.maxValues.$cn")
-        val nc = F.get_json_object(F.col("stats"), s"$$.nullCount.$cn")
+        // bracket JSON paths: sound for plain names AND the hyphenated
+        // `col-<uuid>` physical names id-mode mapping produces
+        val minS = F.get_json_object(F.col("stats"), s"$$['minValues']['$cn']")
+        val maxS = F.get_json_object(F.col("stats"), s"$$['maxValues']['$cn']")
+        val nc = F.get_json_object(F.col("stats"), s"$$['nullCount']['$cn']")
           .cast("long")
         val nr = F.get_json_object(F.col("stats"), "$.numRecords").cast("long")
         def cv(c: Column): Column = dt match {
@@ -1233,10 +1241,10 @@ object DeltaLog {
   def readPruned(spark: SparkSession, dir: String, column: String,
       lo: String, hi: String): DataFrame = {
     val files = prunedFiles(spark, dir, column, lo, hi)
+    val schema = tableSchema(spark, dir)
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext
-        .emptyRDD[Row], tableSchema(spark, dir))
-    else Manifest.readFiles(spark, dir, files)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else mapToLogical(Manifest.readFiles(spark, dir, files), schema)
   }
 
   /** Read the table THROUGH the exported delta log (latest version). */
@@ -1315,20 +1323,25 @@ object DeltaLog {
       else applyPositionDeletes(spark, dir, files, descs)
     // COLUMN MAPPING (foreign tables, mode name/id): the parquet files
     // carry PHYSICAL column names; the logical names live in the
-    // schemaString field metadata — resolve here, the one place a
-    // whole-row read makes the mapping total
-    val schema = tableSchema(spark, dir, vOpt)
-    val mapped = schema.fields.filter(
-      _.metadata.contains("delta.columnMapping.physicalName"))
-    if (mapped.isEmpty) raw
-    else raw.select(schema.fields.map { f =>
-      val phys =
-        if (f.metadata.contains("delta.columnMapping.physicalName"))
-          f.metadata.getString("delta.columnMapping.physicalName")
-        else f.name
-      F.col(s"`$phys`").as(f.name)
-    }: _*)
+    // schemaString field metadata — resolve on every whole-row surface
+    mapToLogical(raw, tableSchema(spark, dir, vOpt))
   }
+
+  /** A field's PHYSICAL name — the key its parquet columns, stats-JSON
+    * entries, and partitionValues use — per the columnMapping field
+    * metadata; the logical name itself when unmapped. */
+  private def physicalNameOf(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** physical → LOGICAL remap of a data read (identity when the schema
+    * carries no mapping). */
+  private def mapToLogical(raw: DataFrame, schema: StructType): DataFrame =
+    if (!schema.fields.exists(
+        _.metadata.contains("delta.columnMapping.physicalName"))) raw
+    else raw.select(schema.fields.map(f =>
+      F.col(s"`${physicalNameOf(f)}`").as(f.name)): _*)
 
   /** One add action's deletion-vector descriptor, with the file it
     * deletes from — the DRIVER-side unit of MOR state (positions stay

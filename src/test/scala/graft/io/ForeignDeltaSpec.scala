@@ -251,38 +251,45 @@ class ForeignDeltaSpec extends AnyFunSuite {
       s"corruption must surface loudly: ${ex.getMessage}")
   }
 
-  test("column-mapped tables read through physical names; other APIs refuse") {
+  test("column-mapped tables read through physical names; pruning translates " +
+      "logical lookups; raw physical surfaces still refuse") {
     import org.apache.spark.sql.types.{IntegerType, MetadataBuilder, StructField, StructType}
     val dir = tmpDir()
-    // the parquet file carries the PHYSICAL column name, as a
-    // mode=name writer produces
-    landParquet((1 to 5).toDF("col_9f8ab"), dir, "a.parquet")
+    // the parquet files carry PHYSICAL column names (id-mode shape,
+    // hyphenated), as foreign mapped writers produce; stats keys and
+    // partitionValues in the log are keyed by the same physical names
+    landParquet((1 to 5).toDF("col-9f8ab"), dir, "a.parquet")
+    landParquet((100 to 105).toDF("col-9f8ab"), dir, "b.parquet")
     val mb = new MetadataBuilder()
       .putLong("delta.columnMapping.id", 1L)
-      .putString("delta.columnMapping.physicalName", "col_9f8ab").build()
+      .putString("delta.columnMapping.physicalName", "col-9f8ab").build()
     val cmSchema = schemaJson(StructType(Seq(
       StructField("v", IntegerType, nullable = true, mb))))
     writeCommit(dir, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"foreign-5","format":{"provider":"parquet","options":{}},"schemaString":$cmSchema,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":5}}""",
-      """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"stats":"{\"numRecords\":5,\"minValues\":{\"col-9f8ab\":1},\"maxValues\":{\"col-9f8ab\":5},\"nullCount\":{\"col-9f8ab\":0}}"}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"stats":"{\"numRecords\":6,\"minValues\":{\"col-9f8ab\":100},\"maxValues\":{\"col-9f8ab\":105},\"nullCount\":{\"col-9f8ab\":0}}"}}"""))
     // the full-table read path maps physical → LOGICAL names
     import spark.implicits._
     val df = DeltaLog.read(spark, dir)
     assert(df.columns.toSeq == Seq("v"))
-    assert(df.as[Int].collect().sorted.toSeq == (1 to 5))
-    // every other surface refuses loudly: its stats keys / file lists /
-    // partitionValues carry physical names and would silently
-    // misresolve a logical lookup
-    val ex = intercept[UnsupportedOperationException] {
-      DeltaLog.prunedFiles(spark, dir, "v", "0", "3")
-    }
-    assert(ex.getMessage.contains("column mapping"))
+    assert(df.as[Int].collect().sorted.toSeq == ((1 to 5) ++ (100 to 105)))
+    // stats skipping translates the LOGICAL column to its physical
+    // stats key: the query [0,3] keeps only a.parquet
+    assert(DeltaLog.prunedFiles(spark, dir, "v", "0", "3") == Seq("a.parquet"))
+    val pruned = DeltaLog.readPruned(spark, dir, "v", "0", "3")
+    assert(pruned.columns.toSeq == Seq("v"))
+    assert(pruned.as[Int].collect().sorted.toSeq == (1 to 5))
+    // partition pruning translates keys likewise (unpartitioned here:
+    // a no-match prune returns empty WITH the logical schema)
+    assert(DeltaLog.readPartitionPruned(spark, dir, Map("v" -> "1"))
+      .columns.toSeq == Seq("v"))
+    // the RAW surfaces still refuse loudly: they return physical stats
+    // keys / partitionValues verbatim, which a logical caller would
+    // silently misresolve
     intercept[UnsupportedOperationException] {
       DeltaLog.activeFileStats(spark, dir)
-    }
-    intercept[UnsupportedOperationException] {
-      DeltaLog.partitionPrunedFiles(spark, dir, Map("v" -> "1"))
     }
   }
 
