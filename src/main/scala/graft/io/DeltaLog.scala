@@ -906,13 +906,15 @@ object DeltaLog {
     * and column mapping resolves on the full-table read path
     * ([[readVersion]]/[[read]]); v2 checkpoints (UUID-named manifest +
     * sidecars — the modern delta-spark writer default) reconstruct
-    * through [[readCheckpoint]] on every path. The stats/partition
-    * collectors still refuse DV/column-mapped tables per-action/
-    * per-table — their physical file lists and stats keys would
-    * misrepresent such a table. `timestampNtz` remains refused by
-    * name: its values would silently shift by the session zone. */
+    * through [[readCheckpoint]] on every path; `timestampNtz` columns
+    * read natively — the schemaString's `timestamp_ntz` parses to
+    * Spark's TimestampNTZType and the parquet TIMESTAMP
+    * (isAdjustedToUTC=false) logical type decodes zone-free on the
+    * vectorized path, so values cannot shift by session zone. The
+    * stats/partition collectors still refuse DV tables per-action —
+    * their physical file lists would misrepresent such a table. */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
 
   private def readGuards(spark: SparkSession, dir: String, ld: Path,
       vs: Seq[Long], target: Long, ckpt: Option[Long],

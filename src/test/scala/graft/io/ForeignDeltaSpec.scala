@@ -84,13 +84,13 @@ class ForeignDeltaSpec extends AnyFunSuite {
     val dir = tmpDir()
     landParquet((1 to 5).toDF("v"), dir, "a.parquet")
     writeCommit(dir, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"],"writerFeatures":["deletionVectors","timestampNtz"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","typeWidening"],"writerFeatures":["deletionVectors","typeWidening"]}}""",
       s"""{"metaData":{"id":"foreign-2","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{},"createdTime":5}}""",
       """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
     val ex = intercept[UnsupportedOperationException] {
       DeltaLog.read(spark, dir)
     }
-    assert(ex.getMessage.contains("timestampNtz"))
+    assert(ex.getMessage.contains("typeWidening"))
     // deletionVectors alone is IMPLEMENTED: a features table declaring
     // only it reads fine
     val dir2 = tmpDir()
@@ -111,7 +111,7 @@ class ForeignDeltaSpec extends AnyFunSuite {
       """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
     writeCommit(dir, 1L, Seq(
       """{"commitInfo":{"timestamp":9,"operation":"UPGRADE PROTOCOL","operationParameters":{}}}""",
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}"""))
     intercept[UnsupportedOperationException] { DeltaLog.read(spark, dir) }
     // the pre-upgrade version still reads (guards resolve AT the target)
     assert(DeltaLog.readVersion(spark, dir, 0L).count() == 5)
@@ -291,6 +291,45 @@ class ForeignDeltaSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] {
       DeltaLog.activeFileStats(spark, dir)
     }
+  }
+
+  test("timestampNtz tables read zone-free with the declared NTZ type") {
+    import org.apache.spark.sql.types.{StructType, TimestampNTZType}
+    val dir = tmpDir()
+    // values that WOULD shift if anything resolved them through a zone:
+    // wall-clock instants around a DST boundary, written as parquet
+    // TIMESTAMP(isAdjustedToUTC=false)
+    val df = spark.sql(
+      """SELECT timestamp_ntz'2024-03-31 01:30:00' AS ts, 1 AS v
+        |UNION ALL
+        |SELECT timestamp_ntz'2024-03-31 03:30:00', 2""".stripMargin)
+    assert(df.schema("ts").dataType == TimestampNTZType)
+    landParquet(df, dir, "a.parquet")
+    val ntzSchema = schemaJson(StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", TimestampNTZType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.IntegerType))))
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      s"""{"metaData":{"id":"foreign-ntz","format":{"provider":"parquet","options":{}},"schemaString":$ntzSchema,"partitionColumns":[],"configuration":{},"createdTime":7}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaLog.read(spark, dir)
+    assert(got.schema("ts").dataType == TimestampNTZType)
+    assert(got.orderBy("v").select("ts").collect()
+      .map(_.getAs[java.time.LocalDateTime](0).toString).toSeq ==
+      Seq("2024-03-31T01:30", "2024-03-31T03:30"),
+      "NTZ wall-clock values must read back unshifted")
+    assert(DeltaLog.tableSchema(spark, dir)("ts").dataType == TimestampNTZType)
+    // an UNKNOWN feature alongside it still refuses by name
+    val dir2 = tmpDir()
+    landParquet(df, dir2, "a.parquet")
+    writeCommit(dir2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","typeWidening"]}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":$ntzSchema,"partitionColumns":[],"configuration":{},"createdTime":7}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    val ex = intercept[UnsupportedOperationException](
+      DeltaLog.read(spark, dir2).count())
+    assert(ex.getMessage.contains("typeWidening"))
   }
 
   // ---- hand-authored V2 CHECKPOINTS (the modern delta-spark writer
