@@ -105,4 +105,36 @@ class ObjectStoreGraftSourceSpec extends AnyFunSuite {
         t._2.contains("/manifest-")).forall(!_._3),
       "a sink commit renamed onto an existing key")
   }
+
+  test("the V2 catalog runs end-to-end over the object store: DDL sidecar " +
+      "PUT-at-close, CAS commits, time travel, DML") {
+    ObjectStoreFS.reset()
+    val wh = s"s3mock:${Files.createTempDirectory("s3mock-cat")}/wh"
+    spark.conf.set("spark.sql.catalog.oscat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.oscat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE oscat.db")
+    spark.range(0, 300).toDF("id")
+      .withColumn("seg", org.apache.spark.sql.functions.expr(
+        "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END"))
+      .createOrReplaceTempView("oscat_src")
+    spark.sql("CREATE TABLE oscat.db.t USING graft PARTITIONED BY (seg) " +
+      "AS SELECT id, seg FROM oscat_src")
+    spark.sql("INSERT INTO oscat.db.t SELECT -id, seg FROM oscat_src " +
+      "WHERE id % 10 = 0")
+    spark.sql("DELETE FROM oscat.db.t WHERE id >= 200")
+    assert(spark.sql("SELECT count(*) FROM oscat.db.t")
+      .collect().head.getLong(0) == 200 + 30)
+    assert(spark.sql("SELECT count(*) FROM oscat.db.t VERSION AS OF 0")
+      .collect().head.getLong(0) == 300)
+    assert(spark.sql("SHOW TABLES IN oscat.db").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+    // every manifest commit (CTAS, INSERT, DML rewrite) was a CAS rename
+    // onto a fresh key
+    val commits = ObjectStoreFS.renames.asScala
+      .filter(_._2.contains("/manifest-")).toSeq
+    assert(commits.size == 3 && commits.forall(!_._3),
+      s"catalog commits must be fresh-key CAS renames: $commits")
+    spark.sql("DROP TABLE oscat.db.t")
+    assert(!spark.catalog.tableExists("oscat.db.t"))
+  }
 }
