@@ -128,13 +128,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     loadTable(ident, Map.empty[String, String])
 
-  /** SQL `VERSION AS OF v` — a commit_seq, or a snapshot id (the two
-    * name spaces cannot collide: seqs are numeric, ids are free text
-    * and resolving a numeric string tries the seq first). */
-  override def loadTable(ident: Identifier, version: String): Table =
+  /** SQL `VERSION AS OF v` — a commit_seq, or a snapshot id. An
+    * all-digit string resolves as a commit_seq when one with that
+    * number is retained, else falls back to a snapshot NAMED by the
+    * digits (a metadata-scale peek: one manifest-key LIST); anything
+    * non-numeric is a snapshot id. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val numericSeq = version.nonEmpty && version.forall(_.isDigit) && {
+      val p = identPath(ident)
+      val dir = GraftTableMeta.read(fsys, p).flatMap(_.location)
+        .getOrElse(p.toString)
+      Manifest.history(spark, dir).exists(_.seq.toString == version)
+    }
     loadTable(ident,
-      if (version.forall(_.isDigit)) Map("versionasof" -> version)
+      if (numericSeq) Map("versionasof" -> version)
       else Map("snapshotasof" -> version))
+  }
 
   /** SQL `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =

@@ -4,7 +4,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -65,7 +65,15 @@ object GraftCatalogReadRule extends Rule[LogicalPlan] {
   private def swap(r: DataSourceV2Relation): LogicalPlan = {
     val t = r.table.asInstanceOf[GraftCatalogTable]
     t.relation match {
-      case None => LocalRelation(r.output, Nil)
+      case None =>
+        // declared, zero commits: an empty V1 relation the DML rule
+        // still recognizes (DELETE/UPDATE no-op; MERGE = initial load)
+        val rel = new graft.sources.GraftEmptyRelation(
+          org.apache.spark.sql.SparkSession.active, t.dir,
+          org.apache.spark.sql.types.StructType(r.output.map(a =>
+            org.apache.spark.sql.types.StructField(
+              a.name, a.dataType, a.nullable))))
+        LogicalRelation(rel, r.output, None, false, None)
       case Some(rel) =>
         val attrs = rel.schema.fields.toSeq.map(f =>
           AttributeReference(f.name, f.dataType, f.nullable)())

@@ -805,15 +805,12 @@ object IcebergExport {
       dir: String): Seq[(String, Int, Long)] =
     snap \ "manifest-list" match {
       case JString(listPath) =>
-        // a v1 list schema has neither field; GenericRecord.get throws
-        // on unknown names, so presence routes through the Avro schema
-        def opt(r: GenericRecord, f: String): Option[AnyRef] =
-          if (r.getSchema.getField(f) == null) None else Option(r.get(f))
+        // a v1 list schema has neither field (see [[optField]])
         readAvroFile(fsys, new Path(listPath)).map { r =>
           (r.get("manifest_path").toString,
-            opt(r, "content")
+            optField(r, "content")
               .map(_.asInstanceOf[Number].intValue()).getOrElse(0),
-            opt(r, "sequence_number")
+            optField(r, "sequence_number")
               .map(_.asInstanceOf[Number].longValue()).getOrElse(0L))
         }
       case _ => snap \ "manifests" match {
@@ -823,6 +820,12 @@ object IcebergExport {
             "nor a legacy manifests array")
       }
     }
+
+  /** Optional Avro field access: a v1 record schema simply lacks the
+    * v2-only fields, and `GenericRecord.get` THROWS on unknown names —
+    * presence must route through the record's own schema. */
+  private def optField(r: GenericRecord, f: String): Option[AnyRef] =
+    if (r.getSchema.getField(f) == null) None else Option(r.get(f))
 
   /** The metadata's schema list — `schemas` (v2, and late-v1 writers)
     * or the LEGACY single `schema` object (early v1). */
@@ -1055,10 +1058,8 @@ object IcebergExport {
     }
     val (loV, hiV) = (parseBound(typeName, lo), parseBound(typeName, hi))
 
-    // a foreign entry schema may OMIT the optional stats maps entirely;
-    // GenericRecord.get throws on unknown fields, so probe the schema
-    def optField(df: GenericRecord, f: String): Option[AnyRef] =
-      if (df.getSchema.getField(f) == null) None else Option(df.get(f))
+    // a foreign entry schema may OMIT the optional stats maps entirely
+    // (see [[optField]])
     def boundOf(df: GenericRecord, mapField: String): Option[Any] =
       optField(df, mapField).flatMap {
         case a: java.util.Collection[_] =>

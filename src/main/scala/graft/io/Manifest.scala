@@ -432,7 +432,10 @@ object Manifest {
       val priors2 = if (tries == 0) priors else retained(fsys, base)
       val head = priors2.last
       if (tries > 0) {
-        val gone = cur.files.filterNot(head.files.toSet)
+        // the delete rows target the TOUCHED files by position — only
+        // those must survive the winner; a race against a rewrite of
+        // disjoint files (e.g. a COW delete elsewhere) rebases cleanly
+        val gone = touch.filterNot(head.files.toSet)
         if (gone.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"MOR delete '$snapshot' for $dir lost its race to a commit " +

@@ -64,29 +64,52 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     * else (a projection, a join, a non-graft relation) is left for
     * Spark's own (refusing) machinery. */
   private[sources] object GraftTableDir {
-    /** A projection that only renames/reorders/casts base columns —
-      * the shape [[graft.catalog.GraftCatalogReadRule]] wraps catalog
-      * reads in. Row identity is untouched, so DML through it stays
-      * DML on the underlying table. */
-    private def passThrough(e: Expression): Boolean = e match {
-      case _: AttributeReference => true
-      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-        passThrough(a.child)
-      case c: Cast => passThrough(c.child)
-      case _ => false
+    /** A projection is transparent for DML only when it is a TOTAL
+      * pass-through of the child relation: every child column appears
+      * exactly once, under its own name (case-insensitive), through at
+      * most aliases/casts — the shape
+      * [[graft.catalog.GraftCatalogReadRule]] wraps catalog reads in
+      * (reorder + declared-type cast). Row identity is untouched and
+      * no column is dropped or renamed, so DML through it stays DML on
+      * the underlying table. A SUBSET or RENAMING view must NOT match:
+      * its target.output would become the rewrite's column set, and a
+      * COW rewrite through it would silently drop or rename every
+      * other column of the touched files. */
+    private def baseAttr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+        baseAttr(al.child)
+      case c: Cast => baseAttr(c.child)
+      case _ => None
+    }
+
+    private def totalPassThrough(
+        p: org.apache.spark.sql.catalyst.plans.logical.Project): Boolean = {
+      val bases = p.projectList.map(baseAttr)
+      bases.forall(_.isDefined) &&
+        p.projectList.size == p.child.output.size &&
+        bases.flatten.map(_.exprId).distinct.size == p.child.output.size &&
+        p.projectList.zip(bases.flatten).forall { case (out, b) =>
+          out.name.equalsIgnoreCase(b.name)
+        }
     }
 
     def unapply(plan: LogicalPlan): Option[(String, String)] = plan match {
       case SubqueryAlias(_, child) => unapply(child)
       case v: View => unapply(v.child)
       case p: org.apache.spark.sql.catalyst.plans.logical.Project
-          if p.projectList.forall(passThrough) => unapply(p.child)
+          if totalPassThrough(p) => unapply(p.child)
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation => h.location match {
           case idx: GraftFileIndex => Some((idx.tableDir, idx.snapshotId))
           case _ => None
         }
         case g: GraftMorRelation => Some((g.tableDir, g.snapshotId))
+        // a declared-but-never-written catalog table: DML must resolve
+        // (DELETE/UPDATE no-op; MERGE's inserts become the first
+        // commit), not die with Spark's generic v2-only error. The
+        // empty-string snapshot is the "empty at analysis" sentinel.
+        case e: GraftEmptyRelation => Some((e.tableDir, ""))
         case _ => None
       }
       case _ => None
@@ -140,16 +163,30 @@ object GraftDmlRule extends Rule[LogicalPlan] {
 private[sources] object GraftDmlExec {
 
   /** Current head, asserted to still be the snapshot the statement
-    * resolved against. */
+    * resolved against. None = the statement resolved against a
+    * DECLARED-BUT-EMPTY table (pinned == "") and the table is still
+    * empty — DELETE/UPDATE no-op, MERGE starts from zero rows. */
   def headOrFail(spark: SparkSession, dir: String,
-      pinned: String): Manifest.ManifestData = {
-    val cur = Manifest.history(spark, dir).lastOption.getOrElse(
-      throw new IllegalStateException(s"graft DML: no committed snapshot under $dir"))
-    require(cur.snapshot == pinned,
-      s"graft DML: table under $dir moved since the statement was " +
-        s"analyzed (head '${cur.snapshot}', resolved against '$pinned') - " +
-        "re-run the statement")
-    cur
+      pinned: String): Option[Manifest.ManifestData] = {
+    val head = Manifest.history(spark, dir).lastOption
+    (head, pinned) match {
+      case (None, "") => None
+      case (Some(cur), "") =>
+        throw new IllegalStateException(
+          s"graft DML: table under $dir was empty when the statement was " +
+            s"analyzed but now has head '${cur.snapshot}' - re-run the " +
+            "statement")
+      case (None, p) =>
+        throw new IllegalStateException(
+          s"graft DML: table under $dir lost its snapshots since the " +
+            s"statement was analyzed (resolved against '$p')")
+      case (Some(cur), p) =>
+        require(cur.snapshot == p,
+          s"graft DML: table under $dir moved since the statement was " +
+            s"analyzed (head '${cur.snapshot}', resolved against '$p') - " +
+            "re-run the statement")
+        Some(cur)
+    }
   }
 
   /** COW file split for a condition: (touch, keep) where keep-files
@@ -267,6 +304,7 @@ case class GraftDeleteCommand(dir: String, pinned: String,
     Seq(target)
   override def run(spark: SparkSession): Seq[Row] = {
     val cur = GraftDmlExec.headOrFail(spark, dir, pinned)
+      .getOrElse(return Seq.empty) // still-empty table: nothing to delete
     val types = target.output.map(a => a.name -> a.dataType).toMap
     val (touch, keep) =
       GraftDmlExec.splitFiles(spark, dir, cur.files, cond, types)
@@ -293,6 +331,7 @@ case class GraftUpdateCommand(dir: String, pinned: String,
     Seq(target)
   override def run(spark: SparkSession): Seq[Row] = {
     val cur = GraftDmlExec.headOrFail(spark, dir, pinned)
+      .getOrElse(return Seq.empty) // still-empty table: nothing to update
     val types = target.output.map(a => a.name -> a.dataType).toMap
     val (touch, keep) = cond match {
       case Some(c) => GraftDmlExec.splitFiles(spark, dir, cur.files, c, types)
@@ -403,7 +442,7 @@ case class GraftMergeCommand(dir: String, pinned: String,
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val cur = GraftDmlExec.headOrFail(spark, dir, pinned)
+    val curOpt = GraftDmlExec.headOrFail(spark, dir, pinned)
     val attrs = target.output.collect { case a: AttributeReference => a }
     val tgt = Bridge.ofRows(spark, target)
       .withColumn("__graft_tid", F.monotonically_increasing_id())
@@ -413,17 +452,24 @@ case class GraftMergeCommand(dir: String, pinned: String,
     val joined = tgt.join(src, Bridge.columnOf(mergeCond), "full_outer")
     joined.persist()
     try {
-      val matched = joined.where(
+      val matchedRaw = joined.where(
         F.col("__graft_tm").isNotNull && F.col("__graft_sm").isNotNull)
       // SQL-standard cardinality rule: a target row matching more than
       // one source row makes the UPDATE/DELETE ambiguous - fail loudly
       // (silently applying "one of them" is how dimensions corrupt)
       if (matchedActions.nonEmpty &&
-          matched.groupBy("__graft_tid").count()
+          matchedRaw.groupBy("__graft_tid").count()
             .where(F.col("count") > 1).limit(1).count() > 0)
         throw new IllegalStateException(
           "graft MERGE: a target row matched multiple source rows; " +
             "deduplicate the source on the merge key first")
+      // with NO matched action, a multi-match is legal (the target row
+      // simply stays) - but the join still carries one row per PAIR, so
+      // the pass-through must dedupe on row identity or an insert-only
+      // merge would duplicate every multi-matched target row
+      val matched =
+        if (matchedActions.nonEmpty) matchedRaw
+        else matchedRaw.dropDuplicates("__graft_tid")
       val noSrc = joined.where(F.col("__graft_sm").isNull)
       val noTgt = joined.where(F.col("__graft_tm").isNull)
       val result =
@@ -431,8 +477,11 @@ case class GraftMergeCommand(dir: String, pinned: String,
           .unionByName(transformTargetRows(noSrc, attrs, notMatchedBySourceActions))
           .unionByName(insertRows(noTgt, attrs, notMatchedActions))
       GraftDmlExec.refuseEmptyResult(result, Nil, "MERGE")
+      // merging INTO a declared-but-empty table is the initial load:
+      // the full-outer join degenerates to the not-matched inserts and
+      // the commit is the table's first snapshot
       GraftDmlExec.commitRewrite(spark, dir, result,
-        cur.files, Nil, Nil)
+        curOpt.map(_.files).getOrElse(Nil), Nil, Nil)
     } finally joined.unpersist()
     Seq.empty
   }

@@ -537,9 +537,15 @@ private[sources] object GraftFilterTranslate {
   import org.apache.spark.sql.{sources => sf}
 
   def conjunction(filters: Array[SourceFilter]): Option[Column] =
-    filters.flatMap(translate).reduceOption(_ && _)
+    filters.flatMap(translate(_, strict = false)).reduceOption(_ && _)
 
-  def translate(f: SourceFilter): Option[Column] = f match {
+  /** `strict = false` (top-level conjuncts, And children) may WEAKEN:
+    * dropping an untranslatable half keeps a superset of the rows.
+    * `strict = true` (anywhere under Or/Not) must be EXACT: a weakened
+    * Or branch filters too little only until a Not above it flips that
+    * into filtering too much — so inside those contexts And translates
+    * all-or-nothing too. */
+  def translate(f: SourceFilter, strict: Boolean): Option[Column] = f match {
     case sf.EqualTo(a, v) => Some(F.col(a) === F.lit(v))
     case sf.EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
     case sf.GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
@@ -552,15 +558,33 @@ private[sources] object GraftFilterTranslate {
     case sf.StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
     case sf.StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
     case sf.StringContains(a, v) => Some(F.col(a).contains(v))
-    case sf.And(l, r) => (translate(l), translate(r)) match {
+    case sf.And(l, r) => (translate(l, strict), translate(r, strict)) match {
       case (Some(a), Some(b)) => Some(a && b)
-      case (one, other) => one.orElse(other) // the translatable half
+      case (one, other) =>
+        if (strict) None // under Or/Not a weakened And is UNSOUND
+        else one.orElse(other) // the translatable half: prunes less, never wrong
     }
     case sf.Or(l, r) =>
-      for (a <- translate(l); b <- translate(r)) yield a || b
-    case sf.Not(c) => translate(c).map(!_)
+      for (a <- translate(l, strict = true);
+           b <- translate(r, strict = true)) yield a || b
+    case sf.Not(c) => translate(c, strict = true).map(!_)
     case _ => None
   }
+}
+
+/**
+ * The read relation of a DECLARED-BUT-NEVER-WRITTEN catalog table: zero
+ * rows under the declared schema. A distinct type (not a bare
+ * LocalRelation) so [[GraftDmlRule]] can recognize the table and keep
+ * SQL DML well-defined on it — DELETE/UPDATE no-op, MERGE's inserts
+ * become the first commit.
+ */
+private[graft] class GraftEmptyRelation(spark: SparkSession,
+    val tableDir: String, override val schema: StructType)
+    extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def sizeInBytes: Long = 0L
+  override def buildScan(): RDD[Row] = spark.sparkContext.emptyRDD[Row]
 }
 
 /** SQL write plumbing shared by the analyzer rule and the relations. */

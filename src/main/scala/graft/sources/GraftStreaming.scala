@@ -179,7 +179,15 @@ class GraftSink(spark: SparkSession, dir: String,
     * "batch 3 already committed" can only ever mean THIS query's batch
     * 3. Direct library calls without a running query (no property set)
     * fall back to the table-scoped key — single-writer semantics the
-    * caller already owns. */
+    * caller already owns.
+    *
+    * Migration note (deliberate): checkpoints whose batches committed
+    * under the PRE-query-scoped key (`stream-b<id>`) are not consulted
+    * on replay — a batch that committed but did not reach the engine's
+    * commit log exactly at upgrade time would land twice. Consulting
+    * the legacy key would reintroduce the far worse failure this
+    * scoping fixed (a NEW query silently LOSING batches to an old
+    * query's ids); drain a stream before upgrading it. */
   private def snapshotId(batchId: Long): String = {
     val qid = Option(spark.sparkContext.getLocalProperty(
       org.apache.spark.sql.execution.streaming.runtime

@@ -145,6 +145,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no committed graft snapshot"))
   }
 
+  test("DML on a declared-but-empty table: DELETE/UPDATE no-op, MERGE is the initial load") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.fresh (k INT, v DOUBLE) USING graft")
+    // no commits yet: DELETE and UPDATE are well-defined no-ops
+    sql("DELETE FROM gcat.db.fresh WHERE k = 1")
+    sql("UPDATE gcat.db.fresh SET v = 0 WHERE k = 1")
+    assert(sql("SELECT * FROM gcat.db.fresh").count() == 0)
+    // MERGE INTO the empty table = the initial load
+    Seq((1, 1.5), (2, 2.5)).toDF("k", "nv")
+      .createOrReplaceTempView("fresh_src")
+    sql("""MERGE INTO gcat.db.fresh t USING fresh_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+          |""".stripMargin)
+    assert(sql("SELECT sum(v) FROM gcat.db.fresh").collect()
+      .head.getDouble(0) == 4.0)
+  }
+
+  test("VERSION AS OF resolves an all-digit snapshot NAME when no seq matches") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val whDir = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    sql("CREATE TABLE gcat.db.numsnap (v INT) USING graft")
+    graft.io.Manifest.write(Seq(1, 2, 3).toDF("v"),
+      s"$whDir/db/numsnap", "20260101") // snapshot NAMED by digits, seq 0
+    graft.io.Manifest.append(Seq(4).toDF("v"),
+      s"$whDir/db/numsnap", "later")
+    // seq takes precedence when one matches...
+    assert(sql("SELECT count(*) FROM gcat.db.numsnap VERSION AS OF 0")
+      .collect().head.getLong(0) == 3)
+    // ...and a non-seq digit string falls back to the snapshot id
+    assert(sql("SELECT count(*) FROM gcat.db.numsnap VERSION AS OF '20260101'")
+      .collect().head.getLong(0) == 3)
+  }
+
   test("DROP TABLE, rename, and the loud refusals") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.victim (x INT) USING graft")

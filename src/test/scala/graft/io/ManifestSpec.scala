@@ -238,6 +238,21 @@ class ManifestSpec extends AnyFunSuite {
         }
       })
     assert(Manifest.read(spark, dir).count() == 100 - 10 - 5 - 5 + 10)
+    // MOR delete racing a COW delete of DISJOINT files: only the MOR
+    // delete's TARGETED files must survive the winner — rebase, both apply
+    val dirD = tmpDir()
+    Manifest.write(spark.range(0, 1000).toDF("id")
+      .repartitionByRange(10, col("id")), dirD, "base")
+    var racedD = false
+    val resD = Manifest.deleteRangeMOR(spark, dirD, "id", "100", "149", "morD",
+      () => {
+        if (!racedD) {
+          racedD = true
+          Manifest.deleteRange(spark, dirD, "id", "800", "899", "cowD")
+        }
+      })
+    assert(resD.committed.contains("morD"))
+    assert(Manifest.read(spark, dirD).count() == 1000 - 100 - 50)
     // MOR delete racing a COMPACTION of its targets: positions would be
     // invalid against the re-packed files — a true conflict
     val dir2 = tmpDir()

@@ -183,6 +183,42 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(Manifest.snapshots(spark, dir) == Seq("base"))
   }
 
+  test("insert-only MERGE never duplicates multi-matched target rows") {
+    val dir = tmpDir()
+    Manifest.write(Seq((1, "a"), (2, "b")).toDF("k", "s"), dir, "base")
+    view(dir, "dml_io_t")
+    // k=1 matches TWO source rows; with no matched action that is legal
+    // SQL (the target row stays) - and it must stay ONCE
+    Seq((1, "x"), (1, "y"), (9, "z")).toDF("k", "s")
+      .createOrReplaceTempView("dml_io_s")
+    spark.sql(
+      """MERGE INTO dml_io_t t USING dml_io_s s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, s) VALUES (s.k, s.s)""".stripMargin)
+    val rows = spark.read.format("graft").load(dir)
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a"), (2, "b"), (9, "z")),
+      "multi-matched target rows must pass through exactly once")
+  }
+
+  test("DML through a SUBSET or RENAMING view is refused, not a silent column loss") {
+    val dir = tmpDir()
+    Manifest.write(Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("k", "s", "v"),
+      dir, "base")
+    val base = spark.read.format("graft").load(dir)
+    // subset view: target.output would drop columns s and v
+    base.select("k").createOrReplaceTempView("dml_subset_v")
+    intercept[Exception](spark.sql("DELETE FROM dml_subset_v WHERE k = 1"))
+    // renaming view: the rewrite would re-land column k as kk
+    base.select(base.col("k").as("kk"), base.col("s"), base.col("v"))
+      .createOrReplaceTempView("dml_rename_v")
+    intercept[Exception](spark.sql("DELETE FROM dml_rename_v WHERE kk = 1"))
+    // the table is intact after both refusals
+    assert(spark.read.format("graft").load(dir).count() == 2)
+    assert(spark.read.format("graft").load(dir).columns.toSeq ==
+      Seq("k", "s", "v"))
+    assert(Manifest.snapshots(spark, dir) == Seq("base"))
+  }
+
   test("DML through SQL coexists with concurrent-head verification") {
     val dir = tmpDir()
     Manifest.write((1 to 100).toDF("v"), dir, "base")
