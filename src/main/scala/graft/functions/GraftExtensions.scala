@@ -90,5 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // snapshot pin, same pruning) — and thereby onto the two rules
     // above for SQL INSERT/DML on named tables
     e.injectResolutionRule(_ => graft.catalog.GraftCatalogReadRule)
+    // merge-on-read READS swap onto the pinned snapshot's optimized
+    // library plan (vectorized scans + broadcast anti-join). An
+    // OPTIMIZER rule on purpose: analysis keeps the V1 relation
+    // visible for the DML/INSERT rules and for temp-view plans
+    e.injectOptimizerRule(_ => graft.sources.GraftMorVectorizeRule)
   }
 }

@@ -493,6 +493,17 @@ class GraftMorRelation(spark: SparkSession, dir: String,
     * coordinates (same contract as [[GraftFileIndex]]). */
   private[graft] def tableDir: String = dir
   private[graft] def snapshotId: String = m.snapshot
+  /** The pinned snapshot's OPTIMIZED read plan — what
+    * [[GraftMorVectorizeRule]] splices in for plain reads so the scan
+    * stays vectorized end-to-end (this relation's own `buildScan`
+    * remains the fallback for surfaces that require a V1 relation:
+    * INSERT via [[InsertableRelation]], the DML extractor). Optimized,
+    * not analyzed: the swap happens mid-optimization, after the
+    * hint-elimination and finish-analysis batches have already run —
+    * an analyzed subtree would smuggle a ResolvedHint past them. */
+  private[graft] def optimizedPlan
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    frame.queryExecution.optimizedPlan
   // every filter re-evaluates above the scan (sound by construction);
   // pushing a translated copy into the frame is a pure pruning win
   override def unhandledFilters(filters: Array[SourceFilter]): Array[SourceFilter] =

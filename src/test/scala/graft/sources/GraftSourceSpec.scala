@@ -173,6 +173,41 @@ class GraftSourceSpec extends AnyFunSuite {
         s"re-filter a full scan (pruned=$prunedRead, full=$fullRead)")
   }
 
+  test("MOR reads plan as VECTORIZED scans (no V1 row boundary); INSERT and DML " +
+      "targets keep the relation") {
+    val dir = tmpDir()
+    Manifest.write(spark.range(0, 200).toDF("id")
+      .repartitionByRange(2, col("id")), dir, "base")
+    Manifest.deleteRangeMOR(spark, dir, "id", "10", "19", "mor")
+    val q = spark.read.format("graft").load(dir).where("id < 100")
+    assert(q.count() == 90)
+    val plan = q.queryExecution.executedPlan
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collectLeaves() ++ p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collectLeaves()
+      }.flatten
+    assert(leaves(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      s"MOR read must plan as native file scans, got:\n$plan")
+    assert(!plan.toString.contains("GraftMorRelation"),
+      "the V1 row-boundary relation must not appear on a plain MOR read")
+    // the swap never captured a WRITE or DML surface (the view is
+    // snapshot-pinned, so re-register it after each commit):
+    def view(): Unit = spark.read.format("graft").load(dir)
+      .createOrReplaceTempView("morv_t")
+    view()
+    spark.sql("INSERT INTO morv_t VALUES (9999)")
+    assert(spark.read.format("graft").load(dir).count() == 191)
+    view()
+    spark.sql("DELETE FROM morv_t WHERE id = 9999")
+    assert(spark.read.format("graft").load(dir).count() == 190)
+    view()
+    spark.sql("UPDATE morv_t SET id = id + 5000 WHERE id >= 190")
+    assert(spark.read.format("graft").load(dir)
+      .where("id >= 5000").count() == 10)
+  }
+
   test("SQL path: temp view over the source answers like the library read") {
     val dir = tmpDir()
     Manifest.write((1 to 200).toDF("v"), dir, "s1")
