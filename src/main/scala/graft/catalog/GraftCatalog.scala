@@ -68,7 +68,8 @@ import graft.io.Manifest
  * cost Spark pays to resolve a name is one directory LIST — the
  * manifest protocol's own resolution cost.
  */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -229,6 +230,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(fsys.rename(from, to),
       s"graft catalog: rename $from -> $to failed")
   }
+
+  // ---- stored procedures (CALL <cat>.system.<proc>(...)) ------------------
+
+  /** A procedure argument naming a table of THIS catalog ("db.t" or
+    * "t" under a single namespace) → its manifest dir, through the
+    * same sidecar LOCATION redirect as table resolution. */
+  private[catalog] def resolveTableDir(name: String): String = {
+    val parts = name.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"graft catalog: malformed table name '$name'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val p = identPath(ident)
+    require(isTable(p), s"graft catalog: no table '$name' under $warehouse")
+    GraftTableMeta.read(fsys, p).flatMap(_.location).getOrElse(p.toString)
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"graft catalog: procedures live in the 'system' namespace " +
+        s"(got ${ident.namespace.mkString(".")})")
+    GraftProcedures.all(this).getOrElse(ident.name,
+      throw new UnsupportedOperationException(
+        s"graft catalog: no procedure '${ident.name}' " +
+          s"(available: ${GraftProcedures.all(this).keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq != Seq("system")) Array.empty
+    else GraftProcedures.all(this).keys.toSeq.sorted
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   // ---- namespaces --------------------------------------------------------
 

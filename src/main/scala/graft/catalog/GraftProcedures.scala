@@ -1,0 +1,131 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.io.{DeltaLog, IcebergExport, Manifest}
+import graft.sources.GraftSource
+
+/**
+ * SQL stored procedures for graft-table MAINTENANCE — the operator
+ * side of the reference's run-it-on-a-schedule model
+ * (reference README.md's deploy/maintain loop), reachable from pure
+ * SQL through the V2 catalog's `ProcedureCatalog` face:
+ *
+ * {{{
+ *   CALL graft.system.compact(table => 'db.t')
+ *   CALL graft.system.vacuum(table => 'db.t', keep_last => 3)
+ *   CALL graft.system.export_delta(table => 'db.t')
+ *   CALL graft.system.export_iceberg(table => 'db.t')
+ * }}}
+ *
+ * Each procedure resolves its `table` argument as a name in THIS
+ * catalog (the same warehouse mapping + LOCATION redirect as table
+ * resolution), runs the library maintenance call, and returns a
+ * one-row result (a driver-local scan — the outputs are counters and
+ * snapshot ids, metadata-scale by construction). Compaction picks the
+ * layout-preserving form automatically: a hive-partitioned snapshot
+ * compacts per partition value, everything else into
+ * size-targeted flat files.
+ */
+private[catalog] object GraftProcedures {
+
+  /** One-row driver-local result. */
+  private final class RowScan(schema: StructType, row: InternalRow)
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+  }
+
+  private def result(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(
+      new RowScan(schema,
+        InternalRow.fromSeq(values)): Scan).iterator()
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def inDefault(name: String, dt: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** A procedure over one graft table: shared unbound→bound plumbing;
+    * `run(dir, args)` gets the resolved table dir plus the aligned
+    * input row. */
+  private abstract class TableProcedure(cat: GraftCatalog,
+      procName: String, desc: String) extends UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    def params: Array[ProcedureParameter]
+    def outSchema: StructType
+    def run(spark: SparkSession, dir: String,
+        args: InternalRow): java.util.Iterator[Scan]
+
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = desc
+        override def parameters(): Array[ProcedureParameter] = params
+        override def isDeterministic: Boolean = false // commits state
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = SparkSession.active
+          val table = input.getUTF8String(0).toString
+          run(spark, cat.resolveTableDir(table), input)
+        }
+      }
+  }
+
+  def all(cat: GraftCatalog): Map[String, UnboundProcedure] = Map(
+    "compact" -> new TableProcedure(cat, "compact",
+      "compact the current snapshot (layout-preserving) into a new commit") {
+      override val params = Array(
+        in("table", StringType),
+        inDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString))
+      override val outSchema = new StructType()
+        .add("snapshot", StringType).add("files", LongType)
+      override def run(spark: SparkSession, dir: String,
+          args: InternalRow): java.util.Iterator[Scan] = {
+        val snap = s"compact${System.currentTimeMillis()}"
+        val partCols = GraftSource.uniformPartitionColsOf(spark, dir)
+        val files =
+          if (partCols.nonEmpty) Manifest.compactPartitioned(
+            spark, dir, snap, partCols)
+          else Manifest.compact(spark, dir, snap, args.getLong(1))
+        spark.catalog.refreshByPath(dir)
+        result(outSchema, UTF8String.fromString(snap), files)
+      }
+    },
+    "vacuum" -> new TableProcedure(cat, "vacuum",
+      "drop old snapshots past keep_last and reclaim unreferenced data") {
+      override val params = Array(
+        in("table", StringType),
+        inDefault("keep_last", IntegerType, "1"),
+        inDefault("orphan_grace_ms", LongType, "3600000"))
+      override val outSchema = new StructType().add("removed", LongType)
+      override def run(spark: SparkSession, dir: String,
+          args: InternalRow): java.util.Iterator[Scan] =
+        result(outSchema, Manifest.vacuum(spark, dir,
+          args.getInt(1), args.getLong(2)).size.toLong)
+    },
+    "export_delta" -> new TableProcedure(cat, "export_delta",
+      "export/refresh the table's Delta-protocol _delta_log") {
+      override val params = Array(in("table", StringType))
+      override val outSchema = new StructType()
+        .add("versions_exported", LongType)
+      override def run(spark: SparkSession, dir: String,
+          args: InternalRow): java.util.Iterator[Scan] =
+        result(outSchema, DeltaLog.exportLog(spark, dir).size.toLong)
+    },
+    "export_iceberg" -> new TableProcedure(cat, "export_iceberg",
+      "export/refresh the table's Iceberg-v2 metadata tree") {
+      override val params = Array(in("table", StringType))
+      override val outSchema = new StructType().add("generation", IntegerType)
+      override def run(spark: SparkSession, dir: String,
+          args: InternalRow): java.util.Iterator[Scan] =
+        result(outSchema, IcebergExport.exportTable(spark, dir))
+    })
+}

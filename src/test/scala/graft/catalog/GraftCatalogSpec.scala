@@ -179,6 +179,64 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 3)
   }
 
+  test("CALL procedures: compact, vacuum, export_delta, export_iceberg via SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val whDir = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    val dir = s"$whDir/db/maint"
+    // a fragmented history: 1 base + 3 appends = 4 commits, many files
+    Manifest.write(spark.range(0, 1000).toDF("id")
+      .repartition(8), dir, "base")
+    (1 to 3).foreach(i =>
+      Manifest.append(Seq(10000L + i).toDF("id"), dir, s"a$i"))
+    assert(Manifest.currentFiles(spark, dir).size >= 11)
+    // compact through SQL: one row back with the new snapshot's stats
+    val c = sql("CALL gcat.system.compact(table => 'db.maint')").collect()
+    assert(c.head.schema.fieldNames.toSeq == Seq("snapshot", "files"))
+    assert(sql("SELECT count(*) FROM gcat.db.maint")
+      .collect().head.getLong(0) == 1003)
+    assert(Manifest.currentFiles(spark, dir).size < 11)
+    // vacuum drops the pre-compaction snapshots
+    val v = sql("CALL gcat.system.vacuum(table => 'db.maint', " +
+      "keep_last => 1, orphan_grace_ms => 0)").collect()
+    assert(v.head.getLong(0) > 0, "vacuum must reclaim the old data dirs")
+    assert(Manifest.snapshots(spark, dir).size == 1)
+    // both lakehouse exports run and report
+    assert(sql("CALL gcat.system.export_delta(table => 'db.maint')")
+      .collect().head.getLong(0) >= 1)
+    assert(sql("CALL gcat.system.export_iceberg(table => 'db.maint')")
+      .collect().head.getInt(0) >= 1)
+    // the exported delta log reads back the compacted state
+    assert(graft.io.DeltaLog.read(spark, dir).count() == 1003)
+    // unknown procedure and missing table refuse loudly
+    val e1 = intercept[Exception](
+      sql("CALL gcat.system.frobnicate(table => 'db.maint')"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(e1).contains("frobnicate"),
+      "the unknown-procedure refusal must name the procedure")
+    val e2 = intercept[Exception](
+      sql("CALL gcat.system.compact(table => 'db.missing')").collect())
+    assert(e2.getMessage.contains("no table"))
+  }
+
+  test("CALL compact preserves a hive-partitioned layout") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val whDir = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    val dir = s"$whDir/db/pmaint"
+    Manifest.writePartitioned(
+      spark.range(0, 200).toDF("id")
+        .withColumn("k", org.apache.spark.sql.functions.expr("id % 2"))
+        .repartition(6),
+      dir, "base", Seq("k"))
+    Manifest.appendPartitioned(
+      Seq((9999L, 0L)).toDF("id", "k"), dir, "a1", Seq("k"))
+    sql("CALL gcat.system.compact(table => 'db.pmaint')")
+    assert(Manifest.currentFiles(spark, dir).forall(_.contains("k=")),
+      "compaction must keep the hive layout")
+    assert(sql("SELECT count(*) FROM gcat.db.pmaint WHERE k = 0")
+      .collect().head.getLong(0) == 101)
+  }
+
   test("DROP TABLE, rename, and the loud refusals") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.victim (x INT) USING graft")
