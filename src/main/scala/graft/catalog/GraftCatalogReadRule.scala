@@ -59,6 +59,29 @@ object GraftCatalogReadRule extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftCatalogTable]
           && !insertTargets.contains(r) =>
         swap(r)
+      // `spark.readStream.table("cat.db.t")`: route the V2 streaming
+      // relation onto the SAME V1 stream source a path read uses (the
+      // commit-seq-offset GraftStreamSource), under the resolved
+      // output ids; reader options (skipChangeCommits,
+      // maxCommitsPerTrigger) pass through
+      case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if s.table.isInstanceOf[GraftCatalogTable] =>
+        val t = s.table.asInstanceOf[GraftCatalogTable]
+        import scala.collection.JavaConverters._
+        val opts = s.extraOptions.asScala.toMap + ("path" -> t.dir)
+        val v1 = org.apache.spark.sql.graftbridge.Bridge.v1StreamingRelation(
+          org.apache.spark.sql.SparkSession.active, "graft", opts)
+        val byName = v1.output
+          .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
+        Project(s.output.map { o =>
+          val src = byName.getOrElse(o.name.toLowerCase(Locale.ROOT),
+            throw new IllegalStateException(
+              s"graft catalog stream: column '${o.name}' of ${t.name()} " +
+                "is missing from the stream source schema"))
+          val e = if (src.dataType == o.dataType) src
+            else Cast(src, o.dataType, Some(conf.sessionLocalTimeZone))
+          Alias(e, o.name)(exprId = o.exprId)
+        }, v1)
     }
   }
 

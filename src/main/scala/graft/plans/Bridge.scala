@@ -24,6 +24,17 @@ object Bridge {
       : org.apache.spark.sql.Column =
     new org.apache.spark.sql.Column(classic.ExpressionColumnNode(e))
 
+  /** A V1 `StreamingRelation` over a registered stream provider — the
+    * plan node `spark.readStream.format(fmt)...load()` produces, built
+    * directly so a resolution rule can route `readStream.table(name)`
+    * onto the same V1 source a path read uses. */
+  def v1StreamingRelation(spark: SparkSession, format: String,
+      options: Map[String, String]): LogicalPlan =
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+      org.apache.spark.sql.execution.datasources.DataSource(
+        spark.asInstanceOf[classic.SparkSession],
+        className = format, options = options))
+
   /** Wrap an InternalRow RDD as a frame with an explicit isStreaming
     * flag — what a V1 streaming Source must return from `getBatch`
     * (isStreaming = true), and what a V1 Sink needs to RE-wrap the

@@ -237,6 +237,40 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 101)
   }
 
+  test("readStream.table streams a catalog table by NAME (commit-seq offsets)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val whDir = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    Seq(1, 2, 3).toDF("v").createOrReplaceTempView("st_src")
+    sql("CREATE TABLE gcat.db.streamed USING graft AS SELECT v FROM st_src")
+    val out = java.nio.file.Files.createTempDirectory("gcatstream").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("gcatstream-ckpt").toString
+    def drain(): Unit =
+      spark.readStream.table("gcat.db.streamed")
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // new commits stream incrementally; SQL INSERT feeds the stream
+    sql("INSERT INTO gcat.db.streamed VALUES (4), (5)")
+    drain()
+    assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq == (1 to 5))
+    // a maintenance rewrite mid-stream: skipChangeCommits passes through
+    sql("CALL gcat.system.compact(table => 'db.streamed')")
+    sql("INSERT INTO gcat.db.streamed VALUES (6)")
+    def drainSkip(): Unit =
+      spark.readStream.option("skipChangeCommits", "true")
+        .table("gcat.db.streamed")
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    drainSkip()
+    assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq == (1 to 6),
+      "compaction skipped, append served once")
+  }
+
   test("DROP TABLE, rename, and the loud refusals") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.victim (x INT) USING graft")
