@@ -233,33 +233,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- stored procedures (CALL <cat>.system.<proc>(...)) ------------------
 
-  /** A procedure argument naming a table of THIS catalog ("db.t" or
-    * "t" under a single namespace) → its manifest dir, through the
-    * same sidecar LOCATION redirect as table resolution. */
-  private[catalog] def resolveTableDir(name: String): String = {
-    val parts = name.split('.').toSeq
-    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+  /** A procedure argument naming a table of THIS catalog ("db.t",
+    * "<catalog>.db.t" — the fully-qualified form users write
+    * everywhere else normalizes like [[renameTable]]'s — or "t" under
+    * a single namespace) → its manifest dir plus the sidecar's declared
+    * partition columns, through the same LOCATION redirect as table
+    * resolution. */
+  private[catalog] def resolveTable(name: String): (String, Seq[String]) = {
+    require(name != null && name.nonEmpty,
+      "graft catalog: the procedure's table argument must be a " +
+        "non-null table name")
+    val raw = name.split('.').toSeq
+    require(raw.forall(_.nonEmpty),
       s"graft catalog: malformed table name '$name'")
+    val parts =
+      if (raw.size > 1 && raw.head == catalogName) raw.tail else raw
     val ident = Identifier.of(parts.init.toArray, parts.last)
     val p = identPath(ident)
     require(isTable(p), s"graft catalog: no table '$name' under $warehouse")
-    GraftTableMeta.read(fsys, p).flatMap(_.location).getOrElse(p.toString)
+    val meta = GraftTableMeta.read(fsys, p)
+    (meta.flatMap(_.location).getOrElse(p.toString),
+      meta.map(_.partitionCols).getOrElse(Nil))
   }
+
+  private lazy val procedures = GraftProcedures.all(this)
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.toSeq == Seq("system"),
       s"graft catalog: procedures live in the 'system' namespace " +
         s"(got ${ident.namespace.mkString(".")})")
-    GraftProcedures.all(this).getOrElse(ident.name,
+    procedures.getOrElse(ident.name,
       throw new UnsupportedOperationException(
         s"graft catalog: no procedure '${ident.name}' " +
-          s"(available: ${GraftProcedures.all(this).keys.toSeq.sorted.mkString(", ")})"))
+          s"(available: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq != Seq("system")) Array.empty
-    else GraftProcedures.all(this).keys.toSeq.sorted
+    else procedures.keys.toSeq.sorted
       .map(n => Identifier.of(Array("system"), n)).toArray
 
   // ---- namespaces --------------------------------------------------------

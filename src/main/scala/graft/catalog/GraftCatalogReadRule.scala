@@ -1,10 +1,8 @@
 package graft.catalog
 
-import java.util.Locale
-
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -69,19 +67,15 @@ object GraftCatalogReadRule extends Rule[LogicalPlan] {
         val t = s.table.asInstanceOf[GraftCatalogTable]
         import scala.collection.JavaConverters._
         val opts = s.extraOptions.asScala.toMap + ("path" -> t.dir)
+        // the DECLARED schema rides along so a declared-but-unwritten
+        // table streams from creation (the CDC flow): the source idles
+        // on empty history instead of failing schema resolution
         val v1 = org.apache.spark.sql.graftbridge.Bridge.v1StreamingRelation(
-          org.apache.spark.sql.SparkSession.active, "graft", opts)
-        val byName = v1.output
-          .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
-        Project(s.output.map { o =>
-          val src = byName.getOrElse(o.name.toLowerCase(Locale.ROOT),
-            throw new IllegalStateException(
-              s"graft catalog stream: column '${o.name}' of ${t.name()} " +
-                "is missing from the stream source schema"))
-          val e = if (src.dataType == o.dataType) src
-            else Cast(src, o.dataType, Some(conf.sessionLocalTimeZone))
-          Alias(e, o.name)(exprId = o.exprId)
-        }, v1)
+          org.apache.spark.sql.SparkSession.active, "graft", opts,
+          Some(t.schema))
+        graft.plans.OutputAlign.project(s.output, v1,
+          Some(conf.sessionLocalTimeZone),
+          s"graft catalog stream over ${t.name()}")
     }
   }
 
@@ -101,21 +95,11 @@ object GraftCatalogReadRule extends Rule[LogicalPlan] {
         val attrs = rel.schema.fields.toSeq.map(f =>
           AttributeReference(f.name, f.dataType, f.nullable)())
         val lr = LogicalRelation(rel, attrs, None, false, None)
-        val byName = attrs.map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
         // pass-through project: reorders the V1 schema (HadoopFsRelation
         // moves partition columns last) back to the DECLARED column order
         // under the V2 relation's own expression ids
-        val projectList: Seq[NamedExpression] = r.output.map { o =>
-          val src = byName.getOrElse(o.name.toLowerCase(Locale.ROOT),
-            throw new IllegalStateException(
-              s"graft catalog: declared column '${o.name}' of ${t.name()} " +
-                s"is missing from the committed data (data columns: " +
-                s"${attrs.map(_.name).mkString(", ")})"))
-          val e = if (src.dataType == o.dataType) src
-            else Cast(src, o.dataType, Some(conf.sessionLocalTimeZone))
-          Alias(e, o.name)(exprId = o.exprId)
-        }
-        Project(projectList, lr)
+        graft.plans.OutputAlign.project(r.output, lr,
+          Some(conf.sessionLocalTimeZone), s"graft catalog: ${t.name()}")
     }
   }
 }

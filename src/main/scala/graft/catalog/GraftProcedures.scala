@@ -54,15 +54,15 @@ private[catalog] object GraftProcedures {
     ProcedureParameter.in(name, dt).defaultValue(default).build()
 
   /** A procedure over one graft table: shared unbound→bound plumbing;
-    * `run(dir, args)` gets the resolved table dir plus the aligned
-    * input row. */
+    * `run(dir, declaredPartCols, args)` gets the resolved table dir,
+    * the sidecar's declared partitioning, and the aligned input row. */
   private abstract class TableProcedure(cat: GraftCatalog,
       procName: String, desc: String) extends UnboundProcedure {
     override def name(): String = procName
     override def description(): String = desc
     def params: Array[ProcedureParameter]
     def outSchema: StructType
-    def run(spark: SparkSession, dir: String,
+    def run(spark: SparkSession, dir: String, declaredPartCols: Seq[String],
         args: InternalRow): java.util.Iterator[Scan]
 
     override def bind(inputType: StructType): BoundProcedure =
@@ -73,8 +73,11 @@ private[catalog] object GraftProcedures {
         override def isDeterministic: Boolean = false // commits state
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val spark = SparkSession.active
+          require(!input.isNullAt(0),
+            s"graft catalog: CALL $procName needs a non-null table argument")
           val table = input.getUTF8String(0).toString
-          run(spark, cat.resolveTableDir(table), input)
+          val (dir, declared) = cat.resolveTable(table)
+          run(spark, dir, declared, input)
         }
       }
   }
@@ -82,19 +85,36 @@ private[catalog] object GraftProcedures {
   def all(cat: GraftCatalog): Map[String, UnboundProcedure] = Map(
     "compact" -> new TableProcedure(cat, "compact",
       "compact the current snapshot (layout-preserving) into a new commit") {
+      // -1 = "unset": a partitioned compaction writes one file per
+      // partition value and has no size knob, so an EXPLICIT target on
+      // that layout refuses loudly instead of being silently ignored
       override val params = Array(
         in("table", StringType),
-        inDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString))
+        inDefault("target_file_bytes", LongType, "-1"))
       override val outSchema = new StructType()
         .add("snapshot", StringType).add("files", LongType)
       override def run(spark: SparkSession, dir: String,
+          declaredPartCols: Seq[String],
           args: InternalRow): java.util.Iterator[Scan] = {
         val snap = s"compact${System.currentTimeMillis()}"
-        val partCols = GraftSource.uniformPartitionColsOf(spark, dir)
+        val target = args.getLong(1)
+        require(target == -1L || target > 0,
+          s"graft catalog: target_file_bytes must be positive, got $target")
+        // DECLARED partitioning wins (a mixed-layout snapshot — e.g. a
+        // path append without partitionBy — must compact BACK to the
+        // declared layout, repairing the demotion, never finalizing it)
+        val partCols =
+          if (declaredPartCols.nonEmpty) declaredPartCols
+          else GraftSource.uniformPartitionColsOf(spark, dir)
         val files =
-          if (partCols.nonEmpty) Manifest.compactPartitioned(
-            spark, dir, snap, partCols)
-          else Manifest.compact(spark, dir, snap, args.getLong(1))
+          if (partCols.nonEmpty) {
+            require(target == -1L,
+              "graft catalog: compact on a hive-partitioned table writes " +
+                "one file per partition value; target_file_bytes is not " +
+                "configurable on this layout")
+            Manifest.compactPartitioned(spark, dir, snap, partCols)
+          } else Manifest.compact(spark, dir, snap,
+            if (target == -1L) 128L * 1024 * 1024 else target)
         spark.catalog.refreshByPath(dir)
         result(outSchema, UTF8String.fromString(snap), files)
       }
@@ -107,6 +127,7 @@ private[catalog] object GraftProcedures {
         inDefault("orphan_grace_ms", LongType, "3600000"))
       override val outSchema = new StructType().add("removed", LongType)
       override def run(spark: SparkSession, dir: String,
+          declaredPartCols: Seq[String],
           args: InternalRow): java.util.Iterator[Scan] =
         result(outSchema, Manifest.vacuum(spark, dir,
           args.getInt(1), args.getLong(2)).size.toLong)
@@ -117,6 +138,7 @@ private[catalog] object GraftProcedures {
       override val outSchema = new StructType()
         .add("versions_exported", LongType)
       override def run(spark: SparkSession, dir: String,
+          declaredPartCols: Seq[String],
           args: InternalRow): java.util.Iterator[Scan] =
         result(outSchema, DeltaLog.exportLog(spark, dir).size.toLong)
     },
@@ -125,6 +147,7 @@ private[catalog] object GraftProcedures {
       override val params = Array(in("table", StringType))
       override val outSchema = new StructType().add("generation", IntegerType)
       override def run(spark: SparkSession, dir: String,
+          declaredPartCols: Seq[String],
           args: InternalRow): java.util.Iterator[Scan] =
         result(outSchema, IcebergExport.exportTable(spark, dir))
     })

@@ -29,11 +29,14 @@ object Bridge {
     * directly so a resolution rule can route `readStream.table(name)`
     * onto the same V1 source a path read uses. */
   def v1StreamingRelation(spark: SparkSession, format: String,
-      options: Map[String, String]): LogicalPlan =
+      options: Map[String, String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : LogicalPlan =
     org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
       org.apache.spark.sql.execution.datasources.DataSource(
         spark.asInstanceOf[classic.SparkSession],
-        className = format, options = options))
+        className = format, options = options,
+        userSpecifiedSchema = schema))
 
   /** Wrap an InternalRow RDD as a frame with an explicit isStreaming
     * flag — what a V1 streaming Source must return from `getBatch`

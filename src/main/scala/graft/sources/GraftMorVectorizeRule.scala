@@ -1,9 +1,6 @@
 package graft.sources
 
-import java.util.Locale
-
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -38,16 +35,8 @@ object GraftMorVectorizeRule extends Rule[LogicalPlan] {
     plan.transformUp {
       case lr: LogicalRelation
           if lr.relation.isInstanceOf[GraftMorRelation] && !lr.isStreaming =>
-        val child = lr.relation.asInstanceOf[GraftMorRelation].optimizedPlan
-        val byName = child.output
-          .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
-        val projectList: Seq[NamedExpression] = lr.output.map { o =>
-          val src = byName.getOrElse(o.name.toLowerCase(Locale.ROOT),
-            throw new IllegalStateException(
-              s"graft MOR read: column '${o.name}' missing from the " +
-                s"snapshot plan (has: ${child.output.map(_.name).mkString(", ")})"))
-          Alias(src, o.name)(exprId = o.exprId)
-        }
-        Project(projectList, child)
+        graft.plans.OutputAlign.project(lr.output,
+          lr.relation.asInstanceOf[GraftMorRelation].optimizedPlan,
+          Some(conf.sessionLocalTimeZone), "graft MOR read")
     }
 }

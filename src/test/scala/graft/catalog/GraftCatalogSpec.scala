@@ -219,6 +219,54 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no table"))
   }
 
+  test("CALL compact repairs a mixed layout to the DECLARED partitioning; " +
+      "qualified names and explicit size targets behave") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val whDir = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    spark.range(0, 100).toDF("id")
+      .withColumn("k", org.apache.spark.sql.functions.expr("id % 2"))
+      .createOrReplaceTempView("rep_src")
+    sql("CREATE TABLE gcat.db.rep USING graft PARTITIONED BY (k) " +
+      "AS SELECT id, k FROM rep_src")
+    // a path-side append WITHOUT partitionBy demotes the layout to mixed
+    Manifest.append(Seq((9999L, 0L)).toDF("id", "k"), s"$whDir/db/rep", "flat")
+    assert(!Manifest.currentFiles(spark, s"$whDir/db/rep")
+      .forall(_.contains("k=")), "fixture must be mixed-layout")
+    // compact via the CATALOG-QUALIFIED name: declared partitioning wins
+    // and the layout is repaired, not finalized flat
+    sql("CALL gcat.system.compact(table => 'gcat.db.rep')")
+    assert(Manifest.currentFiles(spark, s"$whDir/db/rep")
+      .forall(_.contains("k=")),
+      "compact must repair the table back to its declared hive layout")
+    assert(sql("SELECT count(*) FROM gcat.db.rep WHERE k = 0")
+      .collect().head.getLong(0) == 51)
+    // an explicit size target on a partitioned layout refuses loudly
+    val e = intercept[Exception](sql(
+      "CALL gcat.system.compact(table => 'db.rep', " +
+        "target_file_bytes => 1048576)"))
+    assert(e.getMessage.contains("not configurable"))
+  }
+
+  test("readStream.table streams a DECLARED-but-empty table from creation") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.cdc (v INT) USING graft")
+    val out = java.nio.file.Files.createTempDirectory("gcatcdc").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("gcatcdc-ckpt").toString
+    def drain(): Unit =
+      spark.readStream.table("gcat.db.cdc")
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    // empty history: the stream idles (no batch, no sink table yet)
+    drain()
+    assert(Manifest.history(spark, out).isEmpty)
+    // rows arrive: the same checkpoint picks them up
+    sql("INSERT INTO gcat.db.cdc VALUES (1), (2)")
+    drain()
+    assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
   test("CALL compact preserves a hive-partitioned layout") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     val whDir = spark.conf.get("spark.sql.catalog.gcat.warehouse")
