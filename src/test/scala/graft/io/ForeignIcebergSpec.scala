@@ -362,6 +362,87 @@ class ForeignIcebergSpec extends AnyFunSuite {
       (1 to 7))
   }
 
+  test("non-identity partition transforms (bucket) read tolerantly: " +
+      "bounds pruning still works, partition equality-prune stays off") {
+    val dir = tmpDir()
+    val qual = s"file:$dir"
+    landParquet((1 to 10).toDF("v"), dir, "a.parquet")
+    landParquet((100 to 110).toDF("v"), dir, "b.parquet")
+    // entries carry a partition record holding the BUCKET ordinal (the
+    // foreign writer's layout) — not a value the reader may equate with
+    // the column
+    val entrySchema = new AvroSchema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"content","type":"int"},
+        |  {"name":"partition","type":{"type":"record","name":"p","fields":[
+        |    {"name":"v_bucket","type":"int"}]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}
+        |]}}
+        |]}""".stripMargin)
+    def entry(path: String, bucket: Int, records: Long): GenericRecord = {
+      val part = new GenericData.Record(
+        entrySchema.getField("data_file").schema().getField("partition").schema())
+      part.put("v_bucket", bucket)
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      df.put("file_path", path); df.put("file_format", "PARQUET")
+      df.put("content", 0); df.put("partition", part)
+      df.put("record_count", java.lang.Long.valueOf(records))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(10L))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("sequence_number", java.lang.Long.valueOf(1L))
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(s"$dir/m1.avro", entrySchema, Seq(
+      entry(s"$qual/a.parquet", 2, 10), entry(s"$qual/b.parquet", 3, 11)))
+    new java.io.File(dir, "metadata").mkdirs()
+    writeAvro(s"$dir/metadata/snap-5.avro", foreignListSchema, Seq(
+      listEntry(s"$qual/m1.avro", 0, 1L)))
+    // v2 metadata whose default spec buckets column v
+    val md = new java.io.File(dir, "metadata"); md.mkdirs()
+    val json =
+      s"""{
+         |  "format-version": 2, "table-uuid": "bbbb-cccc", "location": "$dir",
+         |  "last-sequence-number": 5, "last-updated-ms": 1, "last-column-id": 1,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "v", "required": false, "type": "int"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": [
+         |    {"name": "v_bucket", "transform": "bucket[4]",
+         |     "source-id": 1, "field-id": 1000}]}],
+         |  "last-partition-id": 1000, "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "current-snapshot-id": 5,
+         |  "snapshots": [{"snapshot-id": 5, "sequence-number": 5,
+         |    "timestamp-ms": 1, "manifest-list": "$qual/metadata/snap-5.avro",
+         |    "summary": {"operation": "append"}, "schema-id": 0}]
+         |}""".stripMargin
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
+      json.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+
+    assert(IcebergExport.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      ((1 to 10) ++ (100 to 110)), "bucket-partitioned tree reads byte-identical")
+    // pruning on v: the spec's transform is bucket[4], NOT identity, so
+    // the partition record must NOT be equated with the column value
+    // (bucket ordinal 2 != v=2); with no stats maps the prune keeps both
+    // files — fail-open, never a wrong skip
+    assert(IcebergExport.activeFilesPruned(spark, dir, "v", "2", "3").size == 2)
+    assert(IcebergExport.readPruned(spark, dir, "v", "105", "106")
+      .where("v BETWEEN 105 AND 106").count() == 2)
+  }
+
   test("format-version 3 still refuses loudly by name") {
     val dir = tmpDir()
     val md = new java.io.File(dir, "metadata"); md.mkdirs()
