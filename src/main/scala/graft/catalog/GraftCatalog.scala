@@ -249,7 +249,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val parts =
       if (raw.size > 1 && raw.head == catalogName) raw.tail else raw
     val ident = Identifier.of(parts.init.toArray, parts.last)
-    val p = identPath(ident)
+    val rootP = identPath(ident)
+    // single-part names address root-level tables first; when no such
+    // table exists and the warehouse has exactly ONE namespace, resolve
+    // under it (the documented convenience for `table => 't'`)
+    val p =
+      if (isTable(rootP) || parts.size > 1) rootP
+      else listNamespaces().toSeq match {
+        case Seq(ns) =>
+          val cand = identPath(Identifier.of(ns, parts.last))
+          if (isTable(cand)) cand else rootP
+        case _ => rootP
+      }
     require(isTable(p), s"graft catalog: no table '$name' under $warehouse")
     val meta = GraftTableMeta.read(fsys, p)
     (meta.flatMap(_.location).getOrElse(p.toString),

@@ -521,13 +521,76 @@ object Manifest {
         else Nil
       }
     val files = walk(dataDir, "")
-    var carriedOverride: Option[Seq[String]] = carriedExplicit
+    // COMMIT REBASE (Delta's OptimisticTransaction shape), two tiers:
+    //
+    //  - PLAIN APPENDS: new files live in their own data-<snapshot> dir,
+    //    DISJOINT from any concurrent commit by construction, so a lost
+    //    CAS is never a conflict — re-read the head, recompute the
+    //    carry-forward (the winner's files AND delete state), retry.
+    //  - COW REWRITES with a declared base (`cowBase`: predicate-scoped
+    //    DELETE/UPDATE/MERGE): a lost CAS triggers Delta's FILE-LEVEL
+    //    conflict check against the new head. The commit rebases iff
+    //    the winner left every file this rewrite TOUCHED in place and
+    //    did not change merge-on-read delete state — then the rebased
+    //    carry is simply "the winner's head minus the touched files",
+    //    which keeps the winner's appends and the winner's own rewrites
+    //    of files this commit never read. A winner that rewrote or
+    //    removed a touched file, or changed delete state, is a TRUE
+    //    conflict: throw loudly. (WriteSerializable semantics, as Delta
+    //    defaults: a concurrent append's rows are not re-judged by this
+    //    commit's predicate.)
+    //
+    // Whole-table rebases (overwrite, compaction) declare no cowBase
+    // and still throw on any lost race: they READ the entire table, so
+    // every concurrent commit is a conflict.
+    //
+    // EVERYTHING the commit derives — seq, conflict check, rebased
+    // carry, delete state — comes from the ONE `retained()` read inside
+    // attempt(). Splitting them (rebase in the retry handler, seq in
+    // the next attempt) is a TOCTOU: a commit landing between the two
+    // reads would be counted in the seq (rename succeeds) while its
+    // files are missing from the stale carry — its rows silently
+    // vanish from the new head.
+    val plainAppend = carryForward && carriedExplicit.isEmpty &&
+      deletesExplicit.isEmpty && !rewrite
+    // the rebase tier is keyed by the DECLARED base, not the rewrite
+    // flag: a zero-touch MERGE (inserts only, rewrite=false) rebases
+    // like an append — its touched set is empty, so the conflict check
+    // passes trivially and the carry re-derives from the new head
+    val cowRebase = cowBase.isDefined && carriedExplicit.isDefined
     def attempt(): Unit = {
       val priors = retained(fsys, base)
       require(priors.forall(_.snapshot != snapshot),
         s"snapshot $snapshot already committed under $dir")
-      val carried = carriedOverride.getOrElse(
-        if (carryForward) priors.lastOption.map(_.files).getOrElse(Nil) else Nil)
+      val carried: Seq[String] =
+        if (cowRebase) {
+          val bse = cowBase.get
+          val keep = carriedExplicit.get
+          val head = priors.lastOption.getOrElse(bse)
+          if (head.seq == bse.seq && head.snapshot == bse.snapshot) keep
+          else {
+            // head moved since the rewrite was computed: file-level
+            // conflict check + rebase against THIS priors snapshot —
+            // the same one the seq derives from, so any later commit
+            // still collides on the seq CAS and re-enters here
+            val touched = bse.files.toSet -- keep
+            if (head.deleteFiles.sorted != bse.deleteFiles.sorted)
+              throw new TrueConflictException(
+                s"commit '$snapshot' for $dir lost its race to a commit " +
+                  "that changed merge-on-read delete state; the rewrite " +
+                  "was computed without it - re-run the operation")
+            val gone = touched.filterNot(head.files.toSet)
+            if (gone.nonEmpty)
+              throw new TrueConflictException(
+                s"commit '$snapshot' for $dir lost its race to a commit " +
+                  s"that rewrote or removed file(s) this rewrite also " +
+                  s"touched (${gone.take(3).mkString(", ")}) - re-run " +
+                  "the operation")
+            head.files.filterNot(touched)
+          }
+        } else carriedExplicit.getOrElse(
+          if (carryForward) priors.lastOption.map(_.files).getOrElse(Nil)
+          else Nil)
       // delete files: a rewrite (COW DML, compact, overwrite) resets MOR
       // state for the files it replaces; append carries it forward —
       // appended files can't be targeted by pre-existing deletes and the
@@ -539,31 +602,6 @@ object Manifest {
         carried ++ files.map(f => s"data-$snapshot/$f"), deletes, beforePublish,
         rewrite)
     }
-    // COMMIT REBASE (Delta's OptimisticTransaction shape), two tiers:
-    //
-    //  - PLAIN APPENDS: new files live in their own data-<snapshot> dir,
-    //    DISJOINT from any concurrent commit by construction, so a lost
-    //    CAS is never a conflict — re-read the head, recompute the
-    //    carry-forward (the winner's files AND delete state), retry.
-    //  - COW REWRITES with a declared base (`cowBase`: predicate-scoped
-    //    DELETE/UPDATE): a lost CAS triggers Delta's FILE-LEVEL conflict
-    //    check against the new head. The commit rebases iff the winner
-    //    left every file this rewrite TOUCHED in place and did not
-    //    change merge-on-read delete state — then the rebased carry is
-    //    simply "the winner's head minus the touched files", which
-    //    keeps the winner's appends and the winner's own rewrites of
-    //    files this commit never read. A winner that rewrote or removed
-    //    a touched file, or changed delete state, is a TRUE conflict:
-    //    throw loudly. (WriteSerializable semantics, as Delta defaults:
-    //    a concurrent append's rows are not re-judged by this commit's
-    //    predicate.)
-    //
-    // Whole-table rebases (overwrite, MERGE, compaction) declare no
-    // cowBase and still throw on any lost race: they READ the entire
-    // table, so every concurrent commit is a conflict.
-    val plainAppend = carryForward && carriedExplicit.isEmpty &&
-      deletesExplicit.isEmpty && !rewrite
-    val cowRebase = rewrite && cowBase.isDefined && carriedExplicit.isDefined
     if (!plainAppend && !cowRebase) attempt()
     else {
       var tries = 0
@@ -571,31 +609,21 @@ object Manifest {
       while (!committed) {
         try { attempt(); committed = true }
         catch {
+          // retry only the CAS loss; a TrueConflictException is final
           case cme: java.util.ConcurrentModificationException
-              if tries < MaxAppendCommitRetries =>
-            tries += 1 // head moved: rebase and retry at the next seq
-            if (cowRebase) {
-              val head = retained(fsys, base).lastOption.getOrElse(throw cme)
-              val bse = cowBase.get
-              val touched = bse.files.toSet -- carriedExplicit.get
-              if (head.deleteFiles.sorted != bse.deleteFiles.sorted)
-                throw new java.util.ConcurrentModificationException(
-                  s"commit '$snapshot' for $dir lost its race to a commit " +
-                    "that changed merge-on-read delete state; the rewrite " +
-                    "was computed without it - re-run the operation")
-              val gone = touched.filterNot(head.files.toSet)
-              if (gone.nonEmpty)
-                throw new java.util.ConcurrentModificationException(
-                  s"commit '$snapshot' for $dir lost its race to a commit " +
-                    s"that rewrote or removed file(s) this rewrite also " +
-                    s"touched (${gone.take(3).mkString(", ")}) - re-run " +
-                    "the operation")
-              carriedOverride = Some(head.files.filterNot(touched))
-            }
+              if !cme.isInstanceOf[TrueConflictException] &&
+                tries < MaxAppendCommitRetries =>
+            tries += 1 // head moved: the next attempt re-reads and rebases
         }
       }
     }
   }
+
+  /** A conflict the rebase tiers can PROVE unrecoverable (a concurrent
+    * commit rewrote state this commit read) — still a
+    * ConcurrentModificationException to callers, but never retried. */
+  private final class TrueConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
 
   /** Bounded retries for the append-commit rebase — a pathological
     * commit storm must eventually surface instead of spinning. */

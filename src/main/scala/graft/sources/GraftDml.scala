@@ -200,10 +200,15 @@ private[sources] object GraftDmlExec {
       : (Seq[String], Seq[String]) = {
     val conjuncts = splitAnd(cond).filter(_.deterministic)
 
+    // partitionBy renders timestamp partition values in the SESSION
+    // time zone — casting them back must use the same zone, or a
+    // non-UTC session folds the predicate FALSE on exactly the file
+    // holding the matching rows (rows silently escape the DML)
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
     def castPart(raw: String, dt: org.apache.spark.sql.types.DataType): Any =
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
       else Cast(Literal(UTF8String.fromString(raw),
-        org.apache.spark.sql.types.StringType), dt, Some("UTC")).eval(null)
+        org.apache.spark.sql.types.StringType), dt, Some(sessionTz)).eval(null)
 
     def partitionMay(file: String): Boolean = {
       val vals = Manifest.partitionValuesOf(file).toMap
@@ -213,10 +218,15 @@ private[sources] object GraftDmlExec {
         if (refs.isEmpty || !refs.forall(r => vals.contains(r.name) &&
             types.contains(r.name))) true
         else {
-          val folded = c.transform { case a: AttributeReference =>
-            Literal.create(castPart(vals(a.name), types(a.name)), a.dataType)
-          }
-          scala.util.Try(folded.eval(null)).toOption match {
+          // the cast runs INSIDE the Try: under ANSI mode an uncastable
+          // partition value must fail OPEN (keep the file), not fail
+          // the whole statement
+          scala.util.Try {
+            val folded = c.transform { case a: AttributeReference =>
+              Literal.create(castPart(vals(a.name), types(a.name)), a.dataType)
+            }
+            folded.eval(null)
+          }.toOption match {
             // the partition value is CONSTANT per file, so a conjunct
             // evaluating FALSE — or NULL (never TRUE) — on it excludes
             // every row of the file
@@ -269,16 +279,26 @@ private[sources] object GraftDmlExec {
     * rebase: a concurrent commit that left the touched files alone
     * does not fail the statement. MERGE passes None — it read the
     * whole table, so every concurrent commit is a true conflict. */
+  /** Test seam: runs after the statement computed its rewrite,
+    * immediately before each commit-publish attempt — the window a
+    * concurrent writer races into. */
+  private[sources] var beforePublishHook: () => Unit = () => ()
+
   def commitRewrite(spark: SparkSession, dir: String, rewritten: DataFrame,
       touch: Seq[String], keep: Seq[String], deleteFiles: Seq[String],
       base: Option[Manifest.ManifestData] = None): Unit = {
     val snap = s"dml${System.currentTimeMillis()}-" +
       java.util.UUID.randomUUID().toString.take(8)
-    val partCols = GraftSource.uniformPartitionCols(touch)
-      .getOrElse(Nil).toSeq
-    Manifest.writeImpl(rewritten, dir, snap, () => (),
+    // layout from the touched files, falling back to the carried ones:
+    // a zero-touch MERGE (inserts only) into a partitioned table must
+    // still land its new files in the table's hive layout
+    val partCols = GraftSource.uniformPartitionCols(
+      if (touch.nonEmpty) touch else keep).getOrElse(Nil).toSeq
+    // `rewrite` flags commits whose files re-pack pre-existing rows —
+    // a zero-touch MERGE only ADDS files, so streams keep serving it
+    Manifest.writeImpl(rewritten, dir, snap, beforePublishHook,
       carriedExplicit = Some(keep), partitionCols = partCols,
-      deletesExplicit = Some(deleteFiles), rewrite = true,
+      deletesExplicit = Some(deleteFiles), rewrite = touch.nonEmpty,
       cowBase = base)
     spark.catalog.refreshByPath(dir)
   }
@@ -359,12 +379,36 @@ case class GraftUpdateCommand(dir: String, pinned: String,
   }
 }
 
-/** `MERGE INTO t USING s ON cond WHEN …`: one full-outer join, per-row
-  * first-applicable action, cardinality enforcement, one overwrite
-  * commit. The pinned target/source PLANS execute as resolved — every
-  * action expression keeps its attribute ids, so target/source name
-  * collisions (the norm in a merge: `ON t.k = s.k`) bind correctly
-  * with zero re-resolution. */
+/** `MERGE INTO t USING s ON cond WHEN …` — Delta's two-phase
+  * touched-file shape:
+  *
+  *  1. **Find touched files**: one inner join source→target over the
+  *     pinned snapshot projects each matching row's
+  *     `_metadata.file_path`; the distinct set (∝ touched files, never
+  *     rows) is the ONLY part of the table the merge rewrites. A
+  *     1,000-row daily upsert into a 100 TB table rewrites the files
+  *     holding those 1,000 keys — not the table.
+  *  2. **Rewrite**: the SAME resolved target plan, with its manifest
+  *     [[GraftFileIndex]] swapped for one restricted to the touched
+  *     files (identical attribute ids — every action expression keeps
+  *     binding), full-outer-joins the source; per-row first-applicable
+  *     action, SQL-standard cardinality enforcement (now paid on the
+  *     PRUNED join only), not-matched inserts land as new files, and
+  *     the untouched files ride into the new snapshot by reference.
+  *     The commit declares the pinned snapshot as its `cowBase`, so
+  *     two MERGEs over disjoint files rebase instead of conflicting
+  *     (WriteSerializable: a concurrent append's rows are not
+  *     re-judged by this merge's join).
+  *
+  * Phase 1 is sound only when unmatched target rows pass through
+  * untouched, so a statement with `WHEN NOT MATCHED BY SOURCE` actions
+  * — or a target whose file provenance is invisible (merge-on-read
+  * delete state pending compaction) — falls back to the full-snapshot
+  * rewrite (correct, pre-round-11 shape; every concurrent commit is
+  * then a true conflict). The pinned target/source PLANS execute as
+  * resolved — every action expression keeps its attribute ids, so
+  * target/source name collisions (the norm in a merge: `ON t.k = s.k`)
+  * bind correctly with zero re-resolution. */
 case class GraftMergeCommand(dir: String, pinned: String,
     target: LogicalPlan, source: LogicalPlan, mergeCond: Expression,
     matchedActions: Seq[MergeAction], notMatchedActions: Seq[MergeAction],
@@ -441,14 +485,63 @@ case class GraftMergeCommand(dir: String, pinned: String,
     withIdx.select(projected: _*)
   }
 
-  override def run(spark: SparkSession): Seq[Row] = {
-    val curOpt = GraftDmlExec.headOrFail(spark, dir, pinned)
-    val attrs = target.output.collect { case a: AttributeReference => a }
-    val tgt = Bridge.ofRows(spark, target)
+  /** Unwrap alias/view layers WITHOUT changing the output attribute
+    * set — the frame phase 1 selects `_metadata` on (a View wrapper
+    * hides metadata columns; its child exposes them). */
+  private def stripWrappers(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => stripWrappers(c)
+    case v: View => stripWrappers(v.child)
+    case other => other
+  }
+
+  /** Phase 1: the distinct manifest-relative paths of pinned-snapshot
+    * files holding at least one row matching some source row (Delta's
+    * findTouchedFiles). None = provenance is unavailable on this plan
+    * shape (MOR relation, metadata-hiding wrapper, or an unmappable
+    * scan path) — the caller falls back to the full rewrite. ∝ touched
+    * FILE count on the driver, never rows. */
+  private def findTouched(spark: SparkSession,
+      src: DataFrame): Option[Seq[String]] = {
+    val stripped = stripWrappers(target)
+    if (!target.output.forall(stripped.outputSet.contains)) return None
+    val withFile = scala.util.Try {
+      Bridge.ofRows(spark, stripped)
+        .select(F.col("*"), F.col("_metadata.file_path").as("__graft_fp"))
+    }.toOption
+    withFile.flatMap { tf =>
+      val paths = tf.join(src, Bridge.columnOf(mergeCond), "inner")
+        .select(F.col("__graft_fp")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val relRe =
+        "(data-[^/]+/(?:[^/=]+=[^/]*/)*part-[^/]*\\.parquet)$".r
+      val rels = paths.map(p => relRe.findFirstMatchIn(p).map(_.group(1)))
+      // an unmappable scan path must fail CLOSED (full rewrite), never
+      // silently count as "untouched" — its matched rows would escape
+      if (rels.exists(_.isEmpty)) None else Some(rels.flatten.sorted)
+    }
+  }
+
+  /** The resolved target plan with its manifest file index restricted
+    * to `touch` — same output attribute ids, only touched files read. */
+  private def restrictTarget(spark: SparkSession,
+      touch: Seq[String]): LogicalPlan = target.transform {
+    case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if l.relation.isInstanceOf[HadoopFsRelation] &&
+          l.relation.asInstanceOf[HadoopFsRelation]
+            .location.isInstanceOf[GraftFileIndex] =>
+      val h = l.relation.asInstanceOf[HadoopFsRelation]
+      val idx = h.location.asInstanceOf[GraftFileIndex]
+      l.copy(relation = h.copy(location = idx.restrictTo(touch))(spark))
+  }
+
+  /** The shared join→actions→result core over whichever target frame
+    * the caller scoped (full snapshot or touched files only). */
+  private def applyActions(tgtFrame: DataFrame, src: DataFrame,
+      attrs: Seq[AttributeReference], bySource: Seq[MergeAction],
+      run: DataFrame => Unit): Unit = {
+    val tgt = tgtFrame
       .withColumn("__graft_tid", F.monotonically_increasing_id())
       .withColumn("__graft_tm", F.lit(true))
-    val src = Bridge.ofRows(spark, source)
-      .withColumn("__graft_sm", F.lit(true))
     val joined = tgt.join(src, Bridge.columnOf(mergeCond), "full_outer")
     joined.persist()
     try {
@@ -456,7 +549,9 @@ case class GraftMergeCommand(dir: String, pinned: String,
         F.col("__graft_tm").isNotNull && F.col("__graft_sm").isNotNull)
       // SQL-standard cardinality rule: a target row matching more than
       // one source row makes the UPDATE/DELETE ambiguous - fail loudly
-      // (silently applying "one of them" is how dimensions corrupt)
+      // (silently applying "one of them" is how dimensions corrupt).
+      // On the pruned path this join only carries the touched files,
+      // so the guard's extra pass is ∝ touched data, not the table.
       if (matchedActions.nonEmpty &&
           matchedRaw.groupBy("__graft_tid").count()
             .where(F.col("count") > 1).limit(1).count() > 0)
@@ -474,15 +569,56 @@ case class GraftMergeCommand(dir: String, pinned: String,
       val noTgt = joined.where(F.col("__graft_tm").isNull)
       val result =
         transformTargetRows(matched, attrs, matchedActions)
-          .unionByName(transformTargetRows(noSrc, attrs, notMatchedBySourceActions))
+          .unionByName(transformTargetRows(noSrc, attrs, bySource))
           .unionByName(insertRows(noTgt, attrs, notMatchedActions))
-      GraftDmlExec.refuseEmptyResult(result, Nil, "MERGE")
-      // merging INTO a declared-but-empty table is the initial load:
-      // the full-outer join degenerates to the not-matched inserts and
-      // the commit is the table's first snapshot
-      GraftDmlExec.commitRewrite(spark, dir, result,
-        curOpt.map(_.files).getOrElse(Nil), Nil, Nil)
+      run(result)
     } finally joined.unpersist()
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val curOpt = GraftDmlExec.headOrFail(spark, dir, pinned)
+    val attrs = target.output.collect { case a: AttributeReference => a }
+    // ONE materialization of the source serves both phases: a
+    // nondeterministic or moving source must not differ between the
+    // touched-file scan and the rewrite join (Delta materializes its
+    // merge source for the same reason)
+    val srcBase = Bridge.ofRows(spark, source)
+    srcBase.persist()
+    try {
+      val src = srcBase.withColumn("__graft_sm", F.lit(true))
+      // phase 1 applies only when unmatched target rows provably pass
+      // through: NOT MATCHED BY SOURCE actions touch every target row
+      val pruned: Option[(Manifest.ManifestData, Seq[String], Seq[String])] =
+        curOpt.filter(_ => notMatchedBySourceActions.isEmpty)
+          .flatMap { cur =>
+            findTouched(spark, srcBase).map { touched =>
+              val ts = touched.toSet
+              (cur, cur.files.filter(ts), cur.files.filterNot(ts))
+            }
+          }
+      pruned match {
+        case Some((cur, touch, keep)) =>
+          val tgtFrame = Bridge.ofRows(spark, restrictTarget(spark, touch))
+          applyActions(tgtFrame, src, attrs, Nil, { result =>
+            GraftDmlExec.refuseEmptyResult(result, keep, "MERGE")
+            GraftDmlExec.commitRewrite(spark, dir, result, touch, keep,
+              cur.deleteFiles, base = Some(cur))
+          })
+        case None =>
+          // full-snapshot rewrite: NOT MATCHED BY SOURCE semantics, a
+          // provenance-less target, or the initial load into a
+          // declared-but-empty table (the full-outer join degenerates
+          // to the not-matched inserts, committed as the first
+          // snapshot). The merge read the whole table, so a concurrent
+          // commit is a true conflict (no cowBase).
+          applyActions(Bridge.ofRows(spark, target), src, attrs,
+            notMatchedBySourceActions, { result =>
+              GraftDmlExec.refuseEmptyResult(result, Nil, "MERGE")
+              GraftDmlExec.commitRewrite(spark, dir, result,
+                curOpt.map(_.files).getOrElse(Nil), Nil, Nil)
+            })
+      }
+    } finally srcBase.unpersist()
     Seq.empty
   }
 }

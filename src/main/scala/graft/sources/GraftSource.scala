@@ -315,10 +315,14 @@ class GraftFileIndex(spark: SparkSession, dir: String,
       .map { case (vals, fs) => (partRow(vals), fs.sorted) }
 
   private def partRow(vals: Seq[String]): InternalRow = {
+    // session zone, not UTC: partitionBy rendered timestamp values in
+    // the session zone, so the round-trip must use the same zone or a
+    // non-UTC session mis-prunes (same convention as the DML split)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
     val cells = partitionSchema.fields.zip(vals).map { case (f, raw) =>
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
       else Cast(Literal(UTF8String.fromString(raw), StringType),
-        f.dataType, Some("UTC")).eval(null)
+        f.dataType, Some(tz)).eval(null)
     }
     new GenericInternalRow(cells.toArray[Any])
   }
@@ -358,6 +362,15 @@ class GraftFileIndex(spark: SparkSession, dir: String,
   /** The pinned snapshot's id — the DML commands verify the head has
     * not moved between analysis and execution. */
   private[graft] def snapshotId: String = m.snapshot
+
+  /** This index pinned to a SUBSET of the snapshot's files — the
+    * MERGE touched-file scan (same snapshot, same partition schema;
+    * only the listed files are ever opened). */
+  private[graft] def restrictTo(files: Seq[String]): GraftFileIndex = {
+    require(files.forall(m.files.contains),
+      "graft: restrictTo files must belong to the pinned snapshot")
+    new GraftFileIndex(spark, dir, m.copy(files = files), partitionSchema)
+  }
 }
 
 /**
@@ -550,6 +563,12 @@ private[sources] object GraftFilterTranslate {
   def conjunction(filters: Array[SourceFilter]): Option[Column] =
     filters.flatMap(translate(_, strict = false)).reduceOption(_ && _)
 
+  /** Pushed-filter attribute names are RAW top-level column names —
+    * backtick-quote them (doubling embedded backticks), or a column
+    * whose name contains a dot is misparsed as struct-field access. */
+  private def qcol(name: String): Column =
+    F.col("`" + name.replace("`", "``") + "`")
+
   /** `strict = false` (top-level conjuncts, And children) may WEAKEN:
     * dropping an untranslatable half keeps a superset of the rows.
     * `strict = true` (anywhere under Or/Not) must be EXACT: a weakened
@@ -557,18 +576,18 @@ private[sources] object GraftFilterTranslate {
     * into filtering too much — so inside those contexts And translates
     * all-or-nothing too. */
   def translate(f: SourceFilter, strict: Boolean): Option[Column] = f match {
-    case sf.EqualTo(a, v) => Some(F.col(a) === F.lit(v))
-    case sf.EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
-    case sf.GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
-    case sf.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
-    case sf.LessThan(a, v) => Some(F.col(a) < F.lit(v))
-    case sf.LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
-    case sf.In(a, vs) => Some(F.col(a).isin(vs.toSeq: _*))
-    case sf.IsNull(a) => Some(F.col(a).isNull)
-    case sf.IsNotNull(a) => Some(F.col(a).isNotNull)
-    case sf.StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
-    case sf.StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
-    case sf.StringContains(a, v) => Some(F.col(a).contains(v))
+    case sf.EqualTo(a, v) => Some(qcol(a) === F.lit(v))
+    case sf.EqualNullSafe(a, v) => Some(qcol(a) <=> F.lit(v))
+    case sf.GreaterThan(a, v) => Some(qcol(a) > F.lit(v))
+    case sf.GreaterThanOrEqual(a, v) => Some(qcol(a) >= F.lit(v))
+    case sf.LessThan(a, v) => Some(qcol(a) < F.lit(v))
+    case sf.LessThanOrEqual(a, v) => Some(qcol(a) <= F.lit(v))
+    case sf.In(a, vs) => Some(qcol(a).isin(vs.toSeq: _*))
+    case sf.IsNull(a) => Some(qcol(a).isNull)
+    case sf.IsNotNull(a) => Some(qcol(a).isNotNull)
+    case sf.StringStartsWith(a, v) => Some(qcol(a).startsWith(v))
+    case sf.StringEndsWith(a, v) => Some(qcol(a).endsWith(v))
+    case sf.StringContains(a, v) => Some(qcol(a).contains(v))
     case sf.And(l, r) => (translate(l, strict), translate(r, strict)) match {
       case (Some(a), Some(b)) => Some(a && b)
       case (one, other) =>

@@ -219,6 +219,97 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(Manifest.snapshots(spark, dir) == Seq("base"))
   }
 
+  test("MERGE rewrites only the files carrying matches; the rest carry by reference") {
+    val dir = tmpDir()
+    // 10 range-clustered files over k=0..999; the source touches keys
+    // inside ONE range only
+    Manifest.write(
+      spark.range(0, 1000).toDF("k")
+        .withColumn("v", $"k".cast("double"))
+        .repartitionByRange(10, $"k"),
+      dir, "base")
+    val baseFiles = Manifest.currentFiles(spark, dir)
+    assert(baseFiles.size == 10)
+    view(dir, "dml_mprune_t")
+    Seq((150L, 1.5), (160L, 1.6), (2000L, 20.0)).toDF("k", "nv")
+      .createOrReplaceTempView("dml_mprune_s")
+    spark.sql(
+      """MERGE INTO dml_mprune_t t USING dml_mprune_s s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 1001)
+    assert(after.where("k = 150 AND v = 1.5").count() == 1)
+    assert(after.where("k = 160 AND v = 1.6").count() == 1)
+    assert(after.where("k = 2000 AND v = 20.0").count() == 1)
+    // touched-file prune: only the file(s) holding keys 150/160 were
+    // rewritten — at least 9 of the 10 base files carry by reference
+    // (the pre-round-11 full rewrite carried ZERO)
+    val carried = Manifest.currentFiles(spark, dir).toSet
+      .intersect(baseFiles.toSet)
+    assert(carried.size >= 9,
+      s"expected >=9 carried files, got ${carried.size} of ${baseFiles.size}")
+    assert(Manifest.readAt(spark, dir, "base").count() == 1000)
+  }
+
+  test("a zero-match insert-only MERGE keeps the hive layout and is not a rewrite commit") {
+    val dir = tmpDir()
+    Manifest.writePartitioned(
+      Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "seg", "v"),
+      dir, "base", Seq("seg"))
+    view(dir, "dml_mins_t")
+    Seq((9L, "x", 9.0)).toDF("k", "seg", "nv")
+      .createOrReplaceTempView("dml_mins_s")
+    spark.sql(
+      """MERGE INTO dml_mins_t t USING dml_mins_s s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, seg, v) VALUES (s.k, s.seg, s.nv)
+        |""".stripMargin)
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 3)
+    assert(after.where("seg = 'x'").count() == 2)
+    val head = Manifest.history(spark, dir).last
+    // the inserts landed IN the hive layout (no flat demotion) …
+    assert(head.files.forall(_.contains("seg=")),
+      s"inserted files must keep the hive layout: ${head.files}")
+    // … every base file carried by reference, and the commit is NOT
+    // flagged rewrite (nothing re-packed — streams keep serving it)
+    assert(Manifest.readAt(spark, dir, "base").count() == 2)
+    assert(!head.rewrite, "a zero-touch MERGE must not flag rewrite")
+  }
+
+  test("disjoint MERGE races rebase instead of conflicting") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).toDF("k")
+        .withColumn("v", $"k".cast("double"))
+        .repartitionByRange(10, $"k"),
+      dir, "base")
+    view(dir, "dml_mrace_t")
+    Seq((150L, -1.0)).toDF("k", "nv")
+      .createOrReplaceTempView("dml_mrace_s")
+    // between this merge's rewrite and its publish, a DISJOINT commit
+    // lands (an append — no overlap with the touched file): the merge
+    // must lose the CAS, rebase onto the new head, and keep BOTH
+    var fired = false
+    GraftDmlExec.beforePublishHook = () => {
+      if (!fired) {
+        fired = true
+        Manifest.append(Seq((5000L, 50.0)).toDF("k", "v"), dir, "racer")
+      }
+    }
+    try {
+      spark.sql(
+        """MERGE INTO dml_mrace_t t USING dml_mrace_s s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    } finally GraftDmlExec.beforePublishHook = () => ()
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 1001, "both the merge and the racer must land")
+    assert(after.where("k = 150 AND v = -1.0").count() == 1)
+    assert(after.where("k = 5000").count() == 1,
+      "the racing append's rows must survive the merge's rebase")
+  }
+
   test("DML through SQL coexists with concurrent-head verification") {
     val dir = tmpDir()
     Manifest.write((1 to 100).toDF("v"), dir, "base")
