@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, Supp
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -201,10 +201,88 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported - graft table " +
-        "schemas are defined by their committed snapshots")
+  /** SCHEMA EVOLUTION on the catalog's own face: `ALTER TABLE … ADD
+    * COLUMN` (top-level, nullable — pre-evolution snapshots read the
+    * new column null-filled through the declared-schema scan) and
+    * `SET/UNSET TBLPROPERTIES`. The change lands in the DDL sidecar —
+    * a KB-sized metadata write; ZERO data files move, exactly Delta's
+    * metadata-only evolution. The sidecar schema then becomes the
+    * authoritative read contract (it already wins over recovery in
+    * [[GraftCatalogTable.schema]] and [[graft.sources.GraftSource
+    * .buildRelation]]), the next INSERT must supply the column, and
+    * the table-format exports re-declare the schema on their next
+    * refresh. Everything else (drop/rename/retype a column) is
+    * refused loudly: those require rewriting history or per-file
+    * column mapping to be sound. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = identPath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val meta0 = GraftTableMeta.read(fsys, p).getOrElse(
+      GraftTableMeta(None, Nil, None, Map.empty))
+    val dir = meta0.location.getOrElse(p.toString)
+    // the pre-change effective schema: declared, else recovered from
+    // the current snapshot (an ALTER on a recovery-schema table
+    // freezes the recovered schema as the new declared contract)
+    def effective: StructType = meta0.schema.getOrElse {
+      require(Manifest.history(spark, dir).nonEmpty,
+        s"graft catalog: ${ident} has neither a declared schema nor a " +
+          "committed snapshot to evolve")
+      StructType(Manifest.read(spark, dir).schema
+        .map(_.copy(nullable = true)))
+    }
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val meta1 = changes.foldLeft(meta0) { (m, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "graft catalog: only top-level ADD COLUMN is supported " +
+              s"(got ${add.fieldNames.mkString(".")})")
+          val nm = add.fieldNames.head
+          val sch = m.schema.getOrElse(effective)
+          require(!sch.fieldNames.exists(_.equalsIgnoreCase(nm)),
+            s"graft catalog: column '$nm' already exists")
+          require(add.isNullable,
+            s"graft catalog: added column '$nm' must be nullable - " +
+              "rows written before the evolution null-fill it")
+          require(add.defaultValue == null,
+            s"graft catalog: DEFAULT values on added columns are not " +
+              "supported (pre-evolution rows read as NULL)")
+          val f0 = StructField(nm, add.dataType, nullable = true)
+          val f = Option(add.comment).fold(f0)(f0.withComment)
+          val fields = Option(add.position()) match {
+            case None => sch.fields :+ f
+            case Some(after: TableChange.After) =>
+              val i = sch.fieldNames.indexWhere(
+                _.equalsIgnoreCase(after.column))
+              require(i >= 0,
+                s"graft catalog: AFTER column '${after.column}' not found")
+              val (pre, post) = sch.fields.splitAt(i + 1)
+              pre ++ (f +: post)
+            case Some(_) => f +: sch.fields // FIRST
+          }
+          m.copy(schema = Some(StructType(fields)))
+        case sp: TableChange.SetProperty =>
+          require(!reserved.contains(sp.property),
+            s"graft catalog: property '${sp.property}' is reserved")
+          m.copy(properties = m.properties + (sp.property -> sp.value))
+        case rp: TableChange.RemoveProperty =>
+          m.copy(properties = m.properties - rp.property)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft catalog: unsupported ALTER TABLE change $other " +
+              "(supported: ADD COLUMN, SET/UNSET TBLPROPERTIES; " +
+              "drop/rename/retype would need history rewrite or " +
+              "column mapping)")
+      }
+    }
+    GraftTableMeta.write(fsys, p, meta1)
+    // resolved relations are snapshot-AND-schema pinned: invalidate so
+    // the next statement sees the evolved contract
+    spark.catalog.refreshByPath(dir)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = identPath(ident)
@@ -416,7 +494,8 @@ private[graft] class GraftCatalogTable(ident: String, val dir: String,
       require(timeTravel.isEmpty,
         s"graft catalog: $ident has no committed snapshot to time-travel to")
       None
-    } else Some(graft.sources.GraftSource.buildRelation(spark, dir, timeTravel))
+    } else Some(graft.sources.GraftSource.buildRelation(spark, dir, timeTravel,
+      meta.flatMap(_.schema)))
 
   override def name(): String = ident
 

@@ -18,6 +18,7 @@ import graft.sources.GraftSource
  *
  * {{{
  *   CALL graft.system.compact(table => 'db.t')
+ *   CALL graft.system.zorder(table => 'db.t', columns => 'k1,k2')
  *   CALL graft.system.vacuum(table => 'db.t', keep_last => 3)
  *   CALL graft.system.export_delta(table => 'db.t')
  *   CALL graft.system.export_iceberg(table => 'db.t')
@@ -115,6 +116,46 @@ private[catalog] object GraftProcedures {
             Manifest.compactPartitioned(spark, dir, snap, partCols)
           } else Manifest.compact(spark, dir, snap,
             if (target == -1L) 128L * 1024 * 1024 else target)
+        spark.catalog.refreshByPath(dir)
+        result(outSchema, UTF8String.fromString(snap), files)
+      }
+    },
+    "zorder" -> new TableProcedure(cat, "zorder",
+      "clustered compaction: rewrite the snapshot range-clustered on " +
+        "the given columns so footer-bounds data skipping bites") {
+      override val params = Array(
+        in("table", StringType),
+        in("columns", StringType), // comma-separated cluster columns
+        inDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString))
+      override val outSchema = new StructType()
+        .add("snapshot", StringType).add("files", LongType)
+      override def run(spark: SparkSession, dir: String,
+          declaredPartCols: Seq[String],
+          args: InternalRow): java.util.Iterator[Scan] = {
+        require(!args.isNullAt(1),
+          "graft catalog: CALL zorder needs a non-null columns argument")
+        val cols = args.getUTF8String(1).toString.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty,
+          "graft catalog: CALL zorder needs at least one cluster column")
+        val target = args.getLong(2)
+        require(target > 0,
+          s"graft catalog: target_file_bytes must be positive, got $target")
+        val snap = s"zorder${System.currentTimeMillis()}"
+        // layout-preserving: a hive-partitioned table clusters WITHIN
+        // its partition tree (declared partitioning wins, repairing a
+        // mixed layout exactly as CALL compact does)
+        val partCols =
+          if (declaredPartCols.nonEmpty) declaredPartCols
+          else GraftSource.uniformPartitionColsOf(spark, dir)
+        require(cols.forall(c => !partCols.contains(c)),
+          s"graft catalog: cluster columns ${cols.mkString(", ")} must not " +
+            s"include partition columns (${partCols.mkString(", ")}) - " +
+            "partition values are already path-exact")
+        val files =
+          if (partCols.nonEmpty) Manifest.compactClusteredPartitioned(
+            spark, dir, snap, target, cols, partCols)
+          else Manifest.compactClustered(spark, dir, snap, target, cols)
         spark.catalog.refreshByPath(dir)
         result(outSchema, UTF8String.fromString(snap), files)
       }

@@ -277,17 +277,32 @@ object Manifest {
     * group with that group's dir as `basePath` (Spark's partition
     * discovery refuses one basePath spanning several data roots) and
     * unions by name — missing partition columns null-fill, so a table
-    * whose history mixes flat and partitioned snapshots still reads. */
+    * whose history mixes flat and partitioned snapshots still reads.
+    *
+    * `schemaHint` (schema evolution): when the caller knows the
+    * table's DECLARED schema, the scan runs with it as the
+    * user-specified schema — no footer inference (which would sample
+    * ONE file and could miss columns newer files carry), and files
+    * predating an ADD COLUMN null-fill per file inside the parquet
+    * reader. */
   private[graft] def readFiles(spark: SparkSession, dir: String,
-      files: Seq[String]): DataFrame =
+      files: Seq[String],
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def reader = {
+      val r = spark.read
+      schemaHint.foreach(r.schema)
+      r
+    }
     if (files.forall(partitionValuesOf(_).isEmpty))
-      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      reader.parquet(files.map(f => s"$dir/$f"): _*)
     else files.groupBy(_.split('/').head).toSeq.sortBy(_._1)
       .map { case (dataDir, fs) =>
-        spark.read.option("basePath", s"$dir/$dataDir")
+        reader.option("basePath", s"$dir/$dataDir")
           .parquet(fs.map(f => s"$dir/$f"): _*)
       }
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
 
   // ---- merge-on-read position deletes -----------------------------------
 
@@ -303,17 +318,24 @@ object Manifest {
     * on: `_graft_file` (absolute scan path) and `_graft_pos` (the
     * parquet row index — stable physical position within the file). */
   private def readFilesMeta(spark: SparkSession, dir: String,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String],
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import org.apache.spark.sql.functions.col
     def withMeta(df: DataFrame): DataFrame =
       df.select(col("*"),
         col("_metadata.file_path").as("_graft_file"),
         col("_metadata.row_index").as("_graft_pos"))
+    def reader = {
+      val r = spark.read
+      schemaHint.foreach(r.schema)
+      r
+    }
     if (files.forall(partitionValuesOf(_).isEmpty))
-      withMeta(spark.read.parquet(files.map(f => s"$dir/$f"): _*))
+      withMeta(reader.parquet(files.map(f => s"$dir/$f"): _*))
     else files.groupBy(_.split('/').head).toSeq.sortBy(_._1)
       .map { case (dataDir, fs) =>
-        withMeta(spark.read.option("basePath", s"$dir/$dataDir")
+        withMeta(reader.option("basePath", s"$dir/$dataDir")
           .parquet(fs.map(f => s"$dir/$f"): _*))
       }
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
@@ -325,14 +347,17 @@ object Manifest {
     * relative to the data (their reason to exist; [[compact]] purges
     * them back to zero). */
   private[graft] def readFilesApplyingDeletes(spark: SparkSession, dir: String,
-      files: Seq[String], deleteFiles: Seq[String]): DataFrame = {
-    if (deleteFiles.isEmpty) return readFiles(spark, dir, files)
+      files: Seq[String], deleteFiles: Seq[String],
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    if (deleteFiles.isEmpty) return readFiles(spark, dir, files, schemaHint)
     import org.apache.spark.sql.functions.{broadcast, col}
     val dels = spark.read.parquet(deleteFiles.map(f => s"$dir/$f"): _*)
       .select(col("file_path").as("_graft_del_file"),
         col("pos").as("_graft_del_pos"))
-    val dataCols = readFiles(spark, dir, files).columns // pre-meta schema
-    readFilesMeta(spark, dir, files)
+    val dataCols = // pre-meta schema
+      readFiles(spark, dir, files, schemaHint).columns
+    readFilesMeta(spark, dir, files, schemaHint)
       .withColumn("_graft_rel", relPathCol)
       // the "" guard: an unextractable path must KEEP its rows (fail
       // open), never match an equally-unextractable delete entry —
@@ -726,14 +751,18 @@ object Manifest {
     else Some(readFiles(spark, dir, newFiles))
   }
 
-  /** Time travel: read a RETAINED snapshot exactly as committed. */
-  def readAt(spark: SparkSession, dir: String, snapshot: String): DataFrame = {
+  /** Time travel: read a RETAINED snapshot exactly as committed.
+    * `schemaHint` as on [[readFiles]] (the declared-schema read for
+    * evolved tables). */
+  def readAt(spark: SparkSession, dir: String, snapshot: String,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val (fsys, base) = fs(spark, dir)
     val m = retained(fsys, base).find(_.snapshot == snapshot).getOrElse(
       throw new IllegalArgumentException(
         s"no retained snapshot '$snapshot' under $dir"))
     require(m.files.nonEmpty, s"no retained snapshot '$snapshot' under $dir")
-    readFilesApplyingDeletes(spark, dir, m.files, m.deleteFiles)
+    readFilesApplyingDeletes(spark, dir, m.files, m.deleteFiles, schemaHint)
   }
 
   /** Export the CURRENT snapshot in the SYMLINK-MANIFEST layout external
@@ -963,6 +992,37 @@ object Manifest {
       n.toInt, clusterCols.map(org.apache.spark.sql.functions.col): _*)
     writeImpl(df, dir, snapshot, () => (), rewrite = true)
     n
+  }
+
+  /** [[compactClustered]] for a HIVE-PARTITIONED table: the rewrite
+    * KEEPS the `col=value/` layout AND range-clusters WITHIN it — the
+    * range shuffle leads with the partition columns (each hive value
+    * stays contiguous across tasks) and continues into the cluster
+    * columns, then an intra-task sort tightens every row group, so
+    * each written file's min/max bounds are tight on the cluster
+    * columns. This is the maintenance move that makes data-skipping
+    * effective on a partitioned 100 TB table: partition pruning picks
+    * the directory, tight footer bounds then open only the overlapping
+    * files inside it. Same new-snapshot / no-reader-race / MOR-purge
+    * contract as [[compact]]. */
+  def compactClusteredPartitioned(spark: SparkSession, dir: String,
+      snapshot: String, targetFileBytes: Long, clusterCols: Seq[String],
+      partitionCols: Seq[String]): Long = {
+    require(clusterCols.nonEmpty, "compactClusteredPartitioned needs cluster columns")
+    require(partitionCols.nonEmpty,
+      "compactClusteredPartitioned needs partition columns")
+    val (fsys, base) = fs(spark, dir)
+    val files = currentFiles(spark, dir)
+    require(files.nonEmpty, s"no committed snapshot under $dir")
+    val bytes = files.map(f => fsys.getFileStatus(new Path(base, f)).getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val ordering = (partitionCols ++ clusterCols).map(F.col)
+    val df = read(spark, dir)
+      .repartitionByRange(n.toInt, ordering: _*)
+      .sortWithinPartitions(ordering: _*)
+    writeImpl(df, dir, snapshot, () => (), partitionCols = partitionCols,
+      rewrite = true)
+    currentFiles(spark, dir).size.toLong
   }
 
   /** Compaction for a HIVE-PARTITIONED table: same new-snapshot /

@@ -1701,13 +1701,99 @@ object Maintenance {
             |  ON c.o_orderpriority = v.o_orderpriority
             |ORDER BY 1""".stripMargin))
 
+  // SCHEMA EVOLUTION under oracle (round 11): the reference's own
+  // schema story is drift (its raw schema grew 4 columns the curated
+  // face dropped, meta_data/raw/random_postcodes.json:167-186) — here
+  // the engine's catalog face evolves through pure SQL: CTAS, `ALTER
+  // TABLE ADD COLUMN`, an INSERT carrying the new column, and an
+  // UPDATE that rewrites PRE-EVOLUTION files (the touched files
+  // null-fill the new column inside the scan, then re-land with the
+  // evolved schema). The final aggregate spans the boundary, so the
+  // hash proves old rows null-fill, new rows carry values, and the DML
+  // rewrite loses neither. DuckDB replays the evolution relationally.
+  private val graftEvolve = Q(
+    "q_graft_evolve",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_evo_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gevo", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gevo.warehouse", wh)
+      s.sql("CREATE NAMESPACE gevo.db")
+      t(s, dir, "customer").createOrReplaceTempView("gevo_src")
+      s.sql(
+        """CREATE TABLE gevo.db.cust USING graft
+          |AS SELECT c_custkey, c_mktsegment FROM gevo_src""".stripMargin)
+      s.sql("ALTER TABLE gevo.db.cust ADD COLUMN bonus DOUBLE")
+      s.sql(
+        """INSERT INTO gevo.db.cust
+          |SELECT -c_custkey, c_mktsegment, CAST(c_custkey AS DOUBLE) / 100
+          |FROM gevo_src WHERE c_custkey % 40 = 0""".stripMargin)
+      s.sql("UPDATE gevo.db.cust SET bonus = 1.5 " +
+        "WHERE c_custkey > 0 AND c_custkey % 100 = 0")
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n, COUNT(bonus) AS n_bonus,
+          |  CAST(SUM(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS sum_bonus
+          |FROM gevo.db.cust GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+           |evolved AS (
+           |  SELECT c_custkey, c_mktsegment,
+           |    CASE WHEN c_custkey > 0 AND c_custkey % 100 = 0
+           |         THEN 1.5 ELSE NULL END AS bonus
+           |  FROM base
+           |  UNION ALL
+           |  SELECT -c_custkey, c_mktsegment, CAST(c_custkey AS DOUBLE) / 100
+           |  FROM base WHERE c_custkey % 40 = 0)
+           |SELECT c_mktsegment, COUNT(*) AS n, COUNT(bonus) AS n_bonus,
+           |  CAST(SUM(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS sum_bonus
+           |FROM evolved GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // CALL system.zorder under oracle (round 11): orders lands UNCLUSTERED
+  // (hash-repartitioned — every file spans the whole key space, so
+  // footer bounds prune nothing), the SQL procedure rewrites it
+  // range-clustered, and the post-zorder SELECTIVE aggregate is what
+  // hashes against the oracle's plain filtered scan — proving the
+  // maintenance move preserves every row while making the clustered
+  // read prunable (the spec asserts the numFiles drop; the oracle
+  // asserts the content).
+  private val graftZorder = Q(
+    "q_graft_zorder",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_zorder_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gzod", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gzod.warehouse", wh)
+      s.sql("CREATE NAMESPACE gzod.db")
+      t(s, dir, "orders").createOrReplaceTempView("gzod_src")
+      s.sql(
+        """CREATE TABLE gzod.db.ord USING graft
+          |AS SELECT /*+ REPARTITION(8) */ o_orderkey, o_orderstatus,
+          |   o_totalprice FROM gzod_src""".stripMargin)
+      s.sql("CALL gzod.system.zorder(table => 'db.ord', " +
+        "columns => 'o_orderkey', target_file_bytes => 262144)")
+      s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price
+           |FROM gzod.db.ord WHERE o_orderkey BETWEEN 1000 AND 2999
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
     graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
-    graftSqlDelete, graftMerge, graftCatalogQ,
+    graftSqlDelete, graftMerge, graftCatalogQ, graftEvolve, graftZorder,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

@@ -267,7 +267,15 @@ private[sources] object GraftDmlExec {
   def readTouched(spark: SparkSession, dir: String,
       touch: Seq[String], deleteFiles: Seq[String],
       tableAttrs: Seq[AttributeReference]): DataFrame = {
-    val df = Manifest.readFilesApplyingDeletes(spark, dir, touch, deleteFiles)
+    // the TABLE schema drives the scan (user-specified schema, no
+    // footer inference): files predating an ALTER TABLE ADD COLUMN
+    // null-fill the new column inside the reader, and a mixed old/new
+    // touched set cannot mis-infer from one sampled footer
+    val hint = org.apache.spark.sql.types.StructType(tableAttrs.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType,
+        nullable = true)))
+    val df = Manifest.readFilesApplyingDeletes(spark, dir, touch, deleteFiles,
+      Some(hint))
     df.select(tableAttrs.map(a =>
       df.col(s"`${a.name}`").cast(a.dataType).as(a.name)): _*)
   }

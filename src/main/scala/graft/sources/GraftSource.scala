@@ -91,17 +91,28 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val opts = parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
     val dir = pathOf(parameters)
     val spark = sqlContext.sparkSession
-    val maxCommits = opts.get("maxcommitspertrigger").map { v =>
-      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"graft stream: maxCommitsPerTrigger must be a positive int, got '$v'"))
-      require(n > 0,
-        s"graft stream: maxCommitsPerTrigger must be positive, got $n")
+    def posInt(key: String, label: String): Option[Int] =
+      opts.get(key).map { v =>
+        val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"graft stream: $label must be a positive int, got '$v'"))
+        require(n > 0, s"graft stream: $label must be positive, got $n")
+        n
+      }
+    // bytes accept the usual suffixed forms ("64m", "1g") like Delta's
+    val maxBytes = opts.get("maxbytespertrigger").map { v =>
+      val n = scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft stream: maxBytesPerTrigger must be a byte size, got '$v'"))
+      require(n > 0, s"graft stream: maxBytesPerTrigger must be positive, got $n")
       n
     }
     new GraftStreamSource(spark, dir,
       schema.getOrElse(Manifest.read(spark, dir).schema),
       skipChangeCommits = opts.get("skipchangecommits").exists(_.toBoolean),
-      maxCommitsPerTrigger = maxCommits)
+      maxCommitsPerTrigger = posInt("maxcommitspertrigger", "maxCommitsPerTrigger"),
+      maxFilesPerTrigger = posInt("maxfilespertrigger", "maxFilesPerTrigger"),
+      maxBytesPerTrigger = maxBytes)
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -187,13 +198,28 @@ object GraftSource {
   /** The read relation for a table dir + (lowercased) option map —
     * shared by the format face above and the V2 catalog
     * ([[graft.catalog.GraftCatalogReadRule]]), so a named table and a
-    * path read resolve through ONE code path. */
+    * path read resolve through ONE code path.
+    *
+    * `declaredSchema` (schema evolution): the catalog passes its DDL
+    * sidecar's declared schema; a bare path read recovers the same
+    * sidecar from the table dir when one exists. When present it is
+    * AUTHORITATIVE — scans run with it as the user-specified schema
+    * (zero footer inference; the resolution cost stops depending on
+    * file count), and files predating an `ALTER TABLE ADD COLUMN`
+    * null-fill the new column inside the parquet reader itself. */
   private[graft] def buildRelation(spark: SparkSession, dir: String,
-      opts: Map[String, String]): BaseRelation = {
+      opts: Map[String, String],
+      declaredSchema: Option[StructType] = None): BaseRelation = {
     val m = GraftSource.resolveSnapshot(spark, dir, opts)
+    val declared = declaredSchema.orElse {
+      val p = new Path(dir)
+      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.catalog.GraftTableMeta.read(fsys, p).flatMap(_.schema)
+    }.map(s => StructType(s.map(_.copy(nullable = true))))
     GraftSource.uniformPartitionCols(m.files) match {
       case Some(partNames) if m.deleteFiles.isEmpty =>
-        val fullSchema = Manifest.readFiles(spark, dir, m.files).schema
+        val fullSchema = declared.getOrElse(
+          Manifest.readFiles(spark, dir, m.files).schema)
         val partSchema = StructType(partNames.map(n =>
           fullSchema.find(_.name == n).getOrElse(
             throw new IllegalStateException(
@@ -207,7 +233,7 @@ object GraftSource {
         // merge-on-read delete state (or a mixed-layout history): the
         // deletes must apply INSIDE the scan — delegate to the library
         // read path's anti-join
-        new GraftMorRelation(spark, dir, m)
+        new GraftMorRelation(spark, dir, m, declared)
     }
   }
 
@@ -497,10 +523,13 @@ private[sources] object GraftStatsPrune {
  * [[InsertableRelation]] straight onto Manifest commits.
  */
 class GraftMorRelation(spark: SparkSession, dir: String,
-    m: Manifest.ManifestData) extends BaseRelation with PrunedFilteredScan
+    m: Manifest.ManifestData,
+    declaredSchema: Option[StructType] = None)
+    extends BaseRelation with PrunedFilteredScan
     with InsertableRelation {
   override def sqlContext: SQLContext = spark.sqlContext
-  private lazy val frame: DataFrame = Manifest.readAt(spark, dir, m.snapshot)
+  private lazy val frame: DataFrame =
+    Manifest.readAt(spark, dir, m.snapshot, declaredSchema)
   override lazy val schema: StructType = frame.schema
   /** The manifest table root / pinned snapshot — the SQL DML rewrite's
     * coordinates (same contract as [[GraftFileIndex]]). */

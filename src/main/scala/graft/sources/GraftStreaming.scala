@@ -67,11 +67,23 @@ final case class GraftSourceOffset(seq: Long) extends V1Offset {
   *   backfill (a thousand commits while the stream was down) drains as
   *   bounded batches instead of one giant one. The INITIAL batch is
   *   one snapshot read however it is sliced, so it stays uncapped.
+  * @param maxFilesPerTrigger admission control by ADDED FILE COUNT —
+  *   commits vary wildly in size, so the commit cap alone cannot bound
+  *   a micro-batch; this is Delta's knob of the same name. Offsets
+  *   stay commit seqs: a single commit larger than the cap is admitted
+  *   WHOLE (splitting within a commit is out of scope — a commit is
+  *   the atomic unit of this source's offset space), so the stream
+  *   always advances.
+  * @param maxBytesPerTrigger admission control by ADDED BYTES (file
+  *   sizes from one metadata stat per newly admitted file — cost ∝
+  *   backlog, never table size). Same whole-commit granularity note.
   */
 class GraftStreamSource(spark: SparkSession, dir: String,
     override val schema: StructType,
     skipChangeCommits: Boolean = false,
-    maxCommitsPerTrigger: Option[Int] = None) extends Source {
+    maxCommitsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   /** Works for live [[GraftSourceOffset]]s AND the `SerializedOffset`
     * the checkpoint replays on restart. */
@@ -84,15 +96,59 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     * — offsets in the log are always real commit seqs. */
   @volatile private var lastEnd: Option[Long] = None
 
+  private def anyCap: Boolean = maxCommitsPerTrigger.isDefined ||
+    maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
+  /** One metadata stat per file — only paid for files inside the
+    * admission window, and only when a bytes cap is set. */
+  private def bytesOf(rels: Seq[String]): Long = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rels.map(f => fsys.getFileStatus(
+      new org.apache.hadoop.fs.Path(base, f)).getLen).sum
+  }
+
+  /** Walk the backlog commit by commit, admitting until a cap would be
+    * exceeded — always at least ONE commit, so an oversized commit
+    * passes whole instead of stalling the stream (gap-tolerant: counts
+    * RETAINED commits, so vacuumed seqs never starve the window). */
+  private def admit(hist: Seq[Manifest.ManifestData], base: Long): Long = {
+    var prevFiles = hist.filter(_.seq <= base).lastOption
+      .map(_.files.toSet).getOrElse(Set.empty[String])
+    var commits = 0
+    var files = 0L
+    var bytes = 0L
+    var end = base
+    val it = hist.filter(_.seq > base).iterator
+    var stop = false
+    while (!stop && it.hasNext) {
+      val m = it.next()
+      val added = m.files.filterNot(prevFiles)
+      val addedBytes =
+        if (maxBytesPerTrigger.isDefined && added.nonEmpty) bytesOf(added)
+        else 0L
+      val over = commits > 0 && (
+        maxCommitsPerTrigger.exists(c => commits + 1 > c) ||
+          maxFilesPerTrigger.exists(f => files + added.size > f) ||
+          maxBytesPerTrigger.exists(b => bytes + addedBytes > b))
+      if (over) stop = true
+      else {
+        commits += 1
+        files += added.size
+        bytes += addedBytes
+        end = m.seq
+        prevFiles = m.files.toSet
+      }
+    }
+    end
+  }
+
   override def getOffset: Option[V1Offset] = {
     val hist = Manifest.history(spark, dir)
     if (hist.isEmpty) return None
     val latest = hist.last.seq
-    val capped = (maxCommitsPerTrigger, lastEnd) match {
-      case (Some(n), Some(base)) =>
-        // largest RETAINED seq within the admission window (seq gaps
-        // from vacuum must not stall the stream below the cap)
-        hist.filter(_.seq <= base + n).lastOption.map(_.seq).getOrElse(latest)
+    val capped = lastEnd match {
+      case Some(base) if anyCap => admit(hist, base)
       case _ => latest // no cap, or initial batch (one snapshot read)
     }
     if (lastEnd.exists(capped <= _)) lastEnd.map(GraftSourceOffset)

@@ -319,6 +319,146 @@ class GraftCatalogSpec extends AnyFunSuite {
       "compaction skipped, append served once")
   }
 
+  test("ALTER TABLE ADD COLUMN: old data null-fills, new INSERT carries it, exports re-declare") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.evo (id BIGINT, name STRING) USING graft")
+    sql("INSERT INTO gcat.db.evo VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE gcat.db.evo ADD COLUMN score DOUBLE")
+    // old rows read NULL-filled under the evolved contract
+    assert(sql("SELECT * FROM gcat.db.evo").columns.toSeq ==
+      Seq("id", "name", "score"))
+    assert(sql("SELECT * FROM gcat.db.evo WHERE score IS NULL").count() == 2)
+    // the next INSERT must carry the column, and mixed files read right
+    sql("INSERT INTO gcat.db.evo VALUES (3, 'c', 3.5)")
+    val rows = sql("SELECT id, name, score FROM gcat.db.evo ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L))
+    assert(rows(2)._3 == 3.5 && rows(0)._3.isNaN && rows(1)._3.isNaN)
+    // time travel BELOW the evolution reads the old rows under the
+    // evolved (declared) contract — still null-filled, never an error
+    assert(sql("SELECT score FROM gcat.db.evo VERSION AS OF 0")
+      .collect().forall(_.isNullAt(0)))
+    // DML across the evolution boundary: touched old files re-land
+    // with the evolved schema, values of the new column survive
+    sql("UPDATE gcat.db.evo SET score = 0.0 WHERE id = 1")
+    assert(sql("SELECT score FROM gcat.db.evo WHERE id = 1")
+      .collect().head.getDouble(0) == 0.0)
+    assert(sql("SELECT score FROM gcat.db.evo WHERE id = 3")
+      .collect().head.getDouble(0) == 3.5)
+    // the Delta export's newest metaData re-declares the evolved schema
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.evo")
+    graft.io.DeltaLog.exportLog(spark, dir)
+    val logDir = new java.io.File(dir, "_delta_log")
+    val lastJson = logDir.listFiles().filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName).last
+    val text = new String(java.nio.file.Files.readAllBytes(lastJson.toPath))
+    assert(text.contains("score"),
+      "the newest exported Delta commit must re-declare the evolved schema")
+  }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES and evolution refusals") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.props (x INT) USING graft")
+    sql("ALTER TABLE gcat.db.props SET TBLPROPERTIES ('owner.team' = 'etl', 'tier' = 'gold')")
+    val props = sql("SHOW TBLPROPERTIES gcat.db.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("owner.team").contains("etl"))
+    assert(props.get("tier").contains("gold"))
+    sql("ALTER TABLE gcat.db.props UNSET TBLPROPERTIES ('tier')")
+    assert(!sql("SHOW TBLPROPERTIES gcat.db.props").collect()
+      .map(_.getString(0)).contains("tier"))
+    // refusals: duplicate add, non-nullable add, drop/rename/retype
+    sql("ALTER TABLE gcat.db.props ADD COLUMN y INT")
+    intercept[Exception](sql("ALTER TABLE gcat.db.props ADD COLUMN y INT"))
+    intercept[Exception](
+      sql("ALTER TABLE gcat.db.props ADD COLUMN z INT NOT NULL"))
+    intercept[Exception](sql("ALTER TABLE gcat.db.props DROP COLUMN y"))
+    intercept[Exception](
+      sql("ALTER TABLE gcat.db.props RENAME COLUMN y TO yy"))
+    intercept[Exception](
+      sql("ALTER TABLE gcat.db.props ALTER COLUMN y TYPE BIGINT"))
+  }
+
+  test("ALTER TABLE ADD COLUMN on a partitioned table keeps pruning and layout") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.range(0, 100).toDF("id")
+      .withColumn("seg", org.apache.spark.sql.functions.expr(
+        "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END"))
+      .createOrReplaceTempView("evo_part_src")
+    sql("CREATE TABLE gcat.db.evop USING graft PARTITIONED BY (seg) " +
+      "AS SELECT id, seg FROM evo_part_src")
+    sql("ALTER TABLE gcat.db.evop ADD COLUMN tag STRING")
+    sql("INSERT INTO gcat.db.evop VALUES (1000, 'e', 'fresh')")
+    val q = sql("SELECT id, tag FROM gcat.db.evop WHERE seg = 'e'")
+    assert(q.count() == 51)
+    assert(q.where("tag = 'fresh'").count() == 1)
+    // the partition-pruned scan still only reads seg=e files
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.inputRDDs().nonEmpty))
+    assert(sql("SELECT * FROM gcat.db.evop WHERE seg = 'o' AND tag IS NOT NULL")
+      .count() == 0)
+  }
+
+  test("CALL zorder turns an unprunable layout prunable via pure SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    // interleaved key: every one of the hash-shuffled files spans the
+    // whole key space, so footer bounds prune NOTHING before zorder
+    spark.range(0, 4000).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.expr("k * 2"))
+      .repartition(8)
+      .createOrReplaceTempView("zorder_src")
+    sql("CREATE TABLE gcat.db.zod USING graft AS SELECT k, v FROM zorder_src")
+    def scanned(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      scan.metrics("numFiles").value
+    }
+    val before = scanned(sql(
+      "SELECT * FROM gcat.db.zod WHERE k >= 100 AND k <= 299"))
+    val res = sql(
+      "CALL gcat.system.zorder(table => 'db.zod', columns => 'k', " +
+        "target_file_bytes => 8192)").collect()
+    assert(res.length == 1 && res.head.getLong(1) >= 2)
+    val after = scanned(sql(
+      "SELECT * FROM gcat.db.zod WHERE k >= 100 AND k <= 299"))
+    assert(after < before,
+      s"zorder must make the selective read prune files ($after vs $before)")
+    assert(sql("SELECT * FROM gcat.db.zod WHERE k >= 100 AND k <= 299")
+      .count() == 200)
+    assert(sql("SELECT * FROM gcat.db.zod").count() == 4000)
+  }
+
+  test("CALL zorder on a partitioned table clusters WITHIN the hive layout") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.range(0, 2000).toDF("k")
+      .withColumn("seg", org.apache.spark.sql.functions.expr(
+        "CASE WHEN k % 2 = 0 THEN 'e' ELSE 'o' END"))
+      .repartition(6)
+      .createOrReplaceTempView("zorderp_src")
+    sql("CREATE TABLE gcat.db.zodp USING graft PARTITIONED BY (seg) " +
+      "AS SELECT k, seg FROM zorderp_src")
+    sql("CALL gcat.system.zorder(table => 'db.zodp', columns => 'k', " +
+      "target_file_bytes => 4096)")
+    // the layout survives — partition-exact reads keep working …
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.zodp")
+    val files = Manifest.currentFiles(spark, dir)
+    assert(files.forall(_.contains("seg=")),
+      s"zorder must keep the hive layout: $files")
+    assert(sql("SELECT * FROM gcat.db.zodp WHERE seg = 'e'").count() == 1000)
+    assert(sql("SELECT * FROM gcat.db.zodp").count() == 2000)
+    // … and cluster columns may not name partition columns
+    intercept[Exception](sql(
+      "CALL gcat.system.zorder(table => 'db.zodp', columns => 'seg')"))
+  }
+
   test("DROP TABLE, rename, and the loud refusals") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.victim (x INT) USING graft")
@@ -328,9 +468,6 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("DROP TABLE gcat.db.renamed")
     assert(!spark.catalog.tableExists("gcat.db.renamed"))
     intercept[Exception](sql("SELECT * FROM gcat.db.renamed"))
-    sql("CREATE TABLE gcat.db.alt (x INT) USING graft")
-    intercept[UnsupportedOperationException](
-      sql("ALTER TABLE gcat.db.alt ADD COLUMN y INT"))
     // non-identity partition transform refused
     intercept[Exception](sql(
       "CREATE TABLE gcat.db.bucketed (x INT, b INT) USING graft " +

@@ -253,4 +253,62 @@ class GraftStreamingSpec extends AnyFunSuite {
     assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq ==
       (0 to 9))
   }
+
+  test("source: maxFilesPerTrigger bounds the batch by ADDED FILES, not commits") {
+    val table = tmpDir() + "/t"
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    Manifest.write(Seq(0).toDF("v"), table, "s0")
+    def drain(): Unit =
+      spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "4").load(table)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain() // initial snapshot: uncapped by design
+    // six commits of TWO files each land while the stream is down:
+    // a commit cap of 4 would admit 4 commits (8 files); the FILE cap
+    // of 4 must admit only 2 commits per batch
+    (1 to 6).foreach(i =>
+      Manifest.append(
+        Seq(i * 10, i * 10 + 1).toDF("v").repartition(2), table, s"b$i"))
+    val counts = (1 to 3).map { _ =>
+      drain(); Manifest.read(spark, out).count()
+    }
+    assert(counts == Seq(5L, 9L, 13L),
+      s"expected 2-commit (4-file) admission steps, got $counts")
+  }
+
+  test("source: maxBytesPerTrigger admits at least one commit however small the cap") {
+    val table = tmpDir() + "/t"
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    Manifest.write(Seq(0).toDF("v"), table, "s0")
+    def drain(): Unit =
+      spark.readStream.format("graft")
+        .option("maxBytesPerTrigger", "1").load(table) // 1 byte: every
+        // commit is oversized and must pass WHOLE, one per batch
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    (1 to 3).foreach(i => Manifest.append(Seq(i).toDF("v"), table, s"b$i"))
+    val counts = (1 to 3).map { _ =>
+      drain(); Manifest.read(spark, out).count()
+    }
+    assert(counts == Seq(2L, 3L, 4L),
+      s"expected one-commit admission steps, got $counts")
+    assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq ==
+      (0 to 3))
+    // a garbage size fails loudly once the source is actually built
+    // (readStream.load is lazy — only sourceSchema runs before start)
+    intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("maxBytesPerTrigger", "not-a-size").load(table)
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+  }
 }
