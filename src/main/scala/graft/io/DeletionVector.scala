@@ -232,6 +232,45 @@ object DeletionVector {
     }
   }
 
+  /** Read an ICEBERG-V3 deletion vector out of a Puffin file
+    * (`deletion-vector-v1` blob, located by the manifest entry's
+    * `content_offset`/`content_size_in_bytes`): at the offset sits a
+    * 4-byte big-endian length L of (magic + vector), then the magic
+    * bytes D1 D3 39 64 — which read little-endian ARE Delta's
+    * RoaringBitmapArray magic (v3 adopted Delta's exact serialization
+    * so the two formats can share DV files) — the vector, and a
+    * 4-byte big-endian CRC-32 over those L bytes. `blobSize` is the
+    * entry's `content_size_in_bytes` (= L + 8 for prefix + CRC),
+    * verified; pass a negative value to skip that cross-check. The
+    * whole read is one seek + L+12 bytes — never the file. */
+  def positionsPuffin(conf: org.apache.hadoop.conf.Configuration,
+      puffinPath: String, offset: Long, blobSize: Long): Seq[Long] = {
+    val p = new Path(puffinPath)
+    val fsys: FileSystem = p.getFileSystem(conf)
+    val in = fsys.open(p)
+    try {
+      in.seek(offset)
+      val lenBuf = new Array[Byte](4)
+      in.readFully(lenBuf)
+      val dataLen = ByteBuffer.wrap(lenBuf).getInt // big-endian
+      require(dataLen > 0, s"bad puffin DV length prefix $dataLen ($puffinPath)")
+      require(blobSize < 0 || blobSize == dataLen + 8L,
+        s"puffin DV blob size $blobSize != length prefix $dataLen + 8 " +
+          s"($puffinPath @ $offset)")
+      val data = new Array[Byte](dataLen)
+      in.readFully(data)
+      val crcBuf = new Array[Byte](4)
+      in.readFully(crcBuf)
+      val stored = ByteBuffer.wrap(crcBuf).getInt.toLong & 0xFFFFFFFFL
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      require(crc.getValue == stored,
+        s"puffin DV checksum mismatch for $puffinPath @ $offset: " +
+          s"stored $stored computed ${crc.getValue}")
+      decodeBitmapArray(data)
+    } finally in.close()
+  }
+
   // ---- WRITER side (round 8 wave 2): encode + store ---------------------
   // the export face needs to EMIT deletion vectors, not just read them:
   // a merge-on-read Manifest snapshot exports its delete state as real

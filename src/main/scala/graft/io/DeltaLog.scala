@@ -473,7 +473,15 @@ object DeltaLog {
     * actions at zero extra cost; a version that removed files WITHOUT
     * cdc actions fails loudly — re-export with
     * `exportLog(changeData = true)`. Driver state ∝ the window's
-    * changed-file count (the CDF plan itself), never row count. */
+    * changed-file count (the CDF plan itself), never row count.
+    *
+    * FOREIGN logs (delta-spark's `_change_data` layout) read too:
+    * action paths resolve absolute-or-relative per the protocol, and a
+    * cdc action's `partitionValues` attach as typed literal columns
+    * when the referenced file does not carry the partition columns
+    * physically (delta-spark's partitioned cdc shape); change types
+    * (`update_preimage`/`update_postimage` included) pass through
+    * verbatim. */
   def readChanges(spark: SparkSession, dir: String,
       sinceVersion: Long): DataFrame = {
     val (_, base) = fs(spark, dir)
@@ -487,7 +495,8 @@ object DeltaLog {
       StructField("sizeInBytes", IntegerType),
       StructField("cardinality", LongType)))
     val actionT = StructType(Seq(
-      StructField("cdc", StructType(Seq(StructField("path", StringType)))),
+      StructField("cdc", StructType(Seq(StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType))))),
       StructField("add", StructType(Seq(StructField("path", StringType),
         StructField("deletionVector", dvT)))),
       StructField("remove", StructType(Seq(StructField("path", StringType))))))
@@ -497,18 +506,55 @@ object DeltaLog {
           .cast("long").as("version"))
       .select(F.col("a.cdc.path").as("cdc"), F.col("a.add.path").as("add"),
         F.col("a.remove.path").as("remove"), F.col("version"),
-        F.col("a.add.deletionVector").as("dv"))
+        F.col("a.add.deletionVector").as("dv"),
+        F.col("a.cdc.partitionValues").as("cdcPv"))
       .where(F.col("cdc").isNotNull || F.col("add").isNotNull ||
         F.col("remove").isNotNull)
       .collect()
+    // action paths resolve per the protocol: absolute URIs ("s3://…",
+    // "file:/…") and rooted paths as-is, everything else against the
+    // table root — foreign writers emit both forms
+    def resolve(p: String): String = {
+      val hp = new Path(p)
+      if (hp.isAbsolute || hp.toUri.getScheme != null) p else s"$dir/$p"
+    }
+    // partition-column types for cdc partitionValues casts, resolved
+    // LAZILY (only a partitioned foreign cdc layout pays for it)
+    lazy val schemaTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      tableSchema(spark, dir, None).fields
+        .map(f => f.name -> f.dataType).toMap
     val byV = acts.groupBy(_.getLong(3))
     val frames: Seq[DataFrame] = vs.flatMap { v =>
       val rows = byV.getOrElse(v, Array.empty[Row])
-      val cdcPaths = rows.flatMap(r =>
-        if (r.isNullAt(0)) None else Some(r.getString(0))).toSeq
-      if (cdcPaths.nonEmpty)
-        Some(spark.read.parquet(cdcPaths.sorted.map(p => s"$dir/$p"): _*)
+      val cdcRows = rows.filter(r => !r.isNullAt(0))
+      if (cdcRows.nonEmpty) {
+        // group by the action's partitionValues: a foreign writer's
+        // `_change_data` files need not contain the partition columns
+        // physically (the values live in the action, exactly as on
+        // adds) — attach them as typed literals; files that already
+        // carry the column (the engine's own exports) pass through
+        val groups = cdcRows.groupBy(r =>
+          if (r.isNullAt(5)) Map.empty[String, String]
+          else r.getMap[String, String](5).toMap)
+        val grpFrames = groups.toSeq
+          .sortBy(_._2.map(_.getString(0)).min)
+          .map { case (pv, rs) =>
+            val paths = rs.map(r => resolve(r.getString(0)))
+              .distinct.sorted
+            var df = spark.read.parquet(paths: _*)
+            pv.foreach { case (k, pvv) =>
+              if (!df.columns.exists(_.equalsIgnoreCase(k))) {
+                val dt = schemaTypes.getOrElse(k,
+                  org.apache.spark.sql.types.StringType)
+                df = df.withColumn(k,
+                  (if (pvv == null) F.lit(null) else F.lit(pvv)).cast(dt))
+              }
+            }
+            df
+          }
+        Some(grpFrames.reduce(_.unionByName(_, allowMissingColumns = true))
           .withColumn("_commit_version", F.lit(v)))
+      }
       else if (rows.exists(r => !r.isNullAt(2)))
         throw new UnsupportedOperationException(
           s"delta version $v under $dir removed files but carries no cdc " +
@@ -532,8 +578,12 @@ object DeltaLog {
             }
           }
           val frame =
-            if (descs.isEmpty) Manifest.readFiles(spark, dir, adds.sorted)
-            else applyPositionDeletes(spark, dir, adds.sorted, descs)
+            if (descs.nonEmpty)
+              applyPositionDeletes(spark, dir, adds.sorted, descs)
+            else if (adds.forall(p =>
+                !(p.contains("://") || p.startsWith("/"))))
+              Manifest.readFiles(spark, dir, adds.sorted)
+            else spark.read.parquet(adds.map(resolve).sorted: _*)
           Some(frame
             .withColumn("_change_type", F.lit("insert"))
             .withColumn("_commit_version", F.lit(v)))

@@ -900,9 +900,15 @@ object IcebergExport {
     * reads at sequence 0; no delete content: every manifest is a data
     * manifest; the shapes this reader routes on all tolerate the
     * missing Avro fields, verified by ForeignIcebergSpec's
-    * hand-authored v1 tree). v3 adds features (deletion vectors, row
-    * lineage) it does not implement — fails LOUDLY naming the
-    * version. */
+    * hand-authored v1 tree). v3 reads for its DELETION-VECTOR subset
+    * (Puffin DVs are Delta's RoaringBitmapArray serialization, which
+    * the engine already decodes) — the v3 features whose silent
+    * ignorance would corrupt a read are refused BY NAME: row lineage
+    * (a `row-lineage: true` table promises `_row_id` semantics this
+    * reader cannot serve) and column default values (a field with
+    * `initial-default` must back-fill rows in files that predate it —
+    * null-filling instead would silently change data). Anything
+    * declaring a different format-version still fails loudly. */
   def currentMetadata(spark: SparkSession, dir: String): JValue = {
     val (fsys, base) = fs(spark, dir)
     val md = metaDir(base)
@@ -911,9 +917,31 @@ object IcebergExport {
       readText(fsys, new Path(md, s"v$gen.metadata.json")))
     meta \ "format-version" match {
       case JInt(v) if v == 1 || v == 2 =>
+      case JInt(v) if v == 3 =>
+        meta \ "row-lineage" match {
+          case JBool(true) => throw new UnsupportedOperationException(
+            s"iceberg v3 table under $dir declares ROW LINEAGE " +
+              "(row-lineage: true); this reader implements the v3 " +
+              "deletion-vector subset only and cannot serve _row_id " +
+              "semantics")
+          case _ => ()
+        }
+        val defaulted = schemasOf(meta, dir).flatMap(s => s \ "fields" match {
+          case JArray(fs2) => fs2.filter(f =>
+            (f \ "initial-default") != JNothing)
+          case _ => Nil
+        })
+        if (defaulted.nonEmpty) throw new UnsupportedOperationException(
+          s"iceberg v3 table under $dir declares COLUMN DEFAULT VALUES " +
+            s"(initial-default on ${defaulted.flatMap(f => f \ "name" match {
+              case JString(n) => Some(n); case _ => None
+            }).mkString(", ")}); null-filling them would silently " +
+            "change data - this reader implements the v3 " +
+            "deletion-vector subset only")
       case other => throw new UnsupportedOperationException(
         s"iceberg table under $dir declares format-version $other; this " +
-          "reader implements the v1/v2 table specs only")
+          "reader implements the v1/v2 specs plus the v3 " +
+          "deletion-vector subset only")
     }
     meta
   }
@@ -958,8 +986,14 @@ object IcebergExport {
   /** One snapshot's merge-on-read DELETE STATE: position-delete file
     * URIs, plus equality-delete groups as (apply-sequence, equality
     * field ids, file URIs). Both lists are metadata-scale. */
+  /** An iceberg-v3 deletion-vector reference: the Puffin file, the
+    * blob's offset/size within it, and the ONE data file it applies to. */
+  private[graft] final case class IcebergDvRef(puffinPath: String,
+      offset: Long, size: Long, referencedFile: String)
+
   private[graft] final case class DeleteState(posFiles: Seq[String],
-      eqGroups: Seq[(Long, Seq[Int], Seq[String])])
+      eqGroups: Seq[(Long, Seq[Int], Seq[String])],
+      dvs: Seq[IcebergDvRef] = Nil)
 
   private def deleteState(spark: SparkSession, dir: String,
       snapshotId: Option[Long]): DeleteState = {
@@ -969,14 +1003,31 @@ object IcebergExport {
       case None => DeleteState(Nil, Nil)
       case Some(e) =>
         val dfT = e.schema("data_file").dataType.asInstanceOf[StructType]
-        val eqIds: Column =
-          if (dfT.fieldNames.contains("equality_ids"))
-            F.col("data_file.equality_ids")
-          else F.lit(null).cast(ArrayType(IntegerType))
+        def optCol(n: String, dt: org.apache.spark.sql.types.DataType): Column =
+          if (dfT.fieldNames.contains(n)) F.col(s"data_file.$n")
+          else F.lit(null).cast(dt)
+        val eqIds: Column = optCol("equality_ids", ArrayType(IntegerType))
         val rows = e.select(F.col("data_file.file_path"),
           F.col("data_file.content"), F.col("_g_entry_seq"),
-          eqIds.as("_g_eq_ids")).collect()
-        val pos = rows.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq
+          eqIds.as("_g_eq_ids"),
+          optCol("referenced_data_file", StringType).as("_g_dv_ref"),
+          optCol("content_offset", LongType).as("_g_dv_off"),
+          optCol("content_size_in_bytes", LongType).as("_g_dv_size"))
+          .collect()
+        // a content=1 entry WITH a content_offset is a v3 DELETION
+        // VECTOR (one Puffin blob scoped to one referenced data file);
+        // without it, a classic position-delete parquet
+        val (dvRows, posRows) = rows.filter(_.getInt(1) == 1)
+          .partition(r => !r.isNullAt(5))
+        val dvs = dvRows.map { r =>
+          require(!r.isNullAt(4),
+            s"iceberg v3 deletion-vector entry ${r.getString(0)} under " +
+              s"$dir lacks referenced_data_file: cannot scope it; " +
+              "reading would silently include deleted rows")
+          IcebergDvRef(r.getString(0), r.getLong(5),
+            if (r.isNullAt(6)) -1L else r.getLong(6), r.getString(4))
+        }.toSeq
+        val pos = posRows.map(_.getString(0)).toSeq
         val eq = rows.filter(_.getInt(1) == 2).map { r =>
           val ids =
             if (r.isNullAt(3)) Nil
@@ -992,7 +1043,7 @@ object IcebergExport {
         val groups = eq.groupBy(x => (x._2, x._3)).toSeq
           .sortBy(_._1._1)
           .map { case ((seq, ids), xs) => (seq, ids, xs.map(_._1).sorted) }
-        DeleteState(pos, groups)
+        DeleteState(pos, groups, dvs)
     }
   }
 
@@ -1297,7 +1348,7 @@ object IcebergExport {
   private def readUrisApplyingDeletes(spark: SparkSession, dir: String,
       files: Seq[String], fileSeq: Map[String, Long], ds: DeleteState,
       eqNamesOf: Seq[Int] => Seq[String]): DataFrame = {
-    if (ds.posFiles.isEmpty && ds.eqGroups.isEmpty)
+    if (ds.posFiles.isEmpty && ds.eqGroups.isEmpty && ds.dvs.isEmpty)
       return readUris(spark, dir, files)
     import org.apache.spark.sql.functions.{broadcast, col, regexp_extract}
     val (fsys, base) = fs(spark, dir)
@@ -1317,7 +1368,7 @@ object IcebergExport {
         .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     val dataCols = readUris(spark, dir, files).columns
     var cur = metaDf
-    if (ds.posFiles.nonEmpty) {
+    if (ds.posFiles.nonEmpty || ds.dvs.nonEmpty) {
       // reduce both sides to a matchable tail: the graft layout's
       // `data-…/part-…` suffix when present, else the FILE NAME (a
       // foreign table's layout owes us nothing) — with name uniqueness
@@ -1333,9 +1384,36 @@ object IcebergExport {
         val g = regexp_extract(c, pathTailRe, 1)
         F.when(g =!= "", g).otherwise(F.element_at(F.split(c, "/"), -1))
       }
-      val dels = spark.read.parquet(ds.posFiles: _*)
-        .select(tailOf(col("file_path")).as("_g_dfile"),
-          col("pos").as("_g_dpos"))
+      val posDels =
+        if (ds.posFiles.isEmpty) None
+        else Some(spark.read.parquet(ds.posFiles: _*)
+          .select(tailOf(col("file_path")).as("_g_dfile"),
+            col("pos").as("_g_dpos")))
+      // v3 deletion vectors: the tiny descriptor set ships as a
+      // Dataset and each blob DECODES INSIDE A TASK (CRC-verified
+      // slice read of the Puffin file), so the deleted-position tuples
+      // are born distributed — the same shape [[DeltaLog]] uses for
+      // Delta DVs (they are the same serialization)
+      val dvDels =
+        if (ds.dvs.isEmpty) None
+        else {
+          import spark.implicits._
+          val serConf = new org.apache.spark.SerializableWritable(
+            spark.sparkContext.hadoopConfiguration)
+          Some(ds.dvs.map(d =>
+              (d.puffinPath, d.offset, d.size, d.referencedFile)).toDS()
+            .repartition(math.min(ds.dvs.size,
+              spark.sparkContext.defaultParallelism))
+            .flatMap { case (pp, off, sz, ref) =>
+              graft.io.DeletionVector
+                .positionsPuffin(serConf.value, pp, off, sz)
+                .map(p => (ref, p))
+            }
+            .toDF("_g_dref", "_g_dpos")
+            .select(tailOf(col("_g_dref")).as("_g_dfile"),
+              col("_g_dpos")))
+      }
+      val dels = (posDels.toSeq ++ dvDels.toSeq).reduce(_.unionByName(_))
       cur = cur.withColumn("_g_rel", tailOf(col("_g_file")))
         .join(broadcast(dels),
           col("_g_rel") =!= "" && col("_g_rel") === col("_g_dfile") &&

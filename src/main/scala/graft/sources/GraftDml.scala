@@ -502,6 +502,58 @@ case class GraftMergeCommand(dir: String, pinned: String,
     case other => other
   }
 
+  /** SOURCE-BOUNDS derivation (Delta's min/max constraint push): for
+    * every equi-conjunct `t.col = <source expr>` of the merge
+    * condition, a matching target row's value provably lies within
+    * [min, max] of that expression over the WHOLE source (equality
+    * never matches NULL), so the touched-file scan can pre-filter on
+    * `t.col BETWEEN min AND max` — which the manifest file index turns
+    * into a FOOTER-BOUNDS file prune. On a range-clustered 100 TB
+    * table with a narrow daily batch, phase 1 then opens only the
+    * overlapping files instead of scanning the table. One tiny agg
+    * job over the (persisted) source; an empty/all-null source yields
+    * `false` (nothing can match). Pure pruning — the join re-checks
+    * the full condition — but the bound itself is exact, so a dropped
+    * file provably holds no match. */
+  private def sourceBoundsFilter(
+      src: DataFrame): Option[org.apache.spark.sql.Column] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val srcOut = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      source.output)
+    val tgtOut = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      target.output)
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(dt)
+    val pairs = conjuncts(mergeCond).collect {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          t: AttributeReference, s)
+          if tgtOut.contains(t) && s.references.subsetOf(srcOut) &&
+            s.deterministic && orderable(t.dataType) => (t, s)
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          s, t: AttributeReference)
+          if tgtOut.contains(t) && s.references.subsetOf(srcOut) &&
+            s.deterministic && orderable(t.dataType) => (t, s)
+    }
+    if (pairs.isEmpty) return None
+    scala.util.Try {
+      val aggs = pairs.zipWithIndex.flatMap { case ((_, s), i) =>
+        val c = Bridge.columnOf(s)
+        Seq(F.min(c).as(s"__lo$i"), F.max(c).as(s"__hi$i"))
+      }
+      val row = src.agg(aggs.head, aggs.tail: _*).collect().head
+      val filters = pairs.zipWithIndex.map { case ((t, _), i) =>
+        if (row.isNullAt(2 * i)) F.lit(false) // empty source: no match
+        else Bridge.columnOf(t).between(
+          F.lit(row.get(2 * i)), F.lit(row.get(2 * i + 1)))
+      }
+      filters.reduce(_ && _)
+    }.toOption
+  }
+
   /** Phase 1: the distinct manifest-relative paths of pinned-snapshot
     * files holding at least one row matching some source row (Delta's
     * findTouchedFiles). None = provenance is unavailable on this plan
@@ -513,7 +565,8 @@ case class GraftMergeCommand(dir: String, pinned: String,
     val stripped = stripWrappers(target)
     if (!target.output.forall(stripped.outputSet.contains)) return None
     val withFile = scala.util.Try {
-      Bridge.ofRows(spark, stripped)
+      val base = Bridge.ofRows(spark, stripped)
+      sourceBoundsFilter(src).fold(base)(base.where)
         .select(F.col("*"), F.col("_metadata.file_path").as("__graft_fp"))
     }.toOption
     withFile.flatMap { tf =>

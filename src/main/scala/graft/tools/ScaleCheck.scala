@@ -227,7 +227,16 @@ object ScaleCheck {
       // row at every scale, proving the PrunedFilteredScan pushdown
       // reaches the inner scan (pre-round-10 the filter only
       // re-evaluated above a full scan)
-      "graft_mor_full", "graft_mor_selective")
+      "graft_mor_full", "graft_mor_selective",
+      // round-11 (VERDICT r10 item 1): SQL MERGE with touched-file
+      // pruning — a FIXED source batch (keys in replica 0 only, thanks
+      // to the key shift) merged into the growing range-clustered
+      // table. Source-bounds derivation prunes the find-touched scan
+      // by footer bounds and only the matching files rewrite, so the
+      // row should stay near-FLAT across 1×/10×/100× — the
+      // q_cow_delete curve shape (pre-round-11 this was a full-table
+      // rewrite: linear write amplification)
+      "merge_touched")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -248,6 +257,8 @@ object ScaleCheck {
           (sp, dir) => morRead(sp, dir, selective = false)
         else if (name == "graft_mor_selective")
           (sp, dir) => morRead(sp, dir, selective = true)
+        else if (name == "merge_touched")
+          (sp, dir) => mergeTouched(sp, dir)
         else SparkEntry.queries(name)
       def measure(dir: String): (Double, Long) = {
         graft.ops.BoundedCache.clear()
@@ -293,6 +304,44 @@ object ScaleCheck {
     if (!selective) g.groupBy("o_orderstatus").count()
     else g.where(col("o_orderpriority") === "1-URGENT" &&
         col("o_orderkey") >= 5000 && col("o_orderkey") < 100000)
+      .groupBy("o_orderstatus").count()
+  }
+
+  /** Round-11 MERGE-at-scale probe: ONE range-clustered graft table per
+    * fixture dir (orders on o_orderkey, built on first use, reused —
+    * run with `reuse only=merge_touched` for a land-free steady-state
+    * row), then one SQL MERGE whose source batch holds a FIXED key
+    * range (present only in replica 0 after the key shift). The merge
+    * should cost ∝ the touched files at every scale: source-bounds
+    * derivation footer-prunes the find-touched scan, the rewrite
+    * covers only matching files, and the rest carry by reference. The
+    * returned frame is the bounds-pruned post-merge read of the key
+    * range (also flat), so the measurement isolates the DML machinery. */
+  private def mergeTouched(sp: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_mergescale_$key"
+    if (!new java.io.File(tbl).exists() ||
+        graft.io.Manifest.snapshots(sp, tbl).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sp.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        sp.read.parquet(s"$dir/orders.parquet")
+          .repartitionByRange(32, col("o_orderkey")),
+        tbl, "base")
+    }
+    sp.read.format("graft").load(tbl)
+      .createOrReplaceTempView("merge_scale_t")
+    sp.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .where(col("o_orderkey").between(1000, 1999))
+      .select(col("o_orderkey"), lit("SCALED").as("seg"))
+      .createOrReplaceTempView("merge_scale_s")
+    sp.sql(
+      """MERGE INTO merge_scale_t t USING merge_scale_s s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_orderpriority = s.seg""".stripMargin)
+    sp.read.format("graft").load(tbl)
+      .where(col("o_orderkey").between(1000, 1999))
       .groupBy("o_orderstatus").count()
   }
 

@@ -500,6 +500,47 @@ class ForeignDeltaSpec extends AnyFunSuite {
     assert(DeltaLog.tableSchema(spark, dir).fieldNames.toSeq == Seq("v"))
   }
 
+  test("foreign CDF: cdc actions with relative/absolute paths and action partitionValues") {
+    val dir = tmpDir()
+    val absDir = tmpDir()
+    // delta-spark's partitioned cdc shape: `_change_data` files carry
+    // the table columns + `_change_type` but NOT the partition column —
+    // its value lives in the cdc action's partitionValues
+    new java.io.File(dir, "_change_data").mkdirs()
+    landParquet(
+      Seq((5, "update_preimage"), (50, "update_postimage"))
+        .toDF("v", "_change_type"),
+      s"$dir/_change_data", "cdcx.parquet")
+    // a second cdc file referenced by ABSOLUTE URI, different partition
+    landParquet(Seq((9, "delete")).toDF("v", "_change_type"),
+      absDir, "cdcy.parquet")
+    landParquet(Seq(5).toDF("v"), dir, "a.parquet")
+    landParquet(Seq(50).toDF("v"), dir, "d.parquet")
+    val partSchema = schemaJson(
+      new StructType().add("v", "integer").add("seg", "string"))
+    writeCommit(dir, 0L, Seq(
+      s"""{"metaData":{"id":"foreign-cdf","schemaString":$partSchema,"format":{"provider":"parquet","options":{}},"partitionColumns":["seg"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":5}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{"seg":"x"},"size":100,"modificationTime":3,"dataChange":true}}"""))
+    // v1: an UPDATE+DELETE commit — cdc actions supersede add/remove
+    writeCommit(dir, 1L, Seq(
+      """{"commitInfo":{"timestamp":456,"operation":"MERGE"}}""",
+      """{"remove":{"path":"a.parquet","deletionTimestamp":9,"dataChange":true}}""",
+      """{"add":{"path":"d.parquet","partitionValues":{"seg":"x"},"size":100,"modificationTime":9,"dataChange":true}}""",
+      s"""{"cdc":{"path":"_change_data/cdcx.parquet","partitionValues":{"seg":"x"},"size":10,"dataChange":false}}""",
+      s"""{"cdc":{"path":"file:$absDir/cdcy.parquet","partitionValues":{"seg":"y"},"size":10,"dataChange":false}}"""))
+    val got = DeltaLog.readChanges(spark, dir, 0L)
+      .select("v", "seg", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == Seq(
+      (5, "x", "update_preimage", 1L),
+      (9, "y", "delete", 1L),
+      (50, "x", "update_postimage", 1L)),
+      s"foreign cdc commit must read change-for-change, got $got")
+  }
+
   test("iceberg equality deletes (content=2) fail loudly") {
     import scala.jdk.CollectionConverters._
     import org.apache.avro.file.{DataFileStream, DataFileWriter}

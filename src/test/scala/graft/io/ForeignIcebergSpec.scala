@@ -443,19 +443,168 @@ class ForeignIcebergSpec extends AnyFunSuite {
       .where("v BETWEEN 105 AND 106").count() == 2)
   }
 
-  test("format-version 3 still refuses loudly by name") {
-    val dir = tmpDir()
+  // ---- FORMAT-VERSION 3: the deletion-vector subset ---------------------
+
+  /** v3 manifest-entry schema: the v2 shape plus the DV reference
+    * fields (143-145) on data_file. */
+  private val v3EntrySchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"referenced_data_file","type":["null","string"],"default":null},
+      |  {"name":"content_offset","type":["null","long"],"default":null},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}
+      |]}},
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null}
+      |]}""".stripMargin)
+
+  private def v3Entry(seq: Long, path: String, content: Int, records: Long,
+      dvRef: Option[(String, Long, Long)] = None): GenericRecord = {
+    val df = new GenericData.Record(
+      v3EntrySchema.getField("data_file").schema())
+    df.put("file_format", if (content == 1 && dvRef.isDefined) "PUFFIN"
+      else "PARQUET")
+    df.put("record_count", java.lang.Long.valueOf(records))
+    df.put("file_path", path)
+    df.put("content", content)
+    df.put("file_size_in_bytes", java.lang.Long.valueOf(10L))
+    dvRef.foreach { case (ref, off, size) =>
+      df.put("referenced_data_file", ref)
+      df.put("content_offset", java.lang.Long.valueOf(off))
+      df.put("content_size_in_bytes", java.lang.Long.valueOf(size))
+    }
+    val e = new GenericData.Record(v3EntrySchema)
+    e.put("data_file", df)
+    e.put("status", 1)
+    e.put("snapshot_id", java.lang.Long.valueOf(7L))
+    e.put("sequence_number", java.lang.Long.valueOf(seq))
+    e
+  }
+
+  /** A minimal Puffin file: the 4-byte header magic, then ONE
+    * deletion-vector-v1 blob (BE length prefix of magic+vector, the
+    * vector in Delta's RoaringBitmapArray serialization — v3 adopted
+    * it verbatim — and a BE CRC-32 of the prefixed bytes). Returns
+    * (blob offset, content_size_in_bytes = L + 8). The footer is
+    * omitted: a manifest-driven reader locates blobs by offset. */
+  private def writePuffin(path: String, positions: Seq[Long]): (Long, Long) = {
+    val vec = DeletionVector.encodeBitmapArray(positions)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("PFA1".getBytes("UTF-8"))
+    val offset = out.size().toLong
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(vec.length).array())
+    out.write(vec)
+    val crc = new java.util.zip.CRC32
+    crc.update(vec)
+    out.write(java.nio.ByteBuffer.allocate(4)
+      .putInt(crc.getValue.toInt).array())
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.toByteArray)
+    (offset, vec.length + 8L)
+  }
+
+  private def writeV3Metadata(dir: String, snapshotId: Long,
+      listPath: String, extraTop: String = "",
+      fieldExtra: String = ""): Unit = {
     val md = new java.io.File(dir, "metadata"); md.mkdirs()
+    val json =
+      s"""{
+         |  "format-version": 3,
+         |  "table-uuid": "33333333-2222-3333-4444-555555555555",
+         |  "location": "$dir",$extraTop
+         |  "last-sequence-number": $snapshotId,
+         |  "last-updated-ms": 1700000000000,
+         |  "last-column-id": 1,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "v", "required": false, "type": "int"$fieldExtra}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "last-partition-id": 999,
+         |  "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id": 0, "fields": []}],
+         |  "current-snapshot-id": $snapshotId,
+         |  "snapshots": [{"snapshot-id": $snapshotId,
+         |    "sequence-number": $snapshotId, "timestamp-ms": 1700000000000,
+         |    "manifest-list": "$listPath",
+         |    "summary": {"operation": "append"}, "schema-id": 0}],
+         |  "snapshot-log": [{"timestamp-ms": 1700000000000,
+         |    "snapshot-id": $snapshotId}]
+         |}""".stripMargin
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"),
-      """{"format-version": 3, "table-uuid": "x"}""".getBytes("UTF-8"))
+      json.getBytes("UTF-8"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/metadata/version-hint.text"),
       "1".getBytes("UTF-8"))
-    val e = intercept[UnsupportedOperationException](
+  }
+
+  test("format-version 3: a Puffin deletion vector reads correctly") {
+    val dir = tmpDir()
+    val qual = s"file:$dir"
+    landParquet((1 to 10).toDF("v"), dir, "a.parquet")
+    landParquet((11 to 20).toDF("v"), dir, "b.parquet")
+    // the DV kills a.parquet rows 0, 3, 9 (v = 1, 4, 10)
+    val (off, size) = writePuffin(s"$dir/dv.puffin", Seq(0L, 3L, 9L))
+    writeAvro(s"$dir/m-data.avro", v3EntrySchema, Seq(
+      v3Entry(1L, s"$qual/a.parquet", 0, 10),
+      v3Entry(2L, s"$qual/b.parquet", 0, 10)))
+    writeAvro(s"$dir/m-del.avro", v3EntrySchema, Seq(
+      v3Entry(3L, s"$qual/dv.puffin", 1, 3,
+        dvRef = Some((s"$qual/a.parquet", off, size)))))
+    new java.io.File(dir, "metadata").mkdirs()
+    writeAvro(s"$dir/metadata/snap-7.avro", foreignListSchema, Seq(
+      listEntry(s"$qual/m-data.avro", 0, 2L),
+      listEntry(s"$qual/m-del.avro", 1, 3L)))
+    writeV3Metadata(dir, 7L, s"$qual/metadata/snap-7.avro")
+
+    assert(IcebergExport.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      Seq(2, 3, 5, 6, 7, 8, 9) ++ (11 to 20),
+      "DV-deleted positions must drop; the other file reads whole")
+    // DVs are not classic position-delete FILES — the parquet list
+    // stays empty; only the full read paths apply them
+    assert(IcebergExport.activeDeleteFiles(spark, dir).isEmpty)
+    // stats-free pruning composes: fail-open keeps both files and the
+    // DV still applies on the pruned read
+    assert(IcebergExport.readPruned(spark, dir, "v", "1", "6")
+      .where("v BETWEEN 1 AND 6").as[Int].collect().sorted.toSeq ==
+      Seq(2, 3, 5, 6))
+  }
+
+  test("format-version 3 refuses row lineage and default values BY NAME; v4 refuses") {
+    // row lineage
+    val dir = tmpDir()
+    writeV3Metadata(dir, 7L, s"file:$dir/metadata/none.avro",
+      extraTop = "\n  \"row-lineage\": true,")
+    val e1 = intercept[UnsupportedOperationException](
       IcebergExport.read(spark, dir))
-    assert(e.getMessage.contains("format-version") &&
-      e.getMessage.contains("3"))
+    assert(e1.getMessage.contains("ROW LINEAGE"))
+    // column default values
+    val dir2 = tmpDir()
+    writeV3Metadata(dir2, 7L, s"file:$dir2/metadata/none.avro",
+      fieldExtra = """, "initial-default": 42""")
+    val e2 = intercept[UnsupportedOperationException](
+      IcebergExport.read(spark, dir2))
+    assert(e2.getMessage.contains("DEFAULT VALUES") &&
+      e2.getMessage.contains("v"))
+    // an unknown format-version still refuses naming it
+    val dir3 = tmpDir()
+    val md3 = new java.io.File(dir3, "metadata"); md3.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir3/metadata/v1.metadata.json"),
+      """{"format-version": 4, "table-uuid": "x"}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir3/metadata/version-hint.text"),
+      "1".getBytes("UTF-8"))
+    val e3 = intercept[UnsupportedOperationException](
+      IcebergExport.read(spark, dir3))
+    assert(e3.getMessage.contains("format-version") &&
+      e3.getMessage.contains("4"))
   }
 
   test("equality delete naming an unknown or missing field id fails loudly") {

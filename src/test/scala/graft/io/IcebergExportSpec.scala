@@ -513,20 +513,28 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(keptMid.size <= 2 && keptMid.nonEmpty)
   }
 
-  test("foreign format-version 1/3 metadata fails loudly") {
+  test("format-version 3 without v3-only features reads; unknown versions fail loudly") {
     val dir = tmpDir()
     Manifest.write((1 to 10).toDF("v"), dir, "s1")
     IcebergExport.exportTable(spark, dir)
     val mj = new java.io.File(s"$dir/metadata/v1.metadata.json")
     val txt = scala.io.Source.fromFile(mj).mkString
-    val w = new java.io.PrintWriter(mj)
-    try w.write(txt.replaceAll(
-      "\"format-version\"\\s*:\\s*2", "\"format-version\" : 3"))
-    finally w.close()
-    new java.io.File(s"$dir/metadata/.v1.metadata.json.crc").delete()
-    // a v3 tree (or v1 — whose manifest avro lacks the content and
-    // sequence-number fields this reader routes on) must refuse loudly,
-    // never read silently wrong
+    def setVersion(v: Int): Unit = {
+      val w = new java.io.PrintWriter(mj)
+      try w.write(txt.replaceAll(
+        "\"format-version\"\\s*:\\s*2", s""""format-version" : $v"""))
+      finally w.close()
+      new java.io.File(s"$dir/metadata/.v1.metadata.json.crc").delete()
+    }
+    // round 11: a v3 tree whose only difference from v2 is the declared
+    // version (no deletion vectors, no row lineage, no defaults) reads
+    // byte-identical — the v3 deletion-vector subset
+    setVersion(3)
+    assert(IcebergExport.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      (1 to 10))
+    // an UNKNOWN format version must still refuse loudly, never read
+    // silently wrong
+    setVersion(4)
     val ex = intercept[UnsupportedOperationException] {
       IcebergExport.read(spark, dir)
     }
