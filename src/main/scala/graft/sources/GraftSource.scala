@@ -337,7 +337,7 @@ class GraftFileIndex(spark: SparkSession, dir: String,
     * schema's recovered types (hive null marker → null). */
   private lazy val groups: Seq[(InternalRow, Seq[String])] =
     m.files.groupBy(f => Manifest.partitionValuesOf(f).map(_._2))
-      .toSeq.sortBy(_._1.mkString(" "))
+      .toSeq.sortBy(_._1.mkString("\u0000"))
       .map { case (vals, fs) => (partRow(vals), fs.sorted) }
 
   private def partRow(vals: Seq[String]): InternalRow = {
