@@ -20,6 +20,8 @@ import graft.sources.GraftSource
  *   CALL graft.system.compact(table => 'db.t')
  *   CALL graft.system.zorder(table => 'db.t', columns => 'k1,k2')
  *   CALL graft.system.vacuum(table => 'db.t', keep_last => 3)
+ *   CALL graft.system.restore(table => 'db.t', version => 2)
+ *   CALL graft.system.history(table => 'db.t')
  *   CALL graft.system.export_delta(table => 'db.t')
  *   CALL graft.system.export_iceberg(table => 'db.t')
  * }}}
@@ -91,7 +93,11 @@ private[catalog] object GraftProcedures {
       // that layout refuses loudly instead of being silently ignored
       override val params = Array(
         in("table", StringType),
-        inDefault("target_file_bytes", LongType, "-1"))
+        inDefault("target_file_bytes", LongType, "-1"),
+        // OPTIMIZE … WHERE: "k=v[,k2=v2]" compacts ONLY the matching
+        // hive partitions, carrying every other file by reference —
+        // the daily hot-partition maintenance move
+        inDefault("where_partition", StringType, "null"))
       override val outSchema = new StructType()
         .add("snapshot", StringType).add("files", LongType)
       override def run(spark: SparkSession, dir: String,
@@ -101,21 +107,44 @@ private[catalog] object GraftProcedures {
         val target = args.getLong(1)
         require(target == -1L || target > 0,
           s"graft catalog: target_file_bytes must be positive, got $target")
+        val whereEq: Option[Map[String, String]] =
+          if (args.isNullAt(2)) None
+          else Some(args.getUTF8String(2).toString.split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty)
+            .map { kv =>
+              val i = kv.indexOf('=')
+              require(i > 0, s"graft catalog: malformed where_partition " +
+                s"entry '$kv' (expected k=v)")
+              kv.substring(0, i).trim -> kv.substring(i + 1).trim
+            }.toMap)
+        whereEq.foreach(m => require(m.nonEmpty,
+          "graft catalog: where_partition needs at least one k=v entry"))
         // DECLARED partitioning wins (a mixed-layout snapshot — e.g. a
         // path append without partitionBy — must compact BACK to the
         // declared layout, repairing the demotion, never finalizing it)
         val partCols =
           if (declaredPartCols.nonEmpty) declaredPartCols
           else GraftSource.uniformPartitionColsOf(spark, dir)
-        val files =
-          if (partCols.nonEmpty) {
+        val files = whereEq match {
+          case Some(eq) =>
+            require(target == -1L,
+              "graft catalog: where_partition compaction writes one file " +
+                "per matched partition value; target_file_bytes is not " +
+                "configurable on this form")
+            val res = Manifest.compactWherePartitions(spark, dir, snap, eq)
+            require(res.committed.isDefined,
+              s"graft catalog: no files match where_partition " +
+                s"${eq.map { case (k, v) => s"$k=$v" }.mkString(",")}")
+            res.rewritten.size.toLong
+          case None if partCols.nonEmpty =>
             require(target == -1L,
               "graft catalog: compact on a hive-partitioned table writes " +
                 "one file per partition value; target_file_bytes is not " +
                 "configurable on this layout")
             Manifest.compactPartitioned(spark, dir, snap, partCols)
-          } else Manifest.compact(spark, dir, snap,
+          case None => Manifest.compact(spark, dir, snap,
             if (target == -1L) 128L * 1024 * 1024 else target)
+        }
         spark.catalog.refreshByPath(dir)
         result(outSchema, UTF8String.fromString(snap), files)
       }
@@ -172,6 +201,63 @@ private[catalog] object GraftProcedures {
           args: InternalRow): java.util.Iterator[Scan] =
         result(outSchema, Manifest.vacuum(spark, dir,
           args.getInt(1), args.getLong(2)).size.toLong)
+    },
+    "restore" -> new TableProcedure(cat, "restore",
+      "roll the table head back to a retained snapshot (by id or " +
+        "commit seq) - zero data movement, history preserved") {
+      override val params = Array(
+        in("table", StringType),
+        inDefault("snapshot", StringType, "null"),
+        inDefault("version", LongType, "-1"))
+      override val outSchema = new StructType()
+        .add("restored_to", StringType).add("new_snapshot", StringType)
+      override def run(spark: SparkSession, dir: String,
+          declaredPartCols: Seq[String],
+          args: InternalRow): java.util.Iterator[Scan] = {
+        val bySnap = if (args.isNullAt(1)) None
+          else Some(args.getUTF8String(1).toString)
+        val byVer = if (args.isNullAt(2) || args.getLong(2) < 0) None
+          else Some(args.getLong(2))
+        require(bySnap.isDefined != byVer.isDefined,
+          "graft catalog: CALL restore needs exactly one of " +
+            "snapshot => '<id>' or version => <commit_seq>")
+        val target = bySnap.getOrElse {
+          val v = byVer.get
+          Manifest.history(spark, dir).find(_.seq == v).map(_.snapshot)
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft catalog: no retained commit_seq $v under $dir"))
+        }
+        val newSnap = Manifest.restore(spark, dir, target)
+        spark.catalog.refreshByPath(dir)
+        result(outSchema, UTF8String.fromString(target),
+          newSnap.map(UTF8String.fromString).orNull)
+      }
+    },
+    "history" -> new TableProcedure(cat, "history",
+      "the table's retained commit history, oldest to newest " +
+        "(DESCRIBE HISTORY)") {
+      override val params = Array(in("table", StringType))
+      override val outSchema = new StructType()
+        .add("version", LongType).add("snapshot", StringType)
+        .add("committed_at", LongType).add("files", LongType)
+        .add("delete_files", LongType).add("rewrite",
+          org.apache.spark.sql.types.BooleanType)
+      override def run(spark: SparkSession, dir: String,
+          declaredPartCols: Seq[String],
+          args: InternalRow): java.util.Iterator[Scan] = {
+        // metadata-scale: one row per RETAINED commit (KB-sized
+        // manifest reads; vacuum bounds the count)
+        val histRows = Manifest.history(spark, dir).map(m =>
+          InternalRow.fromSeq(Seq(m.seq,
+            UTF8String.fromString(m.snapshot), m.committedAt,
+            m.files.size.toLong, m.deleteFiles.size.toLong, m.rewrite)))
+          .toArray
+        val schema = outSchema
+        java.util.Collections.singletonList(new LocalScan {
+          override def rows(): Array[InternalRow] = histRows
+          override def readSchema(): StructType = schema
+        }: Scan).iterator()
+      }
     },
     "export_delta" -> new TableProcedure(cat, "export_delta",
       "export/refresh the table's Delta-protocol _delta_log") {

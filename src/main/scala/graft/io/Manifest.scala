@@ -1043,6 +1043,72 @@ object Manifest {
     currentFiles(spark, dir).size.toLong
   }
 
+  /** PARTITION-SCOPED compaction (Delta's `OPTIMIZE … WHERE`): rewrite
+    * ONLY the files of the hive partitions matching every `equalTo`
+    * entry — one file per matched partition value — carrying every
+    * other file by reference. This is the daily maintenance move at
+    * 100 TB: a date-partitioned table's hot-partition small-file spray
+    * compacts for today's bytes, not the table's. The match is the
+    * same hive-ESCAPED path comparison [[readWherePartitions]] uses
+    * (exact, zero footer reads). MOR deletes targeting the rewritten
+    * files are applied during the rewrite (their entries become inert
+    * — they reference paths the new snapshot no longer lists); carried
+    * files keep their delete state. The commit declares the scoped
+    * base, so a racing commit over DISJOINT files rebases instead of
+    * failing the maintenance job. Returns the rewritten/carried split
+    * (committed = None when nothing matches — no commit). */
+  def compactWherePartitions(spark: SparkSession, dir: String,
+      snapshot: String, equalTo: Map[String, String]): CowRewrite = {
+    require(equalTo.nonEmpty, "compactWherePartitions needs partition values")
+    val (fsys, base) = fs(spark, dir)
+    val cur = retained(fsys, base).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    def matches(f: String): Boolean = equalTo.forall { case (k, v) =>
+      f.contains(s"/${escapePathName(k)}=${escapePathName(v)}/")
+    }
+    val (touch, keep) = cur.files.partition(matches)
+    if (touch.isEmpty) return CowRewrite(Nil, keep, None)
+    val partCols = partitionValuesOf(touch.head).map(_._1)
+    require(partCols.nonEmpty,
+      s"compactWherePartitions: matched files under $dir carry no hive layout")
+    val df = readFilesApplyingDeletes(spark, dir, touch, cur.deleteFiles)
+      .repartition(partCols.map(F.col): _*)
+    writeImpl(df, dir, snapshot, () => (), carriedExplicit = Some(keep),
+      partitionCols = partCols, deletesExplicit = Some(cur.deleteFiles),
+      rewrite = true, cowBase = Some(cur))
+    CowRewrite(touch, keep, Some(snapshot))
+  }
+
+  /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF`): make a
+    * RETAINED older snapshot the table head again by committing a NEW
+    * manifest that lists the target snapshot's files and delete state
+    * BY REFERENCE — zero data movement, one KB-sized metadata write,
+    * however large the table. History is preserved (the rolled-back
+    * snapshots stay retained until [[vacuum]]), so a restore is itself
+    * undoable. The commit is flagged `rewrite` — its files re-serve
+    * rows older snapshots contained, so incremental readers must
+    * re-baseline (correct: a restore rewinds state). A lost commit CAS
+    * throws instead of retrying: a concurrent commit changed the very
+    * state the operator decided to rewind, so the decision must be
+    * re-made against the new head. Restoring the current head is a
+    * no-op (returns None). Returns the new snapshot id. */
+  def restore(spark: SparkSession, dir: String,
+      snapshot: String): Option[String] = {
+    val (fsys, base) = fs(spark, dir)
+    val all = retained(fsys, base)
+    val target = all.find(_.snapshot == snapshot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained snapshot '$snapshot' under $dir " +
+          s"(retained: ${all.map(_.snapshot).mkString(", ")})"))
+    if (all.last.snapshot == snapshot) return None
+    val newSnap = s"restore-${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    publishManifest(fsys, base, dir, newSnap, all,
+      target.files, target.deleteFiles, rewrite = true)
+    Some(newSnap)
+  }
+
   /** Retention: keep the `keepLast` newest retained manifests (the
     * current snapshot is the newest, so it always survives) plus every
     * data dir any of them references. Data dirs referenced only by

@@ -1787,6 +1787,41 @@ object Maintenance {
             |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // CALL system.restore under oracle (round 11): a DELETE mutates the
+  // catalog table, then one SQL `CALL restore(version => 0)` rolls the
+  // head back BY REFERENCE (zero data movement — the new manifest
+  // lists the original files), and the post-restore aggregate is what
+  // hashes against the oracle's scan of the UNTOUCHED source table.
+  // Hash equality proves the rollback is exact: had the delete leaked
+  // through, every group's count would differ.
+  private val graftRestore = Q(
+    "q_graft_restore",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_restore_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.grst", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.grst.warehouse", wh)
+      s.sql("CREATE NAMESPACE grst.db")
+      t(s, dir, "orders").createOrReplaceTempView("grst_src")
+      s.sql(
+        """CREATE TABLE grst.db.ord USING graft
+          |AS SELECT o_orderkey, o_orderstatus, o_totalprice
+          |   FROM grst_src""".stripMargin)
+      s.sql("DELETE FROM grst.db.ord WHERE o_orderkey % 3 = 0")
+      s.sql("CALL grst.system.restore(table => 'db.ord', version => 0)")
+      s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price
+           |FROM grst.db.ord GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
@@ -1794,6 +1829,7 @@ object Maintenance {
     partitionedRead, deltaPartitionPrune,
     graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
     graftSqlDelete, graftMerge, graftCatalogQ, graftEvolve, graftZorder,
+    graftRestore,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

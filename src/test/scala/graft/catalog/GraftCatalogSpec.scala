@@ -459,6 +459,74 @@ class GraftCatalogSpec extends AnyFunSuite {
       "CALL gcat.system.zorder(table => 'db.zodp', columns => 'seg')"))
   }
 
+  test("CALL restore rolls the head back by version or snapshot; history lists commits") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.rst (x INT) USING graft")
+    sql("INSERT INTO gcat.db.rst VALUES (1), (2)") // seq 0
+    sql("INSERT INTO gcat.db.rst VALUES (3)") // seq 1
+    sql("DELETE FROM gcat.db.rst WHERE x = 1") // seq 2 (rewrite)
+    assert(sql("SELECT * FROM gcat.db.rst").count() == 2)
+    // restore to the pre-delete state by VERSION — zero data movement
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.rst")
+    val filesBefore = Manifest.currentFiles(spark, dir).toSet
+    val r = sql("CALL gcat.system.restore(table => 'db.rst', version => 1)")
+      .collect()
+    assert(r.length == 1 && r.head.getString(1) != null)
+    assert(sql("SELECT * FROM gcat.db.rst").orderBy("x")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // the restored head lists the ORIGINAL files by reference (the
+    // rolled-back rewrite's files are simply no longer referenced)
+    val filesAfter = Manifest.currentFiles(spark, dir).toSet
+    assert(filesAfter != filesBefore)
+    assert(filesAfter.forall(f =>
+      f.startsWith("data-w") || f.startsWith("data-stream") ||
+        f.startsWith("data-")), filesAfter.toString)
+    // history shows the whole chain incl. the restore (a rewrite commit)
+    val hist = sql("CALL gcat.system.history(table => 'db.rst')").collect()
+    assert(hist.length == 4)
+    assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(hist.last.getBoolean(5), "a restore commit is rewrite-flagged")
+    // restoring the current head is a no-op (null new_snapshot)
+    val cur = hist.last.getString(1)
+    val noop = sql(
+      s"CALL gcat.system.restore(table => 'db.rst', snapshot => '$cur')")
+      .collect()
+    assert(noop.head.isNullAt(1))
+    assert(sql("CALL gcat.system.history(table => 'db.rst')")
+      .collect().length == 4)
+    // exactly one selector required; unknown version refuses
+    intercept[Exception](sql("CALL gcat.system.restore(table => 'db.rst')"))
+    intercept[Exception](sql(
+      "CALL gcat.system.restore(table => 'db.rst', version => 99)"))
+  }
+
+  test("CALL compact(where_partition) compacts ONE partition, carries the rest") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.hot (x INT, seg STRING) USING graft " +
+      "PARTITIONED BY (seg)")
+    // three small-file appends per partition — the hot-partition spray
+    (1 to 3).foreach(i =>
+      sql(s"INSERT INTO gcat.db.hot VALUES ($i, 'e'), (${i + 10}, 'o')"))
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.hot")
+    val before = Manifest.currentFiles(spark, dir)
+    assert(before.count(_.contains("seg=e")) == 3)
+    val res = sql("CALL gcat.system.compact(table => 'db.hot', " +
+      "where_partition => 'seg=e')").collect()
+    assert(res.head.getLong(1) == 3, "three seg=e files rewritten")
+    val after = Manifest.currentFiles(spark, dir)
+    // seg=e compacted to ONE file; every seg=o file carried VERBATIM
+    assert(after.count(_.contains("seg=e")) == 1)
+    assert(before.filter(_.contains("seg=o")).forall(after.contains),
+      "unmatched partitions must carry by reference")
+    assert(sql("SELECT * FROM gcat.db.hot WHERE seg = 'e'").count() == 3)
+    assert(sql("SELECT * FROM gcat.db.hot").count() == 6)
+    // no matching partition refuses loudly
+    intercept[Exception](sql("CALL gcat.system.compact(" +
+      "table => 'db.hot', where_partition => 'seg=zzz')"))
+  }
+
   test("DROP TABLE, rename, and the loud refusals") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.victim (x INT) USING graft")
