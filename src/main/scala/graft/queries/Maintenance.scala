@@ -1585,6 +1585,45 @@ object Maintenance {
             |WHERE NOT (o_orderkey BETWEEN 1000 AND 4999 AND o_orderstatus = 'O')
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // SQL DELETE with an UNCORRELATED IN-subquery under oracle (round
+  // 11): the GDPR / right-to-erasure shape — the keys to purge come
+  // from another relation, not a literal list. The subquery stays in
+  // predicate position through the rewrite (null-aware planning
+  // preserved; the spec proves the NOT-IN/NULL corner), and the
+  // post-delete aggregate hashes against DuckDB running the SAME
+  // subquery shape over the raw parquet.
+  private val graftSubqDelete = Q(
+    "q_graft_subq_delete",
+    (s, dir) => {
+      val out = scratchDir(dir, "graft_subq_del")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "orders").repartitionByRange(8, col("o_orderkey")),
+        out, "base")
+      s.read.format("graft").load(out)
+        .createOrReplaceTempView("graft_subq_orders")
+      t(s, dir, "customer").createOrReplaceTempView("graft_subq_cust")
+      s.sql(
+        """DELETE FROM graft_subq_orders WHERE o_custkey IN
+          |(SELECT c_custkey FROM graft_subq_cust
+          | WHERE c_mktsegment = 'BUILDING')""".stripMargin)
+      s.read.format("graft").load(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders
+            |WHERE (o_custkey IN (SELECT c_custkey FROM customer
+            |                     WHERE c_mktsegment = 'BUILDING'))
+            |      IS NOT TRUE
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // SQL MERGE INTO under oracle (round 10): customer lands as a graft
   // table, one MERGE statement applies a deterministic change batch
   // with all four action classes (conditional DELETE, UPDATE, INSERT
@@ -1828,8 +1867,8 @@ object Maintenance {
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
     graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
-    graftSqlDelete, graftMerge, graftCatalogQ, graftEvolve, graftZorder,
-    graftRestore,
+    graftSqlDelete, graftSubqDelete, graftMerge, graftCatalogQ, graftEvolve,
+    graftZorder, graftRestore,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

@@ -50,12 +50,15 @@ import graft.io.{FileStats, Manifest}
  * against (a concurrent commit fails the statement loudly instead of
  * silently basing a rewrite on stale state).
  *
- * Scope guards (all loud): DELETE/UPDATE conditions must not carry
- * subqueries (their rewrite re-binds by name onto the touched-file
- * frame — the same restriction delta-spark historically shipped);
- * UPDATE assigns only top-level columns; MERGE schema evolution is
- * refused; a statement that would empty the table entirely is refused
- * (an empty snapshot is not representable — overwrite or drop instead).
+ * Scope guards (all loud): DELETE/UPDATE conditions may carry
+ * UNCORRELATED subqueries (`DELETE WHERE k IN (SELECT …)` — their
+ * resolved plans are self-contained, untouched by the by-name re-bind;
+ * round 11, one step past delta-spark's blanket refusal) but not
+ * CORRELATED ones (outer references bind to attributes the rewrite
+ * replaces); UPDATE assigns only top-level columns; MERGE schema
+ * evolution is refused; a statement that would empty the table
+ * entirely is refused (an empty snapshot is not representable —
+ * overwrite or drop instead).
  */
 object GraftDmlRule extends Rule[LogicalPlan] {
 
@@ -116,22 +119,30 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def refuseSubqueries(e: Expression, stmt: String): Unit =
-    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
-      s"graft $stmt: subqueries in the condition/assignments are not " +
-        "supported; materialize the subquery into a column or use MERGE")
+  /** UNCORRELATED subqueries pass through (the `DELETE WHERE k IN
+    * (SELECT …)` GDPR shape — their resolved plans are self-contained,
+    * so the by-name re-bind onto the touched-file frame never touches
+    * them); CORRELATED ones are refused: their outer references bind
+    * to the ORIGINAL target attributes, which the rewrite replaces. */
+  private def refuseCorrelated(e: Expression, stmt: String): Unit =
+    require(!e.exists {
+      case s: SubqueryExpression => s.isCorrelated
+      case _ => false
+    }, s"graft $stmt: CORRELATED subqueries in the condition/assignments " +
+      "are not supported (their outer references bind to attributes the " +
+      "rewrite replaces); uncorrelated subqueries are fine")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case d @ DeleteFromTable(GraftTableDir(dir, snap), cond)
         if d.table.resolved && cond.resolved =>
-      refuseSubqueries(cond, "DELETE")
+      refuseCorrelated(cond, "DELETE")
       GraftDeleteCommand(dir, snap, d.table, cond)
 
     case u @ UpdateTable(GraftTableDir(dir, snap), assignments, cond)
         if u.resolved =>
-      cond.foreach(refuseSubqueries(_, "UPDATE"))
+      cond.foreach(refuseCorrelated(_, "UPDATE"))
       assignments.foreach { a =>
-        refuseSubqueries(a.value, "UPDATE")
+        refuseCorrelated(a.value, "UPDATE")
         require(a.key.isInstanceOf[AttributeReference],
           s"graft UPDATE: only top-level columns can be assigned " +
             s"(got ${a.key.sql})")
@@ -325,9 +336,24 @@ private[sources] object GraftDmlExec {
 /** `DELETE FROM t WHERE c`: keep-predicate rewrite of the touched
   * files (`NOT c` with SQL null semantics — a NULL condition KEEPS the
   * row, matching "delete only where c is TRUE"), untouched files
-  * carried by reference. */
+  * carried by reference.
+  *
+  * A condition carrying a SUBQUERY takes the set-difference form
+  * instead: `kept = df EXCEPT ALL df.where(c)`. The reason is
+  * three-valued logic: IN/EXISTS subqueries are only null-aware in a
+  * PREDICATE position (Spark's null-aware anti-join plans a top-level
+  * `NOT IN` in a Filter correctly), while the keep-predicate's
+  * `IsNull(c)` wrapper would force an ExistenceJoin whose boolean
+  * output collapses UNKNOWN to false — silently deleting every row a
+  * NULL-bearing `NOT IN` should keep. `where(c)` selects exactly the
+  * TRUE rows (the SQL DELETE contract), and EXCEPT ALL subtracts that
+  * multiset. */
 case class GraftDeleteCommand(dir: String, pinned: String,
-    target: LogicalPlan, cond: Expression) extends LeafRunnableCommand {
+    target: LogicalPlan, cond: Expression) extends LeafRunnableCommand
+    // SupportsSubquery: CheckAnalysis only admits IN/EXISTS subqueries
+    // under nodes that declare support — DeleteFromTable does, and this
+    // command replaces it while still carrying its condition
+    with org.apache.spark.sql.catalyst.plans.logical.SupportsSubquery {
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
     Seq(target)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -339,8 +365,12 @@ case class GraftDeleteCommand(dir: String, pinned: String,
     if (touch.nonEmpty) {
       val attrs = target.output.collect { case a: AttributeReference => a }
       val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles, attrs)
-      val keepPred = GraftDmlExec.remapByName(Or(Not(cond), IsNull(cond)))
-      val kept = df.where(Bridge.columnOf(keepPred))
+      val kept =
+        if (cond.exists(_.isInstanceOf[SubqueryExpression]))
+          df.exceptAll(df.where(
+            Bridge.columnOf(GraftDmlExec.remapByName(cond))))
+        else df.where(Bridge.columnOf(
+          GraftDmlExec.remapByName(Or(Not(cond), IsNull(cond)))))
       GraftDmlExec.refuseEmptyResult(kept, keep, "DELETE")
       GraftDmlExec.commitRewrite(spark, dir, kept, touch, keep,
         cur.deleteFiles, base = Some(cur))
@@ -354,7 +384,8 @@ case class GraftDeleteCommand(dir: String, pinned: String,
   * guard. Unconditioned UPDATE rewrites every file. */
 case class GraftUpdateCommand(dir: String, pinned: String,
     target: LogicalPlan, assignments: Seq[Assignment],
-    cond: Option[Expression]) extends LeafRunnableCommand {
+    cond: Option[Expression]) extends LeafRunnableCommand
+    with org.apache.spark.sql.catalyst.plans.logical.SupportsSubquery {
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
     Seq(target)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -368,18 +399,40 @@ case class GraftUpdateCommand(dir: String, pinned: String,
     if (touch.nonEmpty) {
       val attrs = target.output.collect { case a: AttributeReference => a }
       val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles, attrs)
-      val condCol = cond.map(c =>
-        Bridge.columnOf(GraftDmlExec.remapByName(c))).getOrElse(F.lit(true))
       val byName = assignments.map(a =>
         a.key.asInstanceOf[AttributeReference].name -> a.value).toMap
-      val updated = df.select(attrs.map { a =>
-        byName.get(a.name) match {
-          case Some(v) =>
-            F.when(condCol, Bridge.columnOf(GraftDmlExec.remapByName(v))
-              .cast(a.dataType)).otherwise(df.col(s"`${a.name}`")).as(a.name)
-          case None => df.col(s"`${a.name}`")
+      // IN/EXISTS conditions must stay in PREDICATE position to keep
+      // their null-aware planning (see GraftDeleteCommand's scaladoc):
+      // split hit/miss with where() + EXCEPT ALL instead of a CASE WHEN
+      val predSubq = cond.exists(_.exists(e =>
+        e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.InSubquery] ||
+          e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Exists]))
+      val updated =
+        if (predSubq) {
+          val c = Bridge.columnOf(GraftDmlExec.remapByName(cond.get))
+          val hit = df.where(c)
+          val miss = df.exceptAll(hit)
+          val applied = hit.select(attrs.map { a =>
+            byName.get(a.name) match {
+              case Some(v) => Bridge.columnOf(GraftDmlExec.remapByName(v))
+                .cast(a.dataType).as(a.name)
+              case None => hit.col(s"`${a.name}`")
+            }
+          }: _*)
+          applied.unionByName(
+            miss.select(attrs.map(a => miss.col(s"`${a.name}`")): _*))
+        } else {
+          val condCol = cond.map(c =>
+            Bridge.columnOf(GraftDmlExec.remapByName(c))).getOrElse(F.lit(true))
+          df.select(attrs.map { a =>
+            byName.get(a.name) match {
+              case Some(v) =>
+                F.when(condCol, Bridge.columnOf(GraftDmlExec.remapByName(v))
+                  .cast(a.dataType)).otherwise(df.col(s"`${a.name}`")).as(a.name)
+              case None => df.col(s"`${a.name}`")
+            }
+          }: _*)
         }
-      }: _*)
       GraftDmlExec.commitRewrite(spark, dir, updated, touch, keep,
         cur.deleteFiles, base = Some(cur))
     }
@@ -421,7 +474,8 @@ case class GraftMergeCommand(dir: String, pinned: String,
     target: LogicalPlan, source: LogicalPlan, mergeCond: Expression,
     matchedActions: Seq[MergeAction], notMatchedActions: Seq[MergeAction],
     notMatchedBySourceActions: Seq[MergeAction])
-    extends LeafRunnableCommand {
+    extends LeafRunnableCommand
+    with org.apache.spark.sql.catalyst.plans.logical.SupportsSubquery {
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
     Seq(target, source)
 

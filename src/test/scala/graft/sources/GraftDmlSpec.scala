@@ -166,7 +166,7 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(Manifest.snapshots(spark, dir) == Seq("base"))
   }
 
-  test("loud refusals: emptying DELETE, subquery condition, nested assignment") {
+  test("loud refusals: emptying DELETE, correlated subquery, nested assignment") {
     val dir = tmpDir()
     Manifest.write((1 to 50).toDF("v"), dir, "base")
     view(dir, "dml_refuse_t")
@@ -174,13 +174,61 @@ class GraftDmlSpec extends AnyFunSuite {
       spark.sql("DELETE FROM dml_refuse_t WHERE v IS NOT NULL")
     }
     assert(e1.getMessage.contains("empty snapshot is not representable"))
+    // CORRELATED subqueries stay refused: their outer references bind
+    // to attributes the rewrite replaces
+    Seq((1, 1)).toDF("a", "b").createOrReplaceTempView("dml_refuse_s")
     val e2 = intercept[Exception] {
-      spark.sql("DELETE FROM dml_refuse_t WHERE v IN (SELECT 1)")
+      spark.sql("DELETE FROM dml_refuse_t WHERE EXISTS " +
+        "(SELECT 1 FROM dml_refuse_s s WHERE s.a = dml_refuse_t.v)")
     }
-    assert(e2.getMessage.contains("subqueries"))
+    assert(e2.getMessage.contains("CORRELATED"))
     // both refusals left the table intact
     assert(spark.read.format("graft").load(dir).count() == 50)
     assert(Manifest.snapshots(spark, dir) == Seq("base"))
+  }
+
+  test("UNCORRELATED subqueries in DELETE/UPDATE: IN, NOT IN null semantics, scalar") {
+    val dir = tmpDir()
+    Manifest.write((1 to 100).toDF("v").withColumn("tag",
+      org.apache.spark.sql.functions.lit("keep")), dir, "base")
+    view(dir, "dml_subq_t")
+    Seq(3, 5, 700).toDF("k").createOrReplaceTempView("dml_subq_keys")
+    // the GDPR shape: DELETE WHERE key IN (SELECT …)
+    spark.sql("DELETE FROM dml_subq_t WHERE v IN (SELECT k FROM dml_subq_keys)")
+    val after1 = spark.read.format("graft").load(dir)
+    assert(after1.count() == 98)
+    assert(after1.where("v IN (3, 5)").count() == 0)
+    // scalar subquery in an UPDATE condition (fresh view: a temp view
+    // pins the snapshot it was registered against)
+    view(dir, "dml_subq_t")
+    spark.sql("UPDATE dml_subq_t SET tag = 'big' WHERE " +
+      "v > (SELECT 2 * MAX(k) FROM dml_subq_keys WHERE k < 100)")
+    val after2 = spark.read.format("graft").load(dir)
+    assert(after2.where("tag = 'big'").count() == 90) // v in 11..100 minus deleted
+    // NOT IN over a subquery producing a NULL: SQL three-valued logic
+    // makes the condition UNKNOWN for every row - nothing deletes
+    Seq(Some(7), None).toDF("k").createOrReplaceTempView("dml_subq_nulls")
+    view(dir, "dml_subq_t")
+    spark.sql(
+      "DELETE FROM dml_subq_t WHERE v NOT IN (SELECT k FROM dml_subq_nulls)")
+    assert(spark.read.format("graft").load(dir).count() == 98,
+      "NOT IN with a NULL in the subquery must delete nothing")
+    // IN-subquery in an UPDATE condition (predicate position preserved
+    // through the hit/miss split)
+    view(dir, "dml_subq_t")
+    spark.sql("UPDATE dml_subq_t SET tag = 'flag' WHERE " +
+      "v IN (SELECT k + 4 FROM dml_subq_keys)")
+    val after3 = spark.read.format("graft").load(dir)
+    assert(after3.where("tag = 'flag'").count() == 2) // v = 7, 9
+    assert(after3.where("v IN (7, 9) AND tag <> 'flag'").count() == 0)
+    assert(after3.count() == 98)
+    // NOT IN with a NULL in an UPDATE condition: UNKNOWN rows stay
+    view(dir, "dml_subq_t")
+    spark.sql("UPDATE dml_subq_t SET tag = 'boom' WHERE " +
+      "v NOT IN (SELECT k FROM dml_subq_nulls)")
+    assert(spark.read.format("graft").load(dir)
+      .where("tag = 'boom'").count() == 0,
+      "NOT IN with a NULL in the subquery must update nothing")
   }
 
   test("insert-only MERGE never duplicates multi-matched target rows") {
