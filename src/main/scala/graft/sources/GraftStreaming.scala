@@ -83,7 +83,14 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     skipChangeCommits: Boolean = false,
     maxCommitsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Source {
+    maxBytesPerTrigger: Option[Long] = None) extends Source
+    // the FileStreamSource precedent: a V1 Source that ALSO implements
+    // the admission-control faces gets real Trigger.AvailableNow
+    // semantics — the engine drives latestOffset() in a MULTI-batch
+    // run until the backlog (pinned at start) drains, so a bounded
+    // backfill completes in ONE start instead of one batch per restart
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   /** Works for live [[GraftSourceOffset]]s AND the `SerializedOffset`
     * the checkpoint replays on restart. */
@@ -143,8 +150,36 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     end
   }
 
-  override def getOffset: Option[V1Offset] = {
-    val hist = Manifest.history(spark, dir)
+  /** Trigger.AvailableNow pins the run's END at start time: commits
+    * landing while the run drains must not extend it (the "process
+    * everything available NOW, then stop" contract). */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Manifest.history(spark, dir).lastOption.map(_.seq)
+
+  /** Admission is applied inside [[latestOffset]] (exactly like
+    * FileStreamSource's option-driven caps), so the engine-side limit
+    * is "all available". */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The admission-control face the engine drives when this source
+    * declares it (getOffset below stays as the legacy path). The
+    * checkpointed start offset re-seeds the admission base on restart. */
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    Option(startOffset).map(_.json.trim.toLong).foreach(s =>
+      lastEnd = Some(lastEnd.fold(s)(math.max(_, s))))
+    computeOffset().orNull
+  }
+
+  private def computeOffset(): Option[GraftSourceOffset] = {
+    val hist0 = Manifest.history(spark, dir)
+    val hist = availableNowEnd.fold(hist0)(e => hist0.filter(_.seq <= e))
     if (hist.isEmpty) return None
     val latest = hist.last.seq
     val capped = lastEnd match {
@@ -154,6 +189,8 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     if (lastEnd.exists(capped <= _)) lastEnd.map(GraftSourceOffset)
     else Some(GraftSourceOffset(capped))
   }
+
+  override def getOffset: Option[V1Offset] = computeOffset()
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val e = seqOf(end)

@@ -242,16 +242,17 @@ class GraftStreamingSpec extends AnyFunSuite {
     // a 9-commit backlog lands while the stream is down
     (1 to 9).foreach(i =>
       Manifest.append(Seq(i).toDF("v"), table, s"b$i"))
-    // each restart serves AT MOST 3 commits per batch: the backlog
-    // needs three more passes, and every pass lands exactly one bounded
-    // sink commit
-    val counts = (1 to 3).map { _ =>
-      drain(); Manifest.read(spark, out).count()
-    }
-    assert(counts == Seq(4L, 7L, 10L),
-      s"expected 3-commit admission steps, got $counts")
+    // round 11: the source implements SupportsTriggerAvailableNow, so
+    // ONE AvailableNow start drains the whole backlog in bounded
+    // batches (3 commits each) — one sink commit per batch proves the
+    // admission steps without restarts
+    drain()
+    assert(Manifest.read(spark, out).count() == 10)
     assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq ==
       (0 to 9))
+    val sinkCommits = Manifest.snapshots(spark, out)
+    assert(sinkCommits.size == 4, // initial batch + three 3-commit batches
+      s"expected 1+3 bounded sink batches, got $sinkCommits")
   }
 
   test("source: maxFilesPerTrigger bounds the batch by ADDED FILES, not commits") {
@@ -273,11 +274,13 @@ class GraftStreamingSpec extends AnyFunSuite {
     (1 to 6).foreach(i =>
       Manifest.append(
         Seq(i * 10, i * 10 + 1).toDF("v").repartition(2), table, s"b$i"))
-    val counts = (1 to 3).map { _ =>
-      drain(); Manifest.read(spark, out).count()
-    }
-    assert(counts == Seq(5L, 9L, 13L),
-      s"expected 2-commit (4-file) admission steps, got $counts")
+    // one AvailableNow start drains all 12 files as three 2-commit
+    // (4-file) batches — one sink commit per batch
+    drain()
+    assert(Manifest.read(spark, out).count() == 13)
+    val sinkCommits = Manifest.snapshots(spark, out)
+    assert(sinkCommits.size == 4, // initial + three 4-file batches
+      s"expected 1+3 bounded sink batches, got $sinkCommits")
   }
 
   test("source: maxBytesPerTrigger admits at least one commit however small the cap") {
@@ -295,13 +298,14 @@ class GraftStreamingSpec extends AnyFunSuite {
         .start().awaitTermination()
     drain()
     (1 to 3).foreach(i => Manifest.append(Seq(i).toDF("v"), table, s"b$i"))
-    val counts = (1 to 3).map { _ =>
-      drain(); Manifest.read(spark, out).count()
-    }
-    assert(counts == Seq(2L, 3L, 4L),
-      s"expected one-commit admission steps, got $counts")
+    // every commit is over the 1-byte cap and must pass WHOLE, one per
+    // batch; a single AvailableNow start still drains all three
+    drain()
     assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq ==
       (0 to 3))
+    val sinkCommits = Manifest.snapshots(spark, out)
+    assert(sinkCommits.size == 4, // initial + three one-commit batches
+      s"expected 1+3 one-commit sink batches, got $sinkCommits")
     // a garbage size fails loudly once the source is actually built
     // (readStream.load is lazy — only sourceSchema runs before start)
     intercept[Exception] {
