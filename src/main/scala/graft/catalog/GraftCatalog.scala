@@ -278,6 +278,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     GraftTableMeta.write(fsys, p, meta1)
+    // LOCATION-registered tables: the path face recovers its sidecar
+    // from the DATA dir, so the evolved contract must land there too —
+    // otherwise the same bytes read with two different schemas
+    // depending on the face (catalog vs path)
+    meta0.location.foreach { loc =>
+      val lp = new Path(loc)
+      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      GraftTableMeta.write(lfs, lp,
+        meta1.copy(location = None))
+    }
     // resolved relations are snapshot-AND-schema pinned: invalidate so
     // the next statement sees the evolved contract
     spark.catalog.refreshByPath(dir)

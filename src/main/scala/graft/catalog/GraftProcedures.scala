@@ -135,7 +135,9 @@ private[catalog] object GraftProcedures {
             require(res.committed.isDefined,
               s"graft catalog: no files match where_partition " +
                 s"${eq.map { case (k, v) => s"$k=$v" }.mkString(",")}")
-            res.rewritten.size.toLong
+            // same meaning as the other branches: the table's file
+            // count AFTER the compaction (not the rewritten-input count)
+            Manifest.history(spark, dir).last.files.size.toLong
           case None if partCols.nonEmpty =>
             require(target == -1L,
               "graft catalog: compact on a hive-partitioned table writes " +

@@ -498,6 +498,7 @@ object DeltaLog {
       StructField("cdc", StructType(Seq(StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType))))),
       StructField("add", StructType(Seq(StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
         StructField("deletionVector", dvT)))),
       StructField("remove", StructType(Seq(StructField("path", StringType))))))
     val acts = spark.read.text(vs.map(v => commitPath(ld, v).toString): _*)
@@ -507,7 +508,8 @@ object DeltaLog {
       .select(F.col("a.cdc.path").as("cdc"), F.col("a.add.path").as("add"),
         F.col("a.remove.path").as("remove"), F.col("version"),
         F.col("a.add.deletionVector").as("dv"),
-        F.col("a.cdc.partitionValues").as("cdcPv"))
+        F.col("a.cdc.partitionValues").as("cdcPv"),
+        F.col("a.add.partitionValues").as("addPv"))
       .where(F.col("cdc").isNotNull || F.col("add").isNotNull ||
         F.col("remove").isNotNull)
       .collect()
@@ -560,16 +562,15 @@ object DeltaLog {
           s"delta version $v under $dir removed files but carries no cdc " +
             "actions: changes across a rewrite need exportLog(changeData = true)")
       else {
-        val adds = rows.flatMap(r =>
-          if (r.isNullAt(1)) None else Some(r.getString(1))).toSeq
-        if (adds.isEmpty) None
+        val addRows = rows.filter(r => !r.isNullAt(1))
+        if (addRows.isEmpty) None
         else {
           // an add may carry a DELETION VECTOR (e.g. version 0 of a
           // table exported with standing MOR state, or a foreign log):
           // reading the file raw would report DV-deleted rows as
           // inserts — apply the descriptors exactly like the full read
-          val descs: Seq[DvRef] = rows.toSeq.flatMap { r =>
-            if (r.isNullAt(1) || r.isNullAt(4)) Nil
+          val descs: Seq[DvRef] = addRows.toSeq.flatMap { r =>
+            if (r.isNullAt(4)) Nil
             else {
               val d = r.getStruct(4)
               Some(DvRef(r.getString(1), d.getString(0), d.getString(1),
@@ -577,13 +578,47 @@ object DeltaLog {
                 if (d.isNullAt(4)) -1L else d.getLong(4)))
             }
           }
+          // protocol-correct relativity test (same rule as resolve():
+          // "file:/…" is absolute even without "://")
+          def relative(p: String): Boolean = {
+            val hp = new Path(p)
+            !hp.isAbsolute && hp.toUri.getScheme == null
+          }
+          def readAdds(paths: Seq[String]): DataFrame =
+            if (paths.forall(relative))
+              Manifest.readFiles(spark, dir, paths.sorted)
+            else spark.read.parquet(paths.map(resolve).sorted: _*)
           val frame =
-            if (descs.nonEmpty)
+            if (descs.nonEmpty) {
+              val adds = addRows.map(_.getString(1)).toSeq
+              require(adds.forall(relative),
+                s"delta version $v under $dir mixes DV-carrying adds " +
+                  "with absolute paths: unsupported")
               applyPositionDeletes(spark, dir, adds.sorted, descs)
-            else if (adds.forall(p =>
-                !(p.contains("://") || p.startsWith("/"))))
-              Manifest.readFiles(spark, dir, adds.sorted)
-            else spark.read.parquet(adds.map(resolve).sorted: _*)
+            } else {
+              // group by the add actions' partitionValues and attach
+              // any partition column the physical file does not carry
+              // as a typed literal (the protocol keeps partition values
+              // in the action; a foreign partitioned append's files
+              // would otherwise read back with NULL partition columns)
+              val groups = addRows.groupBy(r =>
+                if (r.isNullAt(6)) Map.empty[String, String]
+                else r.getMap[String, String](6).toMap)
+              groups.toSeq.sortBy(_._2.map(_.getString(1)).min)
+                .map { case (pv, rs) =>
+                  var df = readAdds(rs.map(_.getString(1)).toSeq)
+                  pv.foreach { case (k, pvv) =>
+                    if (!df.columns.exists(_.equalsIgnoreCase(k))) {
+                      val dt = schemaTypes.getOrElse(k,
+                        org.apache.spark.sql.types.StringType)
+                      df = df.withColumn(k,
+                        (if (pvv == null) F.lit(null) else F.lit(pvv))
+                          .cast(dt))
+                    }
+                  }
+                  df
+                }.reduce(_.unionByName(_, allowMissingColumns = true))
+            }
           Some(frame
             .withColumn("_change_type", F.lit("insert"))
             .withColumn("_commit_version", F.lit(v)))

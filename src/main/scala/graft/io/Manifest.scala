@@ -184,7 +184,8 @@ object Manifest {
     * {"9","x"} infers string). */
   private def recoveredType(spark: SparkSession, dir: String,
       files: Seq[String], column: String): org.apache.spark.sql.types.DataType =
-    readFiles(spark, dir, files).schema.find(_.name == column)
+    readFiles(spark, dir, files, declaredSchema(spark, dir)).schema
+      .find(_.name == column)
       .map(_.dataType).getOrElse(throw new IllegalArgumentException(
         s"no column '$column' in the table under $dir"))
 
@@ -261,14 +262,15 @@ object Manifest {
       if (!raw.columns.contains("delete_files")) Nil
       else raw.select(F.explode(F.col("delete_files")).as("d"))
         .orderBy("d").collect().map(_.getString(0)).toSeq
-    if (kept.nonEmpty) readFilesApplyingDeletes(spark, dir, kept, delFiles)
+    val hint = declaredSchema(spark, dir)
+    if (kept.nonEmpty) readFilesApplyingDeletes(spark, dir, kept, delFiles, hint)
     else {
       // rare path: zero matches — the full list is needed once, for the
       // table's schema
       val all = raw.select(F.explode(F.col("files")).as("file"))
         .orderBy("file").collect().map(_.getString(0)).toSeq
       require(all.nonEmpty, s"no committed snapshot under $dir")
-      readFiles(spark, dir, all).limit(0)
+      readFiles(spark, dir, all, hint).limit(0)
     }
   }
 
@@ -418,7 +420,7 @@ object Manifest {
       FileStats.mayMatch(stats(f), column, lo, hi)))
     if (touch.isEmpty) return MorDelete(Nil, 0L, None)
     import org.apache.spark.sql.functions.col
-    val metaDf = readFilesMeta(spark, dir, touch)
+    val metaDf = readFilesMeta(spark, dir, touch, declaredSchema(spark, dir))
     val dt = authDt.getOrElse(metaDf.schema(column).dataType)
     val c = col(column).cast(dt)
     val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
@@ -702,15 +704,32 @@ object Manifest {
     }
   }
 
+  /** The DDL sidecar's declared schema when the table dir carries one
+    * (nullable-widened) — the authoritative read contract for evolved
+    * tables. EVERY whole-table read path consults it: a compaction or
+    * restore that read a mixed old/new file list through one sampled
+    * footer would silently re-land post-evolution rows WITHOUT their
+    * evolved column — permanent data loss through a maintenance call.
+    * One exists() + KB read per table resolution. */
+  private[graft] def declaredSchema(spark: SparkSession,
+      dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val (fsys, base) = fs(spark, dir)
+    graft.catalog.GraftTableMeta.read(fsys, base).flatMap(_.schema)
+      .map(s => org.apache.spark.sql.types.StructType(
+        s.map(_.copy(nullable = true))))
+  }
+
   /** Read the current snapshot — from the manifest's file list, never
     * from a data-directory listing. A table that never committed reads
-    * as absent (error), not as empty. */
+    * as absent (error), not as empty. Evolved tables (DDL sidecar with
+    * a declared schema) read under that schema — see [[declaredSchema]]. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val (fsys, base) = fs(spark, dir)
     val m = retained(fsys, base).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $dir"))
     require(m.files.nonEmpty, s"no committed snapshot under $dir")
-    readFilesApplyingDeletes(spark, dir, m.files, m.deleteFiles)
+    readFilesApplyingDeletes(spark, dir, m.files, m.deleteFiles,
+      declaredSchema(spark, dir))
   }
 
   /** Incremental read: the rows ADDED after retained snapshot `since`,
@@ -748,7 +767,7 @@ object Manifest {
           "snapshot at or after it"))
     val newFiles = current.files.filterNot(baseline.files.toSet)
     if (newFiles.isEmpty) None
-    else Some(readFiles(spark, dir, newFiles))
+    else Some(readFiles(spark, dir, newFiles, declaredSchema(spark, dir)))
   }
 
   /** Time travel: read a RETAINED snapshot exactly as committed.
@@ -762,7 +781,8 @@ object Manifest {
       throw new IllegalArgumentException(
         s"no retained snapshot '$snapshot' under $dir"))
     require(m.files.nonEmpty, s"no retained snapshot '$snapshot' under $dir")
-    readFilesApplyingDeletes(spark, dir, m.files, m.deleteFiles, schemaHint)
+    readFilesApplyingDeletes(spark, dir, m.files, m.deleteFiles,
+      schemaHint.orElse(declaredSchema(spark, dir)))
   }
 
   /** Export the CURRENT snapshot in the SYMLINK-MANIFEST layout external
@@ -879,7 +899,8 @@ object Manifest {
     // the new snapshot for the carried files (entries that referenced a
     // rewritten file match nothing — harmless).
     val partCols = partitionValuesOf(touch.head).map(_._1)
-    val df = readFilesApplyingDeletes(spark, dir, touch, cur.deleteFiles)
+    val df = readFilesApplyingDeletes(spark, dir, touch, cur.deleteFiles,
+      declaredSchema(spark, dir))
     val dt = authDt.getOrElse(df.schema(column).dataType)
     val c = org.apache.spark.sql.functions.col(column).cast(dt)
     val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
@@ -1072,7 +1093,8 @@ object Manifest {
     val partCols = partitionValuesOf(touch.head).map(_._1)
     require(partCols.nonEmpty,
       s"compactWherePartitions: matched files under $dir carry no hive layout")
-    val df = readFilesApplyingDeletes(spark, dir, touch, cur.deleteFiles)
+    val df = readFilesApplyingDeletes(spark, dir, touch, cur.deleteFiles,
+      declaredSchema(spark, dir))
       .repartition(partCols.map(F.col): _*)
     writeImpl(df, dir, snapshot, () => (), carriedExplicit = Some(keep),
       partitionCols = partCols, deletesExplicit = Some(cur.deleteFiles),

@@ -393,7 +393,8 @@ class GraftFileIndex(spark: SparkSession, dir: String,
     * MERGE touched-file scan (same snapshot, same partition schema;
     * only the listed files are ever opened). */
   private[graft] def restrictTo(files: Seq[String]): GraftFileIndex = {
-    require(files.forall(m.files.contains),
+    val all = m.files.toSet // O(T+N), not O(T×N) linear Seq scans
+    require(files.forall(all.contains),
       "graft: restrictTo files must belong to the pinned snapshot")
     new GraftFileIndex(spark, dir, m.copy(files = files), partitionSchema)
   }

@@ -200,10 +200,15 @@ class GraftStreamSource(spark: SparkSession, dir: String,
       throw new IllegalStateException(
         s"graft stream: offset $e is no longer retained under $dir " +
           "(vacuum outran the stream checkpoint) - re-baseline the stream"))
+    // the STREAM's declared schema drives every scan (user-specified
+    // schema, no footer inference): files predating an ALTER TABLE ADD
+    // COLUMN null-fill inside the reader, and a later evolution cannot
+    // widen the frame mid-flight — the fixed-schema stream contract
+    val hint = Some(StructType(schema.map(_.copy(nullable = true))))
     val batch: DataFrame = start match {
       case None =>
         // initial load: the full snapshot state at the first offset
-        Manifest.readAt(spark, dir, endM.snapshot)
+        Manifest.readAt(spark, dir, endM.snapshot, hint)
       case Some(s0) =>
         val s = seqOf(s0)
         val startM = hist.find(_.seq == s).getOrElse(
@@ -248,7 +253,7 @@ class GraftStreamSource(spark: SparkSession, dir: String,
         if (served.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else Manifest.readFiles(spark, dir, served)
+        else Manifest.readFiles(spark, dir, served, hint)
     }
     // pin the stream's declared schema (a later schema-evolution commit
     // must not widen the frame mid-flight), then mark the plan

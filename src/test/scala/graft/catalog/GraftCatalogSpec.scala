@@ -470,18 +470,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
       .asInstanceOf[GraftCatalog].resolveTable("db.rst")
     val filesBefore = Manifest.currentFiles(spark, dir).toSet
+    // the PRE-DELETE (seq 1) snapshot's exact file list is the restore
+    // target — capture it for the by-reference proof below
+    val v1Files = graft.io.Manifest.history(spark, dir)
+      .find(_.seq == 1L).get.files.toSet
     val r = sql("CALL gcat.system.restore(table => 'db.rst', version => 1)")
       .collect()
     assert(r.length == 1 && r.head.getString(1) != null)
     assert(sql("SELECT * FROM gcat.db.rst").orderBy("x")
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
-    // the restored head lists the ORIGINAL files by reference (the
-    // rolled-back rewrite's files are simply no longer referenced)
+    // the restored head lists EXACTLY the target snapshot's files by
+    // reference (zero data movement; the rolled-back rewrite's files
+    // are simply no longer referenced)
     val filesAfter = Manifest.currentFiles(spark, dir).toSet
     assert(filesAfter != filesBefore)
-    assert(filesAfter.forall(f =>
-      f.startsWith("data-w") || f.startsWith("data-stream") ||
-        f.startsWith("data-")), filesAfter.toString)
+    assert(filesAfter == v1Files,
+      s"restore must re-reference the target snapshot's files verbatim: " +
+        s"$filesAfter vs $v1Files")
     // history shows the whole chain incl. the restore (a rewrite commit)
     val hist = sql("CALL gcat.system.history(table => 'db.rst')").collect()
     assert(hist.length == 4)
@@ -514,7 +519,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(before.count(_.contains("seg=e")) == 3)
     val res = sql("CALL gcat.system.compact(table => 'db.hot', " +
       "where_partition => 'seg=e')").collect()
-    assert(res.head.getLong(1) == 3, "three seg=e files rewritten")
+    assert(res.head.getLong(1) == 4, // 1 compacted seg=e + 3 carried seg=o
+      "files reports the table's post-compaction file count")
     val after = Manifest.currentFiles(spark, dir)
     // seg=e compacted to ONE file; every seg=o file carried VERBATIM
     assert(after.count(_.contains("seg=e")) == 1)
@@ -525,6 +531,52 @@ class GraftCatalogSpec extends AnyFunSuite {
     // no matching partition refuses loudly
     intercept[Exception](sql("CALL gcat.system.compact(" +
       "table => 'db.hot', where_partition => 'seg=zzz')"))
+  }
+
+  test("maintenance on an evolved FLAT table keeps the evolved column's values") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    // flat layout on purpose: a mixed old/new file list read through
+    // ONE sampled footer is exactly the shape that could silently drop
+    // the evolved column during a full-table rewrite
+    sql("CREATE TABLE gcat.db.evomaint (id BIGINT) USING graft")
+    sql("INSERT INTO gcat.db.evomaint VALUES (1), (2)") // pre-evolution file
+    sql("ALTER TABLE gcat.db.evomaint ADD COLUMN score DOUBLE")
+    sql("INSERT INTO gcat.db.evomaint VALUES (3, 3.5), (4, 4.5)")
+    // compact (a full rewrite), then zorder (another full rewrite):
+    // both must re-land post-evolution rows WITH their score values
+    sql("CALL gcat.system.compact(table => 'db.evomaint')")
+    assert(sql("SELECT score FROM gcat.db.evomaint WHERE id = 3")
+      .collect().head.getDouble(0) == 3.5,
+      "compaction must not drop the evolved column's values")
+    sql("CALL gcat.system.zorder(table => 'db.evomaint', columns => 'id')")
+    val rows = sql(
+      "SELECT id, score FROM gcat.db.evomaint ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows(0).isNullAt(1) && rows(1).isNullAt(1))
+    assert(rows(2).getDouble(1) == 3.5 && rows(3).getDouble(1) == 4.5)
+    // RESTORE across the evolution boundary also reads declared
+    sql("CALL gcat.system.restore(table => 'db.evomaint', version => 0)")
+    assert(sql("SELECT * FROM gcat.db.evomaint").columns.toSeq ==
+      Seq("id", "score"))
+    assert(sql("SELECT * FROM gcat.db.evomaint WHERE score IS NULL")
+      .count() == 2)
+  }
+
+  test("ALTER on a LOCATION-registered table evolves the PATH face too") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    val ext = java.nio.file.Files.createTempDirectory("graftevoloc").toString
+    Manifest.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), ext, "base")
+    sql(s"CREATE TABLE gcat.db.evoloc USING graft LOCATION '$ext'")
+    sql("ALTER TABLE gcat.db.evoloc ADD COLUMN score DOUBLE")
+    sql("INSERT INTO gcat.db.evoloc VALUES (3, 'c', 3.5)")
+    // the PATH face must see the same evolved contract as the catalog
+    val byPath = spark.read.format("graft").load(ext)
+    assert(byPath.columns.toSeq == Seq("id", "name", "score"))
+    assert(byPath.where("score = 3.5").count() == 1)
+    assert(byPath.where("score IS NULL").count() == 2)
+    // and the library read too (maintenance runs through it)
+    assert(Manifest.read(spark, ext).columns.toSeq ==
+      Seq("id", "name", "score"))
   }
 
   test("DROP TABLE, rename, and the loud refusals") {

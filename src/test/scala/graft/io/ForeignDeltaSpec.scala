@@ -529,6 +529,16 @@ class ForeignDeltaSpec extends AnyFunSuite {
       """{"add":{"path":"d.parquet","partitionValues":{"seg":"x"},"size":100,"modificationTime":9,"dataChange":true}}""",
       s"""{"cdc":{"path":"_change_data/cdcx.parquet","partitionValues":{"seg":"x"},"size":10,"dataChange":false}}""",
       s"""{"cdc":{"path":"file:$absDir/cdcy.parquet","partitionValues":{"seg":"y"},"size":10,"dataChange":false}}"""))
+    // v2: a plain partitioned APPEND (no cdc actions) whose add carries
+    // partitionValues while the FILE lacks the partition column (the
+    // protocol's physical layout) — the derived insert must attach the
+    // typed value, and an absolute add URI must resolve
+    landParquet(Seq(77).toDF("v"), dir, "e.parquet")
+    landParquet(Seq(88).toDF("v"), absDir, "f.parquet")
+    writeCommit(dir, 2L, Seq(
+      """{"commitInfo":{"timestamp":789,"operation":"WRITE"}}""",
+      """{"add":{"path":"e.parquet","partitionValues":{"seg":"z"},"size":100,"modificationTime":9,"dataChange":true}}""",
+      s"""{"add":{"path":"file:$absDir/f.parquet","partitionValues":{"seg":"w"},"size":100,"modificationTime":9,"dataChange":true}}"""))
     val got = DeltaLog.readChanges(spark, dir, 0L)
       .select("v", "seg", "_change_type", "_commit_version")
       .collect()
@@ -537,8 +547,10 @@ class ForeignDeltaSpec extends AnyFunSuite {
     assert(got == Seq(
       (5, "x", "update_preimage", 1L),
       (9, "y", "delete", 1L),
-      (50, "x", "update_postimage", 1L)),
-      s"foreign cdc commit must read change-for-change, got $got")
+      (50, "x", "update_postimage", 1L),
+      (77, "z", "insert", 2L),
+      (88, "w", "insert", 2L)),
+      s"foreign cdc + add commits must read change-for-change, got $got")
   }
 
   test("iceberg equality deletes (content=2) fail loudly") {

@@ -200,6 +200,34 @@ class ObjectStoreManifestSpec extends AnyFunSuite {
       s"snapshot resolution listed the data tree: $listed")
   }
 
+  test("RESTORE and partition-scoped compaction keep the object-store commit contract") {
+    ObjectStoreFS.reset()
+    val dir = freshTable()
+    Manifest.writePartitioned(
+      Seq((1, "e"), (2, "o"), (3, "e"), (4, "o")).toDF("v", "seg"),
+      dir, "s1", Seq("seg"))
+    Manifest.appendPartitioned(
+      Seq((5, "e"), (6, "o")).toDF("v", "seg"), dir, "s2", Seq("seg"))
+    // OPTIMIZE WHERE seg=e: one fresh data dir, one fresh manifest key
+    val cw = Manifest.compactWherePartitions(spark, dir, "opt-e",
+      Map("seg" -> "e"))
+    assert(cw.committed.contains("opt-e") && cw.rewritten.nonEmpty &&
+      cw.rewritten.forall(_.contains("seg=e")) &&
+      cw.carried.forall(!_.contains("seg=e")))
+    // RESTORE to s2: a KB manifest write, ZERO data objects touched
+    val putsBefore = ObjectStoreFS.renames.asScala.size
+    val restored = Manifest.restore(spark, dir, "s2")
+    assert(restored.isDefined)
+    assert(Manifest.read(spark, dir).count() == 6)
+    val renamesAfter = ObjectStoreFS.renames.asScala.drop(putsBefore)
+    assert(renamesAfter.size == 1 &&
+      renamesAfter.head._2.contains("/manifest-"),
+      s"a restore must be exactly one manifest-key rename: $renamesAfter")
+    // every commit in the whole sequence stayed fresh-key (no
+    // delete-then-rename dance anywhere)
+    assert(ObjectStoreFS.renames.asScala.count(_._3) === 0)
+  }
+
   test("PUT-at-close: an in-progress object is invisible; it appears whole at close") {
     ObjectStoreFS.reset()
     val local = Files.createTempDirectory("s3mock-put").toString
