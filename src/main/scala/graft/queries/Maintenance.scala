@@ -1861,6 +1861,42 @@ object Maintenance {
             |  ${oSum("o_totalprice")} AS sum_price
             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // Partition-scoped OPTIMIZE under oracle (round 11): orders lands
+  // hive-partitioned with a deliberate small-file spray (REPARTITION
+  // hint), one SQL `CALL compact(where_partition => ...)` rewrites
+  // ONLY the hot partition (everything else carries by reference —
+  // the spec proves the file-level split), and the full-table
+  // aggregate hashes against the untouched source — proving the scoped
+  // maintenance move loses and duplicates nothing.
+  private val graftOptimize = Q(
+    "q_graft_optimize",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_optw_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gopt", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gopt.warehouse", wh)
+      s.sql("CREATE NAMESPACE gopt.db")
+      t(s, dir, "orders").createOrReplaceTempView("gopt_src")
+      s.sql(
+        """CREATE TABLE gopt.db.ord USING graft
+          |PARTITIONED BY (o_orderpriority)
+          |AS SELECT /*+ REPARTITION(4) */ o_orderkey, o_orderstatus,
+          |   o_totalprice, o_orderpriority FROM gopt_src""".stripMargin)
+      s.sql("CALL gopt.system.compact(table => 'db.ord', " +
+        "where_partition => 'o_orderpriority=1-URGENT')")
+      s.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS n,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_price
+           |FROM gopt.db.ord GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
@@ -1868,7 +1904,7 @@ object Maintenance {
     partitionedRead, deltaPartitionPrune,
     graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
     graftSqlDelete, graftSubqDelete, graftMerge, graftCatalogQ, graftEvolve,
-    graftZorder, graftRestore,
+    graftZorder, graftRestore, graftOptimize,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,
