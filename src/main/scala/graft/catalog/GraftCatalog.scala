@@ -195,21 +195,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // an external registration defers the schema to the target's
       // manifest — the sidecar must not freeze a schema it doesn't own
       schema = if (location.isDefined) None else Some(schema),
-      partitionCols = partCols, location = location, properties = keepProps)
+      partitionCols = partCols, location = location, properties = keepProps,
+      // the declared schema is the contract from the FIRST commit on —
+      // the base entry every later ALTER's per-seq entry supersedes
+      schemaHistory =
+        if (location.isDefined) Nil else Seq(0L -> schema))
     fsys.mkdirs(p)
     GraftTableMeta.write(fsys, p, meta)
     loadTable(ident)
   }
 
   /** SCHEMA EVOLUTION on the catalog's own face: `ALTER TABLE … ADD
-    * COLUMN` (top-level, nullable — pre-evolution snapshots read the
-    * new column null-filled through the declared-schema scan) and
-    * `SET/UNSET TBLPROPERTIES`. The change lands in the DDL sidecar —
-    * a KB-sized metadata write; ZERO data files move, exactly Delta's
-    * metadata-only evolution. The sidecar schema then becomes the
-    * authoritative read contract (it already wins over recovery in
+    * COLUMN` (top-level, nullable — pre-evolution FILES read the new
+    * column null-filled through the declared-schema scan) and
+    * `SET/UNSET TBLPROPERTIES`. The change lands as a metadata-only
+    * manifest commit (the CAS serialization point) plus a DDL-sidecar
+    * schema-history entry keyed by that commit's seq — KB-sized
+    * metadata writes; ZERO data files move, exactly Delta's
+    * metadata-only evolution. The new schema is the authoritative read
+    * contract from that commit ON (it wins over recovery in
     * [[GraftCatalogTable.schema]] and [[graft.sources.GraftSource
-    * .buildRelation]]), the next INSERT must supply the column, and
+    * .buildRelation]]), while `VERSION/TIMESTAMP AS OF` a PRE-evolution
+    * commit resolves the AS-COMMITTED schema from the history — Delta's
+    * last-metaData-wins time travel. The next INSERT must supply the
+    * column, and
     * the table-format exports re-declare the schema on their next
     * refresh. Everything else (drop/rename/retype a column) is
     * refused loudly: those require rewriting history or per-file
@@ -217,81 +226,203 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = identPath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    val meta0 = GraftTableMeta.read(fsys, p).getOrElse(
-      GraftTableMeta(None, Nil, None, Map.empty))
-    val dir = meta0.location.getOrElse(p.toString)
-    // the pre-change effective schema: declared, else recovered from
-    // the current snapshot (an ALTER on a recovery-schema table
-    // freezes the recovered schema as the new declared contract)
-    def effective: StructType = meta0.schema.getOrElse {
-      require(Manifest.history(spark, dir).nonEmpty,
-        s"graft catalog: ${ident} has neither a declared schema nor a " +
-          "committed snapshot to evolve")
-      StructType(Manifest.read(spark, dir).schema
-        .map(_.copy(nullable = true)))
-    }
-    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
-      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_OWNER,
-      TableCatalog.PROP_IS_MANAGED_LOCATION)
-    val meta1 = changes.foldLeft(meta0) { (m, ch) =>
-      ch match {
-        case add: TableChange.AddColumn =>
-          require(add.fieldNames.length == 1,
-            "graft catalog: only top-level ADD COLUMN is supported " +
-              s"(got ${add.fieldNames.mkString(".")})")
-          val nm = add.fieldNames.head
-          val sch = m.schema.getOrElse(effective)
-          require(!sch.fieldNames.exists(_.equalsIgnoreCase(nm)),
-            s"graft catalog: column '$nm' already exists")
-          require(add.isNullable,
-            s"graft catalog: added column '$nm' must be nullable - " +
-              "rows written before the evolution null-fill it")
-          require(add.defaultValue == null,
-            s"graft catalog: DEFAULT values on added columns are not " +
-              "supported (pre-evolution rows read as NULL)")
-          val f0 = StructField(nm, add.dataType, nullable = true)
-          val f = Option(add.comment).fold(f0)(f0.withComment)
-          val fields = Option(add.position()) match {
-            case None => sch.fields :+ f
-            case Some(after: TableChange.After) =>
-              val i = sch.fieldNames.indexWhere(
-                _.equalsIgnoreCase(after.column))
-              require(i >= 0,
-                s"graft catalog: AFTER column '${after.column}' not found")
-              val (pre, post) = sch.fields.splitAt(i + 1)
-              pre ++ (f +: post)
-            case Some(_) => f +: sch.fields // FIRST
-          }
-          m.copy(schema = Some(StructType(fields)))
-        case sp: TableChange.SetProperty =>
-          require(!reserved.contains(sp.property),
-            s"graft catalog: property '${sp.property}' is reserved")
-          m.copy(properties = m.properties + (sp.property -> sp.value))
-        case rp: TableChange.RemoveProperty =>
-          m.copy(properties = m.properties - rp.property)
-        case other =>
-          throw new UnsupportedOperationException(
-            s"graft catalog: unsupported ALTER TABLE change $other " +
-              "(supported: ADD COLUMN, SET/UNSET TBLPROPERTIES; " +
-              "drop/rename/retype would need history rewrite or " +
-              "column mapping)")
+    var tableDir: String = p.toString
+    var tries = 0
+    var done = false
+    // CAS loop (ADVICE r11): on a table WITH commits, the change is
+    // serialized through a metadata-only manifest commit — the same
+    // seq-keyed rename CAS every data commit uses — so two concurrent
+    // ALTERs (or an ALTER racing a write) can never silently drop a
+    // change: the loser re-reads the sidecar AND the head and retries.
+    while (!done) {
+      val meta0raw = GraftTableMeta.read(fsys, p).getOrElse(
+        GraftTableMeta(None, Nil, None, Map.empty))
+      val dir = meta0raw.location.getOrElse(p.toString)
+      tableDir = dir
+      val changesSchema = changes.exists {
+        case _: TableChange.AddColumn | _: TableChange.RenameColumn |
+             _: TableChange.DeleteColumn => true
+        case _ => false
       }
-    }
-    GraftTableMeta.write(fsys, p, meta1)
-    // LOCATION-registered tables: the path face recovers its sidecar
-    // from the DATA dir, so the evolved contract must land there too —
-    // otherwise the same bytes read with two different schemas
-    // depending on the face (catalog vs path)
-    meta0.location.foreach { loc =>
-      val lp = new Path(loc)
-      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      GraftTableMeta.write(lfs, lp,
-        meta1.copy(location = None))
+      // the pre-change effective schema: declared, else recovered from
+      // the current snapshot (an ALTER on a recovery-schema table
+      // freezes the recovered schema as the declared base contract,
+      // retroactive to every retained snapshot — entry at seq 0)
+      val meta0 =
+        if (!changesSchema) meta0raw
+        else {
+          val pre = meta0raw.schema.getOrElse {
+            require(Manifest.history(spark, dir).nonEmpty,
+              s"graft catalog: ${ident} has neither a declared schema nor " +
+                "a committed snapshot to evolve")
+            StructType(Manifest.read(spark, dir).schema
+              .map(_.copy(nullable = true)))
+          }
+          meta0raw.copy(schema = Some(pre),
+            schemaHistory =
+              if (meta0raw.schemaHistory.nonEmpty) meta0raw.schemaHistory
+              else Seq(0L -> pre))
+        }
+      val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+        TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_OWNER,
+        TableCatalog.PROP_IS_MANAGED_LOCATION)
+      val meta1 = changes.foldLeft(meta0) { (m, ch) =>
+        ch match {
+          case add: TableChange.AddColumn =>
+            require(add.fieldNames.length == 1,
+              "graft catalog: only top-level ADD COLUMN is supported " +
+                s"(got ${add.fieldNames.mkString(".")})")
+            val nm = add.fieldNames.head
+            val sch = m.schema.get // normalized above when changesSchema
+            require(!sch.fieldNames.exists(_.equalsIgnoreCase(nm)),
+              s"graft catalog: column '$nm' already exists")
+            require(add.isNullable,
+              s"graft catalog: added column '$nm' must be nullable - " +
+                "rows written before the evolution null-fill it")
+            require(add.defaultValue == null,
+              s"graft catalog: DEFAULT values on added columns are not " +
+                "supported (pre-evolution rows read as NULL)")
+            val f1 = StructField(nm, add.dataType, nullable = true)
+            val f0 =
+              // under COLUMN MAPPING the new column gets a FRESH
+              // physical name: re-adding a dropped logical name must
+              // never resurrect the dropped column's bytes
+              if (!GraftTableMeta.mappingActive(m)) f1
+              else {
+                val maxId = GraftTableMeta.maxColumnId(m)
+                f1.copy(metadata = new org.apache.spark.sql.types
+                  .MetadataBuilder()
+                  .putString(Manifest.ColumnMapping.Key,
+                    s"col-${java.util.UUID.randomUUID().toString.take(8)}")
+                  .putLong(Manifest.ColumnMapping.IdKey, maxId + 1)
+                  .build())
+              }
+            val f = Option(add.comment).fold(f0)(f0.withComment)
+            val fields = Option(add.position()) match {
+              case None => sch.fields :+ f
+              case Some(after: TableChange.After) =>
+                val i = sch.fieldNames.indexWhere(
+                  _.equalsIgnoreCase(after.column))
+                require(i >= 0,
+                  s"graft catalog: AFTER column '${after.column}' not found")
+                val (pre, post) = sch.fields.splitAt(i + 1)
+                pre ++ (f +: post)
+              case Some(_) => f +: sch.fields // FIRST
+            }
+            val m2 = m.copy(schema = Some(StructType(fields)))
+            if (!GraftTableMeta.mappingActive(m)) m2
+            else m2.copy(properties = m2.properties +
+              (GraftTableMeta.MaxIdProp ->
+                (GraftTableMeta.maxColumnId(m) + 1).toString))
+          case rn: TableChange.RenameColumn =>
+            // COLUMN MAPPING (round 12, Delta name mode): the rename is
+            // a metadata-only sidecar write — the field keeps (or gains)
+            // its frozen PHYSICAL name, every file keeps its bytes, and
+            // all read/write paths map through
+            // [[graft.io.Manifest.ColumnMapping]]
+            require(rn.fieldNames.length == 1,
+              "graft catalog: only top-level RENAME COLUMN is supported " +
+                s"(got ${rn.fieldNames.mkString(".")})")
+            val from = rn.fieldNames.head
+            val to = rn.newName
+            val ma = GraftTableMeta.activateMapping(m)
+            val sch = ma.schema.get
+            val i = sch.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+            require(i >= 0, s"graft catalog: no column '$from' to rename")
+            require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)),
+              s"graft catalog: column '$to' already exists")
+            require(!ma.partitionCols.exists(_.equalsIgnoreCase(from)),
+              s"graft catalog: cannot rename partition column '$from' - " +
+                "its name is baked into the hive path layout")
+            ma.copy(schema = Some(StructType(
+              sch.fields.updated(i, sch.fields(i).copy(name = to)))))
+          case delc: TableChange.DeleteColumn =>
+            // DROP COLUMN = the field's removal from the declared
+            // contract: files keep the bytes, no reader ever asks for
+            // them, and mapping activation guarantees a later re-ADD of
+            // the name gets a fresh physical column
+            require(delc.fieldNames.length == 1,
+              "graft catalog: only top-level DROP COLUMN is supported " +
+                s"(got ${delc.fieldNames.mkString(".")})")
+            val nm = delc.fieldNames.head
+            val ma = GraftTableMeta.activateMapping(m)
+            val sch = ma.schema.get
+            val i = sch.fieldNames.indexWhere(_.equalsIgnoreCase(nm))
+            if (i < 0 && delc.ifExists()) ma
+            else {
+              require(i >= 0, s"graft catalog: no column '$nm' to drop")
+              require(sch.fields.length > 1,
+                s"graft catalog: cannot drop the only column '$nm'")
+              require(!ma.partitionCols.exists(_.equalsIgnoreCase(nm)),
+                s"graft catalog: cannot drop partition column '$nm' - " +
+                  "the hive path layout depends on it")
+              ma.copy(schema = Some(StructType(
+                sch.fields.patch(i, Nil, 1))))
+            }
+          case sp: TableChange.SetProperty =>
+            require(!reserved.contains(sp.property),
+              s"graft catalog: property '${sp.property}' is reserved")
+            m.copy(properties = m.properties + (sp.property -> sp.value))
+          case rp: TableChange.RemoveProperty =>
+            m.copy(properties = m.properties - rp.property)
+          case other =>
+            throw new UnsupportedOperationException(
+              s"graft catalog: unsupported ALTER TABLE change $other " +
+                "(supported: ADD/RENAME/DROP COLUMN, SET/UNSET " +
+                "TBLPROPERTIES; retype would need history rewrite)")
+        }
+      }
+      if (Manifest.history(spark, dir).isEmpty) {
+        // no snapshot exists, so there is no seq space to CAS on and no
+        // per-version schema to distinguish: the base entry is replaced
+        val meta2 =
+          if (changesSchema)
+            meta1.copy(schemaHistory = Seq(0L -> meta1.schema.get))
+          else meta1
+        writeSidecars(p, meta0raw.location, meta2)
+        done = true
+      } else {
+        val snap = s"alter-${System.currentTimeMillis()}-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        try {
+          // the commit point: a same-files metadata commit; its seq keys
+          // the new schema entry, exactly Delta's metaData-in-a-commit
+          val seq = Manifest.commitMetadata(spark, dir, snap)
+          val meta2 =
+            if (changesSchema)
+              meta1.copy(schemaHistory =
+                meta0.schemaHistory :+ (seq -> meta1.schema.get))
+            else meta1
+          writeSidecars(p, meta0raw.location, meta2)
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException
+              if tries < Manifest.MaxAppendCommitRetries =>
+            tries += 1 // lost the seq CAS: re-read sidecar + head, retry
+        }
+      }
     }
     // resolved relations are snapshot-AND-schema pinned: invalidate so
     // the next statement sees the evolved contract
-    spark.catalog.refreshByPath(dir)
+    spark.catalog.refreshByPath(tableDir)
     loadTable(ident)
+  }
+
+  /** LOCATION-registered tables: the path face recovers its sidecar
+    * from the DATA dir, so the evolved contract must land there too —
+    * and FIRST (ADVICE r11): the data-dir copy is the authoritative
+    * contract every path read consults, so a crash between the two
+    * writes leaves the catalog face stale (healed by the next ALTER)
+    * rather than the data dir reading under a contract the catalog
+    * never finished declaring. */
+  private def writeSidecars(p: Path, location: Option[String],
+      meta: GraftTableMeta): Unit = {
+    location.foreach { loc =>
+      val lp = new Path(loc)
+      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      GraftTableMeta.write(lfs, lp, meta.copy(location = None))
+    }
+    GraftTableMeta.write(fsys, p, meta)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -328,6 +459,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * partition columns, through the same LOCATION redirect as table
     * resolution. */
   private[catalog] def resolveTable(name: String): (String, Seq[String]) = {
+    val p = resolveTablePath(name)
+    val meta = GraftTableMeta.read(fsys, p)
+    (meta.flatMap(_.location).getOrElse(p.toString),
+      meta.map(_.partitionCols).getOrElse(Nil))
+  }
+
+  /** The catalog-side sidecar path of a procedure's table argument. */
+  private def resolveTablePath(name: String): Path = {
     require(name != null && name.nonEmpty,
       "graft catalog: the procedure's table argument must be a " +
         "non-null table name")
@@ -350,9 +489,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case _ => rootP
       }
     require(isTable(p), s"graft catalog: no table '$name' under $warehouse")
-    val meta = GraftTableMeta.read(fsys, p)
-    (meta.flatMap(_.location).getOrElse(p.toString),
-      meta.map(_.partitionCols).getOrElse(Nil))
+    p
+  }
+
+  /** RESTORE's metadata half (Delta RESTORE rolls back the table's
+    * metaData with its data): re-declare the schema that was committed
+    * AS OF the restore target, recorded as a fresh schema-history
+    * entry keyed by the restore commit's seq — the head reads the
+    * restored shape, while time travel ABOVE the restore still serves
+    * the evolved one. No-op when the sidecar declares no schema or the
+    * target's schema is already current. */
+  private[catalog] def restoreSchemaTo(name: String, targetSeq: Long,
+      newSeq: Long): Unit = {
+    val p = resolveTablePath(name)
+    GraftTableMeta.read(fsys, p).foreach { m0 =>
+      m0.schemaAt(targetSeq) match {
+        case Some(sOld) if m0.schema.exists(_ != sOld) =>
+          val baseHist =
+            if (m0.schemaHistory.nonEmpty) m0.schemaHistory
+            else m0.schema.map(s => Seq(0L -> s)).getOrElse(Nil)
+          writeSidecars(p, m0.location,
+            m0.copy(schema = Some(sOld),
+              schemaHistory = baseHist :+ (newSeq -> sOld)))
+        case _ => ()
+      }
+    }
   }
 
   private lazy val procedures = GraftProcedures.all(this)
@@ -431,13 +592,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 /** The `.graft-table.json` DDL sidecar (see [[GraftCatalog]] scaladoc
-  * for what it carries and why a manifest alone cannot). */
+  * for what it carries and why a manifest alone cannot).
+  *
+  * `schemaHistory` (round 12 — PER-SNAPSHOT schema on time travel):
+  * ordered (sinceSeq, schema) entries, oldest → newest; entry (s, S)
+  * declares S the read contract for every manifest commit with
+  * `commit_seq >= s` (until a later entry supersedes it). ALTER TABLE
+  * publishes a metadata-only manifest commit and appends the entry at
+  * that commit's seq, so `VERSION AS OF` a pre-evolution commit reads
+  * the AS-COMMITTED schema — exactly Delta's last-metaData-wins
+  * resolution — instead of the head schema with null-filled columns.
+  * The flat `schema` field stays the CURRENT contract (the last
+  * entry's schema); sidecars written before round 12 carry no history
+  * and resolve their single schema retroactively, preserving their
+  * old behavior. */
 private[graft] final case class GraftTableMeta(schema: Option[StructType],
     partitionCols: Seq[String], location: Option[String],
-    properties: Map[String, String])
+    properties: Map[String, String],
+    schemaHistory: Seq[(Long, StructType)] = Nil) {
+
+  /** The schema committed AS OF manifest seq `v`: the newest history
+    * entry with sinceSeq <= v; a snapshot predating every entry reads
+    * as-committed (None → footer inference); a history-less sidecar
+    * resolves its single schema retroactively (pre-round-12 files). */
+  def schemaAt(v: Long): Option[StructType] = {
+    val eligible = schemaHistory.filter(_._1 <= v)
+    if (eligible.nonEmpty) Some(eligible.last._2)
+    else if (schemaHistory.nonEmpty) None
+    else schema
+  }
+}
 
 private[graft] object GraftTableMeta {
   val SidecarName = ".graft-table.json"
+
+  /** Delta's columnMapping table properties — stamped on activation so
+    * the export face re-declares them verbatim. */
+  val ModeProp = "delta.columnMapping.mode"
+  val MaxIdProp = "delta.columnMapping.maxColumnId"
+
+  def mappingActive(m: GraftTableMeta): Boolean =
+    m.properties.get(ModeProp).contains("name")
+
+  def maxColumnId(m: GraftTableMeta): Long =
+    m.properties.get(MaxIdProp).flatMap(_.toLongOption).getOrElse(
+      m.schema.map(_.fields.length.toLong).getOrElse(0L))
+
+  /** First RENAME/DROP activates COLUMN MAPPING (Delta name mode):
+    * every declared field freezes its CURRENT name as its physical
+    * name and takes a stable column id — from then on the logical
+    * layer is pure metadata. Idempotent. */
+  def activateMapping(m: GraftTableMeta): GraftTableMeta = {
+    if (mappingActive(m)) return m
+    val sch = m.schema.getOrElse(throw new IllegalStateException(
+      "graft catalog: column mapping needs a declared schema"))
+    val fields = sch.fields.zipWithIndex.map { case (f, i) =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      if (!f.metadata.contains(Manifest.ColumnMapping.Key))
+        mb.putString(Manifest.ColumnMapping.Key, f.name)
+      if (!f.metadata.contains(Manifest.ColumnMapping.IdKey))
+        mb.putLong(Manifest.ColumnMapping.IdKey, i + 1L)
+      f.copy(metadata = mb.build())
+    }
+    m.copy(schema = Some(StructType(fields)),
+      properties = m.properties + (ModeProp -> "name") +
+        (MaxIdProp -> fields.length.toString))
+  }
 
   def write(fsys: FileSystem, tableDir: Path, meta: GraftTableMeta): Unit = {
     val j = JObject(List(
@@ -446,7 +667,13 @@ private[graft] object GraftTableMeta {
       "partitionCols" -> JArray(meta.partitionCols.map(JString(_)).toList),
       "location" -> meta.location.map(JString(_)).getOrElse(JNothing),
       "properties" -> JObject(meta.properties.toList.sortBy(_._1)
-        .map { case (k, v) => k -> (JString(v): JValue) })))
+        .map { case (k, v) => k -> (JString(v): JValue) }),
+      "schemaHistory" ->
+        (if (meta.schemaHistory.isEmpty) JNothing
+         else JArray(meta.schemaHistory.toList.map { case (s, sch) =>
+           JObject(List("sinceSeq" -> (JInt(s): JValue),
+             "schemaJson" -> (JString(sch.json): JValue)))
+         }))))
     val out = fsys.create(new Path(tableDir, SidecarName), true)
     try out.write(JsonMethods.pretty(JsonMethods.render(j))
       .getBytes("UTF-8"))
@@ -477,6 +704,17 @@ private[graft] object GraftTableMeta {
         case JObject(fields) =>
           fields.collect { case (k, JString(v)) => k -> v }.toMap
         case _ => Map.empty
+      },
+      schemaHistory = j \ "schemaHistory" match {
+        case JArray(xs) => xs.flatMap { e =>
+          (e \ "sinceSeq", e \ "schemaJson") match {
+            case (JInt(s), JString(sj)) =>
+              Some(s.toLong -> org.apache.spark.sql.types.DataType
+                .fromJson(sj).asInstanceOf[StructType])
+            case _ => None
+          }
+        }.sortBy(_._1)
+        case _ => Nil
       }))
   }
 }
@@ -510,7 +748,11 @@ private[graft] class GraftCatalogTable(ident: String, val dir: String,
   override def name(): String = ident
 
   override lazy val schema: StructType =
-    meta.flatMap(_.schema).orElse(relation.map(_.schema)).getOrElse(
+    // a time-travel load's contract is the AS-COMMITTED schema — the
+    // relation already resolved it from the sidecar's schema history;
+    // a head load keeps the declared (possibly evolved) contract
+    (if (timeTravel.nonEmpty) relation.map(_.schema)
+     else meta.flatMap(_.schema).orElse(relation.map(_.schema))).getOrElse(
       throw new IllegalStateException(
         s"graft catalog: $ident has neither a declared schema nor a " +
           "committed snapshot"))
@@ -529,7 +771,13 @@ private[graft] class GraftCatalogTable(ident: String, val dir: String,
       (TableCatalog.PROP_PROVIDER -> "graft")).asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    // AUTOMATIC_SCHEMA_EVOLUTION arms `MERGE … WITH SCHEMA EVOLUTION`:
+    // the analyzer's ResolveMergeIntoSchemaEvolution computes the
+    // missing columns and drives THIS catalog's alterTable (CAS'd ADD
+    // COLUMN + schema-history entry) before the V1 swap intercepts the
+    // merge itself
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(dir,

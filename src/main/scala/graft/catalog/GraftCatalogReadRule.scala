@@ -51,6 +51,22 @@ object GraftCatalogReadRule extends Rule[LogicalPlan] {
       case i: InsertIntoStatement =>
         insertTargets.add(i.table)
         insertTargets.add(EliminateSubqueryAliases(i.table))
+      // MERGE … WITH SCHEMA EVOLUTION (round 12): the target keeps its
+      // V2 relation until the analyzer's own
+      // ResolveMergeIntoSchemaEvolution has nothing left to evolve —
+      // that rule only matches a DataSourceV2Relation target, on which
+      // it computes the missing columns and drives THIS catalog's
+      // alterTable (the CAS'd ADD COLUMN + schema-history commit), then
+      // reloads the widened table. Once needSchemaEvolution is false
+      // the swap proceeds and the V1 DML interception sees an
+      // already-evolved target. Try-wrapped: the lazy flag can only be
+      // computed once the source side resolves — defer the swap until
+      // it can be (an unresolvable source fails the statement anyway).
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if scala.util.Try(m.schemaEvolutionEnabled).getOrElse(false) &&
+            scala.util.Try(m.needSchemaEvolution).getOrElse(true) =>
+        insertTargets.add(m.targetTable)
+        insertTargets.add(EliminateSubqueryAliases(m.targetTable))
       case _ => ()
     }
     plan.resolveOperatorsUp {
@@ -92,8 +108,10 @@ object GraftCatalogReadRule extends Rule[LogicalPlan] {
               a.name, a.dataType, a.nullable))))
         LogicalRelation(rel, r.output, None, false, None)
       case Some(rel) =>
+        // metadata rides along: it carries the column-mapping physical
+        // name a renamed column's DML scan resolves through
         val attrs = rel.schema.fields.toSeq.map(f =>
-          AttributeReference(f.name, f.dataType, f.nullable)())
+          AttributeReference(f.name, f.dataType, f.nullable, f.metadata)())
         val lr = LogicalRelation(rel, attrs, None, false, None)
         // pass-through project: reorders the V1 schema (HadoopFsRelation
         // moves partition columns last) back to the DECLARED column order

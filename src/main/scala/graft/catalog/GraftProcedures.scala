@@ -230,6 +230,15 @@ private[catalog] object GraftProcedures {
               s"graft catalog: no retained commit_seq $v under $dir"))
         }
         val newSnap = Manifest.restore(spark, dir, target)
+        // RESTORE rolls back METADATA with the data (Delta semantics):
+        // the sidecar re-declares the target version's schema under a
+        // history entry at the restore commit's seq
+        newSnap.foreach { ns =>
+          val hist = Manifest.history(spark, dir)
+          for (tSeq <- hist.find(_.snapshot == target).map(_.seq);
+               nSeq <- hist.find(_.snapshot == ns).map(_.seq))
+            cat.restoreSchemaTo(args.getUTF8String(0).toString, tSeq, nSeq)
+        }
         spark.catalog.refreshByPath(dir)
         result(outSchema, UTF8String.fromString(target),
           newSnap.map(UTF8String.fromString).orNull)

@@ -78,15 +78,30 @@ object DeltaLog {
   /** A CDF-carrying log declares the capability in the protocol —
     * legacy writer version 4 includes changeDataFeed, which is what
     * foreign `table_changes` readers check before serving the feed. */
-  private def protocolLine(cdf: Boolean = false): String =
-    if (cdf) """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+  private def protocolLine(cdf: Boolean = false,
+      columnMapping: Boolean = false): String =
+    // legacy writer versions are cumulative: 5 (columnMapping) covers
+    // 4 (changeDataFeed); mapping also needs reader 2 per the spec
+    if (columnMapping)
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    else if (cdf)
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
     else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   private def metaDataLine(id: String, schemaJson: String, createdAt: Long,
-      partitionCols: Seq[String], cdf: Boolean = false): String = {
+      partitionCols: Seq[String], cdf: Boolean = false,
+      mappingMaxId: Option[Long] = None): String = {
     val pc = partitionCols.map(jstr).mkString("[", ",", "]")
-    val cfg =
-      if (cdf) """{"delta.enableChangeDataFeed":"true"}""" else "{}"
+    val entries =
+      (if (cdf) Seq(""""delta.enableChangeDataFeed":"true"""") else Nil) ++
+        // a mapped schemaString implies Delta's name-mode mapping: the
+        // configuration + protocol declare it so conformant readers
+        // resolve logical names through the field metadata
+        (if (schemaJson.contains(Manifest.ColumnMapping.Key))
+          Seq(""""delta.columnMapping.mode":"name"""",
+            s""""delta.columnMapping.maxColumnId":"${mappingMaxId.getOrElse(0L)}"""")
+        else Nil)
+    val cfg = entries.mkString("{", ",", "}")
     s"""{"metaData":{"id":"$id","format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${jstr(schemaJson)},"partitionColumns":$pc,""" +
       s""""configuration":$cfg,"createdTime":$createdAt}}"""
@@ -110,12 +125,16 @@ object DeltaLog {
     * features (reader 3 / writer 7) declaring exactly the one feature
     * the DV export uses — the upgrade the spec requires in (or before)
     * the first DV-carrying commit. */
-  private def dvProtocolLine(cdf: Boolean = false): String = {
-    val wf =
-      if (cdf) """["deletionVectors","changeDataFeed"]"""
-      else """["deletionVectors"]"""
+  private def dvProtocolLine(cdf: Boolean = false,
+      columnMapping: Boolean = false): String = {
+    val wf = Seq("deletionVectors") ++
+      (if (cdf) Seq("changeDataFeed") else Nil) ++
+      (if (columnMapping) Seq("columnMapping") else Nil)
+    val rf = Seq("deletionVectors") ++
+      (if (columnMapping) Seq("columnMapping") else Nil)
     """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-      s""""readerFeatures":["deletionVectors"],"writerFeatures":$wf}}"""
+      s""""readerFeatures":${rf.map(jstr).mkString("[", ",", "]")},""" +
+      s""""writerFeatures":${wf.map(jstr).mkString("[", ",", "]")}}}"""
   }
 
   /** `remove` must INVALIDATE the exact add it cancels: Delta state
@@ -192,9 +211,15 @@ object DeltaLog {
     // EVOLUTION as a fresh metaData action in the commit that changed
     // it — an overwrite with new columns exports exactly that way.
     val schemaCache = scala.collection.mutable.Map[Long, String]()
+    // the sidecar's schema HISTORY wins when the table declared one
+    // (per-version, so a metadata-only ALTER commit exports the evolved
+    // schema even before any file carries the column — exactly Delta's
+    // metaData-in-its-own-commit shape); footer recovery is the
+    // fallback for never-declared tables
     def schemaOf(m: Manifest.ManifestData): String =
       schemaCache.getOrElseUpdate(m.seq,
-        Manifest.readFiles(spark, dir, m.files).schema.json)
+        Manifest.declaredSchemaAt(spark, dir, m.seq).map(_.json).getOrElse(
+          Manifest.readFiles(spark, dir, m.files).schema.json))
     def partColsOf(m: Manifest.ManifestData): Seq[String] =
       m.files.headOption
         .map(Manifest.partitionValuesOf(_).map(_._1)).getOrElse(Nil)
@@ -294,6 +319,17 @@ object DeltaLog {
         !lastCfg.exists(_.get("delta.enableChangeDataFeed").contains("true"))
       }
 
+    // column-mapping export state: a mapped schemaString upgrades the
+    // protocol (reader 2 / writer 5 legacy, or the columnMapping table
+    // feature alongside deletionVectors) and stamps the mode +
+    // maxColumnId configuration on every metaData action
+    val mappingMaxId: Option[Long] =
+      graft.catalog.GraftTableMeta.read(fsys, base)
+        .filter(graft.catalog.GraftTableMeta.mappingActive)
+        .map(graft.catalog.GraftTableMeta.maxColumnId)
+    def mapped(m: Manifest.ManifestData): Boolean =
+      schemaOf(m).contains(Manifest.ColumnMapping.Key)
+
     val written = Seq.newBuilder[Long]
     ms.zipWithIndex.foreach { case (m, i) =>
       val dest = commitPath(ld, m.seq)
@@ -304,9 +340,10 @@ object DeltaLog {
             // oldest retained version: full state (version 0's shape; a
             // vacuumed-past-0 table additionally gets a checkpoint below)
             Seq(commitInfoLine(tsOf(m), "WRITE"),
-              if (dv.isEmpty) protocolLine(changeData)
-              else dvProtocolLine(changeData),
-              metaDataLine(id, schemaOf(m), now, partColsOf(m), changeData)) ++
+              if (dv.isEmpty) protocolLine(changeData, mapped(m))
+              else dvProtocolLine(changeData, mapped(m)),
+              metaDataLine(id, schemaOf(m), now, partColsOf(m), changeData,
+                mappingMaxId)) ++
               addLinesOf(m.files, dv)
           else {
             val prevM = ms(i - 1)
@@ -329,7 +366,7 @@ object DeltaLog {
             val metaChange =
               if (schemaOf(m) == schemaOf(prevM) && !cdfMetaNeeded) Nil
               else Seq(metaDataLine(id, schemaOf(m), now, partColsOf(m),
-                changeData))
+                changeData, mappingMaxId))
             // CHANGE DATA FEED: append-only commits need no cdc (their
             // adds ARE the inserts); anything that removed files or
             // touched MOR state materializes its row-level changes
@@ -345,7 +382,9 @@ object DeltaLog {
                   .map { case (p, sz) => cdcLine(p, sz) }
               }
             Seq(commitInfoLine(tsOf(m), op)) ++
-              (if (dv.nonEmpty) Seq(dvProtocolLine(changeData))
+              (if (dv.nonEmpty) Seq(dvProtocolLine(changeData, mapped(m)))
+              else if (mapped(m) && !mapped(prevM))
+                Seq(protocolLine(changeData, columnMapping = true))
               else if (cdfMetaNeeded) Seq(protocolLine(cdf = true))
               else Nil) ++
               metaChange ++ cdc ++

@@ -415,6 +415,18 @@ object IcebergExport {
     val (fsys, base) = fs(spark, dir)
     val ms = Manifest.history(spark, dir)
     require(ms.nonEmpty, s"no committed snapshot under $dir")
+    // refuse COLUMN-MAPPED tables by name: this face derives its schema
+    // lineage from parquet footers, which carry PHYSICAL names — an
+    // export would silently publish the pre-rename names. Sound support
+    // needs the spec's name-mapping (schema.name-mapping.default);
+    // until then the Delta face carries the mapping.
+    Manifest.declaredSchema(spark, dir).foreach(s =>
+      if (Manifest.ColumnMapping.hasMapping(s))
+        throw new UnsupportedOperationException(
+          s"iceberg export of $dir: the table uses column mapping " +
+            "(RENAME/DROP COLUMN); this face would publish physical " +
+            "column names - use the Delta export face, which declares " +
+            "the mapping"))
     val md = metaDir(base)
     fsys.mkdirs(md)
 

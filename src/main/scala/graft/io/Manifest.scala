@@ -56,6 +56,60 @@ import org.apache.spark.sql.{functions => F}
  */
 object Manifest {
 
+  /** COLUMN MAPPING (round 12, Delta's name mode): a declared-schema
+    * field whose metadata carries `delta.columnMapping.physicalName`
+    * stores its parquet column under that PHYSICAL name — the logical
+    * name is a pure metadata fact, so `RENAME COLUMN` is a KB sidecar
+    * write and `DROP COLUMN` is the field's removal (files keep the
+    * bytes; no reader ever asks for them, and a later re-ADD of the
+    * same logical name gets a FRESH physical name so dropped values
+    * can never resurrect). Every library read path maps physical →
+    * logical after the scan; [[writeImpl]] maps logical → physical
+    * before landing files, so the parquet layer stays uniformly
+    * physical. Partition columns refuse mapping — their names are
+    * baked into the hive path layout. */
+  private[graft] object ColumnMapping {
+    val Key = "delta.columnMapping.physicalName"
+    val IdKey = "delta.columnMapping.id"
+
+    def physicalNameOf(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains(Key)) f.metadata.getString(Key) else f.name
+
+    /** Does any field read/write under a name other than its own? */
+    def hasMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+      s.fields.exists(f => physicalNameOf(f) != f.name)
+
+    /** The schema the parquet layer sees: fields renamed to physical
+      * (metadata kept — stats/export faces key on it). */
+    def physicalSchema(s: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(
+        s.fields.map(f => f.copy(name = physicalNameOf(f))))
+
+    private def q(n: String): String = "`" + n.replace("`", "``") + "`"
+
+    /** physical → LOGICAL projection of a scan, keeping `extra`
+      * passthrough columns (hidden metadata tags) in place. */
+    def toLogical(df: DataFrame, s: org.apache.spark.sql.types.StructType,
+        extra: Seq[String] = Nil): DataFrame =
+      df.select(s.fields.map(f =>
+        F.col(q(physicalNameOf(f))).as(f.name, f.metadata)) ++
+        extra.map(c => F.col(q(c))): _*)
+
+    /** logical → PHYSICAL rename of an outgoing frame: any df column
+      * matching a mapped logical name (case-insensitively, Spark's
+      * resolution) lands under its physical name; everything else
+      * passes through. */
+    def toPhysical(df: DataFrame,
+        s: org.apache.spark.sql.types.StructType): DataFrame = {
+      val m = s.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) ->
+        physicalNameOf(f)).toMap
+      df.select(df.columns.map(c =>
+        F.col(q(c)).as(m.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c)))
+        .toSeq: _*)
+    }
+  }
+
   private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -291,19 +345,25 @@ object Manifest {
       files: Seq[String],
       schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
+    // a mapped hint scans under PHYSICAL names, then projects back to
+    // logical — the parquet layer is uniformly physical by contract
+    val mapped = schemaHint.filter(ColumnMapping.hasMapping)
+    val scanHint = mapped.map(ColumnMapping.physicalSchema).orElse(schemaHint)
     def reader = {
       val r = spark.read
-      schemaHint.foreach(r.schema)
+      scanHint.foreach(r.schema)
       r
     }
-    if (files.forall(partitionValuesOf(_).isEmpty))
-      reader.parquet(files.map(f => s"$dir/$f"): _*)
-    else files.groupBy(_.split('/').head).toSeq.sortBy(_._1)
-      .map { case (dataDir, fs) =>
-        reader.option("basePath", s"$dir/$dataDir")
-          .parquet(fs.map(f => s"$dir/$f"): _*)
-      }
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val raw =
+      if (files.forall(partitionValuesOf(_).isEmpty))
+        reader.parquet(files.map(f => s"$dir/$f"): _*)
+      else files.groupBy(_.split('/').head).toSeq.sortBy(_._1)
+        .map { case (dataDir, fs) =>
+          reader.option("basePath", s"$dir/$dataDir")
+            .parquet(fs.map(f => s"$dir/$f"): _*)
+        }
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    mapped.fold(raw)(ColumnMapping.toLogical(raw, _))
   }
 
   // ---- merge-on-read position deletes -----------------------------------
@@ -324,23 +384,29 @@ object Manifest {
       schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     import org.apache.spark.sql.functions.col
+    val mapped = schemaHint.filter(ColumnMapping.hasMapping)
+    val scanHint = mapped.map(ColumnMapping.physicalSchema).orElse(schemaHint)
     def withMeta(df: DataFrame): DataFrame =
       df.select(col("*"),
         col("_metadata.file_path").as("_graft_file"),
         col("_metadata.row_index").as("_graft_pos"))
     def reader = {
       val r = spark.read
-      schemaHint.foreach(r.schema)
+      scanHint.foreach(r.schema)
       r
     }
-    if (files.forall(partitionValuesOf(_).isEmpty))
-      withMeta(reader.parquet(files.map(f => s"$dir/$f"): _*))
-    else files.groupBy(_.split('/').head).toSeq.sortBy(_._1)
-      .map { case (dataDir, fs) =>
-        withMeta(reader.option("basePath", s"$dir/$dataDir")
-          .parquet(fs.map(f => s"$dir/$f"): _*))
-      }
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val raw =
+      if (files.forall(partitionValuesOf(_).isEmpty))
+        withMeta(reader.parquet(files.map(f => s"$dir/$f"): _*))
+      else files.groupBy(_.split('/').head).toSeq.sortBy(_._1)
+        .map { case (dataDir, fs) =>
+          withMeta(reader.option("basePath", s"$dir/$dataDir")
+            .parquet(fs.map(f => s"$dir/$f"): _*))
+        }
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    // logical projection keeps the two hidden position-delete tags
+    mapped.fold(raw)(ColumnMapping.toLogical(raw, _,
+      extra = Seq("_graft_file", "_graft_pos")))
   }
 
   /** Read `files` with the snapshot's position deletes applied: a
@@ -534,8 +600,14 @@ object Manifest {
     require(!fsys.exists(dataDir), s"snapshot $snapshot already landed under $dir")
     require(retained(fsys, base).forall(_.snapshot != snapshot),
       s"snapshot $snapshot already committed under $dir")
-    if (partitionCols.isEmpty) df.write.parquet(dataDir.toString)
-    else df.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+    // the ONE choke point every writer funnels through (INSERT, sink,
+    // DML rewrites, maintenance): a column-mapped table lands its
+    // files under PHYSICAL names, whatever frame the caller built
+    val toLand = declaredSchema(spark, dir)
+      .filter(ColumnMapping.hasMapping)
+      .fold(df)(ColumnMapping.toPhysical(df, _))
+    if (partitionCols.isEmpty) toLand.write.parquet(dataDir.toString)
+    else toLand.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
     // list the landed part files: flat for an unpartitioned snapshot,
     // descending through `k=v/` dirs for a partitioned one — rel paths
     // keep the partition segments so the manifest IS the partition index
@@ -656,12 +728,37 @@ object Manifest {
     * commit storm must eventually surface instead of spinning. */
   private[graft] val MaxAppendCommitRetries = 5
 
+  /** METADATA-ONLY commit: publish a new manifest that lists the head's
+    * files and delete state BY REFERENCE — zero data movement, one KB
+    * write. This is the ALTER TABLE serialization point: the seq-keyed
+    * CAS rename makes concurrent schema changes (or a schema change
+    * racing a write) collide loudly instead of silently interleaving,
+    * and the returned seq keys the sidecar's schema-history entry (the
+    * graft analogue of Delta's metaData action in its own commit). Not
+    * flagged `rewrite`: the file set is unchanged, so streams and
+    * incremental readers serve an empty delta and keep going. ONE
+    * attempt — the caller owns the retry (it must re-derive the change
+    * from the new head). */
+  private[graft] def commitMetadata(spark: SparkSession, dir: String,
+      snapshot: String): Long = {
+    require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
+    val (fsys, base) = fs(spark, dir)
+    val priors = retained(fsys, base)
+    require(priors.nonEmpty, s"no committed snapshot under $dir")
+    require(priors.forall(_.snapshot != snapshot),
+      s"snapshot $snapshot already committed under $dir")
+    val head = priors.last
+    publishManifest(fsys, base, dir, snapshot, priors, head.files,
+      head.deleteFiles)
+  }
+
   /** The shared commit tail: stage the manifest JSON, run the test
-    * seam, publish with the one seq-keyed CAS rename. */
+    * seam, publish with the one seq-keyed CAS rename. Returns the
+    * committed seq. */
   private def publishManifest(fsys: FileSystem, base: Path, dir: String,
       snapshot: String, priors: Seq[ManifestData], allFiles: Seq[String],
       deleteFiles: Seq[String], beforePublish: () => Unit = () => (),
-      rewrite: Boolean = false): Unit = {
+      rewrite: Boolean = false): Long = {
     val seq = (priors.map(_.seq) :+ -1L).max + 1
     val body = allFiles.map(f => s"""    "$f"""").mkString(",\n")
     val delBlock =
@@ -702,6 +799,7 @@ object Manifest {
         throw new RuntimeException(
           s"manifest commit rename failed for $dir @ $snapshot (seq $seq)")
     }
+    seq
   }
 
   /** The DDL sidecar's declared schema when the table dir carries one
@@ -715,6 +813,19 @@ object Manifest {
       dir: String): Option[org.apache.spark.sql.types.StructType] = {
     val (fsys, base) = fs(spark, dir)
     graft.catalog.GraftTableMeta.read(fsys, base).flatMap(_.schema)
+      .map(s => org.apache.spark.sql.types.StructType(
+        s.map(_.copy(nullable = true))))
+  }
+
+  /** The declared schema AS OF manifest commit `seq` — the sidecar's
+    * schema-history resolution (see [[graft.catalog.GraftTableMeta]]):
+    * time travel below an `ALTER TABLE ADD COLUMN` reads the
+    * as-committed schema WITHOUT the later column, exactly as the
+    * Delta export face serves each version's own metaData. */
+  private[graft] def declaredSchemaAt(spark: SparkSession, dir: String,
+      seq: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val (fsys, base) = fs(spark, dir)
+    graft.catalog.GraftTableMeta.read(fsys, base).flatMap(_.schemaAt(seq))
       .map(s => org.apache.spark.sql.types.StructType(
         s.map(_.copy(nullable = true))))
   }
@@ -771,8 +882,10 @@ object Manifest {
   }
 
   /** Time travel: read a RETAINED snapshot exactly as committed.
-    * `schemaHint` as on [[readFiles]] (the declared-schema read for
-    * evolved tables). */
+    * `schemaHint` as on [[readFiles]]; absent a hint, evolved tables
+    * read under the schema declared AS OF that snapshot's commit
+    * ([[declaredSchemaAt]]) — a snapshot below an ALTER reads WITHOUT
+    * the later column. */
   def readAt(spark: SparkSession, dir: String, snapshot: String,
       schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
@@ -782,7 +895,7 @@ object Manifest {
         s"no retained snapshot '$snapshot' under $dir"))
     require(m.files.nonEmpty, s"no retained snapshot '$snapshot' under $dir")
     readFilesApplyingDeletes(spark, dir, m.files, m.deleteFiles,
-      schemaHint.orElse(declaredSchema(spark, dir)))
+      schemaHint.orElse(declaredSchemaAt(spark, dir, m.seq)))
   }
 
   /** Export the CURRENT snapshot in the SYMLINK-MANIFEST layout external

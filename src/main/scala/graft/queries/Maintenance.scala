@@ -1624,6 +1624,64 @@ object Maintenance {
             |      IS NOT TRUE
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // CORRELATED subqueries in DML under oracle (round 12): the other
+  // half of the GDPR shape — `DELETE WHERE EXISTS (… WHERE s.k = t.k
+  // AND …)` — plans the condition as a Filter over the pinned,
+  // file-restricted target plan (attribute ids intact, Catalyst
+  // decorrelates it to the semi-join it is), then a correlated IN
+  // drives an UPDATE over the survivors. DuckDB replays both
+  // statements relationally; `IS NOT TRUE` keeps SQL's delete-only-
+  // where-TRUE contract explicit in the oracle.
+  private val graftCorrDml = Q(
+    "q_graft_corr_dml",
+    (s, dir) => {
+      val out = scratchDir(dir, "graft_corr_dml")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "orders").repartitionByRange(8, col("o_orderkey")),
+        out, "base")
+      s.read.format("graft").load(out)
+        .createOrReplaceTempView("graft_corr_orders")
+      t(s, dir, "customer").createOrReplaceTempView("graft_corr_cust")
+      s.sql(
+        """DELETE FROM graft_corr_orders t WHERE EXISTS
+          |(SELECT 1 FROM graft_corr_cust c
+          | WHERE c.c_custkey = t.o_custkey
+          |   AND c.c_mktsegment = 'MACHINERY' AND c.c_acctbal < 0)""".stripMargin)
+      s.read.format("graft").load(out)
+        .createOrReplaceTempView("graft_corr_orders2")
+      s.sql(
+        """UPDATE graft_corr_orders2 t SET o_orderstatus = 'X'
+          |WHERE o_custkey IN
+          |  (SELECT c.c_custkey FROM graft_corr_cust c
+          |   WHERE c.c_custkey = t.o_custkey AND c.c_acctbal > 9000)""".stripMargin)
+      s.read.format("graft").load(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""WITH survived AS (
+            |  SELECT * FROM orders t
+            |  WHERE (EXISTS (SELECT 1 FROM customer c
+            |                 WHERE c.c_custkey = t.o_custkey
+            |                   AND c.c_mktsegment = 'MACHINERY'
+            |                   AND c.c_acctbal < 0)) IS NOT TRUE),
+            |updated AS (
+            |  SELECT o_orderkey, o_totalprice,
+            |    CASE WHEN (o_custkey IN
+            |          (SELECT c.c_custkey FROM customer c
+            |           WHERE c.c_custkey = t.o_custkey
+            |             AND c.c_acctbal > 9000)) IS TRUE
+            |         THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+            |  FROM survived t)
+            |SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // SQL MERGE INTO under oracle (round 10): customer lands as a graft
   // table, one MERGE statement applies a deterministic change batch
   // with all four action classes (conditional DELETE, UPDATE, INSERT
@@ -1788,6 +1846,171 @@ object Maintenance {
            |  CAST(SUM(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS sum_bonus
            |FROM evolved GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // PER-SNAPSHOT schema on time travel under oracle (round 12): the
+  // ALTER lands as a metadata-only manifest commit whose seq keys a
+  // sidecar schema-history entry, so `VERSION AS OF` a pre-evolution
+  // commit reads the AS-COMMITTED schema (Delta's last-metaData-wins)
+  // — proven two ways: the v0 leg's row counts join the head's evolved
+  // aggregate (values must match the relational replay), and the v0
+  // SELECT * column COUNT rides along as a literal (2 = the pre-ALTER
+  // shape; were the head schema leaking into time travel it would read
+  // 3 and the hash would miss).
+  private val graftEvolveAsof = Q(
+    "q_graft_evolve_asof",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_evoasof_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.geva", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.geva.warehouse", wh)
+      s.sql("CREATE NAMESPACE geva.db")
+      t(s, dir, "customer").createOrReplaceTempView("geva_src")
+      s.sql(
+        """CREATE TABLE geva.db.cust USING graft
+          |AS SELECT c_custkey, c_mktsegment FROM geva_src""".stripMargin)
+      s.sql("ALTER TABLE geva.db.cust ADD COLUMN bonus DOUBLE")
+      s.sql(
+        """INSERT INTO geva.db.cust
+          |SELECT -c_custkey, c_mktsegment, CAST(c_custkey AS DOUBLE) / 100
+          |FROM geva_src WHERE c_custkey % 40 = 0""".stripMargin)
+      val v0ncols =
+        s.sql("SELECT * FROM geva.db.cust VERSION AS OF 0").columns.length
+      s.sql(
+        s"""SELECT cur.c_mktsegment, cur.n_cur, cur.sum_bonus, v0.n_v0,
+           |  $v0ncols AS v0_ncols
+           |FROM (SELECT c_mktsegment, COUNT(*) AS n_cur,
+           |        CAST(SUM(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE)
+           |          AS sum_bonus
+           |      FROM geva.db.cust GROUP BY 1) cur
+           |JOIN (SELECT c_mktsegment, COUNT(*) AS n_v0
+           |      FROM geva.db.cust VERSION AS OF 0 GROUP BY 1) v0
+           |  ON cur.c_mktsegment = v0.c_mktsegment
+           |ORDER BY 1""".stripMargin)
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+           |evolved AS (
+           |  SELECT c_custkey, c_mktsegment, CAST(NULL AS DOUBLE) AS bonus
+           |  FROM base
+           |  UNION ALL
+           |  SELECT -c_custkey, c_mktsegment, CAST(c_custkey AS DOUBLE) / 100
+           |  FROM base WHERE c_custkey % 40 = 0)
+           |SELECT c.c_mktsegment, c.n_cur, c.sum_bonus, v.n_v0,
+           |  2 AS v0_ncols
+           |FROM (SELECT c_mktsegment, COUNT(*) AS n_cur,
+           |        CAST(SUM(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE)
+           |          AS sum_bonus
+           |      FROM evolved GROUP BY 1) c
+           |JOIN (SELECT c_mktsegment, COUNT(*) AS n_v0
+           |      FROM base GROUP BY 1) v
+           |  ON c.c_mktsegment = v.c_mktsegment
+           |ORDER BY 1""".stripMargin))
+
+  // MERGE WITH SCHEMA EVOLUTION under oracle (round 12): the source
+  // carries a column the target lacks; the analyzer's own
+  // ResolveMergeIntoSchemaEvolution (armed by the catalog table's
+  // AUTOMATIC_SCHEMA_EVOLUTION capability; the V1 swap defers while
+  // needSchemaEvolution holds) drives the catalog's CAS'd ADD COLUMN,
+  // then the two-phase merge upserts against the widened schema — old
+  // rows null-fill, updated/inserted rows carry values, and the
+  // pre-merge version still reads the narrow shape (the literal
+  // v0_ncols = 2 leg would hash-miss otherwise).
+  private val graftMergeEvolve = Q(
+    "q_graft_merge_evolve",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_mevo_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gmev", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmev.warehouse", wh)
+      s.sql("CREATE NAMESPACE gmev.db")
+      t(s, dir, "customer").createOrReplaceTempView("gmev_src")
+      s.sql(
+        """CREATE TABLE gmev.db.cust USING graft
+          |AS SELECT c_custkey, c_mktsegment FROM gmev_src""".stripMargin)
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |  CAST(c_acctbal AS DOUBLE) AS balance
+          |FROM gmev_src WHERE c_custkey % 7 = 0
+          |UNION ALL
+          |SELECT -c_custkey, c_mktsegment,
+          |  CAST(c_acctbal AS DOUBLE) AS balance
+          |FROM gmev_src WHERE c_custkey % 40 = 3""".stripMargin)
+        .createOrReplaceTempView("gmev_batch")
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO gmev.db.cust t
+          |USING gmev_batch s ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val v0ncols =
+        s.sql("SELECT * FROM gmev.db.cust VERSION AS OF 0").columns.length
+      s.sql(
+        s"""SELECT c_mktsegment, COUNT(*) AS n, COUNT(balance) AS n_bal,
+           |  CAST(SUM(CAST(balance AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_bal,
+           |  $v0ncols AS v0_ncols
+           |FROM gmev.db.cust GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal
+           |              FROM customer),
+           |merged AS (
+           |  SELECT b.c_custkey, b.c_mktsegment,
+           |    CASE WHEN b.c_custkey % 7 = 0
+           |         THEN CAST(b.c_acctbal AS DOUBLE) ELSE NULL END AS balance
+           |  FROM base b
+           |  UNION ALL
+           |  SELECT -c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE)
+           |  FROM base WHERE c_custkey % 40 = 3)
+           |SELECT c_mktsegment, COUNT(*) AS n, COUNT(balance) AS n_bal,
+           |  CAST(SUM(CAST(balance AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_bal,
+           |  2 AS v0_ncols
+           |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // COLUMN MAPPING under oracle (round 12): RENAME + DROP COLUMN as
+  // pure metadata (Delta name mode — the physical parquet names
+  // freeze; logical names live in field metadata), proven across the
+  // full lifecycle: pre-rename files, a rename, a post-rename INSERT
+  // under the frozen physical name, a DROP, a re-ADD of the dropped
+  // name (fresh physical column — the oracle's NULLs prove the old
+  // bytes never resurrect), and an aggregate by the renamed column.
+  private val graftRename = Q(
+    "q_graft_rename",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_rename_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gren", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gren.warehouse", wh)
+      s.sql("CREATE NAMESPACE gren.db")
+      t(s, dir, "customer").createOrReplaceTempView("gren_src")
+      s.sql(
+        """CREATE TABLE gren.db.cust USING graft
+          |AS SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE)
+          |   AS c_acctbal FROM gren_src""".stripMargin)
+      s.sql("ALTER TABLE gren.db.cust RENAME COLUMN c_mktsegment TO segment")
+      s.sql(
+        """INSERT INTO gren.db.cust
+          |SELECT -c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE)
+          |FROM gren_src WHERE c_custkey % 40 = 0""".stripMargin)
+      s.sql("ALTER TABLE gren.db.cust DROP COLUMN c_acctbal")
+      s.sql("ALTER TABLE gren.db.cust ADD COLUMN c_acctbal DOUBLE")
+      s.sql(
+        """SELECT segment, COUNT(*) AS n, COUNT(c_acctbal) AS n_bal,
+          |  CAST(SUM(CASE WHEN c_custkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_neg
+          |FROM gren.db.cust GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+           |renamed AS (
+           |  SELECT c_custkey, c_mktsegment AS segment FROM base
+           |  UNION ALL
+           |  SELECT -c_custkey, c_mktsegment FROM base
+           |  WHERE c_custkey % 40 = 0)
+           |SELECT segment, COUNT(*) AS n, CAST(0 AS BIGINT) AS n_bal,
+           |  CAST(SUM(CASE WHEN c_custkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_neg
+           |FROM renamed GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // CALL system.zorder under oracle (round 11): orders lands UNCLUSTERED
   // (hash-repartitioned — every file spans the whole key space, so
   // footer bounds prune nothing), the SQL procedure rewrites it
@@ -1903,8 +2126,10 @@ object Maintenance {
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
     graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
-    graftSqlDelete, graftSubqDelete, graftMerge, graftCatalogQ, graftEvolve,
-    graftZorder, graftRestore, graftOptimize,
+    graftSqlDelete, graftSubqDelete, graftCorrDml, graftMerge, graftCatalogQ,
+    graftEvolve,
+    graftEvolveAsof, graftMergeEvolve, graftRename, graftZorder,
+    graftRestore, graftOptimize,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,
     argminSupplier, resampleFfill, resampleLerp, notInNull, distinctSketch,

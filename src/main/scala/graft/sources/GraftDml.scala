@@ -51,14 +51,15 @@ import graft.io.{FileStats, Manifest}
  * silently basing a rewrite on stale state).
  *
  * Scope guards (all loud): DELETE/UPDATE conditions may carry
- * UNCORRELATED subqueries (`DELETE WHERE k IN (SELECT …)` — their
- * resolved plans are self-contained, untouched by the by-name re-bind;
- * round 11, one step past delta-spark's blanket refusal) but not
- * CORRELATED ones (outer references bind to attributes the rewrite
- * replaces); UPDATE assigns only top-level columns; MERGE schema
- * evolution is refused; a statement that would empty the table
- * entirely is refused (an empty snapshot is not representable —
- * overwrite or drop instead).
+ * subqueries, CORRELATED included (round 12 — the condition plans as a
+ * Filter over the pinned, file-restricted target plan with its
+ * attribute ids intact, so outer references bind and Catalyst's
+ * decorrelation turns the EXISTS/IN into the semi/anti join it is —
+ * two steps past delta-spark's blanket refusal); UPDATE assignment
+ * VALUES refuse correlation (a per-row correlated SET is a lateral
+ * join); UPDATE assigns only top-level columns; a statement that
+ * would empty the table entirely is refused (an empty snapshot is not
+ * representable — overwrite or drop instead).
  */
 object GraftDmlRule extends Rule[LogicalPlan] {
 
@@ -119,28 +120,29 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** UNCORRELATED subqueries pass through (the `DELETE WHERE k IN
-    * (SELECT …)` GDPR shape — their resolved plans are self-contained,
-    * so the by-name re-bind onto the touched-file frame never touches
-    * them); CORRELATED ones are refused: their outer references bind
-    * to the ORIGINAL target attributes, which the rewrite replaces. */
+  /** Conditions may carry subqueries, correlated or not (round 12:
+    * the correlated `DELETE WHERE EXISTS (… WHERE s.k = t.k)` GDPR
+    * shape executes by planning the condition as a Filter over the
+    * PINNED target plan — attribute ids preserved, so outer references
+    * keep binding and Catalyst's own decorrelation plans the
+    * semi/anti join). Assignment VALUES still refuse correlation:
+    * a per-row correlated SET is a lateral join the rewrite does not
+    * model (delta-spark refuses the same). */
   private def refuseCorrelated(e: Expression, stmt: String): Unit =
     require(!e.exists {
       case s: SubqueryExpression => s.isCorrelated
       case _ => false
-    }, s"graft $stmt: CORRELATED subqueries in the condition/assignments " +
-      "are not supported (their outer references bind to attributes the " +
-      "rewrite replaces); uncorrelated subqueries are fine")
+    }, s"graft $stmt: CORRELATED subqueries in assignment values " +
+      "are not supported (a per-row correlated SET is a lateral join); " +
+      "subqueries in the WHERE condition - correlated or not - are fine")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case d @ DeleteFromTable(GraftTableDir(dir, snap), cond)
         if d.table.resolved && cond.resolved =>
-      refuseCorrelated(cond, "DELETE")
       GraftDeleteCommand(dir, snap, d.table, cond)
 
     case u @ UpdateTable(GraftTableDir(dir, snap), assignments, cond)
         if u.resolved =>
-      cond.foreach(refuseCorrelated(_, "UPDATE"))
       assignments.foreach { a =>
         refuseCorrelated(a.value, "UPDATE")
         require(a.key.isInstanceOf[AttributeReference],
@@ -151,8 +153,19 @@ object GraftDmlRule extends Rule[LogicalPlan] {
 
     case m @ MergeIntoTable(GraftTableDir(dir, snap), _, _, _, _, _, _)
         if m.resolved =>
-      require(!m.schemaEvolutionEnabled,
-        "graft MERGE: WITH SCHEMA EVOLUTION is not supported - align the " +
+      // WITH SCHEMA EVOLUTION (round 12): on a CATALOG table the
+      // analyzer's ResolveMergeIntoSchemaEvolution has already driven
+      // the catalog's ADD COLUMN evolution before the V1 swap (see
+      // GraftCatalogReadRule), so a merge arriving here has nothing
+      // left to evolve. A PATH-faced target has no catalog to record
+      // the evolved contract — refuse the residual case (the statement
+      // resolved but still wants changes, e.g. a type widening) rather
+      // than silently ignoring declared evolution.
+      require(!(m.schemaEvolutionEnabled &&
+          scala.util.Try(m.needSchemaEvolution).getOrElse(false)),
+        "graft MERGE: WITH SCHEMA EVOLUTION needs a graft CATALOG table " +
+          "(the catalog records the evolved contract via ALTER TABLE; a " +
+          "bare path read has nowhere to declare it) - or align the " +
           "source to the table schema explicitly")
       (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
         case _: UpdateAction | _: DeleteAction => ()
@@ -270,6 +283,104 @@ private[sources] object GraftDmlExec {
     case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
   }
 
+  /** The resolved target plan with its manifest file index restricted
+    * to `touch` — SAME output attribute ids, only the listed files ever
+    * read (MERGE's phase-2 trick, shared by the subquery DML paths so
+    * correlated conditions keep binding without any re-resolution).
+    * None when the plan carries no restrictable [[GraftFileIndex]]
+    * (merge-on-read relation, declared-empty table) — the caller falls
+    * back to the full plan. */
+  def restrictPlan(spark: SparkSession, target: LogicalPlan,
+      touch: Seq[String]): Option[LogicalPlan] = {
+    var found = false
+    val out = target.transform {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[HadoopFsRelation] &&
+            l.relation.asInstanceOf[HadoopFsRelation]
+              .location.isInstanceOf[GraftFileIndex] =>
+        val h = l.relation.asInstanceOf[HadoopFsRelation]
+        val idx = h.location.asInstanceOf[GraftFileIndex]
+        found = true
+        l.copy(relation = h.copy(location = idx.restrictTo(touch))(spark))
+    }
+    if (found) Some(out) else None
+  }
+
+  /** Split the pinned (possibly file-restricted) target plan into
+    * (hit, miss) on a condition that may carry SUBQUERIES — correlated
+    * or not. The condition applies in PREDICATE position over the
+    * ORIGINAL resolved plan (attribute ids preserved, so a correlated
+    * EXISTS' outer references bind and Catalyst's own decorrelation
+    * plans the semi/anti join; IN/NOT IN keep their null-aware
+    * planning), and the complement is taken by a ROW-ID anti-join
+    * (ADVICE r11: `exceptAll` refuses MapType columns and shuffles
+    * every column both ways; the id join's build side carries eight
+    * bytes per hit row). The tag is `monotonically_increasing_id` over
+    * the pinned snapshot scan — stable across the two evaluations
+    * because file-scan partitioning is planned deterministically from
+    * the pinned file list, and the tag projects BELOW any shuffle. */
+  def hitMissFrames(spark: SparkSession, plan: LogicalPlan,
+      cond: Expression): (DataFrame, DataFrame) = {
+    val rid = "__graft_rid"
+    // MATERIALIZE the tagged rows, then the hit-id set (Delta's
+    // merge-source materialization move, for two reasons): (1) the row
+    // tag must be IDENTICAL across the hit and miss evaluations — a
+    // checkpoint pins it instead of leaning on re-scan determinism;
+    // (2) the hit/miss split is a self-join, and the analyzer's
+    // relation dedup mangles a subquery shared across both sides
+    // (stale attribute ids inside the decorrelated join) — after the
+    // id-set checkpoint, neither join side carries the subquery at
+    // all. Cost ∝ touched-file rows (spills to executor disk), which
+    // the COW rewrite was going to materialize anyway.
+    val base = Bridge.ofRows(spark, plan)
+      .withColumn(rid, F.monotonically_increasing_id())
+      .localCheckpoint()
+    val hitIds = base.where(Bridge.columnOf(cond)).select(rid)
+      .localCheckpoint()
+    val hit = base.join(hitIds, Seq(rid), "left_semi")
+    val miss = base.join(hitIds, Seq(rid), "left_anti")
+    (hit, miss)
+  }
+
+  /** PRUNE-ONLY conjuncts derived from top-level uncorrelated
+    * `col IN (subquery)` conjuncts of a DML condition — the constraint
+    * push MERGE's sourceBoundsFilter performs, applied to the COW file
+    * split: a matching row's col provably lies within [min, max] of
+    * the subquery output (IN never matches NULL), so files outside the
+    * bounds carry by reference instead of being rewritten. Pure
+    * pruning — the rewrite re-evaluates the original condition — and
+    * exact, so a carried file provably holds no match. One tiny agg
+    * per subquery (the GDPR `DELETE WHERE key IN (SELECT …)` batch is
+    * small by nature); anything unprovable contributes nothing. */
+  def subqueryBoundConjuncts(spark: SparkSession,
+      cond: Expression): Seq[Expression] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).collect {
+      case in: org.apache.spark.sql.catalyst.expressions.InSubquery
+          if !in.query.isCorrelated && in.values.size == 1 &&
+            in.values.head.isInstanceOf[AttributeReference] &&
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(in.values.head.dataType) =>
+        (in.values.head.asInstanceOf[AttributeReference], in.query.plan)
+    }.flatMap { case (a, plan) =>
+      scala.util.Try {
+        val out = plan.output.head
+        val c = Bridge.columnOf(out)
+        val row = Bridge.ofRows(spark, plan)
+          .agg(F.min(c).as("__lo"), F.max(c).as("__hi")).collect().head
+        if (row.isNullAt(0)) Nil // empty/all-null list: nothing to prune ON
+        else Seq(
+          org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(a,
+            Literal.create(row.get(0), out.dataType)),
+          org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(a,
+            Literal.create(row.get(1), out.dataType)))
+      }.getOrElse(Nil)
+    }
+  }
+
   /** Read the touched files (position deletes applied) and cast-align
     * to the TABLE schema: a touched SUBSET can recover a different
     * partition-column type than the full file list (e.g. {"9"} infers
@@ -281,10 +392,12 @@ private[sources] object GraftDmlExec {
     // the TABLE schema drives the scan (user-specified schema, no
     // footer inference): files predating an ALTER TABLE ADD COLUMN
     // null-fill the new column inside the reader, and a mixed old/new
-    // touched set cannot mis-infer from one sampled footer
+    // touched set cannot mis-infer from one sampled footer. Attribute
+    // METADATA rides along — it carries the column-mapping physical
+    // names a renamed column scans under.
     val hint = org.apache.spark.sql.types.StructType(tableAttrs.map(a =>
       org.apache.spark.sql.types.StructField(a.name, a.dataType,
-        nullable = true)))
+        nullable = true, metadata = a.metadata)))
     val df = Manifest.readFilesApplyingDeletes(spark, dir, touch, deleteFiles,
       Some(hint))
     df.select(tableAttrs.map(a =>
@@ -338,16 +451,23 @@ private[sources] object GraftDmlExec {
   * row, matching "delete only where c is TRUE"), untouched files
   * carried by reference.
   *
-  * A condition carrying a SUBQUERY takes the set-difference form
-  * instead: `kept = df EXCEPT ALL df.where(c)`. The reason is
+  * A condition carrying a SUBQUERY (correlated or not) takes the
+  * hit/miss split instead: `hit = plan.where(c)` over the pinned
+  * target plan with its file index RESTRICTED to the touched files —
+  * same attribute ids, so a correlated EXISTS' outer references keep
+  * binding and Catalyst decorrelates it into the semi-join it is —
+  * and `kept` is the row-id anti-join complement
+  * ([[GraftDmlExec.hitMissFrames]]). The reason for the split is
   * three-valued logic: IN/EXISTS subqueries are only null-aware in a
   * PREDICATE position (Spark's null-aware anti-join plans a top-level
   * `NOT IN` in a Filter correctly), while the keep-predicate's
   * `IsNull(c)` wrapper would force an ExistenceJoin whose boolean
   * output collapses UNKNOWN to false — silently deleting every row a
   * NULL-bearing `NOT IN` should keep. `where(c)` selects exactly the
-  * TRUE rows (the SQL DELETE contract), and EXCEPT ALL subtracts that
-  * multiset. */
+  * TRUE rows (the SQL DELETE contract), and the id anti-join subtracts
+  * that multiset. A target without a restrictable file index (pending
+  * merge-on-read state) falls back to a full-snapshot rewrite —
+  * correct, at the full-rewrite cost, until compaction purges it. */
 case class GraftDeleteCommand(dir: String, pinned: String,
     target: LogicalPlan, cond: Expression) extends LeafRunnableCommand
     // SupportsSubquery: CheckAnalysis only admits IN/EXISTS subqueries
@@ -360,20 +480,35 @@ case class GraftDeleteCommand(dir: String, pinned: String,
     val cur = GraftDmlExec.headOrFail(spark, dir, pinned)
       .getOrElse(return Seq.empty) // still-empty table: nothing to delete
     val types = target.output.map(a => a.name -> a.dataType).toMap
+    // IN-subquery bounds join the split condition (prune-only): files
+    // outside [min, max] of the list carry by reference
+    val splitCond = (cond +:
+      GraftDmlExec.subqueryBoundConjuncts(spark, cond)).reduce(And)
     val (touch, keep) =
-      GraftDmlExec.splitFiles(spark, dir, cur.files, cond, types)
+      GraftDmlExec.splitFiles(spark, dir, cur.files, splitCond, types)
     if (touch.nonEmpty) {
       val attrs = target.output.collect { case a: AttributeReference => a }
-      val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles, attrs)
-      val kept =
-        if (cond.exists(_.isInstanceOf[SubqueryExpression]))
-          df.exceptAll(df.where(
-            Bridge.columnOf(GraftDmlExec.remapByName(cond))))
-        else df.where(Bridge.columnOf(
+      if (cond.exists(_.isInstanceOf[SubqueryExpression])) {
+        val (plan, touchEff, keepEff) =
+          GraftDmlExec.restrictPlan(spark, target, touch) match {
+            case Some(r) => (r, touch, keep)
+            case None => (target, cur.files, Seq.empty[String])
+          }
+        val (_, miss) = GraftDmlExec.hitMissFrames(spark, plan, cond)
+        val kept = miss.select(attrs.map(a =>
+          Bridge.columnOf(a).as(a.name)): _*)
+        GraftDmlExec.refuseEmptyResult(kept, keepEff, "DELETE")
+        GraftDmlExec.commitRewrite(spark, dir, kept, touchEff, keepEff,
+          cur.deleteFiles, base = Some(cur))
+      } else {
+        val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles,
+          attrs)
+        val kept = df.where(Bridge.columnOf(
           GraftDmlExec.remapByName(Or(Not(cond), IsNull(cond)))))
-      GraftDmlExec.refuseEmptyResult(kept, keep, "DELETE")
-      GraftDmlExec.commitRewrite(spark, dir, kept, touch, keep,
-        cur.deleteFiles, base = Some(cur))
+        GraftDmlExec.refuseEmptyResult(kept, keep, "DELETE")
+        GraftDmlExec.commitRewrite(spark, dir, kept, touch, keep,
+          cur.deleteFiles, base = Some(cur))
+      }
     }
     Seq.empty
   }
@@ -393,48 +528,58 @@ case class GraftUpdateCommand(dir: String, pinned: String,
       .getOrElse(return Seq.empty) // still-empty table: nothing to update
     val types = target.output.map(a => a.name -> a.dataType).toMap
     val (touch, keep) = cond match {
-      case Some(c) => GraftDmlExec.splitFiles(spark, dir, cur.files, c, types)
+      case Some(c) =>
+        val splitCond = (c +:
+          GraftDmlExec.subqueryBoundConjuncts(spark, c)).reduce(And)
+        GraftDmlExec.splitFiles(spark, dir, cur.files, splitCond, types)
       case None => (cur.files, Nil)
     }
     if (touch.nonEmpty) {
       val attrs = target.output.collect { case a: AttributeReference => a }
-      val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles, attrs)
       val byName = assignments.map(a =>
         a.key.asInstanceOf[AttributeReference].name -> a.value).toMap
-      // IN/EXISTS conditions must stay in PREDICATE position to keep
-      // their null-aware planning (see GraftDeleteCommand's scaladoc):
-      // split hit/miss with where() + EXCEPT ALL instead of a CASE WHEN
-      val predSubq = cond.exists(_.exists(e =>
-        e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.InSubquery] ||
-          e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Exists]))
-      val updated =
-        if (predSubq) {
-          val c = Bridge.columnOf(GraftDmlExec.remapByName(cond.get))
-          val hit = df.where(c)
-          val miss = df.exceptAll(hit)
-          val applied = hit.select(attrs.map { a =>
-            byName.get(a.name) match {
-              case Some(v) => Bridge.columnOf(GraftDmlExec.remapByName(v))
-                .cast(a.dataType).as(a.name)
-              case None => hit.col(s"`${a.name}`")
-            }
-          }: _*)
-          applied.unionByName(
-            miss.select(attrs.map(a => miss.col(s"`${a.name}`")): _*))
-        } else {
-          val condCol = cond.map(c =>
-            Bridge.columnOf(GraftDmlExec.remapByName(c))).getOrElse(F.lit(true))
-          df.select(attrs.map { a =>
-            byName.get(a.name) match {
-              case Some(v) =>
-                F.when(condCol, Bridge.columnOf(GraftDmlExec.remapByName(v))
-                  .cast(a.dataType)).otherwise(df.col(s"`${a.name}`")).as(a.name)
-              case None => df.col(s"`${a.name}`")
-            }
-          }: _*)
-        }
-      GraftDmlExec.commitRewrite(spark, dir, updated, touch, keep,
-        cur.deleteFiles, base = Some(cur))
+      // subquery conditions (IN/EXISTS — correlated or not — and scalar)
+      // must stay in PREDICATE position to keep null-aware planning and
+      // outer-reference binding (see GraftDeleteCommand's scaladoc):
+      // split hit/miss over the restricted pinned plan + row-id anti-join
+      val predSubq =
+        cond.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
+      if (predSubq) {
+        val (plan, touchEff, keepEff) =
+          GraftDmlExec.restrictPlan(spark, target, touch) match {
+            case Some(r) => (r, touch, keep)
+            case None => (target, cur.files, Seq.empty[String])
+          }
+        val (hit, miss) = GraftDmlExec.hitMissFrames(spark, plan, cond.get)
+        // assignment values bind by attribute id (the plan kept them);
+        // correlated values were refused at analysis
+        val applied = hit.select(attrs.map { a =>
+          byName.get(a.name) match {
+            case Some(v) =>
+              Bridge.columnOf(v).cast(a.dataType).as(a.name)
+            case None => Bridge.columnOf(a).as(a.name)
+          }
+        }: _*)
+        val updated = applied.unionByName(
+          miss.select(attrs.map(a => Bridge.columnOf(a).as(a.name)): _*))
+        GraftDmlExec.commitRewrite(spark, dir, updated, touchEff, keepEff,
+          cur.deleteFiles, base = Some(cur))
+      } else {
+        val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles,
+          attrs)
+        val condCol = cond.map(c =>
+          Bridge.columnOf(GraftDmlExec.remapByName(c))).getOrElse(F.lit(true))
+        val updated = df.select(attrs.map { a =>
+          byName.get(a.name) match {
+            case Some(v) =>
+              F.when(condCol, Bridge.columnOf(GraftDmlExec.remapByName(v))
+                .cast(a.dataType)).otherwise(df.col(s"`${a.name}`")).as(a.name)
+            case None => df.col(s"`${a.name}`")
+          }
+        }: _*)
+        GraftDmlExec.commitRewrite(spark, dir, updated, touch, keep,
+          cur.deleteFiles, base = Some(cur))
+      }
     }
     Seq.empty
   }
@@ -637,17 +782,12 @@ case class GraftMergeCommand(dir: String, pinned: String,
   }
 
   /** The resolved target plan with its manifest file index restricted
-    * to `touch` — same output attribute ids, only touched files read. */
+    * to `touch` — same output attribute ids, only touched files read
+    * (shared with the subquery DML paths; phase 1 succeeding via
+    * `_metadata` guarantees the restrictable index exists). */
   private def restrictTarget(spark: SparkSession,
-      touch: Seq[String]): LogicalPlan = target.transform {
-    case l: org.apache.spark.sql.execution.datasources.LogicalRelation
-        if l.relation.isInstanceOf[HadoopFsRelation] &&
-          l.relation.asInstanceOf[HadoopFsRelation]
-            .location.isInstanceOf[GraftFileIndex] =>
-      val h = l.relation.asInstanceOf[HadoopFsRelation]
-      val idx = h.location.asInstanceOf[GraftFileIndex]
-      l.copy(relation = h.copy(location = idx.restrictTo(touch))(spark))
-  }
+      touch: Seq[String]): LogicalPlan =
+    GraftDmlExec.restrictPlan(spark, target, touch).getOrElse(target)
 
   /** The shared join→actions→result core over whichever target frame
     * the caller scoped (full snapshot or touched files only). */

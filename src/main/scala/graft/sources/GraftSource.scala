@@ -211,13 +211,29 @@ object GraftSource {
       opts: Map[String, String],
       declaredSchema: Option[StructType] = None): BaseRelation = {
     val m = GraftSource.resolveSnapshot(spark, dir, opts)
-    val declared = declaredSchema.orElse {
-      val p = new Path(dir)
-      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      graft.catalog.GraftTableMeta.read(fsys, p).flatMap(_.schema)
-    }.map(s => StructType(s.map(_.copy(nullable = true))))
+    val timeTravel = Seq("versionasof", "snapshotasof", "timestampasof")
+      .exists(opts.contains)
+    val declared = (
+      // a time-travel read resolves the schema declared AS OF the
+      // selected commit (the sidecar's schema history) — never the
+      // caller's CURRENT declared schema: `VERSION AS OF` below an
+      // ALTER must read the as-committed shape, Delta's
+      // last-metaData-wins semantics
+      if (timeTravel) Manifest.declaredSchemaAt(spark, dir, m.seq)
+      else declaredSchema.orElse {
+        val p = new Path(dir)
+        val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.catalog.GraftTableMeta.read(fsys, p).flatMap(_.schema)
+      }
+    ).map(s => StructType(s.map(_.copy(nullable = true))))
     GraftSource.uniformPartitionCols(m.files) match {
-      case Some(partNames) if m.deleteFiles.isEmpty =>
+      case Some(partNames) if m.deleteFiles.isEmpty &&
+          !declared.exists(Manifest.ColumnMapping.hasMapping) =>
+        // a COLUMN-MAPPED table (post RENAME COLUMN) cannot ride the
+        // raw HadoopFsRelation — its parquet columns carry physical
+        // names; the MOR relation below reads through the library's
+        // physical→logical projection (the vectorize rule keeps plain
+        // reads on the codegen'd scan)
         val fullSchema = declared.getOrElse(
           Manifest.readFiles(spark, dir, m.files).schema)
         val partSchema = StructType(partNames.map(n =>

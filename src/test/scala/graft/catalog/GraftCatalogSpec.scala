@@ -335,9 +335,15 @@ class GraftCatalogSpec extends AnyFunSuite {
         if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSeq
     assert(rows.map(_._1) == Seq(1L, 2L, 3L))
     assert(rows(2)._3 == 3.5 && rows(0)._3.isNaN && rows(1)._3.isNaN)
-    // time travel BELOW the evolution reads the old rows under the
-    // evolved (declared) contract — still null-filled, never an error
-    assert(sql("SELECT score FROM gcat.db.evo VERSION AS OF 0")
+    // PER-SNAPSHOT schema on time travel (round 12): a version BELOW
+    // the evolution reads the AS-COMMITTED schema — the added column
+    // does not exist there (Delta's last-metaData-wins), while the
+    // ALTER's own metadata commit (seq 1) and everything above carry it
+    assert(sql("SELECT * FROM gcat.db.evo VERSION AS OF 0").columns.toSeq ==
+      Seq("id", "name"))
+    intercept[Exception](
+      sql("SELECT score FROM gcat.db.evo VERSION AS OF 0").collect())
+    assert(sql("SELECT score FROM gcat.db.evo VERSION AS OF 1")
       .collect().forall(_.isNullAt(0)))
     // DML across the evolution boundary: touched old files re-land
     // with the evolved schema, values of the new column survive
@@ -358,6 +364,155 @@ class GraftCatalogSpec extends AnyFunSuite {
       "the newest exported Delta commit must re-declare the evolved schema")
   }
 
+  test("per-snapshot schema: path-face + library time travel, RESTORE rolls metadata, Delta export agrees") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.evoasof (id BIGINT, v STRING) USING graft")
+    sql("INSERT INTO gcat.db.evoasof VALUES (1, 'a')") // seq 0
+    sql("ALTER TABLE gcat.db.evoasof ADD COLUMN extra INT") // seq 1: metadata commit
+    sql("INSERT INTO gcat.db.evoasof VALUES (2, 'b', 7)") // seq 2
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.evoasof")
+    // the path face resolves the same as-committed schema the catalog does
+    val v0 = spark.read.format("graft").option("versionAsOf", "0").load(dir)
+    assert(v0.columns.toSeq == Seq("id", "v"))
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(dir)
+      .columns.toSeq == Seq("id", "v", "extra"))
+    // library time travel (readAt by snapshot id) agrees
+    val firstSnap = Manifest.snapshots(spark, dir).head
+    assert(Manifest.readAt(spark, dir, firstSnap).columns.toSeq ==
+      Seq("id", "v"))
+    // the Delta export face serves the SAME per-version schemas (its
+    // versions are the manifest seqs; last-metaData-wins fold)
+    graft.io.DeltaLog.exportLog(spark, dir)
+    assert(!graft.io.DeltaLog.tableSchema(spark, dir, Some(0L))
+      .fieldNames.contains("extra"))
+    assert(graft.io.DeltaLog.tableSchema(spark, dir, Some(1L))
+      .fieldNames.contains("extra"))
+    // RESTORE rolls the METADATA back with the data (Delta semantics)
+    sql("CALL gcat.system.restore(table => 'db.evoasof', version => 0)")
+    assert(sql("SELECT * FROM gcat.db.evoasof").columns.toSeq ==
+      Seq("id", "v"))
+    assert(sql("SELECT * FROM gcat.db.evoasof").count() == 1)
+    // ... while time travel to the evolved middle still serves it
+    assert(sql("SELECT * FROM gcat.db.evoasof VERSION AS OF 2").columns.toSeq
+      == Seq("id", "v", "extra"))
+    // the restored table re-evolves cleanly (the name is free again)
+    sql("ALTER TABLE gcat.db.evoasof ADD COLUMN extra INT")
+    assert(sql("SELECT * FROM gcat.db.evoasof").columns.toSeq ==
+      Seq("id", "v", "extra"))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target through the catalog, then upserts") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.mevo (k BIGINT, v STRING) USING graft")
+    sql("INSERT INTO gcat.db.mevo VALUES (1, 'a'), (2, 'b')") // seq 0
+    Seq((2L, "B", 20.0), (3L, "C", 30.0)).toDF("k", "v", "score")
+      .createOrReplaceTempView("mevo_src")
+    // the analyzer's own ResolveMergeIntoSchemaEvolution drives the
+    // catalog's ADD COLUMN (seq 1, metadata commit) because the swap
+    // rule defers the V1 swap while needSchemaEvolution holds; the
+    // merge itself then lands as seq 2 against the widened target
+    sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gcat.db.mevo t
+        |USING mevo_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = sql("SELECT k, v, score FROM gcat.db.mevo ORDER BY k")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).isNullAt(2), "pre-evolution row must null-fill")
+    assert(rows(1).getString(1) == "B" && rows(1).getDouble(2) == 20.0)
+    assert(rows(2).getDouble(2) == 30.0)
+    // the evolution rode the catalog's schema history: time travel
+    // below the merge reads the pre-evolution shape
+    assert(sql("SELECT * FROM gcat.db.mevo VERSION AS OF 0").columns.toSeq
+      == Seq("k", "v"))
+    // a second evolving merge is idempotent on the schema
+    sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gcat.db.mevo t
+        |USING mevo_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(sql("SELECT * FROM gcat.db.mevo").columns.toSeq ==
+      Seq("k", "v", "score"))
+  }
+
+  test("COLUMN MAPPING: RENAME COLUMN is metadata-only; reads, writes, DML and time travel follow") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.cmap (k BIGINT, name STRING, v DOUBLE) USING graft")
+    sql("INSERT INTO gcat.db.cmap VALUES (1, 'a', 1.0), (2, 'b', 2.0)") // seq 0
+    sql("ALTER TABLE gcat.db.cmap RENAME COLUMN name TO label") // seq 1
+    // reads resolve the new logical name; the old one is gone
+    assert(sql("SELECT * FROM gcat.db.cmap").columns.toSeq ==
+      Seq("k", "label", "v"))
+    assert(sql("SELECT label FROM gcat.db.cmap ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b"))
+    intercept[Exception](sql("SELECT name FROM gcat.db.cmap").collect())
+    // the rename moved ZERO data: the base snapshot's files are intact
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.cmap")
+    val hist = Manifest.history(spark, dir)
+    assert(hist.map(_.files).distinct.size == 1,
+      "RENAME must commit metadata only - same file list")
+    // new INSERTs land under the frozen PHYSICAL name; mixed files read
+    sql("INSERT INTO gcat.db.cmap VALUES (3, 'c', 3.0)") // seq 2
+    assert(sql("SELECT label FROM gcat.db.cmap WHERE k = 3").collect()
+      .head.getString(0) == "c")
+    val newest = Manifest.history(spark, dir).last.files
+      .filterNot(hist.last.files.toSet)
+    assert(newest.nonEmpty)
+    val footer = spark.read.parquet(newest.map(f => s"$dir/$f"): _*)
+    assert(footer.columns.contains("name") && !footer.columns.contains("label"),
+      "files must carry the PHYSICAL column name")
+    // DML binds the logical name end-to-end (rewrite keeps the mapping)
+    sql("UPDATE gcat.db.cmap SET label = 'B' WHERE k = 2")
+    sql("DELETE FROM gcat.db.cmap WHERE label = 'a'")
+    assert(sql("SELECT label FROM gcat.db.cmap ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("B", "c"))
+    // time travel below the rename reads the AS-COMMITTED logical name
+    assert(sql("SELECT * FROM gcat.db.cmap VERSION AS OF 0").columns.toSeq
+      == Seq("k", "name", "v"))
+    // the Delta export declares the mapping; its own conformant reader
+    // (the foreign-Delta face) resolves logical names through it
+    graft.io.DeltaLog.exportLog(spark, dir)
+    val viaDelta = graft.io.DeltaLog.read(spark, dir)
+    assert(viaDelta.columns.toSeq == Seq("k", "label", "v"))
+    assert(viaDelta.orderBy("k").collect().map(_.getString(1)).toSeq ==
+      Seq("B", "c"))
+    // the Iceberg face refuses by name instead of publishing physical names
+    val e = intercept[UnsupportedOperationException](
+      graft.io.IcebergExport.exportTable(spark, dir))
+    assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("COLUMN MAPPING: DROP COLUMN hides the bytes; re-ADD never resurrects them") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.cdrop (k BIGINT, junk STRING, v DOUBLE) USING graft")
+    sql("INSERT INTO gcat.db.cdrop VALUES (1, 'secret', 1.0), (2, 'hidden', 2.0)")
+    sql("ALTER TABLE gcat.db.cdrop DROP COLUMN junk")
+    assert(sql("SELECT * FROM gcat.db.cdrop").columns.toSeq == Seq("k", "v"))
+    // maintenance across the drop keeps reading/writing soundly
+    sql("CALL gcat.system.compact(table => 'db.cdrop')")
+    assert(sql("SELECT * FROM gcat.db.cdrop").count() == 2)
+    // re-ADD of the dropped name: a FRESH physical column - all NULL
+    sql("ALTER TABLE gcat.db.cdrop ADD COLUMN junk STRING")
+    val vals = sql("SELECT junk FROM gcat.db.cdrop").collect()
+    assert(vals.forall(_.isNullAt(0)),
+      "re-added column must NOT resurrect dropped values")
+    sql("INSERT INTO gcat.db.cdrop VALUES (3, 3.0, 'fresh')")
+    assert(sql("SELECT junk FROM gcat.db.cdrop WHERE k = 3").collect()
+      .head.getString(0) == "fresh")
+    // time travel below the drop still reads the dropped column
+    assert(sql("SELECT junk FROM gcat.db.cdrop VERSION AS OF 0").collect()
+      .map(_.getString(0)).toSet == Set("secret", "hidden"))
+    // refusals: partition-column rename, dropping the only column
+    sql("CREATE TABLE gcat.db.cpart (k BIGINT, p STRING) USING graft PARTITIONED BY (p)")
+    sql("INSERT INTO gcat.db.cpart VALUES (1, 'x')")
+    intercept[Exception](sql("ALTER TABLE gcat.db.cpart RENAME COLUMN p TO q"))
+    intercept[Exception](sql("ALTER TABLE gcat.db.cpart DROP COLUMN p"))
+    sql("CREATE TABLE gcat.db.conecol (x INT) USING graft")
+    intercept[Exception](sql("ALTER TABLE gcat.db.conecol DROP COLUMN x"))
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES and evolution refusals") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.props (x INT) USING graft")
@@ -369,14 +524,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     sql("ALTER TABLE gcat.db.props UNSET TBLPROPERTIES ('tier')")
     assert(!sql("SHOW TBLPROPERTIES gcat.db.props").collect()
       .map(_.getString(0)).contains("tier"))
-    // refusals: duplicate add, non-nullable add, drop/rename/retype
+    // refusals: duplicate add, non-nullable add, retype (drop/rename
+    // are supported since round 12 via column mapping)
     sql("ALTER TABLE gcat.db.props ADD COLUMN y INT")
     intercept[Exception](sql("ALTER TABLE gcat.db.props ADD COLUMN y INT"))
     intercept[Exception](
       sql("ALTER TABLE gcat.db.props ADD COLUMN z INT NOT NULL"))
-    intercept[Exception](sql("ALTER TABLE gcat.db.props DROP COLUMN y"))
-    intercept[Exception](
-      sql("ALTER TABLE gcat.db.props RENAME COLUMN y TO yy"))
     intercept[Exception](
       sql("ALTER TABLE gcat.db.props ALTER COLUMN y TYPE BIGINT"))
   }
@@ -554,12 +707,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
     assert(rows(0).isNullAt(1) && rows(1).isNullAt(1))
     assert(rows(2).getDouble(1) == 3.5 && rows(3).getDouble(1) == 4.5)
-    // RESTORE across the evolution boundary also reads declared
+    // RESTORE across the evolution boundary rolls the METADATA back
+    // with the data (round 12, Delta semantics): the pre-evolution
+    // schema returns at the head
     sql("CALL gcat.system.restore(table => 'db.evomaint', version => 0)")
-    assert(sql("SELECT * FROM gcat.db.evomaint").columns.toSeq ==
-      Seq("id", "score"))
-    assert(sql("SELECT * FROM gcat.db.evomaint WHERE score IS NULL")
-      .count() == 2)
+    assert(sql("SELECT * FROM gcat.db.evomaint").columns.toSeq == Seq("id"))
+    assert(sql("SELECT * FROM gcat.db.evomaint").count() == 2)
   }
 
   test("ALTER on a LOCATION-registered table evolves the PATH face too") {

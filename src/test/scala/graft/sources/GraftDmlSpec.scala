@@ -174,17 +174,80 @@ class GraftDmlSpec extends AnyFunSuite {
       spark.sql("DELETE FROM dml_refuse_t WHERE v IS NOT NULL")
     }
     assert(e1.getMessage.contains("empty snapshot is not representable"))
-    // CORRELATED subqueries stay refused: their outer references bind
-    // to attributes the rewrite replaces
+    // CORRELATED subqueries in assignment VALUES stay refused: a
+    // per-row correlated SET is a lateral join the rewrite can't model
     Seq((1, 1)).toDF("a", "b").createOrReplaceTempView("dml_refuse_s")
     val e2 = intercept[Exception] {
-      spark.sql("DELETE FROM dml_refuse_t WHERE EXISTS " +
-        "(SELECT 1 FROM dml_refuse_s s WHERE s.a = dml_refuse_t.v)")
+      spark.sql("UPDATE dml_refuse_t SET v = " +
+        "(SELECT MAX(s.a) FROM dml_refuse_s s WHERE s.a = dml_refuse_t.v)")
     }
     assert(e2.getMessage.contains("CORRELATED"))
     // both refusals left the table intact
     assert(spark.read.format("graft").load(dir).count() == 50)
     assert(Manifest.snapshots(spark, dir) == Seq("base"))
+  }
+
+  test("CORRELATED subqueries in DELETE/UPDATE conditions: EXISTS, NOT EXISTS, correlated IN") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).toDF("id").repartitionByRange(10, $"id")
+        .withColumn("tag", org.apache.spark.sql.functions.lit("keep")),
+      dir, "base")
+    val baseFiles = Manifest.currentFiles(spark, dir)
+    Seq((3L, "x"), (5L, "y"), (107L, "x"), (2000L, "z"))
+      .toDF("k", "grp").createOrReplaceTempView("dml_corr_s")
+    // the correlated-EXISTS GDPR shape: outer reference t.id binds
+    // through the file-restricted pinned plan
+    view(dir, "dml_corr_t")
+    spark.sql("DELETE FROM dml_corr_t t WHERE EXISTS " +
+      "(SELECT 1 FROM dml_corr_s s WHERE s.k = t.id AND s.grp = 'x')")
+    val after1 = spark.read.format("graft").load(dir)
+    assert(after1.count() == 998)
+    assert(after1.where("id IN (3, 107)").count() == 0)
+    assert(after1.where("id = 5").count() == 1, "grp <> 'x' must survive")
+    // a bare EXISTS gives the file split nothing provable — a full
+    // rewrite is the correct (and Delta-conformant) cost here; the
+    // prunable shapes are covered below and in the UNCORRELATED test
+    assert(Manifest.currentFiles(spark, dir).nonEmpty)
+    // correlated NOT EXISTS: three-valued logic has no NULL trap here,
+    // every surviving row matched nothing
+    view(dir, "dml_corr_t")
+    spark.sql("DELETE FROM dml_corr_t t WHERE id < 10 AND NOT EXISTS " +
+      "(SELECT 1 FROM dml_corr_s s WHERE s.k = t.id)")
+    val after2 = spark.read.format("graft").load(dir)
+    // of id 0..9, only 5 had a source match (3,107 already deleted)
+    assert(after2.where("id < 10").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L))
+    // correlated IN in an UPDATE condition
+    view(dir, "dml_corr_t")
+    spark.sql("UPDATE dml_corr_t t SET tag = 'hit' WHERE id IN " +
+      "(SELECT s.k FROM dml_corr_s s WHERE s.k = t.id)")
+    val after3 = spark.read.format("graft").load(dir)
+    // of the source keys, only id=5 survives the two deletes in range
+    assert(after3.where("tag = 'hit'").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L))
+    assert(after3.count() == after2.count())
+  }
+
+  test("IN-subquery DELETE prunes by the list's bounds: untouched files carry by reference") {
+    val dir = tmpDir()
+    Manifest.write(
+      spark.range(0, 1000).toDF("id").repartitionByRange(10, $"id"),
+      dir, "base")
+    val baseFiles = Manifest.currentFiles(spark, dir)
+    assert(baseFiles.size == 10)
+    Seq(3L, 5L, 42L).toDF("k").createOrReplaceTempView("dml_inb_keys")
+    view(dir, "dml_inb_t")
+    spark.sql("DELETE FROM dml_inb_t WHERE id IN (SELECT k FROM dml_inb_keys)")
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 997)
+    assert(after.where("id IN (3, 5, 42)").count() == 0)
+    // the derived [3, 42] bound confines the rewrite to the one range
+    // file holding those keys — the other 9 carry by reference
+    val carried = Manifest.currentFiles(spark, dir).toSet
+      .intersect(baseFiles.toSet)
+    assert(carried.size >= 8,
+      s"IN-subquery bounds should carry >=8 of 10 files, got ${carried.size}")
   }
 
   test("UNCORRELATED subqueries in DELETE/UPDATE: IN, NOT IN null semantics, scalar") {
