@@ -477,16 +477,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (raw.size > 1 && raw.head == catalogName) raw.tail else raw
     val ident = Identifier.of(parts.init.toArray, parts.last)
     val rootP = identPath(ident)
-    // single-part names address root-level tables first; when no such
-    // table exists and the warehouse has exactly ONE namespace, resolve
-    // under it (the documented convenience for `table => 't'`)
+    // single-part names address root-level tables first; otherwise the
+    // name resolves across ALL namespaces and must be UNAMBIGUOUS —
+    // keying on "exactly one namespace exists" (pre-round-12) meant
+    // creating a second namespace later silently changed what
+    // `table => 't'` resolved to (ADVICE r11)
     val p =
       if (isTable(rootP) || parts.size > 1) rootP
-      else listNamespaces().toSeq match {
-        case Seq(ns) =>
-          val cand = identPath(Identifier.of(ns, parts.last))
-          if (isTable(cand)) cand else rootP
-        case _ => rootP
+      else {
+        val cands = listNamespaces().toSeq
+          .map(ns => identPath(Identifier.of(ns, parts.last)))
+          .filter(isTable)
+        cands match {
+          case Seq(one) => one
+          case Seq() => rootP
+          case many => throw new IllegalArgumentException(
+            s"graft catalog: table name '$name' is ambiguous - it exists " +
+              s"in ${many.size} namespaces " +
+              s"(${many.map(_.getParent.getName).sorted.mkString(", ")}); " +
+              "qualify it as '<namespace>.<table>'")
+        }
       }
     require(isTable(p), s"graft catalog: no table '$name' under $warehouse")
     p

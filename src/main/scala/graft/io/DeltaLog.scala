@@ -555,7 +555,8 @@ object DeltaLog {
     // action paths resolve per the protocol: absolute URIs ("s3://…",
     // "file:/…") and rooted paths as-is, everything else against the
     // table root — foreign writers emit both forms
-    def resolve(p: String): String = {
+    def resolve(p0: String): String = {
+      val p = decodeActionPath(p0)
       val hp = new Path(p)
       if (hp.isAbsolute || hp.toUri.getScheme != null) p else s"$dir/$p"
     }
@@ -612,7 +613,8 @@ object DeltaLog {
             if (r.isNullAt(4)) Nil
             else {
               val d = r.getStruct(4)
-              Some(DvRef(r.getString(1), d.getString(0), d.getString(1),
+              Some(DvRef(decodeActionPath(r.getString(1)), d.getString(0),
+                d.getString(1),
                 if (d.isNullAt(2)) None else Some(d.getInt(2)), d.getInt(3),
                 if (d.isNullAt(4)) -1L else d.getLong(4)))
             }
@@ -625,39 +627,45 @@ object DeltaLog {
           }
           def readAdds(paths: Seq[String]): DataFrame =
             if (paths.forall(relative))
-              Manifest.readFiles(spark, dir, paths.sorted)
+              Manifest.readFiles(spark, dir,
+                paths.sorted.map(decodeActionPath))
             else spark.read.parquet(paths.map(resolve).sorted: _*)
-          val frame =
-            if (descs.nonEmpty) {
-              val adds = addRows.map(_.getString(1)).toSeq
-              require(adds.forall(relative),
-                s"delta version $v under $dir mixes DV-carrying adds " +
-                  "with absolute paths: unsupported")
-              applyPositionDeletes(spark, dir, adds.sorted, descs)
-            } else {
-              // group by the add actions' partitionValues and attach
-              // any partition column the physical file does not carry
-              // as a typed literal (the protocol keeps partition values
-              // in the action; a foreign partitioned append's files
-              // would otherwise read back with NULL partition columns)
-              val groups = addRows.groupBy(r =>
-                if (r.isNullAt(6)) Map.empty[String, String]
-                else r.getMap[String, String](6).toMap)
-              groups.toSeq.sortBy(_._2.map(_.getString(1)).min)
-                .map { case (pv, rs) =>
-                  var df = readAdds(rs.map(_.getString(1)).toSeq)
-                  pv.foreach { case (k, pvv) =>
-                    if (!df.columns.exists(_.equalsIgnoreCase(k))) {
-                      val dt = schemaTypes.getOrElse(k,
-                        org.apache.spark.sql.types.StringType)
-                      df = df.withColumn(k,
-                        (if (pvv == null) F.lit(null) else F.lit(pvv))
-                          .cast(dt))
-                    }
-                  }
-                  df
-                }.reduce(_.unionByName(_, allowMissingColumns = true))
-            }
+          // group by the add actions' partitionValues and attach any
+          // partition column the physical file does not carry as a
+          // typed literal (the protocol keeps partition values in the
+          // action; a foreign partitioned append's files would
+          // otherwise read back with NULL partition columns). ADVICE
+          // r11: the DV-carrying branch runs through the SAME grouping
+          // — a foreign partitioned commit whose adds carry deletion
+          // vectors must not emit inserts with NULL partition columns.
+          if (descs.nonEmpty)
+            require(addRows.forall(r => relative(r.getString(1))),
+              s"delta version $v under $dir mixes DV-carrying adds " +
+                "with absolute paths: unsupported")
+          val descByFile = descs.map(d => d.file -> d).toMap
+          val groups = addRows.groupBy(r =>
+            if (r.isNullAt(6)) Map.empty[String, String]
+            else r.getMap[String, String](6).toMap)
+          val frame = groups.toSeq.sortBy(_._2.map(_.getString(1)).min)
+            .map { case (pv, rs) =>
+              val rawPaths = rs.map(_.getString(1)).toSeq
+              val grpDescs = rawPaths.map(decodeActionPath)
+                .flatMap(descByFile.get)
+              var df =
+                if (grpDescs.isEmpty) readAdds(rawPaths)
+                else applyPositionDeletes(spark, dir,
+                  rawPaths.map(decodeActionPath).sorted, grpDescs)
+              pv.foreach { case (k, pvv) =>
+                if (!df.columns.exists(_.equalsIgnoreCase(k))) {
+                  val dt = schemaTypes.getOrElse(k,
+                    org.apache.spark.sql.types.StringType)
+                  df = df.withColumn(k,
+                    (if (pvv == null) F.lit(null) else F.lit(pvv))
+                      .cast(dt))
+                }
+              }
+              df
+            }.reduce(_.unionByName(_, allowMissingColumns = true))
           Some(frame
             .withColumn("_change_type", F.lit("insert"))
             .withColumn("_commit_version", F.lit(v)))
@@ -1214,7 +1222,8 @@ object DeltaLog {
     val schema = tableSchema(spark, dir)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else mapToLogical(Manifest.readFiles(spark, dir, files), schema)
+    else mapToLogical(
+      Manifest.readFiles(spark, dir, files.map(decodeActionPath)), schema)
   }
 
   /** The table schema at `version` (default: latest) per the protocol's
@@ -1370,7 +1379,8 @@ object DeltaLog {
     val schema = tableSchema(spark, dir)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else mapToLogical(Manifest.readFiles(spark, dir, files), schema)
+    else mapToLogical(
+      Manifest.readFiles(spark, dir, files.map(decodeActionPath)), schema)
   }
 
   /** Read the table THROUGH the exported delta log (latest version). */
@@ -1428,7 +1438,9 @@ object DeltaLog {
     val vOpt = if (version < 0) None else Some(version)
     val adds = activeAddsDF(spark, dir, vOpt, allowCm = true)
       .select("path", "dv").orderBy("path").collect()
-    val files = adds.map(_.getString(0)).toSeq
+    // percent-decoded ONCE here, so the scan paths and the DV suffix
+    // join keys stay consistent
+    val files = adds.map(r => decodeActionPath(r.getString(0))).toSeq
     require(files.nonEmpty, s"delta version has no data files under $dir")
     // only the DESCRIPTORS come to the driver (∝ DV-carrying files,
     // same scale as the file list itself); the positions they encode
@@ -1439,7 +1451,8 @@ object DeltaLog {
       if (r.isNullAt(1)) Nil
       else {
         val d = r.getStruct(1)
-        Some(DvRef(r.getString(0), d.getString(0), d.getString(1),
+        Some(DvRef(decodeActionPath(r.getString(0)), d.getString(0),
+          d.getString(1),
           if (d.isNullAt(2)) None else Some(d.getInt(2)), d.getInt(3),
           if (d.isNullAt(4)) -1L else d.getLong(4)))
       }
@@ -1452,6 +1465,17 @@ object DeltaLog {
     // schemaString field metadata — resolve on every whole-row surface
     mapToLogical(raw, tableSchema(spark, dir, vOpt))
   }
+
+  /** Delta action paths (add/remove/cdc) are PERCENT-ENCODED relative
+    * or absolute URIs — the protocol's serialization, which delta-spark
+    * decodes via `new Path(new URI(p))` (ADVICE r11). Decode before
+    * resolving against the table root: a foreign path with a space or
+    * %XX would otherwise resolve to a wrong path — usually a loud open
+    * failure, but a glob metacharacter can silently match OTHER files
+    * in spark.read.parquet. Unparsable strings pass through raw so a
+    * spec-violating writer fails on the open, not here. */
+  private[io] def decodeActionPath(p: String): String =
+    scala.util.Try(new Path(new java.net.URI(p)).toString).getOrElse(p)
 
   /** A field's PHYSICAL name — the key its parquet columns, stats-JSON
     * entries, and partitionValues use — per the columnMapping field

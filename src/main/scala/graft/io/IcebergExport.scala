@@ -699,10 +699,16 @@ object IcebergExport {
         "timestamp-ms" -> JInt(BigInt(tsOf(m))),
         "manifest-list" -> JString(
           fsys.makeQualified(new Path(md, s"snap-${m.seq}.avro")).toString),
+        // append = strictly ADDITIVE (every prior file kept, no
+        // merge-on-read delete-state change) — the label the
+        // incremental append scan ([[readAppendsSince]]) keys on;
+        // anything that removed/re-packed files or changed delete
+        // state exports as overwrite
         "summary" -> JObject("operation" -> JString(
           if (ms.headOption.contains(m) || {
-            val prev = ms(ms.indexOf(m) - 1).files.toSet
-            m.files.exists(f => !prev.contains(f)) && prev.subsetOf(m.files.toSet)
+            val prevM = ms(ms.indexOf(m) - 1)
+            !m.rewrite && prevM.files.toSet.subsetOf(m.files.toSet) &&
+              m.deleteFiles.sorted == prevM.deleteFiles.sorted
           }) "append" else "overwrite")),
         "schema-id" -> JInt(snapSchemaId(m.seq)))
     })
@@ -1490,5 +1496,61 @@ object IcebergExport {
     readUrisApplyingDeletes(spark, dir, fseq.map(_._1), fseq.toMap,
       deleteState(spark, dir, Some(snapshotId)),
       ids => eqColumnNames(spark, dir, Some(snapshotId), ids))
+  }
+
+  /** INCREMENTAL APPEND SCAN (the spec's incremental read; round 12):
+    * the rows ADDED after snapshot `sinceSnapshotId` up to the current
+    * snapshot — the change feed a downstream incremental job consumes
+    * instead of rescanning the table, served as the data-file
+    * difference between the two snapshots' manifests (cost ∝ new
+    * files; the metadata tree is never listed). Sound only while every
+    * snapshot in the span is a pure APPEND (`summary.operation`):
+    * an overwrite/rewrite/delete snapshot re-packs or removes rows the
+    * baseline already contained, so a file diff would mis-serve them —
+    * such a span FAILS LOUDLY and the consumer re-baselines (the same
+    * contract as [[Manifest.readChangesSince]] and Iceberg's own
+    * incremental append scan, which rejects non-append snapshots).
+    * None = `since` is current / no files were added. */
+  def readAppendsSince(spark: SparkSession, dir: String,
+      sinceSnapshotId: Long): Option[DataFrame] = {
+    val meta = currentMetadata(spark, dir)
+    def snapId(s: JValue): Long = s \ "snapshot-id" match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalStateException(s"snapshot without id under $dir")
+    }
+    def seqOfSnap(s: JValue): Long = s \ "sequence-number" match {
+      case JInt(v) => v.toLong
+      case _ => snapId(s) // v1 metadata: ids are the only ordering
+    }
+    def opOf(s: JValue): String = s \ "summary" \ "operation" match {
+      case JString(o) => o
+      case _ => "unknown" // a foreign snapshot without a summary: refuse
+    }
+    val snaps = (meta \ "snapshots") match {
+      case JArray(ss) => ss
+      case _ => throw new IllegalStateException(s"no snapshots array under $dir")
+    }
+    val since = snaps.find(snapId(_) == sinceSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot $sinceSnapshotId under $dir " +
+          s"(retained: ${snaps.map(snapId).mkString(", ")})"))
+    val currentId = meta \ "current-snapshot-id" match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalStateException(s"no current-snapshot-id under $dir")
+    }
+    if (currentId == sinceSnapshotId) return None
+    val current = snaps.find(snapId(_) == currentId).get
+    val span = snaps.filter(s => seqOfSnap(s) > seqOfSnap(since) &&
+      seqOfSnap(s) <= seqOfSnap(current))
+    span.filterNot(opOf(_) == "append").foreach(s =>
+      throw new IllegalStateException(
+        s"cannot serve appends since $sinceSnapshotId under $dir: snapshot " +
+          s"${snapId(s)} is '${opOf(s)}' - its files re-pack or remove rows " +
+          "the baseline already contained; re-baseline on a snapshot at or " +
+          "after it"))
+    val base = activeFiles(spark, dir, Some(sinceSnapshotId)).toSet
+    val added = activeFiles(spark, dir, Some(currentId)).filterNot(base)
+    if (added.isEmpty) None
+    else Some(readUris(spark, dir, added))
   }
 }

@@ -1025,6 +1025,39 @@ object Maintenance {
   // field-ids), and the table is read back THROUGH that tree
   // (version-hint → metadata → manifest-list → manifest → parquet);
   // the oracle aggregates the source parquet directly.
+  // Iceberg INCREMENTAL APPEND SCAN under oracle (round 12): orders
+  // lands as a baseline commit plus two appends, the table exports to
+  // Iceberg metadata, and the incremental read serves EXACTLY the two
+  // appended slices (cost ∝ new files — the downstream-job pattern
+  // that replaces full rescans). The aggregate over the delta hashes
+  // against DuckDB's relational replay of the same two slices.
+  private val icebergIncremental = Q(
+    "q_iceberg_incremental",
+    (s, dir) => {
+      val out = scratchDir(dir, "iceberg_incr")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+      graft.io.Manifest.write(o.filter(col("o_orderkey") % 3 === 0),
+        out, "base") // seq 0 = the consumer's baseline
+      graft.io.Manifest.append(o.filter(col("o_orderkey") % 3 === 1),
+        out, "batch1") // seq 1
+      graft.io.Manifest.append(o.filter(col("o_orderkey") % 3 === 2),
+        out, "batch2") // seq 2
+      graft.io.IcebergExport.exportTable(s, out)
+      graft.io.IcebergExport.readAppendsSince(s, out, 0L).get
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders WHERE o_orderkey % 3 <> 0
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   private val icebergExport = Q(
     "q_iceberg_export",
     (s, dir) => {
@@ -2122,6 +2155,7 @@ object Maintenance {
 
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
+    icebergIncremental,
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,

@@ -48,8 +48,39 @@ import graft.io.Manifest
  * `spark.readStream.format(...)` resolves, and the same one
  * `DataSourceRegister` alias ("graft") serves batch and streaming.
  */
-final case class GraftSourceOffset(seq: Long) extends V1Offset {
-  override def json: String = seq.toString
+/** The stream offset: a manifest commit seq, plus an optional
+  * INTRA-COMMIT file count (round 12) — `"12"` = commit 12 fully
+  * served; `"12#5"` = the first 5 ADDED files of commit 12 served, the
+  * rest pending. Splitting WITHIN a commit is what keeps one giant
+  * backfill commit from blowing a micro-batch's memory budget under
+  * maxFiles/maxBytesPerTrigger (Delta splits on file boundaries the
+  * same way). Checkpoint-compatible: pre-round-12 offsets parse as
+  * fully-served commits, and a cap-free stream never emits the partial
+  * form. Only PLAIN append commits split — a change commit (rewrite /
+  * removal / MOR-state change) is served (or skipped/refused) whole. */
+final case class GraftSourceOffset(seq: Long, served: Long = -1L)
+    extends V1Offset {
+  override def json: String =
+    if (served < 0) seq.toString else s"$seq#$served"
+}
+
+private[sources] object GraftOffsets {
+  /** (seq, served) with served = -1 meaning "commit complete". */
+  def parse(json: String): (Long, Long) = {
+    val s = json.trim
+    val i = s.indexOf('#')
+    if (i < 0) (s.toLong, -1L)
+    else (s.substring(0, i).toLong, s.substring(i + 1).toLong)
+  }
+
+  private def rank(k: Long): Long = if (k < 0) Long.MaxValue else k
+
+  /** Offset order: by seq, then served count (complete sorts last). */
+  def lte(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && rank(a._2) <= rank(b._2))
+
+  def max(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    if (lte(a, b)) b else a
 }
 
 /**
@@ -69,14 +100,15 @@ final case class GraftSourceOffset(seq: Long) extends V1Offset {
   *   one snapshot read however it is sliced, so it stays uncapped.
   * @param maxFilesPerTrigger admission control by ADDED FILE COUNT —
   *   commits vary wildly in size, so the commit cap alone cannot bound
-  *   a micro-batch; this is Delta's knob of the same name. Offsets
-  *   stay commit seqs: a single commit larger than the cap is admitted
-  *   WHOLE (splitting within a commit is out of scope — a commit is
-  *   the atomic unit of this source's offset space), so the stream
-  *   always advances.
+  *   a micro-batch; this is Delta's knob of the same name. Round 12:
+  *   a PLAIN commit larger than the cap SPLITS on file boundaries —
+  *   the offset gains an intra-commit file count (`seq#k`,
+  *   checkpoint-compatible) and the oversized backfill drains as
+  *   bounded batches, always at least one file per trigger. Change
+  *   commits (rewrite/removal/MOR change) never split.
   * @param maxBytesPerTrigger admission control by ADDED BYTES (file
   *   sizes from one metadata stat per newly admitted file — cost ∝
-  *   backlog, never table size). Same whole-commit granularity note.
+  *   backlog, never table size). Same file-boundary splitting.
   */
 class GraftStreamSource(spark: SparkSession, dir: String,
     override val schema: StructType,
@@ -94,14 +126,14 @@ class GraftStreamSource(spark: SparkSession, dir: String,
 
   /** Works for live [[GraftSourceOffset]]s AND the `SerializedOffset`
     * the checkpoint replays on restart. */
-  private def seqOf(o: V1Offset): Long = o.json.trim.toLong
+  private def stateOf(o: V1Offset): (Long, Long) = GraftOffsets.parse(o.json)
 
   /** The furthest offset this source has SERVED (getBatch end) — the
     * admission cap's base. Restart-safe: the engine re-plays the last
     * committed window through getBatch before asking for new offsets,
     * which re-seeds this. Volatile state never reaches the checkpoint
-    * — offsets in the log are always real commit seqs. */
-  @volatile private var lastEnd: Option[Long] = None
+    * — offsets in the log are always real (seq[, served]) states. */
+  @volatile private var lastEnd: Option[(Long, Long)] = None
 
   private def anyCap: Boolean = maxCommitsPerTrigger.isDefined ||
     maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
@@ -115,39 +147,100 @@ class GraftStreamSource(spark: SparkSession, dir: String,
       new org.apache.hadoop.fs.Path(base, f)).getLen).sum
   }
 
-  /** Walk the backlog commit by commit, admitting until a cap would be
-    * exceeded — always at least ONE commit, so an oversized commit
-    * passes whole instead of stalling the stream (gap-tolerant: counts
-    * RETAINED commits, so vacuumed seqs never starve the window). */
-  private def admit(hist: Seq[Manifest.ManifestData], base: Long): Long = {
-    var prevFiles = hist.filter(_.seq <= base).lastOption
-      .map(_.files.toSet).getOrElse(Set.empty[String])
+  /** Is `m` a CHANGE commit relative to `prev` (rewrite, file removal,
+    * or merge-on-read delete-state change)? Change commits never split:
+    * they are skipped or refused WHOLE. */
+  private def isChange(prev: Option[Manifest.ManifestData],
+      m: Manifest.ManifestData): Boolean =
+    m.rewrite ||
+      prev.exists(p => !p.files.forall(m.files.toSet)) ||
+      prev.exists(p => m.deleteFiles.sorted != p.deleteFiles.sorted)
+
+  /** Walk the backlog, admitting until a cap would be exceeded —
+    * always at least ONE FILE of progress (round 12; previously one
+    * COMMIT), so an oversized commit drains as byte/file-bounded
+    * partial batches instead of passing whole: under a file/byte cap a
+    * PLAIN commit admits file by file and may end mid-commit (a
+    * partial offset). Gap-tolerant: counts RETAINED commits, so
+    * vacuumed seqs never starve the window. */
+  private def admit(hist: Seq[Manifest.ManifestData], baseSeq: Long,
+      baseServed: Long): (Long, Long) = {
+    var prevM = hist.filter(_.seq < baseSeq).lastOption
     var commits = 0
     var files = 0L
     var bytes = 0L
-    var end = base
-    val it = hist.filter(_.seq > base).iterator
+    var endSeq = baseSeq
+    var endServed = baseServed
+    var progressed = false
+    val splitCaps = maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined
     var stop = false
+    val it = hist.filter(_.seq >= baseSeq).iterator
     while (!stop && it.hasNext) {
       val m = it.next()
-      val added = m.files.filterNot(prevFiles)
-      val addedBytes =
-        if (maxBytesPerTrigger.isDefined && added.nonEmpty) bytesOf(added)
-        else 0L
-      val over = commits > 0 && (
-        maxCommitsPerTrigger.exists(c => commits + 1 > c) ||
-          maxFilesPerTrigger.exists(f => files + added.size > f) ||
-          maxBytesPerTrigger.exists(b => bytes + addedBytes > b))
-      if (over) stop = true
-      else {
-        commits += 1
-        files += added.size
-        bytes += addedBytes
-        end = m.seq
-        prevFiles = m.files.toSet
+      val isBase = m.seq == baseSeq
+      if (isBase && baseServed < 0) {
+        prevM = Some(m) // base commit already fully served
+      } else if (commits > 0 &&
+          maxCommitsPerTrigger.exists(c => commits + 1 > c)) {
+        stop = true
+      } else {
+        val prevFiles = prevM.map(_.files.toSet).getOrElse(Set.empty[String])
+        val addedAll = m.files.filterNot(prevFiles)
+        val already = if (isBase) baseServed else 0L
+        val pending = addedAll.drop(already.toInt)
+        if (isChange(prevM, m) || !splitCaps) {
+          // whole-commit admission (change commits never split)
+          val addedBytes =
+            if (maxBytesPerTrigger.isDefined && pending.nonEmpty)
+              bytesOf(pending)
+            else 0L
+          val over = progressed && (
+            maxFilesPerTrigger.exists(f => files + pending.size > f) ||
+              maxBytesPerTrigger.exists(b => bytes + addedBytes > b))
+          if (over) stop = true
+          else {
+            commits += 1
+            files += pending.size
+            bytes += addedBytes
+            endSeq = m.seq
+            endServed = -1L
+            progressed = true
+            prevM = Some(m)
+          }
+        } else {
+          // plain commit under a file/byte cap: file-boundary admission
+          var k = already.max(0L)
+          var within = true
+          val pendIt = pending.iterator
+          while (within && pendIt.hasNext) {
+            val f = pendIt.next()
+            val fb = if (maxBytesPerTrigger.isDefined) bytesOf(Seq(f)) else 0L
+            val over = progressed && (
+              maxFilesPerTrigger.exists(c => files + 1 > c) ||
+                maxBytesPerTrigger.exists(b => bytes + fb > b))
+            if (over) within = false
+            else {
+              files += 1
+              bytes += fb
+              k += 1
+              progressed = true
+            }
+          }
+          if (k > already.max(0L) || pending.isEmpty) {
+            endSeq = m.seq
+            if (k >= addedAll.size) {
+              endServed = -1L
+              commits += 1
+              prevM = Some(m)
+            } else {
+              endServed = k
+              stop = true // mid-commit: nothing later can be served
+            }
+          } else stop = true
+        }
       }
     }
-    end
+    (endSeq, endServed)
   }
 
   /** Trigger.AvailableNow pins the run's END at start time: commits
@@ -172,8 +265,8 @@ class GraftStreamSource(spark: SparkSession, dir: String,
       startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
-    Option(startOffset).map(_.json.trim.toLong).foreach(s =>
-      lastEnd = Some(lastEnd.fold(s)(math.max(_, s))))
+    Option(startOffset).map(o => GraftOffsets.parse(o.json)).foreach(s =>
+      lastEnd = Some(lastEnd.fold(s)(GraftOffsets.max(_, s))))
     computeOffset().orNull
   }
 
@@ -181,20 +274,21 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     val hist0 = Manifest.history(spark, dir)
     val hist = availableNowEnd.fold(hist0)(e => hist0.filter(_.seq <= e))
     if (hist.isEmpty) return None
-    val latest = hist.last.seq
+    val latest = (hist.last.seq, -1L)
     val capped = lastEnd match {
-      case Some(base) if anyCap => admit(hist, base)
+      case Some((bs, bk)) if anyCap => admit(hist, bs, bk)
       case _ => latest // no cap, or initial batch (one snapshot read)
     }
-    if (lastEnd.exists(capped <= _)) lastEnd.map(GraftSourceOffset)
-    else Some(GraftSourceOffset(capped))
+    if (lastEnd.exists(le => GraftOffsets.lte(capped, le)))
+      lastEnd.map { case (s, k) => GraftSourceOffset(s, k) }
+    else Some(GraftSourceOffset(capped._1, capped._2))
   }
 
   override def getOffset: Option[V1Offset] = computeOffset()
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val e = seqOf(end)
-    lastEnd = Some(lastEnd.fold(e)(math.max(_, e)))
+    val (e, ek) = stateOf(end)
+    lastEnd = Some(lastEnd.fold((e, ek))(GraftOffsets.max(_, (e, ek))))
     val hist = Manifest.history(spark, dir)
     val endM = hist.find(_.seq == e).getOrElse(
       throw new IllegalStateException(
@@ -208,23 +302,40 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     val batch: DataFrame = start match {
       case None =>
         // initial load: the full snapshot state at the first offset
+        // (always a COMPLETE commit — admission never splits it)
+        require(ek < 0, s"graft stream: initial offset $e#$ek cannot be " +
+          "intra-commit (admission bug)")
         Manifest.readAt(spark, dir, endM.snapshot, hint)
       case Some(s0) =>
-        val s = seqOf(s0)
+        val (s, sk) = stateOf(s0)
         val startM = hist.find(_.seq == s).getOrElse(
           throw new IllegalStateException(
             s"graft stream: checkpointed offset $s is no longer retained " +
               s"under $dir (vacuum outran the stream checkpoint) - " +
               "re-baseline the stream"))
-        // walk the window COMMIT BY COMMIT: each step either serves the
-        // commit's added files, skips a change commit (option set), or
-        // fails loudly naming the offending commit
-        var prev = startM
         var served = Vector.empty[String]
+        // remainder of a PARTIALLY-served start commit: its added files
+        // past the checkpointed count (bounded by the end count when
+        // start and end split the same commit)
+        if (sk >= 0) {
+          val before = hist.filter(_.seq < s).lastOption
+            .map(_.files.toSet).getOrElse(Set.empty[String])
+          val addedAll = startM.files.filterNot(before)
+          val upto = if (s == e && ek >= 0) ek else addedAll.size.toLong
+          served ++= addedAll.slice(sk.toInt, upto.toInt)
+        }
+        // walk the window COMMIT BY COMMIT: each step either serves the
+        // commit's added files (ALL of them, or the end offset's prefix
+        // when the window ends mid-commit), skips a change commit
+        // (option set), or fails loudly naming the offending commit
+        var prev = startM
         hist.filter(m => m.seq > s && m.seq <= e).foreach { m =>
           val removed = !prev.files.forall(m.files.toSet)
           val morChanged = m.deleteFiles.sorted != prev.deleteFiles.sorted
           if (m.rewrite || removed || morChanged) {
+            require(!(m.seq == e && ek >= 0),
+              s"graft stream: partial offset $e#$ek lands on a change " +
+                s"commit '${m.snapshot}' (admission bug)")
             if (!skipChangeCommits) {
               if (m.rewrite) throw new UnsupportedOperationException(
                 s"graft stream: commit '${m.snapshot}' (seq ${m.seq}) under " +
@@ -246,7 +357,9 @@ class GraftStreamSource(spark: SparkSession, dir: String,
             }
             // skipChangeCommits: serve NOTHING from a change commit
           } else {
-            served ++= m.files.filterNot(prev.files.toSet)
+            val added = m.files.filterNot(prev.files.toSet)
+            served ++=
+              (if (m.seq == e && ek >= 0) added.take(ek.toInt) else added)
           }
           prev = m
         }

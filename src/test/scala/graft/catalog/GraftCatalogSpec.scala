@@ -513,6 +513,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception](sql("ALTER TABLE gcat.db.conecol DROP COLUMN x"))
   }
 
+  test("single-part procedure table names refuse cross-namespace ambiguity") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.amb1")
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.amb2")
+    sql("CREATE TABLE gcat.amb1.dup (x INT) USING graft")
+    sql("CREATE TABLE gcat.amb2.dup (x INT) USING graft")
+    sql("INSERT INTO gcat.amb1.dup VALUES (1)")
+    sql("INSERT INTO gcat.amb2.dup VALUES (2)")
+    // ADVICE r11: resolution used to key on "exactly one namespace
+    // exists", so a later namespace silently changed what 't' meant
+    val e = intercept[Exception](
+      sql("CALL gcat.system.history(table => 'dup')").collect())
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("ambiguous")),
+      s"expected an ambiguity refusal, got: ${chain(e).mkString(" | ")}")
+    // namespace-qualified names keep resolving
+    assert(sql("CALL gcat.system.history(table => 'amb1.dup')").count() >= 1)
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES and evolution refusals") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.props (x INT) USING graft")

@@ -553,6 +553,56 @@ class ForeignDeltaSpec extends AnyFunSuite {
       s"foreign cdc + add commits must read change-for-change, got $got")
   }
 
+  test("percent-encoded action paths decode before resolving (delta-spark parity)") {
+    val dir = tmpDir()
+    // foreign writers percent-encode action paths (the protocol's URI
+    // serialization): a file NAMED with a space is logged as %20
+    landParquet((1 to 10).toDF("v"), dir, "part a.parquet")
+    landParquet((11 to 15).toDF("v"), dir, "plain.parquet")
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"foreign-enc","format":{"provider":"parquet","options":{}},"schemaString":$intSchema,"partitionColumns":[],"configuration":{},"createdTime":5}}""",
+      """{"add":{"path":"part%20a.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"plain.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaLog.read(spark, dir).as[Int].collect().sorted.toSeq ==
+      (1 to 15), "encoded add paths must decode before the scan")
+    // the incremental face decodes too
+    landParquet(Seq(99).toDF("v"), dir, "enc oded.parquet")
+    writeCommit(dir, 1L, Seq(
+      """{"commitInfo":{"timestamp":456,"operation":"WRITE"}}""",
+      """{"add":{"path":"enc%20oded.parquet","partitionValues":{},"size":10,"modificationTime":2,"dataChange":true}}"""))
+    assert(DeltaLog.readChanges(spark, dir, 0L)
+      .select("v").as[Int].collect().toSeq == Seq(99))
+  }
+
+  test("DV-carrying adds in a partitioned commit keep action partitionValues in the change feed") {
+    val dir = tmpDir()
+    val partSchema = schemaJson(
+      new StructType().add("v", "integer").add("seg", "string"))
+    landParquet(Seq(1, 2, 3).toDF("v"), dir, "a.parquet")
+    writeCommit(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"foreign-dvpv","format":{"provider":"parquet","options":{}},"schemaString":$partSchema,"partitionColumns":["seg"],"configuration":{},"createdTime":5}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{"seg":"x"},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    // v1: a partitioned append whose add carries BOTH a deletion vector
+    // (row-index 1 deleted) and partitionValues for a column the file
+    // lacks — the derived inserts must attach seg (ADVICE r11: the DV
+    // branch silently emitted NULL partition columns)
+    landParquet(Seq(10, 11, 12).toDF("v"), dir, "b.parquet")
+    val inlineData = bitmapArrayBytes(Seq(1))
+    val inline = z85Encode(inlineData)
+    writeCommit(dir, 1L, Seq(
+      """{"commitInfo":{"timestamp":456,"operation":"WRITE"}}""",
+      s"""{"add":{"path":"b.parquet","partitionValues":{"seg":"y"},"size":10,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${inlineData.length},"cardinality":1}}}"""))
+    val got = DeltaLog.readChanges(spark, dir, 0L)
+      .select("v", "seg", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == Seq((10, "y", "insert", 1L), (12, "y", "insert", 1L)),
+      s"DV adds must keep their action partition values, got $got")
+  }
+
   test("iceberg equality deletes (content=2) fail loudly") {
     import scala.jdk.CollectionConverters._
     import org.apache.avro.file.{DataFileStream, DataFileWriter}

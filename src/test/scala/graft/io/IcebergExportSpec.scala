@@ -128,6 +128,42 @@ class IcebergExportSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental append scan: appends-since serves the delta, rewrites refuse") {
+    val dir = tmpDir()
+    Manifest.write((1 to 10).toDF("v"), dir, "s1") // seq 0
+    Manifest.append((11 to 15).toDF("v"), dir, "s2") // seq 1
+    Manifest.append((16 to 18).toDF("v"), dir, "s3") // seq 2
+    IcebergExport.exportTable(spark, dir)
+    // appends after snapshot 0: exactly the rows of seq 1 + seq 2
+    val delta = IcebergExport.readAppendsSince(spark, dir, 0L)
+    assert(delta.isDefined)
+    assert(delta.get.as[Int].collect().sorted.toSeq == (11 to 18))
+    // appends after snapshot 1: just seq 2
+    assert(IcebergExport.readAppendsSince(spark, dir, 1L)
+      .get.as[Int].collect().sorted.toSeq == (16 to 18))
+    // current snapshot: no changes
+    assert(IcebergExport.readAppendsSince(spark, dir, 2L).isEmpty)
+    // unknown baseline fails loudly
+    intercept[IllegalArgumentException](
+      IcebergExport.readAppendsSince(spark, dir, 99L))
+    // the composed incremental pipeline shape: export -> incremental
+    // read -> aggregate equals a full-table recomputation of the delta
+    assert(delta.get.agg(org.apache.spark.sql.functions.sum("v"))
+      .collect().head.getLong(0) == (11 to 18).sum)
+    // a compaction (rewrite) in the span refuses: its files re-pack
+    // rows the baseline already contained
+    Manifest.compact(spark, dir, "c1", 128L * 1024 * 1024) // seq 3
+    IcebergExport.exportTable(spark, dir)
+    val e = intercept[IllegalStateException](
+      IcebergExport.readAppendsSince(spark, dir, 1L))
+    assert(e.getMessage.contains("re-baseline"))
+    // re-baselining on the rewrite itself works again
+    Manifest.append((19 to 20).toDF("v"), dir, "s4") // seq 4
+    IcebergExport.exportTable(spark, dir)
+    assert(IcebergExport.readAppendsSince(spark, dir, 3L)
+      .get.as[Int].collect().sorted.toSeq == (19 to 20))
+  }
+
   test("re-export is incremental: avro files immutable, metadata generation advances") {
     val dir = tmpDir()
     Manifest.write((1 to 10).toDF("v"), dir, "s1")

@@ -283,6 +283,68 @@ class GraftStreamingSpec extends AnyFunSuite {
       s"expected 1+3 bounded sink batches, got $sinkCommits")
   }
 
+  test("source: an OVERSIZED commit splits on file boundaries; a restart resumes mid-commit") {
+    val table = tmpDir() + "/t"
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    Manifest.write(Seq(0L).toDF("v"), table, "s0")
+    def run(trigger: Trigger): Unit =
+      spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "4").load(table)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger)
+        .start().awaitTermination()
+    run(Trigger.AvailableNow()) // initial snapshot (uncapped)
+    assert(Manifest.read(spark, out).count() == 1)
+    // ONE 12-file commit lands while the stream is down — pre-round-12
+    // it passed whole; now it must drain as 4-file batches whose
+    // offsets carry the intra-commit file count
+    Manifest.append(
+      spark.range(1, 13).toDF("v").repartition(12), table, "big")
+    // first: a SINGLE batch (Trigger.Once) — 4 of the 12 files — then
+    // the query STOPS, leaving a partial `seq#4` offset in the
+    // checkpoint
+    run(Trigger.Once())
+    assert(Manifest.read(spark, out).count() == 5,
+      "one capped batch must serve exactly 4 of the 12 files")
+    // restart: the new query resumes MID-COMMIT from the checkpointed
+    // partial offset and drains the rest in bounded batches
+    run(Trigger.AvailableNow())
+    assert(Manifest.read(spark, out).as[Long].collect().sorted.toSeq ==
+      (0L to 12L), "every row of the split commit exactly once")
+    val sinkCommits = Manifest.snapshots(spark, out)
+    assert(sinkCommits.size == 4, // initial + 4 + 4 + 4
+      s"expected 1+3 bounded batches, got $sinkCommits")
+    // byte-bounded variant on a fresh stream: a 1-byte cap drains the
+    // same table one FILE per batch instead of stalling or passing the
+    // commit whole
+    val out2 = tmpDir() + "/out2"
+    val ckpt2 = tmpDir() + "/ckpt2"
+    spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1").load(table)
+      .writeStream.format("graft").option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    // initial snapshot batch, then 12 one-file batches? No: the initial
+    // batch is the full snapshot AT THE LATEST offset (uncapped), so a
+    // fresh stream sees one batch — append one more 3-file commit and
+    // check it drains one file at a time
+    Manifest.append(
+      spark.range(20, 23).toDF("v").repartition(3), table, "tail3")
+    spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1").load(table)
+      .writeStream.format("graft").option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(Manifest.read(spark, out2).as[Long].collect().sorted.toSeq ==
+      ((0L to 12L) ++ (20L to 22L)))
+    assert(Manifest.snapshots(spark, out2).size == 4, // initial + 3 files
+      "a 3-file commit under a 1-byte cap must drain one file per batch")
+  }
+
   test("source: maxBytesPerTrigger admits at least one commit however small the cap") {
     val table = tmpDir() + "/t"
     val out = tmpDir() + "/out"
@@ -291,15 +353,16 @@ class GraftStreamingSpec extends AnyFunSuite {
     def drain(): Unit =
       spark.readStream.format("graft")
         .option("maxBytesPerTrigger", "1").load(table) // 1 byte: every
-        // commit is oversized and must pass WHOLE, one per batch
+        // single-file commit is oversized; at-least-one-FILE progress
+        // admits exactly one file (here = one commit) per batch
         .writeStream.format("graft").option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start().awaitTermination()
     drain()
     (1 to 3).foreach(i => Manifest.append(Seq(i).toDF("v"), table, s"b$i"))
-    // every commit is over the 1-byte cap and must pass WHOLE, one per
-    // batch; a single AvailableNow start still drains all three
+    // every one-file commit is over the 1-byte cap; the no-stall rule
+    // admits one file per batch and one AvailableNow start drains all
     drain()
     assert(Manifest.read(spark, out).as[Int].collect().sorted.toSeq ==
       (0 to 3))
