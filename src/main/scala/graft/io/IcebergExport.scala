@@ -499,7 +499,12 @@ object IcebergExport {
     val snapSchemaId = scala.collection.mutable.Map[Long, Int]()
     val snapSchemaJ = scala.collection.mutable.Map[Long, JValue]()
     ms.foreach { m =>
-      val st = Manifest.readFiles(spark, dir, m.files).schema
+      // per-snapshot schema: the sidecar's declared history wins when
+      // the table carries one (a metadata-only ALTER commit exports the
+      // evolved schema before any file does — the Delta face's rule);
+      // footer recovery remains the fallback for never-declared tables
+      val st = Manifest.declaredSchemaAt(spark, dir, m.seq).getOrElse(
+        Manifest.readFiles(spark, dir, m.files).schema)
       val JObject(bf) = icebergTypeStable(st, "", alloc)
       val key = JsonMethods.compact(JsonMethods.render(JObject(bf)))
       val (_, sid) = schemaBodies.getOrElseUpdate(key,

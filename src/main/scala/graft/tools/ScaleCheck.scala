@@ -236,7 +236,15 @@ object ScaleCheck {
       // row should stay near-FLAT across 1×/10×/100× — the
       // q_cow_delete curve shape (pre-round-11 this was a full-table
       // rewrite: linear write amplification)
-      "merge_touched")
+      "merge_touched",
+      // round-12 (VERDICT r11 item 3): IN-subquery DELETE with a FIXED
+      // key list (replica-0 keys only) against the growing
+      // range-clustered table — the derived [min,max] bounds of the
+      // list footer-prune the COW split, so only overlapping files
+      // rewrite; expect the merge_touched near-flat curve (pre-round-12
+      // a subquery DELETE rewrote every file: fail-open on the whole
+      // condition)
+      "subq_delete_touched")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -259,6 +267,8 @@ object ScaleCheck {
           (sp, dir) => morRead(sp, dir, selective = true)
         else if (name == "merge_touched")
           (sp, dir) => mergeTouched(sp, dir)
+        else if (name == "subq_delete_touched")
+          (sp, dir) => subqDeleteTouched(sp, dir)
         else SparkEntry.queries(name)
       def measure(dir: String): (Double, Long) = {
         graft.ops.BoundedCache.clear()
@@ -342,6 +352,41 @@ object ScaleCheck {
         |WHEN MATCHED THEN UPDATE SET o_orderpriority = s.seg""".stripMargin)
     sp.read.format("graft").load(tbl)
       .where(col("o_orderkey").between(1000, 1999))
+      .groupBy("o_orderstatus").count()
+  }
+
+  /** Round-12 scale row (VERDICT r11 item 3 family): a FIXED
+    * IN-subquery DELETE batch — replica-0 keys only, so the key range
+    * stays constant while the table grows — against a fresh
+    * range-clustered copy of orders at each scale point. The derived
+    * [min, max] bounds of the IN list footer-prune the COW split, so
+    * the rewrite touches only the files overlapping [1000, 1999]
+    * however large the table; the near-flat merge_touched curve is the
+    * pass bar. A fresh table per call (the DELETE mutates it), so the
+    * row includes the land cost — the DELTA across scales is what must
+    * stay flat-ish relative to the land. */
+  private def subqDeleteTouched(sp: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash("subqdel" + dir)
+        .toLong & 0xffffffffL)
+    val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_subqdel_$key"
+    val p = new org.apache.hadoop.fs.Path(tbl)
+    p.getFileSystem(sp.sparkContext.hadoopConfiguration).delete(p, true)
+    graft.io.Manifest.write(
+      sp.read.parquet(s"$dir/orders.parquet")
+        .repartitionByRange(32, col("o_orderkey")),
+      tbl, "base")
+    sp.read.format("graft").load(tbl)
+      .createOrReplaceTempView("subqdel_scale_t")
+    sp.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .where(col("o_orderkey").between(1000, 1999))
+      .select(col("o_orderkey").as("k"))
+      .createOrReplaceTempView("subqdel_scale_keys")
+    sp.sql(
+      """DELETE FROM subqdel_scale_t
+        |WHERE o_orderkey IN (SELECT k FROM subqdel_scale_keys)""".stripMargin)
+    sp.read.format("graft").load(tbl)
+      .where(col("o_orderkey") < 5000)
       .groupBy("o_orderstatus").count()
   }
 
