@@ -241,7 +241,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       tableDir = dir
       val changesSchema = changes.exists {
         case _: TableChange.AddColumn | _: TableChange.RenameColumn |
-             _: TableChange.DeleteColumn => true
+             _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType =>
+          true
         case _ => false
       }
       // the pre-change effective schema: declared, else recovered from
@@ -359,6 +360,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               ma.copy(schema = Some(StructType(
                 sch.fields.patch(i, Nil, 1))))
             }
+          case up: TableChange.UpdateColumnType =>
+            // TYPE WIDENING (round 12, Delta's typeWidening shape): a
+            // metadata-only retype, sound because Spark 4's parquet
+            // reader upcasts per file (int32 files read under a BIGINT
+            // schema, float under DOUBLE, decimal under a wider
+            // precision) — old files stay narrow, new files land wide,
+            // and time travel below the change reads the as-committed
+            // narrow type via the schema history. Narrowing (or any
+            // unprovable change) refuses: it would corrupt or refuse
+            // every existing file at scan time.
+            require(up.fieldNames.length == 1,
+              "graft catalog: only top-level ALTER COLUMN TYPE is " +
+                s"supported (got ${up.fieldNames.mkString(".")})")
+            val nm = up.fieldNames.head
+            val sch = m.schema.get // normalized above when changesSchema
+            val i = sch.fieldNames.indexWhere(_.equalsIgnoreCase(nm))
+            require(i >= 0, s"graft catalog: no column '$nm' to retype")
+            require(!m.partitionCols.exists(_.equalsIgnoreCase(nm)),
+              s"graft catalog: cannot retype partition column '$nm' - " +
+                "its value rendering is baked into the hive path layout")
+            val f = sch.fields(i)
+            require(GraftTableMeta.isWidening(f.dataType, up.newDataType),
+              s"graft catalog: only WIDENING type changes are supported " +
+                s"(${f.dataType.simpleString} -> " +
+                s"${up.newDataType.simpleString} is not; narrowing or " +
+                "re-kinding would corrupt existing files)")
+            m.copy(schema = Some(StructType(
+              sch.fields.updated(i, f.copy(dataType = up.newDataType)))))
           case sp: TableChange.SetProperty =>
             require(!reserved.contains(sp.property),
               s"graft catalog: property '${sp.property}' is reserved")
@@ -368,8 +397,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case other =>
             throw new UnsupportedOperationException(
               s"graft catalog: unsupported ALTER TABLE change $other " +
-                "(supported: ADD/RENAME/DROP COLUMN, SET/UNSET " +
-                "TBLPROPERTIES; retype would need history rewrite)")
+                "(supported: ADD/RENAME/DROP COLUMN, widening ALTER " +
+                "COLUMN TYPE, SET/UNSET TBLPROPERTIES)")
         }
       }
       if (Manifest.history(spark, dir).isEmpty) {
@@ -640,6 +669,35 @@ private[graft] object GraftTableMeta {
     * the export face re-declares them verbatim. */
   val ModeProp = "delta.columnMapping.mode"
   val MaxIdProp = "delta.columnMapping.maxColumnId"
+
+  /** Is `from` -> `to` a WIDENING promotion Spark 4's parquet reader
+    * performs per file (probe-proven on this build): integral chain
+    * byte<short<int<long, float->double, small-integral->double,
+    * integral->decimal with enough integer digits, and decimal
+    * precision growth at the SAME scale. Everything else refuses. */
+  def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (f, t) if intRank.contains(f) && intRank.contains(t) =>
+        intRank(f) < intRank(t)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType | LongType,
+          t: DecimalType) =>
+        // the decimal must hold every value of the integral type
+        val needed = from match {
+          case ByteType => 3; case ShortType => 5
+          case IntegerType => 10; case _ => 20
+        }
+        t.scale == 0 && t.precision >= needed
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
 
   def mappingActive(m: GraftTableMeta): Boolean =
     m.properties.get(ModeProp).contains("name")

@@ -138,8 +138,14 @@ object IcebergExport {
         "element" -> icebergTypeStable(elem, s"$prefix.element", alloc),
         "element-required" -> JBool(!containsNull))
     case StructType(fields) =>
+      // id allocation keys on the PHYSICAL name (column mapping): the
+      // physical name is frozen across renames, so a renamed column
+      // KEEPS its field id (Iceberg's rename semantics) while the
+      // displayed name follows the logical schema; unmapped fields have
+      // physical == logical, so nothing changes for them
+      def seg(f: StructField) = Manifest.ColumnMapping.physicalNameOf(f)
       val withIds = fields.map(f =>
-        (f, alloc(if (prefix.isEmpty) f.name else s"$prefix.${f.name}")))
+        (f, alloc(if (prefix.isEmpty) seg(f) else s"$prefix.${seg(f)}")))
       JObject(
         "type" -> JString("struct"),
         "fields" -> JArray(withIds.toList.map { case (f, id) =>
@@ -148,7 +154,7 @@ object IcebergExport {
             "name" -> JString(f.name),
             "required" -> JBool(!f.nullable),
             "type" -> icebergTypeStable(f.dataType,
-              if (prefix.isEmpty) f.name else s"$prefix.${f.name}", alloc))
+              if (prefix.isEmpty) seg(f) else s"$prefix.${seg(f)}", alloc))
         }))
     case leaf => icebergType(leaf, () => 0) // primitives carry no ids
   }
@@ -182,6 +188,22 @@ object IcebergExport {
     }
     meta \ "schemas" match {
       case JArray(ss) => ss.foreach(walkType(_, ""))
+      case _ =>
+    }
+    // the name-mapping property (column-mapped tables) seeds the
+    // PHYSICAL paths: schema field names are logical, so after a rename
+    // only the mapping still carries the alloc key the ids live under
+    meta \ "properties" \ "schema.name-mapping.default" match {
+      case JString(j) => JsonMethods.parse(j) match {
+        case JArray(es) => es.foreach { e =>
+          (e \ "field-id", e \ "names") match {
+            case (JInt(id), JArray(ns)) =>
+              ns.foreach { case JString(n) => out(n) = id.toInt; case _ => }
+            case _ =>
+          }
+        }
+        case _ =>
+      }
       case _ =>
     }
     out.toMap
@@ -415,18 +437,6 @@ object IcebergExport {
     val (fsys, base) = fs(spark, dir)
     val ms = Manifest.history(spark, dir)
     require(ms.nonEmpty, s"no committed snapshot under $dir")
-    // refuse COLUMN-MAPPED tables by name: this face derives its schema
-    // lineage from parquet footers, which carry PHYSICAL names — an
-    // export would silently publish the pre-rename names. Sound support
-    // needs the spec's name-mapping (schema.name-mapping.default);
-    // until then the Delta face carries the mapping.
-    Manifest.declaredSchema(spark, dir).foreach(s =>
-      if (Manifest.ColumnMapping.hasMapping(s))
-        throw new UnsupportedOperationException(
-          s"iceberg export of $dir: the table uses column mapping " +
-            "(RENAME/DROP COLUMN); this face would publish physical " +
-            "column names - use the Delta export face, which declares " +
-            "the mapping"))
     val md = metaDir(base)
     fsys.mkdirs(md)
 
@@ -523,8 +533,15 @@ object IcebergExport {
         // treats partition sources as table columns
         val snapSchema = snapStruct(m.seq)
         val schJ = snapSchemaJ(m.seq)
-        val fieldIds = topLevelIds(schJ)
-        val sparkTypeOf = snapSchema.fields.map(f => f.name -> f.dataType).toMap
+        // stats keys come from parquet FOOTERS — PHYSICAL names; re-key
+        // the id/type lookups so a renamed column's bounds still encode
+        // under its (stable) field id
+        val logicalIds = topLevelIds(schJ)
+        val fieldIds = snapSchema.fields.flatMap(f =>
+          logicalIds.get(f.name).map(id =>
+            Manifest.ColumnMapping.physicalNameOf(f) -> id)).toMap
+        val sparkTypeOf = snapSchema.fields.map(f =>
+          Manifest.ColumnMapping.physicalNameOf(f) -> f.dataType).toMap
         val partFields = partitionFieldsOf(m.files, snapSchema)
         val entrySchema = manifestEntrySchemaFor(partFields)
         val dfSchema = entrySchema.getField("data_file").schema()
@@ -736,7 +753,24 @@ object IcebergExport {
       "default-sort-order-id" -> JInt(0),
       "sort-orders" -> JArray(List(JObject(
         "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
-      "properties" -> JObject(Nil),
+      // COLUMN MAPPING: the spec's name-mapping assigns field ids to
+      // file columns that carry none — exactly our parquet files, whose
+      // columns are PHYSICAL names. Entries are top-level (the mapping
+      // scope graft supports); readers resolve children by name below
+      "properties" -> JObject(
+        if (!Manifest.ColumnMapping.hasMapping(snapStruct(current.seq)))
+          Nil
+        else {
+          val ids = topLevelIds(snapSchemaJ(current.seq))
+          val entries = JArray(snapStruct(current.seq).fields.toList
+            .flatMap(f => ids.get(f.name).map(id => JObject(
+              "field-id" -> (JInt(id): JValue),
+              "names" -> (JArray(List(JString(
+                Manifest.ColumnMapping.physicalNameOf(f)))): JValue)))))
+          List("schema.name-mapping.default" ->
+            (JString(JsonMethods.compact(JsonMethods.render(entries)))
+              : JValue))
+        }),
       "current-snapshot-id" -> JInt(current.seq),
       "snapshots" -> snapshots,
       "refs" -> JObject("main" -> JObject(
@@ -1286,10 +1320,11 @@ object IcebergExport {
       lo: String, hi: String): DataFrame = {
     val files = activeFilesPruned(spark, dir, column, lo, hi)
     if (files.nonEmpty)
-      readUrisApplyingDeletes(spark, dir, files,
-        activeFilesWithSeq(spark, dir, None).toMap,
-        deleteState(spark, dir, None),
-        ids => eqColumnNames(spark, dir, None, ids))
+      toLogicalNames(spark, dir, None,
+        readUrisApplyingDeletes(spark, dir, files,
+          activeFilesWithSeq(spark, dir, None).toMap,
+          deleteState(spark, dir, None),
+          ids => eqColumnNames(spark, dir, None, ids)))
     else read(spark, dir).limit(0)
   }
 
@@ -1297,9 +1332,66 @@ object IcebergExport {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val fseq = activeFilesWithSeq(spark, dir, None)
     require(fseq.nonEmpty, s"iceberg snapshot has no data files under $dir")
-    readUrisApplyingDeletes(spark, dir, fseq.map(_._1), fseq.toMap,
-      deleteState(spark, dir, None),
-      ids => eqColumnNames(spark, dir, None, ids))
+    toLogicalNames(spark, dir, None,
+      readUrisApplyingDeletes(spark, dir, fseq.map(_._1), fseq.toMap,
+        deleteState(spark, dir, None),
+        ids => eqColumnNames(spark, dir, None, ids)))
+  }
+
+  /** The schema JSON a snapshot was committed with (its `schema-id`;
+    * current-schema-id as the fallback). */
+  private def snapshotSchemaJ(meta: JValue, dir: String,
+      snapshotId: Option[Long]): JValue = {
+    val wantSchemaId: Option[BigInt] =
+      (snapJ(meta, dir, snapshotId) \ "schema-id" match {
+        case JInt(i) => Some(i); case _ => None
+      }).orElse(meta \ "current-schema-id" match {
+        case JInt(i) => Some(i); case _ => None
+      })
+    val schemas = schemasOf(meta, dir)
+    wantSchemaId
+      .flatMap(id => schemas.find(s => (s \ "schema-id") == JInt(id)))
+      .orElse(schemas.headOption)
+      .getOrElse(throw new IllegalStateException(s"empty schemas under $dir"))
+  }
+
+  /** physical -> LOGICAL projection for a column-mapped export: the
+    * `schema.name-mapping.default` property gives field-id -> physical
+    * file-column name, the snapshot's schema gives field-id -> logical
+    * name; the scan read the files' physical columns. Identity when the
+    * table carries no mapping (the overwhelmingly common case — one
+    * property probe per read). */
+  private def toLogicalNames(spark: SparkSession, dir: String,
+      snapshotId: Option[Long], df: DataFrame): DataFrame = {
+    val meta = currentMetadata(spark, dir)
+    val physById: Map[Int, String] =
+      meta \ "properties" \ "schema.name-mapping.default" match {
+        case JString(j) => JsonMethods.parse(j) match {
+          case JArray(es) => es.flatMap { e =>
+            (e \ "field-id", e \ "names") match {
+              case (JInt(id), JArray(ns)) =>
+                ns.collectFirst { case JString(n) => id.toInt -> n }
+              case _ => None
+            }
+          }.toMap
+          case _ => return df
+        }
+        case _ => return df
+      }
+    val cols: Seq[(String, String)] =
+      snapshotSchemaJ(meta, dir, snapshotId) \ "fields" match {
+        case JArray(fs) => fs.flatMap { f =>
+          (f \ "name", f \ "id") match {
+            case (JString(n), JInt(id)) =>
+              Some(physById.getOrElse(id.toInt, n) -> n)
+            case _ => None
+          }
+        }
+        case _ => return df
+      }
+    if (cols.forall { case (p, l) => p == l }) df
+    else df.select(cols.map { case (p, l) =>
+      F.col("`" + p.replace("`", "``") + "`").as(l) }: _*)
   }
 
   /** Absolute-URI file-list read with hive partition-column recovery:
@@ -1498,9 +1590,10 @@ object IcebergExport {
   def readSnapshot(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
     val fseq = activeFilesWithSeq(spark, dir, Some(snapshotId))
     require(fseq.nonEmpty, s"iceberg snapshot $snapshotId has no data files")
-    readUrisApplyingDeletes(spark, dir, fseq.map(_._1), fseq.toMap,
-      deleteState(spark, dir, Some(snapshotId)),
-      ids => eqColumnNames(spark, dir, Some(snapshotId), ids))
+    toLogicalNames(spark, dir, Some(snapshotId),
+      readUrisApplyingDeletes(spark, dir, fseq.map(_._1), fseq.toMap,
+        deleteState(spark, dir, Some(snapshotId)),
+        ids => eqColumnNames(spark, dir, Some(snapshotId), ids)))
   }
 
   /** INCREMENTAL APPEND SCAN (the spec's incremental read; round 12):
@@ -1556,6 +1649,7 @@ object IcebergExport {
     val base = activeFiles(spark, dir, Some(sinceSnapshotId)).toSet
     val added = activeFiles(spark, dir, Some(currentId)).filterNot(base)
     if (added.isEmpty) None
-    else Some(readUris(spark, dir, added))
+    else Some(toLogicalNames(spark, dir, Some(currentId),
+      readUris(spark, dir, added)))
   }
 }

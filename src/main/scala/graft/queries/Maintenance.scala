@@ -2044,6 +2044,52 @@ object Maintenance {
            |    AS n_neg
            |FROM renamed GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // TYPE WIDENING under oracle (round 12): INT -> BIGINT and
+  // DECIMAL(12,2) -> DECIMAL(18,2) as metadata-only retypes (Spark 4's
+  // parquet reader upcasts the old narrow files per file), proven by
+  // inserting keys no INT can hold AFTER the widening and aggregating
+  // across the mixed narrow/wide file set; DuckDB replays the same
+  // values relationally.
+  private val graftWiden = Q(
+    "q_graft_widen",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_widen_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gwid", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gwid.warehouse", wh)
+      s.sql("CREATE NAMESPACE gwid.db")
+      t(s, dir, "customer").createOrReplaceTempView("gwid_src")
+      s.sql(
+        """CREATE TABLE gwid.db.cust USING graft
+          |AS SELECT CAST(c_custkey AS INT) AS k, c_mktsegment,
+          |   CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM gwid_src""".stripMargin)
+      s.sql("ALTER TABLE gwid.db.cust ALTER COLUMN k TYPE BIGINT")
+      s.sql("ALTER TABLE gwid.db.cust ALTER COLUMN bal TYPE DECIMAL(18,2)")
+      s.sql(
+        """INSERT INTO gwid.db.cust
+          |SELECT c_custkey + 4000000000, c_mktsegment,
+          |  CAST(c_acctbal AS DECIMAL(18,2))
+          |FROM gwid_src WHERE c_custkey % 40 = 3""".stripMargin)
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n,
+          |  CAST(SUM(k) AS BIGINT) AS sum_k,
+          |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          |FROM gwid.db.cust GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal
+           |              FROM customer),
+           |widened AS (
+           |  SELECT c_custkey AS k, c_mktsegment, c_acctbal AS bal
+           |  FROM base
+           |  UNION ALL
+           |  SELECT c_custkey + 4000000000, c_mktsegment, c_acctbal
+           |  FROM base WHERE c_custkey % 40 = 3)
+           |SELECT c_mktsegment, COUNT(*) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           |FROM widened GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // CALL system.zorder under oracle (round 11): orders lands UNCLUSTERED
   // (hash-repartitioned — every file spans the whole key space, so
   // footer bounds prune nothing), the SQL procedure rewrites it
@@ -2162,7 +2208,7 @@ object Maintenance {
     graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
     graftSqlDelete, graftSubqDelete, graftCorrDml, graftMerge, graftCatalogQ,
     graftEvolve,
-    graftEvolveAsof, graftMergeEvolve, graftRename, graftZorder,
+    graftEvolveAsof, graftMergeEvolve, graftRename, graftWiden, graftZorder,
     graftRestore, graftOptimize,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,

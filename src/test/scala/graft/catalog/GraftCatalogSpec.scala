@@ -478,10 +478,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(viaDelta.columns.toSeq == Seq("k", "label", "v"))
     assert(viaDelta.orderBy("k").collect().map(_.getString(1)).toSeq ==
       Seq("B", "c"))
-    // the Iceberg face refuses by name instead of publishing physical names
-    val e = intercept[UnsupportedOperationException](
-      graft.io.IcebergExport.exportTable(spark, dir))
-    assert(e.getMessage.contains("column mapping"))
+    // the Iceberg face exports the mapping as the spec's name-mapping
+    // (schema carries LOGICAL names; the property maps field ids to
+    // the files' physical columns) and its own reader resolves it
+    graft.io.IcebergExport.exportTable(spark, dir)
+    val viaIceberg = graft.io.IcebergExport.read(spark, dir)
+    assert(viaIceberg.columns.toSeq == Seq("k", "label", "v"))
+    assert(viaIceberg.orderBy("k").collect().map(_.getString(1)).toSeq ==
+      Seq("B", "c"))
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "metadata").listFiles()
+        .filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(_.getName).toPath))
+    assert(metaTxt.contains("schema.name-mapping.default"),
+      "a mapped table's Iceberg metadata must carry the name mapping")
+    assert(metaTxt.contains("\\\"names\\\":[\\\"name\\\"]") ||
+      metaTxt.contains("\"names\":[\"name\"]"),
+      "the mapping must reference the PHYSICAL column name")
   }
 
   test("COLUMN MAPPING: DROP COLUMN hides the bytes; re-ADD never resurrects them") {
@@ -532,6 +545,48 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql("CALL gcat.system.history(table => 'amb1.dup')").count() >= 1)
   }
 
+  test("ALTER COLUMN TYPE widens in place; old files upcast per file; time travel keeps the narrow type") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.widen (k INT, v FLOAT, d DECIMAL(5,2)) USING graft")
+    sql("INSERT INTO gcat.db.widen VALUES " +
+      "(1, CAST(1.5 AS FLOAT), 12.34), (2, CAST(2.5 AS FLOAT), 1.00)") // seq 0
+    sql("ALTER TABLE gcat.db.widen ALTER COLUMN k TYPE BIGINT") // seq 1
+    sql("ALTER TABLE gcat.db.widen ALTER COLUMN v TYPE DOUBLE") // seq 2
+    sql("ALTER TABLE gcat.db.widen ALTER COLUMN d TYPE DECIMAL(12,2)") // seq 3
+    // a value no INT can hold proves the widening is real
+    sql("ALTER TABLE gcat.db.widen ADD COLUMN tag STRING") // seq 4
+    sql("INSERT INTO gcat.db.widen VALUES " +
+      "(3000000000, 3.5, 9999999999.99, 'wide')")
+    val sch = sql("SELECT * FROM gcat.db.widen").schema
+    assert(sch("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(sch("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    // old narrow files upcast per file inside the reader
+    assert(sql("SELECT SUM(k) FROM gcat.db.widen").collect()
+      .head.getLong(0) == 3000000003L)
+    assert(sql("SELECT SUM(d) FROM gcat.db.widen").collect()
+      .head.getDecimal(0).toString == "10000000013.33")
+    // DML across the widening boundary rewrites narrow files WIDE
+    sql("UPDATE gcat.db.widen SET v = 7.0 WHERE k = 1")
+    assert(sql("SELECT v FROM gcat.db.widen WHERE k = 1").collect()
+      .head.getDouble(0) == 7.0)
+    // time travel below the widening reads the AS-COMMITTED narrow types
+    val v0 = sql("SELECT * FROM gcat.db.widen VERSION AS OF 0").schema
+    assert(v0("k").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(v0("v").dataType == org.apache.spark.sql.types.FloatType)
+    // refusals: narrowing, re-kinding
+    intercept[Exception](
+      sql("ALTER TABLE gcat.db.widen ALTER COLUMN k TYPE INT"))
+    intercept[Exception](
+      sql("ALTER TABLE gcat.db.widen ALTER COLUMN v TYPE STRING"))
+    // partition-column retype refuses (path rendering is baked in)
+    sql("CREATE TABLE gcat.db.widenp (x INT, p INT) USING graft PARTITIONED BY (p)")
+    sql("INSERT INTO gcat.db.widenp VALUES (1, 7)")
+    intercept[Exception](
+      sql("ALTER TABLE gcat.db.widenp ALTER COLUMN p TYPE BIGINT"))
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES and evolution refusals") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.props (x INT) USING graft")
@@ -549,8 +604,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception](sql("ALTER TABLE gcat.db.props ADD COLUMN y INT"))
     intercept[Exception](
       sql("ALTER TABLE gcat.db.props ADD COLUMN z INT NOT NULL"))
+    // re-kinding refuses (INT -> BIGINT widening is legal since r12)
     intercept[Exception](
-      sql("ALTER TABLE gcat.db.props ALTER COLUMN y TYPE BIGINT"))
+      sql("ALTER TABLE gcat.db.props ALTER COLUMN y TYPE STRING"))
   }
 
   test("ALTER TABLE ADD COLUMN on a partitioned table keeps pruning and layout") {

@@ -164,6 +164,53 @@ class IcebergExportSpec extends AnyFunSuite {
       .get.as[Int].collect().sorted.toSeq == (19 to 20))
   }
 
+  test("column-mapped export: renamed column KEEPS its field id; bounds prune by logical name") {
+    val wh = java.nio.file.Files.createTempDirectory("icewh").toString
+    spark.conf.set("spark.sql.catalog.gice", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gice.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gice.db")
+    spark.sql("CREATE TABLE gice.db.cm (k BIGINT, val BIGINT) USING graft")
+    spark.sql("INSERT INTO gice.db.cm SELECT id, id * 10 FROM range(0, 100)")
+    val dir = s"$wh/db/cm"
+    // export BEFORE the rename pins the original field ids
+    IcebergExport.exportTable(spark, dir)
+    def idOf(name: String): Int = {
+      val metaTxt = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "metadata").listFiles()
+          .filter(_.getName.endsWith(".metadata.json"))
+          .maxBy(_.getName).toPath))
+      val j = org.json4s.jackson.JsonMethods.parse(metaTxt)
+      val org.json4s.JArray(schemas) = j \ "schemas"
+      val fields = schemas.flatMap(s => s \ "fields" match {
+        case org.json4s.JArray(fs) => fs; case _ => Nil
+      })
+      fields.collectFirst {
+        case f if (f \ "name") == org.json4s.JString(name) =>
+          (f \ "id").asInstanceOf[org.json4s.JInt].num.toInt
+      }.getOrElse(fail(s"no field '$name' in any exported schema"))
+    }
+    val idBefore = idOf("val")
+    spark.sql("ALTER TABLE gice.db.cm RENAME COLUMN val TO score")
+    spark.sql("INSERT INTO gice.db.cm VALUES (200, 2000)")
+    IcebergExport.exportTable(spark, dir)
+    // Iceberg rename semantics: SAME field id under the new name
+    assert(idOf("score") == idBefore,
+      "a renamed column must keep its Iceberg field id")
+    // reads serve logical names; values span pre- and post-rename files
+    val got = IcebergExport.read(spark, dir)
+    assert(got.columns.toSeq == Seq("k", "score"))
+    assert(got.where("k = 200").collect().head.getLong(1) == 2000L)
+    assert(got.count() == 101)
+    // bounds pruning by the LOGICAL name still bites: the stats were
+    // encoded under the stable field id from physical-keyed footers
+    val pruned = IcebergExport.readPruned(spark, dir, "score", "980", "2010")
+    // files outside the bounds are dropped (row filtering stays the
+    // caller's job); the kept files hold 980, 990 and the 2000 row
+    assert(pruned.count() < 101, "bounds pruning must drop files")
+    assert(pruned.where("score BETWEEN 980 AND 2010").collect()
+      .map(_.getLong(1)).sorted.toSeq == Seq(980L, 990L, 2000L))
+  }
+
   test("re-export is incremental: avro files immutable, metadata generation advances") {
     val dir = tmpDir()
     Manifest.write((1 to 10).toDF("v"), dir, "s1")

@@ -127,6 +127,39 @@ class GraftStreamingSpec extends AnyFunSuite {
     assert(Manifest.snapshots(spark, out).size == nBefore)
   }
 
+  test("source: streaming a COLUMN-MAPPED table serves logical names across a rename") {
+    val table = tmpDir()
+    val wh = tmpDir()
+    val out = tmpDir() + "/out"
+    val ckpt = tmpDir() + "/ckpt"
+    spark.conf.set("spark.sql.catalog.gstr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gstr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gstr.db")
+    spark.sql(s"CREATE TABLE gstr.db.cm (k BIGINT, name STRING) USING graft")
+    spark.sql("INSERT INTO gstr.db.cm VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gstr.db.cm RENAME COLUMN name TO label")
+    // post-rename INSERT lands under the frozen PHYSICAL name
+    spark.sql("INSERT INTO gstr.db.cm VALUES (3, 'c')")
+    val dir = s"$wh/db/cm"
+    def drain(): Unit =
+      spark.readStream.format("graft").load(dir)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    val got = Manifest.read(spark, out)
+    assert(got.columns.toSeq == Seq("k", "label"),
+      "the stream must serve LOGICAL names")
+    assert(got.orderBy("k").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b", "c"),
+      "physical-named files must map through on every batch")
+    // incremental batches across mixed pre/post-rename files too
+    spark.sql("INSERT INTO gstr.db.cm VALUES (4, 'd')")
+    drain()
+    assert(Manifest.read(spark, out).count() == 4)
+  }
+
   test("source: a rewrite inside the window fails loudly, never re-serves rows") {
     val table = tmpDir() + "/t"
     val out = tmpDir() + "/out"
