@@ -2090,6 +2090,38 @@ object Maintenance {
            |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
            |FROM widened GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // graft-native INCREMENTAL READ under oracle (round 12):
+  // `.option("changesSince", <snapshot>)` serves the rows ADDED after
+  // the baseline — the manifest file-set difference on the vectorized
+  // fast path (cost ∝ new files, the downstream-incremental-job
+  // pattern) — proven by aggregating ONLY the two appended slices
+  // against DuckDB's relational replay of the same slices.
+  private val graftChanges = Q(
+    "q_graft_changes",
+    (s, dir) => {
+      val out = scratchDir(dir, "graft_changes")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = t(s, dir, "orders")
+      graft.io.Manifest.write(o.filter(col("o_orderkey") % 3 === 0),
+        out, "base")
+      graft.io.Manifest.append(o.filter(col("o_orderkey") % 3 === 1),
+        out, "batch1")
+      graft.io.Manifest.append(o.filter(col("o_orderkey") % 3 === 2),
+        out, "batch2")
+      s.read.format("graft").option("changesSince", "base").load(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders WHERE o_orderkey % 3 <> 0
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // CALL system.zorder under oracle (round 11): orders lands UNCLUSTERED
   // (hash-repartitioned — every file spans the whole key space, so
   // footer bounds prune nothing), the SQL procedure rewrites it
@@ -2208,7 +2240,8 @@ object Maintenance {
     graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
     graftSqlDelete, graftSubqDelete, graftCorrDml, graftMerge, graftCatalogQ,
     graftEvolve,
-    graftEvolveAsof, graftMergeEvolve, graftRename, graftWiden, graftZorder,
+    graftEvolveAsof, graftMergeEvolve, graftRename, graftWiden, graftChanges,
+    graftZorder,
     graftRestore, graftOptimize,
     httpSource,
     ewmaQ, eventsAnomaly, statsMoments, crossJoin, incrRollup,

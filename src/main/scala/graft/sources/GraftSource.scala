@@ -210,6 +210,20 @@ object GraftSource {
   private[graft] def buildRelation(spark: SparkSession, dir: String,
       opts: Map[String, String],
       declaredSchema: Option[StructType] = None): BaseRelation = {
+    // INCREMENTAL READ as a reader option (round 12):
+    // `.option("changesSince", <snapshot>)` serves the rows ADDED after
+    // the named retained snapshot — the manifest file-set difference,
+    // on the SAME vectorized fast path as a full read (the file index
+    // simply lists fewer files). Data-proportional output stays
+    // distributed, which is why this is a read option and not a
+    // procedure. The append-only span guard is readChangesSince's:
+    // a rewrite commit in the span fails loudly (re-baseline).
+    opts.get("changessince").foreach { since =>
+      require(!Seq("versionasof", "snapshotasof", "timestampasof")
+          .exists(opts.contains),
+        "graft: changesSince cannot combine with a time-travel selector")
+      return changesRelation(spark, dir, since, opts)
+    }
     val m = GraftSource.resolveSnapshot(spark, dir, opts)
     val timeTravel = Seq("versionasof", "snapshotasof", "timestampasof")
       .exists(opts.contains)
@@ -226,6 +240,15 @@ object GraftSource {
         graft.catalog.GraftTableMeta.read(fsys, p).flatMap(_.schema)
       }
     ).map(s => StructType(s.map(_.copy(nullable = true))))
+    buildSnapshotRelation(spark, dir, m, declared, opts)
+  }
+
+  /** The relation for a pinned (possibly file-restricted) snapshot
+    * under a resolved declared schema — the shared tail of
+    * [[buildRelation]] and [[changesRelation]]. */
+  private def buildSnapshotRelation(spark: SparkSession, dir: String,
+      m: Manifest.ManifestData, declared: Option[StructType],
+      opts: Map[String, String]): BaseRelation =
     GraftSource.uniformPartitionCols(m.files) match {
       case Some(partNames) if m.deleteFiles.isEmpty &&
           !declared.exists(Manifest.ColumnMapping.hasMapping) =>
@@ -251,6 +274,42 @@ object GraftSource {
         // read path's anti-join
         new GraftMorRelation(spark, dir, m, declared)
     }
+
+  /** The `.option("changesSince", …)` relation: the CURRENT snapshot's
+    * file index restricted to files the baseline does not list —
+    * [[graft.io.Manifest.readChangesSince]]'s semantics (monotone file
+    * sets make the diff exactly the row delta; rewrite commits in the
+    * span refuse loudly) on the vectorized scan path. An empty delta
+    * reads as ZERO ROWS under the current schema rather than erroring:
+    * the downstream incremental job simply has nothing to do. */
+  private def changesRelation(spark: SparkSession, dir: String,
+      since: String, opts: Map[String, String]): BaseRelation = {
+    val hist = Manifest.history(spark, dir)
+    require(hist.nonEmpty, s"graft: no committed snapshot under $dir")
+    val baseline = hist.find(_.snapshot == since).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: no retained snapshot '$since' under $dir " +
+          s"(retained: ${hist.map(_.snapshot).mkString(", ")})"))
+    val current = hist.last
+    hist.filter(m => m.seq > baseline.seq && m.rewrite).foreach(m =>
+      throw new IllegalStateException(
+        s"graft: cannot serve changes since '$since' under $dir: commit " +
+          s"'${m.snapshot}' (seq ${m.seq}) is a rewrite (compaction/COW " +
+          "DML) whose files re-pack pre-existing rows - re-baseline on a " +
+          "snapshot at or after it"))
+    val newFiles = current.files.filterNot(baseline.files.toSet)
+    val declared = Manifest.declaredSchemaAt(spark, dir, current.seq)
+    if (newFiles.isEmpty) {
+      val schema = declared.getOrElse(
+        Manifest.readFiles(spark, dir, current.files).schema)
+      return new GraftEmptyRelation(spark, dir, schema)
+    }
+    // appended files cannot be targeted by standing deletes (a MOR
+    // change inside the span is a rewrite-class refusal upstream in the
+    // stream face; here delete state rides only on CARRIED files, which
+    // the diff excludes), so the delta reads clean
+    buildSnapshotRelation(spark, dir,
+      current.copy(files = newFiles, deleteFiles = Nil), declared, opts)
   }
 
   /** Resolve the snapshot the options select (default: current). */
@@ -545,8 +604,12 @@ class GraftMorRelation(spark: SparkSession, dir: String,
     extends BaseRelation with PrunedFilteredScan
     with InsertableRelation {
   override def sqlContext: SQLContext = spark.sqlContext
+  // the EXPLICIT file list, not readAt(snapshot): `m` may be a
+  // file-restricted view of the snapshot (the changesSince delta) —
+  // for a full snapshot the two are identical
   private lazy val frame: DataFrame =
-    Manifest.readAt(spark, dir, m.snapshot, declaredSchema)
+    Manifest.readFilesApplyingDeletes(spark, dir, m.files, m.deleteFiles,
+      declaredSchema.orElse(Manifest.declaredSchemaAt(spark, dir, m.seq)))
   override lazy val schema: StructType = frame.schema
   /** The manifest table root / pinned snapshot — the SQL DML rewrite's
     * coordinates (same contract as [[GraftFileIndex]]). */

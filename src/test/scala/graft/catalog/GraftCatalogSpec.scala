@@ -587,6 +587,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       sql("ALTER TABLE gcat.db.widenp ALTER COLUMN p TYPE BIGINT"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION composes with column mapping (fresh physical name)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.mevocm (k BIGINT, junk STRING, v STRING) USING graft")
+    sql("INSERT INTO gcat.db.mevocm VALUES (1, 'old', 'a')")
+    // activate mapping by DROPPING a column, then evolve THROUGH a merge
+    // whose source re-introduces the dropped NAME: the evolution must
+    // mint a fresh physical column — the dropped bytes stay dead
+    sql("ALTER TABLE gcat.db.mevocm DROP COLUMN junk")
+    Seq((1L, "A", "fresh"), (2L, "B", "new")).toDF("k", "v", "junk")
+      .createOrReplaceTempView("mevocm_src")
+    sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gcat.db.mevocm t
+        |USING mevocm_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = sql("SELECT k, v, junk FROM gcat.db.mevocm ORDER BY k")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1),
+      r.getString(2))).toSeq == Seq((1L, "A", "fresh"), (2L, "B", "new")),
+      "the re-added column must carry the MERGE's values, never 'old'")
+    // the evolved column landed under a FRESH physical name
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.mevocm")
+    val sidecar = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, ".graft-table.json")))
+    assert(sidecar.contains("col-"),
+      "re-added column must take a col-<uuid> physical name")
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES and evolution refusals") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.props (x INT) USING graft")

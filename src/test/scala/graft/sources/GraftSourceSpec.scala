@@ -73,6 +73,44 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("changesSince: the incremental read is a restricted fast-path scan; rewrites refuse") {
+    val dir = tmpDir()
+    Manifest.write((1 to 100).toDF("v"), dir, "base")
+    Manifest.append((101 to 130).toDF("v"), dir, "b1")
+    Manifest.append((131 to 140).toDF("v"), dir, "b2")
+    // the delta after 'base' = exactly the two appended batches
+    val delta = spark.read.format("graft")
+      .option("changesSince", "base").load(dir)
+    assert(delta.as[Int].collect().sorted.toSeq == (101 to 140))
+    // it rides the same vectorized scan, over FEWER files
+    assert(scannedFiles(delta) > 0)
+    // mid-history baseline
+    assert(spark.read.format("graft").option("changesSince", "b1").load(dir)
+      .as[Int].collect().sorted.toSeq == (131 to 140))
+    // current baseline: zero rows, full schema (not an error)
+    val none = spark.read.format("graft")
+      .option("changesSince", "b2").load(dir)
+    assert(none.columns.toSeq == Seq("v") && none.count() == 0)
+    // unknown baseline / time-travel combination refuse loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("changesSince", "nope").load(dir)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("changesSince", "base")
+        .option("versionAsOf", "0").load(dir)
+    }
+    // a rewrite in the span refuses: its files re-pack served rows
+    Manifest.compact(spark, dir, "c1", 128L * 1024 * 1024)
+    val e = intercept[IllegalStateException] {
+      spark.read.format("graft").option("changesSince", "base").load(dir)
+    }
+    assert(e.getMessage.contains("re-baseline"))
+    // re-baselining on the rewrite works
+    Manifest.append(Seq(999).toDF("v"), dir, "b3")
+    assert(spark.read.format("graft").option("changesSince", "c1").load(dir)
+      .as[Int].collect().toSeq == Seq(999))
+  }
+
   test("partition filters prune to the matching hive directories only") {
     val dir = tmpDir()
     val df = spark.sql(
