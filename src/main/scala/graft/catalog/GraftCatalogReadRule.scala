@@ -59,12 +59,16 @@ object GraftCatalogReadRule extends Rule[LogicalPlan] {
       // alterTable (the CAS'd ADD COLUMN + schema-history commit), then
       // reloads the widened table. Once needSchemaEvolution is false
       // the swap proceeds and the V1 DML interception sees an
-      // already-evolved target. Try-wrapped: the lazy flag can only be
-      // computed once the source side resolves — defer the swap until
-      // it can be (an unresolvable source fails the statement anyway).
+      // already-evolved target. While the SOURCE side is still
+      // resolving, needSchemaEvolution reads false (its lazy guard
+      // requires both sides resolved) — defer on that too, or a
+      // multi-iteration source would let the swap fire one iteration
+      // early and the evolution would never run. Try-wrapped: the lazy
+      // vals must never fail the whole batch mid-resolution.
       case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
           if scala.util.Try(m.schemaEvolutionEnabled).getOrElse(false) &&
-            scala.util.Try(m.needSchemaEvolution).getOrElse(true) =>
+            (!m.sourceTable.resolved ||
+              scala.util.Try(m.needSchemaEvolution).getOrElse(true)) =>
         insertTargets.add(m.targetTable)
         insertTargets.add(EliminateSubqueryAliases(m.targetTable))
       case _ => ()
