@@ -157,7 +157,11 @@ private[catalog] object GraftProcedures {
       override val params = Array(
         in("table", StringType),
         in("columns", StringType), // comma-separated cluster columns
-        inDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString))
+        inDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString),
+        // OPTIMIZE … WHERE … ZORDER BY: "k=v[,k2=v2]" clusters ONLY the
+        // matching hive partitions, carrying every other file by
+        // reference — the nightly hot-partition move with tight bounds
+        inDefault("where_partition", StringType, "null"))
       override val outSchema = new StructType()
         .add("snapshot", StringType).add("files", LongType)
       override def run(spark: SparkSession, dir: String,
@@ -172,6 +176,18 @@ private[catalog] object GraftProcedures {
         val target = args.getLong(2)
         require(target > 0,
           s"graft catalog: target_file_bytes must be positive, got $target")
+        val whereEq: Option[Map[String, String]] =
+          if (args.isNullAt(3)) None
+          else Some(args.getUTF8String(3).toString.split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty)
+            .map { kv =>
+              val i = kv.indexOf('=')
+              require(i > 0, s"graft catalog: malformed where_partition " +
+                s"entry '$kv' (expected k=v)")
+              kv.substring(0, i).trim -> kv.substring(i + 1).trim
+            }.toMap)
+        whereEq.foreach(m => require(m.nonEmpty,
+          "graft catalog: where_partition needs at least one k=v entry"))
         val snap = s"zorder${System.currentTimeMillis()}"
         // layout-preserving: a hive-partitioned table clusters WITHIN
         // its partition tree (declared partitioning wins, repairing a
@@ -183,10 +199,19 @@ private[catalog] object GraftProcedures {
           s"graft catalog: cluster columns ${cols.mkString(", ")} must not " +
             s"include partition columns (${partCols.mkString(", ")}) - " +
             "partition values are already path-exact")
-        val files =
-          if (partCols.nonEmpty) Manifest.compactClusteredPartitioned(
-            spark, dir, snap, target, cols, partCols)
-          else Manifest.compactClustered(spark, dir, snap, target, cols)
+        val files = whereEq match {
+          case Some(eq) =>
+            val res = Manifest.compactClusteredWherePartitions(
+              spark, dir, snap, eq, target, cols)
+            require(res.committed.isDefined,
+              s"graft catalog: no files match where_partition " +
+                s"${eq.map { case (k, v) => s"$k=$v" }.mkString(",")}")
+            Manifest.history(spark, dir).last.files.size.toLong
+          case None if partCols.nonEmpty =>
+            Manifest.compactClusteredPartitioned(
+              spark, dir, snap, target, cols, partCols)
+          case None => Manifest.compactClustered(spark, dir, snap, target, cols)
+        }
         spark.catalog.refreshByPath(dir)
         result(outSchema, UTF8String.fromString(snap), files)
       }

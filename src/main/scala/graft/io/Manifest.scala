@@ -1215,6 +1215,49 @@ object Manifest {
     CowRewrite(touch, keep, Some(snapshot))
   }
 
+  /** PARTITION-SCOPED CLUSTERED compaction (Delta's `OPTIMIZE … WHERE
+    * … ZORDER BY`): rewrite ONLY the hive partitions matching every
+    * `equalTo` entry, RANGE-CLUSTERED on `clusterCols` within the kept
+    * layout, carrying every other file by reference — the nightly
+    * hot-partition maintenance move that ALSO makes the partition's
+    * footer bounds tight, so selective reads inside it open only the
+    * overlapping files. Match, MOR, rebase, and commit semantics are
+    * exactly [[compactWherePartitions]]'s; the clustering shuffle is
+    * [[compactClusteredPartitioned]]'s, scoped to the matched bytes. */
+  def compactClusteredWherePartitions(spark: SparkSession, dir: String,
+      snapshot: String, equalTo: Map[String, String],
+      targetFileBytes: Long, clusterCols: Seq[String]): CowRewrite = {
+    require(equalTo.nonEmpty, "compactClusteredWherePartitions needs partition values")
+    require(clusterCols.nonEmpty, "compactClusteredWherePartitions needs cluster columns")
+    val (fsys, base) = fs(spark, dir)
+    val cur = retained(fsys, base).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    def matches(f: String): Boolean = equalTo.forall { case (k, v) =>
+      f.contains(s"/${escapePathName(k)}=${escapePathName(v)}/")
+    }
+    val (touch, keep) = cur.files.partition(matches)
+    if (touch.isEmpty) return CowRewrite(Nil, keep, None)
+    val partCols = partitionValuesOf(touch.head).map(_._1)
+    require(partCols.nonEmpty,
+      s"compactClusteredWherePartitions: matched files under $dir carry " +
+        "no hive layout")
+    require(clusterCols.forall(c => !partCols.contains(c)),
+      s"cluster columns ${clusterCols.mkString(", ")} must not include " +
+        s"partition columns (${partCols.mkString(", ")})")
+    val bytes = touch.map(f => fsys.getFileStatus(new Path(base, f)).getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val ordering = (partCols ++ clusterCols).map(F.col)
+    val df = readFilesApplyingDeletes(spark, dir, touch, cur.deleteFiles,
+      declaredSchema(spark, dir))
+      .repartitionByRange(n.toInt, ordering: _*)
+      .sortWithinPartitions(ordering: _*)
+    writeImpl(df, dir, snapshot, () => (), carriedExplicit = Some(keep),
+      partitionCols = partCols, deletesExplicit = Some(cur.deleteFiles),
+      rewrite = true, cowBase = Some(cur))
+    CowRewrite(touch, keep, Some(snapshot))
+  }
+
   /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF`): make a
     * RETAINED older snapshot the table head again by committing a NEW
     * manifest that lists the target snapshot's files and delete state

@@ -616,6 +616,50 @@ class GraftCatalogSpec extends AnyFunSuite {
       "re-added column must take a col-<uuid> physical name")
   }
 
+  test("CALL zorder(where_partition) clusters ONE partition, carries the rest") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.range(0, 4000).toDF("id")
+      .withColumn("seg", org.apache.spark.sql.functions.expr(
+        "CASE WHEN id % 2 = 0 THEN 'hot' ELSE 'cold' END"))
+      .createOrReplaceTempView("zw_src")
+    // deliberate small-file spray inside each partition, hash-shuffled
+    // so footer bounds prune nothing
+    sql("CREATE TABLE gcat.db.zw USING graft PARTITIONED BY (seg) " +
+      "AS SELECT /*+ REPARTITION(6) */ id, seg FROM zw_src")
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.zw")
+    val before = Manifest.history(spark, dir).last.files
+    val coldBefore = before.filter(_.contains("seg=cold/"))
+    sql("CALL gcat.system.zorder(table => 'db.zw', columns => 'id', " +
+      "where_partition => 'seg=hot', target_file_bytes => 4096)")
+    val after = Manifest.history(spark, dir).last.files
+    // every cold file carried by reference; hot files rewritten
+    assert(coldBefore.forall(after.contains),
+      "non-matching partitions must carry by reference")
+    assert(after.filter(_.contains("seg=hot/"))
+      .forall(f => !before.contains(f)), "matched partition must rewrite")
+    // the hot partition is now range-clustered: a selective read opens
+    // fewer files than the spray held
+    val hotAfter = after.filter(_.contains("seg=hot/"))
+    assert(hotAfter.size > 1, "target_file_bytes must split the partition")
+    val q = sql("SELECT id FROM gcat.db.zw WHERE seg = 'hot' " +
+      "AND id BETWEEN 100 AND 120")
+    assert(q.count() == 11)
+    val scanned = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.metrics.get("numFiles")
+    }.flatten.map(_.value).sum
+    assert(scanned < hotAfter.size,
+      s"clustered bounds must prune: scanned $scanned of ${hotAfter.size}")
+    // content is intact
+    assert(sql("SELECT COUNT(*), SUM(id) FROM gcat.db.zw").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head ==
+      (4000L, (0L until 4000L).sum))
+    // no matching partition refuses loudly
+    intercept[Exception](sql(
+      "CALL gcat.system.zorder(table => 'db.zw', columns => 'id', " +
+        "where_partition => 'seg=nope')"))
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES and evolution refusals") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.props (x INT) USING graft")
