@@ -229,16 +229,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var tableDir: String = p.toString
     var tries = 0
     var done = false
-    // CAS loop (ADVICE r11): on a table WITH commits, the change is
-    // serialized through a metadata-only manifest commit — the same
-    // seq-keyed rename CAS every data commit uses — so two concurrent
-    // ALTERs (or an ALTER racing a write) can never silently drop a
-    // change: the loser re-reads the sidecar AND the head and retries.
+    // CAS loop (ADVICE r11/r12): on a table WITH commits, the change —
+    // meta payload INCLUDED — is serialized through one metadata
+    // manifest commit under the seq-keyed rename CAS every data commit
+    // uses, so two concurrent ALTERs (or an ALTER racing a write) can
+    // never silently drop a change: the loser's rename refuses and it
+    // re-reads state + head and retries.
+    // `location` is resolved once outside the loop: it names the table
+    // dir itself and is not ALTERable, so it cannot race.
+    val locDir = GraftTableMeta.read(fsys, p).flatMap(_.location)
     while (!done) {
+      val dir = locDir.getOrElse(p.toString)
+      tableDir = dir
+      // HEAD before STATE: a DDL commit landing between the two reads
+      // moves the head past `expected`, so this loop's CAS refuses and
+      // retries (safe); the reverse order could win the CAS with a
+      // state read that predates that commit (lost update).
+      val headSeq = Manifest.history(spark, dir).lastOption.map(_.seq)
       val meta0raw = GraftTableMeta.read(fsys, p).getOrElse(
         GraftTableMeta(None, Nil, None, Map.empty))
-      val dir = meta0raw.location.getOrElse(p.toString)
-      tableDir = dir
       val changesSchema = changes.exists {
         case _: TableChange.AddColumn | _: TableChange.RenameColumn |
              _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType =>
@@ -401,7 +410,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 "COLUMN TYPE, SET/UNSET TBLPROPERTIES)")
         }
       }
-      if (Manifest.history(spark, dir).isEmpty) {
+      if (headSeq.isEmpty) {
         // no snapshot exists, so there is no seq space to CAS on and no
         // per-version schema to distinguish: the base entry is replaced
         val meta2 =
@@ -414,14 +423,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val snap = s"alter-${System.currentTimeMillis()}-" +
           java.util.UUID.randomUUID().toString.take(8)
         try {
-          // the commit point: a same-files metadata commit; its seq keys
-          // the new schema entry, exactly Delta's metaData-in-a-commit
-          val seq = Manifest.commitMetadata(spark, dir, snap)
+          // the commit point: a same-files metadata commit CARRYING the
+          // new meta (Delta's metaData-in-a-commit), CAS'd on the head
+          // seq this loop's state read saw. ADVICE r12: writing the
+          // sidecar AFTER a bare commit lost updates — two ALTERs could
+          // both compute from the same pre-state and the later flat
+          // write dropped the other's change. Embedding the payload in
+          // the seq-keyed rename makes state+commit ONE atomic publish:
+          // any intervening commit (DDL or data) takes expectedSeq and
+          // this rename refuses, forcing a re-read + re-derive.
+          val expected = headSeq.get + 1
           val meta2 =
             if (changesSchema)
               meta1.copy(schemaHistory =
-                meta0.schemaHistory :+ (seq -> meta1.schema.get))
+                meta0.schemaHistory :+ (expected -> meta1.schema.get))
             else meta1
+          Manifest.commitMetadata(spark, dir, snap,
+            metaB64 = Some(GraftTableMeta.toB64(meta2.copy(location = None))),
+            expectedSeq = Some(expected))
+          // flat sidecars are now a pure CACHE (read() prefers the
+          // embedded payload) — losing or stale-overwriting them is
+          // harmless
           writeSidecars(p, meta0raw.location, meta2)
           done = true
         } catch {
@@ -445,14 +467,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * rather than the data dir reading under a contract the catalog
     * never finished declaring. */
   private def writeSidecars(p: Path, location: Option[String],
-      meta: GraftTableMeta): Unit = {
-    location.foreach { loc =>
-      val lp = new Path(loc)
-      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      GraftTableMeta.write(lfs, lp, meta.copy(location = None))
+      meta: GraftTableMeta): Unit =
+    // serialize same-JVM cache overwrites per table path — the flat
+    // file is a cache (DDL commits carry the truth), but un-torn cache
+    // files keep the no-DDL fallback path clean
+    p.toString.intern.synchronized {
+      location.foreach { loc =>
+        val lp = new Path(loc)
+        val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        GraftTableMeta.write(lfs, lp, meta.copy(location = None))
+      }
+      GraftTableMeta.write(fsys, p, meta)
     }
-    GraftTableMeta.write(fsys, p, meta)
-  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = identPath(ident)
@@ -536,23 +562,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * AS OF the restore target, recorded as a fresh schema-history
     * entry keyed by the restore commit's seq — the head reads the
     * restored shape, while time travel ABOVE the restore still serves
-    * the evolved one. No-op when the sidecar declares no schema or the
-    * target's schema is already current. */
-  private[catalog] def restoreSchemaTo(name: String, targetSeq: Long,
-      newSeq: Long): Unit = {
+    * the evolved one. Returns None (no-op) when the sidecar declares
+    * no schema or the target's schema is already current. The caller
+    * embeds the result IN the restore commit itself (ADVICE r12:
+    * a post-commit flat write can race an ALTER and lose one side). */
+  private[catalog] def restoredMetaFor(name: String, targetSeq: Long,
+      newSeq: Long): Option[GraftTableMeta] = {
     val p = resolveTablePath(name)
-    GraftTableMeta.read(fsys, p).foreach { m0 =>
+    GraftTableMeta.read(fsys, p).flatMap { m0 =>
       m0.schemaAt(targetSeq) match {
         case Some(sOld) if m0.schema.exists(_ != sOld) =>
           val baseHist =
             if (m0.schemaHistory.nonEmpty) m0.schemaHistory
             else m0.schema.map(s => Seq(0L -> s)).getOrElse(Nil)
-          writeSidecars(p, m0.location,
-            m0.copy(schema = Some(sOld),
-              schemaHistory = baseHist :+ (newSeq -> sOld)))
-        case _ => ()
+          Some(m0.copy(schema = Some(sOld),
+            schemaHistory = baseHist :+ (newSeq -> sOld)))
+        case _ => None
       }
     }
+  }
+
+  /** Refresh the flat sidecar CACHE after a DDL-carrying commit. */
+  private[catalog] def refreshSidecarCache(name: String,
+      meta: GraftTableMeta): Unit = {
+    val p = resolveTablePath(name)
+    writeSidecars(p, meta.location, meta)
   }
 
   private lazy val procedures = GraftProcedures.all(this)
@@ -728,7 +762,9 @@ private[graft] object GraftTableMeta {
         (MaxIdProp -> fields.length.toString))
   }
 
-  def write(fsys: FileSystem, tableDir: Path, meta: GraftTableMeta): Unit = {
+  /** The sidecar JSON codec, shared by the flat cache file and the
+    * base64 payload DDL commits embed in their manifests. */
+  def render(meta: GraftTableMeta): String = {
     val j = JObject(List(
       "version" -> JInt(1),
       "schemaJson" -> meta.schema.map(s => JString(s.json)).getOrElse(JNothing),
@@ -742,24 +778,89 @@ private[graft] object GraftTableMeta {
            JObject(List("sinceSeq" -> (JInt(s): JValue),
              "schemaJson" -> (JString(sch.json): JValue)))
          }))))
+    JsonMethods.pretty(JsonMethods.render(j))
+  }
+
+  def toB64(meta: GraftTableMeta): String =
+    java.util.Base64.getEncoder.encodeToString(
+      render(meta).getBytes("UTF-8"))
+
+  def fromB64(b64: String): GraftTableMeta =
+    parseJson(new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
+
+  def write(fsys: FileSystem, tableDir: Path, meta: GraftTableMeta): Unit = {
     val out = fsys.create(new Path(tableDir, SidecarName), true)
-    try out.write(JsonMethods.pretty(JsonMethods.render(j))
-      .getBytes("UTF-8"))
+    try out.write(render(meta).getBytes("UTF-8"))
     finally out.close()
   }
 
+  /** The table's metadata view. AUTHORITY ORDER (ADVICE r12 — the
+    * flat sidecar is a racy overwrite file, so a losing concurrent
+    * ALTER can leave it stale): (1) the newest DDL commit's embedded
+    * payload under the table's DATA dir — written atomically WITH its
+    * manifest, so it is always the serialized truth; (2) for a
+    * LOCATION-registered table whose data dir carries no embedded
+    * payload (e.g. vacuumed away), the data-dir mirror sidecar (the
+    * vacuum flatten refreshes it); (3) the flat sidecar at `tableDir`.
+    * `location` always comes from (3) — it names the redirect itself
+    * and is not ALTERable. */
   def read(fsys: FileSystem, tableDir: Path): Option[GraftTableMeta] = {
+    // embedded-FIRST: when a DDL commit exists under tableDir, its
+    // payload is complete and the flat cache never needs opening at
+    // all (a LOCATION-registered catalog path holds no manifests, so
+    // finding one here implies tableDir IS the data dir and location
+    // is vacuously None)
+    Manifest.newestEmbeddedMetaB64(fsys, tableDir).map(fromB64)
+      .foreach(emb => return Some(emb.copy(location = None)))
+    val flat = readFlat(fsys, tableDir)
+    val dataDir = flat.flatMap(_.location).map(new Path(_))
+    dataDir match {
+      case None => flat
+      case Some(lp) =>
+        val dfs = lp.getFileSystem(fsys.getConf)
+        Manifest.newestEmbeddedMetaB64(dfs, lp).map(fromB64) match {
+          case Some(emb) =>
+            Some(emb.copy(location = flat.flatMap(_.location)))
+          case None =>
+            readFlat(dfs, lp) match {
+              case Some(mirror) =>
+                Some(mirror.copy(location = flat.flatMap(_.location)))
+              case None => flat
+            }
+        }
+    }
+  }
+
+  private def readFlat(fsys: FileSystem, tableDir: Path)
+      : Option[GraftTableMeta] = {
     val p = new Path(tableDir, SidecarName)
-    if (!fsys.exists(p)) return None
-    val in = fsys.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    // the cache write is a plain overwrite (not atomic), so a read
+    // racing a concurrent refresh can see a torn file — retry briefly
+    // before surfacing the error
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt < 5) {
+      try {
+        if (!fsys.exists(p)) return None
+        val in = fsys.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        return Some(parseJson(text))
+      } catch {
+        case t: Throwable =>
+          last = t; attempt += 1; Thread.sleep(10L * attempt)
+      }
+    }
+    throw last
+  }
+
+  def parseJson(text: String): GraftTableMeta = {
     val j = JsonMethods.parse(text)
     def str(f: String): Option[String] = j \ f match {
       case JString(s) => Some(s); case _ => None
     }
-    Some(GraftTableMeta(
+    GraftTableMeta(
       schema = str("schemaJson")
         .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
           .asInstanceOf[StructType]),
@@ -783,7 +884,7 @@ private[graft] object GraftTableMeta {
           }
         }.sortBy(_._1)
         case _ => Nil
-      }))
+      })
   }
 }
 

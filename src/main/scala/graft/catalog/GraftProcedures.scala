@@ -254,16 +254,23 @@ private[catalog] object GraftProcedures {
             .getOrElse(throw new IllegalArgumentException(
               s"graft catalog: no retained commit_seq $v under $dir"))
         }
-        val newSnap = Manifest.restore(spark, dir, target)
         // RESTORE rolls back METADATA with the data (Delta semantics):
-        // the sidecar re-declares the target version's schema under a
-        // history entry at the restore commit's seq
-        newSnap.foreach { ns =>
-          val hist = Manifest.history(spark, dir)
-          for (tSeq <- hist.find(_.snapshot == target).map(_.seq);
-               nSeq <- hist.find(_.snapshot == ns).map(_.seq))
-            cat.restoreSchemaTo(args.getUTF8String(0).toString, tSeq, nSeq)
-        }
+        // the rolled-back schema rides IN the restore commit as its
+        // embedded meta payload, keyed by that commit's own seq — one
+        // atomic publish, so a concurrent ALTER either precedes the
+        // restore (and is rolled back with it) or makes its CAS refuse
+        val tname = args.getUTF8String(0).toString
+        val tSeq = Manifest.history(spark, dir)
+          .find(_.snapshot == target).map(_.seq)
+        var restoredMeta: Option[GraftTableMeta] = None
+        val newSnap = Manifest.restore(spark, dir, target,
+          metaFor = newSeq => tSeq.flatMap { ts =>
+            restoredMeta = cat.restoredMetaFor(tname, ts, newSeq)
+            restoredMeta.map(m =>
+              GraftTableMeta.toB64(m.copy(location = None)))
+          })
+        if (newSnap.isDefined)
+          restoredMeta.foreach(m => cat.refreshSidecarCache(tname, m))
         spark.catalog.refreshByPath(dir)
         result(outSchema, UTF8String.fromString(target),
           newSnap.map(UTF8String.fromString).orNull)

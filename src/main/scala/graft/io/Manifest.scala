@@ -120,7 +120,8 @@ object Manifest {
 
   private[graft] final case class ManifestData(snapshot: String, seq: Long,
       files: Seq[String], deleteFiles: Seq[String] = Nil,
-      committedAt: Long = 0L, rewrite: Boolean = false)
+      committedAt: Long = 0L, rewrite: Boolean = false,
+      metaB64: Option[String] = None)
 
   /** One read per manifest: snapshot id, commit_seq, the data file
     * list, and any POSITION-DELETE file list (`deletes-<snap>/…`, the
@@ -146,7 +147,11 @@ object Manifest {
     val at = "\"committed_at\"\\s*:\\s*(\\d+)".r
       .findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
     val rewrite = "\"rewrite\"\\s*:\\s*true".r.findFirstIn(text).isDefined
-    Some(ManifestData(snap, seq, files, deletes, at, rewrite))
+    // DDL commits embed the table metadata they declare, base64-coded
+    // (alphabet is regex-safe against every other field's pattern)
+    val metaB64 = "\"meta_b64\"\\s*:\\s*\"([A-Za-z0-9+/=]+)\"".r
+      .findFirstMatchIn(text).map(_.group(1))
+    Some(ManifestData(snap, seq, files, deletes, at, rewrite, metaB64))
   }
 
   /** All retained manifests, oldest → newest commit order. */
@@ -740,7 +745,8 @@ object Manifest {
     * attempt — the caller owns the retry (it must re-derive the change
     * from the new head). */
   private[graft] def commitMetadata(spark: SparkSession, dir: String,
-      snapshot: String): Long = {
+      snapshot: String, metaB64: Option[String] = None,
+      expectedSeq: Option[Long] = None): Long = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val (fsys, base) = fs(spark, dir)
     val priors = retained(fsys, base)
@@ -749,7 +755,31 @@ object Manifest {
       s"snapshot $snapshot already committed under $dir")
     val head = priors.last
     publishManifest(fsys, base, dir, snapshot, priors, head.files,
-      head.deleteFiles)
+      head.deleteFiles, metaB64 = metaB64, expectedSeq = expectedSeq)
+  }
+
+  /** The newest DDL commit's embedded metadata payload, scanning
+    * manifests newest-first by filename seq and stopping at the first
+    * carrier — the authoritative table-meta read
+    * ([[graft.catalog.GraftTableMeta.read]] prefers it over the flat
+    * sidecar, which racing ALTER losers can overwrite stale). Tables
+    * never ALTERed scan their (vacuum-bounded) retained manifests once
+    * and return None. */
+  private[graft] def newestEmbeddedMetaB64(fsys: FileSystem,
+      base: Path): Option[String] = {
+    if (!fsys.exists(base)) return None
+    val byNewest = fsys.listStatus(base).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("manifest-") && n.endsWith(".json")
+      }
+      .flatMap(p => p.getName.stripPrefix("manifest-")
+        .stripSuffix(".json").toLongOption.map(_ -> p))
+      .sortBy(-_._1)
+    byNewest.iterator.flatMap { case (_, p) =>
+      parse(fsys, p).flatMap(_.metaB64)
+    }.nextOption()
   }
 
   /** The shared commit tail: stage the manifest JSON, run the test
@@ -758,8 +788,14 @@ object Manifest {
   private def publishManifest(fsys: FileSystem, base: Path, dir: String,
       snapshot: String, priors: Seq[ManifestData], allFiles: Seq[String],
       deleteFiles: Seq[String], beforePublish: () => Unit = () => (),
-      rewrite: Boolean = false): Long = {
-    val seq = (priors.map(_.seq) :+ -1L).max + 1
+      rewrite: Boolean = false, metaB64: Option[String] = None,
+      expectedSeq: Option[Long] = None): Long = {
+    // expectedSeq turns the rename into a FULL head CAS: the caller
+    // computed its state as of head expectedSeq-1, so ANY intervening
+    // commit (data or DDL) makes the target name taken and the rename
+    // refuse — the caller must re-read and re-derive. Without it the
+    // seq is allocated fresh off the listing (append semantics).
+    val seq = expectedSeq.getOrElse((priors.map(_.seq) :+ -1L).max + 1)
     val body = allFiles.map(f => s"""    "$f"""").mkString(",\n")
     val delBlock =
       if (deleteFiles.isEmpty) ""
@@ -770,6 +806,11 @@ object Manifest {
     // of Delta's dataChange=false, which [[readChangesSince]] refuses to
     // diff across instead of re-serving old rows as changes
     val rewriteBlock = if (rewrite) ",\n  \"rewrite\": true" else ""
+    // the DDL payload rides IN the commit (Delta's metaData action):
+    // meta state and its seq publish under ONE atomic rename, so a
+    // racing ALTER can never acknowledge a change computed from a
+    // state the table had already left
+    val metaBlock = metaB64.map(b => s""",\n  "meta_b64": "$b"""").getOrElse("")
     val json =
       s"""{
          |  "snapshot": "$snapshot",
@@ -777,7 +818,7 @@ object Manifest {
          |  "committed_at": ${System.currentTimeMillis()},
          |  "files": [
          |$body
-         |  ]$delBlock$rewriteBlock
+         |  ]$delBlock$rewriteBlock$metaBlock
          |}
          |""".stripMargin
     val tmp = new Path(base, s".manifest-$snapshot.tmp")
@@ -1271,8 +1312,8 @@ object Manifest {
     * state the operator decided to rewind, so the decision must be
     * re-made against the new head. Restoring the current head is a
     * no-op (returns None). Returns the new snapshot id. */
-  def restore(spark: SparkSession, dir: String,
-      snapshot: String): Option[String] = {
+  def restore(spark: SparkSession, dir: String, snapshot: String,
+      metaFor: Long => Option[String] = _ => None): Option[String] = {
     val (fsys, base) = fs(spark, dir)
     val all = retained(fsys, base)
     val target = all.find(_.snapshot == snapshot).getOrElse(
@@ -1282,8 +1323,15 @@ object Manifest {
     if (all.last.snapshot == snapshot) return None
     val newSnap = s"restore-${System.currentTimeMillis()}-" +
       java.util.UUID.randomUUID().toString.take(8)
+    // RESTORE rolls METADATA back with the data: the caller's payload
+    // (schema history rewound to the target, keyed by THIS commit's
+    // seq) rides in the restore commit itself, and expectedSeq pins the
+    // head so the rolled-back meta can never publish against a state a
+    // concurrent commit has already moved (the documented loud-throw)
+    val seq = all.last.seq + 1
     publishManifest(fsys, base, dir, newSnap, all,
-      target.files, target.deleteFiles, rewrite = true)
+      target.files, target.deleteFiles, rewrite = true,
+      metaB64 = metaFor(seq), expectedSeq = Some(seq))
     Some(newSnap)
   }
 
@@ -1316,6 +1364,15 @@ object Manifest {
       }
       .map(_.getPath)
     goneDirs.foreach(p => fsys.delete(p, true))
+    // dropping a DDL commit would lose the authoritative embedded
+    // metadata — flatten it into the sidecar cache FIRST, so readers
+    // that find no embedded carrier fall back to a current flat view
+    if (dropped.exists(_.metaB64.isDefined) &&
+        !kept.exists(_.metaB64.isDefined))
+      graft.catalog.GraftTableMeta.read(fsys, base).foreach { m =>
+        graft.catalog.GraftTableMeta.write(fsys, base,
+          m.copy(location = None))
+      }
     dropped.foreach(m => fsys.delete(manifestPath(dir, m.seq), false))
     goneDirs.map(_.getName) ++ dropped.map(m => s"manifest-${m.snapshot}")
   }

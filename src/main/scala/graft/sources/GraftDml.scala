@@ -265,8 +265,21 @@ private[sources] object GraftDmlExec {
     val partPruned = files.filterNot(partKept.toSet)
     val stats = FileStats.collect(spark,
       new org.apache.hadoop.fs.Path(dir), partKept)
+    // footer stats key on the files' PHYSICAL column names; under
+    // column mapping a logical name can alias a DIFFERENT physical
+    // column (RENAME a TO b then ADD COLUMN a, or a swap-rename), so
+    // matching logical names against physical stats would prune with
+    // the WRONG column's bounds — rows silently escaping the DML.
+    // Each attribute's own metadata carries its physical name, so the
+    // lookup translates exactly; an attribute without mapping metadata
+    // stores under its own name (including pre-mapping tables).
+    val physCond = cond.transform {
+      case a: AttributeReference
+          if a.metadata.contains(Manifest.ColumnMapping.Key) =>
+        a.withName(a.metadata.getString(Manifest.ColumnMapping.Key))
+    }
     val (touch, keepByStats) = partKept.partition(f =>
-      GraftStatsPrune.mayMatch(stats(f), cond))
+      GraftStatsPrune.mayMatch(stats(f), physCond))
     (touch, keepByStats ++ partPruned)
   }
 

@@ -497,6 +497,98 @@ class GraftCatalogSpec extends AnyFunSuite {
       "the mapping must reference the PHYSICAL column name")
   }
 
+  test("concurrent ALTERs serialize through the commit CAS: no change is dropped") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.race (id BIGINT) USING graft")
+    sql("INSERT INTO gcat.db.race VALUES (1)")
+    // ADVICE r12: the old post-commit sidecar overwrite let two ALTERs
+    // compute from the same pre-state and the later flat write dropped
+    // the other's change. With the meta payload riding IN the CAS'd
+    // commit, every interleaving must keep all four columns.
+    val cols = Seq("c1", "c2", "c3", "c4")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = cols.map { c =>
+      new Thread(() => {
+        gate.await()
+        try sql(s"ALTER TABLE gcat.db.race ADD COLUMN $c INT")
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing ALTERs must all succeed: ${errs}")
+    val got = sql("SELECT * FROM gcat.db.race").columns.toSet
+    assert(got == (cols :+ "id").toSet,
+      s"every racing ALTER's column must survive, got $got")
+    // history entries are cumulative and keyed by distinct seqs
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.race")
+    val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = GraftTableMeta.read(fsys, new org.apache.hadoop.fs.Path(dir)).get
+    assert(meta.schemaHistory.map(_._1).distinct.size ==
+      meta.schemaHistory.size)
+    assert(meta.schemaHistory.last._2.fieldNames.toSet == got)
+  }
+
+  test("a stale flat sidecar cannot shadow a committed ALTER (embedded meta wins)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.stale (id BIGINT) USING graft")
+    sql("INSERT INTO gcat.db.stale VALUES (1)")
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.stale")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preAlter = GraftTableMeta.read(fsys, p).get
+    sql("ALTER TABLE gcat.db.stale ADD COLUMN extra STRING")
+    // simulate the ADVICE r12 loser: overwrite the flat cache with the
+    // pre-ALTER state AFTER the ALTER committed
+    GraftTableMeta.write(fsys, p, preAlter)
+    assert(GraftTableMeta.read(fsys, p).get.schema.get.fieldNames.toSeq ==
+      Seq("id", "extra"),
+      "read() must prefer the DDL commit's embedded meta over the flat cache")
+    spark.catalog.refreshByPath(dir)
+    assert(sql("SELECT * FROM gcat.db.stale").columns.toSeq ==
+      Seq("id", "extra"))
+    // vacuum flattens the embedded meta into the cache before dropping
+    // the DDL commit's manifest
+    sql("INSERT INTO gcat.db.stale VALUES (2, 'x')")
+    Manifest.vacuum(spark, dir, keepLast = 1)
+    assert(GraftTableMeta.read(fsys, p).get.schema.get.fieldNames.toSeq ==
+      Seq("id", "extra"),
+      "vacuum must not lose ALTERed schema with the dropped DDL manifest")
+  }
+
+  test("COLUMN MAPPING: DML stats pruning resolves PHYSICAL names (swap-rename)") {
+    // swap-rename a<->b: logical a now stores under physical column b.
+    // A stats prune keyed on LOGICAL names would judge `a > 102` against
+    // physical column a's bounds [1,3], prune the file, and the DELETE
+    // would silently remove nothing (ADVICE r12 high).
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.cswap (a BIGINT, b BIGINT) USING graft")
+    sql("INSERT INTO gcat.db.cswap VALUES (1, 101), (2, 102), (3, 103)")
+    sql("ALTER TABLE gcat.db.cswap RENAME COLUMN a TO tmp")
+    sql("ALTER TABLE gcat.db.cswap RENAME COLUMN b TO a")
+    sql("ALTER TABLE gcat.db.cswap RENAME COLUMN tmp TO b")
+    assert(sql("SELECT a FROM gcat.db.cswap ORDER BY a").collect()
+      .map(_.getLong(0)).toSeq == Seq(101L, 102L, 103L))
+    sql("DELETE FROM gcat.db.cswap WHERE a > 102")
+    assert(sql("SELECT a FROM gcat.db.cswap ORDER BY a").collect()
+      .map(_.getLong(0)).toSeq == Seq(101L, 102L),
+      "DELETE under a swap-rename must touch the file (physical-name stats)")
+    sql("UPDATE gcat.db.cswap SET b = b + 10 WHERE a = 101")
+    assert(sql("SELECT b FROM gcat.db.cswap WHERE a = 101").collect()
+      .head.getLong(0) == 11L)
+    // the inverse direction still PRUNES: no logical-a value beyond the
+    // physical-b bounds, so the split keeps every file untouched
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.cswap")
+    val before = Manifest.history(spark, dir).last
+    sql("DELETE FROM gcat.db.cswap WHERE a > 1000")
+    assert(Manifest.history(spark, dir).last.seq == before.seq,
+      "an out-of-bounds DELETE must prune every file (no new commit)")
+  }
+
   test("COLUMN MAPPING: DROP COLUMN hides the bytes; re-ADD never resurrects them") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.cdrop (k BIGINT, junk STRING, v DOUBLE) USING graft")
