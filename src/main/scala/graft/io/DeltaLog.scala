@@ -114,9 +114,19 @@ object DeltaLog {
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
 
+  /** Inverse of [[decodeActionPath]] (ADVICE r12): the protocol
+    * serializes `path` as a percent-encoded RELATIVE URI, so the
+    * export must encode what the read side decodes — a hive-escaped
+    * partition dir (literal %XX on disk) or a '%'/space in a file name
+    * written raw would decode to a DIFFERENT on-disk path and make the
+    * log unreadable, including by graft's own reader. `Path.toUri`
+    * round-trips with `new Path(new URI(p))` exactly. */
+  private def encodeActionPath(p: String): String =
+    new Path(p).toUri.toString
+
   private def addLine(path: String, size: Long, modTime: Long,
       stats: String, dv: Option[String] = None): String =
-    s"""{"add":{"path":${jstr(path)},""" +
+    s"""{"add":{"path":${jstr(encodeActionPath(path))},""" +
       s""""partitionValues":${partitionValuesJson(path)},"size":$size,""" +
       s""""modificationTime":$modTime,"dataChange":true,"stats":${jstr(stats)}""" +
       dv.map(d => s""","deletionVector":$d""").getOrElse("") + "}}"
@@ -145,7 +155,7 @@ object DeltaLog {
     * double-reading the file. */
   private def removeLine(path: String, ts: Long,
       dv: Option[String] = None): String =
-    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":$ts,"dataChange":true""" +
+    s"""{"remove":{"path":${jstr(encodeActionPath(path))},"deletionTimestamp":$ts,"dataChange":true""" +
       dv.map(d => s""","deletionVector":$d""").getOrElse("") + "}}"
 
   private def commitInfoLine(ts: Long, operation: String): String =
@@ -157,7 +167,7 @@ object DeltaLog {
     * add/remove — which is what makes changes readable across rewrite
     * commits (compaction, COW DML) where the file diff re-packs rows. */
   private def cdcLine(path: String, size: Long): String =
-    s"""{"cdc":{"path":${jstr(path)},"partitionValues":{},"size":$size,"dataChange":false}}"""
+    s"""{"cdc":{"path":${jstr(encodeActionPath(path))},"partitionValues":{},"size":$size,"dataChange":false}}"""
 
   private def writeLines(fsys: FileSystem, dest: Path, lines: Seq[String]): Unit = {
     val tmp = new Path(dest.getParent, "." + dest.getName + ".tmp")
@@ -730,7 +740,8 @@ object DeltaLog {
         val dvRow = dv.get(f).map(d =>
           Row("u", d.pathOrInlineDv, d.offset, d.sizeInBytes,
             d.cardinality)).orNull
-        Row(null, null, Row(f, Manifest.partitionValuesOf(f).toMap,
+        Row(null, null, Row(encodeActionPath(f),
+          Manifest.partitionValuesOf(f).toMap,
           fst.size, fst.modTime, true, FileStats.deltaStatsJson(fst), dvRow))
       }
     val df = spark.createDataFrame(

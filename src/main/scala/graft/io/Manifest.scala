@@ -911,15 +911,40 @@ object Manifest {
       throw new IllegalArgumentException(
         s"no retained snapshot '$since' under $dir"))
     val current = all.lastOption.get
-    all.filter(m => m.seq > baseline.seq && m.rewrite).foreach(m =>
+    refuseNonAppendSpan(all, baseline, since, dir)
+    val newFiles = current.files.filterNot(baseline.files.toSet)
+    if (newFiles.isEmpty) None
+    else Some(readFiles(spark, dir, newFiles, declaredSchema(spark, dir)))
+  }
+
+  /** The incremental-read span guard, shared by [[readChangesSince]]
+    * and the `.option("changesSince", …)` relation: every commit after
+    * the baseline must be a pure APPEND. Two refusal classes — rewrite
+    * commits (compaction/COW DML re-pack pre-existing rows as "new"
+    * files), and merge-on-read DELETE commits (ADVICE r12: not
+    * rewrite-flagged, but they change position-delete state — possibly
+    * against files appended INSIDE the span, so the bare file diff
+    * would re-serve rows the span itself deleted). Mirrors the stream
+    * face's morChanged check (GraftStreaming). */
+  private[graft] def refuseNonAppendSpan(all: Seq[ManifestData],
+      baseline: ManifestData, since: String, dir: String): Unit = {
+    val span = all.filter(_.seq > baseline.seq)
+    span.find(_.rewrite).foreach(m =>
       throw new IllegalStateException(
         s"cannot serve changes since '$since' under $dir: commit " +
           s"'${m.snapshot}' (seq ${m.seq}) is a rewrite (compaction/COW " +
           "DML) whose files re-pack pre-existing rows - re-baseline on a " +
           "snapshot at or after it"))
-    val newFiles = current.files.filterNot(baseline.files.toSet)
-    if (newFiles.isEmpty) None
-    else Some(readFiles(spark, dir, newFiles, declaredSchema(spark, dir)))
+    (baseline +: span).sliding(2).foreach {
+      case Seq(prev, m) if m.deleteFiles.sorted != prev.deleteFiles.sorted =>
+        throw new IllegalStateException(
+          s"cannot serve changes since '$since' under $dir: commit " +
+            s"'${m.snapshot}' (seq ${m.seq}) changed merge-on-read delete " +
+            "state, so the appended-file diff would serve rows the span " +
+            "deleted - compact, then re-baseline on a snapshot at or " +
+            "after it")
+      case _ => ()
+    }
   }
 
   /** Time travel: read a RETAINED snapshot exactly as committed.

@@ -291,12 +291,12 @@ object GraftSource {
         s"graft: no retained snapshot '$since' under $dir " +
           s"(retained: ${hist.map(_.snapshot).mkString(", ")})"))
     val current = hist.last
-    hist.filter(m => m.seq > baseline.seq && m.rewrite).foreach(m =>
-      throw new IllegalStateException(
-        s"graft: cannot serve changes since '$since' under $dir: commit " +
-          s"'${m.snapshot}' (seq ${m.seq}) is a rewrite (compaction/COW " +
-          "DML) whose files re-pack pre-existing rows - re-baseline on a " +
-          "snapshot at or after it"))
+    // append-only span guard, SHARED with readChangesSince: refuses
+    // both rewrite commits and merge-on-read delete-state changes
+    // (ADVICE r12 — a MOR DELETE is not rewrite-flagged yet can target
+    // files appended inside the span, so the bare file diff would
+    // serve position-deleted rows as live changes)
+    Manifest.refuseNonAppendSpan(hist, baseline, since, dir)
     val newFiles = current.files.filterNot(baseline.files.toSet)
     val declared = Manifest.declaredSchemaAt(spark, dir, current.seq)
     if (newFiles.isEmpty) {
@@ -304,10 +304,9 @@ object GraftSource {
         Manifest.readFiles(spark, dir, current.files).schema)
       return new GraftEmptyRelation(spark, dir, schema)
     }
-    // appended files cannot be targeted by standing deletes (a MOR
-    // change inside the span is a rewrite-class refusal upstream in the
-    // stream face; here delete state rides only on CARRIED files, which
-    // the diff excludes), so the delta reads clean
+    // delete state is refused ABOVE whenever it changed inside the
+    // span, and standing (pre-baseline) deletes ride only on CARRIED
+    // files, which the diff excludes — so the delta reads clean
     buildSnapshotRelation(spark, dir,
       current.copy(files = newFiles, deleteFiles = Nil), declared, opts)
   }

@@ -670,4 +670,31 @@ class DeltaLogSpec extends AnyFunSuite {
       Seq(0L -> 1000L, 1L -> 2000L))
     assert(DeltaLog.tableSchema(spark, dir).fieldNames.toSeq == Seq("id"))
   }
+
+  test("action paths percent-encode on export and decode on read (hive-escaped partitions)") {
+    // partition values that hive-escape to literal %XX in the dir name
+    // (':' → %3A, ' ' → %20); ADVICE r12: writing the RAW on-disk path
+    // while decoding on read mangles graft's own export round-trip
+    val dir = tmpDir()
+    val df = Seq((1, "a:b"), (2, "p 1"), (3, "plain")).toDF("v", "k")
+    Manifest.writePartitioned(df, dir, "s1", Seq("k"))
+    DeltaLog.exportLog(spark, dir)
+    // the serialized add.path must be URI-encoded (the raw dir has a
+    // literal '%' which must double-encode to %25)
+    val addPaths = commitLines(dir, 0)
+      .map(j => field(j, "add", "path"))
+      .collect { case JString(p) => p }
+    assert(addPaths.nonEmpty)
+    assert(addPaths.exists(_.contains("%253A")),
+      s"hive-escaped ':' (%3A on disk) must export as %%253A, got $addPaths")
+    // graft's own conformant reader resolves the encoded paths back
+    val back = DeltaLog.read(spark, dir)
+    assert(back.orderBy("v").collect().map(r =>
+      (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a:b"), (2, "p 1"), (3, "plain")))
+    // append across the escape keeps incremental commits readable too
+    Manifest.append(Seq((4, "x:y")).toDF("v", "k"), dir, "s2")
+    DeltaLog.exportLog(spark, dir)
+    assert(DeltaLog.read(spark, dir).count() == 4)
+  }
 }

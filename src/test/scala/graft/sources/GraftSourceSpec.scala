@@ -109,6 +109,26 @@ class GraftSourceSpec extends AnyFunSuite {
     Manifest.append(Seq(999).toDF("v"), dir, "b3")
     assert(spark.read.format("graft").option("changesSince", "c1").load(dir)
       .as[Int].collect().toSeq == Seq(999))
+    // a merge-on-read DELETE in the span refuses too (ADVICE r12): it
+    // is NOT rewrite-flagged, yet its position deletes can target the
+    // very files the span appended — the bare file diff would serve
+    // rows the span itself deleted as live changes
+    Manifest.append((2000 to 2010).toDF("v"), dir, "b4")
+    Manifest.deleteRangeMOR(spark, dir, "v", "2005", "2010", "mor1")
+    val e2 = intercept[IllegalStateException] {
+      spark.read.format("graft").option("changesSince", "b3").load(dir)
+        .collect()
+    }
+    assert(e2.getMessage.contains("delete state"))
+    // the library face shares the guard
+    val e3 = intercept[IllegalStateException] {
+      Manifest.readChangesSince(spark, dir, "b3")
+    }
+    assert(e3.getMessage.contains("delete state"))
+    // a baseline AT the MOR commit serves later appends again
+    Manifest.append(Seq(3000).toDF("v"), dir, "b5")
+    assert(spark.read.format("graft").option("changesSince", "mor1").load(dir)
+      .as[Int].collect().toSeq == Seq(3000))
   }
 
   test("partition filters prune to the matching hive directories only") {
