@@ -945,12 +945,16 @@ private[graft] class GraftCatalogTable(ident: String, val dir: String,
     // missing columns and drives THIS catalog's alterTable (CAS'd ADD
     // COLUMN + schema-history entry) before the V1 swap intercepts the
     // merge itself
+    // STREAMING_WRITE serves `df.writeStream.toTable(...)` natively:
+    // epoch commits ride the manifest CAS with per-(queryId, epochId)
+    // snapshot ids, so replays are no-ops (GraftStreamingWrite)
     Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(dir,
-      meta.map(_.partitionCols).getOrElse(Nil))
+      meta.map(_.partitionCols).getOrElse(Nil), schema, info)
 }
 
 /** `V1Write` fallback: INSERT INTO → Manifest append (rebases on lost
@@ -958,7 +962,8 @@ private[graft] class GraftCatalogTable(ident: String, val dir: String,
   * overwriting snapshot (time travel keeps the pre-write state). The
   * declared partition columns drive the hive layout; a table without
   * declared partitioning keeps its current snapshot's layout. */
-private[graft] class GraftWriteBuilder(dir: String, declaredPartCols: Seq[String])
+private[graft] class GraftWriteBuilder(dir: String, declaredPartCols: Seq[String],
+    declaredSchema: StructType, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
@@ -977,5 +982,11 @@ private[graft] class GraftWriteBuilder(dir: String, declaredPartCols: Seq[String
           spark.catalog.refreshByPath(dir)
         }
       }
+    // writeStream.toTable: append rides epoch-append commits; Complete
+    // mode arrives through truncate() and republishes per epoch
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(dir, declaredSchema, declaredPartCols,
+        info.queryId(), info.schema(), overwrite)
   }
 }

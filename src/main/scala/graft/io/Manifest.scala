@@ -41,8 +41,11 @@ import org.apache.spark.sql.{functions => F}
  * THROWS, leaving only an orphan data dir for [[vacuum]] — it can never
  * silently supersede or interleave with the winner. This is the same
  * protocol shape as Delta's `<version>.json` log commit. On stores
- * without atomic no-overwrite rename (raw S3) the CAS needs an external
- * coordination layer, exactly as Delta requires a LogStore there.
+ * without atomic no-overwrite rename (raw S3: rename is a last-writer-
+ * wins copy+delete) the CAS moves into a registered
+ * [[CommitCoordinator]] — an external putIfAbsent on (dir, seq) with
+ * Delta's claim/publish/fix-up LogStore protocol; schemes with no
+ * registration keep the rename CAS, which is correct on HDFS/local.
  *
  * Time travel: every snapshot's manifest is retained until [[vacuum]]
  * drops it, so [[readAt]] reproduces any retained snapshot byte-for-byte
@@ -723,6 +726,51 @@ object Manifest {
     }
   }
 
+  /** Publish a snapshot whose NEW files were ALREADY LANDED by
+    * executors under `data-<snapshot>/` — the DSv2 streaming write's
+    * commit half (the epoch's DataWriters wrote the parquet; the
+    * driver publishes). Append mode carries the head forward and
+    * REBASES on a lost CAS exactly like [[append]] (new files live in
+    * their own dir, disjoint from any concurrent commit by
+    * construction); overwrite mode (streaming Complete) replaces the
+    * file list and treats any lost race as a true conflict (it
+    * logically read the whole table). */
+  private[graft] def commitLandedAppend(spark: SparkSession, dir: String,
+      snapshot: String, newFiles: Seq[String],
+      overwrite: Boolean = false): Unit = {
+    require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
+    require(newFiles.nonEmpty, s"nothing landed for snapshot $snapshot")
+    require(newFiles.forall(_.startsWith(s"data-$snapshot/")),
+      s"landed files must live under data-$snapshot/")
+    val (fsys, base) = fs(spark, dir)
+    if (overwrite) {
+      val priors = retained(fsys, base)
+      require(priors.forall(_.snapshot != snapshot),
+        s"snapshot $snapshot already committed under $dir")
+      // re-packs previously-served rows ⇒ rewrite-flagged (non-initial)
+      publishManifest(fsys, base, dir, snapshot, priors, newFiles, Nil,
+        rewrite = priors.nonEmpty)
+    } else {
+      var tries = 0
+      var done = false
+      while (!done) {
+        val priors = retained(fsys, base)
+        require(priors.forall(_.snapshot != snapshot),
+          s"snapshot $snapshot already committed under $dir")
+        val head = priors.lastOption
+        try {
+          publishManifest(fsys, base, dir, snapshot, priors,
+            head.map(_.files).getOrElse(Nil) ++ newFiles,
+            head.map(_.deleteFiles).getOrElse(Nil))
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException
+              if tries < MaxAppendCommitRetries => tries += 1
+        }
+      }
+    }
+  }
+
   /** A conflict the rebase tiers can PROVE unrecoverable (a concurrent
     * commit rewrote state this commit read) — still a
     * ConcurrentModificationException to callers, but never retried. */
@@ -825,20 +873,56 @@ object Manifest {
     val out = fsys.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     beforePublish()
-    // the commit point AND the concurrency CAS: one rename onto the
-    // seq-keyed manifest. A concurrent writer that already published
-    // this seq makes the rename refuse (dest exists) — fail LOUDLY;
-    // the landed data dir stays behind as a vacuum-able orphan.
-    if (!fsys.rename(tmp, manifestPath(dir, seq))) {
-      val taken = fsys.exists(manifestPath(dir, seq))
-      fsys.delete(tmp, false)
-      if (taken)
-        throw new java.util.ConcurrentModificationException(
-          s"commit_seq $seq for $dir was taken by a concurrent writer; " +
-            s"snapshot $snapshot NOT committed (data-$snapshot left as orphan)")
-      else
-        throw new RuntimeException(
-          s"manifest commit rename failed for $dir @ $snapshot (seq $seq)")
+    CommitCoordinator.forScheme(fsys.getUri.getScheme) match {
+      case Some(coord) =>
+        // RAW-OBJECT-STORE path (no atomic no-overwrite rename): the
+        // CAS is the coordinator's putIfAbsent on (dir, seq); see
+        // [[CommitCoordinator]] for the claim/publish/fix-up protocol.
+        val claim = coord.claim(dir, seq, tmp.toString)
+        val dest = manifestPath(dir, seq)
+        if (claim.won) {
+          // an overwrite here can only re-write identical bytes (a
+          // loser's fix-up copy of OUR staged object), so LWW is safe
+          if (!fsys.rename(tmp, dest) && !fsys.exists(dest))
+            throw new RuntimeException(
+              s"manifest commit rename failed for $dir @ $snapshot (seq $seq)")
+        } else {
+          // fix up a winner that crashed between claim and publish:
+          // copy ITS staged object onto the manifest key (idempotent —
+          // every copier writes the same bytes)
+          if (!fsys.exists(dest)) {
+            val staged = new Path(claim.stagedPath)
+            val copied = scala.util.Try {
+              if (fsys.exists(staged))
+                org.apache.hadoop.fs.FileUtil.copy(
+                  fsys, staged, fsys, dest, false, fsys.getConf)
+            }
+            // a copy racing the winner's own late publish can lose the
+            // staged key mid-read — fine iff the manifest is there now
+            if (copied.isFailure && !fsys.exists(dest)) throw copied.failed.get
+          }
+          fsys.delete(tmp, false)
+          throw new java.util.ConcurrentModificationException(
+            s"commit_seq $seq for $dir was claimed by a concurrent " +
+              s"writer; snapshot $snapshot NOT committed " +
+              s"(data-$snapshot left as orphan)")
+        }
+      case None =>
+        // the commit point AND the concurrency CAS: one rename onto the
+        // seq-keyed manifest. A concurrent writer that already published
+        // this seq makes the rename refuse (dest exists) — fail LOUDLY;
+        // the landed data dir stays behind as a vacuum-able orphan.
+        if (!fsys.rename(tmp, manifestPath(dir, seq))) {
+          val taken = fsys.exists(manifestPath(dir, seq))
+          fsys.delete(tmp, false)
+          if (taken)
+            throw new java.util.ConcurrentModificationException(
+              s"commit_seq $seq for $dir was taken by a concurrent writer; " +
+                s"snapshot $snapshot NOT committed (data-$snapshot left as orphan)")
+          else
+            throw new RuntimeException(
+              s"manifest commit rename failed for $dir @ $snapshot (seq $seq)")
+        }
     }
     seq
   }

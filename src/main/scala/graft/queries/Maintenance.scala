@@ -1554,6 +1554,56 @@ object Maintenance {
             |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // Native DSv2 streaming write (round 13): `writeStream.toTable` into
+  // a PARTITIONED catalog table — the standard lakehouse API the
+  // land→curated cadence expects. The source is a graft catalog table
+  // seeded in two commits and drained with maxCommitsPerTrigger=1, so
+  // TWO epochs land as two native epoch-append manifest commits
+  // (per-(queryId, epochId) snapshot ids = the replay-dedupe txn
+  // records), through executor-side parquet writers producing the hive
+  // layout. The aggregate reads the streamed table back; DuckDB
+  // replays it relationally over the source parquet.
+  private val graftStreamSink = Q(
+    "q_graft_stream_sink",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_ssink_wh")
+      val ckpt = scratchDir(dir, "graft_ssink_ckpt")
+      Seq(wh, ckpt).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      s.conf.set("spark.sql.catalog.gssw", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gssw.warehouse", wh)
+      s.sql("CREATE NAMESPACE gssw.db")
+      t(s, dir, "customer").createOrReplaceTempView("gssw_src")
+      s.sql(
+        """CREATE TABLE gssw.db.src USING graft AS
+          |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+          |  c_acctbal
+          |FROM gssw_src WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO gssw.db.src
+          |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+          |FROM gssw_src WHERE c_custkey % 2 = 1""".stripMargin)
+      s.sql(
+        """CREATE TABLE gssw.db.dst (c_custkey BIGINT,
+          |  c_mktsegment STRING, c_acctbal DOUBLE) USING graft
+          |PARTITIONED BY (c_mktsegment)""".stripMargin)
+      s.readStream.option("maxCommitsPerTrigger", "1").table("gssw.db.src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("gssw.db.dst").awaitTermination()
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n,
+          |  SUM(c_custkey) AS sum_key,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          |FROM gssw.db.dst GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+            |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+            |  ${oSum("c_acctbal")} AS sum_bal
+            |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Time travel through the source's options: two commits land a
   // disjoint l_linenumber split, `versionAsOf 0` reads the FIRST
   // commit's state through the public API, and the oracle replays the
@@ -2237,7 +2287,8 @@ object Maintenance {
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
-    graftSourceQ, graftAsof, graftSink, graftStream, deltaCdf,
+    graftSourceQ, graftAsof, graftSink, graftStream, graftStreamSink,
+    deltaCdf,
     graftSqlDelete, graftSubqDelete, graftCorrDml, graftMerge, graftCatalogQ,
     graftEvolve,
     graftEvolveAsof, graftMergeEvolve, graftRename, graftWiden, graftChanges,

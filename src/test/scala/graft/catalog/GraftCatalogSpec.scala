@@ -319,6 +319,108 @@ class GraftCatalogSpec extends AnyFunSuite {
       "compaction skipped, append served once")
   }
 
+  test("writeStream.toTable lands native epoch commits (STREAMING_WRITE)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.ssrc USING graft AS SELECT * FROM VALUES (1), (2), (3) AS t(v)")
+    sql("CREATE TABLE gcat.db.sdst (v INT) USING graft")
+    val ckpt = java.nio.file.Files.createTempDirectory("toTable-ckpt").toString
+    def drain(): Unit =
+      spark.readStream.table("gcat.db.ssrc")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("gcat.db.sdst").awaitTermination()
+    drain()
+    assert(sql("SELECT v FROM gcat.db.sdst").collect().map(_.getInt(0))
+      .sorted.toSeq == Seq(1, 2, 3))
+    // incremental: new source commits stream as fresh epoch appends
+    sql("INSERT INTO gcat.db.ssrc VALUES (4), (5)")
+    drain()
+    assert(sql("SELECT v FROM gcat.db.sdst").collect().map(_.getInt(0))
+      .sorted.toSeq == (1 to 5))
+    // epoch commits are manifest appends readable by every face
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.sdst")
+    assert(Manifest.history(spark, dir).forall(
+      _.snapshot.startsWith("stream-q")))
+    // RESTART-REPLAY: drop the sink commit-log entry for the last
+    // batch; the restarted query re-fires that epoch and the write's
+    // per-(queryId, epochId) txn record must make it a no-op
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent,
+      "." + commits.last.getName + ".crc")
+    if (crc.exists()) crc.delete()
+    assert(commits.last.delete())
+    val seqBefore = Manifest.history(spark, dir).last.seq
+    drain()
+    assert(sql("SELECT v FROM gcat.db.sdst").collect().map(_.getInt(0))
+      .sorted.toSeq == (1 to 5),
+      "a replayed epoch must commit exactly once (no duplicate rows)")
+    assert(Manifest.history(spark, dir).last.seq == seqBefore,
+      "the replayed epoch must not publish a second commit")
+  }
+
+  test("writeStream.toTable into a PARTITIONED table lands the hive layout") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("""CREATE TABLE gcat.db.psrc USING graft AS
+          |SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'a'), (4, NULL)
+          |AS t(v, k)""".stripMargin)
+    sql("CREATE TABLE gcat.db.pdst (v INT, k STRING) USING graft PARTITIONED BY (k)")
+    val ckpt = java.nio.file.Files.createTempDirectory("toTableP-ckpt").toString
+    spark.readStream.table("gcat.db.psrc")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gcat.db.pdst").awaitTermination()
+    assert(sql("SELECT v, k FROM gcat.db.pdst ORDER BY v").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq == Seq((1, "a"), (2, "b"), (3, "a"), (4, null)))
+    // the manifest's file paths carry the hive partition segments, so
+    // pruning works on streamed data exactly as on batch data
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.pdst")
+    val files = Manifest.history(spark, dir).last.files
+    assert(files.forall(_.contains("k=")), s"hive layout expected: $files")
+    assert(files.exists(_.contains("k=__HIVE_DEFAULT_PARTITION__")))
+    val pruned = sql("SELECT v FROM gcat.db.pdst WHERE k = 'a'")
+    assert(pruned.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    val prunedFiles = scan.get.relation.location
+      .listFiles(scan.get.partitionFilters, scan.get.dataFilters)
+      .flatMap(_.files)
+    assert(prunedFiles.nonEmpty &&
+      prunedFiles.forall(_.getPath.toString.contains("k=a")),
+      "partition pruning must read only k=a files")
+    // Complete mode: the aggregate republishes per epoch as overwrite
+    sql("CREATE TABLE gcat.db.adst (k STRING, n BIGINT) USING graft")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("toTableC-ckpt").toString
+    spark.readStream.table("gcat.db.psrc")
+      .groupBy("k").count().withColumnRenamed("count", "n")
+      .writeStream.option("checkpointLocation", ckpt2)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gcat.db.adst").awaitTermination()
+    assert(sql("SELECT k, n FROM gcat.db.adst ORDER BY k").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("null"), r.getLong(1)))
+      .toSeq == Seq(("null", 1L), ("a", 2L), ("b", 1L)))
+    // schema misalignment refuses loudly
+    sql("CREATE TABLE gcat.db.bad (v STRING, k STRING) USING graft PARTITIONED BY (k)")
+    val ckpt3 = java.nio.file.Files.createTempDirectory("toTableB-ckpt").toString
+    val err = intercept[Exception] {
+      spark.readStream.table("gcat.db.psrc")
+        .writeStream.option("checkpointLocation", ckpt3)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("gcat.db.bad").awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(m => m.contains("align") || m.contains("cast") ||
+      m.contains("INCOMPATIBLE") || m.contains("type")), msgs(err).mkString("; "))
+  }
+
   test("ALTER TABLE ADD COLUMN: old data null-fills, new INSERT carries it, exports re-declare") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.evo (id BIGINT, name STRING) USING graft")
