@@ -589,6 +589,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     writeSidecars(p, meta.location, meta)
   }
 
+  /** Set one table property through the full CAS-serialized ALTER path
+    * (procedures resolve tables by NAME, not Identifier — derive it
+    * from the resolved path's warehouse-relative parts). */
+  private[catalog] def setTableProperty(name: String, key: String,
+      value: String): Unit = {
+    val p = resolveTablePath(name)
+    val rel = p.toUri.getPath
+      .stripPrefix(new Path(warehouse).toUri.getPath).stripPrefix("/")
+    val parts = rel.split('/')
+    alterTable(Identifier.of(parts.init, parts.last),
+      TableChange.setProperty(key, value))
+  }
+
   private lazy val procedures = GraftProcedures.all(this)
 
   override def loadProcedure(ident: Identifier)

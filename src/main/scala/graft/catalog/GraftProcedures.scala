@@ -302,6 +302,52 @@ private[catalog] object GraftProcedures {
         }: Scan).iterator()
       }
     },
+    "tag" -> new TableProcedure(cat, "tag",
+      "record an Iceberg TAG (named reference) on a retained snapshot; " +
+        "the next export_iceberg emits it in the metadata refs map") {
+      override val params = Array(
+        in("table", StringType),
+        in("name", StringType),
+        inDefault("snapshot", StringType, "null"),
+        inDefault("version", LongType, "-1"))
+      override val outSchema = new StructType()
+        .add("ref", StringType).add("snapshot_id", LongType)
+      override def run(spark: SparkSession, dir: String,
+          declaredPartCols: Seq[String],
+          args: InternalRow): java.util.Iterator[Scan] = {
+        val refName = args.getUTF8String(1).toString
+        require(refName.matches("[A-Za-z0-9._-]+") && refName != "main",
+          s"graft catalog: invalid ref name '$refName' ('main' is the " +
+            "head branch; names are [A-Za-z0-9._-]+)")
+        val bySnap = if (args.isNullAt(2)) None
+          else Some(args.getUTF8String(2).toString)
+        val byVer = if (args.isNullAt(3) || args.getLong(3) < 0) None
+          else Some(args.getLong(3))
+        val hist = Manifest.history(spark, dir)
+        // default: tag the current head
+        val seq = (bySnap, byVer) match {
+          case (Some(sn), None) =>
+            hist.find(_.snapshot == sn).map(_.seq).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft catalog: no retained snapshot '$sn' under $dir"))
+          case (None, Some(v)) =>
+            hist.find(_.seq == v).map(_.seq).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft catalog: no retained commit_seq $v under $dir"))
+          case (None, None) =>
+            hist.lastOption.map(_.seq).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft catalog: no committed snapshot under $dir to tag"))
+          case _ => throw new IllegalArgumentException(
+            "graft catalog: CALL tag takes at most one of snapshot/version")
+        }
+        // the property write rides the CAS-serialized ALTER commit, so
+        // a tag racing writers/other tags can never be dropped
+        cat.setTableProperty(args.getUTF8String(0).toString,
+          IcebergExport.RefPropPrefix + refName, seq.toString)
+        result(outSchema, UTF8String.fromString(refName), seq)
+      }
+    },
     "export_delta" -> new TableProcedure(cat, "export_delta",
       "export/refresh the table's Delta-protocol _delta_log") {
       override val params = Array(in("table", StringType))

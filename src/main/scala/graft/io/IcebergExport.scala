@@ -773,9 +773,28 @@ object IcebergExport {
         }),
       "current-snapshot-id" -> JInt(current.seq),
       "snapshots" -> snapshots,
-      "refs" -> JObject("main" -> JObject(
+      // REFS (round 13): the spec's named-reference map — `main` tracks
+      // the head, plus one `tag` per `graft.iceberg.ref.<name>` table
+      // property (CALL <cat>.system.tag writes them through the
+      // CAS-serialized ALTER path, so tags survive re-exports and race
+      // safely with writers). A tag whose snapshot has been vacuumed
+      // out of the retained history is OMITTED rather than emitted
+      // dangling — the engine mounting the export would fail on the
+      // missing manifest list anyway; retention is vacuum's contract.
+      "refs" -> JObject(("main" -> (JObject(
         "snapshot-id" -> JInt(current.seq),
-        "type" -> JString("branch"))),
+        "type" -> JString("branch")): JValue)) ::
+        graft.catalog.GraftTableMeta.read(fsys, base)
+          .map(_.properties).getOrElse(Map.empty)
+          .collect { case (k, v) if k.startsWith(RefPropPrefix) =>
+            (k.stripPrefix(RefPropPrefix), v.toLongOption)
+          }
+          .collect { case (name, Some(seq))
+              if ms.exists(_.seq == seq) && name != "main" =>
+            name -> (JObject(
+              "snapshot-id" -> JInt(seq),
+              "type" -> JString("tag")): JValue)
+          }.toList.sortBy(_._1)),
       // the spec's timestamp→snapshot lineage, what AS OF <ts> resolves on
       "snapshot-log" -> JArray(ms.toList.map(m => JObject(
         "timestamp-ms" -> JInt(BigInt(tsOf(m))),
@@ -1585,6 +1604,30 @@ object IcebergExport {
 
   def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
     readSnapshot(spark, dir, snapshotIdAsOf(spark, dir, tsMillis))
+
+  /** Table property namespace for exported Iceberg TAGS: every
+    * `graft.iceberg.ref.<name> -> <seq>` property becomes a `tag`
+    * entry in the metadata's refs map on the next export. Written by
+    * `CALL <catalog>.system.tag(...)` through the CAS-serialized ALTER
+    * path; removed with `ALTER TABLE ... UNSET TBLPROPERTIES`. */
+  val RefPropPrefix = "graft.iceberg.ref."
+
+  /** Read a NAMED REFERENCE (branch or tag) through the metadata
+    * tree's refs map — the engine-side face of
+    * `VERSION AS OF '<ref>'`. */
+  def readRef(spark: SparkSession, dir: String, ref: String): DataFrame = {
+    val meta = currentMetadata(spark, dir)
+    meta \ "refs" \ ref \ "snapshot-id" match {
+      case JInt(id) => readSnapshot(spark, dir, id.toLong)
+      case _ =>
+        val known = meta \ "refs" match {
+          case JObject(fields) => fields.map(_._1).sorted.mkString(", ")
+          case _ => ""
+        }
+        throw new IllegalArgumentException(
+          s"iceberg table under $dir has no ref '$ref' (refs: $known)")
+    }
+  }
 
   /** Time travel through the metadata tree. */
   def readSnapshot(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {

@@ -15,7 +15,14 @@ import org.apache.spark.sql.types._
  * §1.3-1.4). Schemas are runtime data, decoupled from the files they
  * describe ("schema-on-read", reference README.md:123).
  */
-final case class ColumnMeta(name: String, typ: String, description: String = "") {
+/** One declared column. `nullable`/`enumValues`/`pattern` carry the
+  * etl_manager schema's VALUE constraints (reference README.md:271
+  * names datatypes, enums, regex and nullables as the full metadata
+  * test surface; the table_schema spec's `nullable`/`enum`/`pattern`
+  * keys) — enforced by [[graft.validate.Gates.valueGates]]. */
+final case class ColumnMeta(name: String, typ: String, description: String = "",
+    nullable: Boolean = true, enumValues: Seq[String] = Nil,
+    pattern: Option[String] = None) {
   def sparkType: DataType = MetaTypes.toSpark(typ)
   def toField: StructField = StructField(name, sparkType, nullable = true)
 }
@@ -88,7 +95,14 @@ object Meta {
   def parseTable(json: String): TableMeta = {
     val root = mapper.readTree(json)
     val cols = Option(root.get("columns")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { c =>
-      ColumnMeta(textOf(c, "name"), textOf(c, "type"), textOf(c, "description"))
+      val enumVals = Option(c.get("enum")).filterNot(_.isNull)
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      val nullable = Option(c.get("nullable")).filterNot(_.isNull)
+        .forall(_.asBoolean(true))
+      val pattern = Option(c.get("pattern")).filterNot(_.isNull)
+        .map(_.asText()).filter(_.nonEmpty)
+      ColumnMeta(textOf(c, "name"), textOf(c, "type"), textOf(c, "description"),
+        nullable = nullable, enumValues = enumVals, pattern = pattern)
     }
     val parts = Option(root.get("partitions")).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     TableMeta(
@@ -126,9 +140,17 @@ object Meta {
   }
 
   def renderTable(t: TableMeta): String = {
-    val cols = t.columns.map(c =>
-      s"""    {"name": ${q(c.name)}, "type": ${q(c.typ)}, "description": ${q(c.description)}}""")
-      .mkString(",\n")
+    val cols = t.columns.map { c =>
+      val extras =
+        (if (c.nullable) Nil
+         else Seq(""""nullable": false""")) ++
+        (if (c.enumValues.isEmpty) Nil
+         else Seq(s""""enum": ${c.enumValues.map(q).mkString("[", ", ", "]")}""")) ++
+        c.pattern.map(p => s""""pattern": ${q(p)}""").toSeq
+      val tail = if (extras.isEmpty) "" else extras.mkString(", ", ", ", "")
+      s"""    {"name": ${q(c.name)}, "type": ${q(c.typ)}, """ +
+        s""""description": ${q(c.description)}$tail}"""
+    }.mkString(",\n")
     val parts = t.partitions.map(q).mkString("[", ", ", "]")
     s"""{
        |  "name": ${q(t.name)},

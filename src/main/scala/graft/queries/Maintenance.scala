@@ -1058,6 +1058,54 @@ object Maintenance {
             |FROM orders WHERE o_orderkey % 3 <> 0
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ICEBERG REFS under oracle (round 13, VERDICT r12 task 4): tag the
+  // first commit via CALL <cat>.system.tag (the property rides the
+  // CAS-serialized ALTER), append past it, export — the metadata tree
+  // carries the refs map — and read the TAG back through
+  // IcebergExport.readRef: the pinned pre-append subset, which DuckDB
+  // replays relationally. The head leg reads `main` alongside, so one
+  // hash proves both the pinned tag and the tracking branch.
+  private val icebergRefs = Q(
+    "q_iceberg_refs",
+    (s, dir) => {
+      val wh = scratchDir(dir, "iceberg_refs_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.girf", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.girf.warehouse", wh)
+      s.sql("CREATE NAMESPACE girf.db")
+      t(s, dir, "orders").createOrReplaceTempView("girf_src")
+      s.sql(
+        """CREATE TABLE girf.db.ord USING graft AS
+          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM girf_src
+          |WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql("CALL girf.system.tag(table => 'db.ord', name => 'baseline')")
+      s.sql(
+        """INSERT INTO girf.db.ord
+          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM girf_src
+          |WHERE o_orderkey % 3 <> 0""".stripMargin)
+      s.sql("CALL girf.system.export_iceberg(table => 'db.ord')")
+      val tblDir = s.sql("DESCRIBE TABLE EXTENDED girf.db.ord")
+        .where("col_name = 'Location'").collect().head.getString(1)
+      val tagged = graft.io.IcebergExport.readRef(s, tblDir, "baseline")
+        .agg(count(lit(1)).as("n_tag"),
+          sum("o_orderkey").as("sum_ok_tag"))
+      val head = graft.io.IcebergExport.readRef(s, tblDir, "main")
+        .agg(count(lit(1)).as("n_main"),
+          dsum(col("o_totalprice")).as("sum_price_main"))
+      tagged.crossJoin(head)
+        .select(col("n_tag"), col("sum_ok_tag"), col("n_main"),
+          col("sum_price_main"))
+    },
+    Some(s"""SELECT
+            |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+            |    AS n_tag,
+            |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+            |   WHERE o_orderkey % 3 = 0) AS sum_ok_tag,
+            |  (SELECT COUNT(*) FROM orders) AS n_main,
+            |  (SELECT ${oSum("o_totalprice")} FROM orders)
+            |    AS sum_price_main""".stripMargin))
+
   private val icebergExport = Q(
     "q_iceberg_export",
     (s, dir) => {
@@ -1765,6 +1813,54 @@ object Maintenance {
             |  ${oSum("o_totalprice")} AS sum_price
             |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // CORRELATED SET under oracle (round 13): `UPDATE t SET bal =
+  // (SELECT SUM(…) FROM orders o WHERE o.o_custkey = t.c_custkey)` —
+  // the per-row correlated assignment VERDICT r12 task 3 asked for,
+  // executed by planting the scalar subquery in PROJECT position over
+  // the pinned hit frame (Catalyst decorrelates it into the lateral
+  // join). Customers with no orders take the scalar-subquery NULL;
+  // rows outside the WHERE stay bit-identical. DuckDB replays the
+  // update as a grouped LEFT-JOIN CASE.
+  private val graftCorrUpdateSet = Q(
+    "q_graft_corr_update_set",
+    (s, dir) => {
+      val out = scratchDir(dir, "graft_cupd")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .repartitionByRange(8, col("c_custkey")),
+        out, "base")
+      s.read.format("graft").load(out)
+        .createOrReplaceTempView("graft_cupd_t")
+      t(s, dir, "orders").createOrReplaceTempView("graft_cupd_o")
+      s.sql(
+        """UPDATE graft_cupd_t t SET c_acctbal =
+          |  (SELECT CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+          |          AS DOUBLE)
+          |   FROM graft_cupd_o o WHERE o.o_custkey = t.c_custkey)
+          |WHERE c_custkey % 10 = 0""".stripMargin)
+      s.read.format("graft").load(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          count(col("c_acctbal")).as("n_bal"),
+          dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""WITH sums AS (
+            |  SELECT o_custkey,
+            |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+            |  FROM orders GROUP BY 1),
+            |upd AS (
+            |  SELECT c.c_mktsegment,
+            |    CASE WHEN c.c_custkey % 10 = 0 THEN m.s
+            |         ELSE c.c_acctbal END AS bal
+            |  FROM customer c LEFT JOIN sums m ON m.o_custkey = c.c_custkey)
+            |SELECT c_mktsegment, COUNT(*) AS n, COUNT(bal) AS n_bal,
+            |  ${oSum("bal")} AS sum_bal
+            |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // SQL MERGE INTO under oracle (round 10): customer lands as a graft
   // table, one MERGE statement applies a deterministic change batch
   // with all four action classes (conditional DELETE, UPDATE, INSERT
@@ -2283,13 +2379,14 @@ object Maintenance {
 
   val all: Seq[Q] = Seq(mergeUpsert, mergeDelete, scd2, scd2Lookup, zorder, dsv2Source,
     avroRoundtrip, avroSourceV2Q, deltaExport, icebergExport,
-    icebergIncremental,
+    icebergIncremental, icebergRefs,
     deltaSkipping, icebergStats, cowDelete, cowUpdate, morDelete, icebergMorRead,
     deltaDvRead,
     partitionedRead, deltaPartitionPrune,
     graftSourceQ, graftAsof, graftSink, graftStream, graftStreamSink,
     deltaCdf,
-    graftSqlDelete, graftSubqDelete, graftCorrDml, graftMerge, graftCatalogQ,
+    graftSqlDelete, graftSubqDelete, graftCorrDml, graftCorrUpdateSet,
+    graftMerge, graftCatalogQ,
     graftEvolve,
     graftEvolveAsof, graftMergeEvolve, graftRename, graftWiden, graftChanges,
     graftZorder,

@@ -120,36 +120,20 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** Conditions may carry subqueries, correlated or not (round 12:
-    * the correlated `DELETE WHERE EXISTS (… WHERE s.k = t.k)` GDPR
-    * shape executes by planning the condition as a Filter over the
-    * PINNED target plan — attribute ids preserved, so outer references
-    * keep binding and Catalyst's own decorrelation plans the
-    * semi/anti join). Assignment VALUES still refuse correlation:
-    * a per-row correlated SET is a lateral join the rewrite does not
-    * model (delta-spark refuses the same). */
-  private def refuseCorrelated(e: Expression, stmt: String): Unit =
-    require(!e.exists {
-      case s: SubqueryExpression => s.isCorrelated
-      case _ => false
-    }, s"graft $stmt: CORRELATED subqueries in assignment values " +
-      "are not supported (a per-row correlated SET is a lateral join); " +
-      "subqueries in the WHERE condition - correlated or not - are fine")
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case d @ DeleteFromTable(GraftTableDir(dir, snap), cond)
         if d.table.resolved && cond.resolved =>
-      GraftDeleteCommand(dir, snap, d.table, cond)
+      GraftDeleteCommand(dir, snap, d.table, new Pinned(cond))
 
     case u @ UpdateTable(GraftTableDir(dir, snap), assignments, cond)
         if u.resolved =>
       assignments.foreach { a =>
-        refuseCorrelated(a.value, "UPDATE")
         require(a.key.isInstanceOf[AttributeReference],
           s"graft UPDATE: only top-level columns can be assigned " +
             s"(got ${a.key.sql})")
       }
-      GraftUpdateCommand(dir, snap, u.table, assignments, cond)
+      GraftUpdateCommand(dir, snap, u.table, new Pinned(assignments),
+        new Pinned(cond))
 
     case m @ MergeIntoTable(GraftTableDir(dir, snap), _, _, _, _, _, _)
         if m.resolved =>
@@ -182,6 +166,18 @@ object GraftDmlRule extends Rule[LogicalPlan] {
         m.notMatchedBySourceActions)
   }
 }
+
+/** Keeps a captured, fully-ANALYZED expression invisible to the outer
+  * statement's optimizer: eager command execution optimizes the
+  * command node itself, and `QueryPlan.expressions` walks constructor
+  * products — so PullupCorrelatedPredicates would rewrite a captured
+  * correlated SCALAR subquery into its decorrelated multi-column form
+  * (grouping key appended to the output), which can no longer be
+  * re-planted into a fresh Dataset (CheckAnalysis refuses a >1-column
+  * scalar subquery). The commands re-plant the ORIGINAL analyzed form
+  * and let the fresh frame's own analysis + optimization decorrelate
+  * in place. */
+private[sources] final class Pinned[+T](val value: T) extends Serializable
 
 /** Shared plumbing for the three DML commands. */
 private[sources] object GraftDmlExec {
@@ -220,8 +216,19 @@ private[sources] object GraftDmlExec {
     * that evaluates FALSE on the file's values excludes the whole
     * file), then footer min/max bounds via [[GraftStatsPrune]]. */
   def splitFiles(spark: SparkSession, dir: String, files: Seq[String],
-      cond: Expression, types: Map[String, org.apache.spark.sql.types.DataType])
+      rawCond: Expression,
+      types: Map[String, org.apache.spark.sql.types.DataType])
       : (Seq[String], Seq[String]) = {
+    // the condition arrives ANALYZED but unoptimized (the commands pin
+    // captured expressions away from the statement optimizer — see
+    // [[Pinned]]), so fold constant subtrees here: the zone-map
+    // patterns below match bare Literals, not `Cast(Literal)`
+    val cond = rawCond.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(
+          e.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+          e.dataType)
+    }
     val conjuncts = splitAnd(cond).filter(_.deterministic)
 
     // partitionBy renders timestamp partition values in the SESSION
@@ -291,9 +298,28 @@ private[sources] object GraftDmlExec {
   /** Re-bind a resolved expression by NAME for evaluation over a fresh
     * frame (the touched-file read has fresh attribute ids). Sound here
     * because DELETE/UPDATE have a single scope — the target table —
-    * so names are unambiguous by construction. */
-  def remapByName(e: Expression): Expression = e.transform {
-    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    * so names are unambiguous by construction.
+    *
+    * Spark 4's RuntimeReplaceable forms (BETWEEN et al.) carry a `With`
+    * common-subexpression node whose tree-integrity hooks call
+    * `dataType` on its defs — which the UnresolvedAttribute rewrite
+    * below would break mid-transform (the captured conditions are
+    * Pinned away from the statement optimizer, so ReplaceExpressions
+    * has not eliminated them). Inline the refs first; the planted
+    * frame's own optimizer re-derives any sharing. */
+  def remapByName(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CommonExpressionRef, With}
+    val inlined = e.transformUp {
+      case w: With =>
+        w.defs.foldLeft(w.child) { (acc, d) =>
+          acc.transformUp {
+            case r: CommonExpressionRef if r.id == d.id => d.child
+          }
+        }
+    }
+    inlined.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
   }
 
   /** The resolved target plan with its manifest file index restricted
@@ -482,7 +508,8 @@ private[sources] object GraftDmlExec {
   * merge-on-read state) falls back to a full-snapshot rewrite —
   * correct, at the full-rewrite cost, until compaction purges it. */
 case class GraftDeleteCommand(dir: String, pinned: String,
-    target: LogicalPlan, cond: Expression) extends LeafRunnableCommand
+    target: LogicalPlan, condPinned: Pinned[Expression])
+    extends LeafRunnableCommand
     // SupportsSubquery: CheckAnalysis only admits IN/EXISTS subqueries
     // under nodes that declare support — DeleteFromTable does, and this
     // command replaces it while still carrying its condition
@@ -490,6 +517,7 @@ case class GraftDeleteCommand(dir: String, pinned: String,
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
     Seq(target)
   override def run(spark: SparkSession): Seq[Row] = {
+    val cond = condPinned.value
     val cur = GraftDmlExec.headOrFail(spark, dir, pinned)
       .getOrElse(return Seq.empty) // still-empty table: nothing to delete
     val types = target.output.map(a => a.name -> a.dataType).toMap
@@ -531,12 +559,14 @@ case class GraftDeleteCommand(dir: String, pinned: String,
   * the touched files; no rows are added or dropped, so no emptiness
   * guard. Unconditioned UPDATE rewrites every file. */
 case class GraftUpdateCommand(dir: String, pinned: String,
-    target: LogicalPlan, assignments: Seq[Assignment],
-    cond: Option[Expression]) extends LeafRunnableCommand
+    target: LogicalPlan, assignmentsPinned: Pinned[Seq[Assignment]],
+    condPinned: Pinned[Option[Expression]]) extends LeafRunnableCommand
     with org.apache.spark.sql.catalyst.plans.logical.SupportsSubquery {
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
     Seq(target)
   override def run(spark: SparkSession): Seq[Row] = {
+    val assignments = assignmentsPinned.value
+    val cond = condPinned.value
     val cur = GraftDmlExec.headOrFail(spark, dir, pinned)
       .getOrElse(return Seq.empty) // still-empty table: nothing to update
     val types = target.output.map(a => a.name -> a.dataType).toMap
@@ -554,18 +584,29 @@ case class GraftUpdateCommand(dir: String, pinned: String,
       // subquery conditions (IN/EXISTS — correlated or not — and scalar)
       // must stay in PREDICATE position to keep null-aware planning and
       // outer-reference binding (see GraftDeleteCommand's scaladoc):
-      // split hit/miss over the restricted pinned plan + row-id anti-join
+      // split hit/miss over the restricted pinned plan + row-id
+      // anti-join. Subquery ASSIGNMENT values (round 13 — including a
+      // CORRELATED `SET x = (SELECT … WHERE s.k = t.k)`) take the same
+      // path: planted in PROJECT position over the hit frame, whose
+      // attributes keep the pinned plan's ids (localCheckpoint
+      // preserves output attributes), so outer references bind and
+      // Catalyst's own decorrelation plans the lateral join — with the
+      // scalar-subquery contract intact (no row → NULL, >1 row →
+      // runtime error). The checkpointed hit/miss split also means the
+      // assignment subquery appears on exactly ONE side, dodging the
+      // analyzer-dedup trap the round-12 condition work hit.
       val predSubq =
-        cond.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
+        cond.exists(_.exists(_.isInstanceOf[SubqueryExpression])) ||
+          assignments.exists(_.value.exists(_.isInstanceOf[SubqueryExpression]))
       if (predSubq) {
         val (plan, touchEff, keepEff) =
           GraftDmlExec.restrictPlan(spark, target, touch) match {
             case Some(r) => (r, touch, keep)
             case None => (target, cur.files, Seq.empty[String])
           }
-        val (hit, miss) = GraftDmlExec.hitMissFrames(spark, plan, cond.get)
-        // assignment values bind by attribute id (the plan kept them);
-        // correlated values were refused at analysis
+        val (hit, miss) = GraftDmlExec.hitMissFrames(spark, plan,
+          cond.getOrElse(Literal.TrueLiteral))
+        // assignment values bind by attribute id (the plan kept them)
         val applied = hit.select(attrs.map { a =>
           byName.get(a.name) match {
             case Some(v) =>

@@ -244,7 +244,23 @@ object ScaleCheck {
       // rewrite; expect the merge_touched near-flat curve (pre-round-12
       // a subquery DELETE rewrote every file: fail-open on the whole
       // condition)
-      "subq_delete_touched")
+      "subq_delete_touched",
+      // round-13 (VERDICT r12 item 6): the native streaming write's
+      // epoch cadence — a FIXED two-commit source drained through
+      // `writeStream.toTable` into a catalog table whose data (and
+      // file count) grows with the corpus. The epoch commit is
+      // |files| metadata renames + one manifest CAS, so the row
+      // should stay near-FLAT; growth with table size would mean the
+      // commit path leaked onto a data-proportional scan. Table build
+      // is cached per dir (morRead protocol: first run builds, the
+      // measured run reuses).
+      "stream_sink_cadence",
+      // round-13: `.option("changesSince", …)` with a FIXED appended
+      // delta against the growing table — the incremental read lists
+      // manifests and scans ONLY the delta's files, so near-flat is
+      // the pass bar (linear would mean the file-set diff re-scanned
+      // carried data)
+      "changes_since_touched")
     def time(fn: => Long): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
@@ -269,6 +285,10 @@ object ScaleCheck {
           (sp, dir) => mergeTouched(sp, dir)
         else if (name == "subq_delete_touched")
           (sp, dir) => subqDeleteTouched(sp, dir)
+        else if (name == "stream_sink_cadence")
+          (sp, dir) => streamSinkCadence(sp, dir)
+        else if (name == "changes_since_touched")
+          (sp, dir) => changesSinceTouched(sp, dir)
         else SparkEntry.queries(name)
       def measure(dir: String): (Double, Long) = {
         graft.ops.BoundedCache.clear()
@@ -387,6 +407,73 @@ object ScaleCheck {
         |WHERE o_orderkey IN (SELECT k FROM subqdel_scale_keys)""".stripMargin)
     sp.read.format("graft").load(tbl)
       .where(col("o_orderkey") < 5000)
+      .groupBy("o_orderstatus").count()
+  }
+
+  /** Round-13 streaming-write cadence probe: the TARGET catalog table
+    * is seeded from the fixture dir (data and file count ∝ corpus,
+    * built once per dir and cached — morRead's protocol: a `reuse`
+    * re-run measures against the existing build), the SOURCE is a
+    * fixed two-commit sf0.01 slice, and the measured body drains it
+    * through `readStream.table → writeStream.toTable` under
+    * AvailableNow with maxCommitsPerTrigger=1 (two native epoch
+    * commits). Near-flat = the epoch publish stayed metadata-bound. */
+  private def streamSinkCadence(sp: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash("ssc" + dir)
+        .toLong & 0xffffffffL)
+    val cat = s"gssc$key"
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_ssc_$key"
+    sp.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    sp.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!new java.io.File(s"$wh/db/dst").exists()) {
+      sp.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      sp.read.parquet(s"$dir/orders.parquet")
+        .repartitionByRange(32, col("o_orderkey"))
+        .createOrReplaceTempView(s"ssc_seed_$key")
+      sp.sql(s"""CREATE TABLE $cat.db.dst USING graft AS
+                |SELECT o_orderkey, o_orderstatus, o_totalprice
+                |FROM ssc_seed_$key""".stripMargin)
+      sp.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .where(col("o_orderkey") < 2000)
+        .createOrReplaceTempView(s"ssc_src_$key")
+      sp.sql(s"""CREATE TABLE $cat.db.src USING graft AS
+                |SELECT o_orderkey, o_orderstatus, o_totalprice
+                |FROM ssc_src_$key WHERE o_orderkey % 2 = 0""".stripMargin)
+      sp.sql(s"""INSERT INTO $cat.db.src
+                |SELECT o_orderkey, o_orderstatus, o_totalprice
+                |FROM ssc_src_$key WHERE o_orderkey % 2 = 1""".stripMargin)
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("ssc-ckpt").toString
+    sp.readStream.option("maxCommitsPerTrigger", "1").table(s"$cat.db.src")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.db.dst").awaitTermination()
+    sp.sql(s"SELECT COUNT(*) AS n FROM $cat.db.src")
+  }
+
+  /** Round-13 incremental-read probe: a FIXED appended delta against
+    * the growing table — `.option("changesSince", base)` must list
+    * manifests and scan ONLY the delta's files. Near-flat is the pass
+    * bar. */
+  private def changesSinceTouched(sp: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash("chs" + dir)
+        .toLong & 0xffffffffL)
+    val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_chs_$key"
+    if (!new java.io.File(tbl).exists() ||
+        graft.io.Manifest.snapshots(sp, tbl).size != 2) {
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sp.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        sp.read.parquet(s"$dir/orders.parquet")
+          .repartitionByRange(32, col("o_orderkey")),
+        tbl, "base")
+      graft.io.Manifest.append(
+        sp.read.parquet("/root/testdata/sf0.01/orders.parquet")
+          .where(col("o_orderkey") < 2000), tbl, "delta")
+    }
+    sp.read.format("graft").option("changesSince", "base").load(tbl)
       .groupBy("o_orderstatus").count()
   }
 

@@ -57,6 +57,61 @@ object Gates {
     if (!combined.passed) throw new GateFailure(combined)
   }
 
+  /** The metadata's VALUE checks as (metric alias, counting column,
+    * violation-count → message) triples — one conditional count per
+    * declared constraint, so however many constraints a table declares,
+    * validation is ONE aggregate (or one `observe`) over the frame:
+    *  - `nullable: false` → count of NULLs;
+    *  - `enum: [...]` → count of non-null values outside the set
+    *    (compared as strings, the metadata's value space);
+    *  - `pattern: "regex"` → count of non-null values not FULLY
+    *    matching (etl_manager semantics: the pattern anchors the whole
+    *    value, so `rlike` wraps it in ^(?:…)$).
+    * Constraints on columns the frame does not carry are reported as
+    * violations by [[columnSetGate]], not silently skipped here. */
+  private def valueChecks(meta: TableMeta, present: Set[String])
+      : Seq[(String, org.apache.spark.sql.Column, Long => String)] =
+    meta.columns.filter(c => present.contains(c.name)).flatMap { c =>
+      val v = col(c.name)
+      val nn =
+        if (c.nullable) Nil
+        else Seq((s"nn_${c.name}",
+          count(when(v.isNull, 1)).as(s"nn_${c.name}"),
+          (n: Long) => s"column ${c.name}: $n null values in not-null column"))
+      val en =
+        if (c.enumValues.isEmpty) Nil
+        else Seq((s"enum_${c.name}",
+          count(when(v.isNotNull &&
+            !v.cast("string").isin(c.enumValues: _*), 1))
+            .as(s"enum_${c.name}"),
+          (n: Long) => s"column ${c.name}: $n values outside enum " +
+            c.enumValues.mkString("[", ", ", "]")))
+      val pat = c.pattern.toSeq.map(p =>
+        (s"re_${c.name}",
+          count(when(v.isNotNull &&
+            !v.cast("string").rlike(s"^(?:$p)$$"), 1)).as(s"re_${c.name}"),
+          (n: Long) => s"column ${c.name}: $n values not matching " +
+            s"pattern '$p'"))
+      nn ++ en ++ pat
+    }
+
+  /** Metadata-declared VALUE gates (reference README.md:271: "test the
+    * metadata schema fully (i.e. datatypes, enums, regex and
+    * nullables)"): nullable / enum / regex conformance for every
+    * declared constraint, accumulated into one [[GateResult]] with the
+    * same report-everything contract as [[columnSetGate]]. One
+    * aggregate job however many constraints the table declares. */
+  def valueGates(df: DataFrame, meta: TableMeta): GateResult = {
+    val checks = valueChecks(meta, df.columns.toSet)
+    if (checks.isEmpty) return GateResult("values", passed = true, Nil)
+    val row = df.agg(checks.head._2, checks.tail.map(_._2): _*).head()
+    val errs = checks.zipWithIndex.flatMap { case ((_, _, msg), i) =>
+      val n = row.getLong(i)
+      if (n == 0) None else Some(msg(n))
+    }
+    GateResult("values", errs.isEmpty, errs)
+  }
+
   /**
    * Single-pass validated write: piggyback the gate metrics on the write
    * job itself via [[Observation]] instead of running `count()` first.
@@ -94,6 +149,43 @@ object Gates {
     }
     val result = rowCountGate(rows, minRows) ++
       GateResult("not_null", nullErrs.isEmpty, nullErrs)
+    if (!result.passed) {
+      fs.delete(inflight, true)
+      throw new GateFailure(result)
+    }
+    fs.delete(target, true)
+    if (!fs.rename(inflight, target))
+      throw new RuntimeException(s"gatedWrite: promote failed for $path")
+    result
+  }
+
+  /** Metadata-driven single-pass validated write: the column-set gate
+    * runs on the schema up front (free), then ALL of the metadata's
+    * value constraints (nullable/enum/regex) ride the write job's own
+    * `observe` metrics alongside the row count — zero extra scans
+    * however many constraints the table declares, and validation sees
+    * exactly the rows that landed. Same inflight-promote and
+    * accumulate-then-abort contract as the explicit-columns overload. */
+  def gatedWrite(df: DataFrame, path: String, minRows: Long,
+      meta: TableMeta): GateResult = {
+    val colGate = columnSetGate(df, meta)
+    if (!colGate.passed) throw new GateFailure(colGate)
+    val checks = valueChecks(meta, df.columns.toSet)
+    val obs = Observation()
+    val metrics = count(lit(1)).as("rows") +: checks.map(_._2)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val inflight = new org.apache.hadoop.fs.Path(path + ".__inflight")
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.mode("overwrite").parquet(inflight.toString)
+    val m = obs.get
+    val errs = checks.flatMap { case (alias, _, msg) =>
+      val n = m(alias).asInstanceOf[Long]
+      if (n == 0) None else Some(msg(n))
+    }
+    val result = colGate ++
+      rowCountGate(m("rows").asInstanceOf[Long], minRows) ++
+      GateResult("values", errs.isEmpty, errs)
     if (!result.passed) {
       fs.delete(inflight, true)
       throw new GateFailure(result)

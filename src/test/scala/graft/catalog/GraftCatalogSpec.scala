@@ -720,6 +720,55 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception](sql("ALTER TABLE gcat.db.conecol DROP COLUMN x"))
   }
 
+  test("CALL tag records Iceberg refs; the export emits them and readRef resolves") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.reft USING graft AS SELECT * FROM VALUES (1), (2) AS t(v)")
+    sql("INSERT INTO gcat.db.reft VALUES (3), (4)") // seq 1
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.reft")
+    // tag the FIRST commit by version, the head by default
+    val r = sql("CALL gcat.system.tag(table => 'db.reft', name => 'v1', version => 0)")
+      .collect().head
+    assert(r.getString(0) == "v1" && r.getLong(1) == 0L)
+    sql("CALL gcat.system.tag(table => 'db.reft', name => 'latest')")
+    sql("CALL gcat.system.export_iceberg(table => 'db.reft')")
+    // the metadata tree carries main + both tags
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "metadata").listFiles()
+        .filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(_.getName).toPath))
+    assert(metaTxt.contains("\"refs\"") && metaTxt.contains("\"v1\"") &&
+      metaTxt.contains("\"latest\"") && metaTxt.contains("\"tag\""))
+    // reads resolve through the refs map: the tag pins seq 0
+    assert(graft.io.IcebergExport.readRef(spark, dir, "v1")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(graft.io.IcebergExport.readRef(spark, dir, "main")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4))
+    // the tag SURVIVES new commits and re-exports; main tracks the head
+    sql("INSERT INTO gcat.db.reft VALUES (5)")
+    sql("CALL gcat.system.export_iceberg(table => 'db.reft')")
+    assert(graft.io.IcebergExport.readRef(spark, dir, "v1")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(graft.io.IcebergExport.readRef(spark, dir, "main")
+      .collect().map(_.getInt(0)).sorted.toSeq == (1 to 5))
+    // unknown refs refuse with the known list
+    val e = intercept[IllegalArgumentException](
+      graft.io.IcebergExport.readRef(spark, dir, "nope"))
+    assert(e.getMessage.contains("latest, main, v1"))
+    // UNSET drops the tag on the next export
+    sql("ALTER TABLE gcat.db.reft UNSET TBLPROPERTIES ('graft.iceberg.ref.latest')")
+    sql("CALL gcat.system.export_iceberg(table => 'db.reft')")
+    intercept[IllegalArgumentException](
+      graft.io.IcebergExport.readRef(spark, dir, "latest"))
+    assert(graft.io.IcebergExport.readRef(spark, dir, "v1")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // refusals: tagging 'main', an unknown snapshot, both selectors
+    intercept[Exception](
+      sql("CALL gcat.system.tag(table => 'db.reft', name => 'main')"))
+    intercept[Exception](sql(
+      "CALL gcat.system.tag(table => 'db.reft', name => 'x', version => 99)"))
+  }
+
   test("single-part procedure table names refuse cross-namespace ambiguity") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.amb1")
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.amb2")

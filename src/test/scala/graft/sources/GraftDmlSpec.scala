@@ -174,17 +174,73 @@ class GraftDmlSpec extends AnyFunSuite {
       spark.sql("DELETE FROM dml_refuse_t WHERE v IS NOT NULL")
     }
     assert(e1.getMessage.contains("empty snapshot is not representable"))
-    // CORRELATED subqueries in assignment VALUES stay refused: a
-    // per-row correlated SET is a lateral join the rewrite can't model
-    Seq((1, 1)).toDF("a", "b").createOrReplaceTempView("dml_refuse_s")
-    val e2 = intercept[Exception] {
-      spark.sql("UPDATE dml_refuse_t SET v = " +
-        "(SELECT MAX(s.a) FROM dml_refuse_s s WHERE s.a = dml_refuse_t.v)")
-    }
-    assert(e2.getMessage.contains("CORRELATED"))
-    // both refusals left the table intact
+    // the refusal left the table intact
     assert(spark.read.format("graft").load(dir).count() == 50)
     assert(Manifest.snapshots(spark, dir) == Seq("base"))
+  }
+
+  test("BETWEEN (a With-bearing RuntimeReplaceable) survives the keep-predicate remap") {
+    // regression (round 13): captured conditions are Pinned away from
+    // the statement optimizer, so ReplaceExpressions no longer strips
+    // Spark 4's `With` nodes before remapByName — which used to break
+    // their integrity hooks with unresolved children
+    val dir = tmpDir()
+    Manifest.write((1 to 100).map(i => (i, s"s$i")).toDF("v", "tag"),
+      dir, "base")
+    view(dir, "dml_btw_t")
+    spark.sql("DELETE FROM dml_btw_t WHERE v BETWEEN 10 AND 19")
+    assert(spark.read.format("graft").load(dir).count() == 90)
+    view(dir, "dml_btw_t")
+    spark.sql("UPDATE dml_btw_t SET tag = 'mid' WHERE v BETWEEN 40 AND 49")
+    val got = spark.read.format("graft").load(dir)
+    assert(got.where("tag = 'mid'").count() == 10)
+    assert(got.where("v BETWEEN 10 AND 19").count() == 0)
+  }
+
+  test("CORRELATED SET: UPDATE t SET x = (SELECT ... WHERE s.k = t.k)") {
+    val dir = tmpDir()
+    Manifest.write(
+      (0 to 9).map(i => (i.toLong, i * 10.0)).toDF("k", "v"), dir, "base")
+    Seq((1L, 5.0), (1L, 7.0), (3L, 2.0), (42L, 9.0))
+      .toDF("k", "w").createOrReplaceTempView("dml_cset_s")
+    // correlated scalar subquery in PROJECT position over the hit
+    // frame: matched keys take the aggregate, unmatched ones take the
+    // scalar-subquery contract's NULL, rows outside the condition stay
+    view(dir, "dml_cset_t")
+    spark.sql("UPDATE dml_cset_t t SET v = " +
+      "(SELECT MAX(s.w) FROM dml_cset_s s WHERE s.k = t.k) WHERE k < 5")
+    val after = spark.read.format("graft").load(dir).orderBy("k").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toSeq
+    assert(after(1) == (1L, 7.0) && after(3) == (3L, 2.0),
+      "matched keys take the correlated aggregate")
+    assert(after(0)._2.isNaN && after(2)._2.isNaN && after(4)._2.isNaN,
+      "unmatched keys in range take the scalar subquery's NULL")
+    assert((5 to 9).forall(i => after(i) == (i.toLong, i * 10.0)),
+      "rows outside the WHERE stay untouched")
+    // a correlated SET composes with a correlated EXISTS condition
+    view(dir, "dml_cset_t")
+    spark.sql("UPDATE dml_cset_t t SET v = " +
+      "(SELECT SUM(s.w) FROM dml_cset_s s WHERE s.k = t.k) " +
+      "WHERE EXISTS (SELECT 1 FROM dml_cset_s s WHERE s.k = t.k)")
+    val after2 = spark.read.format("graft").load(dir).orderBy("k").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toSeq
+    assert(after2(1) == (1L, 12.0) && after2(3) == (3L, 2.0))
+    assert(after2(0)._2.isNaN, "earlier NULL write survives (no match)")
+    // >1 row from a non-aggregate correlated subquery = runtime error,
+    // and the failed statement leaves the table untouched
+    val snaps = Manifest.snapshots(spark, dir)
+    view(dir, "dml_cset_t")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE dml_cset_t t SET v = " +
+        "(SELECT s.w FROM dml_cset_s s WHERE s.k = t.k) WHERE k = 1")
+    }
+    assert(Seq("SCALAR_SUBQUERY_TOO_MANY_ROWS", "More than one row")
+      .exists(m => (e.getMessage +
+        Option(e.getCause).map(_.getMessage).mkString).contains(m)),
+      e.getMessage)
+    assert(Manifest.snapshots(spark, dir) == snaps)
   }
 
   test("CORRELATED subqueries in DELETE/UPDATE conditions: EXISTS, NOT EXISTS, correlated IN") {
