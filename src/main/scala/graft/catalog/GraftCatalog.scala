@@ -241,13 +241,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     while (!done) {
       val dir = locDir.getOrElse(p.toString)
       tableDir = dir
-      // HEAD before STATE: a DDL commit landing between the two reads
-      // moves the head past `expected`, so this loop's CAS refuses and
-      // retries (safe); the reverse order could win the CAS with a
-      // state read that predates that commit (lost update).
-      val headSeq = Manifest.history(spark, dir).lastOption.map(_.seq)
-      val meta0raw = GraftTableMeta.read(fsys, p).getOrElse(
-        GraftTableMeta(None, Nil, None, Map.empty))
+      // ONE listing serves BOTH the head seq and the embedded metadata
+      // (round 13 — closes a real lost-update): two separate listings
+      // let a readdir racing a concurrent rename miss the newest DDL
+      // commit in the SECOND (state) listing only; the ALTER then
+      // computed from stale metadata yet still won the CAS (its head
+      // read WAS current), silently dropping the missed commit's
+      // change. From one listing the payload is always at least as new
+      // as the head the CAS is keyed on: payloads are cumulative, so
+      // missing an INTERMEDIATE manifest is harmless, and a listing
+      // that misses the true head refuses at the seq rename (or
+      // commitMetadata's head-consistency guard) and retries.
+      val hist = Manifest.history(spark, dir)
+      val headSeq = hist.lastOption.map(_.seq)
+      val meta0raw = hist.reverseIterator.flatMap(_.metaB64).nextOption()
+        .map(b => GraftTableMeta.fromB64(b).copy(location = locDir))
+        .orElse(GraftTableMeta.read(fsys, p))
+        .getOrElse(GraftTableMeta(None, Nil, None, Map.empty))
       val changesSchema = changes.exists {
         case _: TableChange.AddColumn | _: TableChange.RenameColumn |
              _: TableChange.DeleteColumn | _: TableChange.UpdateColumnType =>

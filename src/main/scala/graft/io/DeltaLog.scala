@@ -379,13 +379,32 @@ object DeltaLog {
                 changeData, mappingMaxId))
             // CHANGE DATA FEED: append-only commits need no cdc (their
             // adds ARE the inserts); anything that removed files or
-            // touched MOR state materializes its row-level changes
+            // touched MOR state serves its row-level changes. A commit
+            // whose change record was RECORDED at DML time (round 13)
+            // references those files DIRECTLY — they live under the
+            // table root with the exact cdc shape (table columns +
+            // `_change_type`, physical names on mapped tables, same as
+            // the referenced data files), so the export's change cost
+            // drops from two snapshot reads + exceptAll to |cdc| stat
+            // calls AND update pre/postimages survive (the diff
+            // degrades every update to delete+insert). Recorded-empty
+            // (compaction) still lands the empty marker part — the
+            // protocol wants the cdc action present so readers know "no
+            // row changed" without deriving from the re-packed
+            // add/remove actions. Unrecorded history keeps the diff.
             val cdc: Seq[String] =
               if (!changeData) Nil
               else {
                 val delChanged =
                   m.deleteFiles.sorted != prevM.deleteFiles.sorted
                 if (removed.isEmpty && !delChanged) Nil
+                else if (m.cdcRecorded && m.cdcFiles.nonEmpty)
+                  m.cdcFiles.map(f => cdcLine(f,
+                    fsys.getFileStatus(new Path(base, f)).getLen))
+                else if (m.cdcRecorded)
+                  writeEmptyChangeData(spark, fsys, base, m.seq,
+                    Manifest.readAt(spark, dir, m.snapshot).schema)
+                    .map { case (p, sz) => cdcLine(p, sz) }
                 else writeChangeData(spark, fsys, base, m.seq,
                   Manifest.readAt(spark, dir, m.snapshot),
                   Manifest.readAt(spark, dir, prevM.snapshot))
@@ -475,6 +494,33 @@ object DeltaLog {
     * part so its cdc action exists and readers know "no row changed"
     * without deriving from the re-packed add/remove actions. Returns
     * (relative path, size) per change file. */
+  /** Land the "no row changed" cdc marker for a rewrite whose change
+    * record was recorded EMPTY (compaction/zorder): one empty part with
+    * the table's cdc shape under `_change_data/<version>/`, idempotent
+    * like [[writeChangeData]]. */
+  private def writeEmptyChangeData(spark: SparkSession, fsys: FileSystem,
+      base: Path, v: Long,
+      tableSchema: org.apache.spark.sql.types.StructType): Seq[(String, Long)] = {
+    val outDir = new Path(base, s"_change_data/$v")
+    if (fsys.exists(outDir) && !fsys.exists(new Path(outDir, "_SUCCESS")))
+      fsys.delete(outDir, true)
+    if (!fsys.exists(outDir)) {
+      val schema = org.apache.spark.sql.types.StructType(tableSchema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = true))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
+        .write.parquet(outDir.toString)
+    }
+    fsys.listStatus(outDir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }
+      .sortBy(_.getPath.getName)
+      .map(st => s"_change_data/$v/${st.getPath.getName}" -> st.getLen)
+  }
+
   private def writeChangeData(spark: SparkSession, fsys: FileSystem,
       base: Path, v: Long, cur: DataFrame, prev: DataFrame): Seq[(String, Long)] = {
     val outDir = new Path(base, s"_change_data/$v")

@@ -124,7 +124,8 @@ object Manifest {
   private[graft] final case class ManifestData(snapshot: String, seq: Long,
       files: Seq[String], deleteFiles: Seq[String] = Nil,
       committedAt: Long = 0L, rewrite: Boolean = false,
-      metaB64: Option[String] = None)
+      metaB64: Option[String] = None,
+      cdcFiles: Seq[String] = Nil, cdcRecorded: Boolean = false)
 
   /** One read per manifest: snapshot id, commit_seq, the data file
     * list, and any POSITION-DELETE file list (`deletes-<snap>/…`, the
@@ -154,7 +155,16 @@ object Manifest {
     // (alphabet is regex-safe against every other field's pattern)
     val metaB64 = "\"meta_b64\"\\s*:\\s*\"([A-Za-z0-9+/=]+)\"".r
       .findFirstMatchIn(text).map(_.group(1))
-    Some(ManifestData(snap, seq, files, deletes, at, rewrite, metaB64))
+    // CHANGE-DATA-FEED state (round 13): `cdc_recorded: true` declares
+    // that this commit's LOGICAL row change is fully described by its
+    // `cdc-<snap>/` files (possibly zero of them — a compaction changes
+    // no rows). Commits without the flag predate CDF recording (or are
+    // overwrite-class) — the change-feed reader refuses to span them.
+    val cdcFs = "\"(cdc-[^\"/]+/part-[^\"/]*\\.parquet)\"".r
+      .findAllMatchIn(text).map(_.group(1)).toSeq
+    val cdcRec = "\"cdc_recorded\"\\s*:\\s*true".r.findFirstIn(text).isDefined
+    Some(ManifestData(snap, seq, files, deletes, at, rewrite, metaB64,
+      cdcFs, cdcRec))
   }
 
   /** All retained manifests, oldest → newest commit order. */
@@ -518,6 +528,12 @@ object Manifest {
     require(landed.where("file_path = '' OR file_path IS NULL").count() == 0,
       s"position-delete rows with unextractable file paths under $delDir")
     val n = landed.count()
+    // the change record: the deleted rows themselves — the MOR commit
+    // adds no data files, so without it the change feed could never
+    // represent this deletion (the position list names rows, not values)
+    val cdcFs = landCdc(spark, dir, snapshot, metaDf.where(inRange)
+      .drop("_graft_file", "_graft_pos")
+      .withColumn(CdfTypeCol, org.apache.spark.sql.functions.lit("delete")))
     // MOR-delete commit with REBASE: position deletes are an ADDITIVE
     // set keyed by (file, row-index), so a lost CAS rebases onto the
     // winner's head — carrying the winner's files AND delete state,
@@ -545,7 +561,8 @@ object Manifest {
       }
       try {
         publishManifest(fsys, base, dir, snapshot, priors2,
-          head.files, head.deleteFiles ++ delFiles, beforePublish)
+          head.files, head.deleteFiles ++ delFiles, beforePublish,
+          cdcFiles = cdcFs, cdcRecorded = true)
         committed = true
       } catch {
         case _: java.util.ConcurrentModificationException
@@ -585,8 +602,10 @@ object Manifest {
     else {
       val d = new Path(base, s"data-$snapshot")
       val dd = new Path(base, s"deletes-$snapshot")
+      val dc = new Path(base, s"cdc-$snapshot")
       val gotData = fsys.exists(d) && fsys.delete(d, true)
       val gotDels = fsys.exists(dd) && fsys.delete(dd, true)
+      if (fsys.exists(dc)) fsys.delete(dc, true)
       gotData || gotDels
     }
   }
@@ -594,13 +613,38 @@ object Manifest {
   /** Test seam: `beforePublish` runs after the manifest temp file is
     * staged, immediately before the commit rename — the window a
     * concurrent writer would race into. */
+  /** Land a CHANGE-DATA frame (table columns + `_change_type`) under
+    * `cdc-<snapshot>/` — the commit's row-level change record, written
+    * BEFORE the manifest publish so a failed commit leaves only a
+    * vacuum-able orphan. Lands under PHYSICAL column names on mapped
+    * tables (the parquet layer is uniformly physical by contract;
+    * `_change_type` has no mapping and passes through). Flat layout:
+    * cdc volume ∝ changed rows, so hive-partitioning the change record
+    * buys nothing at the scale it exists for. Returns the
+    * manifest-relative cdc file paths. */
+  private def landCdc(spark: SparkSession, dir: String, snapshot: String,
+      cdcDf: DataFrame): Seq[String] = {
+    val (fsys, base) = fs(spark, dir)
+    val cdcDir = new Path(base, s"cdc-$snapshot")
+    require(!fsys.exists(cdcDir), s"cdc-$snapshot already landed under $dir")
+    val toLand = declaredSchema(spark, dir)
+      .filter(ColumnMapping.hasMapping)
+      .fold(cdcDf)(ColumnMapping.toPhysical(cdcDf, _))
+    toLand.write.parquet(cdcDir.toString)
+    fsys.listStatus(cdcDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted.map(n => s"cdc-$snapshot/$n")
+  }
+
   private[graft] def writeImpl(df: DataFrame, dir: String, snapshot: String,
       beforePublish: () => Unit, carryForward: Boolean = false,
       carriedExplicit: Option[Seq[String]] = None,
       partitionCols: Seq[String] = Nil,
       deletesExplicit: Option[Seq[String]] = None,
       rewrite: Boolean = false,
-      cowBase: Option[ManifestData] = None): Unit = {
+      cowBase: Option[ManifestData] = None,
+      cdc: Option[DataFrame] = None,
+      cdcNoChange: Boolean = false): Unit = {
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val spark = df.sparkSession
     val (fsys, base) = fs(spark, dir)
@@ -628,6 +672,10 @@ object Manifest {
         else Nil
       }
     val files = walk(dataDir, "")
+    // the commit's row-level change record lands beside the data —
+    // published (or orphaned) together with it
+    val cdcLanded = cdc.map(landCdc(spark, dir, snapshot, _)).getOrElse(Nil)
+    val cdcRec = cdc.isDefined || cdcNoChange
     // COMMIT REBASE (Delta's OptimisticTransaction shape), two tiers:
     //
     //  - PLAIN APPENDS: new files live in their own data-<snapshot> dir,
@@ -707,7 +755,7 @@ object Manifest {
         else Nil)
       publishManifest(fsys, base, dir, snapshot, priors,
         carried ++ files.map(f => s"data-$snapshot/$f"), deletes, beforePublish,
-        rewrite)
+        rewrite, cdcFiles = cdcLanded, cdcRecorded = cdcRec)
     }
     if (!plainAppend && !cowRebase) attempt()
     else {
@@ -802,6 +850,22 @@ object Manifest {
     require(priors.forall(_.snapshot != snapshot),
       s"snapshot $snapshot already committed under $dir")
     val head = priors.last
+    // HEAD-CONSISTENCY guard: the by-reference file list comes from
+    // THIS listing, but the CAS target seq comes from the CALLER's.
+    // A listing that disagrees with the caller's expected head — a
+    // commit landed in between, OR a readdir racing a concurrent
+    // rename silently skipped an entry (directory iteration during
+    // mutation may miss unrelated entries on hash-tree filesystems) —
+    // would publish a manifest carrying a STALE file list under a
+    // winning seq, silently dropping the newest commit's files. Refuse
+    // with the retryable conflict instead; the caller re-reads and
+    // re-derives.
+    expectedSeq.foreach { e =>
+      if (head.seq != e - 1)
+        throw new java.util.ConcurrentModificationException(
+          s"metadata commit for $dir expected head seq ${e - 1} but " +
+            s"listed ${head.seq}; state must be re-derived")
+    }
     publishManifest(fsys, base, dir, snapshot, priors, head.files,
       head.deleteFiles, metaB64 = metaB64, expectedSeq = expectedSeq)
   }
@@ -813,20 +877,31 @@ object Manifest {
     * sidecar, which racing ALTER losers can overwrite stale). Tables
     * never ALTERed scan their (vacuum-bounded) retained manifests once
     * and return None. */
+  // published manifests are IMMUTABLE, so the per-file payload lookup
+  // caches on (path, size, modTime) — the newest-first scan below then
+  // costs one LIST and zero re-opens on every table the JVM has
+  // already resolved (declaredSchema runs per write/read; without the
+  // cache a never-ALTERed table re-opens every retained manifest each
+  // time). Bounded by a hard clear — entries are ~0.1 KB.
+  private val metaB64Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
   private[graft] def newestEmbeddedMetaB64(fsys: FileSystem,
       base: Path): Option[String] = {
     if (!fsys.exists(base)) return None
     val byNewest = fsys.listStatus(base).toSeq
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
+      .filter { st =>
+        val n = st.getPath.getName
         n.startsWith("manifest-") && n.endsWith(".json")
       }
-      .flatMap(p => p.getName.stripPrefix("manifest-")
-        .stripSuffix(".json").toLongOption.map(_ -> p))
+      .flatMap(st => st.getPath.getName.stripPrefix("manifest-")
+        .stripSuffix(".json").toLongOption.map(_ -> st))
       .sortBy(-_._1)
-    byNewest.iterator.flatMap { case (_, p) =>
-      parse(fsys, p).flatMap(_.metaB64)
+    if (metaB64Cache.size > 65536) metaB64Cache.clear()
+    byNewest.iterator.flatMap { case (_, st) =>
+      val key = s"${st.getPath}#${st.getLen}#${st.getModificationTime}"
+      metaB64Cache.computeIfAbsent(key,
+        _ => parse(fsys, st.getPath).flatMap(_.metaB64))
     }.nextOption()
   }
 
@@ -837,7 +912,8 @@ object Manifest {
       snapshot: String, priors: Seq[ManifestData], allFiles: Seq[String],
       deleteFiles: Seq[String], beforePublish: () => Unit = () => (),
       rewrite: Boolean = false, metaB64: Option[String] = None,
-      expectedSeq: Option[Long] = None): Long = {
+      expectedSeq: Option[Long] = None,
+      cdcFiles: Seq[String] = Nil, cdcRecorded: Boolean = false): Long = {
     // expectedSeq turns the rename into a FULL head CAS: the caller
     // computed its state as of head expectedSeq-1, so ANY intervening
     // commit (data or DDL) makes the target name taken and the rename
@@ -859,6 +935,16 @@ object Manifest {
     // racing ALTER can never acknowledge a change computed from a
     // state the table had already left
     val metaBlock = metaB64.map(b => s""",\n  "meta_b64": "$b"""").getOrElse("")
+    // CDF state: the flag means "this commit's logical change is fully
+    // described by the listed cdc files" (Delta's rule that cdc actions
+    // supersede add/remove derivation) — an empty recorded list is a
+    // real statement ("no row changed": compaction, zorder)
+    val cdcBlock =
+      if (!cdcRecorded) ""
+      else if (cdcFiles.isEmpty) ",\n  \"cdc_recorded\": true"
+      else cdcFiles.map(f => s"""    "$f"""")
+        .mkString(",\n  \"cdc_recorded\": true,\n  \"cdc_files\": [\n",
+          ",\n", "\n  ]")
     val json =
       s"""{
          |  "snapshot": "$snapshot",
@@ -866,7 +952,7 @@ object Manifest {
          |  "committed_at": ${System.currentTimeMillis()},
          |  "files": [
          |$body
-         |  ]$delBlock$rewriteBlock$metaBlock
+         |  ]$delBlock$rewriteBlock$metaBlock$cdcBlock
          |}
          |""".stripMargin
     val tmp = new Path(base, s".manifest-$snapshot.tmp")
@@ -912,20 +998,44 @@ object Manifest {
         // seq-keyed manifest. A concurrent writer that already published
         // this seq makes the rename refuse (dest exists) — fail LOUDLY;
         // the landed data dir stays behind as a vacuum-able orphan.
-        if (!fsys.rename(tmp, manifestPath(dir, seq))) {
-          val taken = fsys.exists(manifestPath(dir, seq))
-          fsys.delete(tmp, false)
-          if (taken)
-            throw new java.util.ConcurrentModificationException(
-              s"commit_seq $seq for $dir was taken by a concurrent writer; " +
-                s"snapshot $snapshot NOT committed (data-$snapshot left as orphan)")
-          else
-            throw new RuntimeException(
-              s"manifest commit rename failed for $dir @ $snapshot (seq $seq)")
+        //
+        // SAME-JVM serialization (round 13 — closes an observed lost
+        // ALTER): local filesystems implement the no-overwrite refuse
+        // as CHECK-then-rename (java.io.File.renameTo REPLACES its
+        // destination), so two same-JVM committers racing one seq can
+        // both pass the check and both "win", the second silently
+        // replacing the first's manifest. HDFS-class stores refuse
+        // atomically server-side and raw object stores ride the
+        // coordinator branch above, so the TOCTOU is confined to
+        // local[*] — which is also exactly where every racer shares
+        // this JVM: one lock per (fs, table, seq) closes it.
+        // Cross-process local racing stays outside the contract (use
+        // HDFS or register a CommitCoordinator).
+        val dest = manifestPath(dir, seq)
+        renameLocks.computeIfAbsent(
+          s"${fsys.getUri}#$dest", _ => new Object).synchronized {
+          if (fsys.exists(dest) || !fsys.rename(tmp, dest)) {
+            val taken = fsys.exists(dest)
+            fsys.delete(tmp, false)
+            if (taken)
+              throw new java.util.ConcurrentModificationException(
+                s"commit_seq $seq for $dir was taken by a concurrent writer; " +
+                  s"snapshot $snapshot NOT committed (data-$snapshot left as orphan)")
+            else
+              throw new RuntimeException(
+                s"manifest commit rename failed for $dir @ $snapshot (seq $seq)")
+          }
         }
     }
     seq
   }
+
+  /** One lock object per manifest commit key — see the local-FS TOCTOU
+    * note at the rename above. Entries are a bare Object per (table,
+    * seq) ever committed by this JVM; never cleared (collapsing a lock
+    * mid-flight would reopen the race it exists to close). */
+  private val renameLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** The DDL sidecar's declared schema when the table dir carries one
     * (nullable-widened) — the authoritative read contract for evolved
@@ -999,6 +1109,97 @@ object Manifest {
     val newFiles = current.files.filterNot(baseline.files.toSet)
     if (newFiles.isEmpty) None
     else Some(readFiles(spark, dir, newFiles, declaredSchema(spark, dir)))
+  }
+
+  // ---- change data feed (round 13) --------------------------------------
+
+  /** The CDF metadata column names — Delta's, verbatim, so downstream
+    * consumers written against the public convention port unchanged. */
+  private[graft] val CdfTypeCol = "_change_type"
+  private[graft] val CdfVersionCol = "_commit_version"
+  private[graft] val CdfTimestampCol = "_commit_timestamp"
+
+  /** ROW-LEVEL change feed: every change committed AFTER retained
+    * snapshot `since` (exclusive; `"start"` = the full retained
+    * history) up to `until` (inclusive; default head), typed by
+    * `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} and stamped with `_commit_version` (the commit
+    * seq) and `_commit_timestamp`. This is the face that serves what
+    * [[readChangesSince]] refuses: DML commits record their row-level
+    * change as `cdc-<snapshot>/` parquet at commit time (COW
+    * DELETE/UPDATE/MERGE, MOR deletes — changed rows, never the table),
+    * maintenance rewrites record "no logical change", and plain appends
+    * derive their inserts from the added files at zero recording cost
+    * (Delta CDF's exact read rule: cdc actions supersede add/remove
+    * derivation). Cost ∝ changed rows in the span — never table size.
+    *
+    * Commits that changed rows WITHOUT a recorded change record (an
+    * overwrite, a restore, or history predating CDF recording) refuse
+    * loudly: deriving their deltas would mean diffing whole snapshots —
+    * data-proportional and silently expensive — so the consumer must
+    * re-baseline instead. Slices read under the schema declared as of
+    * `until` (older files/change records null-fill inside the reader,
+    * Delta's serve-under-latest-schema rule). */
+  def readChangeFeed(spark: SparkSession, dir: String, since: String,
+      until: Option[String] = None): DataFrame = {
+    val (fsys, base) = fs(spark, dir)
+    val all = retained(fsys, base)
+    require(all.nonEmpty, s"no committed snapshot under $dir")
+    val baseline: ManifestData =
+      if (since == "start") ManifestData("start", all.head.seq - 1, Nil)
+      else all.find(_.snapshot == since).getOrElse(
+        throw new IllegalArgumentException(
+          s"no retained snapshot '$since' under $dir " +
+            "(pass \"start\" for the full retained history)"))
+    val endM = until.map(u => all.find(_.snapshot == u).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained snapshot '$u' under $dir"))).getOrElse(all.last)
+    require(endM.seq >= baseline.seq,
+      s"change-feed end '${endM.snapshot}' (seq ${endM.seq}) precedes " +
+        s"baseline '$since' (seq ${baseline.seq}) under $dir")
+    val span = all.filter(m => m.seq > baseline.seq && m.seq <= endM.seq)
+    val declared = declaredSchemaAt(spark, dir, endM.seq)
+    val schema = declared.getOrElse(
+      readFiles(spark, dir, endM.files).schema)
+    val ctSchema = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(CdfTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    def stamped(df: DataFrame, m: ManifestData): DataFrame =
+      df.withColumn(CdfVersionCol, F.lit(m.seq))
+        .withColumn(CdfTimestampCol, F.timestamp_millis(F.lit(m.committedAt)))
+    val slices = (baseline +: span).sliding(2).toSeq.flatMap {
+      case Seq(prev, m) =>
+        val removed = !prev.files.forall(m.files.toSet)
+        val morChanged = m.deleteFiles.sorted != prev.deleteFiles.sorted
+        if (m.cdcRecorded) {
+          if (m.cdcFiles.isEmpty) None
+          else Some(stamped(
+            readFiles(spark, dir, m.cdcFiles, Some(ctSchema)), m))
+        } else if (!m.rewrite && !removed && !morChanged) {
+          val added = m.files.filterNot(prev.files.toSet)
+          if (added.isEmpty) None // metadata-only commit
+          else Some(stamped(readFiles(spark, dir, added, Some(schema))
+            .withColumn(CdfTypeCol, F.lit("insert")), m))
+        } else throw new IllegalStateException(
+          s"cannot serve the change feed since '$since' under $dir: " +
+            s"commit '${m.snapshot}' (seq ${m.seq}) changed rows without " +
+            "a recorded change-data record (an overwrite, a restore, or " +
+            "history predating CDF recording) - re-baseline on a " +
+            "snapshot at or after it")
+      case _ => None // empty span
+    }
+    val full = org.apache.spark.sql.types.StructType(ctSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(CdfVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(CdfTimestampCol,
+        org.apache.spark.sql.types.TimestampType, nullable = true)))
+    if (slices.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    else slices
+      // one column order for every slice — union is positional-safe
+      .map(df => df.select(full.fieldNames.map(n => F.col(s"`$n`")).toSeq: _*))
+      .reduce(_.unionByName(_))
   }
 
   /** The incremental-read span guard, shared by [[readChangesSince]]
@@ -1132,7 +1333,9 @@ object Manifest {
   private def cowRewrite(spark: SparkSession, dir: String, column: String,
       lo: String, hi: String, snapshot: String,
       rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame,
-      beforePublish: () => Unit = () => ()): CowRewrite = {
+      beforePublish: () => Unit = () => (),
+      cdcOf: (DataFrame, org.apache.spark.sql.Column) => Option[DataFrame] =
+        (_, _) => None): CowRewrite = {
     val (fsys, base) = fs(spark, dir)
     val cur = retained(fsys, base).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot under $dir"))
@@ -1171,7 +1374,7 @@ object Manifest {
     writeImpl(rewrite(df, inRange), dir, snapshot, beforePublish,
       carriedExplicit = Some(keep), partitionCols = partCols,
       deletesExplicit = Some(cur.deleteFiles), rewrite = true,
-      cowBase = Some(cur))
+      cowBase = Some(cur), cdc = cdcOf(df, inRange))
     CowRewrite(touch, keep, Some(snapshot))
   }
 
@@ -1212,7 +1415,11 @@ object Manifest {
       df.where(org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.not(inRange),
         org.apache.spark.sql.functions.lit(true))),
-      beforePublish)
+      beforePublish,
+      // the change record: exactly the rows the predicate deletes
+      // (where(inRange) keeps TRUE rows only — NULLs are not deletes)
+      cdcOf = (df, inRange) => Some(df.where(inRange)
+        .withColumn(CdfTypeCol, F.lit("delete"))))
 
   /** Copy-on-write UPDATE of rows with `column` ∈ [lo, hi]: every
     * `set` entry becomes `WHEN in-range THEN expr ELSE old` on the
@@ -1233,6 +1440,15 @@ object Manifest {
         d.withColumn(name,
           org.apache.spark.sql.functions.when(inRange, expr)
             .otherwise(org.apache.spark.sql.functions.col(name)))
+      },
+      cdcOf = (df, inRange) => {
+        val pre = df.where(inRange)
+        val post = set.foldLeft(pre) { case (d, (name, expr)) =>
+          d.withColumn(name, expr)
+        }
+        Some(pre.withColumn(CdfTypeCol, F.lit("update_preimage"))
+          .unionByName(post.withColumn(CdfTypeCol,
+            F.lit("update_postimage"))))
       })
   }
 
@@ -1249,8 +1465,11 @@ object Manifest {
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     // read() applies any position deletes, so compaction doubles as the
     // MOR purge: the new snapshot carries zero delete files
+    // cdcNoChange: a compaction re-packs bytes without changing any
+    // logical row (pending MOR deletes were already recorded as cdc by
+    // the delete commit itself), so the change feed reads it as empty
     val df = read(spark, dir).repartition(n.toInt)
-    writeImpl(df, dir, snapshot, () => (), rewrite = true)
+    writeImpl(df, dir, snapshot, () => (), rewrite = true, cdcNoChange = true)
     n
   }
 
@@ -1274,7 +1493,7 @@ object Manifest {
     // read() applies any position deletes - compaction purges MOR state
     val df = read(spark, dir).repartitionByRange(
       n.toInt, clusterCols.map(org.apache.spark.sql.functions.col): _*)
-    writeImpl(df, dir, snapshot, () => (), rewrite = true)
+    writeImpl(df, dir, snapshot, () => (), rewrite = true, cdcNoChange = true)
     n
   }
 
@@ -1305,7 +1524,7 @@ object Manifest {
       .repartitionByRange(n.toInt, ordering: _*)
       .sortWithinPartitions(ordering: _*)
     writeImpl(df, dir, snapshot, () => (), partitionCols = partitionCols,
-      rewrite = true)
+      rewrite = true, cdcNoChange = true)
     currentFiles(spark, dir).size.toLong
   }
 
@@ -1323,7 +1542,7 @@ object Manifest {
     require(partitionCols.nonEmpty, "compactPartitioned needs partition columns")
     val df = read(spark, dir).repartition(partitionCols.map(F.col): _*)
     writeImpl(df, dir, snapshot, () => (), partitionCols = partitionCols,
-      rewrite = true)
+      rewrite = true, cdcNoChange = true)
     currentFiles(spark, dir).size.toLong
   }
 
@@ -1361,7 +1580,7 @@ object Manifest {
       .repartition(partCols.map(F.col): _*)
     writeImpl(df, dir, snapshot, () => (), carriedExplicit = Some(keep),
       partitionCols = partCols, deletesExplicit = Some(cur.deleteFiles),
-      rewrite = true, cowBase = Some(cur))
+      rewrite = true, cowBase = Some(cur), cdcNoChange = true)
     CowRewrite(touch, keep, Some(snapshot))
   }
 
@@ -1404,7 +1623,7 @@ object Manifest {
       .sortWithinPartitions(ordering: _*)
     writeImpl(df, dir, snapshot, () => (), carriedExplicit = Some(keep),
       partitionCols = partCols, deletesExplicit = Some(cur.deleteFiles),
-      rewrite = true, cowBase = Some(cur))
+      rewrite = true, cowBase = Some(cur), cdcNoChange = true)
     CowRewrite(touch, keep, Some(snapshot))
   }
 
@@ -1457,16 +1676,18 @@ object Manifest {
     val (fsys, base) = fs(spark, dir)
     val all = retained(fsys, base)
     val (dropped, kept) = all.splitAt(math.max(0, all.size - keepLast))
-    // position-delete dirs retire under the same rule as data dirs
+    // position-delete and change-data dirs retire under the same rule
+    // as data dirs
     def dirsOf(ms: Seq[ManifestData]) =
-      (ms.flatMap(_.files) ++ ms.flatMap(_.deleteFiles))
-        .map(_.split('/').head).toSet
+      (ms.flatMap(_.files) ++ ms.flatMap(_.deleteFiles) ++
+        ms.flatMap(_.cdcFiles)).map(_.split('/').head).toSet
     val live = dirsOf(kept)
     val superseded = dirsOf(dropped) -- live
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val goneDirs = fsys.listStatus(base).toSeq
       .filter(s => s.isDirectory && (s.getPath.getName.startsWith("data-") ||
-        s.getPath.getName.startsWith("deletes-")))
+        s.getPath.getName.startsWith("deletes-") ||
+        s.getPath.getName.startsWith("cdc-")))
       .filterNot(s => live.contains(s.getPath.getName))
       .filter { s =>
         superseded.contains(s.getPath.getName) || s.getModificationTime < cutoff

@@ -1861,6 +1861,61 @@ object Maintenance {
             |  ${oSum("bal")} AS sum_bal
             |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // NATIVE CHANGE DATA FEED under oracle (round 13): the face the
+  // plain changesSince diff refuses — DML commits record their changed
+  // rows as cdc parquet at commit time (cost ∝ changed rows), appends
+  // derive inserts from their added files, and
+  // `.option("readChangeFeed", "true")` serves the typed row-level
+  // history. The fixture appends a slice then deletes and updates
+  // DISJOINT predicates (mod arithmetic keeps the appended rows out of
+  // both DML hit sets), so DuckDB replays each change class as an
+  // independent aggregate over the base table.
+  private val graftCdf = Q(
+    "q_graft_cdf",
+    (s, dir) => {
+      val out = scratchDir(dir, "graft_cdf")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        t(s, dir, "orders").repartitionByRange(8, col("o_orderkey")),
+        out, "base")
+      graft.io.Manifest.append(
+        t(s, dir, "orders").where("o_custkey % 50 = 1"), out, "landed")
+      s.read.format("graft").load(out)
+        .createOrReplaceTempView("graft_cdf_t")
+      s.sql("DELETE FROM graft_cdf_t " +
+        "WHERE o_orderstatus = 'F' AND o_custkey % 10 = 3")
+      s.read.format("graft").load(out)
+        .createOrReplaceTempView("graft_cdf_t2")
+      s.sql("UPDATE graft_cdf_t2 SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderstatus = 'O' AND o_custkey % 25 = 7")
+      s.read.format("graft")
+        .option("readChangeFeed", "true").option("changesSince", "base")
+        .load(out)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").as("sum_ok"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("change_type")
+    },
+    Some(s"""SELECT 'delete' AS change_type, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("o_totalprice")} AS sum_price
+            |FROM orders WHERE o_orderstatus = 'F' AND o_custkey % 10 = 3
+            |UNION ALL
+            |SELECT 'insert', COUNT(*),
+            |  CAST(SUM(o_orderkey) AS BIGINT), ${oSum("o_totalprice")}
+            |FROM orders WHERE o_custkey % 50 = 1
+            |UNION ALL
+            |SELECT 'update_preimage', COUNT(*),
+            |  CAST(SUM(o_orderkey) AS BIGINT), ${oSum("o_totalprice")}
+            |FROM orders WHERE o_orderstatus = 'O' AND o_custkey % 25 = 7
+            |UNION ALL
+            |SELECT 'update_postimage', COUNT(*),
+            |  CAST(SUM(o_orderkey) AS BIGINT), ${oSum("o_totalprice * 2")}
+            |FROM orders WHERE o_orderstatus = 'O' AND o_custkey % 25 = 7
+            |ORDER BY change_type""".stripMargin))
+
   // SQL MERGE INTO under oracle (round 10): customer lands as a graft
   // table, one MERGE statement applies a deterministic change batch
   // with all four action classes (conditional DELETE, UPDATE, INSERT
@@ -2389,6 +2444,7 @@ object Maintenance {
     graftMerge, graftCatalogQ,
     graftEvolve,
     graftEvolveAsof, graftMergeEvolve, graftRename, graftWiden, graftChanges,
+    graftCdf,
     graftZorder,
     graftRestore, graftOptimize,
     httpSource,

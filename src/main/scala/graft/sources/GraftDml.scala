@@ -457,7 +457,8 @@ private[sources] object GraftDmlExec {
 
   def commitRewrite(spark: SparkSession, dir: String, rewritten: DataFrame,
       touch: Seq[String], keep: Seq[String], deleteFiles: Seq[String],
-      base: Option[Manifest.ManifestData] = None): Unit = {
+      base: Option[Manifest.ManifestData] = None,
+      cdc: Option[DataFrame] = None): Unit = {
     val snap = s"dml${System.currentTimeMillis()}-" +
       java.util.UUID.randomUUID().toString.take(8)
     // layout from the touched files, falling back to the carried ones:
@@ -466,11 +467,14 @@ private[sources] object GraftDmlExec {
     val partCols = GraftSource.uniformPartitionCols(
       if (touch.nonEmpty) touch else keep).getOrElse(Nil).toSeq
     // `rewrite` flags commits whose files re-pack pre-existing rows —
-    // a zero-touch MERGE only ADDS files, so streams keep serving it
+    // a zero-touch MERGE only ADDS files, so streams keep serving it.
+    // `cdc` is the statement's row-level change record (changed rows +
+    // `_change_type`), landed beside the data so the change feed can
+    // serve this commit instead of refusing it
     Manifest.writeImpl(rewritten, dir, snap, beforePublishHook,
       carriedExplicit = Some(keep), partitionCols = partCols,
       deletesExplicit = Some(deleteFiles), rewrite = touch.nonEmpty,
-      cowBase = base)
+      cowBase = base, cdc = cdc)
     spark.catalog.refreshByPath(dir)
   }
 
@@ -535,12 +539,15 @@ case class GraftDeleteCommand(dir: String, pinned: String,
             case Some(r) => (r, touch, keep)
             case None => (target, cur.files, Seq.empty[String])
           }
-        val (_, miss) = GraftDmlExec.hitMissFrames(spark, plan, cond)
-        val kept = miss.select(attrs.map(a =>
-          Bridge.columnOf(a).as(a.name)): _*)
+        val (hit, miss) = GraftDmlExec.hitMissFrames(spark, plan, cond)
+        val out = attrs.map(a => Bridge.columnOf(a).as(a.name))
+        val kept = miss.select(out: _*)
         GraftDmlExec.refuseEmptyResult(kept, keepEff, "DELETE")
         GraftDmlExec.commitRewrite(spark, dir, kept, touchEff, keepEff,
-          cur.deleteFiles, base = Some(cur))
+          cur.deleteFiles, base = Some(cur),
+          // change record: the hit frame IS the deleted multiset
+          cdc = Some(hit.select(out: _*)
+            .withColumn(Manifest.CdfTypeCol, F.lit("delete"))))
       } else {
         val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles,
           attrs)
@@ -548,7 +555,11 @@ case class GraftDeleteCommand(dir: String, pinned: String,
           GraftDmlExec.remapByName(Or(Not(cond), IsNull(cond)))))
         GraftDmlExec.refuseEmptyResult(kept, keep, "DELETE")
         GraftDmlExec.commitRewrite(spark, dir, kept, touch, keep,
-          cur.deleteFiles, base = Some(cur))
+          cur.deleteFiles, base = Some(cur),
+          // change record: exactly the TRUE rows (the DELETE contract —
+          // a NULL condition keeps the row, so it is not a change)
+          cdc = Some(df.where(Bridge.columnOf(GraftDmlExec.remapByName(cond)))
+            .withColumn(Manifest.CdfTypeCol, F.lit("delete"))))
       }
     }
     Seq.empty
@@ -616,8 +627,15 @@ case class GraftUpdateCommand(dir: String, pinned: String,
         }: _*)
         val updated = applied.unionByName(
           miss.select(attrs.map(a => Bridge.columnOf(a).as(a.name)): _*))
+        // change record off the checkpointed hit frame: its rows before
+        // and after the assignments (re-running `applied` for the cdc
+        // write re-reads the checkpoint, not the table)
+        val pre = hit.select(attrs.map(a => Bridge.columnOf(a).as(a.name)): _*)
+        val cdc = pre.withColumn(Manifest.CdfTypeCol, F.lit("update_preimage"))
+          .unionByName(applied.withColumn(Manifest.CdfTypeCol,
+            F.lit("update_postimage")))
         GraftDmlExec.commitRewrite(spark, dir, updated, touchEff, keepEff,
-          cur.deleteFiles, base = Some(cur))
+          cur.deleteFiles, base = Some(cur), cdc = Some(cdc))
       } else {
         val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles,
           attrs)
@@ -631,8 +649,24 @@ case class GraftUpdateCommand(dir: String, pinned: String,
             case None => df.col(s"`${a.name}`")
           }
         }: _*)
+        // change record: condition-TRUE rows before/after the
+        // assignments (a NULL/false condition leaves the row — no change)
+        val hitRows = df.where(condCol)
+        val post = hitRows.select(attrs.map { a =>
+          byName.get(a.name) match {
+            case Some(v) =>
+              Bridge.columnOf(GraftDmlExec.remapByName(v))
+                .cast(a.dataType).as(a.name)
+            case None => hitRows.col(s"`${a.name}`")
+          }
+        }: _*)
+        val cdc = hitRows
+          .select(attrs.map(a => hitRows.col(s"`${a.name}`")): _*)
+          .withColumn(Manifest.CdfTypeCol, F.lit("update_preimage"))
+          .unionByName(post.withColumn(Manifest.CdfTypeCol,
+            F.lit("update_postimage")))
         GraftDmlExec.commitRewrite(spark, dir, updated, touch, keep,
-          cur.deleteFiles, base = Some(cur))
+          cur.deleteFiles, base = Some(cur), cdc = Some(cdc))
       }
     }
     Seq.empty
@@ -721,6 +755,53 @@ case class GraftMergeCommand(dir: String, pinned: String,
       }.as(a.name)
     }
     kept.select(projected: _*)
+  }
+
+  /** The CHANGE RECORD of a target-side branch: rows whose first
+    * applicable action is a DELETE as `delete`, rows whose first
+    * applicable action is an UPDATE as an `update_preimage` /
+    * `update_postimage` pair (same projection fold as
+    * [[transformTargetRows]]); act-0 pass-through rows change nothing
+    * and record nothing. None when the branch has no actions. */
+  private def cdcTargetRows(df: DataFrame,
+      attrs: Seq[AttributeReference],
+      actions: Seq[MergeAction]): Option[DataFrame] = {
+    if (actions.isEmpty) return None
+    val withIdx = df.withColumn("__graft_act", actionIdx(actions))
+    val pre = attrs.map(a => Bridge.columnOf(a).as(a.name))
+    val deleteIdxs = actions.zipWithIndex.collect {
+      case (_: DeleteAction, i) => i + 1
+    }
+    val updateIdxs = actions.zipWithIndex.collect {
+      case (_: UpdateAction, i) => i + 1
+    }
+    val dels =
+      if (deleteIdxs.isEmpty) None
+      else Some(withIdx.where(F.col("__graft_act")
+          .isin(deleteIdxs.map(Integer.valueOf): _*))
+        .select(pre: _*)
+        .withColumn(Manifest.CdfTypeCol, F.lit("delete")))
+    val upds =
+      if (updateIdxs.isEmpty) None
+      else {
+        val u = withIdx.where(F.col("__graft_act")
+          .isin(updateIdxs.map(Integer.valueOf): _*))
+        val post = attrs.map { a =>
+          actions.zipWithIndex.foldLeft(Bridge.columnOf(a)) {
+            case (acc, (up: UpdateAction, i)) =>
+              up.assignments.find(keyMatches(a)).map(asg =>
+                F.when(F.col("__graft_act") === (i + 1),
+                  Bridge.columnOf(asg.value).cast(a.dataType)).otherwise(acc))
+                .getOrElse(acc)
+            case (acc, _) => acc
+          }.as(a.name)
+        }
+        Some(u.select(pre: _*)
+          .withColumn(Manifest.CdfTypeCol, F.lit("update_preimage"))
+          .unionByName(u.select(post: _*)
+            .withColumn(Manifest.CdfTypeCol, F.lit("update_postimage"))))
+      }
+    (dels.toSeq ++ upds.toSeq).reduceOption(_.unionByName(_))
   }
 
   /** Source-side branch: rows matching no target row insert through the
@@ -847,7 +928,7 @@ case class GraftMergeCommand(dir: String, pinned: String,
     * the caller scoped (full snapshot or touched files only). */
   private def applyActions(tgtFrame: DataFrame, src: DataFrame,
       attrs: Seq[AttributeReference], bySource: Seq[MergeAction],
-      run: DataFrame => Unit): Unit = {
+      run: (DataFrame, Option[DataFrame]) => Unit): Unit = {
     val tgt = tgtFrame
       .withColumn("__graft_tid", F.monotonically_increasing_id())
       .withColumn("__graft_tm", F.lit(true))
@@ -880,7 +961,17 @@ case class GraftMergeCommand(dir: String, pinned: String,
         transformTargetRows(matched, attrs, matchedActions)
           .unionByName(transformTargetRows(noSrc, attrs, bySource))
           .unionByName(insertRows(noTgt, attrs, notMatchedActions))
-      run(result)
+      // the change record reads the SAME persisted join — inserts are
+      // recorded explicitly because the merge's new files mix kept,
+      // updated, and inserted rows (no derive-from-added-files shortcut)
+      val inserts =
+        if (notMatchedActions.isEmpty) None
+        else Some(insertRows(noTgt, attrs, notMatchedActions)
+          .withColumn(Manifest.CdfTypeCol, F.lit("insert")))
+      val cdc = (cdcTargetRows(matched, attrs, matchedActions).toSeq ++
+        cdcTargetRows(noSrc, attrs, bySource).toSeq ++ inserts.toSeq)
+        .reduceOption(_.unionByName(_))
+      run(result, cdc)
     } finally joined.unpersist()
   }
 
@@ -908,10 +999,10 @@ case class GraftMergeCommand(dir: String, pinned: String,
       pruned match {
         case Some((cur, touch, keep)) =>
           val tgtFrame = Bridge.ofRows(spark, restrictTarget(spark, touch))
-          applyActions(tgtFrame, src, attrs, Nil, { result =>
+          applyActions(tgtFrame, src, attrs, Nil, { (result, cdc) =>
             GraftDmlExec.refuseEmptyResult(result, keep, "MERGE")
             GraftDmlExec.commitRewrite(spark, dir, result, touch, keep,
-              cur.deleteFiles, base = Some(cur))
+              cur.deleteFiles, base = Some(cur), cdc = cdc)
           })
         case None =>
           // full-snapshot rewrite: NOT MATCHED BY SOURCE semantics, a
@@ -921,10 +1012,10 @@ case class GraftMergeCommand(dir: String, pinned: String,
           // snapshot). The merge read the whole table, so a concurrent
           // commit is a true conflict (no cowBase).
           applyActions(Bridge.ofRows(spark, target), src, attrs,
-            notMatchedBySourceActions, { result =>
+            notMatchedBySourceActions, { (result, cdc) =>
               GraftDmlExec.refuseEmptyResult(result, Nil, "MERGE")
               GraftDmlExec.commitRewrite(spark, dir, result,
-                curOpt.map(_.files).getOrElse(Nil), Nil, Nil)
+                curOpt.map(_.files).getOrElse(Nil), Nil, Nil, cdc = cdc)
             })
       }
     } finally srcBase.unpersist()

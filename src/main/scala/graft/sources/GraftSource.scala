@@ -76,12 +76,29 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       .getOrElse("path", throw new IllegalArgumentException(
         "graft: .load(<manifest table dir>) / .option(\"path\", …) is required"))
 
+  /** The streaming CDF schema: the table's columns plus the three
+    * `_change_type`/`_commit_version`/`_commit_timestamp` metadata
+    * columns. */
+  private def cdfSchema(table: StructType): StructType =
+    StructType(table.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(Manifest.CdfTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField(Manifest.CdfVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(Manifest.CdfTimestampCol,
+        org.apache.spark.sql.types.TimestampType, nullable = true)))
+
+  private def wantsCdf(parameters: Map[String, String]): Boolean =
+    parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
+      .get("readchangefeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val dir = pathOf(parameters)
-    (shortName(), schema.getOrElse(
-      Manifest.read(sqlContext.sparkSession, dir).schema))
+    val table = schema.getOrElse(
+      Manifest.read(sqlContext.sparkSession, dir).schema)
+    (shortName(), if (wantsCdf(parameters)) cdfSchema(table) else table)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -107,12 +124,15 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       require(n > 0, s"graft stream: maxBytesPerTrigger must be positive, got $n")
       n
     }
+    val cdf = wantsCdf(parameters)
+    val table = schema.getOrElse(Manifest.read(spark, dir).schema)
     new GraftStreamSource(spark, dir,
-      schema.getOrElse(Manifest.read(spark, dir).schema),
+      if (cdf) cdfSchema(table) else table,
       skipChangeCommits = opts.get("skipchangecommits").exists(_.toBoolean),
       maxCommitsPerTrigger = posInt("maxcommitspertrigger", "maxCommitsPerTrigger"),
       maxFilesPerTrigger = posInt("maxfilespertrigger", "maxFilesPerTrigger"),
-      maxBytesPerTrigger = maxBytes)
+      maxBytesPerTrigger = maxBytes,
+      readChangeFeed = cdf)
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -210,6 +230,22 @@ object GraftSource {
   private[graft] def buildRelation(spark: SparkSession, dir: String,
       opts: Map[String, String],
       declaredSchema: Option[StructType] = None): BaseRelation = {
+    // CHANGE DATA FEED as a reader option (round 13):
+    // `.option("readChangeFeed", "true")[.option("changesSince", snap)
+    // [.option("changesUntil", snap)]]` serves ROW-LEVEL changes typed
+    // by `_change_type` — the face that serves what the plain
+    // changesSince diff refuses (DML commits record their change as
+    // cdc files at commit time; see [[Manifest.readChangeFeed]]).
+    // Default baseline is "start" (the full retained history).
+    if (opts.get("readchangefeed").exists(_.toBoolean)) {
+      require(!Seq("versionasof", "snapshotasof", "timestampasof")
+          .exists(opts.contains),
+        "graft: readChangeFeed cannot combine with a time-travel selector " +
+          "(bound the span with changesSince/changesUntil instead)")
+      return new GraftFrameRelation(spark, () => Manifest.readChangeFeed(
+        spark, dir, opts.getOrElse("changessince", "start"),
+        opts.get("changesuntil")))
+    }
     // INCREMENTAL READ as a reader option (round 12):
     // `.option("changesSince", <snapshot>)` serves the rows ADDED after
     // the named retained snapshot — the manifest file-set difference,
@@ -649,6 +685,35 @@ class GraftMorRelation(spark: SparkSession, dir: String,
     GraftInsert.commit(spark, dir,
       GraftSource.uniformPartitionCols(m.files).getOrElse(Nil),
       data, overwrite)
+}
+
+/**
+ * A relation over a COMPUTED library frame (the change feed): same
+ * pushdown contract as [[GraftMorRelation]] — every planner filter is
+ * translated back into the frame (partition dirs prune at listing
+ * time, row groups skip on footer bounds) AND declared unhandled, so
+ * Spark re-verifies row-level above the scan. Lazy: the frame (and its
+ * span validation) materializes on first planning, not at
+ * relation-resolution time.
+ */
+private[graft] class GraftFrameRelation(spark: SparkSession,
+    frameF: () => DataFrame) extends BaseRelation with PrunedFilteredScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  private lazy val frame: DataFrame = frameF()
+  override lazy val schema: StructType = frame.schema
+  override def unhandledFilters(filters: Array[SourceFilter]): Array[SourceFilter] =
+    filters
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[SourceFilter]): RDD[Row] = {
+    val filtered = GraftFilterTranslate.conjunction(filters) match {
+      case Some(cond) => frame.where(cond)
+      case None => frame
+    }
+    val pruned =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.toSeq.map(frame.col): _*)
+    pruned.rdd
+  }
 }
 
 /**

@@ -115,7 +115,8 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     skipChangeCommits: Boolean = false,
     maxCommitsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Source
+    maxBytesPerTrigger: Option[Long] = None,
+    readChangeFeed: Boolean = false) extends Source
     // the FileStreamSource precedent: a V1 Source that ALSO implements
     // the admission-control faces gets real Trigger.AvailableNow
     // semantics — the engine drives latestOffset() in a MULTI-batch
@@ -154,7 +155,12 @@ class GraftStreamSource(spark: SparkSession, dir: String,
       m: Manifest.ManifestData): Boolean =
     m.rewrite ||
       prev.exists(p => !p.files.forall(m.files.toSet)) ||
-      prev.exists(p => m.deleteFiles.sorted != p.deleteFiles.sorted)
+      prev.exists(p => m.deleteFiles.sorted != p.deleteFiles.sorted) ||
+      // CDF mode: a commit with a recorded change record serves that
+      // record WHOLE (it cannot be sliced by added-file prefix), so
+      // admission must never split it — e.g. an insert-only MERGE is
+      // file-wise a plain append but carries cdc
+      (readChangeFeed && m.cdcFiles.nonEmpty)
 
   /** Walk the backlog, admitting until a cap would be exceeded —
     * always at least ONE FILE of progress (round 12; previously one
@@ -294,6 +300,7 @@ class GraftStreamSource(spark: SparkSession, dir: String,
       throw new IllegalStateException(
         s"graft stream: offset $e is no longer retained under $dir " +
           "(vacuum outran the stream checkpoint) - re-baseline the stream"))
+    if (readChangeFeed) return getBatchCdf(start, e, ek, hist, endM)
     // the STREAM's declared schema drives every scan (user-specified
     // schema, no footer inference): files predating an ALTER TABLE ADD
     // COLUMN null-fill inside the reader, and a later evolution cannot
@@ -373,6 +380,103 @@ class GraftStreamSource(spark: SparkSession, dir: String,
     // streaming — the V1 Source contract
     val aligned = batch.select(schema.fieldNames.map(n =>
       org.apache.spark.sql.functions.col(s"`$n`")).toSeq: _*)
+    Bridge.internalFrame(spark, aligned.queryExecution.toRdd, schema,
+      isStreaming = true)
+  }
+
+  /** CHANGE-FEED micro-batches (round 13,
+    * `.option("readChangeFeed", "true")` — Delta's streaming CDF): the
+    * initial batch is the start snapshot as `insert` rows; each later
+    * commit serves its RECORDED change record (DML commits — served
+    * whole, never split), derives `insert` rows from its added files
+    * (plain appends — still splittable under the admission caps), or
+    * serves nothing (metadata-only commits, maintenance rewrites with a
+    * recorded empty record). A commit that changed rows WITHOUT a
+    * record (overwrite, restore, pre-CDF history) keeps the existing
+    * refuse/skip contract. Every row is stamped with
+    * `_change_type` / `_commit_version` / `_commit_timestamp`. */
+  private def getBatchCdf(start: Option[V1Offset], e: Long, ek: Long,
+      hist: Seq[Manifest.ManifestData],
+      endM: Manifest.ManifestData): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val cdfCols =
+      Seq(Manifest.CdfTypeCol, Manifest.CdfVersionCol, Manifest.CdfTimestampCol)
+    val tableSchema = StructType(
+      schema.filterNot(f => cdfCols.contains(f.name)).map(_.copy(nullable = true)))
+    val hint = Some(tableSchema)
+    val ctHint = Some(StructType(tableSchema.fields :+
+      org.apache.spark.sql.types.StructField(Manifest.CdfTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    def stamped(df: DataFrame, m: Manifest.ManifestData): DataFrame =
+      df.withColumn(Manifest.CdfVersionCol, F.lit(m.seq))
+        .withColumn(Manifest.CdfTimestampCol,
+          F.timestamp_millis(F.lit(m.committedAt)))
+    val slices: Seq[DataFrame] = start match {
+      case None =>
+        require(ek < 0, s"graft stream: initial offset $e#$ek cannot be " +
+          "intra-commit (admission bug)")
+        Seq(stamped(Manifest.readAt(spark, dir, endM.snapshot, hint)
+          .withColumn(Manifest.CdfTypeCol, F.lit("insert")), endM))
+      case Some(s0) =>
+        val (s, sk) = stateOf(s0)
+        val startM = hist.find(_.seq == s).getOrElse(
+          throw new IllegalStateException(
+            s"graft stream: checkpointed offset $s is no longer retained " +
+              s"under $dir (vacuum outran the stream checkpoint) - " +
+              "re-baseline the stream"))
+        val out = Vector.newBuilder[DataFrame]
+        // remainder of a partially-served start commit (a split plain
+        // append — recorded-cdc commits never split)
+        if (sk >= 0) {
+          val before = hist.filter(_.seq < s).lastOption
+            .map(_.files.toSet).getOrElse(Set.empty[String])
+          val addedAll = startM.files.filterNot(before)
+          val upto = if (s == e && ek >= 0) ek else addedAll.size.toLong
+          val rest = addedAll.slice(sk.toInt, upto.toInt)
+          if (rest.nonEmpty)
+            out += stamped(Manifest.readFiles(spark, dir, rest, hint)
+              .withColumn(Manifest.CdfTypeCol, F.lit("insert")), startM)
+        }
+        var prev = startM
+        hist.filter(m => m.seq > s && m.seq <= e).foreach { m =>
+          val removed = !prev.files.forall(m.files.toSet)
+          val morChanged = m.deleteFiles.sorted != prev.deleteFiles.sorted
+          if (m.cdcRecorded) {
+            require(!(m.seq == e && ek >= 0),
+              s"graft stream: partial offset $e#$ek lands on a " +
+                s"recorded-cdc commit '${m.snapshot}' (admission bug)")
+            if (m.cdcFiles.nonEmpty)
+              out += stamped(
+                Manifest.readFiles(spark, dir, m.cdcFiles, ctHint), m)
+          } else if (!m.rewrite && !removed && !morChanged) {
+            val added = m.files.filterNot(prev.files.toSet)
+            val take =
+              if (m.seq == e && ek >= 0) added.take(ek.toInt) else added
+            if (take.nonEmpty)
+              out += stamped(Manifest.readFiles(spark, dir, take, hint)
+                .withColumn(Manifest.CdfTypeCol, F.lit("insert")), m)
+          } else if (!skipChangeCommits) {
+            throw new UnsupportedOperationException(
+              s"graft stream: commit '${m.snapshot}' (seq ${m.seq}) under " +
+                s"$dir changed rows without a recorded change-data record " +
+                "(an overwrite, a restore, or history predating CDF " +
+                "recording) - re-baseline the stream, or set " +
+                "skipChangeCommits=true to skip it")
+          } // skipChangeCommits: serve NOTHING from an unrecorded change
+          prev = m
+        }
+        out.result()
+    }
+    val batch =
+      if (slices.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else slices
+        .map(df => df.select(schema.fieldNames.map(n =>
+          F.col(s"`$n`")).toSeq: _*))
+        .reduce(_.unionByName(_))
+    val aligned = batch.select(schema.fieldNames.map(n =>
+      F.col(s"`$n`")).toSeq: _*)
     Bridge.internalFrame(spark, aligned.queryExecution.toRdd, schema,
       isStreaming = true)
   }

@@ -254,7 +254,7 @@ object ScaleCheck {
       // commit path leaked onto a data-proportional scan. Table build
       // is cached per dir (morRead protocol: first run builds, the
       // measured run reuses).
-      "stream_sink_cadence",
+      "stream_sink_cadence", "cdf_read_touched",
       // round-13: `.option("changesSince", …)` with a FIXED appended
       // delta against the growing table — the incremental read lists
       // manifests and scans ONLY the delta's files, so near-flat is
@@ -289,6 +289,8 @@ object ScaleCheck {
           (sp, dir) => streamSinkCadence(sp, dir)
         else if (name == "changes_since_touched")
           (sp, dir) => changesSinceTouched(sp, dir)
+        else if (name == "cdf_read_touched")
+          (sp, dir) => cdfReadTouched(sp, dir)
         else SparkEntry.queries(name)
       def measure(dir: String): (Double, Long) = {
         graft.ops.BoundedCache.clear()
@@ -475,6 +477,34 @@ object ScaleCheck {
     }
     sp.read.format("graft").option("changesSince", "base").load(tbl)
       .groupBy("o_orderstatus").count()
+  }
+
+  /** Round-13 CDF probe: the base table GROWS with the scale point
+    * while the DML (one COW DELETE of replica-0's fixed key range)
+    * stays constant, so the measured change-feed read isolates what
+    * `.option("readChangeFeed", …)` pays per scale — the recorded cdc
+    * bytes (∝ changed rows) plus manifest metadata, never the table.
+    * Flat 100×/10× is the pass bar. */
+  private def cdfReadTouched(sp: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash("cdf" + dir)
+        .toLong & 0xffffffffL)
+    val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_cdfp_$key"
+    if (!new java.io.File(tbl).exists() ||
+        graft.io.Manifest.snapshots(sp, tbl).size != 2) {
+      val p = new org.apache.hadoop.fs.Path(tbl)
+      p.getFileSystem(sp.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.io.Manifest.write(
+        sp.read.parquet(s"$dir/orders.parquet")
+          .repartitionByRange(32, col("o_orderkey")),
+        tbl, "base")
+      sp.read.format("graft").load(tbl)
+        .createOrReplaceTempView(s"cdf_probe_$key")
+      sp.sql(s"DELETE FROM cdf_probe_$key WHERE o_orderkey < 2000")
+    }
+    sp.read.format("graft")
+      .option("readChangeFeed", "true").option("changesSince", "base")
+      .load(tbl).groupBy("_change_type").count()
   }
 
   /** Round-9 DELETE-COUNT curve for the deletion-vector path: the base

@@ -421,6 +421,31 @@ class GraftCatalogSpec extends AnyFunSuite {
       m.contains("INCOMPATIBLE") || m.contains("type")), msgs(err).mkString("; "))
   }
 
+  test("writeStream.toTable lands PHYSICAL names on a column-mapped target") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    sql("CREATE TABLE gcat.db.msrc USING graft AS SELECT * FROM VALUES (1, 'x'), (2, 'y') AS t(k, label)")
+    sql("CREATE TABLE gcat.db.mdst (k INT, name STRING) USING graft")
+    sql("INSERT INTO gcat.db.mdst VALUES (0, 'seed')")
+    sql("ALTER TABLE gcat.db.mdst RENAME COLUMN name TO label") // mapping on
+    val ckpt = java.nio.file.Files.createTempDirectory("toTableM-ckpt").toString
+    spark.readStream.table("gcat.db.msrc")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gcat.db.mdst").awaitTermination()
+    assert(sql("SELECT k, label FROM gcat.db.mdst ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "seed"), (1, "x"), (2, "y")))
+    // the streamed files carry the frozen PHYSICAL column name
+    val (dir, _) = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog].resolveTable("db.mdst")
+    val streamed = Manifest.history(spark, dir).last.files
+      .filter(_.startsWith("data-stream-q"))
+    assert(streamed.nonEmpty)
+    val footer = spark.read.parquet(streamed.map(f => s"$dir/$f"): _*)
+    assert(footer.columns.contains("name") && !footer.columns.contains("label"),
+      "streamed epochs must land under the frozen physical name")
+  }
+
   test("ALTER TABLE ADD COLUMN: old data null-fills, new INSERT carries it, exports re-declare") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
     sql("CREATE TABLE gcat.db.evo (id BIGINT, name STRING) USING graft")

@@ -72,17 +72,34 @@ class RawObjectStoreManifestSpec extends AnyFunSuite {
     CommitCoordinator.unregister("s3raw")
     val dir = freshTable()
     Manifest.write(Seq(1).toDF("v"), dir, "base")
-    // two appends race onto seq 1: B lands fully inside A's
-    // before-publish window, then A's rename OVERWRITES B's manifest
-    Manifest.appendImpl(Seq(2).toDF("v"), dir, "a", () =>
-      Manifest.append(Seq(3).toDF("v"), dir, "b"))
+    // SAME-JVM racers are serialized by the manifest layer's TOCTOU
+    // guard (round 13: exists+rename under one JVM lock per commit
+    // key), so the in-process interleaving that used to demonstrate
+    // the loss now refuses cleanly. The REAL remaining hazard is
+    // CROSS-PROCESS — no JVM lock can reach another writer — so it is
+    // demonstrated at the FS layer: two "processes" each stage a
+    // manifest for seq 1 and rename; both renames report success, the
+    // second silently REPLACING the first. An acknowledged commit is
+    // gone. This is exactly why raw-LWW schemes need the registered
+    // coordinator.
+    val f = fs(dir)
+    def stage(name: String, snap: String): Path = {
+      val p = new Path(dir, name)
+      val o = f.create(p, true)
+      o.write(
+        s"""{"snapshot":"$snap","commit_seq":1,"files":["data-$snap/part-0.parquet"]}"""
+          .getBytes("UTF-8"))
+      o.close(); p
+    }
+    val dest = new Path(dir, "manifest-1.json")
+    val a = stage(".ma.tmp", "procA")
+    val b = stage(".mb.tmp", "procB")
+    assert(f.rename(a, dest), "first committer publishes")
+    assert(f.rename(b, dest),
+      "LWW: the second rename also reports success instead of refusing")
     val hist = Manifest.history(spark, dir)
-    assert(hist.map(_.seq) == Seq(0L, 1L),
-      "both racers claimed seq 1; LWW rename kept only one manifest")
-    val served = Manifest.read(spark, dir).as[Int].collect().sorted.toSeq
-    assert(served == Seq(1, 2),
-      s"the hazard: snapshot 'b' committed successfully yet its row " +
-        s"silently vanished (served $served)")
+    assert(hist.map(_.snapshot) == Seq("base", "procB"),
+      "procA's acknowledged commit silently vanished under LWW rename")
   }
 
   test("WITH a coordinator: one winner per seq, the loser rebases; no row lost") {
