@@ -427,6 +427,29 @@ object Manifest {
       extra = Seq("_graft_file", "_graft_pos")))
   }
 
+  /** [[readFilesMeta]] with the snapshot's position deletes applied —
+    * the LIVE rows of `files`, still carrying `_graft_file`/`_graft_pos`
+    * (what a merge-on-read DML needs: judge the predicate on live rows
+    * only, then target the survivors by position). */
+  private[graft] def readFilesMetaApplyingDeletes(spark: SparkSession,
+      dir: String, files: Seq[String], deleteFiles: Seq[String],
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val metaDf = readFilesMeta(spark, dir, files, schemaHint)
+    if (deleteFiles.isEmpty) return metaDf
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dels = spark.read.parquet(deleteFiles.map(f => s"$dir/$f"): _*)
+      .select(col("file_path").as("_graft_del_file"),
+        col("pos").as("_graft_del_pos"))
+    metaDf.withColumn("_graft_rel", relPathCol)
+      .join(broadcast(dels),
+        col("_graft_rel") =!= "" &&
+          col("_graft_rel") === col("_graft_del_file") &&
+          col("_graft_pos") === col("_graft_del_pos"),
+        "left_anti")
+      .drop("_graft_rel")
+  }
+
   /** Read `files` with the snapshot's position deletes applied: a
     * broadcast anti-join on (relative file path, row index) — the
     * merge-on-read contract, correct as long as delete sets stay small
@@ -504,7 +527,12 @@ object Manifest {
       FileStats.mayMatch(stats(f), column, lo, hi)))
     if (touch.isEmpty) return MorDelete(Nil, 0L, None)
     import org.apache.spark.sql.functions.col
-    val metaDf = readFilesMeta(spark, dir, touch, declaredSchema(spark, dir))
+    // LIVE rows only: judging the predicate on already-MOR-deleted rows
+    // would re-record them as deleted in the change feed (and write
+    // duplicate delete positions — harmless for the anti-join, wrong
+    // for cdc)
+    val metaDf = readFilesMetaApplyingDeletes(spark, dir, touch,
+      cur.deleteFiles, declaredSchema(spark, dir))
     val dt = authDt.getOrElse(metaDf.schema(column).dataType)
     val c = col(column).cast(dt)
     val inRange = c >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
@@ -512,7 +540,32 @@ object Manifest {
     // rows TO DELETE: NULL never matches a range predicate, and
     // where(inRange) drops null-valued rows from the delete set — the
     // right way round for a delete
-    val dels = metaDf.where(inRange)
+    deleteHitsMOR(spark, dir, snapshot, touch, metaDf.where(inRange),
+      beforePublish)
+  }
+
+  /** The predicate-general MERGE-ON-READ DELETE core (shared by
+    * [[deleteRangeMOR]] and the SQL `DELETE` path under
+    * `graft.dml.mode = mor`): `hits` is the LIVE frame of rows to
+    * delete — derived from [[readFilesMetaApplyingDeletes]] over
+    * `touch`, still carrying `_graft_file`/`_graft_pos` — landed as a
+    * `deletes-<snapshot>/` position list plus the change record, then
+    * committed with the additive rebase (see the commit-loop note
+    * below). Data files never move: deleting a few thousand rows from
+    * a 100 TB table writes kilobytes. */
+  private[graft] def deleteHitsMOR(spark: SparkSession, dir: String,
+      snapshot: String, touch: Seq[String],
+      hits: DataFrame, beforePublish: () => Unit = () => ()): MorDelete = {
+    require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
+    import org.apache.spark.sql.functions.col
+    val (fsys, base) = fs(spark, dir)
+    val priors = retained(fsys, base)
+    require(priors.nonEmpty, s"no committed snapshot under $dir")
+    require(priors.forall(_.snapshot != snapshot),
+      s"snapshot $snapshot already committed under $dir")
+    val delDir = new Path(base, s"deletes-$snapshot")
+    require(!fsys.exists(delDir), s"deletes-$snapshot already landed under $dir")
+    val dels = hits
       .select(relPathCol.as("file_path"), col("_graft_pos").as("pos"))
       // the spec's required sort order for position deletes; also keeps
       // the tiny file deterministic
@@ -531,7 +584,7 @@ object Manifest {
     // the change record: the deleted rows themselves — the MOR commit
     // adds no data files, so without it the change feed could never
     // represent this deletion (the position list names rows, not values)
-    val cdcFs = landCdc(spark, dir, snapshot, metaDf.where(inRange)
+    val cdcFs = landCdc(spark, dir, snapshot, hits
       .drop("_graft_file", "_graft_pos")
       .withColumn(CdfTypeCol, org.apache.spark.sql.functions.lit("delete")))
     // MOR-delete commit with REBASE: position deletes are an ADDITIVE
@@ -570,6 +623,72 @@ object Manifest {
       }
     }
     MorDelete(touch, n, Some(snapshot))
+  }
+
+  /** MERGE-ON-READ UPDATE commit (the SQL `UPDATE` path under
+    * `graft.dml.mode = mor` — Delta's deletion-vector UPDATE shape):
+    * land the UPDATED COPIES of the hit rows as a fresh data dir AND
+    * position-delete their originals, in ONE commit. Every head data
+    * file carries by reference — cost ∝ updated rows, untouched bytes
+    * never move (a thousand-row re-flag on a 100 TB table writes the
+    * thousand rows plus a KB position list). The commit both adds
+    * files and changes delete state, so append-only incremental
+    * readers refuse across it and the change feed serves it via the
+    * recorded cdc. ONE publish attempt pinned to the head the
+    * positions were computed against (the expectedSeq CAS): any
+    * concurrent commit surfaces loudly — re-run the statement.
+    *
+    * `hits` carries `_graft_file`/`_graft_pos` (LIVE rows matching the
+    * predicate — localCheckpoint it so positions, updated copies, and
+    * the change record derive from ONE evaluation); `updated` and
+    * `cdc` are plain table-column frames. */
+  private[graft] def updateHitsMOR(spark: SparkSession, dir: String,
+      snapshot: String, hits: DataFrame, updated: DataFrame,
+      cdc: DataFrame, partitionCols: Seq[String],
+      beforePublish: () => Unit = () => ()): Unit = {
+    require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
+    import org.apache.spark.sql.functions.col
+    val (fsys, base) = fs(spark, dir)
+    val priors = retained(fsys, base)
+    val cur = priors.lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    require(priors.forall(_.snapshot != snapshot),
+      s"snapshot $snapshot already committed under $dir")
+    val delDir = new Path(base, s"deletes-$snapshot")
+    val dataDir = new Path(base, s"data-$snapshot")
+    require(!fsys.exists(delDir), s"deletes-$snapshot already landed under $dir")
+    require(!fsys.exists(dataDir), s"data-$snapshot already landed under $dir")
+    hits.select(relPathCol.as("file_path"), col("_graft_pos").as("pos"))
+      .orderBy("file_path", "pos")
+      .coalesce(1).write.parquet(delDir.toString)
+    val delFiles = fsys.listStatus(delDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted.map(n => s"deletes-$snapshot/$n")
+    val landed = spark.read.parquet(delFiles.map(f => s"$dir/$f"): _*)
+    require(landed.where("file_path = '' OR file_path IS NULL").count() == 0,
+      s"position-delete rows with unextractable file paths under $delDir")
+    // the updated copies land through the same logical→physical choke
+    // point as every writer
+    val toLand = declaredSchema(spark, dir)
+      .filter(ColumnMapping.hasMapping)
+      .fold(updated)(ColumnMapping.toPhysical(updated, _))
+    if (partitionCols.isEmpty) toLand.write.parquet(dataDir.toString)
+    else toLand.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+    def walk(p: Path, rel: String): Seq[String] =
+      fsys.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && nm.contains("=")) walk(st.getPath, s"$rel$nm/")
+        else if (!st.isDirectory && nm.startsWith("part-") &&
+          nm.endsWith(".parquet")) Seq(s"$rel$nm")
+        else Nil
+      }
+    val newFiles = walk(dataDir, "").map(f => s"data-$snapshot/$f")
+    val cdcFs = landCdc(spark, dir, snapshot, cdc)
+    publishManifest(fsys, base, dir, snapshot, priors,
+      cur.files ++ newFiles, cur.deleteFiles ++ delFiles, beforePublish,
+      cdcFiles = cdcFs, cdcRecorded = true,
+      expectedSeq = Some(cur.seq + 1))
   }
 
   /** APPEND-commit: land `df` as a fresh data dir and publish a snapshot
@@ -644,7 +763,14 @@ object Manifest {
       rewrite: Boolean = false,
       cowBase: Option[ManifestData] = None,
       cdc: Option[DataFrame] = None,
-      cdcNoChange: Boolean = false): Unit = {
+      cdcNoChange: Boolean = false,
+      expectedSeq: Option[Long] = None): Unit = {
+    // expectedSeq pins single-attempt whole-state commits (compaction,
+    // MOR update) to the head their state was computed from — see
+    // publishManifest's head-consistency guard. The retrying tiers
+    // re-derive state per attempt, so pinning them would just spin.
+    require(expectedSeq.isEmpty || (cowBase.isEmpty && !carryForward),
+      "expectedSeq is for single-attempt commits only")
     require(snapshot.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshot")
     val spark = df.sparkSession
     val (fsys, base) = fs(spark, dir)
@@ -755,7 +881,8 @@ object Manifest {
         else Nil)
       publishManifest(fsys, base, dir, snapshot, priors,
         carried ++ files.map(f => s"data-$snapshot/$f"), deletes, beforePublish,
-        rewrite, cdcFiles = cdcLanded, cdcRecorded = cdcRec)
+        rewrite, cdcFiles = cdcLanded, cdcRecorded = cdcRec,
+        expectedSeq = expectedSeq)
     }
     if (!plainAppend && !cowRebase) attempt()
     else {
@@ -850,22 +977,8 @@ object Manifest {
     require(priors.forall(_.snapshot != snapshot),
       s"snapshot $snapshot already committed under $dir")
     val head = priors.last
-    // HEAD-CONSISTENCY guard: the by-reference file list comes from
-    // THIS listing, but the CAS target seq comes from the CALLER's.
-    // A listing that disagrees with the caller's expected head — a
-    // commit landed in between, OR a readdir racing a concurrent
-    // rename silently skipped an entry (directory iteration during
-    // mutation may miss unrelated entries on hash-tree filesystems) —
-    // would publish a manifest carrying a STALE file list under a
-    // winning seq, silently dropping the newest commit's files. Refuse
-    // with the retryable conflict instead; the caller re-reads and
-    // re-derives.
-    expectedSeq.foreach { e =>
-      if (head.seq != e - 1)
-        throw new java.util.ConcurrentModificationException(
-          s"metadata commit for $dir expected head seq ${e - 1} but " +
-            s"listed ${head.seq}; state must be re-derived")
-    }
+    // head-consistency vs expectedSeq is enforced inside
+    // publishManifest (shared by every expectedSeq caller)
     publishManifest(fsys, base, dir, snapshot, priors, head.files,
       head.deleteFiles, metaB64 = metaB64, expectedSeq = expectedSeq)
   }
@@ -919,6 +1032,21 @@ object Manifest {
     // commit (data or DDL) makes the target name taken and the rename
     // refuse — the caller must re-read and re-derive. Without it the
     // seq is allocated fresh off the listing (append semantics).
+    //
+    // HEAD-CONSISTENCY guard (round 13): the published state (file
+    // list, delete state, meta) derives from `priors`, but the CAS
+    // target comes from the CALLER's earlier read. If the two disagree
+    // — a commit landed in between, or a readdir racing a concurrent
+    // rename silently skipped an entry — the rename could WIN while
+    // the manifest body is stale, dropping the missed commit's files.
+    // Refuse with the retryable conflict instead.
+    expectedSeq.foreach { e =>
+      val h = priors.lastOption.map(_.seq).getOrElse(-1L)
+      if (h != e - 1)
+        throw new java.util.ConcurrentModificationException(
+          s"commit for $dir expected head seq ${e - 1} but listed $h; " +
+            "state must be re-derived")
+    }
     val seq = expectedSeq.getOrElse((priors.map(_.seq) :+ -1L).max + 1)
     val body = allFiles.map(f => s"""    "$f"""").mkString(",\n")
     val delBlock =
@@ -1459,17 +1587,25 @@ object Manifest {
   def compact(spark: SparkSession, dir: String, snapshot: String,
       targetFileBytes: Long): Long = {
     val (fsys, base) = fs(spark, dir)
-    val files = currentFiles(spark, dir)
+    // ONE head read pins everything: the file list the rewrite reads
+    // AND the expectedSeq CAS the commit publishes under — a commit
+    // landing anywhere in between makes the publish refuse loudly
+    // instead of silently dropping the interloper's files
+    val cur = retained(fsys, base).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    val files = cur.files
     require(files.nonEmpty, s"no committed snapshot under $dir")
     val bytes = files.map(f => fsys.getFileStatus(new Path(base, f)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    // read() applies any position deletes, so compaction doubles as the
-    // MOR purge: the new snapshot carries zero delete files
+    // position deletes applied, so compaction doubles as the MOR
+    // purge: the new snapshot carries zero delete files.
     // cdcNoChange: a compaction re-packs bytes without changing any
     // logical row (pending MOR deletes were already recorded as cdc by
     // the delete commit itself), so the change feed reads it as empty
-    val df = read(spark, dir).repartition(n.toInt)
-    writeImpl(df, dir, snapshot, () => (), rewrite = true, cdcNoChange = true)
+    val df = readFilesApplyingDeletes(spark, dir, cur.files, cur.deleteFiles,
+      declaredSchema(spark, dir)).repartition(n.toInt)
+    writeImpl(df, dir, snapshot, () => (), rewrite = true, cdcNoChange = true,
+      expectedSeq = Some(cur.seq + 1))
     n
   }
 
@@ -1486,14 +1622,19 @@ object Manifest {
       targetFileBytes: Long, clusterCols: Seq[String]): Long = {
     require(clusterCols.nonEmpty, "compactClustered needs cluster columns")
     val (fsys, base) = fs(spark, dir)
-    val files = currentFiles(spark, dir)
+    // one head read pins state + CAS (see compact)
+    val cur = retained(fsys, base).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    val files = cur.files
     require(files.nonEmpty, s"no committed snapshot under $dir")
     val bytes = files.map(f => fsys.getFileStatus(new Path(base, f)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-    // read() applies any position deletes - compaction purges MOR state
-    val df = read(spark, dir).repartitionByRange(
+    // position deletes applied - compaction purges MOR state
+    val df = readFilesApplyingDeletes(spark, dir, cur.files, cur.deleteFiles,
+      declaredSchema(spark, dir)).repartitionByRange(
       n.toInt, clusterCols.map(org.apache.spark.sql.functions.col): _*)
-    writeImpl(df, dir, snapshot, () => (), rewrite = true, cdcNoChange = true)
+    writeImpl(df, dir, snapshot, () => (), rewrite = true, cdcNoChange = true,
+      expectedSeq = Some(cur.seq + 1))
     n
   }
 
@@ -1515,16 +1656,20 @@ object Manifest {
     require(partitionCols.nonEmpty,
       "compactClusteredPartitioned needs partition columns")
     val (fsys, base) = fs(spark, dir)
-    val files = currentFiles(spark, dir)
+    // one head read pins state + CAS (see compact)
+    val cur = retained(fsys, base).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    val files = cur.files
     require(files.nonEmpty, s"no committed snapshot under $dir")
     val bytes = files.map(f => fsys.getFileStatus(new Path(base, f)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     val ordering = (partitionCols ++ clusterCols).map(F.col)
-    val df = read(spark, dir)
+    val df = readFilesApplyingDeletes(spark, dir, cur.files, cur.deleteFiles,
+      declaredSchema(spark, dir))
       .repartitionByRange(n.toInt, ordering: _*)
       .sortWithinPartitions(ordering: _*)
     writeImpl(df, dir, snapshot, () => (), partitionCols = partitionCols,
-      rewrite = true, cdcNoChange = true)
+      rewrite = true, cdcNoChange = true, expectedSeq = Some(cur.seq + 1))
     currentFiles(spark, dir).size.toLong
   }
 
@@ -1540,9 +1685,14 @@ object Manifest {
   def compactPartitioned(spark: SparkSession, dir: String, snapshot: String,
       partitionCols: Seq[String]): Long = {
     require(partitionCols.nonEmpty, "compactPartitioned needs partition columns")
-    val df = read(spark, dir).repartition(partitionCols.map(F.col): _*)
+    val (fsys, base) = fs(spark, dir)
+    // one head read pins state + CAS (see compact)
+    val cur = retained(fsys, base).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot under $dir"))
+    val df = readFilesApplyingDeletes(spark, dir, cur.files, cur.deleteFiles,
+      declaredSchema(spark, dir)).repartition(partitionCols.map(F.col): _*)
     writeImpl(df, dir, snapshot, () => (), partitionCols = partitionCols,
-      rewrite = true, cdcNoChange = true)
+      rewrite = true, cdcNoChange = true, expectedSeq = Some(cur.seq + 1))
     currentFiles(spark, dir).size.toLong
   }
 

@@ -1916,6 +1916,51 @@ object Maintenance {
             |FROM orders WHERE o_orderstatus = 'O' AND o_custkey % 25 = 7
             |ORDER BY change_type""".stripMargin))
 
+  // MERGE-ON-READ SQL DML under oracle (round 13): a table opted in
+  // via `graft.dml.mode = mor` runs DELETE as a position-delete write
+  // and UPDATE as updated-copies + position deletes — data files never
+  // rewrite (cost ∝ changed rows; the deletion-vector shape). The
+  // aggregate reads THROUGH the merge-on-read state (anti-join inside
+  // the scan), which DuckDB replays relationally over the base table.
+  private val graftMorDml = Q(
+    "q_graft_mor_dml",
+    (s, dir) => {
+      val wh = scratchDir(dir, "graft_mor_wh")
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.gmd", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gmd.warehouse", wh)
+      s.sql("CREATE NAMESPACE gmd.db")
+      t(s, dir, "orders").createOrReplaceTempView("gmd_orders_src")
+      s.sql(
+        """CREATE TABLE gmd.db.ord USING graft
+          |TBLPROPERTIES ('graft.dml.mode' = 'mor')
+          |AS SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |   FROM gmd_orders_src""".stripMargin)
+      s.sql("DELETE FROM gmd.db.ord " +
+        "WHERE o_orderstatus = 'F' AND o_custkey % 10 = 3")
+      s.sql("UPDATE gmd.db.ord SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderstatus = 'O' AND o_custkey % 25 = 7")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM gmd.db.ord GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some(s"""WITH survived AS (
+            |  SELECT * FROM orders
+            |  WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)),
+            |upd AS (
+            |  SELECT o_orderkey, o_orderstatus,
+            |    CASE WHEN o_orderstatus = 'O' AND o_custkey % 25 = 7
+            |         THEN o_totalprice * 2 ELSE o_totalprice END AS p
+            |  FROM survived)
+            |SELECT o_orderstatus, COUNT(*) AS n,
+            |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok,
+            |  ${oSum("p")} AS sum_price
+            |FROM upd GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // SQL MERGE INTO under oracle (round 10): customer lands as a graft
   // table, one MERGE statement applies a deterministic change batch
   // with all four action classes (conditional DELETE, UPDATE, INSERT
@@ -2444,7 +2489,7 @@ object Maintenance {
     graftMerge, graftCatalogQ,
     graftEvolve,
     graftEvolveAsof, graftMergeEvolve, graftRename, graftWiden, graftChanges,
-    graftCdf,
+    graftCdf, graftMorDml,
     graftZorder,
     graftRestore, graftOptimize,
     httpSource,

@@ -443,6 +443,39 @@ private[sources] object GraftDmlExec {
       df.col(s"`${a.name}`").cast(a.dataType).as(a.name)): _*)
   }
 
+  /** Is the table opted into MERGE-ON-READ DML (`graft.dml.mode = mor`
+    * among its metadata properties — set via `TBLPROPERTIES` at CREATE
+    * or `ALTER TABLE … SET TBLPROPERTIES`)? Under MOR, DELETE writes a
+    * position list and UPDATE lands only the updated copies — the
+    * touched data files never rewrite, so row-level DML on a 100 TB
+    * table costs the changed rows, not the touched bytes. COW stays
+    * the default: it keeps scans vectorized and needs no compaction
+    * debt. */
+  def morMode(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.catalog.GraftTableMeta.read(fsys, p)
+      .exists(_.properties.get("graft.dml.mode")
+        .exists(_.equalsIgnoreCase("mor")))
+  }
+
+  /** [[readTouched]] keeping the `_graft_file`/`_graft_pos` position
+    * tags AND applying the snapshot's existing position deletes — the
+    * LIVE rows a MOR DML judges its predicate on (already-deleted rows
+    * must neither re-delete nor re-record in the change feed). */
+  def readTouchedMeta(spark: SparkSession, dir: String,
+      touch: Seq[String], deleteFiles: Seq[String],
+      tableAttrs: Seq[AttributeReference]): DataFrame = {
+    val hint = org.apache.spark.sql.types.StructType(tableAttrs.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType,
+        nullable = true, metadata = a.metadata)))
+    val df = Manifest.readFilesMetaApplyingDeletes(spark, dir, touch,
+      deleteFiles, Some(hint))
+    df.select(tableAttrs.map(a =>
+      df.col(s"`${a.name}`").cast(a.dataType).as(a.name)) ++
+      Seq(df.col("_graft_file"), df.col("_graft_pos")): _*)
+  }
+
   /** Commit the rewritten rows + carried files as one rewrite-flagged
     * snapshot, preserving the touched files' hive layout. A
     * predicate-scoped statement (DELETE/UPDATE) passes its pinned
@@ -533,7 +566,27 @@ case class GraftDeleteCommand(dir: String, pinned: String,
       GraftDmlExec.splitFiles(spark, dir, cur.files, splitCond, types)
     if (touch.nonEmpty) {
       val attrs = target.output.collect { case a: AttributeReference => a }
-      if (cond.exists(_.isInstanceOf[SubqueryExpression])) {
+      val hasSubq = cond.exists(_.isInstanceOf[SubqueryExpression])
+      if (!hasSubq && GraftDmlExec.morMode(spark, dir)) {
+        // MERGE-ON-READ: write the matching rows' positions, never the
+        // files — cost ∝ deleted rows. Subquery conditions keep the COW
+        // path (their hit/miss machinery binds on the pinned plan,
+        // which carries no position tags). Deleting every row is
+        // REPRESENTABLE here (all positions dead), unlike COW's
+        // empty-snapshot refusal. The checkpoint pins ONE evaluation
+        // for both the position list and the change record.
+        val metaDf = GraftDmlExec.readTouchedMeta(spark, dir, touch,
+          cur.deleteFiles, attrs)
+        val hits = metaDf.where(Bridge.columnOf(
+          GraftDmlExec.remapByName(cond))).localCheckpoint()
+        if (!hits.isEmpty) {
+          val snap = s"dml${System.currentTimeMillis()}-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          Manifest.deleteHitsMOR(spark, dir, snap, touch, hits,
+            GraftDmlExec.beforePublishHook)
+          spark.catalog.refreshByPath(dir)
+        }
+      } else if (hasSubq) {
         val (plan, touchEff, keepEff) =
           GraftDmlExec.restrictPlan(spark, target, touch) match {
             case Some(r) => (r, touch, keep)
@@ -636,6 +689,41 @@ case class GraftUpdateCommand(dir: String, pinned: String,
             F.lit("update_postimage")))
         GraftDmlExec.commitRewrite(spark, dir, updated, touchEff, keepEff,
           cur.deleteFiles, base = Some(cur), cdc = Some(cdc))
+      } else if (GraftDmlExec.morMode(spark, dir)) {
+        // MERGE-ON-READ UPDATE (the deletion-vector shape): land ONLY
+        // the updated copies as new files and position-delete their
+        // originals — cost ∝ updated rows, the touched files never
+        // rewrite. The checkpoint pins ONE predicate evaluation for
+        // positions, updated copies, and the change record (a
+        // nondeterministic condition must not delete one row set and
+        // re-insert another).
+        val metaDf = GraftDmlExec.readTouchedMeta(spark, dir, touch,
+          cur.deleteFiles, attrs)
+        val condCol = cond.map(c =>
+          Bridge.columnOf(GraftDmlExec.remapByName(c))).getOrElse(F.lit(true))
+        val hits = metaDf.where(condCol).localCheckpoint()
+        if (!hits.isEmpty) {
+          val pre = hits.select(attrs.map(a =>
+            hits.col(s"`${a.name}`").as(a.name)): _*)
+          val post = hits.select(attrs.map { a =>
+            byName.get(a.name) match {
+              case Some(v) =>
+                Bridge.columnOf(GraftDmlExec.remapByName(v))
+                  .cast(a.dataType).as(a.name)
+              case None => hits.col(s"`${a.name}`").as(a.name)
+            }
+          }: _*)
+          val cdc = pre
+            .withColumn(Manifest.CdfTypeCol, F.lit("update_preimage"))
+            .unionByName(post.withColumn(Manifest.CdfTypeCol,
+              F.lit("update_postimage")))
+          val snap = s"dml${System.currentTimeMillis()}-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          Manifest.updateHitsMOR(spark, dir, snap, hits, post, cdc,
+            GraftSource.uniformPartitionCols(touch).getOrElse(Nil).toSeq,
+            GraftDmlExec.beforePublishHook)
+          spark.catalog.refreshByPath(dir)
+        }
       } else {
         val df = GraftDmlExec.readTouched(spark, dir, touch, cur.deleteFiles,
           attrs)
