@@ -95,5 +95,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // OPTIMIZER rule on purpose: analysis keeps the V1 relation
     // visible for the DML/INSERT rules and for temp-view plans
     e.injectOptimizerRule(_ => graft.sources.GraftMorVectorizeRule)
+    // the SQL face of the change feed (Delta's table_changes shape):
+    // SELECT * FROM graft_table_changes('cat.db.t' | '<dir>', since[, until])
+    e.injectTableFunction((TableChanges.ident, TableChanges.info,
+      TableChanges.build _))
   }
 }

@@ -247,6 +247,47 @@ class GraftCdfSpec extends AnyFunSuite {
     assert(drain(ckpt1, skip = true) == 0)
   }
 
+  test("graft_table_changes: the SQL face serves the same feed by path and by name") {
+    val dir = tmpDir()
+    Manifest.write(spark.range(0, 30).toDF("id"), dir, "base")
+    spark.read.format("graft").load(dir).createOrReplaceTempView("cdf_tvf_t")
+    spark.sql("DELETE FROM cdf_tvf_t WHERE id < 4")
+    // by PATH, bounded and unbounded spans
+    val byPath = spark.sql(
+      s"SELECT _change_type, COUNT(*) AS n FROM " +
+        s"graft_table_changes('$dir', 'base') GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPath == Map("delete" -> 4L))
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft_table_changes('$dir', 'start')")
+      .head.getLong(0) == 34) // 30 inserts + 4 deletes
+    // by catalog NAME (must load as a graft table)
+    val wh = java.nio.file.Files.createTempDirectory("graftwh_tvf").toString
+    spark.conf.set("spark.sql.catalog.gtvf", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtvf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gtvf.db")
+    spark.sql(
+      "CREATE TABLE gtvf.db.t USING graft AS SELECT id FROM range(0, 5)")
+    val snaps = Manifest.snapshots(spark, s"$wh/db/t")
+    spark.sql("INSERT INTO gtvf.db.t VALUES (100)")
+    assert(spark.sql(
+      s"SELECT id FROM graft_table_changes('gtvf.db.t', '${snaps.head}')")
+      .collect().map(_.getLong(0)).toSeq == Seq(100L))
+    // predicates push into the feed scan
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft_table_changes('$dir', 'start') " +
+        "WHERE _change_type = 'insert' AND id < 10").head.getLong(0) == 10)
+    // refusals name their reason
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_table_changes('gtvf.db.t')").collect())
+    assert(e1.getMessage.contains("2 or 3") ||
+      Option(e1.getCause).exists(_.getMessage.contains("2 or 3")))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_table_changes('$dir', 'no-such-snap')").collect())
+    assert(e2.getMessage.contains("no retained snapshot") ||
+      Option(e2.getCause).exists(_.getMessage.contains("no retained snapshot")))
+  }
+
   test("column-mapped tables serve the feed under logical names") {
     val wh = java.nio.file.Files.createTempDirectory("graftwh_cdf").toString
     spark.conf.set("spark.sql.catalog.gcdf", "graft.catalog.GraftCatalog")
