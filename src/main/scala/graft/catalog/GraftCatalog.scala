@@ -160,6 +160,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       dir, meta, timeTravel)
   }
 
+  /** The catalog-level capability face: declaring
+    * SUPPORT_TABLE_CONSTRAINT admits `CREATE TABLE … CHECK (…)` and
+    * `ALTER TABLE … ADD CONSTRAINT` through Spark's own resolution
+    * (without it the statements die before reaching this catalog). */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** CREATE-time constraints (the TableInfo face): CHECK + ENFORCED
+    * land as the same reserved properties ALTER ADD CONSTRAINT writes
+    * — a brand-new table has no rows to validate, and a CTAS body is
+    * enforced by the write path reading the sidecar the DDL already
+    * landed. LOCATION registrations refuse CREATE-time constraints
+    * (existing rows are unvalidated — add them with ALTER, which
+    * scans). */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val conProps = info.constraints.toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced,
+          s"graft catalog: CHECK constraint '${c.name}' must be ENFORCED")
+        val sql = Option(c.predicateSql).filter(_.nonEmpty)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"graft catalog: CHECK constraint '${c.name}' carries no " +
+              "predicate SQL"))
+        (GraftTableMeta.ConstraintPropPrefix + c.name) -> sql
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only ENFORCED CHECK constraints are supported " +
+          s"(cannot enforce: ${other.toDDL})")
+    }
+    require(conProps.isEmpty ||
+      !info.properties.containsKey(TableCatalog.PROP_LOCATION),
+      "graft catalog: constraints on a LOCATION registration would " +
+        "declare an invariant over unvalidated existing rows - register " +
+        "first, then ALTER TABLE ... ADD CONSTRAINT (which scans)")
+    val props = new java.util.HashMap[String, String](info.properties)
+    conProps.foreach { case (k, v) => props.put(k, v) }
+    createTable(ident, info.schema, info.partitions, props)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String])
       : Table = {
@@ -168,17 +210,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchNamespaceException(ident.namespace)
     val p = identPath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: only identity PARTITIONED BY columns are " +
-          s"supported, got $other")
+    // CLUSTER BY (round 13, liquid-clustering shape): declared
+    // clustering columns ride as a property; `CALL system.zorder`
+    // without explicit columns applies them (writes land as-is — the
+    // maintenance pass is what clusters, same as OPTIMIZE on Delta's
+    // clustered tables)
+    val clusterCols = partitions.toSeq.flatMap {
+      case org.apache.spark.sql.connector.expressions
+          .ClusterByTransform(refs) =>
+        refs.map(_.fieldNames.mkString("."))
+      case _ => Nil
     }
+    clusterCols.foreach(c =>
+      require(schema.isEmpty || schema.fieldNames.contains(c),
+        s"graft catalog: cluster column '$c' is not in the table schema"))
+    val partCols = partitions.toSeq
+      .filter {
+        case org.apache.spark.sql.connector.expressions
+            .ClusterByTransform(_) => false
+        case _ => true
+      }
+      .map {
+        case t if t.name == "identity" && t.references.length == 1 =>
+          t.references.head.fieldNames.mkString(".")
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: only identity PARTITIONED BY columns are " +
+            s"supported, got $other")
+      }
     partCols.foreach(c => require(schema.isEmpty || schema.fieldNames.contains(c),
       s"graft catalog: partition column '$c' is not in the table schema"))
     val props = properties.asScala.toMap
     val location = props.get(TableCatalog.PROP_LOCATION)
+    require(location.isEmpty ||
+      !props.keys.exists(_.startsWith(GraftTableMeta.ConstraintPropPrefix)),
+      "graft catalog: constraints on a LOCATION registration would " +
+        "declare an invariant over unvalidated existing rows - register " +
+        "first, then ALTER TABLE ... ADD CONSTRAINT (which scans)")
     location.foreach { loc =>
       require(Manifest.history(spark, loc).nonEmpty,
         s"graft catalog: LOCATION '$loc' has no committed graft " +
@@ -188,9 +255,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(schema.nonEmpty || location.nonEmpty,
       "graft catalog: CREATE TABLE needs a column list or a LOCATION " +
         "pointing at an existing graft table")
-    val keepProps = props -- Seq(TableCatalog.PROP_LOCATION,
+    val keepProps = (props -- Seq(TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_EXTERNAL,
-      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER)
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER)) ++
+      (if (clusterCols.isEmpty) Map.empty[String, String]
+       else Map(GraftTableMeta.ClusterByProp -> clusterCols.mkString(",")))
     val meta = GraftTableMeta(
       // an external registration defers the schema to the target's
       // manifest — the sidecar must not freeze a schema it doesn't own
@@ -410,9 +479,77 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case sp: TableChange.SetProperty =>
             require(!reserved.contains(sp.property),
               s"graft catalog: property '${sp.property}' is reserved")
+            require(!sp.property.startsWith(GraftTableMeta.ConstraintPropPrefix),
+              s"graft catalog: '${sp.property}' is constraint state - use " +
+                "ALTER TABLE ... ADD CONSTRAINT (which validates existing " +
+                "rows) instead of setting it directly")
             m.copy(properties = m.properties + (sp.property -> sp.value))
           case rp: TableChange.RemoveProperty =>
             m.copy(properties = m.properties - rp.property)
+          case ac: TableChange.AddConstraint =>
+            // CHECK constraints, ENFORCED (round 13): stored as a
+            // reserved property and enforced on EVERY write path
+            // (INSERT, DML rewrites, MOR update, streaming epochs —
+            // see Manifest.checkConstraints); adding one VALIDATES the
+            // existing rows first, so a declared constraint is a real
+            // table invariant, never an aspiration. Unique/PK/FK are
+            // refused: this engine cannot enforce them, and recording
+            // an unenforced promise invites wrong query rewrites.
+            ac.constraint match {
+              case c: org.apache.spark.sql.connector.catalog
+                  .constraints.Check =>
+                require(c.enforced,
+                  s"graft catalog: CHECK constraint '${c.name}' must be " +
+                    "ENFORCED (informational constraints are refused - " +
+                    "they promise an invariant nothing maintains)")
+                val sql = Option(c.predicateSql).filter(_.nonEmpty)
+                  .getOrElse(throw new UnsupportedOperationException(
+                    s"graft catalog: CHECK constraint '${c.name}' carries " +
+                      "no predicate SQL"))
+                val key = GraftTableMeta.ConstraintPropPrefix + c.name
+                require(!m.properties.contains(key),
+                  s"graft catalog: constraint '${c.name}' already exists")
+                // validate EXISTING rows (SQL semantics: TRUE and
+                // UNKNOWN pass, FALSE violates); the scan reads through
+                // the full resolution path (declared schema, mapping,
+                // MOR state)
+                if (Manifest.history(spark, dir).nonEmpty) {
+                  val bad = spark.read.format("graft").load(dir)
+                    .where(s"($sql) IS FALSE").limit(1).count()
+                  require(bad == 0,
+                    s"graft catalog: cannot add CHECK constraint " +
+                      s"'${c.name}': existing rows violate ($sql)")
+                }
+                m.copy(properties = m.properties + (key -> sql))
+              case other =>
+                throw new UnsupportedOperationException(
+                  s"graft catalog: only ENFORCED CHECK constraints are " +
+                    s"supported (cannot enforce: ${other.toDDL})")
+            }
+          case cb: TableChange.ClusterBy =>
+            val cols = cb.clusteringColumns.toSeq
+              .map(_.fieldNames.mkString("."))
+            m.schema.foreach(sch => cols.foreach(c =>
+              require(sch.fieldNames.exists(_.equalsIgnoreCase(c)),
+                s"graft catalog: cluster column '$c' is not in the " +
+                  "table schema")))
+            cols.foreach(c =>
+              require(!m.partitionCols.exists(_.equalsIgnoreCase(c)),
+                s"graft catalog: cluster column '$c' is a partition " +
+                  "column - partition values are already path-exact"))
+            // CLUSTER BY NONE clears the declaration
+            if (cols.isEmpty)
+              m.copy(properties = m.properties - GraftTableMeta.ClusterByProp)
+            else m.copy(properties = m.properties +
+              (GraftTableMeta.ClusterByProp -> cols.mkString(",")))
+          case dc: TableChange.DropConstraint =>
+            val key = GraftTableMeta.ConstraintPropPrefix + dc.name
+            if (!m.properties.contains(key)) {
+              require(dc.ifExists,
+                s"graft catalog: no constraint '${dc.name}' to drop " +
+                  "(use IF EXISTS)")
+              m
+            } else m.copy(properties = m.properties - key)
           case other =>
             throw new UnsupportedOperationException(
               s"graft catalog: unsupported ALTER TABLE change $other " +
@@ -720,6 +857,17 @@ private[graft] final case class GraftTableMeta(schema: Option[StructType],
 }
 
 private[graft] object GraftTableMeta {
+
+  /** Reserved property prefix holding CHECK constraints: key =
+    * `graft.constraint.<name>`, value = the predicate SQL. Guarded
+    * against direct SET TBLPROPERTIES (adding must validate). */
+  val ConstraintPropPrefix = "graft.constraint."
+
+  /** Declared clustering columns (`CLUSTER BY`), comma-separated —
+    * applied by `CALL system.zorder` when no explicit columns are
+    * given. */
+  val ClusterByProp = "graft.clusterBy"
+
   val SidecarName = ".graft-table.json"
 
   /** Delta's columnMapping table properties — stamped on activation so
@@ -922,7 +1070,8 @@ private[graft] object GraftTableMeta {
  */
 private[graft] class GraftCatalogTable(ident: String, val dir: String,
     meta: Option[GraftTableMeta], timeTravel: Map[String, String])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -954,8 +1103,34 @@ private[graft] class GraftCatalogTable(ident: String, val dir: String,
     val cols =
       if (declared.nonEmpty) declared
       else graft.sources.GraftSource.uniformPartitionColsOf(spark, dir)
-    cols.map(Expressions.identity).toArray
+    val cluster = meta.flatMap(_.properties.get(GraftTableMeta.ClusterByProp))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .map(cs => org.apache.spark.sql.connector.expressions
+        .ClusterByTransform(cs.map(c => Expressions.column(c)
+          .asInstanceOf[org.apache.spark.sql.connector.expressions
+            .NamedReference])))
+    (cols.map(Expressions.identity) ++ cluster).toArray
   }
+
+  /** Declared CHECK constraints, rebuilt from the reserved properties
+    * — VALID: adding one validated the table, and every write path
+    * since has enforced it ([[Manifest.checkConstraints]]). */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    meta.map(_.properties).getOrElse(Map.empty).toSeq
+      .collect { case (k, v)
+          if k.startsWith(GraftTableMeta.ConstraintPropPrefix) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix(GraftTableMeta.ConstraintPropPrefix))
+          .predicateSql(v)
+          .enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build()
+      }
+      .sortBy(_.name)
+      .toArray
 
   override def properties(): java.util.Map[String, String] =
     (meta.map(_.properties).getOrElse(Map.empty) +
@@ -971,9 +1146,60 @@ private[graft] class GraftCatalogTable(ident: String, val dir: String,
     // STREAMING_WRITE serves `df.writeStream.toTable(...)` natively:
     // epoch commits ride the manifest CAS with per-(queryId, epochId)
     // snapshot ids, so replays are no-ops (GraftStreamingWrite)
+    // BATCH_READ backs the V1Scan SAFETY NET below: normal reads are
+    // swapped to the vectorized V1 relation at resolution
+    // (GraftCatalogReadRule), but surfaces that keep the V2 relation
+    // through analysis — the ADD CONSTRAINT validation scan is one —
+    // must pass TableCapabilityCheck and still execute correctly
     Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
+
+  /** The V2 read face, as Spark's official V1 compatibility shim: a
+    * [[org.apache.spark.sql.connector.read.V1Scan]] delegating to the
+    * SAME pinned snapshot frame the swap rule serves. Only surfaces
+    * the resolution-time swap cannot reach execute here (constraint
+    * validation when the optimizer-time swap is not installed, foreign
+    * tooling driving the V2 API directly) — correct rows at a
+    * row-conversion tax, never a wrong answer or a refusal. */
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val declared = schema
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.V1Scan {
+          override def readSchema(): StructType = declared
+          override def toV1TableScan[T <: BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              ctx: org.apache.spark.sql.SQLContext): T =
+            (new BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+              override def schema: StructType = declared
+              override def buildScan()
+                  : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                v1Frame.select(declared.fieldNames.toSeq.map(n =>
+                  org.apache.spark.sql.functions.col(s"`$n`")): _*).rdd
+            }).asInstanceOf[T]
+        }
+    }
+  }
+
+  /** The pinned snapshot as a DataFrame over the V1 relation (declared
+    * column order restored by the caller). */
+  private def v1Frame: org.apache.spark.sql.DataFrame = relation match {
+    case Some(rel) =>
+      val attrs = rel.schema.fields.toSeq.map(f =>
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          f.name, f.dataType, f.nullable, f.metadata)())
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          rel, attrs, None, false, None))
+    case None =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(dir,

@@ -71,6 +71,21 @@ object GraftCatalogReadRule extends Rule[LogicalPlan] {
               scala.util.Try(m.needSchemaEvolution).getOrElse(true)) =>
         insertTargets.add(m.targetTable)
         insertTargets.add(EliminateSubqueryAliases(m.targetTable))
+      // ALTER TABLE … ADD CONSTRAINT … CHECK: the analyzed statement
+      // carries a VALIDATION SCAN child that must stay V2 end-to-end —
+      // ResolveSessionCatalog probes it with `case l: LogicalRelation
+      // => l.catalogTable.get` (a swapped V1 relation has no
+      // session-catalog identity: None.get crash), and the
+      // AddCheckConstraint PLANNER strategy pattern-matches the V2
+      // relation to extract (catalog, ident, change). The validation
+      // executes through the table's V1Scan shim
+      // (GraftCatalogTable.newScanBuilder) — a row-based full scan,
+      // fine for a one-time admin statement.
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+        a.child.foreach {
+          case r: DataSourceV2Relation => insertTargets.add(r)
+          case _ => ()
+        }
       case _ => ()
     }
     plan.resolveOperatorsUp {
@@ -99,7 +114,7 @@ object GraftCatalogReadRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def swap(r: DataSourceV2Relation): LogicalPlan = {
+  private[catalog] def swap(r: DataSourceV2Relation): LogicalPlan = {
     val t = r.table.asInstanceOf[GraftCatalogTable]
     t.relation match {
       case None =>

@@ -156,7 +156,10 @@ private[catalog] object GraftProcedures {
         "the given columns so footer-bounds data skipping bites") {
       override val params = Array(
         in("table", StringType),
-        in("columns", StringType), // comma-separated cluster columns
+        // comma-separated cluster columns; omitted/null = the table's
+        // declared `CLUSTER BY` (the liquid-clustering cadence:
+        // declare once, CALL zorder applies it every maintenance pass)
+        inDefault("columns", StringType, "null"),
         inDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString),
         // OPTIMIZE … WHERE … ZORDER BY: "k=v[,k2=v2]" clusters ONLY the
         // matching hive partitions, carrying every other file by
@@ -167,12 +170,23 @@ private[catalog] object GraftProcedures {
       override def run(spark: SparkSession, dir: String,
           declaredPartCols: Seq[String],
           args: InternalRow): java.util.Iterator[Scan] = {
-        require(!args.isNullAt(1),
-          "graft catalog: CALL zorder needs a non-null columns argument")
-        val cols = args.getUTF8String(1).toString.split(",")
-          .map(_.trim).filter(_.nonEmpty).toSeq
+        val explicit =
+          if (args.isNullAt(1)) Nil
+          else args.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+        val cols =
+          if (explicit.nonEmpty) explicit
+          else {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            GraftTableMeta.read(
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+              .flatMap(_.properties.get(GraftTableMeta.ClusterByProp))
+              .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+              .getOrElse(Nil)
+          }
         require(cols.nonEmpty,
-          "graft catalog: CALL zorder needs at least one cluster column")
+          "graft catalog: CALL zorder needs cluster columns - pass " +
+            "columns => 'c1,c2' or declare them with CLUSTER BY")
         val target = args.getLong(2)
         require(target > 0,
           s"graft catalog: target_file_bytes must be positive, got $target")

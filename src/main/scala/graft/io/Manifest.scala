@@ -669,12 +669,18 @@ object Manifest {
     require(landed.where("file_path = '' OR file_path IS NULL").count() == 0,
       s"position-delete rows with unextractable file paths under $delDir")
     // the updated copies land through the same logical→physical choke
-    // point as every writer
+    // point as every writer — CHECK constraints included (an UPDATE
+    // must not be the door through which a violating value enters)
+    val (gatedUpd, verifyConstraints) = constraintGate(spark, dir, updated)
     val toLand = declaredSchema(spark, dir)
       .filter(ColumnMapping.hasMapping)
-      .fold(updated)(ColumnMapping.toPhysical(updated, _))
+      .fold(gatedUpd)(ColumnMapping.toPhysical(gatedUpd, _))
     if (partitionCols.isEmpty) toLand.write.parquet(dataDir.toString)
     else toLand.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+    try verifyConstraints()
+    catch { case t: Throwable =>
+      fsys.delete(dataDir, true); fsys.delete(delDir, true); throw t
+    }
     def walk(p: Path, rel: String): Seq[String] =
       fsys.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
         val nm = st.getPath.getName
@@ -755,6 +761,51 @@ object Manifest {
       .sorted.map(n => s"cdc-$snapshot/$n")
   }
 
+  /** Declared CHECK constraints of the table dir — (name, predicate
+    * SQL) pairs from the metadata sidecar's reserved properties. */
+  private[graft] def checkConstraints(spark: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val (fsys, base) = fs(spark, dir)
+    graft.catalog.GraftTableMeta.read(fsys, base)
+      .map(_.properties).getOrElse(Map.empty).toSeq
+      .collect { case (k, v) if k.startsWith(
+          graft.catalog.GraftTableMeta.ConstraintPropPrefix) =>
+        k.stripPrefix(graft.catalog.GraftTableMeta.ConstraintPropPrefix) -> v
+      }
+      .sortBy(_._1)
+  }
+
+  /** CHECK-constraint gate for a write: attach ONE observation to the
+    * outgoing frame counting each constraint's violations (SQL
+    * semantics — TRUE and UNKNOWN pass, FALSE violates), riding the
+    * write job itself: zero extra scans however many constraints.
+    * Returns the instrumented frame and a verifier to call AFTER the
+    * write action; the verifier throws naming every violated
+    * constraint with its count (the caller discards the landed data —
+    * the commit never publishes). */
+  private def constraintGate(spark: SparkSession, dir: String,
+      df: DataFrame): (DataFrame, () => Unit) = {
+    val cons = checkConstraints(spark, dir)
+    if (cons.isEmpty) return (df, () => ())
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = cons.map { case (name, sql) =>
+      F.sum(F.when(F.expr(s"($sql) IS FALSE"), 1L).otherwise(0L)).as(name)
+    }
+    val gated = df.observe(obs, aggs.head, aggs.tail: _*)
+    (gated, () => {
+      val row = obs.get
+      val bad = cons.flatMap { case (name, sql) =>
+        Option(row.getOrElse(name, null)).collect {
+          case n: java.lang.Long if n > 0 => s"'$name' ($sql): $n row(s)"
+        }
+      }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"graft: write into $dir violates CHECK constraint(s) " +
+            s"${bad.mkString("; ")} - no data was committed")
+    })
+  }
+
   private[graft] def writeImpl(df: DataFrame, dir: String, snapshot: String,
       beforePublish: () => Unit, carryForward: Boolean = false,
       carriedExplicit: Option[Seq[String]] = None,
@@ -778,14 +829,21 @@ object Manifest {
     require(!fsys.exists(dataDir), s"snapshot $snapshot already landed under $dir")
     require(retained(fsys, base).forall(_.snapshot != snapshot),
       s"snapshot $snapshot already committed under $dir")
+    // CHECK constraints gate every writer at this choke point, on the
+    // LOGICAL frame (predicates name logical columns), riding the
+    // write job's own pass — a violating batch lands nothing durable
+    // (the data dir is deleted, the manifest never publishes)
+    val (gated, verifyConstraints) = constraintGate(spark, dir, df)
     // the ONE choke point every writer funnels through (INSERT, sink,
     // DML rewrites, maintenance): a column-mapped table lands its
     // files under PHYSICAL names, whatever frame the caller built
     val toLand = declaredSchema(spark, dir)
       .filter(ColumnMapping.hasMapping)
-      .fold(df)(ColumnMapping.toPhysical(df, _))
+      .fold(gated)(ColumnMapping.toPhysical(gated, _))
     if (partitionCols.isEmpty) toLand.write.parquet(dataDir.toString)
     else toLand.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
+    try verifyConstraints()
+    catch { case t: Throwable => fsys.delete(dataDir, true); throw t }
     // list the landed part files: flat for an unpartitioned snapshot,
     // descending through `k=v/` dirs for a partitioned one — rel paths
     // keep the partition segments so the manifest IS the partition index
@@ -918,6 +976,30 @@ object Manifest {
     require(newFiles.forall(_.startsWith(s"data-$snapshot/")),
       s"landed files must live under data-$snapshot/")
     val (fsys, base) = fs(spark, dir)
+    // CHECK constraints: the epoch's files were landed executor-side,
+    // so the gate is one scan of the NEW bytes (logical view) before
+    // the publish — a violating epoch aborts the query with the
+    // constraint named, and its replay hits the same wall (a poison
+    // batch surfaces; it can never half-enter the table)
+    val cons = checkConstraints(spark, dir)
+    if (cons.nonEmpty) {
+      val frame = readFiles(spark, dir, newFiles, declaredSchema(spark, dir))
+      val aggs = cons.map { case (name, sql) =>
+        F.sum(F.when(F.expr(s"($sql) IS FALSE"), 1L).otherwise(0L)).as(name)
+      }
+      val row = frame.agg(aggs.head, aggs.tail: _*).collect().head
+      val bad = cons.zipWithIndex.collect {
+        case ((name, sql), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+          s"'$name' ($sql): ${row.getLong(i)} row(s)"
+      }
+      if (bad.nonEmpty) {
+        fsys.delete(new Path(base, s"data-$snapshot"), true)
+        throw new IllegalStateException(
+          s"graft: streaming epoch into $dir violates CHECK " +
+            s"constraint(s) ${bad.mkString("; ")} - the epoch was not " +
+            "committed")
+      }
+    }
     if (overwrite) {
       val priors = retained(fsys, base)
       require(priors.forall(_.snapshot != snapshot),
