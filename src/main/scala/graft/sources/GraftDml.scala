@@ -1063,6 +1063,84 @@ case class GraftMergeCommand(dir: String, pinned: String,
     } finally joined.unpersist()
   }
 
+  /** MERGE-ON-READ merge (round 13, `graft.dml.mode = mor` on a target
+    * with no pending delete state): the SAME pruned join as
+    * [[applyActions]], but the target frame ALSO carries
+    * `_metadata.file_path`/`row_index` (the restricted V1 relation
+    * exposes them; table-column attribute ids are untouched, so every
+    * action expression keeps binding) — matched rows with an
+    * applicable UPDATE/DELETE action become POSITION DELETES, updated
+    * copies and not-matched inserts land as the only new files, and
+    * every touched file carries by reference. A daily upsert into a
+    * 100 TB table then writes the upserted rows, not the touched
+    * files. Commit, cdc, and conflict semantics are
+    * [[Manifest.updateHitsMOR]]'s (one expectedSeq-CAS'd commit). */
+  private def applyActionsMor(spark: SparkSession, tgtMeta: DataFrame,
+      src: DataFrame, attrs: Seq[AttributeReference],
+      touch: Seq[String], keep: Seq[String]): Unit = {
+    val tgt = tgtMeta
+      .withColumn("__graft_tid", F.monotonically_increasing_id())
+      .withColumn("__graft_tm", F.lit(true))
+    val joined = tgt.join(src, Bridge.columnOf(mergeCond), "full_outer")
+    joined.persist()
+    try {
+      val matchedRaw = joined.where(
+        F.col("__graft_tm").isNotNull && F.col("__graft_sm").isNotNull)
+      if (matchedRaw.groupBy("__graft_tid").count()
+          .where(F.col("count") > 1).limit(1).count() > 0)
+        throw new IllegalStateException(
+          "graft MERGE: a target row matched multiple source rows; " +
+            "deduplicate the source on the merge key first")
+      val withIdx = matchedRaw.withColumn("__graft_act",
+        actionIdx(matchedActions))
+      // matched actions are UPDATE/DELETE only (the grammar): every
+      // row with an applicable action position-deletes its original;
+      // act-0 pass-throughs stay in their files untouched
+      val affected = withIdx.where(F.col("__graft_act") > 0)
+      val hits = affected.select(F.col("_graft_file"), F.col("_graft_pos"))
+      val updateIdxs = matchedActions.zipWithIndex.collect {
+        case (_: UpdateAction, i) => i + 1
+      }
+      val updatedCopies =
+        if (updateIdxs.isEmpty)
+          affected.select(attrs.map(a =>
+            Bridge.columnOf(a).as(a.name)): _*).limit(0)
+        else {
+          val u = withIdx.where(F.col("__graft_act")
+            .isin(updateIdxs.map(Integer.valueOf): _*))
+          u.select(attrs.map { a =>
+            matchedActions.zipWithIndex.foldLeft(Bridge.columnOf(a)) {
+              case (acc, (up: UpdateAction, i)) =>
+                up.assignments.find(keyMatches(a)).map(asg =>
+                  F.when(F.col("__graft_act") === (i + 1),
+                    Bridge.columnOf(asg.value).cast(a.dataType))
+                    .otherwise(acc)).getOrElse(acc)
+              case (acc, _) => acc
+            }.as(a.name)
+          }: _*)
+        }
+      val noTgt = joined.where(F.col("__graft_tm").isNull)
+      val newRows = updatedCopies.unionByName(
+        insertRows(noTgt, attrs, notMatchedActions))
+      val inserts =
+        if (notMatchedActions.isEmpty) None
+        else Some(insertRows(noTgt, attrs, notMatchedActions)
+          .withColumn(Manifest.CdfTypeCol, F.lit("insert")))
+      val cdc = (cdcTargetRows(matchedRaw, attrs, matchedActions).toSeq ++
+        inserts.toSeq)
+        .reduceOption(_.unionByName(_))
+        .getOrElse(newRows.withColumn(Manifest.CdfTypeCol,
+          F.lit("insert")).limit(0))
+      val snap = s"dml${System.currentTimeMillis()}-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      Manifest.updateHitsMOR(spark, dir, snap, hits, newRows, cdc,
+        GraftSource.uniformPartitionCols(
+          if (touch.nonEmpty) touch else keep).getOrElse(Nil).toSeq,
+        GraftDmlExec.beforePublishHook)
+      spark.catalog.refreshByPath(dir)
+    } finally joined.unpersist()
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val curOpt = GraftDmlExec.headOrFail(spark, dir, pinned)
     val attrs = target.output.collect { case a: AttributeReference => a }
@@ -1086,12 +1164,37 @@ case class GraftMergeCommand(dir: String, pinned: String,
           }
       pruned match {
         case Some((cur, touch, keep)) =>
-          val tgtFrame = Bridge.ofRows(spark, restrictTarget(spark, touch))
-          applyActions(tgtFrame, src, attrs, Nil, { (result, cdc) =>
-            GraftDmlExec.refuseEmptyResult(result, keep, "MERGE")
-            GraftDmlExec.commitRewrite(spark, dir, result, touch, keep,
-              cur.deleteFiles, base = Some(cur), cdc = cdc)
-          })
+          val base = Bridge.ofRows(spark, restrictTarget(spark, touch))
+          // MOR route: matched actions exist (an insert-only merge is
+          // append-shaped — the COW path already commits it without
+          // touching a file), the target opted in, no pending delete
+          // state (positions must be judged against clean provenance;
+          // compaction restores eligibility), and the restricted plan
+          // exposes `_metadata` (Try: a wrapper hiding it falls back)
+          // the restricted plan keeps the statement's alias wrappers,
+          // which HIDE metadata columns (stripWrappers' contract) —
+          // strip them for the metadata projection; SubqueryAlias
+          // passes its child's attribute ids through, so every action
+          // expression keeps binding (guarded like findTouched)
+          val morFrame =
+            if (matchedActions.nonEmpty && cur.deleteFiles.isEmpty &&
+                touch.nonEmpty && GraftDmlExec.morMode(spark, dir)) {
+              val stripped = stripWrappers(restrictTarget(spark, touch))
+              if (!target.output.forall(stripped.outputSet.contains)) None
+              else scala.util.Try(Bridge.ofRows(spark, stripped)
+                .select(F.col("*"),
+                  F.col("_metadata.file_path").as("_graft_file"),
+                  F.col("_metadata.row_index").as("_graft_pos"))).toOption
+            } else None
+          morFrame match {
+            case Some(tm) => applyActionsMor(spark, tm, src, attrs, touch, keep)
+            case None =>
+              applyActions(base, src, attrs, Nil, { (result, cdc) =>
+                GraftDmlExec.refuseEmptyResult(result, keep, "MERGE")
+                GraftDmlExec.commitRewrite(spark, dir, result, touch, keep,
+                  cur.deleteFiles, base = Some(cur), cdc = cdc)
+              })
+          }
         case None =>
           // full-snapshot rewrite: NOT MATCHED BY SOURCE semantics, a
           // provenance-less target, or the initial load into a

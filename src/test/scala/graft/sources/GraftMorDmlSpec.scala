@@ -39,6 +39,10 @@ class GraftMorDmlSpec extends AnyFunSuite {
       .option("readChangeFeed", "true").option("changesSince", since)
       .load(dir)
 
+  private def byType(df: DataFrame): Map[String, Long] =
+    df.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   test("MOR DELETE: positions written, no data file moves, reads serve live rows") {
     sql("""CREATE TABLE gmor.db.d USING graft
           |TBLPROPERTIES ('graft.dml.mode' = 'mor')
@@ -132,6 +136,56 @@ class GraftMorDmlSpec extends AnyFunSuite {
     assert(sql("SELECT COUNT(*) FROM gmor.db.p WHERE v = -1").head.getLong(0) == 8)
     // partition-pruned reads still work over the MOR state
     assert(sql("SELECT COUNT(*) FROM gmor.db.p WHERE k = 1").head.getLong(0) == 100)
+  }
+
+  test("MOR MERGE: an upsert writes only the changed rows; touched files carry") {
+    sql("""CREATE TABLE gmor.db.mg (k INT, name STRING, v INT) USING graft
+          |TBLPROPERTIES ('graft.dml.mode' = 'mor')""".stripMargin)
+    sql("""INSERT INTO gmor.db.mg
+          |SELECT CAST(id AS INT), CONCAT('n', id), CAST(id * 10 AS INT)
+          |FROM range(0, 400)""".stripMargin)
+    val dir = s"$wh/db/mg"
+    val before = filesOf(dir)
+    val baseSnap = Manifest.snapshots(spark, dir).last
+    Seq((2, 222), (3, -1), (900, 9000)).toDF("k", "nv")
+      .createOrReplaceTempView("gmor_mg_src")
+    sql("""MERGE INTO gmor.db.mg t USING gmor_mg_src s ON t.k = s.k
+          |WHEN MATCHED AND s.nv < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (k, name, v) VALUES (s.k, 'new', s.nv)
+          |""".stripMargin)
+    val m = Manifest.history(spark, dir).last
+    // every pre-merge file carries; the new files hold ONLY the
+    // updated copy + the insert; the originals position-delete
+    assert(before.forall(m.files.contains), "MOR merge must carry all files")
+    val newFiles = m.files.filterNot(before.toSet)
+    assert(newFiles.nonEmpty && m.deleteFiles.nonEmpty)
+    assert(spark.read.parquet(newFiles.map(f => s"$dir/$f"): _*).count() == 2)
+    // state: 400 - 1 deleted + 1 inserted
+    assert(sql("SELECT COUNT(*) FROM gmor.db.mg").head.getLong(0) == 400)
+    assert(sql("SELECT v FROM gmor.db.mg WHERE k = 2").head.getInt(0) == 222)
+    assert(sql("SELECT COUNT(*) FROM gmor.db.mg WHERE k = 3").head.getLong(0) == 0)
+    assert(sql("SELECT name FROM gmor.db.mg WHERE k = 900").head.getString(0) == "new")
+    // the change feed serves the merge from its recorded cdc
+    assert(byType(cdf(dir, baseSnap)) == Map("update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 1L, "insert" -> 1L))
+    // a SECOND merge over the now-pending delete state falls back to
+    // COW (clean provenance required) — still correct, rewrite-flagged
+    Seq((5, 555)).toDF("k", "nv").createOrReplaceTempView("gmor_mg_src2")
+    sql("""MERGE INTO gmor.db.mg t USING gmor_mg_src2 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |""".stripMargin)
+    assert(sql("SELECT v FROM gmor.db.mg WHERE k = 5").head.getInt(0) == 555)
+    assert(sql("SELECT COUNT(*) FROM gmor.db.mg").head.getLong(0) == 400)
+    // compaction restores MOR-merge eligibility
+    Manifest.compact(spark, dir, "mg-squash", 1L << 30)
+    val before3 = filesOf(dir)
+    Seq((7, 777)).toDF("k", "nv").createOrReplaceTempView("gmor_mg_src3")
+    sql("""MERGE INTO gmor.db.mg t USING gmor_mg_src3 s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |""".stripMargin)
+    assert(before3.forall(Manifest.history(spark, dir).last.files.contains))
+    assert(sql("SELECT v FROM gmor.db.mg WHERE k = 7").head.getInt(0) == 777)
   }
 
   test("streams refuse across a MOR DML commit; subquery conditions fall back to COW") {
