@@ -283,9 +283,13 @@ object TextStats {
     *      document (an overlap would share the middle token), so the
     *      surviving merges commute — applying them simultaneously to the
     *      round-start sequence is well-defined and order-free.
-    *   3. apply every surviving merge in one islands-window rewrite
-    *      (islands computed per (doc, pair) so same-pair runs like
-    *      "a a a" still merge left-to-right non-overlapping).
+    *   3. apply every surviving merge in ONE greedy left-to-right scan
+    *      per document (merge any position starting a surviving pair,
+    *      skip the consumed token) — under token-disjointness this is
+    *      exactly the simultaneous islands rule: matches of different
+    *      pairs can never be adjacent (adjacency would share the middle
+    *      token), and same-pair runs merge left-to-right non-overlapping
+    *      either way. BpeWitnessSpec's sequential witness IS this scan.
     *
     * Rank-dominance (not greedy-over-survivors) is chosen because it has
     * no sequential dependence: the same set falls out of a self-join in
@@ -293,24 +297,48 @@ object TextStats {
     * `batchK = 1` the rule degenerates to exactly classic BPE (top-1
     * candidate, trivially dominant). Jobs per vocab: O(merges / batchK)
     * — a 32k vocab at batchK=256 is ~125 passes, not 32k. The driver
-    * sees `batchK` rows per round (bounded), never data. */
+    * sees `batchK` rows per round (bounded), never data.
+    *
+    * Round 13 (optimization): the corpus is carried as ONE token array
+    * per document, not a position-exploded frame. Per round that leaves
+    * exactly one shuffle (the pair-count aggregate, with map-side partial
+    * aggregation); the merge application is a per-row `aggregate` fold —
+    * the previous implementation paid, per round, a lead() window, two
+    * positional self-joins, three more windows and two localCheckpoints
+    * over |corpus tokens| rows. Rewrites are narrow maps, so rounds chain
+    * lazily off one checkpointed base (re-checkpointed every 8 rounds to
+    * bound plan depth for production-size vocabs). */
   def bpeTrainBatched(df: DataFrame, idCol: String, textCol: String,
       rounds: Int, batchK: Int): (DataFrame, DataFrame) = {
     require(rounds >= 0 && batchK >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    val wDoc = Window.partitionBy("id").orderBy("p")
-    var seq = df.select(col(idCol).as("id"),
-        posexplode(tokens(col(textCol))).as(Seq("p", "tok")))
+    var seq = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
       .localCheckpoint(true)
+    // Evaluate-once binding: rounds chain lazily, so the optimizer's
+    // project collapsing substitutes round r's WHOLE rewrite expression
+    // into every reference of `ts` inside round r+1 (size, per-step
+    // element accesses, ...) — evaluation cost would grow exponentially
+    // with rounds (observed as a single task pinned for 20+ minutes at
+    // sf0.01). Routing the array through a one-element transform binds it
+    // to a lambda variable, which IS evaluated once however many times
+    // the body reads it, and leaves exactly ONE `ts` reference per round
+    // for the collapser to substitute into.
+    def bindOnce(arr: Column)(f: Column => Column): Column =
+      element_at(transform(array(arr), t => f(t)), 1)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 0
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
-      val withNext = seq.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-        .localCheckpoint(true)
-      val cand = withNext.filter(col("nxt").isNotNull)
+      val cand = seq.select(explode(bindOnce(col("ts")) { ts =>
+          when(size(ts) >= 2,
+            transform(sequence(lit(1), size(ts) - 1),
+              k => struct(element_at(ts, k).as("tok"),
+                element_at(ts, k + 1).as("nxt"))))
+          .otherwise(array().cast("array<struct<tok:string,nxt:string>>"))
+        }).as("bg"))
+        .select(col("bg.tok").as("tok"), col("bg.nxt").as("nxt"))
         .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok"), col("nxt"))
         .limit(batchK).collect()
@@ -327,32 +355,40 @@ object TextStats {
         sel.foreach { case (w1, w2, cnt) =>
           step += 1; merges += ((step, w1, w2, cnt))
         }
-        val selDf = broadcast(sel.zipWithIndex
-          .map { case ((w1, w2, cnt), i) => (w1, w2, cnt, i) }.toSeq
-          .toDF("__w1", "__w2", "__cnt", "__pr"))
-        val marked = withNext.join(selDf,
-          col("tok") === col("__w1") && col("nxt") === col("__w2"), "left")
-        val wPair = Window.partitionBy(col("id"), col("__pr")).orderBy("p")
-        val kept = marked.filter(col("__pr").isNotNull)
-          .withColumn("island", col("p") - row_number().over(wPair))
-          .withColumn("rn2", row_number().over(
-            Window.partitionBy(col("id"), col("__pr"), col("island")).orderBy("p")))
-          .filter((col("rn2") - 1) % 2 === 0)
-          .select(col("id"), col("p"))
-        seq = marked
-          .join(kept.withColumn("mstart", lit(true)), Seq("id", "p"), "left")
-          .join(kept.select(col("id"), (col("p") + 1).as("p"),
-            lit(true).as("consumed")), Seq("id", "p"), "left")
-          .filter(col("consumed").isNull)
-          .select(col("id"), col("p"),
-            when(col("mstart"), concat(col("__w1"), col("__w2")))
-              .otherwise(col("tok")).as("tok"))
-          .withColumn("p", row_number().over(wDoc) - 1)
-          .localCheckpoint(true)
+        // merged token iff (cur, nxt) is a surviving pair (at most one
+        // can match: the pairs are distinct and token-disjoint)
+        def mergedTok(cur: Column, nxt: Column): Column =
+          sel.foldLeft(lit(null).cast("string")) { case (acc, (w1, w2, _)) =>
+            when(cur === lit(w1) && nxt === lit(w2), lit(w1 + w2)).otherwise(acc)
+          }
+        val rewritten = bindOnce(col("ts")) { ts =>
+          when(size(ts) < 2, ts).otherwise(aggregate(
+            sequence(lit(1), size(ts)),
+            struct(array().cast("array<string>").as("out"),
+              lit(false).as("skip")),
+            (st, k) => {
+              val cur = element_at(ts, k)
+              // guarded: element_at past the end would throw under ANSI
+              val m = when(k < size(ts),
+                mergedTok(cur, element_at(ts, k + 1)))
+              when(st.getField("skip"),
+                  struct(st.getField("out").as("out"), lit(false).as("skip")))
+                .when(m.isNotNull,
+                  struct(concat(st.getField("out"), array(m)).as("out"),
+                    lit(true).as("skip")))
+                .otherwise(
+                  struct(concat(st.getField("out"), array(cur)).as("out"),
+                    lit(false).as("skip")))
+            },
+            st => st.getField("out")))
+        }
+        seq = seq.select(col("id"), rewritten.as("ts"))
+        if (round % 8 == 0) seq = seq.localCheckpoint(true)
       }
       round += 1
     }
-    (merges.result().toDF("step", "w1", "w2", "cnt"), seq)
+    val seqOut = seq.select(col("id"), posexplode(col("ts")).as(Seq("p", "tok")))
+    (merges.result().toDF("step", "w1", "w2", "cnt"), seqOut)
   }
 
   /** Bigram language-model quality scoring — the portable stand-in for

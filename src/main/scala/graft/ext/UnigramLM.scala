@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -63,9 +62,23 @@ object UnigramLM {
   /** Viterbi-best segmentation of every word under `vocab` (piece, lnp):
     * returns (word, path, score, np) — path is the space-joined piece
     * sequence, the unique DP optimum under (score desc, np asc, path
-    * asc). */
-  private def viterbi(words: DataFrame, vocab: DataFrame, maxPieceLen: Int,
-      maxLen: Int): DataFrame = {
+    * asc).
+    *
+    * Round 13 (optimization): the DP runs PER ROW over the word's
+    * collected edge list with `aggregate` higher-order functions — one
+    * shuffle (the collect_list groupBy) instead of the previous
+    * `maxLen`-round driver loop (a join + window + localCheckpoint PER
+    * CHARACTER POSITION: ~24 shuffle rounds and ~24 actions per call,
+    * ×3 calls in q_unigram_segment). A word is ≤ `maxWordLen` chars with
+    * ≤ `maxWordLen`·`maxPieceLen` vocab edges, so the per-row DP is a
+    * bounded local loop — exactly the state the old rounds shuffled.
+    * Scores stay DECIMAL(28,9) with the same per-step cast, and the
+    * candidate fold's (score desc, np asc, path asc) comparison is a
+    * total order (distinct candidates at a position always differ in
+    * path), so the result is the identical unique optimum regardless of
+    * edge collection order. */
+  private def viterbi(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
     val L = maxPieceLen
     val edges = words.select(col("word"),
         explode(expr(
@@ -75,30 +88,40 @@ object UnigramLM {
       .select(col("word"), col("e.i").as("i"), col("e.j").as("j"),
         expr("substring(word, e.i + 1, e.j - e.i)").as("piece"))
       .join(vocab.select("piece", "lnp"), "piece")
-      .localCheckpoint(true)
-    var best = words.select(col("word"), lit(0).as("pos"),
-      lit(java.math.BigDecimal.ZERO).cast(Dec).as("score"),
-      lit(0).as("np"), lit("").as("path"))
-    val wWord = Window.partitionBy("word", "pos")
-      .orderBy(col("score").desc, col("np"), col("path"))
-    for (j <- 1 to maxLen) {
-      val stepEdges = edges.filter(col("j") === j)
-        .select(col("word"), col("i"), col("piece"), col("lnp"))
-      val extended = best.filter(col("pos") >= j - L)
-        .join(stepEdges, Seq("word"))
-        .filter(col("pos") === col("i"))
-        .select(col("word"), lit(j).as("pos"),
-          (col("score") + col("lnp")).cast(Dec).as("score"),
-          (col("np") + 1).as("np"),
-          when(col("path") === "", col("piece"))
-            .otherwise(concat(col("path"), lit(" "), col("piece"))).as("path"))
-        .withColumn("__rk", row_number().over(wWord))
-        .filter(col("__rk") === 1).drop("__rk")
-      best = best.unionByName(extended).localCheckpoint(true)
-    }
-    best.withColumn("__len", length(col("word")))
-      .filter(col("pos") === col("__len"))
-      .select("word", "path", "score", "np")
+    val st = "struct<score:decimal(28,9),np:int,path:string>"
+    // acc[k] = best state at position k (subscript is 0-based), NULL if
+    // unreachable; candidates extend acc[e.i] over edge (i, j] at step j
+    val dp =
+      s"""element_at(
+         |  aggregate(
+         |    sequence(1, length(word)),
+         |    array(named_struct(
+         |      'score', CAST(0 AS DECIMAL(28,9)), 'np', 0, 'path', '')),
+         |    (acc, j) -> concat(acc, array(
+         |      aggregate(
+         |        transform(
+         |          filter(es, e -> e.j = j AND acc[e.i] IS NOT NULL),
+         |          e -> named_struct(
+         |            'score', CAST(acc[e.i].score + e.lnp AS DECIMAL(28,9)),
+         |            'np', acc[e.i].np + 1,
+         |            'path', CASE WHEN acc[e.i].path = '' THEN e.piece
+         |              ELSE concat(acc[e.i].path, ' ', e.piece) END)),
+         |        CAST(NULL AS $st),
+         |        (b, c) -> CASE
+         |          WHEN b IS NULL THEN c
+         |          WHEN c.score > b.score THEN c
+         |          WHEN c.score = b.score AND c.np < b.np THEN c
+         |          WHEN c.score = b.score AND c.np = b.np AND c.path < b.path
+         |            THEN c
+         |          ELSE b END)))),
+         |  length(word) + 1)""".stripMargin
+    edges.groupBy("word")
+      .agg(collect_list(struct(col("i"), col("j"), col("piece"), col("lnp")))
+        .as("es"))
+      .withColumn("__best", expr(dp))
+      .filter(col("__best").isNotNull)
+      .select(col("word"), col("__best.path").as("path"),
+        col("__best.score").as("score"), col("__best.np").as("np"))
   }
 
   /** Train the unigram LM; returns `(token_id, piece, n, lnp)` — the
@@ -109,10 +132,7 @@ object UnigramLM {
       maxWordLen: Int = 24): DataFrame = {
     require(emIters >= 1 && vocabSize >= 1 && maxPieceLen >= 1)
     val words = wordCounts(df, textCol, maxWordLen).localCheckpoint(true)
-    // bounded driver scalar: DP depth (≤ maxWordLen by the filter above)
-    val maxLen = words.agg(max(length(col("word")))).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toInt)).getOrElse(0)
-    require(maxLen > 0, "empty corpus")
+    require(!words.isEmpty, "empty corpus")
     val L = maxPieceLen
 
     // candidate vocab: substring counts weighted by word frequency
@@ -128,7 +148,7 @@ object UnigramLM {
 
     var counts: DataFrame = null
     for (_ <- 1 to emIters) {
-      val seg = viterbi(words, vocab, L, maxLen)
+      val seg = viterbi(words, vocab, L)
       counts = seg.join(words.select("word", "freq"), "word")
         .select(col("freq"), explode(split(col("path"), " ")).as("piece"))
         .groupBy("piece").agg(sum(col("freq")).as("n"))
@@ -160,11 +180,9 @@ object UnigramLM {
   def segment(df: DataFrame, textCol: String, vocab: DataFrame,
       maxPieceLen: Int = 4, maxWordLen: Int = 24): DataFrame = {
     val words = wordCounts(df, textCol, maxWordLen).localCheckpoint(true)
-    val maxLen = words.agg(max(length(col("word")))).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toInt)).getOrElse(0)
-    require(maxLen > 0, "empty corpus")
+    require(!words.isEmpty, "empty corpus")
     val v = vocab.select(col("piece"), col("lnp").cast(Dec).as("lnp"))
-    viterbi(words, v, maxPieceLen, maxLen)
+    viterbi(words, v, maxPieceLen)
       .join(words, "word")
       .select(col("word"), col("freq"), col("path"), col("np").as("n_pieces"))
   }
