@@ -672,9 +672,9 @@ object Manifest {
     // point as every writer — CHECK constraints included (an UPDATE
     // must not be the door through which a violating value enters)
     val (gatedUpd, verifyConstraints) = constraintGate(spark, dir, updated)
-    val toLand = declaredSchema(spark, dir)
+    val toLand = sizeForLanding(declaredSchema(spark, dir)
       .filter(ColumnMapping.hasMapping)
-      .fold(gatedUpd)(ColumnMapping.toPhysical(gatedUpd, _))
+      .fold(gatedUpd)(ColumnMapping.toPhysical(gatedUpd, _)))
     if (partitionCols.isEmpty) toLand.write.parquet(dataDir.toString)
     else toLand.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
     try verifyConstraints()
@@ -748,17 +748,88 @@ object Manifest {
     * buys nothing at the scale it exists for. Returns the
     * manifest-relative cdc file paths. */
   private def landCdc(spark: SparkSession, dir: String, snapshot: String,
-      cdcDf: DataFrame): Seq[String] = {
+      cdcDf: DataFrame, landingBytes: Option[Long] = None): Seq[String] = {
     val (fsys, base) = fs(spark, dir)
     val cdcDir = new Path(base, s"cdc-$snapshot")
     require(!fsys.exists(cdcDir), s"cdc-$snapshot already landed under $dir")
-    val toLand = declaredSchema(spark, dir)
+    val toLand = sizeForLanding(declaredSchema(spark, dir)
       .filter(ColumnMapping.hasMapping)
-      .fold(cdcDf)(ColumnMapping.toPhysical(cdcDf, _))
+      .fold(cdcDf)(ColumnMapping.toPhysical(cdcDf, _)), landingBytes)
     toLand.write.parquet(cdcDir.toString)
     fsys.listStatus(cdcDir).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
       .sorted.map(n => s"cdc-$snapshot/$n")
+  }
+
+  /** Default per-file landing target (in OPTIMIZER-ESTIMATED bytes;
+    * parquet compression makes the on-disk file a factor smaller).
+    * Override with `spark.graft.write.targetFileBytes`. */
+  private val DefaultTargetFileBytes = 64L << 20
+
+  /** Output file sizing at the landing choke points: coalesce the
+    * outgoing frame so each write task carries roughly
+    * `spark.graft.write.targetFileBytes` of estimated data instead of
+    * landing one near-empty part file per upstream partition — a small
+    * commit lands ONE file, a large commit still lands many. The
+    * estimate is the optimizer's `sizeInBytes`, which on join-derived
+    * plans OVER-estimates — an over-estimate only keeps more
+    * partitions (coalesce never raises the count), so the floor is
+    * safe in both directions. Scale-adaptive by construction: the file
+    * count derives from data size, not from the session's core count.
+    *
+    * A caller that EXPLICITLY laid out its frame keeps that layout:
+    * compaction's ceil(bytes/target) split, the range-clustered zorder
+    * rewrite, and fixtures landing N range-clustered files for
+    * data-skipping demonstrations all repartition immediately below
+    * the write, so the sizer walks through the order-preserving
+    * wrappers this file adds (column-mapping Project, constraint-gate
+    * CollectMetrics, within-partition Sort) and backs off when it
+    * finds a RepartitionOperation. */
+  private def sizeForLanding(df: DataFrame,
+      knownDiskBytes: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @annotation.tailrec
+    def explicitLayout(p: LogicalPlan): Boolean = p match {
+      case _: RepartitionOperation => true
+      case s: Sort if !s.global => explicitLayout(s.child)
+      case pr: Project => explicitLayout(pr.child)
+      case f: Filter => explicitLayout(f.child)
+      case a: SubqueryAlias => explicitLayout(a.child)
+      case m: CollectMetrics => explicitLayout(m.child)
+      case _ => false
+    }
+    val analyzed = df.queryExecution.analyzed
+    if (explicitLayout(analyzed)) df
+    else {
+      val target = df.sparkSession.conf
+        .getOption("spark.graft.write.targetFileBytes")
+        .map(_.toLong).getOrElse(DefaultTargetFileBytes)
+      // Preferred estimate: the caller's KNOWN on-disk byte count (a DML
+      // rewrite knows exactly which files it re-packs), inflated ×4 for
+      // parquet-encoded → in-memory width. Fallback: analyzed-plan
+      // stats — the same sizeInBytes the optimizer would see, WITHOUT
+      // running a second full optimization pass per commit. Join-derived
+      // plans (MERGE) over-estimate wildly there, which is why the
+      // explicit path exists; over-estimates only keep more partitions.
+      val est: BigInt = knownDiskBytes.map(b => BigInt(b) * 4)
+        .getOrElse(analyzed.stats.sizeInBytes)
+      val n = ((est + target - 1) / target).min(BigInt(Int.MaxValue)).toInt
+      // Floor of 16: a bare coalesce(1) over a scan→write plan would
+      // collapse the whole read+rewrite to ONE task (coalesce merges the
+      // final stage, it does not insert a shuffle) — keep at least
+      // 16-way parallelism and let n take over as soon as the data is
+      // big enough to deserve more files. coalesce never RAISES a
+      // partition count, so a frame already narrower than the floor
+      // (a 2-partition scan, say) lands its natural file count.
+      df.coalesce(math.max(16, n))
+    }
+  }
+
+  /** Total on-disk bytes of manifest-relative `files` under `dir` —
+    * the landing-size hint a DML rewrite passes to its commit. */
+  def filesBytes(spark: SparkSession, dir: String, files: Seq[String]): Long = {
+    val (fsys, base) = fs(spark, dir)
+    files.map(f => fsys.getFileStatus(new Path(base, f)).getLen).sum
   }
 
   /** Declared CHECK constraints of the table dir — (name, predicate
@@ -815,7 +886,8 @@ object Manifest {
       cowBase: Option[ManifestData] = None,
       cdc: Option[DataFrame] = None,
       cdcNoChange: Boolean = false,
-      expectedSeq: Option[Long] = None): Unit = {
+      expectedSeq: Option[Long] = None,
+      landingBytes: Option[Long] = None): Unit = {
     // expectedSeq pins single-attempt whole-state commits (compaction,
     // MOR update) to the head their state was computed from — see
     // publishManifest's head-consistency guard. The retrying tiers
@@ -837,9 +909,9 @@ object Manifest {
     // the ONE choke point every writer funnels through (INSERT, sink,
     // DML rewrites, maintenance): a column-mapped table lands its
     // files under PHYSICAL names, whatever frame the caller built
-    val toLand = declaredSchema(spark, dir)
+    val toLand = sizeForLanding(declaredSchema(spark, dir)
       .filter(ColumnMapping.hasMapping)
-      .fold(gated)(ColumnMapping.toPhysical(gated, _))
+      .fold(gated)(ColumnMapping.toPhysical(gated, _)), landingBytes)
     if (partitionCols.isEmpty) toLand.write.parquet(dataDir.toString)
     else toLand.write.partitionBy(partitionCols: _*).parquet(dataDir.toString)
     try verifyConstraints()
@@ -858,7 +930,8 @@ object Manifest {
     val files = walk(dataDir, "")
     // the commit's row-level change record lands beside the data —
     // published (or orphaned) together with it
-    val cdcLanded = cdc.map(landCdc(spark, dir, snapshot, _)).getOrElse(Nil)
+    val cdcLanded = cdc.map(landCdc(spark, dir, snapshot, _, landingBytes))
+      .getOrElse(Nil)
     val cdcRec = cdc.isDefined || cdcNoChange
     // COMMIT REBASE (Delta's OptimisticTransaction shape), two tiers:
     //

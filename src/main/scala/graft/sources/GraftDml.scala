@@ -504,10 +504,17 @@ private[sources] object GraftDmlExec {
     // `cdc` is the statement's row-level change record (changed rows +
     // `_change_type`), landed beside the data so the change feed can
     // serve this commit instead of refusing it
+    // landing-size hint: the rewrite re-packs exactly the touched
+    // files' rows (plus MERGE inserts, the smaller side by far), so
+    // their on-disk byte sum bounds the commit — the stats estimate of
+    // a join-derived rewrite plan over-counts by orders of magnitude
+    // and would leave one near-empty part file per shuffle partition
+    val touchedBytes = if (touch.isEmpty) None
+      else Some(math.max(1L, Manifest.filesBytes(spark, dir, touch)))
     Manifest.writeImpl(rewritten, dir, snap, beforePublishHook,
       carriedExplicit = Some(keep), partitionCols = partCols,
       deletesExplicit = Some(deleteFiles), rewrite = touch.nonEmpty,
-      cowBase = base, cdc = cdc)
+      cowBase = base, cdc = cdc, landingBytes = touchedBytes)
     spark.catalog.refreshByPath(dir)
   }
 
